@@ -1,0 +1,214 @@
+package graft
+
+/** DuckDB oracle twins for SparkEntry.queries (driver contract).
+  *
+  * Dialect notes (parity decisions, validated against DuckDB 1.0):
+  *  - events.ts is ns-precision parquet; DuckDB truncates to µs, which
+  *    matches Spark's floor(ns/1000) via Tables.events.
+  *  - float sums are avoided or exact (integer-valued doubles, int
+  *    ratios); cosine uses CAST(... AS DOUBLE[]) which is bit-identical
+  *    to Spark's double fold, plus round(.,6) on output.
+  *  - count()/len() results are cast so both engines emit the same
+  *    physical type (BIGINT vs INT).
+  */
+object OracleSql {
+
+  private val stopwordsIn =
+    "('the','a','an','and','or','of','to','in','is','are','was','for','on','with','as','by','at','it')"
+
+  val all: Map[String, String] = Map(
+    "s1_ingest_dialects" ->
+      """SELECT * FROM (VALUES
+        ('ChIJxxxx', 'Z Moorhouse', 'Z Moorhouse', CAST(-43.5366 AS DOUBLE), CAST(172.63 AS DOUBLE), '238 Moorhouse Avenue, Christchurch', 'Christchurch', '', '', 'NZ'),
+        ('bp-001', 'BP', 'BP Connect Moorhouse', CAST(-43.5386 AS DOUBLE), CAST(172.6284 AS DOUBLE), '123 Moorhouse Ave', 'Christchurch', 'Canterbury', '8011', 'NZ'),
+        ('mob-001', 'Mobil', 'Mobil Redwood', CAST(-43.4792 AS DOUBLE), CAST(172.6089 AS DOUBLE), '286 Main North Rd', 'Christchurch', 'Canterbury', '8051', 'NZ')
+      ) AS t(location_id, brand_name, location_name, latitude, longitude, address_line1, city, state_province, postal_code, country) ORDER BY location_id""",
+
+    "s4_t2_json_decode" ->
+      "SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k_value FROM events ORDER BY event_id",
+
+    "s5_projection_scan" ->
+      "SELECT count(*) AS n_rows, count(DISTINCT l_orderkey) AS n_keys, min(l_orderkey) AS min_key, max(l_orderkey) AS max_key FROM lineitem",
+
+    "s6_point_lookup" ->
+      "SELECT * FROM customer WHERE c_custkey = 42",
+
+    "s10_literal_source" ->
+      """SELECT * FROM (VALUES
+        ('Unleaded 91', CAST(2.79 AS DOUBLE), CAST(279 AS BIGINT), CAST(0 AS BIGINT)),
+        ('Unleaded 95', CAST(2.98 AS DOUBLE), CAST(298 AS BIGINT), CAST(1 AS BIGINT)),
+        ('Unleaded 98', CAST(3.11 AS DOUBLE), CAST(311 AS BIGINT), CAST(2 AS BIGINT)),
+        ('Diesel', CAST(2.10 AS DOUBLE), CAST(210 AS BIGINT), CAST(3 AS BIGINT))
+      ) AS t(fuel_type, base_price, base_cents, ft_idx) ORDER BY ft_idx""",
+
+    "t1_project_rename" ->
+      """SELECT l_orderkey AS order_key, l_linenumber AS line_no,
+        CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR) AS location_id,
+        l_returnflag AS brand_name, l_linestatus AS location_name,
+        l_quantity AS latitude, l_extendedprice AS longitude,
+        CAST(l_partkey AS VARCHAR) AS address_line1,
+        CAST(l_shipdate AS DATE) AS ship_date
+      FROM lineitem ORDER BY order_key, line_no""",
+
+    "t3_literal_defaults" ->
+      "SELECT c_custkey, coalesce(c_mktsegment, 'UNKNOWN') AS segment, '' AS state_province, 'NZ' AS country FROM customer ORDER BY c_custkey",
+
+    "t4_city_from_address" ->
+      """SELECT c_custkey, address,
+        CASE WHEN contains(address, ',') THEN trim(string_split(address, ',')[-1]) ELSE '' END AS city
+      FROM (SELECT c_custkey,
+              c_name || CASE WHEN c_custkey % 3 = 0 THEN '' ELSE ', ' || c_mktsegment END AS address
+            FROM customer) ORDER BY c_custkey""",
+
+    "t5_anti_join" ->
+      "SELECT o_orderkey, o_totalprice FROM orders WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey) ORDER BY o_orderkey",
+
+    "t6_first_seen_dedup" ->
+      """SELECT user_id, event_id, event_type, value FROM (
+        SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn FROM events
+      ) WHERE rn = 1 ORDER BY user_id""",
+
+    "t7_group_count" ->
+      "SELECT l_returnflag, l_linestatus, count(*) AS n, sum(l_quantity) AS sum_qty FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2",
+
+    "t8_cross_join" ->
+      "SELECT n_nationkey, r_regionkey, n_name, r_name FROM nation CROSS JOIN region ORDER BY n_nationkey, r_regionkey",
+
+    "t9_price_formula" ->
+      """WITH ft(fuel_type, base_cents, ft_idx) AS (VALUES
+        ('Unleaded 91', 279, 0), ('Unleaded 95', 298, 1), ('Unleaded 98', 311, 2), ('Diesel', 210, 3))
+      SELECT s_suppkey AS location_id, fuel_type,
+        (base_cents - 37 + (s_suppkey * 2654435761 + ft_idx * 7919) % 61) / 100.0 AS price,
+        DATE '2024-06-01' AS date
+      FROM supplier CROSS JOIN ft ORDER BY location_id, fuel_type""",
+
+    "t10_last_write_wins" ->
+      """SELECT user_id, event_type, CAST(ts AS DATE) AS day, value, event_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY user_id, event_type, CAST(ts AS DATE) ORDER BY event_id DESC) AS rn
+        FROM events
+      ) WHERE rn = 1 ORDER BY user_id, event_type, day""",
+
+    "t11_date_events" ->
+      """SELECT event_id, ts AS event_ts, CAST(ts AS DATE) AS event_date,
+        CAST(date_trunc('month', ts) AS DATE) AS event_month,
+        CAST(hour(ts) AS INT) AS event_hour, CAST(year(ts) AS INT) AS event_year
+      FROM events ORDER BY event_id""",
+
+    "t11_date_lineitem" ->
+      "SELECT CAST(year(l_shipdate) AS INT) AS ship_year, count(*) AS n FROM lineitem GROUP BY 1 ORDER BY 1",
+
+    "t12_full_address" ->
+      """SELECT c_custkey,
+        concat_ws(', ', c_name, c_mktsegment, '', 'NZ') ||
+          CASE WHEN postal_code IS NOT NULL AND postal_code <> '' THEN ' ' || postal_code ELSE '' END AS full_address,
+        postal_code
+      FROM (SELECT c_custkey, c_name, c_mktsegment,
+              CASE WHEN c_custkey % 5 = 0 THEN '' ELSE lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0') END AS postal_code
+            FROM customer) ORDER BY c_custkey""",
+
+    "t13_row_to_json" ->
+      "SELECT c_custkey, to_json(struct_pack(c_custkey := c_custkey, c_name := c_name, c_mktsegment := c_mktsegment)) AS js FROM customer ORDER BY c_custkey",
+
+    "pipeline_collection" ->
+      """WITH stations AS (
+        SELECT 'st-' || json_extract_string(props, '$.k') || '-' || CAST(user_id % 50 AS VARCHAR) AS location_id,
+               event_type AS brand_name, event_id,
+               event_type || ', zone ' || CAST(user_id % 7 AS VARCHAR) AS address_line1
+        FROM events),
+      st2 AS (SELECT *, CASE WHEN contains(address_line1, ',') THEN trim(string_split(address_line1, ',')[-1]) ELSE '' END AS city FROM stations),
+      batch AS (SELECT * FROM st2 WHERE event_id % 2 = 1),
+      existing AS (SELECT * FROM st2 WHERE event_id % 2 = 0),
+      deduped AS (SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY location_id ORDER BY event_id) AS rn FROM batch) WHERE rn = 1),
+      fresh AS (SELECT * FROM deduped d WHERE NOT EXISTS (SELECT 1 FROM existing e WHERE e.location_id = d.location_id))
+      SELECT brand_name, count(*) AS n_stations, count(DISTINCT city) AS n_cities FROM fresh GROUP BY brand_name ORDER BY brand_name""",
+
+    "ns_dedup_exact" ->
+      """WITH doubled AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL SELECT doc_id + 1000000, text FROM documents)
+      SELECT doc_id, text_hash FROM (
+        SELECT doc_id, md5(text) AS text_hash,
+               row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        FROM doubled) WHERE rn = 1 ORDER BY doc_id""",
+
+    "ns_dedup_ngram_jaccard" ->
+      """WITH toks AS (
+        SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w,
+               generate_subscripts(string_split(lower(text), ' '), 1) AS pos
+        FROM documents),
+      sh0 AS (
+        SELECT doc_id, w || ' ' || lead(w) OVER (PARTITION BY doc_id ORDER BY pos)
+               || ' ' || lead(w, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS sh
+        FROM toks),
+      sh AS (SELECT DISTINCT doc_id, sh FROM sh0 WHERE sh IS NOT NULL),
+      sizes AS (SELECT doc_id, count(*) AS nsh FROM sh GROUP BY 1),
+      inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+        FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        GROUP BY 1, 2)
+      SELECT id_a, id_b,
+        round(CAST(inter AS DOUBLE) / (sa.nsh + sb.nsh - inter), 6) AS jaccard_r
+      FROM inter
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE CAST(inter AS DOUBLE) / (sa.nsh + sb.nsh - inter) >= 0.12
+      ORDER BY id_a, id_b""",
+
+    "ns_embed_neardup" ->
+      """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS cosine_r
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) > 0.45
+      ORDER BY id_a, id_b""",
+
+    "ns_topk_similarity" ->
+      """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id < 5),
+      scored AS (
+        SELECT q.query_id, e.vec_id,
+               round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv), 6) AS sim
+        FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id),
+      ranked AS (
+        SELECT query_id, vec_id, sim,
+               CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS INT) AS rank
+        FROM scored)
+      SELECT query_id, rank, vec_id, sim FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""",
+
+    "ns_text_tokens" ->
+      """SELECT token, count(*) AS n FROM (
+        SELECT unnest(string_split(lower(trim(text)), ' ')) AS token FROM documents
+      ) GROUP BY token ORDER BY n DESC, token LIMIT 20""",
+
+    "ns_token_stats" ->
+      """SELECT doc_id,
+        CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_tokens,
+        CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS n_subwords
+      FROM documents ORDER BY doc_id""",
+
+    "ns_text_quality" ->
+      s"""WITH f AS (
+        SELECT doc_id,
+          len(string_split(lower(trim(text)), ' ')) AS n_words,
+          CAST(length(text) - (len(string_split(lower(trim(text)), ' ')) - 1) AS DOUBLE)
+            / len(string_split(lower(trim(text)), ' ')) AS avg_word_len,
+          CAST(len(regexp_extract_all(text, '[\\.,;:!\\?]')) AS DOUBLE) / length(text) AS punct_ratio,
+          CAST(len(list_filter(string_split(lower(trim(text)), ' '), w -> w IN $stopwordsIn)) AS DOUBLE)
+            / len(string_split(lower(trim(text)), ' ')) AS stopword_ratio
+        FROM documents)
+      SELECT doc_id, CAST(n_words AS BIGINT) AS n_words, avg_word_len, stopword_ratio,
+        (CASE WHEN n_words BETWEEN 10 AND 10000 THEN 4 ELSE 0 END
+         + CASE WHEN stopword_ratio > 0.05 THEN 3 ELSE 0 END
+         + CASE WHEN punct_ratio < 0.2 THEN 2 ELSE 0 END
+         + CASE WHEN avg_word_len BETWEEN 2.0 AND 12.0 THEN 1 ELSE 0 END) / 10.0 AS quality_score
+      FROM f ORDER BY doc_id""",
+
+    "ns_fingerprint" ->
+      """SELECT doc_id, CAST(SUM(CAST(pos AS BIGINT) * 131 + ascii(substring(w, 1, 1)) * 37 + length(w)) % 1000003 AS BIGINT) AS fp
+      FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w,
+                   generate_subscripts(string_split(lower(text), ' '), 1) AS pos
+            FROM documents)
+      GROUP BY doc_id ORDER BY doc_id""",
+
+    "ns_multimodal_join" ->
+      """SELECT d.doc_id, d.lang, d.source, d.n_chars, e.label, CAST(len(e.embedding) AS INT) AS dim
+      FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id ORDER BY d.doc_id""")
+}

@@ -1,13 +1,339 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ext.{Multimodal, TextAnalysis, TextDedup, VectorSearch}
+import graft.op.{Dedup, Normalize, PriceGen}
+import graft.pipeline.Pipeline
+import graft.source.{JsonIngest, Tables}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every operator from SURVEY.md §2 (and the §7.4 LLM-pipeline
+  * extensions) has an entry in `queries`; every SQL-expressible one has
+  * a DuckDB twin in `oracleSql`. All verified queries are deterministic
+  * and totally ordered; float outputs are either exact (integer-derived)
+  * or rounded after bit-parity-checked arithmetic.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.table(s, dir, name)
+
+  /** Flagship: the §3.1 collection pipeline composite on sf0.001. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("pipeline_collection")(spark, "/root/testdata/sf0.001")
+
+  // ---- reference-faithful operator queries (SURVEY §2) ----
+
+  private def s4T2JsonDecode(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("k_value"))
+      .orderBy("event_id")
+
+  private def s5ProjectionScan(s: SparkSession, dir: String): DataFrame =
+    Tables.keyScan(t(s, dir, "lineitem"), "l_orderkey")
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("l_orderkey")).as("n_keys"),
+        min(col("l_orderkey")).as("min_key"),
+        max(col("l_orderkey")).as("max_key"))
+
+  private def s6PointLookup(s: SparkSession, dir: String): DataFrame =
+    Tables.pointLookup(t(s, dir, "customer"), "c_custkey", lit(42L))
+
+  private def s10LiteralSource(s: SparkSession, dir: String): DataFrame =
+    Tables.fuelTypes(s).orderBy("ft_idx")
+
+  /** Golden ingest test: the three reference API dialects (§1.2), parsed
+    * from fixture payloads by the real normalizers, against a literal
+    * oracle. Pins the whole S1–S4 + T1–T4 mapping table.
+    */
+  private def s1IngestDialects(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val bp = JsonIngest.normalizeBp(s, s.createDataset(Seq(Fixtures.bp)))
+    val mobil = JsonIngest.normalizeMobil(s, s.createDataset(Seq(Fixtures.mobil)))
+    val places = JsonIngest.normalizePlaces(s, s.createDataset(Seq(Fixtures.places)))
+    bp.unionByName(mobil).unionByName(places).orderBy("location_id")
+  }
+
+  private def t1ProjectRename(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem").select(
+      col("l_orderkey").as("order_key"),
+      col("l_linenumber").as("line_no"),
+      concat(col("l_orderkey").cast("string"), lit("-"),
+        col("l_linenumber").cast("string")).as("location_id"),
+      col("l_returnflag").as("brand_name"),
+      col("l_linestatus").as("location_name"),
+      col("l_quantity").as("latitude"),
+      col("l_extendedprice").as("longitude"),
+      col("l_partkey").cast("string").as("address_line1"),
+      col("l_shipdate").cast("date").as("ship_date"))
+      .orderBy("order_key", "line_no")
+
+  private def t3LiteralDefaults(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer").select(
+      col("c_custkey"),
+      coalesce(col("c_mktsegment"), lit("UNKNOWN")).as("segment"),
+      lit("").as("state_province"),
+      lit("NZ").as("country"))
+      .orderBy("c_custkey")
+
+  private def t4CityFromAddress(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .withColumn("address",
+        concat(col("c_name"),
+          when(col("c_custkey") % 3 === 0, lit(""))
+            .otherwise(concat(lit(", "), col("c_mktsegment")))))
+      .select(col("c_custkey"), col("address"),
+        Normalize.cityAfterLastComma(col("address")).as("city"))
+      .orderBy("c_custkey")
+
+  private def t5AntiJoin(s: SparkSession, dir: String): DataFrame =
+    Dedup.newKeysOnly(
+      t(s, dir, "orders"),
+      t(s, dir, "lineitem").select(col("l_orderkey").as("o_orderkey")),
+      "o_orderkey")
+      .select("o_orderkey", "o_totalprice").orderBy("o_orderkey")
+
+  private def t6FirstSeen(s: SparkSession, dir: String): DataFrame =
+    Dedup.firstSeen(Tables.events(s, dir), Seq("user_id"), Seq(col("event_id")))
+      .select("user_id", "event_id", "event_type", "value").orderBy("user_id")
+
+  private def t7GroupCount(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem").groupBy("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("sum_qty"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  private def t8CrossJoin(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "nation").crossJoin(broadcast(t(s, dir, "region")))
+      .select(col("n_nationkey"), col("r_regionkey"), col("n_name"), col("r_name"))
+      .orderBy("n_nationkey", "r_regionkey")
+
+  private def t9PriceFormula(s: SparkSession, dir: String): DataFrame =
+    PriceGen.generate(t(s, dir, "supplier"), "s_suppkey",
+      Tables.fuelTypes(s), to_date(lit("2024-06-01")))
+      .orderBy("location_id", "fuel_type")
+
+  private def t10LastWriteWins(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).withColumn("day", to_date(col("ts_us")))
+    Dedup.lastWriteWins(ev, Seq("user_id", "event_type", "day"),
+      Seq(col("event_id")))
+      .select("user_id", "event_type", "day", "value", "event_id")
+      .orderBy("user_id", "event_type", "day")
+  }
+
+  private def t11DateEvents(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir).select(
+      col("event_id"),
+      expr("cast(ts_us as timestamp_ntz)").as("event_ts"),
+      to_date(col("ts_us")).as("event_date"),
+      date_trunc("month", col("ts_us")).cast("date").as("event_month"),
+      hour(col("ts_us")).as("event_hour"),
+      year(col("ts_us")).as("event_year"))
+      .orderBy("event_id")
+
+  private def t11DateLineitem(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(year(col("l_shipdate")).as("ship_year"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("ship_year")
+
+  private def t12FullAddress(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .withColumn("postal_code",
+        when(col("c_custkey") % 5 === 0, lit(""))
+          .otherwise(lpad((col("c_custkey") % 10000).cast("string"), 4, "0")))
+      .select(col("c_custkey"),
+        Normalize.fullAddress(col("c_name"), col("c_mktsegment"),
+          lit(""), lit("NZ"), col("postal_code")).as("full_address"),
+        col("postal_code"))
+      .orderBy("c_custkey")
+
+  private def t13RowToJson(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer").select(col("c_custkey"),
+      Normalize.rowToJson(Seq(col("c_custkey"), col("c_name"),
+        col("c_mktsegment"))).as("js"))
+      .orderBy("c_custkey")
+
+  /** §3.1 collection pipeline over events-as-payloads: decode → rename →
+    * derive → intra-batch dedup (T6) → anti-join vs existing (T5) →
+    * aggregate (T7). The anti-join side is broadcast.
+    */
+  private def pipelineCollection(s: SparkSession, dir: String): DataFrame = {
+    val stations = Tables.events(s, dir).select(
+      concat(lit("st-"), get_json_object(col("props"), "$.k"), lit("-"),
+        (col("user_id") % 50).cast("string")).as("location_id"),
+      col("event_type").as("brand_name"),
+      col("event_id"),
+      concat(col("event_type"), lit(", zone "),
+        (col("user_id") % 7).cast("string")).as("address_line1"))
+      .withColumn("city", Normalize.cityAfterLastComma(col("address_line1")))
+    val batch = stations.filter(col("event_id") % 2 === 1)
+    val existing = stations.filter(col("event_id") % 2 === 0)
+    val deduped = Dedup.firstSeen(batch, Seq("location_id"), Seq(col("event_id")))
+    val fresh = Dedup.newKeysOnly(deduped, existing, "location_id",
+      hintBroadcast = true)
+    fresh.groupBy("brand_name")
+      .agg(count(lit(1)).as("n_stations"),
+        countDistinct(col("city")).as("n_cities"))
+      .orderBy("brand_name")
+  }
+
+  // ---- LLM-data-pipeline extensions (SURVEY §7.4) ----
+
+  private def nsDedupExact(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").select("doc_id", "text")
+    val doubled = d.unionByName(
+      d.select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+    TextDedup.exact(doubled, "text", "doc_id")
+      .select("doc_id", "text_hash").orderBy("doc_id")
+  }
+
+  private def nsDedupNgramJaccard(s: SparkSession, dir: String): DataFrame =
+    TextDedup.ngramJaccardPairs(t(s, dir, "documents"), "text", "doc_id",
+      shingleN = 3, threshold = 0.12)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard_r"))
+      .orderBy("id_a", "id_b")
+
+  private def nsDedupMinhash(s: SparkSession, dir: String): DataFrame =
+    TextDedup.minhashLsh(t(s, dir, "documents"), "text", "doc_id",
+      shingleN = 3, numPerms = 64, bands = 16, threshold = 0.1)
+      .orderBy("id_a", "id_b")
+
+  private def nsDedupSimhash(s: SparkSession, dir: String): DataFrame =
+    TextDedup.simhashPairs(t(s, dir, "documents"), "text", "doc_id",
+      maxHamming = 7)
+      .orderBy("id_a", "id_b")
+
+  private def nsEmbedNearDup(s: SparkSession, dir: String): DataFrame =
+    TextDedup.embeddingNearDups(t(s, dir, "embeddings"), "vec_id",
+      "embedding", threshold = 0.45)
+      .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine_r"))
+      .orderBy("id_a", "id_b")
+
+  private def nsTopkSimilarity(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    VectorSearch.bruteForceTopK(emb, emb.filter(col("vec_id") < 5),
+      "vec_id", "embedding", k = 10)
+      .orderBy("query_id", "rank")
+  }
+
+  private def nsAnnLsh(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    VectorSearch.annTopK(emb, emb.filter(col("vec_id") < 5),
+      "vec_id", "embedding", k = 10, bits = 6, probeNeighbors = 1)
+      .orderBy("query_id", "rank")
+  }
+
+  private def nsTextTokens(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.topTokens(t(s, dir, "documents"), "text", 20)
+
+  private def nsTokenStats(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(col("doc_id"),
+      TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"),
+      TextAnalysis.subwordTokenCount(col("text")).cast("long").as("n_subwords"))
+      .orderBy("doc_id")
+
+  private def nsTextQuality(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.qualityScore(t(s, dir, "documents"), "text")
+      .select(col("doc_id"), col("n_words").cast("long").as("n_words"),
+        col("avg_word_len"), col("stopword_ratio"), col("quality_score"))
+      .orderBy("doc_id")
+
+  private def nsLangId(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.languageId(t(s, dir, "documents"), "text")
+      .select(col("doc_id"), col("lang"), col("predicted_lang"),
+        col("lang_score"))
+      .orderBy("doc_id")
+
+  private def nsFingerprint(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), TextDedup.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), TextAnalysis.portableFingerprint("toks").as("fp"))
+      .orderBy("doc_id")
+
+  private def nsMultimodalJoin(s: SparkSession, dir: String): DataFrame =
+    Multimodal.joinModalities(
+      t(s, dir, "documents"), "doc_id",
+      t(s, dir, "embeddings"), "vec_id", broadcastEmb = true)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+        col("label"), size(col("embedding")).as("dim"))
+      .orderBy("doc_id")
+
+  private def nsMultimodalFeatures(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .withColumn("raw", col("text").cast("binary"))
+    val media = Multimodal.withMedia(docs, "raw", "image")
+    Multimodal.extractFeatures(media)
+      .select(col("doc_id"), col("media_meta.n_bytes").as("n_bytes"),
+        col("media_meta.checksum").as("checksum"),
+        col("width"), col("height"), col("channels"))
+      .orderBy("doc_id")
+  }
+
+  /** One entry per implemented operator from SURVEY.md §2 + §7.4. */
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s1_ingest_dialects" -> s1IngestDialects,
+    "s4_t2_json_decode" -> s4T2JsonDecode,
+    "s5_projection_scan" -> s5ProjectionScan,
+    "s6_point_lookup" -> s6PointLookup,
+    "s10_literal_source" -> s10LiteralSource,
+    "t1_project_rename" -> t1ProjectRename,
+    "t3_literal_defaults" -> t3LiteralDefaults,
+    "t4_city_from_address" -> t4CityFromAddress,
+    "t5_anti_join" -> t5AntiJoin,
+    "t6_first_seen_dedup" -> t6FirstSeen,
+    "t7_group_count" -> t7GroupCount,
+    "t8_cross_join" -> t8CrossJoin,
+    "t9_price_formula" -> t9PriceFormula,
+    "t10_last_write_wins" -> t10LastWriteWins,
+    "t11_date_events" -> t11DateEvents,
+    "t11_date_lineitem" -> t11DateLineitem,
+    "t12_full_address" -> t12FullAddress,
+    "t13_row_to_json" -> t13RowToJson,
+    "pipeline_collection" -> pipelineCollection,
+    "ns_dedup_exact" -> nsDedupExact,
+    "ns_dedup_ngram_jaccard" -> nsDedupNgramJaccard,
+    "ns_dedup_minhash" -> nsDedupMinhash,
+    "ns_dedup_simhash" -> nsDedupSimhash,
+    "ns_embed_neardup" -> nsEmbedNearDup,
+    "ns_topk_similarity" -> nsTopkSimilarity,
+    "ns_ann_lsh" -> nsAnnLsh,
+    "ns_text_tokens" -> nsTextTokens,
+    "ns_token_stats" -> nsTokenStats,
+    "ns_text_quality" -> nsTextQuality,
+    "ns_lang_id" -> nsLangId,
+    "ns_fingerprint" -> nsFingerprint,
+    "ns_multimodal_join" -> nsMultimodalJoin,
+    "ns_multimodal_features" -> nsMultimodalFeatures)
+
+  /** DuckDB twins. Omitted: ns_dedup_minhash / ns_dedup_simhash /
+    * ns_ann_lsh (hash-seeded approximations — Spark-internal xxhash64),
+    * ns_lang_id (argmax-over-profiles, struct-compare semantics),
+    * ns_multimodal_features (stubbed binary decode) → rows-only checks.
+    */
+  def oracleSql: Map[String, String] = OracleSql.all
+}
+
+/** Reference API payload fixtures (FIXTURES.md §A, pinned to the
+  * reference's observed shapes — dag_collection_data_from_bp.py:45-56,
+  * dag_collection_data_from_mobil.py:45-63,
+  * dag_collection_data_from_z.py:48,67-81). */
+object Fixtures {
+  val bp: String =
+    """[{"id": "bp-001", "site_brand": "BP", "name": "BP Connect Moorhouse",
+      |  "lat": -43.5386, "lng": 172.6284, "address": "123 Moorhouse Ave",
+      |  "city": "Christchurch", "state": "Canterbury", "postcode": "8011",
+      |  "country_code": "NZ"}]""".stripMargin
+  val mobil: String =
+    """{"Locations": [{"LocationID": "mob-001", "BrandName": "Mobil",
+      |  "LocationName": "Mobil Redwood", "Latitude": -43.4792,
+      |  "Longitude": 172.6089, "AddressLine1": "286 Main North Rd",
+      |  "City": "Christchurch", "StateProvince": "Canterbury",
+      |  "PostalCode": "8051", "Country": "NZ"}]}""".stripMargin
+  val places: String =
+    """{"results": [{"place_id": "ChIJxxxx", "name": "Z Moorhouse",
+      |  "geometry": {"location": {"lat": -43.5366, "lng": 172.63}},
+      |  "vicinity": "238 Moorhouse Avenue, Christchurch"}]}""".stripMargin
 }

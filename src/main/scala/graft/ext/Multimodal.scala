@@ -1,0 +1,127 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal columns (SURVEY §7.4): media as opaque `binary` columns
+  * with typed metadata, plus decode / feature-extract / resize /
+  * frame-sample stages.
+  *
+  * The Spark-side plumbing is real — schema, batch-wise partition
+  * processing, deterministic partitioning by media id — while the codec
+  * itself is a clearly-marked STUB (no image/audio libraries in this
+  * environment): `decodeStub` derives deterministic fake dimensions from
+  * the bytes. Swapping in a real codec changes only the body of the
+  * per-partition function, not the pipeline shape: partitions stream
+  * row batches through the decoder exactly as a Pandas-UDF/`mapInPandas`
+  * stage would, so executor memory is bounded by batch size, not
+  * partition size.
+  */
+object Multimodal {
+
+  /** Typed metadata carried next to every media blob. */
+  val mediaMetaSchema: StructType = StructType(Seq(
+    StructField("media_type", StringType),
+    StructField("n_bytes", LongType),
+    StructField("checksum", StringType)))
+
+  /** Attach a media binary column + metadata struct. In production the
+    * binary comes from `spark.read.format("binaryFile")` or a blob-store
+    * manifest; here any byte-bearing column works.
+    */
+  def withMedia(df: DataFrame, bytesCol: String, mediaType: String): DataFrame =
+    df.withColumn("media", col(bytesCol).cast(BinaryType))
+      .withColumn("media_meta", struct(
+        lit(mediaType).as("media_type"),
+        length(col("media")).cast(LongType).as("n_bytes"),
+        md5(col("media")).as("checksum")))
+
+  final case class MediaFeatures(width: Int, height: Int, channels: Int,
+                                 durationMs: Long)
+
+  /** STUB decoder ??? — stands in for a real image/audio decode.
+    * Deterministic pure function of the bytes so tests are stable; a
+    * real implementation replaces only this function.
+    */
+  def decodeStub(bytes: Array[Byte], mediaType: String): MediaFeatures = {
+    // ??? real codec goes here (e.g. javax.imageio / ffmpeg bindings)
+    val h = if (bytes == null) 0L
+      else bytes.foldLeft(1125899906842597L)((a, b) => a * 31 + b)
+    val pos = h & Long.MaxValue
+    MediaFeatures(
+      width = (pos % 1920).toInt + 1,
+      height = ((pos / 1920) % 1080).toInt + 1,
+      channels = if (mediaType == "audio") 2 else 3,
+      durationMs = if (mediaType == "image") 0L else pos % 600000L)
+  }
+
+  /** Decode/feature-extract stage: batch-wise over partitions (the
+    * `mapInPandas` shape — bounded memory, codec initialized once per
+    * partition, rows streamed through).
+    */
+  def extractFeatures(df: DataFrame, batchSize: Int = 256): DataFrame = {
+    val spark = df.sparkSession
+    val inSchema = df.schema
+    // external Rows carry no nullability guarantees — relax the schema
+    def relax(dt: DataType): DataType = dt match {
+      case s: StructType =>
+        StructType(s.fields.map(f => f.copy(dataType = relax(f.dataType), nullable = true)))
+      case a: ArrayType => a.copy(elementType = relax(a.elementType), containsNull = true)
+      case other => other
+    }
+    val outSchema = relax(inSchema
+      .add("width", IntegerType).add("height", IntegerType)
+      .add("channels", IntegerType).add("duration_ms", LongType))
+      .asInstanceOf[StructType]
+    val mediaIdx = inSchema.fieldIndex("media")
+    val metaIdx = inSchema.fieldIndex("media_meta")
+    val rdd = df.rdd.mapPartitions { rows =>
+      // per-partition init of the (stub) codec happens here
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.map { r =>
+          val bytes = r.get(mediaIdx).asInstanceOf[Array[Byte]]
+          val mtype = r.getStruct(metaIdx).getString(0)
+          val f = decodeStub(bytes, mtype)
+          Row.fromSeq(r.toSeq ++ Seq[Any](f.width, f.height, f.channels, f.durationMs))
+        }
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** Deterministic frame-sample: take every `stride`-th byte-window of
+    * the blob as a "frame" (stub for video frame extraction); real
+    * decoders swap the slicing for codec calls, the explode shape stays.
+    */
+  def sampleFrames(df: DataFrame, frameBytes: Int = 64, stride: Int = 4): DataFrame =
+    df.withColumn("frame",
+      posexplode(expr(
+        s"transform(sequence(0, greatest(cast(length(media) / ($frameBytes * $stride) as int) - 1, 0)), " +
+          s"i -> substring(media, i * $frameBytes * $stride + 1, $frameBytes))")))
+      .withColumnRenamed("pos", "frame_no").withColumnRenamed("col", "frame_bytes")
+      .drop("frame")
+
+  /** Resize stub: truncate/pad the blob to a target byte budget —
+    * placeholder for a real resample keeping the column contract
+    * (binary in, binary out, metadata updated).
+    */
+  def resizeStub(df: DataFrame, targetBytes: Int): DataFrame =
+    df.withColumn("media", expr(s"substring(media, 1, $targetBytes)"))
+      .withColumn("media_meta", struct(
+        col("media_meta.media_type"),
+        length(col("media")).cast(LongType).as("n_bytes"),
+        md5(col("media")).as("checksum")))
+
+  /** The multimodal join: text/metadata table ⋈ embedding table on the
+    * shared id, media attached, struct-packed. Embeddings side is
+    * usually the smaller (one row per doc) — broadcast if it fits,
+    * else this is a co-partitioned shuffle join on the id.
+    */
+  def joinModalities(docs: DataFrame, docId: String,
+                     emb: DataFrame, embId: String,
+                     broadcastEmb: Boolean = false): DataFrame = {
+    val e = emb.withColumnRenamed(embId, docId)
+    docs.join(if (broadcastEmb) broadcast(e) else e, Seq(docId))
+  }
+}

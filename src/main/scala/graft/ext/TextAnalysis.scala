@@ -1,0 +1,119 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text analysis for training-data curation (SURVEY §7.4): language ID,
+  * quality scoring, token counting, document fingerprinting. All pure
+  * column expressions — embarrassingly parallel, no shuffle except the
+  * explicit corpus-level aggregations.
+  */
+object TextAnalysis {
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(split(trim(text), "\\s+"))
+
+  /** BPE-ish subword token count: runs of letters, runs of digits, and
+    * single other non-space characters — the common pre-tokenizer
+    * regex family. A cheap, deterministic proxy for an LLM tokenizer's
+    * token count, used for corpus budgeting.
+    */
+  def subwordTokenCount(text: Column): Column =
+    size(regexp_extract_all(lower(text), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0)))
+
+  /** Per-document quality features (length, word stats, punctuation /
+    * digit / stopword ratios). Ratios are exact integer divisions cast
+    * to double, so they are engine-portable.
+    */
+  def qualityFeatures(df: DataFrame, text: String): DataFrame = {
+    val t = col(text)
+    val words = split(lower(trim(t)), "\\s+")
+    df.withColumn("n_chars_m", length(t))
+      .withColumn("n_words", size(words))
+      .withColumn("avg_word_len",
+        (length(t) - (size(words) - 1)).cast("double") / size(words))
+      .withColumn("punct_ratio",
+        size(regexp_extract_all(t, lit("[\\.,;:!\\?]"), lit(0))).cast("double") / length(t))
+      .withColumn("digit_ratio",
+        size(regexp_extract_all(t, lit("[0-9]"), lit(0))).cast("double") / length(t))
+      .withColumn("stopword_ratio",
+        size(filter(words, w => w.isin(Stopwords.en: _*))).cast("double") / size(words))
+  }
+
+  /** Composite quality score in [0,1]: the heuristics web-corpus
+    * pipelines gate on (too short / too long / too few stopwords / too
+    * much punctuation ⇒ low quality).
+    */
+  /** Weights are integer points summed exactly, then one division —
+    * float literal addition is not associative-portable across engines.
+    */
+  def qualityScore(df: DataFrame, text: String): DataFrame =
+    qualityFeatures(df, text).withColumn("quality_score",
+      (when(col("n_words").between(10, 10000), 4).otherwise(0)
+        + when(col("stopword_ratio") > 0.05, 3).otherwise(0)
+        + when(col("punct_ratio") < 0.2, 2).otherwise(0)
+        + when(col("avg_word_len").between(2.0, 12.0), 1).otherwise(0))
+        / lit(10.0))
+
+  /** Corpus token frequency: the global top-k tokens. Partial (map-side)
+    * aggregation makes this a single light shuffle even at corpus scale.
+    */
+  def topTokens(df: DataFrame, text: String, k: Int): DataFrame =
+    df.select(explode(split(lower(trim(col(text))), "\\s+")).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token")).limit(k)
+
+  /** Language ID, n-gram/stopword-profile heuristic: score each language
+    * by the fraction of tokens hitting its marker list; argmax wins,
+    * 'und' (undetermined) when nothing scores. Profiles are tiny and
+    * inlined into the expression — no join, no model, map-side only.
+    */
+  def languageId(df: DataFrame, text: String): DataFrame = {
+    val words = split(lower(trim(col(text))), "\\s+")
+    val scored = Stopwords.profiles.map { case (lang, markers) =>
+      struct(
+        (size(filter(words, w => w.isin(markers: _*))).cast("double") / size(words)).as("score"),
+        lit(lang).as("lang"))
+    }
+    df.withColumn("_best", greatest(scored: _*))
+      .withColumn("predicted_lang",
+        when(col("_best.score") > 0.0, col("_best.lang")).otherwise(lit("und")))
+      .withColumn("lang_score", col("_best.score"))
+      .drop("_best")
+  }
+
+  /** Rolling-hash document fingerprint (content-defined, order
+    * sensitive): fold xxhash64 of each token into a 64-bit state.
+    * Production variant — not oracle-portable (xxhash64 is Spark's).
+    */
+  def fingerprint(text: Column): Column =
+    aggregate(split(lower(trim(text)), "\\s+"), lit(0L),
+      (acc, t) => acc * lit(31L) + xxhash64(t))
+
+  /** Engine-portable fingerprint: position-weighted sum over
+    * (first-char codepoint, token length) mod 1e6+3. Order-sensitive
+    * through the position weight, and any ANSI engine with
+    * ascii()/length() computes the identical value — this is the
+    * variant the DuckDB oracle checks.
+    */
+  def portableFingerprint(tokensCol: String): Column =
+    expr(s"pmod(aggregate(zip_with($tokensCol, sequence(1, size($tokensCol)), " +
+      "(t, i) -> cast(i as bigint) * 131 + ascii(substring(t, 1, 1)) * 37 + length(t)), " +
+      "0L, (acc, v) -> acc + v), 1000003)")
+}
+
+/** Tiny inline stopword / marker-word profiles. Real deployments load
+  * fuller lists; the operator shape (filter-ratio scoring) is identical.
+  */
+object Stopwords {
+  val en: Seq[String] = Seq("the", "a", "an", "and", "or", "of", "to",
+    "in", "is", "are", "was", "for", "on", "with", "as", "by", "at", "it")
+  val de: Seq[String] = Seq("der", "die", "das", "und", "oder", "von",
+    "zu", "ist", "sind", "für", "auf", "mit", "als", "bei", "ein", "eine")
+  val es: Seq[String] = Seq("el", "la", "los", "las", "y", "o", "de",
+    "a", "en", "es", "son", "para", "con", "como", "por", "un", "una")
+  val fr: Seq[String] = Seq("le", "la", "les", "et", "ou", "de", "à",
+    "en", "est", "sont", "pour", "avec", "comme", "par", "un", "une")
+  val profiles: Seq[(String, Seq[String])] =
+    Seq("en" -> en, "de" -> de, "es" -> es, "fr" -> fr)
+}

@@ -1,0 +1,176 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication for large text corpora — the training-data-pipeline
+  * operators beyond the reference's key-based dedup (SURVEY §7.4).
+  *
+  * All variants follow the same scale pattern: per-document signatures
+  * computed in parallel with pure column expressions (no UDFs ⇒ no
+  * serialization wall, higher-order functions evaluate in-JVM), then a
+  * single candidate-generation shuffle whose size is controlled
+  * (banding / bucketing / posting-list caps), then exact verification
+  * only on candidates. That is the shape that survives 100 TB: the
+  * all-pairs O(n²) comparison is never materialized.
+  */
+object TextDedup {
+
+  /** Word tokens of a text column (lowercase, whitespace split). */
+  def tokens(text: Column): Column = split(lower(text), "\\s+")
+
+  /** Distinct word n-gram shingles over a tokens *array column name*
+    * (name-based so the expression composes through the SQL parser).
+    * Docs shorter than n words collapse to one whole-text shingle.
+    */
+  def shinglesOf(tokensCol: String, n: Int = 3): Column = {
+    val grams = expr(
+      s"transform(sequence(0, size($tokensCol) - $n), i -> concat_ws(' ', " +
+        (0 until n).map(j => s"element_at($tokensCol, i + ${j + 1})").mkString(", ") + "))")
+    when(size(col(tokensCol)) >= n, array_distinct(grams))
+      .otherwise(array(concat_ws(" ", col(tokensCol))))
+  }
+
+  /** (id, shingle-array) frame for a text column — the map-side stage
+    * every signature scheme below starts from.
+    */
+  def docShingles(df: DataFrame, text: String, id: String, n: Int = 3): DataFrame =
+    df.select(col(id).as("doc"), tokens(col(text)).as("toks"))
+      .select(col("doc"), shinglesOf("toks", n).as("sh"))
+
+  /** Exact dedup: md5 content hash → keep the first (smallest-id) doc
+    * per hash. One shuffle on the hash; survivor choice is deterministic
+    * (min id), unlike dropDuplicates under shuffle.
+    */
+  def exact(df: DataFrame, text: String, id: String): DataFrame = {
+    val hashed = df.withColumn("text_hash", md5(col(text)))
+    val w = Window.partitionBy(col("text_hash")).orderBy(col(id))
+    hashed.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1).drop("_rn")
+  }
+
+  /** MinHash signature over the shingle array column `sh`: numPerms
+    * permutations approximated by seeded xxhash64; component i is
+    * min_s xxhash64(i, s). Pure map-side expression.
+    */
+  def minhashSignature(numPerms: Int = 64): Column =
+    expr(s"transform(sequence(0, ${numPerms - 1}), " +
+      s"i -> array_min(transform(sh, s -> xxhash64(i, s))))")
+
+  /** MinHash + LSH near-duplicate pairs.
+    *
+    * Candidate pairs are generated only within equal (band, band-hash)
+    * buckets — the only shuffle whose size is data-dependent;
+    * `maxBucket` drops degenerate buckets (a bucket with thousands of
+    * docs is boilerplate, not near-duplication, and would go quadratic
+    * at scale).
+    *
+    * Returns (id_a, id_b, est_jaccard) where est_jaccard = fraction of
+    * matching signature components, for pairs ≥ threshold.
+    */
+  def minhashLsh(df: DataFrame, text: String, id: String,
+                 shingleN: Int = 3, numPerms: Int = 64,
+                 bands: Int = 16, threshold: Double = 0.5,
+                 maxBucket: Int = 1000): DataFrame = {
+    require(numPerms % bands == 0, "bands must divide numPerms")
+    val r = numPerms / bands
+    val sigs = docShingles(df, text, id, shingleN)
+      .select(col("doc"), minhashSignature(numPerms).as("sig"))
+    val buckets = sigs.select(col("doc"), col("sig"),
+      posexplode(expr(
+        s"transform(sequence(0, ${bands - 1}), b -> xxhash64(b, cast(slice(sig, b * $r + 1, $r) as string)))")))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+    val guarded = buckets.withColumn("_bsize",
+      count(lit(1)).over(Window.partitionBy("band", "bucket")))
+      .filter(col("_bsize") <= maxBucket).drop("_bsize")
+    val a = guarded.select(col("band"), col("bucket"),
+      col("doc").as("id_a"), col("sig").as("sig_a"))
+    val b = guarded.select(col("band"), col("bucket"),
+      col("doc").as("id_b"), col("sig").as("sig_b"))
+    val cand = a.join(b, Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "sig_a", "sig_b").distinct()
+    cand.withColumn("est_jaccard",
+      expr("size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), v -> v))") /
+        lit(numPerms.toDouble))
+      .filter(col("est_jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("est_jaccard"))
+  }
+
+  /** Exact n-gram Jaccard similarity for all pairs sharing ≥ 1 shingle.
+    * Shuffle bounded by shingle posting-list sizes; at corpus scale cap
+    * them with maxPostings (an ultra-common shingle carries no signal
+    * but quadratic join cost).
+    */
+  def ngramJaccardPairs(df: DataFrame, text: String, id: String,
+                        shingleN: Int = 3, threshold: Double = 0.5,
+                        maxPostings: Long = Long.MaxValue): DataFrame = {
+    val sh = docShingles(df, text, id, shingleN)
+      .select(col("doc"), explode(col("sh")).as("sh"))
+    val pruned = if (maxPostings == Long.MaxValue) sh else {
+      val freq = sh.groupBy("sh").agg(count(lit(1)).as("_pf"))
+        .filter(col("_pf") <= maxPostings).select("sh")
+      sh.join(freq, Seq("sh"))
+    }
+    val sizes = pruned.groupBy("doc").agg(count(lit(1)).as("nsh"))
+    val inter = pruned.select(col("doc").as("id_a"), col("sh"))
+      .join(pruned.select(col("doc").as("id_b"), col("sh")), Seq("sh"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("doc").as("id_a"), col("nsh").as("na")), Seq("id_a"))
+      .join(sizes.select(col("doc").as("id_b"), col("nsh").as("nb")), Seq("id_b"))
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** 64-bit SimHash over a tokens array column `toks`: bit j is the sign
+    * of Σ_tokens (±1 by bit j of xxhash64(token)). Map-side expression.
+    */
+  def simhashOfTokens: Column =
+    expr("aggregate(sequence(0, 63), 0L, (acc, j) -> acc + " +
+      "if(aggregate(toks, 0L, " +
+      "(a, t) -> a + if(((xxhash64(t) >> j) & 1) = 1, 1L, -1L)) > 0, shiftleft(1L, j), 0L))")
+
+  /** SimHash near-dup pairs with Hamming distance ≤ maxHamming.
+    * Candidates via the pigeonhole principle: the 64-bit signature is
+    * cut into (maxHamming+1) chunks; any pair within the bound agrees on
+    * ≥ 1 chunk, so per-chunk equi-joins find all of them — no O(n²)
+    * stage, and the chunk joins are plain hash joins Catalyst plans.
+    */
+  def simhashPairs(df: DataFrame, text: String, id: String,
+                   maxHamming: Int = 3): DataFrame = {
+    val chunks = maxHamming + 1
+    val width = 64 / chunks
+    val sigs = df.select(col(id).as("doc"), tokens(col(text)).as("toks"))
+      .select(col("doc"), simhashOfTokens.as("sim"))
+    val keyed = sigs.select(col("doc"), col("sim"),
+      posexplode(expr(
+        s"transform(sequence(0, ${chunks - 1}), c -> (shiftrightunsigned(sim, c * $width) & ${(1L << width) - 1}L))")))
+      .withColumnRenamed("pos", "chunk").withColumnRenamed("col", "piece")
+    val a = keyed.select(col("chunk"), col("piece"), col("doc").as("id_a"), col("sim").as("sim_a"))
+    val b = keyed.select(col("chunk"), col("piece"), col("doc").as("id_b"), col("sim").as("sim_b"))
+    a.join(b, Seq("chunk", "piece")).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        expr("bit_count(sim_a ^ sim_b)").as("hamming")).distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Embedding-cosine near-duplicates: exact pairs above a threshold.
+    * This exact form is the per-candidate verification kernel; at corpus
+    * scale generate candidates first with VectorSearch.lshBuckets and
+    * run this within buckets only.
+    */
+  def embeddingNearDups(emb: DataFrame, id: String, vec: String,
+                        threshold: Double): DataFrame = {
+    val a = emb.select(col(id).as("id_a"), col(vec).as("va"))
+    val b = emb.select(col(id).as("id_b"), col(vec).as("vb"))
+    a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .withColumn("cosine", VectorSearch.cosine(col("va"), col("vb")))
+      .filter(col("cosine") > threshold)
+      .select(col("id_a"), col("id_b"), col("cosine"))
+  }
+}

@@ -1,0 +1,126 @@
+package graft.sink
+
+import org.apache.spark.sql.{DataFrame, Row, SaveMode}
+import org.apache.spark.sql.types._
+
+/** Sinks (SURVEY §2.1 S7–S9, S11).
+  *
+  * The reference writes row-at-a-time over psycopg2 (2 round-trips per
+  * row); these sinks are batched and partition-parallel. Parquet writes
+  * use Spark's file-commit protocol, so a job is all-or-nothing at the
+  * output-commit level — the reference's single-commit transaction (S11)
+  * maps onto that for free. JDBC writes get per-partition transactions.
+  */
+object Sinks {
+
+  /** Date-partitioned parquet sink for the fuel_price fact table.
+    * Partitioning by date gives partition pruning for the dominant
+    * access pattern (one day / date range) — at 100 TB this is the
+    * difference between scanning one day and scanning years.
+    */
+  def parquetByDate(df: DataFrame, path: String,
+                    dateCol: String = "date",
+                    mode: SaveMode = SaveMode.Append): Unit =
+    df.write.mode(mode).partitionBy(dateCol).parquet(path)
+
+  /** S7 — batched append to a JDBC table (replaces the reference's
+    * per-row INSERT loops, dag_collection_data_from_bp.py:66-76).
+    */
+  def jdbcAppend(df: DataFrame, url: String, table: String,
+                 props: java.util.Properties = new java.util.Properties,
+                 batchSize: Int = 10000): Unit = {
+    props.setProperty("batchsize", batchSize.toString)
+    df.write.mode(SaveMode.Append).jdbc(url, table, props)
+  }
+
+  /** S9 — create-if-not-exists DDL for a JDBC target, generated from the
+    * DataFrame schema (reference: dag_create_gas_station_table.py:23-36).
+    */
+  def createTableSql(table: String, schema: StructType,
+                     primaryKey: Seq[String] = Nil,
+                     uniqueKey: Seq[String] = Nil): String = {
+    def sqlType(dt: DataType): String = dt match {
+      case StringType => "VARCHAR(255)"
+      case DoubleType => "DOUBLE PRECISION"
+      case FloatType => "REAL"
+      case LongType => "BIGINT"
+      case IntegerType => "INTEGER"
+      case d: DecimalType => s"DECIMAL(${d.precision},${d.scale})"
+      case DateType => "DATE"
+      case TimestampType => "TIMESTAMP"
+      case BooleanType => "BOOLEAN"
+      case BinaryType => "BYTEA"
+      case other => other.sql
+    }
+    val cols = schema.fields.map { f =>
+      val nn = if (f.nullable) "" else " NOT NULL"
+      s"${f.name} ${sqlType(f.dataType)}$nn"
+    }
+    val pk = if (primaryKey.nonEmpty)
+      Seq(s"PRIMARY KEY (${primaryKey.mkString(", ")})") else Nil
+    val uq = if (uniqueKey.nonEmpty)
+      Seq(s"UNIQUE (${uniqueKey.mkString(", ")})") else Nil
+    (cols ++ pk ++ uq).mkString(
+      s"CREATE TABLE IF NOT EXISTS $table (\n  ", ",\n  ", "\n)")
+  }
+
+  /** S8 — upsert SQL for one row batch (the reference's
+    * `INSERT ... ON CONFLICT (...) DO UPDATE`,
+    * dag_daily_fuel_price_generation.py:120-125).
+    */
+  def upsertSql(table: String, columns: Seq[String],
+                conflictKeys: Seq[String]): String = {
+    val updates = columns.filterNot(conflictKeys.contains)
+      .map(c => s"$c = EXCLUDED.$c")
+    s"INSERT INTO $table (${columns.mkString(", ")}) VALUES " +
+      s"(${columns.map(_ => "?").mkString(", ")}) " +
+      s"ON CONFLICT (${conflictKeys.mkString(", ")}) DO UPDATE SET " +
+      updates.mkString(", ")
+  }
+
+  /** S8 + S11 — distributed JDBC upsert: Spark has no MERGE-to-JDBC, so
+    * each partition opens one connection, addBatch()es the upsert
+    * statement, and commits once per partition (S11's batch-commit
+    * semantics; rollback + rethrow on failure like
+    * dag_collection_data_from_mobil.py:88-92).
+    *
+    * IMPORTANT at scale: dedup the batch on the conflict key first
+    * (Dedup.lastWriteWins) so concurrent partitions never race on the
+    * same key, and repartition by the key so retries are idempotent per
+    * partition.
+    */
+  def jdbcUpsert(df: DataFrame, url: String, table: String,
+                 conflictKeys: Seq[String],
+                 props: java.util.Properties = new java.util.Properties,
+                 batchSize: Int = 1000): Unit = {
+    val columns = df.schema.fieldNames.toSeq
+    val sql = upsertSql(table, columns, conflictKeys)
+    val schema = df.schema
+    df.foreachPartition { (rows: Iterator[Row]) =>
+      if (rows.nonEmpty) {
+        val conn = java.sql.DriverManager.getConnection(url, props)
+        try {
+          conn.setAutoCommit(false)
+          val st = conn.prepareStatement(sql)
+          var n = 0
+          rows.foreach { r =>
+            columns.indices.foreach { i =>
+              val v = r.get(i)
+              schema(i).dataType match {
+                case DateType => st.setDate(i + 1, v.asInstanceOf[java.sql.Date])
+                case _ => st.setObject(i + 1, v)
+              }
+            }
+            st.addBatch()
+            n += 1
+            if (n % batchSize == 0) st.executeBatch()
+          }
+          st.executeBatch()
+          conn.commit()
+        } catch {
+          case e: Throwable => conn.rollback(); throw e
+        } finally conn.close()
+      }
+    }
+  }
+}

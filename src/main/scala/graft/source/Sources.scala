@@ -1,0 +1,193 @@
+package graft.source
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.model.Schemas
+
+/** Table + payload sources (SURVEY.md §2.1 S1–S6, S10).
+  *
+  * All readers are declarative DataFrame scans so Catalyst keeps predicate
+  * pushdown / column pruning into the parquet (or JDBC) source. At 100 TB
+  * the parquet reads are split automatically by
+  * `spark.sql.files.maxPartitionBytes`; nothing here collects to the
+  * driver.
+  */
+object Tables {
+
+  /** Read one of the driver-generated test tables. Plain parquet scan:
+    * filters and projections placed on the result are pushed into the
+    * scan by Catalyst (verify via .explain: PushedFilters / ReadSchema).
+    */
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  /** `events` carries a nanosecond-precision parquet timestamp, which
+    * Spark will not read natively ([PARQUET_TYPE_ILLEGAL]). We read it
+    * via the legacy nanos-as-long mode and expose both the raw nanos
+    * (`ts`, long — total order with full precision) and a
+    * microsecond-truncated proper timestamp (`ts_us`) that matches what
+    * DuckDB / other engines see for the same file.
+    *
+    * The conf is set at runtime so any session (including the driver's)
+    * can call this; it only affects parquet schema conversion.
+    */
+  def events(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // integer div, NOT /: double division loses ulps at 1e18-scale nanos
+    table(spark, sfDir, "events")
+      .withColumn("ts_us", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** S5 — single-column key scan (reference: SELECT location_id FROM
+    * gas_station, dag_daily_fuel_price_generation.py:113-114). Column
+    * pruning reaches the parquet footer: only `key` is read.
+    */
+  def keyScan(df: DataFrame, key: String): DataFrame = df.select(key)
+
+  /** S6 — point lookup (reference: SELECT * ... WHERE location_id = %s,
+    * dags/entities/gas_station_schema.py:39-43). Equality predicate is
+    * pushed into the scan.
+    */
+  def pointLookup(df: DataFrame, key: String, value: Column): DataFrame =
+    df.filter(col(key) === value)
+
+  /** S10 — static literal source (reference base-price dict,
+    * dag_daily_fuel_price_generation.py:72-80). `ft_idx` is a stable
+    * ordinal used by the deterministic price formula (op/PriceGen).
+    */
+  def fuelTypes(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq(
+      ("Unleaded 91", 2.79, 279L, 0L),
+      ("Unleaded 95", 2.98, 298L, 1L),
+      ("Unleaded 98", 3.11, 311L, 2L),
+      ("Diesel", 2.10, 210L, 3L))
+      .toDF("fuel_type", "base_price", "base_cents", "ft_idx")
+  }
+}
+
+/** JSON payload ingestion (S1–S4) + per-source normalization (§1.2, T1–T3).
+  *
+  * The reference fetches three differently-shaped JSON payloads over HTTP
+  * and projects each into the unified gas_station schema. Here the fetch
+  * is separated from the parse: `fromPayloadStrings` turns any
+  * `Dataset[String]` of raw JSON documents into typed rows, so the same
+  * normalization runs over test fixtures, files, or a distributed HTTP
+  * fetch (`HttpSource`).
+  */
+object JsonIngest {
+  import org.apache.spark.sql.types.StructType
+
+  /** S4 — decode raw JSON strings with a declared schema (schema-on-read
+    * against expectations, like the reference's response.json() + field
+    * access). Corrupt records become nulls (PERMISSIVE), mirroring the
+    * Places DAGs' .get() null policy rather than BP/Mobil's KeyError.
+    */
+  def decode(raw: DataFrame, jsonCol: String, schema: StructType): DataFrame =
+    raw.withColumn("_parsed", from_json(col(jsonCol), schema))
+
+  /** BP dialect: bare array payload → unified schema
+    * (dag_collection_data_from_bp.py:45-57). */
+  def normalizeBp(spark: SparkSession, payloads: Dataset[String]): DataFrame = {
+    val rows = payloads.toDF("payload")
+      .select(from_json(col("payload"),
+        org.apache.spark.sql.types.ArrayType(Schemas.bpPayload)).as("rows"))
+    rows.select(explode(col("rows")).as("r")).select(
+      col("r.id").as("location_id"),
+      col("r.site_brand").as("brand_name"),
+      col("r.name").as("location_name"),
+      col("r.lat").as("latitude"),
+      col("r.lng").as("longitude"),
+      col("r.address").as("address_line1"),
+      col("r.city").as("city"),
+      col("r.state").as("state_province"),
+      col("r.postcode").as("postal_code"),
+      col("r.country_code").as("country"))
+  }
+
+  /** Mobil dialect: `Locations` envelope → unified schema
+    * (dag_collection_data_from_mobil.py:45-64). */
+  def normalizeMobil(spark: SparkSession, payloads: Dataset[String]): DataFrame = {
+    val parsed = payloads.toDF("payload")
+      .select(from_json(col("payload"), Schemas.mobilEnvelope).as("p"))
+    parsed.select(explode(col("p.Locations")).as("r")).select(
+      col("r.LocationID").as("location_id"),
+      col("r.BrandName").as("brand_name"),
+      col("r.LocationName").as("location_name"),
+      col("r.Latitude").as("latitude"),
+      col("r.Longitude").as("longitude"),
+      col("r.AddressLine1").as("address_line1"),
+      col("r.City").as("city"),
+      col("r.StateProvince").as("state_province"),
+      col("r.PostalCode").as("postal_code"),
+      col("r.Country").as("country"))
+  }
+
+  /** Places dialect (Z / Pak'nSave): `results` envelope, nested
+    * geometry.location (T2), literal defaults (T3), city derived from
+    * vicinity's last comma segment (T4)
+    * (dag_collection_data_from_z.py:48,55-58,67-81). */
+  def normalizePlaces(spark: SparkSession, payloads: Dataset[String]): DataFrame = {
+    val parsed = payloads.toDF("payload")
+      .select(from_json(col("payload"), Schemas.placesEnvelope).as("p"))
+    parsed.select(explode(col("p.results")).as("r")).select(
+      col("r.place_id").as("location_id"),
+      col("r.name").as("brand_name"),
+      col("r.name").as("location_name"),
+      col("r.geometry.location.lat").as("latitude"),
+      col("r.geometry.location.lng").as("longitude"),
+      col("r.vicinity").as("address_line1"),
+      graft.op.Normalize.cityAfterLastComma(col("r.vicinity")).as("city"),
+      lit("").as("state_province"),
+      lit("").as("postal_code"),
+      lit("NZ").as("country"))
+  }
+}
+
+/** S1–S3 with O3 — distributed HTTP JSON source with per-partition fetch
+  * and bounded retry.
+  *
+  * The reference fetches each API on the driver (single-threaded, fetched
+  * twice per run — SURVEY §2.3 O6). At scale the URL list is itself a
+  * Dataset and the fetch runs on executors: `spark.createDataset(urls)
+  * .mapPartitions(fetch)`, so thousands of endpoints/pages are pulled in
+  * parallel and the payloads are born distributed.
+  *
+  * Errors: `Swallow` reproduces the Places DAGs' catch-all → empty-batch
+  * policy (dag_collection_data_from_z.py:51-53); `Fail` reproduces
+  * BP/Mobil's exception → task failure → retry
+  * (dag_collection_data_from_bp.py:31-35 + retries :14).
+  */
+object HttpSource {
+  sealed trait ErrorPolicy
+  case object Swallow extends ErrorPolicy
+  case object Fail extends ErrorPolicy
+
+  def fetch(spark: SparkSession, urls: Seq[String], retries: Int = 5,
+            retryDelayMs: Long = 1000, policy: ErrorPolicy = Fail,
+            timeoutMs: Int = 30000): Dataset[String] = {
+    import spark.implicits._
+    spark.createDataset(urls).mapPartitions { it =>
+      it.flatMap { url =>
+        def attempt(left: Int): Option[String] =
+          try {
+            val conn = new java.net.URL(url).openConnection()
+              .asInstanceOf[java.net.HttpURLConnection]
+            conn.setConnectTimeout(timeoutMs)
+            conn.setReadTimeout(timeoutMs)
+            try Some(new String(conn.getInputStream.readAllBytes(),
+              java.nio.charset.StandardCharsets.UTF_8))
+            finally conn.disconnect()
+          } catch {
+            case e: Exception if left > 0 =>
+              Thread.sleep(retryDelayMs); attempt(left - 1)
+            case e: Exception => policy match {
+              case Swallow => None
+              case Fail => throw e
+            }
+          }
+        attempt(retries)
+      }
+    }
+  }
+}
