@@ -202,7 +202,7 @@ object OracleSql {
       FROM f ORDER BY doc_id""",
 
     "ns_fingerprint" ->
-      """SELECT doc_id, CAST(SUM(CAST(pos AS BIGINT) * 131 + ascii(substring(w, 1, 1)) * 37 + length(w)) % 1000003 AS BIGINT) AS fp
+      """SELECT doc_id, CAST(SUM(CAST(pos AS BIGINT) * (ascii(substring(w, 1, 1)) * 131 + length(w))) % 1000003 AS BIGINT) AS fp
       FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w,
                    generate_subscripts(string_split(lower(text), ' '), 1) AS pos
             FROM documents)

@@ -95,12 +95,11 @@ object Multimodal {
     * decoders swap the slicing for codec calls, the explode shape stays.
     */
   def sampleFrames(df: DataFrame, frameBytes: Int = 64, stride: Int = 4): DataFrame =
-    df.withColumn("frame",
+    df.select(col("*"),
       posexplode(expr(
         s"transform(sequence(0, greatest(cast(length(media) / ($frameBytes * $stride) as int) - 1, 0)), " +
-          s"i -> substring(media, i * $frameBytes * $stride + 1, $frameBytes))")))
-      .withColumnRenamed("pos", "frame_no").withColumnRenamed("col", "frame_bytes")
-      .drop("frame")
+          s"i -> substring(media, i * $frameBytes * $stride + 1, $frameBytes))"))
+        .as(Seq("frame_no", "frame_bytes")))
 
   /** Resize stub: truncate/pad the blob to a target byte budget —
     * placeholder for a real resample keeping the column contract

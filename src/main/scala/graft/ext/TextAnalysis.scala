@@ -98,7 +98,7 @@ object TextAnalysis {
     */
   def portableFingerprint(tokensCol: String): Column =
     expr(s"pmod(aggregate(zip_with($tokensCol, sequence(1, size($tokensCol)), " +
-      "(t, i) -> cast(i as bigint) * 131 + ascii(substring(t, 1, 1)) * 37 + length(t)), " +
+      "(t, i) -> cast(i as bigint) * (ascii(substring(t, 1, 1)) * 131 + length(t))), " +
       "0L, (acc, v) -> acc + v), 1000003)")
 }
 

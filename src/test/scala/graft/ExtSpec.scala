@@ -1,0 +1,120 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ext.{TextAnalysis, TextDedup, VectorSearch}
+
+/** Specs for the LLM-pipeline extension operators (SURVEY §7.4). */
+class ExtSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank"),
+    (2L, "the quick brown fox jumps over the lazy dog near the river bend"), // near-dup of 1
+    (3L, "completely different content about spark query engines and planning"),
+    (4L, "the quick brown fox jumps over the lazy dog near the river bank")) // exact dup of 1
+    .toDF("doc_id", "text")
+
+  test("exact dedup keeps smallest id per identical text") {
+    val out = TextDedup.exact(docs, "text", "doc_id")
+    assert(out.select("doc_id").as[Long].collect().toSet == Set(1L, 2L, 3L))
+  }
+
+  test("minhash LSH surfaces the planted near-duplicate pair") {
+    val pairs = TextDedup.minhashLsh(docs, "text", "doc_id",
+      threshold = 0.3, bands = 32)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(pairs.contains((1L, 4L))) // exact dup always collides
+    assert(!pairs.contains((1L, 3L)))
+  }
+
+  test("exact n-gram jaccard: identical docs = 1.0, near-dup high, distinct low") {
+    val j = TextDedup.ngramJaccardPairs(docs, "text", "doc_id", threshold = 0.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(j((1L, 4L)) == 1.0)
+    assert(j((1L, 2L)) > 0.6)
+    assert(!j.contains((1L, 3L))) // no shared shingle at all
+  }
+
+  test("simhash: identical docs at hamming 0; near-dups within small distance") {
+    val pairs = TextDedup.simhashPairs(docs, "text", "doc_id", maxHamming = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(pairs((1L, 4L)) == 0)
+    assert(pairs.get((1L, 2L)).exists(_ <= 16))
+  }
+
+  test("cosine: self-similarity 1.0, orthogonal 0.0") {
+    val df = Seq((1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 2.0f)),
+      (3L, Array(2.0f, 0.0f))).toDF("vec_id", "embedding")
+    val sims = TextDedup.embeddingNearDups(df, "vec_id", "embedding", -1.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(math.abs(sims((1L, 3L)) - 1.0) < 1e-12)
+    assert(math.abs(sims((1L, 2L))) < 1e-12)
+  }
+
+  test("brute-force top-k returns k ranked neighbors, self excluded") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val out = VectorSearch.bruteForceTopK(emb, emb.filter($"vec_id" === 0),
+      "vec_id", "embedding", k = 5).collect()
+    assert(out.length == 5)
+    assert(out.map(_.getAs[Int]("rank")).toSeq == (1 to 5))
+    assert(!out.map(_.getAs[Long]("vec_id")).contains(0L))
+    val sims = out.sortBy(_.getAs[Int]("rank")).map(_.getAs[Double]("sim"))
+    assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("LSH ANN with multi-probe achieves reasonable recall vs brute force") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val q = emb.filter($"vec_id" < 10)
+    val exact = VectorSearch.bruteForceTopK(emb, q, "vec_id", "embedding", 10)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val approx = VectorSearch.annTopK(emb, q, "vec_id", "embedding", 10,
+      bits = 4, probeNeighbors = 1)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall > 0.3, s"recall $recall too low")
+    // and the candidate set actually shrank vs brute force
+    assert(approx.size <= exact.size)
+  }
+
+  test("quality score rewards stopword-bearing prose, penalizes fragments") {
+    val df = Seq((1L, "the cat sat on the mat and it was a fine day for all of us"),
+      (2L, "zzz qqq")).toDF("doc_id", "text")
+    val out = TextAnalysis.qualityScore(df, "text")
+      .select("doc_id", "quality_score").as[(Long, Double)].collect().toMap
+    assert(out(1L) > out(2L))
+    assert(out.values.forall(s => s >= 0.0 && s <= 1.0))
+  }
+
+  test("language id picks the profile with most marker hits") {
+    val df = Seq(
+      (1L, "the cat is on the mat with a dog"),
+      (2L, "el gato es un animal y la casa es grande"),
+      (3L, "der hund und die katze sind für das haus"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.languageId(df, "text")
+      .select("doc_id", "predicted_lang").as[(Long, String)].collect().toMap
+    assert(out(1L) == "en")
+    assert(out(2L) == "es")
+    assert(out(3L) == "de")
+  }
+
+  test("fingerprints: order-sensitive, stable") {
+    val df = Seq((1L, "alpha beta gamma"), (2L, "beta alpha gamma"),
+      (3L, "alpha beta gamma")).toDF("doc_id", "text")
+      .select($"doc_id", TextDedup.tokens($"text").as("toks"))
+      .select($"doc_id", TextAnalysis.portableFingerprint("toks").as("fp"))
+    val fp = df.as[(Long, Long)].collect().toMap
+    assert(fp(1L) == fp(3L))
+    assert(fp(1L) != fp(2L))
+  }
+
+  test("token counts: whitespace and subword regex") {
+    val df = Seq(Tuple1("hello world x42 done!")).toDF("text")
+      .select(TextAnalysis.tokenCount($"text").as("w"),
+        TextAnalysis.subwordTokenCount($"text").as("s"))
+    val (w, s) = df.as[(Int, Int)].head()
+    assert(w == 4)
+    assert(s == 6) // hello, world, x, 42, done, !
+  }
+}

@@ -1,0 +1,127 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.ext.Multimodal
+import graft.sink.Sinks
+import graft.streaming.EventStream
+
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def mediaDf = {
+    val docs = Seq((1L, "some text payload"), (2L, "another blob"))
+      .toDF("doc_id", "text").withColumn("raw", $"text".cast("binary"))
+    Multimodal.withMedia(docs, "raw", "image")
+  }
+
+  test("withMedia attaches binary column + typed metadata") {
+    val row = mediaDf.orderBy("doc_id").head()
+    assert(row.getAs[Array[Byte]]("media").sameElements("some text payload".getBytes))
+    val meta = row.getStruct(row.fieldIndex("media_meta"))
+    assert(meta.getAs[String]("media_type") == "image")
+    assert(meta.getAs[Long]("n_bytes") == 17L)
+    assert(meta.getAs[String]("checksum").length == 32)
+  }
+
+  test("extractFeatures: deterministic stub features, schema appended") {
+    val out = Multimodal.extractFeatures(mediaDf)
+    assert(out.schema.fieldNames.takeRight(4).toSeq ==
+      Seq("width", "height", "channels", "duration_ms"))
+    val r1 = out.orderBy("doc_id").collect()
+    val r2 = Multimodal.extractFeatures(mediaDf).orderBy("doc_id").collect()
+    assert(r1.toSeq == r2.toSeq) // stub decode is pure
+    assert(r1.forall(r => r.getAs[Int]("width") >= 1 && r.getAs[Int]("channels") == 3))
+  }
+
+  test("sampleFrames slices deterministic byte windows") {
+    val out = Multimodal.sampleFrames(mediaDf, frameBytes = 4, stride = 1)
+    assert(out.columns.contains("frame_no") && out.columns.contains("frame_bytes"))
+    assert(out.count() >= mediaDf.count())
+  }
+
+  test("resizeStub truncates and refreshes metadata") {
+    val out = Multimodal.resizeStub(mediaDf, 5).orderBy("doc_id").head()
+    assert(out.getAs[Array[Byte]]("media").length == 5)
+    assert(out.getStruct(out.fieldIndex("media_meta")).getAs[Long]("n_bytes") == 5L)
+  }
+}
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("windowed count over file stream (AvailableNow daily-batch shape)") {
+    val dir = java.nio.file.Files.createTempDirectory("evstream").toString
+    Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 00:01:00"), 7L, "click", 1.0, "{}"),
+      (2L, java.sql.Timestamp.valueOf("2024-01-01 00:02:00"), 7L, "click", 2.0, "{}"),
+      (3L, java.sql.Timestamp.valueOf("2024-01-01 00:20:00"), 8L, "view", 3.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(dir)
+    val agg = EventStream.windowedCounts(
+      EventStream.readEvents(spark, dir), "5 minutes", "5 minutes", "10 minutes")
+    EventStream.runAvailableNow(agg, "win_counts",
+      org.apache.spark.sql.streaming.OutputMode.Append)
+    // append mode emits only watermark-closed windows; the 00:00 window
+    // closes once the 00:20 event advances the watermark
+    val out = spark.sql("select event_type, n from win_counts").as[(String, Long)]
+      .collect().toMap
+    assert(out.get("click").contains(2L))
+  }
+
+  test("stateful last-write-wins stream merges to latest value per key") {
+    val dir = java.nio.file.Files.createTempDirectory("evstream2").toString
+    Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 00:01:00"), 7L, "price", 10.0, "{}"),
+      (2L, java.sql.Timestamp.valueOf("2024-01-01 00:02:00"), 7L, "price", 20.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(dir)
+    val merged = EventStream.lastWriteWinsStream(spark,
+      EventStream.readEvents(spark, dir))
+    EventStream.runAvailableNow(merged.toDF(), "lww",
+      org.apache.spark.sql.streaming.OutputMode.Update)
+    val out = spark.sql("select key, value, updates from lww")
+      .as[(String, Double, Long)].collect()
+    assert(out.toSeq == Seq(("7|price", 20.0, 2L)))
+  }
+}
+
+class SinksSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("S9 DDL generation mirrors the reference gas_station table") {
+    val sql = Sinks.createTableSql("gas_station", graft.model.Schemas.gasStation,
+      primaryKey = Seq("location_id"))
+    assert(sql.startsWith("CREATE TABLE IF NOT EXISTS gas_station"))
+    assert(sql.contains("location_id VARCHAR(255) NOT NULL"))
+    assert(sql.contains("latitude DOUBLE PRECISION"))
+    assert(sql.contains("PRIMARY KEY (location_id)"))
+  }
+
+  test("S8 upsert SQL matches the reference ON CONFLICT form") {
+    val sql = Sinks.upsertSql("fuel_price",
+      Seq("location_id", "fuel_type", "price", "date"),
+      Seq("location_id", "fuel_type", "date"))
+    assert(sql ==
+      "INSERT INTO fuel_price (location_id, fuel_type, price, date) VALUES (?, ?, ?, ?) " +
+        "ON CONFLICT (location_id, fuel_type, date) DO UPDATE SET price = EXCLUDED.price")
+  }
+
+  test("S7 batched JDBC append writes through to an embedded Derby table") {
+    val url = s"jdbc:derby:memory:graftdb;create=true"
+    val df = Seq(("loc-1", "BP"), ("loc-2", "Z")).toDF("location_id", "brand_name")
+    Sinks.jdbcAppend(df, url, "stations")
+    val back = spark.read.jdbc(url, "stations", new java.util.Properties)
+    assert(back.count() == 2)
+    assert(back.select("location_id").as[String].collect().toSet == Set("loc-1", "loc-2"))
+  }
+
+  test("date-partitioned parquet sink produces partition directories") {
+    val dir = java.nio.file.Files.createTempDirectory("pricesink").toString
+    val df = Seq(("a", "Diesel", 2.1, java.sql.Date.valueOf("2024-06-01")),
+      ("b", "Diesel", 2.2, java.sql.Date.valueOf("2024-06-02")))
+      .toDF("location_id", "fuel_type", "price", "date")
+    Sinks.parquetByDate(df, dir)
+    val parts = new java.io.File(dir).list().filter(_.startsWith("date="))
+    assert(parts.toSet == Set("date=2024-06-01", "date=2024-06-02"))
+    assert(spark.read.parquet(dir).count() == 2)
+  }
+}

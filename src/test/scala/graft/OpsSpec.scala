@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import graft.op.{Dedup, Normalize, PriceGen}
+import graft.source.Tables
+
+/** Unit specs for the reference-faithful operators (SURVEY §2.2),
+  * pinning the edge cases called out in SURVEY §5.
+  */
+class OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("T4 city after last comma: normal / no comma / null / trailing spaces") {
+    val df = Seq(
+      ("238 Moorhouse Avenue, Christchurch"),
+      ("NoCommaHere"),
+      ("a, b,   Riccarton  "),
+      (null: String)).toDF("addr")
+      .select(Normalize.cityAfterLastComma(col("addr")).as("city"))
+    assert(df.collect().map(_.getString(0)).toSeq ==
+      Seq("Christchurch", "", "Riccarton", ""))
+  }
+
+  test("T5 anti-join equals set difference on keys") {
+    val batch = Seq(("a", 1), ("b", 2), ("c", 3), ("c", 4)).toDF("k", "v")
+    val existing = Seq(("b", 9), ("x", 0)).toDF("k", "v")
+    val out = Dedup.newKeysOnly(batch, existing, "k", hintBroadcast = true)
+    assert(out.select("k").as[String].collect().toSet == Set("a", "c"))
+    assert(out.count() == 3) // both 'c' rows survive — dedup is T6's job
+  }
+
+  test("T6 first-seen keeps the lowest-ordered row per key") {
+    val df = Seq(("a", 2, "second"), ("a", 1, "first"), ("b", 5, "only"))
+      .toDF("k", "seq", "name")
+    val out = Dedup.firstSeen(df, Seq("k"), Seq(col("seq")))
+    assert(out.orderBy("k").as[(String, Int, String)].collect().toSeq ==
+      Seq(("a", 1, "first"), ("b", 5, "only")))
+  }
+
+  test("T10 last-write-wins is idempotent (apply twice == once)") {
+    val df = Seq(("a", "x", 1, 10.0), ("a", "x", 2, 20.0), ("b", "x", 1, 5.0))
+      .toDF("k1", "k2", "ver", "price")
+    val once = Dedup.lastWriteWins(df, Seq("k1", "k2"), Seq(col("ver")))
+    val twice = Dedup.lastWriteWins(once, Seq("k1", "k2"), Seq(col("ver")))
+    assert(once.orderBy("k1").collect().toSeq == twice.orderBy("k1").collect().toSeq)
+    assert(once.filter($"k1" === "a").select("price").as[Double].head() == 20.0)
+  }
+
+  test("T9 price stays in the reference band [base-0.37, base+0.23]") {
+    val prices = PriceGen.generate(
+      Tables.table(spark, sf, "supplier"), "s_suppkey",
+      Tables.fuelTypes(spark), to_date(lit("2024-06-01")))
+    val joined = prices.join(Tables.fuelTypes(spark), "fuel_type")
+      .select(($"price" - $"base_price").as("delta"))
+    val (lo, hi) = joined.agg(min("delta"), max("delta"))
+      .as[(Double, Double)].head()
+    assert(lo >= -0.37 - 1e-9 && hi <= 0.23 + 1e-9)
+    // deterministic: two runs agree
+    val again = PriceGen.generate(
+      Tables.table(spark, sf, "supplier"), "s_suppkey",
+      Tables.fuelTypes(spark), to_date(lit("2024-06-01")))
+    assert(prices.orderBy("location_id", "fuel_type").collect().toSeq ==
+      again.orderBy("location_id", "fuel_type").collect().toSeq)
+  }
+
+  test("T12 full address appends postal code only when present") {
+    val df = Seq(("1 Main St", "Chch", "Cant", "NZ", "8011"),
+      ("2 Side St", "Chch", "Cant", "NZ", ""),
+      ("3 Back St", "Chch", "Cant", "NZ", null))
+      .toDF("a", "c", "s", "n", "p")
+      .select(Normalize.fullAddress($"a", $"c", $"s", $"n", $"p").as("f"))
+    assert(df.as[String].collect().toSeq == Seq(
+      "1 Main St, Chch, Cant, NZ 8011",
+      "2 Side St, Chch, Cant, NZ",
+      "3 Back St, Chch, Cant, NZ"))
+  }
+
+  test("T13 row-to-json matches the reference to_dict shape") {
+    val df = Seq((1L, "BP")).toDF("location_id", "brand_name")
+      .select(Normalize.rowToJson(Seq($"location_id", $"brand_name")).as("js"))
+    assert(df.as[String].head() == """{"location_id":1,"brand_name":"BP"}""")
+  }
+
+  test("events reader exposes exact nanos and truncated micros") {
+    val ev = Tables.events(spark, sf)
+    val Row(ns: Long, us: java.sql.Timestamp) =
+      ev.select($"ts", $"ts_us").orderBy("event_id").head()
+    assert(us.getTime / 1000 * 1000000 + us.getNanos / 1000 == ns / 1000)
+  }
+}
