@@ -20,17 +20,13 @@ object TextDedup {
   /** Word tokens of a text column (lowercase, whitespace split). */
   def tokens(text: Column): Column = split(lower(text), "\\s+")
 
-  /** Distinct word n-gram shingles over a tokens *array column name*
-    * (name-based so the expression composes through the SQL parser).
+  /** Distinct word n-gram shingles over a tokens array column (native
+    * expression — one pass per row; shingle text equals
+    * `concat_ws(' ', w_i..w_{i+n-1})`, the form the oracle mirrors).
     * Docs shorter than n words collapse to one whole-text shingle.
     */
-  def shinglesOf(tokensCol: String, n: Int = 3): Column = {
-    val grams = expr(
-      s"transform(sequence(0, size($tokensCol) - $n), i -> concat_ws(' ', " +
-        (0 until n).map(j => s"element_at($tokensCol, i + ${j + 1})").mkString(", ") + "))")
-    when(size(col(tokensCol)) >= n, array_distinct(grams))
-      .otherwise(array(concat_ws(" ", col(tokensCol))))
-  }
+  def shinglesOf(tokensCol: String, n: Int = 3): Column =
+    graft.functions.VectorExpressions.word_shingles(col(tokensCol), n)
 
   /** (id, shingle-array) frame for a text column — the map-side stage
     * every signature scheme below starts from.
@@ -51,12 +47,11 @@ object TextDedup {
   }
 
   /** MinHash signature over the shingle array column `sh`: numPerms
-    * permutations approximated by seeded xxhash64; component i is
-    * min_s xxhash64(i, s). Pure map-side expression.
+    * permutations via the native MinHashSig expression (one pass over
+    * the shingles with the h1 + i·h2 permutation family). Map-side only.
     */
   def minhashSignature(numPerms: Int = 64): Column =
-    expr(s"transform(sequence(0, ${numPerms - 1}), " +
-      s"i -> array_min(transform(sh, s -> xxhash64(i, s))))")
+    graft.functions.VectorExpressions.minhash_sig(col("sh"), numPerms)
 
   /** MinHash + LSH near-duplicate pairs.
     *
@@ -81,9 +76,12 @@ object TextDedup {
       posexplode(expr(
         s"transform(sequence(0, ${bands - 1}), b -> xxhash64(b, cast(slice(sig, b * $r + 1, $r) as string)))")))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+    // persisted: both sides of the candidate self-join read this frame —
+    // without it the signature stage runs twice
     val guarded = buckets.withColumn("_bsize",
       count(lit(1)).over(Window.partitionBy("band", "bucket")))
       .filter(col("_bsize") <= maxBucket).drop("_bsize")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = guarded.select(col("band"), col("bucket"),
       col("doc").as("id_a"), col("sig").as("sig_a"))
     val b = guarded.select(col("band"), col("bucket"),
@@ -108,11 +106,12 @@ object TextDedup {
                         maxPostings: Long = Long.MaxValue): DataFrame = {
     val sh = docShingles(df, text, id, shingleN)
       .select(col("doc"), explode(col("sh")).as("sh"))
-    val pruned = if (maxPostings == Long.MaxValue) sh else {
+    // persisted: read three times (doc sizes + both self-join sides)
+    val pruned = (if (maxPostings == Long.MaxValue) sh else {
       val freq = sh.groupBy("sh").agg(count(lit(1)).as("_pf"))
         .filter(col("_pf") <= maxPostings).select("sh")
       sh.join(freq, Seq("sh"))
-    }
+    }).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = pruned.groupBy("doc").agg(count(lit(1)).as("nsh"))
     val inter = pruned.select(col("doc").as("id_a"), col("sh"))
       .join(pruned.select(col("doc").as("id_b"), col("sh")), Seq("sh"))
@@ -128,12 +127,11 @@ object TextDedup {
   }
 
   /** 64-bit SimHash over a tokens array column `toks`: bit j is the sign
-    * of Σ_tokens (±1 by bit j of xxhash64(token)). Map-side expression.
+    * of Σ_tokens (±1 by bit j of xxhash64(token)). Native expression,
+    * one pass over the tokens.
     */
   def simhashOfTokens: Column =
-    expr("aggregate(sequence(0, 63), 0L, (acc, j) -> acc + " +
-      "if(aggregate(toks, 0L, " +
-      "(a, t) -> a + if(((xxhash64(t) >> j) & 1) = 1, 1L, -1L)) > 0, shiftleft(1L, j), 0L))")
+    graft.functions.VectorExpressions.simhash64(col("toks"))
 
   /** SimHash near-dup pairs with Hamming distance ≤ maxHamming.
     * Candidates via the pigeonhole principle: the 64-bit signature is
@@ -147,6 +145,7 @@ object TextDedup {
     val width = 64 / chunks
     val sigs = df.select(col(id).as("doc"), tokens(col(text)).as("toks"))
       .select(col("doc"), simhashOfTokens.as("sim"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val keyed = sigs.select(col("doc"), col("sim"),
       posexplode(expr(
         s"transform(sequence(0, ${chunks - 1}), c -> (shiftrightunsigned(sim, c * $width) & ${(1L << width) - 1}L))")))

@@ -23,14 +23,12 @@ import org.apache.spark.sql.functions._
 object VectorSearch {
 
   /** Cosine similarity of two float-array columns, computed in double.
-    * Higher-order functions evaluate in-JVM with no serialization.
+    * Backed by a native Catalyst expression (one primitive loop per
+    * row); accumulation order matches the fold-left HOF formulation and
+    * DuckDB's DOUBLE[] cosine bit-for-bit.
     */
-  def cosine(a: Column, b: Column): Column = {
-    def dot(x: Column, y: Column): Column =
-      aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
-        lit(0.0), (acc, v) => acc + v)
-    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
-  }
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.VectorExpressions.cosine_sim(a, b)
 
   /** L2-normalize once so repeated searches only pay dot products. */
   def normalized(df: DataFrame, vec: String): DataFrame =
@@ -60,23 +58,14 @@ object VectorSearch {
       .select(col("query_id"), col("rank"), col("vec_id"), col("sim"))
   }
 
-  /** Deterministic pseudo-random hyperplane component p_j for plane p,
-    * dimension j: xxhash64 of (p, j) mapped uniformly into [-1, 1].
-    * No stored model, no randomness — any executor recomputes the same
-    * planes, which is what makes the index reproducible at scale.
-    */
-  private def planeComponent(p: Int): String =
-    s"(cast(pmod(xxhash64($p, j), 2000001) as double) / 1000000.0 - 1.0)"
-
   /** Sign-pattern LSH bucket id (`bits` hyperplanes → long in
-    * [0, 2^bits)) for the vector array column named `v`.
+    * [0, 2^bits)) for the vector array column. Native expression; the
+    * hyperplanes are splitmix64-derived from a fixed seed, so every
+    * executor regenerates identical planes — no stored/broadcast model,
+    * which is what makes the index reproducible at cluster scale.
     */
   def lshBucketExpr(bits: Int, vecCol: String): Column =
-    expr((0 until bits).map { p =>
-      s"if(aggregate(zip_with($vecCol, sequence(0, size($vecCol) - 1), " +
-        s"(x, j) -> cast(x as double) * ${planeComponent(p)}), " +
-        s"0.0D, (acc, v) -> acc + v) >= 0, shiftleft(1L, $p), 0L)"
-    }.mkString(" + "))
+    graft.functions.VectorExpressions.lsh_bucket(col(vecCol), bits)
 
   /** Assign every vector its LSH bucket. Map-side; persist/bucket-write
     * the result once and reuse it across queries.
