@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import graft.functions.VectorExpressions._
+
+/** SparkSessionExtensions entry point: registers the graft native
+  * expressions as SQL functions, so `spark.sql("SELECT cosine_sim(a, b)
+  * ...")` works next to the Column API.
+  *
+  * Use: `SparkSession.builder().withExtensions(new GraftExtensions)` or
+  * `spark.sql.extensions=graft.GraftExtensions`; or call
+  * `GraftExtensions.register(spark)` on a live session.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit =
+    GraftExtensions.definitions.foreach { case (name, arity, builder) =>
+      e.injectFunction((FunctionIdentifier(name),
+        new ExpressionInfo("graft.functions.VectorExpressions", name),
+        builder))
+    }
+}
+
+object GraftExtensions {
+  private def arg(es: Seq[Expression], i: Int): Expression = es(i)
+  private def intArg(es: Seq[Expression], i: Int): Int =
+    es(i).eval().asInstanceOf[Number].intValue()
+
+  /** (name, arity, builder) for each exposed function. */
+  val definitions: Seq[(String, Int, Seq[Expression] => Expression)] = Seq(
+    ("cosine_sim", 2, es => CosineSim(arg(es, 0), arg(es, 1))),
+    ("simhash64", 1, es => SimHash64(arg(es, 0))),
+    ("minhash_sig", 2, es => MinHashSig(arg(es, 0), intArg(es, 1))),
+    ("word_shingles", 2, es => WordShingles(arg(es, 0), intArg(es, 1))),
+    ("lsh_bucket", 2, es => LshBucket(arg(es, 0), intArg(es, 1))))
+
+  /** Imperative registration on an existing session (tests, notebooks). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    definitions.foreach { case (name, _, builder) =>
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        name, builder, "built-in")
+    }
+}

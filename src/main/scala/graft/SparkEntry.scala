@@ -212,6 +212,16 @@ object SparkEntry {
       .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine_r"))
       .orderBy("id_a", "id_b")
 
+  /** Scale path for near-dup: LSH-bucket candidates + exact verify —
+    * approximate (recall < 1) so rows-only checked; ExtSpec compares its
+    * output against the exact variant.
+    */
+  private def nsEmbedNearDupLsh(s: SparkSession, dir: String): DataFrame =
+    TextDedup.embeddingNearDupsBucketed(t(s, dir, "embeddings"), "vec_id",
+      "embedding", threshold = 0.35, bits = 5, probeNeighbors = 1)
+      .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine_r"))
+      .orderBy("id_a", "id_b")
+
   private def nsTopkSimilarity(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
     VectorSearch.bruteForceTopK(emb, emb.filter(col("vec_id") < 5),
@@ -298,6 +308,7 @@ object SparkEntry {
     "ns_dedup_minhash" -> nsDedupMinhash,
     "ns_dedup_simhash" -> nsDedupSimhash,
     "ns_embed_neardup" -> nsEmbedNearDup,
+    "ns_embed_neardup_lsh" -> nsEmbedNearDupLsh,
     "ns_topk_similarity" -> nsTopkSimilarity,
     "ns_ann_lsh" -> nsAnnLsh,
     "ns_text_tokens" -> nsTextTokens,

@@ -172,4 +172,31 @@ object TextDedup {
       .filter(col("cosine") > threshold)
       .select(col("id_a"), col("id_b"), col("cosine"))
   }
+
+  /** The corpus-scale variant: candidates restricted to pairs sharing a
+    * random-hyperplane LSH bucket (plus optional Hamming-1 multi-probe
+    * on one side), exact cosine verified per candidate. Replaces the
+    * O(n²) cross join with one equi-join on the bucket id — at 100 TB
+    * the per-bucket pair count is bounded by (corpus / 2^bits)² per
+    * bucket instead of corpus². Recall < 1 by construction; raise
+    * `bits` down or `probeNeighbors` up to trade cost for recall.
+    */
+  def embeddingNearDupsBucketed(emb: DataFrame, id: String, vec: String,
+                                threshold: Double, bits: Int = 8,
+                                probeNeighbors: Int = 0): DataFrame = {
+    val bucketed = VectorSearch.lshBuckets(emb, vec, bits)
+      .select(col("bucket"), col(id).as("_id"), col(vec).as("_v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val a0 = bucketed.select(col("bucket"), col("_id").as("id_a"), col("_v").as("va"))
+    val a = if (probeNeighbors == 0) a0 else
+      a0.select(col("id_a"), col("va"),
+        explode(expr(
+          s"array_union(array(bucket), transform(sequence(0, ${bits - 1}), " +
+            "b -> cast(bucket as long) ^ shiftleft(1L, b)))")).as("bucket"))
+    val b = bucketed.select(col("bucket"), col("_id").as("id_b"), col("_v").as("vb"))
+    a.join(b, Seq("bucket")).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        VectorSearch.cosine(col("va"), col("vb")).as("cosine")).distinct()
+      .filter(col("cosine") > threshold)
+  }
 }

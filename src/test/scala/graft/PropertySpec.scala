@@ -1,0 +1,81 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Properties, Test}
+import org.scalacheck.Prop.propBoolean
+import org.apache.spark.sql.functions._
+import graft.op.{Dedup, Normalize}
+
+/** Property-based specs (ScalaCheck framework, picked up by sbt):
+  * algebraic laws the SURVEY §5 plan calls for, checked against small
+  * generated inputs through the real Spark operators.
+  */
+object PropertySpec extends Properties("graft") {
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(8) // each case runs Spark jobs; keep it tight
+
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val keyGen = Gen.listOfN(12, Gen.alphaLowerStr.map(_.take(3))).map(_.filter(_.nonEmpty))
+
+  property("T5 anti-join == set difference on keys") =
+    Prop.forAll(keyGen, keyGen) { (batch, existing) =>
+      (batch.nonEmpty || existing.nonEmpty) ==> {
+        val b = batch.zipWithIndex.toDF("k", "v")
+        val e = existing.toDF("k")
+        val got = Dedup.newKeysOnly(b, e, "k").select("k").as[String]
+          .collect().toSet
+        got == (batch.toSet -- existing.toSet)
+      }
+    }
+
+  property("T10 last-write-wins: idempotent and unique per key") =
+    Prop.forAll(Gen.listOfN(10, Gen.zip(Gen.choose(0, 3), Gen.choose(0, 20), Gen.choose(0.0, 9.9)))) { rows =>
+      rows.nonEmpty ==> {
+        val df = rows.toDF("k", "ver", "price")
+        val once = Dedup.lastWriteWins(df, Seq("k"), Seq(col("ver"), col("price")))
+        val twice = Dedup.lastWriteWins(once, Seq("k"), Seq(col("ver"), col("price")))
+        val o = once.orderBy("k").collect().toSeq
+        val t = twice.orderBy("k").collect().toSeq
+        o == t && once.select("k").distinct().count() == once.count()
+      }
+    }
+
+  // reference semantics model (dag_collection_data_from_z.py:55-58)
+  private def modelCity(s: String): String =
+    if (s == null || !s.contains(",")) "" else s.split(",").last.trim
+
+  private val addrGen = Gen.oneOf(
+    Gen.const(null: String),
+    Gen.alphaNumStr.map(_.take(12)),
+    Gen.zip(Gen.alphaStr.map(_.take(8)), Gen.alphaStr.map(_.take(8)))
+      .map { case (a, b) => s"$a, $b" },
+    Gen.zip(Gen.alphaStr.map(_.take(6)), Gen.alphaStr.map(_.take(6)), Gen.alphaStr.map(_.take(6)))
+      .map { case (a, b, c) => s"$a,$b ,  $c " })
+
+  property("T4 city-after-last-comma matches the reference model") =
+    Prop.forAll(Gen.listOfN(6, addrGen)) { addrs =>
+      addrs.nonEmpty ==> {
+        val got = addrs.toDF("a")
+          .select(Normalize.cityAfterLastComma(col("a"))).as[String].collect().toSeq
+        val want = addrs.map(modelCity)
+        got == want
+      }
+    }
+
+  property("minhash est_jaccard tracks exact jaccard within sampling error") =
+    Prop.forAll(Gen.choose(1, 9)) { overlap =>
+      // two 10-word docs sharing `overlap` words in their tail
+      val shared = (0 until overlap).map(i => s"sh$i")
+      val a = ((0 until (10 - overlap)).map(i => s"a$i") ++ shared).mkString(" ")
+      val b = ((0 until (10 - overlap)).map(i => s"b$i") ++ shared).mkString(" ")
+      val df = Seq((1L, a), (2L, b)).toDF("doc_id", "text")
+      val exact = graft.ext.TextDedup.ngramJaccardPairs(df, "text", "doc_id", 3, 0.0)
+        .select("jaccard").as[Double].collect().headOption.getOrElse(0.0)
+      val est = graft.ext.TextDedup.minhashLsh(df, "text", "doc_id",
+        shingleN = 3, numPerms = 64, bands = 32, threshold = 0.0)
+        .select("est_jaccard").as[Double].collect().headOption.getOrElse(0.0)
+      math.abs(est - exact) < 0.35 // 64 perms ⇒ σ ≈ 0.06; generous bound
+    }
+}
