@@ -10,10 +10,17 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // warm the session (codegen, parquet reader, shuffle machinery) so
-    // the first timed query doesn't absorb one-time JVM startup cost
+    // warm the session (codegen, parquet reader, shuffle, join + window
+    // machinery) so the first timed query doesn't absorb one-time JVM
+    // startup cost
     spark.range(1000000).selectExpr("sum(id)").collect()
-    spark.read.parquet(s"$sfDir/region.parquet").count()
+    val r = spark.read.parquet(s"$sfDir/region.parquet")
+    val n = spark.read.parquet(s"$sfDir/nation.parquet")
+    n.join(r, n("n_regionkey") === r("r_regionkey"))
+      .withColumn("rn", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("r_regionkey").orderBy("n_nationkey")))
+      .filter("rn = 1").count()
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

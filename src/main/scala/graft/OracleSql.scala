@@ -131,6 +131,18 @@ object OracleSql {
                row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
         FROM doubled) WHERE rn = 1 ORDER BY doc_id""",
 
+    "ns_dedup_exact_norm" ->
+      """WITH stacked AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL SELECT doc_id + 1000000, upper(text) FROM documents),
+      hashed AS (
+        SELECT doc_id,
+          md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g'))) AS text_hash
+        FROM stacked)
+      SELECT doc_id, text_hash FROM (
+        SELECT doc_id, text_hash, row_number() OVER (PARTITION BY text_hash ORDER BY doc_id) AS rn
+        FROM hashed) WHERE rn = 1 ORDER BY doc_id""",
+
     "ns_dedup_ngram_jaccard" ->
       """WITH toks AS (
         SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w,

@@ -190,6 +190,22 @@ object SparkEntry {
       .select("doc_id", "text_hash").orderBy("doc_id")
   }
 
+  /** Normalized exact dedup: case/punctuation/whitespace variants of the
+    * same text collapse to one survivor. Exercised by re-casing every
+    * third doc and upper-casing a copy of each — the copies must dedup
+    * away against the originals.
+    */
+  private def nsDedupExactNorm(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").select("doc_id", "text")
+    val variants = d.select((col("doc_id") + 1000000L).as("doc_id"),
+      upper(col("text")).as("text"))
+    TextDedup.exactNormalized(d.unionByName(variants), "text", "doc_id")
+      .select("doc_id", "text_hash").orderBy("doc_id")
+  }
+
+  private def nsSketches(s: SparkSession, dir: String): DataFrame =
+    graft.ext.Sketches.corpusProfile(t(s, dir, "documents"))
+
   private def nsDedupNgramJaccard(s: SparkSession, dir: String): DataFrame =
     TextDedup.ngramJaccardPairs(t(s, dir, "documents"), "text", "doc_id",
       shingleN = 3, threshold = 0.12)
@@ -304,6 +320,8 @@ object SparkEntry {
     "t13_row_to_json" -> t13RowToJson,
     "pipeline_collection" -> pipelineCollection,
     "ns_dedup_exact" -> nsDedupExact,
+    "ns_dedup_exact_norm" -> nsDedupExactNorm,
+    "ns_sketches" -> nsSketches,
     "ns_dedup_ngram_jaccard" -> nsDedupNgramJaccard,
     "ns_dedup_minhash" -> nsDedupMinhash,
     "ns_dedup_simhash" -> nsDedupSimhash,

@@ -46,6 +46,22 @@ object TextDedup {
       .filter(col("_rn") === 1).drop("_rn")
   }
 
+  /** Canonical text form for normalized exact dedup: lowercase, strip
+    * punctuation, collapse whitespace, trim — so trivially-reformatted
+    * copies (case, spacing, punctuation) hash identically. The standard
+    * first pass of web-corpus dedup before near-dup methods run.
+    */
+  def normalizedText(c: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(c), "[^a-z0-9\\s]", ""), "\\s+", " "))
+
+  /** Exact dedup over the normalized form; keeps original text. */
+  def exactNormalized(df: DataFrame, text: String, id: String): DataFrame = {
+    val hashed = df.withColumn("text_hash", md5(normalizedText(col(text))))
+    val w = Window.partitionBy(col("text_hash")).orderBy(col(id))
+    hashed.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1).drop("_rn")
+  }
+
   /** MinHash signature over the shingle array column `sh`: numPerms
     * permutations via the native MinHashSig expression (one pass over
     * the shingles with the h1 + i·h2 permutation family). Map-side only.

@@ -109,6 +109,27 @@ class ExtSpec extends SparkSpec {
     assert(fp(1L) != fp(2L))
   }
 
+  test("normalized exact dedup collapses case/punct/whitespace variants") {
+    val df = Seq(
+      (1L, "The quick  brown fox!"),
+      (2L, "the quick brown fox"),
+      (3L, "THE QUICK BROWN FOX."),
+      (4L, "a different doc")).toDF("doc_id", "text")
+    val out = TextDedup.exactNormalized(df, "text", "doc_id")
+    assert(out.select("doc_id").as[Long].collect().toSet == Set(1L, 4L))
+  }
+
+  test("corpus profile sketch: sane approximate stats") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val r = graft.ext.Sketches.corpusProfile(docs).head()
+    val n = r.getAs[Long]("n_docs")
+    val distinct = r.getAs[Long]("approx_distinct_texts")
+    assert(n == docs.count())
+    assert(math.abs(distinct - n).toDouble / n < 0.1) // all texts unique
+    val q = r.getAs[scala.collection.Seq[Long]]("n_chars_p50_p95")
+    assert(q.length == 2 && q(0) <= q(1))
+  }
+
   test("token counts: whitespace and subword regex") {
     val df = Seq(Tuple1("hello world x42 done!")).toDF("text")
       .select(TextAnalysis.tokenCount($"text").as("w"),
