@@ -125,7 +125,7 @@ object OracleSql {
     "ns_dedup_exact" ->
       """WITH doubled AS (
         SELECT doc_id, text FROM documents
-        UNION ALL SELECT doc_id + 1000000, text FROM documents)
+        UNION ALL SELECT doc_id + 1000000000000, text FROM documents)
       SELECT doc_id, text_hash FROM (
         SELECT doc_id, md5(text) AS text_hash,
                row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
@@ -134,11 +134,15 @@ object OracleSql {
     "ns_dedup_exact_norm" ->
       """WITH stacked AS (
         SELECT doc_id, text FROM documents
-        UNION ALL SELECT doc_id + 1000000, upper(text) FROM documents),
+        UNION ALL SELECT doc_id + 1000000000000, upper(text) FROM documents),
+      normed AS (
+        SELECT doc_id,
+          trim(regexp_replace(regexp_replace(lower(text), '[^\p{L}\p{N} \t\n\f\r\x0B]', '', 'g'), '[ \t\n\f\r\x0B]+', ' ', 'g')) AS norm
+        FROM stacked),
       hashed AS (
         SELECT doc_id,
-          md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g'))) AS text_hash
-        FROM stacked)
+          CASE WHEN norm = '' THEN 'empty-' || CAST(doc_id AS VARCHAR) ELSE md5(norm) END AS text_hash
+        FROM normed)
       SELECT doc_id, text_hash FROM (
         SELECT doc_id, text_hash, row_number() OVER (PARTITION BY text_hash ORDER BY doc_id) AS rn
         FROM hashed) WHERE rn = 1 ORDER BY doc_id""",

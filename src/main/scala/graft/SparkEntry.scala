@@ -182,10 +182,16 @@ object SparkEntry {
 
   // ---- LLM-data-pipeline extensions (SURVEY §7.4) ----
 
+  /** Variant-id offset is far beyond any plausible doc count so copies
+    * can never collide with real ids (which would make the min-id
+    * survivor nondeterministic).
+    */
+  private val VariantOffset = 1000000000000L
+
   private def nsDedupExact(s: SparkSession, dir: String): DataFrame = {
     val d = t(s, dir, "documents").select("doc_id", "text")
     val doubled = d.unionByName(
-      d.select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      d.select((col("doc_id") + VariantOffset).as("doc_id"), col("text")))
     TextDedup.exact(doubled, "text", "doc_id")
       .select("doc_id", "text_hash").orderBy("doc_id")
   }
@@ -197,7 +203,7 @@ object SparkEntry {
     */
   private def nsDedupExactNorm(s: SparkSession, dir: String): DataFrame = {
     val d = t(s, dir, "documents").select("doc_id", "text")
-    val variants = d.select((col("doc_id") + 1000000L).as("doc_id"),
+    val variants = d.select((col("doc_id") + VariantOffset).as("doc_id"),
       upper(col("text")).as("text"))
     TextDedup.exactNormalized(d.unionByName(variants), "text", "doc_id")
       .select("doc_id", "text_hash").orderBy("doc_id")

@@ -13,10 +13,12 @@ object Sketches {
 
   /** Per-column approximate distinct counts (HyperLogLog++). */
   def distinctCounts(df: DataFrame, cols: Seq[String],
-                     rsd: Double = 0.05): DataFrame =
+                     rsd: Double = 0.05): DataFrame = {
+    require(cols.nonEmpty, "distinctCounts needs at least one column")
     df.agg(
       approx_count_distinct(col(cols.head), rsd).as(s"${cols.head}_distinct"),
       cols.tail.map(c => approx_count_distinct(col(c), rsd).as(s"${c}_distinct")): _*)
+  }
 
   /** Approximate quantiles of a numeric column (GK sketch). */
   def quantiles(df: DataFrame, c: String,

@@ -39,24 +39,39 @@ object TextDedup {
     * per hash. One shuffle on the hash; survivor choice is deterministic
     * (min id), unlike dropDuplicates under shuffle.
     */
-  def exact(df: DataFrame, text: String, id: String): DataFrame = {
-    val hashed = df.withColumn("text_hash", md5(col(text)))
-    val w = Window.partitionBy(col("text_hash")).orderBy(col(id))
-    hashed.withColumn("_rn", row_number().over(w))
-      .filter(col("_rn") === 1).drop("_rn")
-  }
+  def exact(df: DataFrame, text: String, id: String): DataFrame =
+    keepFirstByHash(df.withColumn("text_hash", md5(col(text))), id)
 
   /** Canonical text form for normalized exact dedup: lowercase, strip
-    * punctuation, collapse whitespace, trim — so trivially-reformatted
-    * copies (case, spacing, punctuation) hash identically. The standard
-    * first pass of web-corpus dedup before near-dup methods run.
+    * non-letter/digit characters (Unicode-aware, so non-Latin scripts
+    * survive), collapse whitespace, trim — so trivially-reformatted
+    * copies (case, spacing, punctuation) hash identically. The
+    * whitespace class is spelled out explicitly because Java and RE2
+    * disagree on whether `\s` matches vertical tab — the oracle twin
+    * uses the identical pattern text.
     */
   def normalizedText(c: Column): Column =
-    trim(regexp_replace(regexp_replace(lower(c), "[^a-z0-9\\s]", ""), "\\s+", " "))
+    trim(regexp_replace(
+      regexp_replace(lower(c), "[^\\p{L}\\p{N} \\t\\n\\f\\r\\x0B]", ""),
+      "[ \\t\\n\\f\\r\\x0B]+", " "))
 
-  /** Exact dedup over the normalized form; keeps original text. */
+  /** Exact dedup over the normalized form; keeps original text. Texts
+    * whose normalized form is empty (all punctuation/symbols) carry no
+    * content signal and are NOT treated as duplicates of each other —
+    * each keeps a unique per-row hash.
+    */
   def exactNormalized(df: DataFrame, text: String, id: String): DataFrame = {
-    val hashed = df.withColumn("text_hash", md5(normalizedText(col(text))))
+    val norm = normalizedText(col(text))
+    val hashed = df.withColumn("text_hash",
+      when(norm === "", concat(lit("empty-"), col(id).cast("string")))
+        .otherwise(md5(norm)))
+    keepFirstByHash(hashed, id)
+  }
+
+  /** Deterministic survivor selection shared by the exact-dedup
+    * variants: smallest id per `text_hash` wins.
+    */
+  private def keepFirstByHash(hashed: DataFrame, id: String): DataFrame = {
     val w = Window.partitionBy(col("text_hash")).orderBy(col(id))
     hashed.withColumn("_rn", row_number().over(w))
       .filter(col("_rn") === 1).drop("_rn")

@@ -119,6 +119,38 @@ class ExtSpec extends SparkSpec {
     assert(out.select("doc_id").as[Long].collect().toSet == Set(1L, 4L))
   }
 
+  test("normalized dedup keeps non-Latin docs and never merges empty-form texts") {
+    val df = Seq(
+      (1L, "第一篇文档"),
+      (2L, "совсем другой текст"),
+      (3L, "!!!"),
+      (4L, "¿?"),
+      (5L, "第一篇文档")).toDF("doc_id", "text")
+    val out = TextDedup.exactNormalized(df, "text", "doc_id")
+      .select("doc_id").as[Long].collect().toSet
+    // non-Latin scripts survive normalization and dedup normally (5 dups 1);
+    // all-punctuation docs normalize to "" but stay distinct from each other
+    assert(out == Set(1L, 2L, 3L, 4L))
+  }
+
+  test("sketch primitives: distinct counts, quantiles, count-min bytes") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val dc = graft.ext.Sketches.distinctCounts(docs, Seq("lang", "source")).head()
+    assert(dc.getAs[Long]("lang_distinct") > 0 && dc.getAs[Long]("source_distinct") > 0)
+    intercept[IllegalArgumentException] {
+      graft.ext.Sketches.distinctCounts(docs, Seq.empty)
+    }
+    val q = graft.ext.Sketches.quantiles(docs, "n_chars", Seq(0.5, 0.9)).head()
+      .getAs[scala.collection.Seq[Long]]("n_chars_quantiles")
+    assert(q.length == 2 && q(0) <= q(1))
+    val cmsBytes = graft.ext.Sketches.countMin(docs, "lang").head()
+      .getAs[Array[Byte]]("lang_cms")
+    val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+      new java.io.ByteArrayInputStream(cmsBytes))
+    val total = docs.count()
+    assert(cms.estimateCount("en") <= total && cms.totalCount() == total)
+  }
+
   test("corpus profile sketch: sane approximate stats") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val r = graft.ext.Sketches.corpusProfile(docs).head()
