@@ -94,6 +94,12 @@ object OracleSql {
         CAST(hour(ts) AS INT) AS event_hour, CAST(year(ts) AS INT) AS event_year
       FROM events ORDER BY event_id""",
 
+    "t_window_hourly" ->
+      """SELECT date_trunc('hour', ts) AS window_start, event_type,
+        count(*) AS n,
+        CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""",
+
     "t11_date_lineitem" ->
       "SELECT CAST(year(l_shipdate) AS INT) AS ship_year, count(*) AS n FROM lineitem GROUP BY 1 ORDER BY 1",
 

@@ -133,6 +133,20 @@ object SparkEntry {
       year(col("ts_us")).as("event_year"))
       .orderBy("event_id")
 
+  /** Tumbling-window aggregation over the event stream — the batch twin
+    * of streaming.EventStream.windowedCounts (1-hour windows). The value
+    * sum goes through decimal so it is exact and order-independent
+    * across engines.
+    */
+  private def tWindowHourly(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(
+        expr("cast(date_trunc('hour', ts_us) as timestamp_ntz)").as("window_start"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+      .orderBy("window_start", "event_type")
+
   private def t11DateLineitem(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem")
       .groupBy(year(col("l_shipdate")).as("ship_year"))
@@ -321,6 +335,7 @@ object SparkEntry {
     "t9_price_formula" -> t9PriceFormula,
     "t10_last_write_wins" -> t10LastWriteWins,
     "t11_date_events" -> t11DateEvents,
+    "t_window_hourly" -> tWindowHourly,
     "t11_date_lineitem" -> t11DateLineitem,
     "t12_full_address" -> t12FullAddress,
     "t13_row_to_json" -> t13RowToJson,
