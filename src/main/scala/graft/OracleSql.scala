@@ -230,6 +230,58 @@ object OracleSql {
             FROM documents)
       GROUP BY doc_id ORDER BY doc_id""",
 
+    "ns_curation_pipeline" ->
+      s"""WITH f AS (
+        SELECT doc_id, text,
+          len(string_split(lower(trim(text)), ' ')) AS n_words,
+          CAST(length(text) - (len(string_split(lower(trim(text)), ' ')) - 1) AS DOUBLE)
+            / len(string_split(lower(trim(text)), ' ')) AS avg_word_len,
+          CAST(len(regexp_extract_all(text, '[\\.,;:!\\?]')) AS DOUBLE) / length(text) AS punct_ratio,
+          CAST(len(list_filter(string_split(lower(trim(text)), ' '), w -> w IN $stopwordsIn)) AS DOUBLE)
+            / len(string_split(lower(trim(text)), ' ')) AS stopword_ratio
+        FROM documents),
+      scored AS (
+        SELECT doc_id, text, n_words,
+          (CASE WHEN n_words BETWEEN 10 AND 10000 THEN 4 ELSE 0 END
+           + CASE WHEN stopword_ratio > 0.05 THEN 3 ELSE 0 END
+           + CASE WHEN punct_ratio < 0.2 THEN 2 ELSE 0 END
+           + CASE WHEN avg_word_len BETWEEN 2.0 AND 12.0 THEN 1 ELSE 0 END) / 10.0 AS quality_score
+        FROM f),
+      kept AS (SELECT * FROM scored WHERE quality_score >= 0.7),
+      hashed AS (
+        SELECT *,
+          CASE WHEN trim(regexp_replace(regexp_replace(lower(text), '[^\\p{L}\\p{N} \\t\\n\\f\\r\\x0B]', '', 'g'), '[ \\t\\n\\f\\r\\x0B]+', ' ', 'g')) = ''
+               THEN 'empty-' || CAST(doc_id AS VARCHAR)
+               ELSE md5(trim(regexp_replace(regexp_replace(lower(text), '[^\\p{L}\\p{N} \\t\\n\\f\\r\\x0B]', '', 'g'), '[ \\t\\n\\f\\r\\x0B]+', ' ', 'g')))
+          END AS th
+        FROM kept),
+      deduped AS (
+        SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY th ORDER BY doc_id) AS rn FROM hashed)
+        WHERE rn = 1),
+      toks AS (
+        SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w,
+               generate_subscripts(string_split(lower(text), ' '), 1) AS pos
+        FROM deduped),
+      sh0 AS (
+        SELECT doc_id, w || ' ' || lead(w) OVER (PARTITION BY doc_id ORDER BY pos)
+               || ' ' || lead(w, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS sh
+        FROM toks),
+      sh AS (SELECT DISTINCT doc_id, sh FROM sh0 WHERE sh IS NOT NULL),
+      sizes AS (SELECT doc_id, count(*) AS nsh FROM sh GROUP BY 1),
+      inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+        FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+      losers AS (
+        SELECT DISTINCT id_b FROM inter
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE CAST(inter AS DOUBLE) / (sa.nsh + sb.nsh - inter) >= 0.3)
+      SELECT doc_id, CAST(n_words AS BIGINT) AS n_words, quality_score
+      FROM deduped d
+      WHERE NOT EXISTS (SELECT 1 FROM losers l WHERE l.id_b = d.doc_id)
+      ORDER BY doc_id""",
+
     "ns_multimodal_join" ->
       """SELECT d.doc_id, d.lang, d.source, d.n_chars, e.label, CAST(len(e.embedding) AS INT) AS dim
       FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id ORDER BY d.doc_id""")

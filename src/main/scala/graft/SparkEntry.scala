@@ -258,6 +258,25 @@ object SparkEntry {
       .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine_r"))
       .orderBy("id_a", "id_b")
 
+  /** The full curation composite: quality gate → normalized dedup →
+    * near-dup removal, as one plan.
+    */
+  private def nsCurationPipeline(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Curation.curate(t(s, dir, "documents"), "text", "doc_id",
+      minQuality = 0.7, jaccardThreshold = 0.3)
+      .orderBy("doc_id")
+
+  /** IVF (KMeans coarse-quantizer) approximate top-k — the trained-index
+    * counterpart of the hyperplane LSH. Approximate → rows-only; ExtSpec
+    * checks recall against brute force.
+    */
+  private def nsIvfTopk(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    VectorSearch.ivfTopK(emb, emb.filter(col("vec_id") < 5),
+      "vec_id", "embedding", k = 10, nLists = 8, nprobe = 2)
+      .orderBy("query_id", "rank")
+  }
+
   private def nsTopkSimilarity(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
     VectorSearch.bruteForceTopK(emb, emb.filter(col("vec_id") < 5),
@@ -350,6 +369,8 @@ object SparkEntry {
     "ns_embed_neardup_lsh" -> nsEmbedNearDupLsh,
     "ns_topk_similarity" -> nsTopkSimilarity,
     "ns_ann_lsh" -> nsAnnLsh,
+    "ns_ivf_topk" -> nsIvfTopk,
+    "ns_curation_pipeline" -> nsCurationPipeline,
     "ns_text_tokens" -> nsTextTokens,
     "ns_token_stats" -> nsTokenStats,
     "ns_text_quality" -> nsTextQuality,

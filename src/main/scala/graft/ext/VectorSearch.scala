@@ -73,6 +73,63 @@ object VectorSearch {
   def lshBuckets(df: DataFrame, vec: String, bits: Int = 8): DataFrame =
     df.withColumn("bucket", lshBucketExpr(bits, vec))
 
+  /** IVF (inverted-file) index: KMeans centroids over a sample, every
+    * vector assigned to its nearest centroid list. Queries probe the
+    * `nprobe` nearest centroid lists only — the classic coarse-quantizer
+    * ANN layout. Deterministic (fixed seed); centroids are tiny and
+    * broadcast. Complements the hyperplane LSH: IVF adapts to the data
+    * distribution, LSH needs no training pass.
+    */
+  def ivfIndex(df: DataFrame, vec: String, nLists: Int = 16,
+               seed: Long = 42L): (DataFrame, org.apache.spark.ml.linalg.DenseMatrix) = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val feat = df.withColumn("_fv",
+      array_to_vector(transform(col(vec), v => v.cast("double"))))
+    val model = new KMeans().setK(nLists).setSeed(seed).setMaxIter(10)
+      .setFeaturesCol("_fv").setPredictionCol("_list").fit(feat)
+    val assigned = model.transform(feat).drop("_fv")
+      .withColumnRenamed("_list", "ivf_list")
+    val centers = model.clusterCenters
+    val mat = new org.apache.spark.ml.linalg.DenseMatrix(
+      centers.length, centers.head.size,
+      centers.flatMap(_.toArray), isTransposed = true)
+    (assigned, mat)
+  }
+
+  /** IVF top-k: each query probes its `nprobe` nearest centroid lists;
+    * exact cosine within the probed lists. The corpus side shuffles once
+    * on `ivf_list`; the probed-queries side is broadcast.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, id: String,
+              vec: String, k: Int, nLists: Int = 16,
+              nprobe: Int = 3, seed: Long = 42L): DataFrame = {
+    val (assigned, centers) = ivfIndex(corpus, vec, nLists, seed)
+    val c = assigned.select(col("ivf_list"), col(id).as("vec_id"), col(vec).as("cv"))
+    // rank centroid lists per query by distance, keep nprobe
+    val centroidRows = (0 until centers.numRows).map { i =>
+      (i, (0 until centers.numCols).map(j => centers(i, j)).toArray)
+    }
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val centDf = centroidRows.toDF("ivf_list", "centroid")
+    val q = queries.select(col(id).as("query_id"), col(vec).as("qv"))
+      .crossJoin(broadcast(centDf))
+      .withColumn("dist", -cosine(col("qv"), col("centroid")))
+      .withColumn("_r", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("dist"), col("ivf_list"))))
+      .filter(col("_r") <= nprobe)
+      .select(col("ivf_list"), col("query_id"), col("qv"))
+    val scored = c.join(broadcast(q), Seq("ivf_list"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .withColumn("sim", round(cosine(col("cv"), col("qv")), 6))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id"), col("sim"))
+  }
+
   /** Approximate top-k: probe only the query's bucket. Recall is traded
     * against `bits` (and can be raised with multi-probe: pass
     * `probeNeighbors > 0` to also search buckets at Hamming distance 1).

@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.execution.FormattedMode
+import org.apache.spark.sql.functions._
+import graft.ext.VectorSearch
+
+/** Golden plan-property assertions: the scale behaviors the design
+  * depends on, locked in so a refactor that silently loses pushdown or
+  * a broadcast shows up as a test failure, not a production regression.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def planOf(name: String): String =
+    SparkEntry.queries(name)(spark, sf)
+      .queryExecution.explainString(FormattedMode)
+
+  test("S5: single-column scan reads only the key column") {
+    val p = planOf("s5_projection_scan")
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint>"), p)
+  }
+
+  test("S6: point lookup pushes the equality filter into parquet") {
+    val p = planOf("s6_point_lookup")
+    assert(p.contains("PushedFilters: [IsNotNull(c_custkey), EqualTo(c_custkey,42)]"), p)
+  }
+
+  test("T5: anti-join broadcasts the existing-keys side") {
+    val p = planOf("t5_anti_join")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"), p)
+    // and the lineitem side reads ONLY the join key
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint>"), p)
+  }
+
+  test("T8/T9: literal fuel side broadcasts for the cross join") {
+    val p = planOf("t9_price_formula")
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("ReadSchema: struct<s_suppkey:bigint>"), p)
+  }
+
+  test("T6: row_number()=1 dedup compiles to WindowGroupLimit") {
+    val p = planOf("t6_first_seen_dedup")
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
+  test("multimodal join broadcasts the embedding side and prunes columns") {
+    val p = planOf("ns_multimodal_join")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,lang:string,source:string,n_chars:bigint>"), p)
+  }
+
+  test("IVF top-k recall vs brute force") {
+    import spark.implicits._
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val q = emb.filter(col("vec_id") < 10)
+    val exact = VectorSearch.bruteForceTopK(emb, q, "vec_id", "embedding", 10)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val ivf = VectorSearch.ivfTopK(emb, q, "vec_id", "embedding", 10,
+      nLists = 8, nprobe = 3)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & ivf).size.toDouble / exact.size
+    assert(recall > 0.3, s"IVF recall $recall")
+    // deterministic across runs (fixed seed)
+    val again = VectorSearch.ivfTopK(emb, q, "vec_id", "embedding", 10,
+      nLists = 8, nprobe = 3)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    assert(ivf == again)
+  }
+
+  test("curation pipeline removes quality failures, exact dups, and near-dups") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the cat sat on the mat and it was a good day for all of us here"),
+      (2L, "THE CAT SAT ON THE MAT AND IT WAS A GOOD DAY FOR ALL OF US HERE"),
+      (3L, "the cat sat on the mat and it was a good day for all of us there"),
+      (4L, "zz qq xx")).toDF("doc_id", "text")
+    val out = graft.pipeline.Curation.curate(docs, "text", "doc_id", 0.7, 0.3)
+      .select("doc_id").as[Long].collect().toSet
+    // 2 is an exact normalized dup of 1; 3 is a near-dup of 1; 4 fails quality
+    assert(out == Set(1L))
+  }
+}
