@@ -103,6 +103,19 @@ object OracleSql {
     "t11_date_lineitem" ->
       "SELECT CAST(year(l_shipdate) AS INT) AS ship_year, count(*) AS n FROM lineitem GROUP BY 1 ORDER BY 1",
 
+    "t_set_ops" ->
+      """WITH oc AS (SELECT o_custkey AS k FROM orders),
+      bb AS (SELECT c_custkey AS k FROM customer WHERE c_acctbal > 0)
+      SELECT k, 'intersect' AS op FROM (SELECT k FROM oc INTERSECT SELECT k FROM bb)
+      UNION ALL
+      SELECT k, 'except' AS op FROM (SELECT k FROM oc EXCEPT SELECT k FROM bb)
+      ORDER BY op, k""",
+
+    "t_rollup" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n, sum(l_quantity) AS sum_qty
+      FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+      ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
+
     "t12_full_address" ->
       """SELECT c_custkey,
         concat_ws(', ', c_name, c_mktsegment, '', 'NZ') ||

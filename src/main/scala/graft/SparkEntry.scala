@@ -153,6 +153,29 @@ object SparkEntry {
       .agg(count(lit(1)).as("n"))
       .orderBy("ship_year")
 
+  /** Set operations (engine completeness; no reference instance —
+    * SURVEY §2.4): customers with orders vs customers in the first
+    * event cohort, via INTERSECT / EXCEPT / UNION distinct semantics.
+    */
+  private def tSetOps(s: SparkSession, dir: String): DataFrame = {
+    val orderCust = t(s, dir, "orders").select(col("o_custkey").as("k"))
+    val bigBal = t(s, dir, "customer").filter(col("c_acctbal") > 0)
+      .select(col("c_custkey").as("k"))
+    val both = orderCust.intersect(bigBal).withColumn("op", lit("intersect"))
+    val onlyOrders = orderCust.except(bigBal).withColumn("op", lit("except"))
+    both.unionByName(onlyOrders).orderBy("op", "k")
+  }
+
+  /** Rollup aggregation (engine completeness): subtotals + grand total
+    * over the lineitem flags. Null ordering is pinned explicitly —
+    * Spark defaults NULLS FIRST, DuckDB NULLS LAST.
+    */
+  private def tRollup(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("sum_qty"))
+      .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
+
   private def t12FullAddress(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "customer")
       .withColumn("postal_code",
@@ -356,6 +379,8 @@ object SparkEntry {
     "t11_date_events" -> t11DateEvents,
     "t_window_hourly" -> tWindowHourly,
     "t11_date_lineitem" -> t11DateLineitem,
+    "t_set_ops" -> tSetOps,
+    "t_rollup" -> tRollup,
     "t12_full_address" -> t12FullAddress,
     "t13_row_to_json" -> t13RowToJson,
     "pipeline_collection" -> pipelineCollection,

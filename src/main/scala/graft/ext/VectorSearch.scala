@@ -86,7 +86,9 @@ object VectorSearch {
     import org.apache.spark.ml.functions.array_to_vector
     val feat = df.withColumn("_fv",
       array_to_vector(transform(col(vec), v => v.cast("double"))))
-    val model = new KMeans().setK(nLists).setSeed(seed).setMaxIter(10)
+    // few iterations suffice for a coarse quantizer — lists need to be
+    // balanced, not optimal; at corpus scale fit on a sample instead
+    val model = new KMeans().setK(nLists).setSeed(seed).setMaxIter(5)
       .setFeaturesCol("_fv").setPredictionCol("_list").fit(feat)
     val assigned = model.transform(feat).drop("_fv")
       .withColumnRenamed("_list", "ivf_list")
