@@ -158,8 +158,8 @@ object JsonIngest {
   * BP/Mobil's exception → task failure → retry
   * (dag_collection_data_from_bp.py:31-35 + retries :14).
   */
-object HttpSource {
-  sealed trait ErrorPolicy
+object HttpSource extends Serializable {
+  sealed trait ErrorPolicy extends Serializable
   case object Swallow extends ErrorPolicy
   case object Fail extends ErrorPolicy
 
