@@ -66,7 +66,7 @@ object Sinks {
 
   /** S8 — upsert SQL for one row batch (the reference's
     * `INSERT ... ON CONFLICT (...) DO UPDATE`,
-    * dag_daily_fuel_price_generation.py:120-125).
+    * dag_daily_fuel_price_generation.py:120-125). PostgreSQL dialect.
     */
   def upsertSql(table: String, columns: Seq[String],
                 conflictKeys: Seq[String]): String = {
@@ -76,6 +76,31 @@ object Sinks {
       s"(${columns.map(_ => "?").mkString(", ")}) " +
       s"ON CONFLICT (${conflictKeys.mkString(", ")}) DO UPDATE SET " +
       updates.mkString(", ")
+  }
+
+  /** An upsert dialect: the statement text plus the column name bound to
+    * each `?` in order (dialects differ in how often / in what order a
+    * row's values appear).
+    */
+  type UpsertDialect = (String, Seq[String], Seq[String]) => (String, Seq[String])
+
+  /** PostgreSQL ON CONFLICT dialect: one `?` per column, in order. */
+  val postgresDialect: UpsertDialect = (table, columns, conflictKeys) =>
+    (upsertSql(table, columns, conflictKeys), columns)
+
+  /** ANSI MERGE dialect (Derby, DB2 shape): the single-row merge keyed
+    * off a one-row dummy source, so the keys bind in the ON clause, the
+    * non-key values in UPDATE, and the full row in INSERT.
+    */
+  val ansiMergeDialect: UpsertDialect = (table, columns, conflictKeys) => {
+    val nonKeys = columns.filterNot(conflictKeys.contains)
+    val on = conflictKeys.map(k => s"t.$k = ?").mkString(" AND ")
+    val updates = nonKeys.map(c => s"$c = ?").mkString(", ")
+    val sql = s"MERGE INTO $table t USING SYSIBM.SYSDUMMY1 d ON ($on) " +
+      s"WHEN MATCHED THEN UPDATE SET $updates " +
+      s"WHEN NOT MATCHED THEN INSERT (${columns.mkString(", ")}) " +
+      s"VALUES (${columns.map(_ => "?").mkString(", ")})"
+    (sql, conflictKeys ++ nonKeys ++ columns)
   }
 
   /** S8 + S11 — distributed JDBC upsert: Spark has no MERGE-to-JDBC, so
@@ -92,9 +117,11 @@ object Sinks {
   def jdbcUpsert(df: DataFrame, url: String, table: String,
                  conflictKeys: Seq[String],
                  props: java.util.Properties = new java.util.Properties,
-                 batchSize: Int = 1000): Unit = {
+                 batchSize: Int = 1000,
+                 dialect: UpsertDialect = postgresDialect): Unit = {
     val columns = df.schema.fieldNames.toSeq
-    val sql = upsertSql(table, columns, conflictKeys)
+    val (sql, paramCols) = dialect(table, columns, conflictKeys)
+    val paramIdx = paramCols.map(columns.indexOf).toArray
     val schema = df.schema
     df.foreachPartition { (rows: Iterator[Row]) =>
       if (rows.nonEmpty) {
@@ -104,11 +131,11 @@ object Sinks {
           val st = conn.prepareStatement(sql)
           var n = 0
           rows.foreach { r =>
-            columns.indices.foreach { i =>
-              val v = r.get(i)
-              schema(i).dataType match {
-                case DateType => st.setDate(i + 1, v.asInstanceOf[java.sql.Date])
-                case _ => st.setObject(i + 1, v)
+            paramIdx.zipWithIndex.foreach { case (ci, p) =>
+              val v = r.get(ci)
+              schema(ci).dataType match {
+                case DateType => st.setDate(p + 1, v.asInstanceOf[java.sql.Date])
+                case _ => st.setObject(p + 1, v)
               }
             }
             st.addBatch()

@@ -114,6 +114,28 @@ class SinksSpec extends SparkSpec {
     assert(back.select("location_id").as[String].collect().toSet == Set("loc-1", "loc-2"))
   }
 
+  test("S8 distributed upsert round-trip via ANSI MERGE on Derby") {
+    val url = "jdbc:derby:memory:upsertdb;create=true"
+    val conn = java.sql.DriverManager.getConnection(url)
+    conn.createStatement().execute(
+      "CREATE TABLE fuel_price (location_id VARCHAR(50), fuel_type VARCHAR(20), " +
+        "price DOUBLE, PRIMARY KEY (location_id, fuel_type))")
+    conn.close()
+    // seed two rows, then upsert a batch that updates one and inserts one
+    val seed = Seq(("a", "Diesel", 2.10), ("b", "Diesel", 2.20))
+      .toDF("location_id", "fuel_type", "price")
+    Sinks.jdbcUpsert(seed, url, "fuel_price",
+      Seq("location_id", "fuel_type"), dialect = Sinks.ansiMergeDialect)
+    val update = Seq(("a", "Diesel", 9.99), ("c", "Diesel", 3.30))
+      .toDF("location_id", "fuel_type", "price")
+    Sinks.jdbcUpsert(update, url, "fuel_price",
+      Seq("location_id", "fuel_type"), dialect = Sinks.ansiMergeDialect)
+    val back = spark.read.jdbc(url, "fuel_price", new java.util.Properties)
+      .as[(String, String, Double)].collect().toSet
+    assert(back == Set(("a", "Diesel", 9.99), ("b", "Diesel", 2.20),
+      ("c", "Diesel", 3.30)))
+  }
+
   test("date-partitioned parquet sink produces partition directories") {
     val dir = java.nio.file.Files.createTempDirectory("pricesink").toString
     val df = Seq(("a", "Diesel", 2.1, java.sql.Date.valueOf("2024-06-01")),
