@@ -63,6 +63,36 @@ object EventStream {
       }
   }
 
+  /** Streaming key dedup — the incremental form of the reference's
+    * T5/T6 "insert only if unseen" (the anti-join against all history
+    * becomes watermarked streaming state): each key is emitted once;
+    * duplicates arriving within the watermark horizon are dropped by
+    * Spark's dedup state store.
+    */
+  def streamingDedup(events: DataFrame, keys: Seq[String],
+                     tsCol: String = "ts",
+                     watermark: String = "1 hour"): DataFrame =
+    events.withWatermark(tsCol, watermark)
+      .dropDuplicates(keys :+ tsCol)
+
+  /** Streaming → JDBC upsert: the production shape of the reference's
+    * daily price merge — each micro-batch is last-write-wins-merged and
+    * then upserted transactionally per partition via foreachBatch.
+    * Exactly-once per key-version: re-delivered batches overwrite with
+    * identical values.
+    */
+  def upsertEachBatch(df: DataFrame, url: String, table: String,
+                      conflictKeys: Seq[String],
+                      version: Seq[org.apache.spark.sql.Column],
+                      dialect: graft.sink.Sinks.UpsertDialect =
+                        graft.sink.Sinks.postgresDialect)
+  : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    df.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      val merged = graft.op.Dedup.lastWriteWins(batch, conflictKeys, version)
+      graft.sink.Sinks.jdbcUpsert(merged, url, table, conflictKeys,
+        dialect = dialect)
+    }
+
   /** Run a streaming query to completion over currently-available data
     * (the daily-batch trigger), writing to an in-memory sink — used by
     * tests; production swaps the sink for parquet/kafka.

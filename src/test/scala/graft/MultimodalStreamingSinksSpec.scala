@@ -68,6 +68,43 @@ class StreamingSpec extends SparkSpec {
     assert(out.get("click").contains(2L))
   }
 
+  test("streaming dedup drops in-horizon duplicate keys") {
+    val dir = java.nio.file.Files.createTempDirectory("evstream3").toString
+    Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 00:01:00"), 7L, "signup", 1.0, "{}"),
+      (2L, java.sql.Timestamp.valueOf("2024-01-01 00:01:00"), 7L, "signup", 1.0, "{}"),
+      (3L, java.sql.Timestamp.valueOf("2024-01-01 00:03:00"), 8L, "signup", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .drop("event_id").withColumn("event_id", lit(0L)) // same key+ts ⇒ dup
+      .write.mode("overwrite").parquet(dir)
+    val deduped = EventStream.streamingDedup(
+      EventStream.readEvents(spark, dir), Seq("user_id", "event_type"))
+    EventStream.runAvailableNow(deduped, "sdedup",
+      org.apache.spark.sql.streaming.OutputMode.Append)
+    assert(spark.sql("select user_id from sdedup").as[Long].collect().sorted
+      .toSeq == Seq(7L, 8L))
+  }
+
+  test("streaming foreachBatch upserts merged micro-batches into JDBC") {
+    val url = "jdbc:derby:memory:streamupsert;create=true"
+    val c = java.sql.DriverManager.getConnection(url)
+    c.createStatement().execute(
+      "CREATE TABLE prices (k VARCHAR(50), price DOUBLE, event_id BIGINT, PRIMARY KEY (k))")
+    c.close()
+    val dir = java.nio.file.Files.createTempDirectory("evstream4").toString
+    Seq(("a", 1.0, 1L), ("a", 2.0, 2L), ("b", 5.0, 3L))
+      .toDF("k", "price", "event_id")
+      .write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream
+      .schema("k string, price double, event_id bigint").parquet(dir)
+    val q = EventStream.upsertEachBatch(stream, url, "prices", Seq("k"),
+      Seq(col("event_id")), dialect = Sinks.ansiMergeDialect)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val back = spark.read.jdbc(url, "prices", new java.util.Properties)
+      .as[(String, Double, Long)].collect().toSet
+    assert(back == Set(("a", 2.0, 2L), ("b", 5.0, 3L))) // last write won
+  }
+
   test("stateful last-write-wins stream merges to latest value per key") {
     val dir = java.nio.file.Files.createTempDirectory("evstream2").toString
     Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 00:01:00"), 7L, "price", 10.0, "{}"),
