@@ -103,6 +103,17 @@ object OracleSql {
     "t11_date_lineitem" ->
       "SELECT CAST(year(l_shipdate) AS INT) AS ship_year, count(*) AS n FROM lineitem GROUP BY 1 ORDER BY 1",
 
+    "sql_revenue_topk" ->
+      """SELECT c.c_custkey, c.c_name,
+        CAST(SUM(CAST(round(l.l_extendedprice * (1 - l.l_discount), 4) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        COUNT(*) AS n_items
+      FROM customer c
+      JOIN orders o ON c.c_custkey = o.o_custkey
+      JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      GROUP BY c.c_custkey, c.c_name
+      ORDER BY revenue DESC, c_custkey
+      LIMIT 10""",
+
     "t_set_ops" ->
       """WITH oc AS (SELECT o_custkey AS k FROM orders),
       bb AS (SELECT c_custkey AS k FROM customer WHERE c_acctbal > 0)

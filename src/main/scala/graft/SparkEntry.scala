@@ -153,6 +153,27 @@ object SparkEntry {
       .agg(count(lit(1)).as("n"))
       .orderBy("ship_year")
 
+  /** SQL surface: a TPC-H-Q3-style revenue top-k through spark.sql over
+    * temp views — exercises the parser/analyzer path next to the Column
+    * API. Revenue is rounded per item then decimal-summed so the
+    * aggregate is exact and engine-portable.
+    */
+  private def sqlRevenueTopk(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "customer").createOrReplaceTempView("v_customer")
+    t(s, dir, "orders").createOrReplaceTempView("v_orders")
+    t(s, dir, "lineitem").createOrReplaceTempView("v_lineitem")
+    s.sql("""
+      SELECT c.c_custkey, c.c_name,
+        CAST(SUM(CAST(round(l.l_extendedprice * (1 - l.l_discount), 4) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        COUNT(*) AS n_items
+      FROM v_customer c
+      JOIN v_orders o ON c.c_custkey = o.o_custkey
+      JOIN v_lineitem l ON o.o_orderkey = l.l_orderkey
+      GROUP BY c.c_custkey, c.c_name
+      ORDER BY revenue DESC, c_custkey
+      LIMIT 10""")
+  }
+
   /** Set operations (engine completeness; no reference instance —
     * SURVEY §2.4): customers with orders vs customers in the first
     * event cohort, via INTERSECT / EXCEPT / UNION distinct semantics.
@@ -379,6 +400,7 @@ object SparkEntry {
     "t11_date_events" -> t11DateEvents,
     "t_window_hourly" -> tWindowHourly,
     "t11_date_lineitem" -> t11DateLineitem,
+    "sql_revenue_topk" -> sqlRevenueTopk,
     "t_set_ops" -> tSetOps,
     "t_rollup" -> tRollup,
     "t12_full_address" -> t12FullAddress,

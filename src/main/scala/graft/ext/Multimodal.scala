@@ -112,6 +112,38 @@ object Multimodal {
         length(col("media")).cast(LongType).as("n_bytes"),
         md5(col("media")).as("checksum")))
 
+  /** STUB media embedder ??? — derives a deterministic unit-norm float
+    * vector from the blob bytes (chunked polynomial hashes), standing in
+    * for a real image/audio encoder. Output plugs directly into
+    * VectorSearch (same array<float> contract as the embeddings table),
+    * so media similarity search / near-dup runs on the identical path.
+    */
+  def embedStub(df: DataFrame, dim: Int = 16): DataFrame = {
+    require(dim > 0)
+    val spark = df.sparkSession
+    val inSchema = df.schema
+    val outSchema = org.apache.spark.sql.types.StructType(
+      inSchema.fields :+ StructField("media_embedding",
+        ArrayType(FloatType, containsNull = false), nullable = true))
+    val mediaIdx = inSchema.fieldIndex("media")
+    val rdd = df.rdd.map { r =>
+      val bytes = r.get(mediaIdx).asInstanceOf[Array[Byte]]
+      val v = new Array[Float](dim)
+      if (bytes != null && bytes.nonEmpty) {
+        var i = 0
+        while (i < bytes.length) {
+          val d = i % dim
+          v(d) = v(d) * 31.0f + (bytes(i) & 0xff)
+          i += 1
+        }
+        val norm = math.sqrt(v.map(x => x.toDouble * x).sum)
+        if (norm > 0) { var j = 0; while (j < dim) { v(j) = (v(j) / norm).toFloat; j += 1 } }
+      }
+      Row.fromSeq(r.toSeq :+ v.toSeq)
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
   /** The multimodal join: text/metadata table ⋈ embedding table on the
     * shared id, media attached, struct-packed. Embeddings side is
     * usually the smaller (one row per doc) — broadcast if it fits,

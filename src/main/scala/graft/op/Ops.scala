@@ -116,4 +116,20 @@ object PriceGen {
         col("fuel_type"),
         price(col(stationKey), col("ft_idx"), col("base_cents")),
         date.as("date"))
+
+  /** Typed surface: the generated prices as Dataset[FuelPrice] with the
+    * reference's DECIMAL(5,2) price type
+    * (dag_daily_fuel_price_generation.py:88).
+    */
+  def generateTyped(stations: DataFrame, stationKey: String,
+                    fuelTypes: DataFrame, date: Column)
+  : org.apache.spark.sql.Dataset[graft.model.FuelPrice] = {
+    val df = generate(stations, stationKey, fuelTypes, date)
+      .select(col("location_id").cast("string").as("location_id"),
+        col("fuel_type"),
+        col("price").cast(org.apache.spark.sql.types.DecimalType(5, 2)).as("price"),
+        col("date"))
+    import df.sparkSession.implicits._
+    df.as[graft.model.FuelPrice]
+  }
 }

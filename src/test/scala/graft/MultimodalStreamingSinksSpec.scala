@@ -34,6 +34,35 @@ class MultimodalSpec extends SparkSpec {
     assert(r1.forall(r => r.getAs[Int]("width") >= 1 && r.getAs[Int]("channels") == 3))
   }
 
+  test("embedStub: unit-norm deterministic media embeddings feed vector search") {
+    val emb = Multimodal.embedStub(mediaDf, dim = 8)
+    val vecs = emb.select("doc_id", "media_embedding")
+      .as[(Long, Seq[Float])].collect().toMap
+    assert(vecs.values.forall(_.length == 8))
+    // unit norm
+    assert(vecs.values.forall(v => math.abs(v.map(x => x.toDouble * x).sum - 1.0) < 1e-5))
+    // deterministic
+    val again = Multimodal.embedStub(mediaDf, dim = 8)
+      .select("doc_id", "media_embedding").as[(Long, Seq[Float])].collect().toMap
+    assert(vecs == again)
+    // plugs into the similarity path: self-similarity tops the ranking
+    val renamed = emb.select($"doc_id".as("vec_id"), $"media_embedding".as("embedding"))
+    val top = graft.ext.VectorSearch.bruteForceTopK(
+      renamed, renamed, "vec_id", "embedding", k = 1)
+    assert(top.count() == 2)
+  }
+
+  test("typed FuelPrice dataset carries the reference DECIMAL(5,2) price") {
+    val prices = graft.op.PriceGen.generateTyped(
+      spark.read.parquet(s"$sf/supplier.parquet"), "s_suppkey",
+      graft.source.Tables.fuelTypes(spark), to_date(lit("2024-06-01")))
+    val row = prices.head()
+    assert(row.price.scale == 2)
+    assert(prices.schema("price").dataType ==
+      org.apache.spark.sql.types.DecimalType(5, 2))
+    assert(prices.count() > 0)
+  }
+
   test("sampleFrames slices deterministic byte windows") {
     val out = Multimodal.sampleFrames(mediaDf, frameBytes = 4, stride = 1)
     assert(out.columns.contains("frame_no") && out.columns.contains("frame_bytes"))
