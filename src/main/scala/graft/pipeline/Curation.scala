@@ -25,7 +25,10 @@ object Curation {
              jaccardThreshold: Double = 0.3): DataFrame = {
     val kept = TextAnalysis.qualityScore(docs, text)
       .filter(col("quality_score") >= minQuality)
+    // persisted: consumed by the near-dup candidate stage AND the final
+    // anti-join — without it the quality+dedup chain runs twice
     val deduped = TextDedup.exactNormalized(kept, text, id)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val losers = TextDedup
       .ngramJaccardPairs(deduped, text, id, shingleN = 3,
         threshold = jaccardThreshold)
