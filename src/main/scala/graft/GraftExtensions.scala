@@ -19,14 +19,29 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     GraftExtensions.definitions.foreach { case (name, arity, builder) =>
       e.injectFunction((FunctionIdentifier(name),
         new ExpressionInfo("graft.functions.VectorExpressions", name),
-        builder))
+        GraftExtensions.checked(name, arity, builder)))
     }
 }
 
 object GraftExtensions {
+  /** Wrap a builder with an arity check so a wrong argument count is a
+    * clear analysis error instead of an IndexOutOfBoundsException.
+    */
+  private def checked(name: String, arity: Int,
+                      builder: Seq[Expression] => Expression): Seq[Expression] => Expression =
+    es => {
+      if (es.length != arity) throw new IllegalArgumentException(
+        s"$name expects $arity arguments, got ${es.length}")
+      builder(es)
+    }
+
   private def arg(es: Seq[Expression], i: Int): Expression = es(i)
-  private def intArg(es: Seq[Expression], i: Int): Int =
-    es(i).eval().asInstanceOf[Number].intValue()
+  private def intArg(es: Seq[Expression], i: Int): Int = {
+    val e = es(i)
+    if (!e.foldable) throw new IllegalArgumentException(
+      s"argument ${i + 1} must be a literal integer, got: ${e.sql}")
+    e.eval().asInstanceOf[Number].intValue()
+  }
 
   /** (name, arity, builder) for each exposed function. */
   val definitions: Seq[(String, Int, Seq[Expression] => Expression)] = Seq(
@@ -38,8 +53,8 @@ object GraftExtensions {
 
   /** Imperative registration on an existing session (tests, notebooks). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
-    definitions.foreach { case (name, _, builder) =>
+    definitions.foreach { case (name, arity, builder) =>
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-        name, builder, "built-in")
+        name, checked(name, arity, builder), "built-in")
     }
 }

@@ -171,7 +171,7 @@ object OracleSql {
         FROM stacked),
       hashed AS (
         SELECT doc_id,
-          CASE WHEN norm = '' THEN 'empty-' || CAST(doc_id AS VARCHAR) ELSE md5(norm) END AS text_hash
+          CASE WHEN norm IS NULL OR norm = '' THEN 'empty-' || CAST(doc_id AS VARCHAR) ELSE md5(norm) END AS text_hash
         FROM normed)
       SELECT doc_id, text_hash FROM (
         SELECT doc_id, text_hash, row_number() OVER (PARTITION BY text_hash ORDER BY doc_id) AS rn
@@ -274,7 +274,7 @@ object OracleSql {
       kept AS (SELECT * FROM scored WHERE quality_score >= 0.7),
       hashed AS (
         SELECT *,
-          CASE WHEN trim(regexp_replace(regexp_replace(lower(text), '[^\\p{L}\\p{N} \\t\\n\\f\\r\\x0B]', '', 'g'), '[ \\t\\n\\f\\r\\x0B]+', ' ', 'g')) = ''
+          CASE WHEN text IS NULL OR trim(regexp_replace(regexp_replace(lower(text), '[^\\p{L}\\p{N} \\t\\n\\f\\r\\x0B]', '', 'g'), '[ \\t\\n\\f\\r\\x0B]+', ' ', 'g')) = ''
                THEN 'empty-' || CAST(doc_id AS VARCHAR)
                ELSE md5(trim(regexp_replace(regexp_replace(lower(text), '[^\\p{L}\\p{N} \\t\\n\\f\\r\\x0B]', '', 'g'), '[ \\t\\n\\f\\r\\x0B]+', ' ', 'g')))
           END AS th

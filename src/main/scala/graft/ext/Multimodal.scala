@@ -130,14 +130,27 @@ object Multimodal {
       val bytes = r.get(mediaIdx).asInstanceOf[Array[Byte]]
       val v = new Array[Float](dim)
       if (bytes != null && bytes.nonEmpty) {
+        // modular Horner per dim — bounded for arbitrarily large blobs
+        // (naive float accumulation overflows past ~400 bytes), every
+        // byte influences the result, values centered around 0
+        val M = 1000003L
+        val acc = new Array[Long](dim)
         var i = 0
         while (i < bytes.length) {
           val d = i % dim
-          v(d) = v(d) * 31.0f + (bytes(i) & 0xff)
+          acc(d) = (acc(d) * 31 + (bytes(i) & 0xff)) % M
           i += 1
         }
-        val norm = math.sqrt(v.map(x => x.toDouble * x).sum)
-        if (norm > 0) { var j = 0; while (j < dim) { v(j) = (v(j) / norm).toFloat; j += 1 } }
+        var j = 0
+        var sq = 0.0
+        while (j < dim) {
+          val x = (acc(j) - M / 2).toDouble / M
+          v(j) = x.toFloat
+          sq += x * x
+          j += 1
+        }
+        val norm = math.sqrt(sq)
+        if (norm > 0) { j = 0; while (j < dim) { v(j) = (v(j) / norm).toFloat; j += 1 } }
       }
       Row.fromSeq(r.toSeq :+ v.toSeq)
     }

@@ -63,7 +63,8 @@ object TextDedup {
   def exactNormalized(df: DataFrame, text: String, id: String): DataFrame = {
     val norm = normalizedText(col(text))
     val hashed = df.withColumn("text_hash",
-      when(norm === "", concat(lit("empty-"), col(id).cast("string")))
+      when(norm.isNull || norm === "",
+        concat(lit("empty-"), col(id).cast("string")))
         .otherwise(md5(norm)))
     keepFirstByHash(hashed, id)
   }

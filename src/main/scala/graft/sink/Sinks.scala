@@ -72,10 +72,12 @@ object Sinks {
                 conflictKeys: Seq[String]): String = {
     val updates = columns.filterNot(conflictKeys.contains)
       .map(c => s"$c = EXCLUDED.$c")
+    // key-only tables have nothing to update on conflict
+    val action = if (updates.isEmpty) "DO NOTHING"
+      else "DO UPDATE SET " + updates.mkString(", ")
     s"INSERT INTO $table (${columns.mkString(", ")}) VALUES " +
       s"(${columns.map(_ => "?").mkString(", ")}) " +
-      s"ON CONFLICT (${conflictKeys.mkString(", ")}) DO UPDATE SET " +
-      updates.mkString(", ")
+      s"ON CONFLICT (${conflictKeys.mkString(", ")}) $action"
   }
 
   /** An upsert dialect: the statement text plus the column name bound to
@@ -95,9 +97,12 @@ object Sinks {
   val ansiMergeDialect: UpsertDialect = (table, columns, conflictKeys) => {
     val nonKeys = columns.filterNot(conflictKeys.contains)
     val on = conflictKeys.map(k => s"t.$k = ?").mkString(" AND ")
-    val updates = nonKeys.map(c => s"$c = ?").mkString(", ")
+    // key-only tables: omit the MATCHED clause entirely (empty SET is a
+    // syntax error on Derby/DB2)
+    val matched = if (nonKeys.isEmpty) ""
+      else s"WHEN MATCHED THEN UPDATE SET ${nonKeys.map(c => s"$c = ?").mkString(", ")} "
     val sql = s"MERGE INTO $table t USING SYSIBM.SYSDUMMY1 d ON ($on) " +
-      s"WHEN MATCHED THEN UPDATE SET $updates " +
+      matched +
       s"WHEN NOT MATCHED THEN INSERT (${columns.mkString(", ")}) " +
       s"VALUES (${columns.map(_ => "?").mkString(", ")})"
     (sql, conflictKeys ++ nonKeys ++ columns)

@@ -73,7 +73,7 @@ object EventStream {
                      tsCol: String = "ts",
                      watermark: String = "1 hour"): DataFrame =
     events.withWatermark(tsCol, watermark)
-      .dropDuplicates(keys :+ tsCol)
+      .dropDuplicatesWithinWatermark(keys)
 
   /** Streaming → JDBC upsert: the production shape of the reference's
     * daily price merge — each micro-batch is last-write-wins-merged and

@@ -97,13 +97,12 @@ class StreamingSpec extends SparkSpec {
     assert(out.get("click").contains(2L))
   }
 
-  test("streaming dedup drops in-horizon duplicate keys") {
+  test("streaming dedup drops in-horizon duplicate keys (even at different ts)") {
     val dir = java.nio.file.Files.createTempDirectory("evstream3").toString
     Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 00:01:00"), 7L, "signup", 1.0, "{}"),
-      (2L, java.sql.Timestamp.valueOf("2024-01-01 00:01:00"), 7L, "signup", 1.0, "{}"),
+      (2L, java.sql.Timestamp.valueOf("2024-01-01 00:05:00"), 7L, "signup", 1.0, "{}"),
       (3L, java.sql.Timestamp.valueOf("2024-01-01 00:03:00"), 8L, "signup", 1.0, "{}"))
       .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
-      .drop("event_id").withColumn("event_id", lit(0L)) // same key+ts ⇒ dup
       .write.mode("overwrite").parquet(dir)
     val deduped = EventStream.streamingDedup(
       EventStream.readEvents(spark, dir), Seq("user_id", "event_type"))
