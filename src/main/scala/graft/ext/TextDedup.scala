@@ -145,10 +145,15 @@ object TextDedup {
       sh.join(freq, Seq("sh"))
     }).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = pruned.groupBy("doc").agg(count(lit(1)).as("nsh"))
-    val inter = pruned.select(col("doc").as("id_a"), col("sh"))
-      .join(pruned.select(col("doc").as("id_b"), col("sh")), Seq("sh"))
-      .filter(col("id_a") < col("id_b"))
-      .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
+    // candidate pairs by grouping each shingle's posting list and
+    // exploding its ordered pairs natively — one shuffle of the posting
+    // lists instead of the two a self-join pays
+    val inter = pruned.groupBy("sh")
+      .agg(collect_list(col("doc")).as("docs"))
+      .select(explode(
+        graft.functions.VectorExpressions.array_pairs(col("docs"))).as("p"))
+      .groupBy(col("p.a").as("id_a"), col("p.b").as("id_b"))
+      .agg(count(lit(1)).as("inter"))
     inter
       .join(sizes.select(col("doc").as("id_a"), col("nsh").as("na")), Seq("id_a"))
       .join(sizes.select(col("doc").as("id_b"), col("nsh").as("nb")), Seq("id_b"))

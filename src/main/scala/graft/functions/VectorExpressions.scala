@@ -209,6 +209,40 @@ object VectorExpressions {
     override protected def withNewChildInternal(c: Expression): LshBucket = copy(c)
   }
 
+  /** All ordered pairs (a < b) of a long-array column, as
+    * array<struct<a,b>> — the candidate-pair kernel for posting-list
+    * joins: explode(array_pairs(collect_list(doc))) replaces a
+    * self-join, saving one full shuffle of the posting lists.
+    */
+  case class ArrayPairs(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(
+      StructType(Seq(StructField("a", LongType, nullable = false),
+        StructField("b", LongType, nullable = false))), containsNull = false)
+    override def prettyName: String = "array_pairs"
+    override def nullSafeEval(v: Any): Any = {
+      val arr = v.asInstanceOf[ArrayData]
+      val n = arr.numElements()
+      val xs = new Array[Long](n)
+      var i = 0
+      while (i < n) { xs(i) = arr.getLong(i); i += 1 }
+      java.util.Arrays.sort(xs)
+      val out = new Array[Any](n * (n - 1) / 2)
+      var k = 0
+      i = 0
+      while (i < n) {
+        var j = i + 1
+        while (j < n) {
+          out(k) = org.apache.spark.sql.catalyst.InternalRow(xs(i), xs(j))
+          k += 1; j += 1
+        }
+        i += 1
+      }
+      new GenericArrayData(out)
+    }
+    override protected def withNewChildInternal(c: Expression): ArrayPairs = copy(c)
+  }
+
   // Column-API wrappers
   def cosine_sim(a: Column, b: Column): Column =
     GraftColumnBridge.column(CosineSim(
@@ -225,4 +259,7 @@ object VectorExpressions {
 
   def lsh_bucket(vec: Column, bits: Int): Column =
     GraftColumnBridge.column(LshBucket(GraftColumnBridge.expression(vec), bits))
+
+  def array_pairs(xs: Column): Column =
+    GraftColumnBridge.column(ArrayPairs(GraftColumnBridge.expression(xs)))
 }
