@@ -26,8 +26,9 @@ object VectorExpressions {
     * cosine, which the oracle relies on. Null if lengths differ.
     */
   case class CosineSim(left: Expression, right: Expression)
-      extends BinaryExpression with CodegenFallback {
+      extends BinaryExpression {
     override def dataType: DataType = DoubleType
+    override def nullable: Boolean = true
     override def prettyName: String = "cosine_sim"
     @transient private lazy val leftFloat =
       left.dataType.asInstanceOf[ArrayType].elementType == FloatType
@@ -48,6 +49,42 @@ object VectorExpressions {
         dot / (math.sqrt(na) * math.sqrt(nb))
       }
     }
+
+    /** Whole-stage-codegen body: the identical index-ordered double loop
+      * as the interpreted path (bit-parity with the oracle depends on
+      * the accumulation order, so both paths must match exactly).
+      */
+    override protected def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+    : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+      val getA = if (leftFloat) "getFloat" else "getDouble"
+      val getB = if (rightFloat) "getFloat" else "getDouble"
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val n = ctx.freshName("n")
+        val i = ctx.freshName("i")
+        val dot = ctx.freshName("dot")
+        val na = ctx.freshName("na")
+        val nb = ctx.freshName("nb")
+        val x = ctx.freshName("x")
+        val y = ctx.freshName("y")
+        s"""
+        int $n = $a.numElements();
+        if ($b.numElements() != $n) {
+          ${ev.isNull} = true;
+        } else {
+          double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+          for (int $i = 0; $i < $n; $i++) {
+            double $x = (double) $a.$getA($i);
+            double $y = (double) $b.$getB($i);
+            $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
+          }
+          ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+        }
+        """
+      })
+    }
+
     override protected def withNewChildrenInternal(nl: Expression, nr: Expression): CosineSim =
       copy(left = nl, right = nr)
   }

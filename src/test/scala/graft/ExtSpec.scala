@@ -43,6 +43,29 @@ class ExtSpec extends SparkSpec {
     assert(pairs.get((1L, 2L)).exists(_ <= 16))
   }
 
+  test("cosine codegen path is exercised and bit-identical to interpreted eval") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    try {
+      val q = emb.filter($"vec_id" === 0).select($"embedding".as("qv"))
+      val viaPlan = emb.crossJoin(q)
+        .select($"vec_id",
+          graft.ext.VectorSearch.cosine($"embedding", $"qv").as("sim"))
+        .orderBy("vec_id").limit(50).as[(Long, Double)].collect()
+      spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+      val interpreted = emb.crossJoin(q)
+        .select($"vec_id",
+          graft.ext.VectorSearch.cosine($"embedding", $"qv").as("sim"))
+        .orderBy("vec_id").limit(50).as[(Long, Double)].collect()
+      assert(viaPlan.length == 50)
+      viaPlan.zip(interpreted).foreach { case ((id1, s1), (id2, s2)) =>
+        assert(id1 == id2)
+        assert(java.lang.Double.doubleToLongBits(s1) ==
+          java.lang.Double.doubleToLongBits(s2), s"vec $id1: $s1 != $s2")
+      }
+    } finally spark.conf.unset("spark.sql.codegen.factoryMode")
+  }
+
   test("cosine: self-similarity 1.0, orthogonal 0.0") {
     val df = Seq((1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 2.0f)),
       (3L, Array(2.0f, 0.0f))).toDF("vec_id", "embedding")
