@@ -122,6 +122,15 @@ object OracleSql {
       SELECT k, 'except' AS op FROM (SELECT k FROM oc EXCEPT SELECT k FROM bb)
       ORDER BY op, k""",
 
+    "t_pivot" ->
+      """SELECT user_id,
+        count(*) FILTER (event_type = 'click') AS click,
+        count(*) FILTER (event_type = 'error') AS error,
+        count(*) FILTER (event_type = 'purchase') AS purchase,
+        count(*) FILTER (event_type = 'signup') AS signup,
+        count(*) FILTER (event_type = 'view') AS view
+      FROM events GROUP BY user_id ORDER BY user_id""",
+
     "t_rollup" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n, sum(l_quantity) AS sum_qty
       FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)

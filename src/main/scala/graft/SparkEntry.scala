@@ -174,6 +174,18 @@ object SparkEntry {
       LIMIT 10""")
   }
 
+  /** Pivot (engine completeness): per-user event counts fanned out to
+    * one column per event type. Pivot values are pinned so the output
+    * schema is stable regardless of which types a partition sees.
+    */
+  private def tPivot(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy("user_id")
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy("user_id")
+
   /** Set operations (engine completeness; no reference instance —
     * SURVEY §2.4): customers with orders vs customers in the first
     * event cohort, via INTERSECT / EXCEPT / UNION distinct semantics.
@@ -403,6 +415,7 @@ object SparkEntry {
     "sql_revenue_topk" -> sqlRevenueTopk,
     "t_set_ops" -> tSetOps,
     "t_rollup" -> tRollup,
+    "t_pivot" -> tPivot,
     "t12_full_address" -> t12FullAddress,
     "t13_row_to_json" -> t13RowToJson,
     "pipeline_collection" -> pipelineCollection,
