@@ -122,6 +122,24 @@ object OracleSql {
       SELECT k, 'except' AS op FROM (SELECT k FROM oc EXCEPT SELECT k FROM bb)
       ORDER BY op, k""",
 
+    "t_sessionize" ->
+      """WITH g AS (
+        SELECT user_id, ts, value,
+          CASE WHEN lag(ts) OVER w IS NULL THEN 0
+               WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000 THEN 1
+               ELSE 0 END AS new_session
+        FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      s AS (
+        SELECT *, CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+        FROM g)
+      SELECT user_id, CAST(session_seq AS INT) AS session_seq,
+        count(*) AS n_events,
+        min(ts) AS session_start, max(ts) AS session_end,
+        CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      FROM s GROUP BY user_id, session_seq
+      ORDER BY user_id, session_seq""",
+
     "t_pivot" ->
       """SELECT user_id,
         count(*) FILTER (event_type = 'click') AS click,

@@ -174,6 +174,20 @@ object SparkEntry {
       LIMIT 10""")
   }
 
+  /** Gap-based sessionization over the event stream (30-minute gap),
+    * via Spark's native session_window; the oracle reproduces the
+    * merged-interval semantics with lag + cumulative flags.
+    */
+  private def tSessionize(s: SparkSession, dir: String): DataFrame =
+    graft.op.Sessionize.numberedSessions(
+      Tables.events(s, dir), "user_id", "ts_us", "value", "30 minutes")
+      .select(col("user_id"), col("session_seq"),
+        col("n_events"),
+        expr("cast(session_start as timestamp_ntz)").as("session_start"),
+        expr("cast(session_end as timestamp_ntz)").as("session_end"),
+        col("total_value"))
+      .orderBy("user_id", "session_seq")
+
   /** Pivot (engine completeness): per-user event counts fanned out to
     * one column per event type. Pivot values are pinned so the output
     * schema is stable regardless of which types a partition sees.
@@ -416,6 +430,7 @@ object SparkEntry {
     "t_set_ops" -> tSetOps,
     "t_rollup" -> tRollup,
     "t_pivot" -> tPivot,
+    "t_sessionize" -> tSessionize,
     "t12_full_address" -> t12FullAddress,
     "t13_row_to_json" -> t13RowToJson,
     "pipeline_collection" -> pipelineCollection,

@@ -82,6 +82,35 @@ class OpsSpec extends SparkSpec {
     assert(df.as[String].head() == """{"location_id":1,"brand_name":"BP"}""")
   }
 
+  test("sessionize: gap splits sessions, ordinals count from zero") {
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    val ev = Seq((7L, ts(0), 1.0), (7L, ts(10), 2.0), (7L, ts(50), 3.0),
+      (8L, ts(5), 4.0)).toDF("user_id", "ts_us", "value")
+    val out = graft.op.Sessionize.numberedSessions(ev, "user_id", "ts_us", "value")
+      .select("user_id", "session_seq", "n_events", "total_value")
+      .orderBy("user_id", "session_seq")
+      .as[(Long, Int, Long, Double)].collect().toSeq
+    assert(out == Seq((7L, 0, 2L, 3.0), (7L, 1, 1L, 3.0), (8L, 0, 1L, 4.0)))
+  }
+
+  test("streaming sessionize emits closed sessions") {
+    val dir = java.nio.file.Files.createTempDirectory("sessstream").toString
+    Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 00:01:00"), 7L, "click", 1.0, "{}"),
+      (2L, java.sql.Timestamp.valueOf("2024-01-01 00:05:00"), 7L, "click", 2.0, "{}"),
+      (3L, java.sql.Timestamp.valueOf("2024-01-01 03:00:00"), 7L, "click", 9.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(dir)
+    val sessions = graft.op.Sessionize.streamingSessions(
+      graft.streaming.EventStream.readEvents(spark, dir),
+      "user_id", "ts", "value", "30 minutes", "1 hour")
+    graft.streaming.EventStream.runAvailableNow(sessions, "sessions_out",
+      org.apache.spark.sql.streaming.OutputMode.Append)
+    // the 00:0x session closes once the 03:00 event advances the watermark
+    val closed = spark.sql("select n_events, total_value from sessions_out")
+      .as[(Long, Double)].collect().toSet
+    assert(closed.contains((2L, 3.0)))
+  }
+
   test("events reader exposes exact nanos and truncated micros") {
     val ev = Tables.events(spark, sf)
     val Row(ns: Long, us: java.sql.Timestamp) =
