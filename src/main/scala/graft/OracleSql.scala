@@ -124,13 +124,13 @@ object OracleSql {
 
     "t_sessionize" ->
       """WITH g AS (
-        SELECT user_id, ts, value,
+        SELECT user_id, ts, event_id, value,
           CASE WHEN lag(ts) OVER w IS NULL THEN 0
                WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000 THEN 1
                ELSE 0 END AS new_session
         FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
       s AS (
-        SELECT *, CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+        SELECT *, CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
         FROM g)
       SELECT user_id, CAST(session_seq AS INT) AS session_seq,

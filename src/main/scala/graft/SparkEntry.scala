@@ -197,7 +197,7 @@ object SparkEntry {
       .groupBy("user_id")
       .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
       .agg(count(lit(1)))
-      .na.fill(0L)
+      .na.fill(0L, Seq("click", "error", "purchase", "signup", "view"))
       .orderBy("user_id")
 
   /** Set operations (engine completeness; no reference instance —

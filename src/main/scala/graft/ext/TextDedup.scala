@@ -138,7 +138,7 @@ object TextDedup {
                         maxPostings: Long = Long.MaxValue): DataFrame = {
     val sh = docShingles(df, text, id, shingleN)
       .select(col("doc"), explode(col("sh")).as("sh"))
-    // persisted: read three times (doc sizes + both self-join sides)
+    // persisted: read twice (doc sizes + the grouped pair-explosion)
     val pruned = (if (maxPostings == Long.MaxValue) sh else {
       val freq = sh.groupBy("sh").agg(count(lit(1)).as("_pf"))
         .filter(col("_pf") <= maxPostings).select("sh")

@@ -257,9 +257,29 @@ object VectorExpressions {
       StructType(Seq(StructField("a", LongType, nullable = false),
         StructField("b", LongType, nullable = false))), containsNull = false)
     override def prettyName: String = "array_pairs"
+
+    override def checkInputDataTypes()
+    : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+      import org.apache.spark.sql.catalyst.analysis.TypeCheckResult._
+      child.dataType match {
+        case ArrayType(LongType, _) => TypeCheckSuccess
+        case other => TypeCheckFailure(
+          s"array_pairs requires array<bigint>, got ${other.sql}")
+      }
+    }
+
+    /** Pairs are materialized per input row, so the list length must be
+      * bounded by the caller (posting-list caps) — fail loudly instead
+      * of OOMing or overflowing the pair count on a degenerate input.
+      */
+    private val maxElements = 10000
+
     override def nullSafeEval(v: Any): Any = {
       val arr = v.asInstanceOf[ArrayData]
       val n = arr.numElements()
+      if (n > maxElements) throw new IllegalStateException(
+        s"array_pairs: list of $n elements would produce ${n.toLong * (n - 1) / 2} " +
+          s"pairs; cap posting lists (maxPostings) below $maxElements first")
       val xs = new Array[Long](n)
       var i = 0
       while (i < n) { xs(i) = arr.getLong(i); i += 1 }

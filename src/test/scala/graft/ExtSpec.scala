@@ -52,7 +52,10 @@ class ExtSpec extends SparkSpec {
         .select($"vec_id",
           graft.ext.VectorSearch.cosine($"embedding", $"qv").as("sim"))
         .orderBy("vec_id").limit(50).as[(Long, Double)].collect()
+      // NO_CODEGEN alone only gates projection factories; whole-stage
+      // codegen must also be off or this arm re-runs the generated code
       spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+      spark.conf.set("spark.sql.codegen.wholeStage", "false")
       val interpreted = emb.crossJoin(q)
         .select($"vec_id",
           graft.ext.VectorSearch.cosine($"embedding", $"qv").as("sim"))
@@ -63,7 +66,10 @@ class ExtSpec extends SparkSpec {
         assert(java.lang.Double.doubleToLongBits(s1) ==
           java.lang.Double.doubleToLongBits(s2), s"vec $id1: $s1 != $s2")
       }
-    } finally spark.conf.unset("spark.sql.codegen.factoryMode")
+    } finally {
+      spark.conf.unset("spark.sql.codegen.factoryMode")
+      spark.conf.unset("spark.sql.codegen.wholeStage")
+    }
   }
 
   test("cosine: self-similarity 1.0, orthogonal 0.0") {
