@@ -48,6 +48,28 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("ReadSchema: struct<doc_id:bigint,lang:string,source:string,n_chars:bigint>"), p)
   }
 
+  test("date-partitioned sink: a date filter prunes to one partition") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("prunesink").toString
+    val prices = graft.op.PriceGen.generate(
+      spark.read.parquet(s"$sf/supplier.parquet"), "s_suppkey",
+      graft.source.Tables.fuelTypes(spark), to_date(lit("2024-06-01")))
+      .union(graft.op.PriceGen.generate(
+        spark.read.parquet(s"$sf/supplier.parquet"), "s_suppkey",
+        graft.source.Tables.fuelTypes(spark), to_date(lit("2024-06-02"))))
+    graft.sink.Sinks.parquetByDate(prices, dir)
+    val q = spark.read.parquet(dir)
+      .filter(col("date") === to_date(lit("2024-06-02")))
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(date"), plan)
+    // only the filtered day's files are scanned
+    val scanned = q.queryExecution.executedPlan.collectLeaves()
+      .collectFirst { case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.selectedPartitions.partitionCount }
+    assert(scanned.contains(1), s"expected 1 selected partition, got $scanned")
+    assert(q.count() > 0)
+  }
+
   test("IVF top-k recall vs brute force") {
     import spark.implicits._
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
