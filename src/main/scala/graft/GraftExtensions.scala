@@ -18,12 +18,30 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit =
     GraftExtensions.definitions.foreach { case (name, arity, builder) =>
       e.injectFunction((FunctionIdentifier(name),
-        new ExpressionInfo("graft.functions.VectorExpressions", name),
+        new ExpressionInfo("graft.functions.VectorExpressions", null, name,
+          GraftExtensions.usage(name), "", "", "", "", "", "", "scala_udf"),
         GraftExtensions.checked(name, arity, builder)))
     }
 }
 
 object GraftExtensions {
+
+  /** Usage docs surfaced by DESCRIBE FUNCTION. */
+  def usage(name: String): String = name match {
+    case "cosine_sim" =>
+      "cosine_sim(a, b) - cosine similarity of two float/double arrays, computed in double; NULL if lengths differ."
+    case "simhash64" =>
+      "simhash64(tokens) - 64-bit SimHash of a string array (xxhash64 token hashes, sign counters)."
+    case "minhash_sig" =>
+      "minhash_sig(shingles, k) - MinHash signature (array<bigint> of k permutation minima) over a string array; k must be a literal."
+    case "word_shingles" =>
+      "word_shingles(tokens, n) - distinct word n-grams of a string array, joined by single spaces; n must be a literal."
+    case "lsh_bucket" =>
+      "lsh_bucket(vec, bits) - random-hyperplane LSH bucket id in [0, 2^bits) for a float/double array; bits must be a literal."
+    case "array_pairs" =>
+      "array_pairs(xs) - all ordered pairs (a < b) of a bigint array as array<struct<a,b>>; input must be capped (<= 10000 elements)."
+    case _ => ""
+  }
   /** Wrap a builder with an arity check so a wrong argument count is a
     * clear analysis error instead of an IndexOutOfBoundsException.
     */
@@ -49,7 +67,8 @@ object GraftExtensions {
     ("simhash64", 1, es => SimHash64(arg(es, 0))),
     ("minhash_sig", 2, es => MinHashSig(arg(es, 0), intArg(es, 1))),
     ("word_shingles", 2, es => WordShingles(arg(es, 0), intArg(es, 1))),
-    ("lsh_bucket", 2, es => LshBucket(arg(es, 0), intArg(es, 1))))
+    ("lsh_bucket", 2, es => LshBucket(arg(es, 0), intArg(es, 1))),
+    ("array_pairs", 1, es => ArrayPairs(arg(es, 0))))
 
   /** Imperative registration on an existing session (tests, notebooks). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
