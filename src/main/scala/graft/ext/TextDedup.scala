@@ -114,16 +114,22 @@ object TextDedup {
       count(lit(1)).over(Window.partitionBy("band", "bucket")))
       .filter(col("_bsize") <= maxBucket).drop("_bsize")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val a = guarded.select(col("band"), col("bucket"),
-      col("doc").as("id_a"), col("sig").as("sig_a"))
-    val b = guarded.select(col("band"), col("bucket"),
-      col("doc").as("id_b"), col("sig").as("sig_b"))
+    // candidate ids deduped while narrow (a pair colliding in k bands
+    // appears k times); the wide signatures only join back once per
+    // surviving pair, not through the distinct shuffle
+    val a = guarded.select(col("band"), col("bucket"), col("doc").as("id_a"))
+    val b = guarded.select(col("band"), col("bucket"), col("doc").as("id_b"))
     val cand = a.join(b, Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "sig_a", "sig_b").distinct()
-    cand.withColumn("est_jaccard",
-      expr("size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), v -> v))") /
-        lit(numPerms.toDouble))
+      .select("id_a", "id_b").distinct()
+    // signatures read back from the persisted bucket frame, not recomputed
+    val sigOnly = guarded.select(col("doc"), col("sig")).distinct()
+    cand
+      .join(sigOnly.select(col("doc").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
+      .join(sigOnly.select(col("doc").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
+      .withColumn("est_jaccard",
+        expr("size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), v -> v))") /
+          lit(numPerms.toDouble))
       .filter(col("est_jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("est_jaccard"))
   }
