@@ -230,16 +230,23 @@ object TextDedup {
     val bucketed = VectorSearch.lshBuckets(emb, vec, bits)
       .select(col("bucket"), col(id).as("_id"), col(vec).as("_v"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val a0 = bucketed.select(col("bucket"), col("_id").as("id_a"), col("_v").as("va"))
+    // candidates deduped as bare id pairs (multi-probe makes a pair
+    // collide in several buckets); the wide vectors join back once per
+    // surviving pair for the exact verify
+    val a0 = bucketed.select(col("bucket"), col("_id").as("id_a"))
     val a = if (probeNeighbors == 0) a0 else
-      a0.select(col("id_a"), col("va"),
+      a0.select(col("id_a"),
         explode(expr(
           s"array_union(array(bucket), transform(sequence(0, ${bits - 1}), " +
             "b -> cast(bucket as long) ^ shiftleft(1L, b)))")).as("bucket"))
-    val b = bucketed.select(col("bucket"), col("_id").as("id_b"), col("_v").as("vb"))
+    val b = bucketed.select(col("bucket"), col("_id").as("id_b"))
+    val vecs = bucketed.select(col("_id"), col("_v"))
     a.join(b, Seq("bucket")).filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+      .join(vecs.select(col("_id").as("id_a"), col("_v").as("va")), Seq("id_a"))
+      .join(vecs.select(col("_id").as("id_b"), col("_v").as("vb")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
-        VectorSearch.cosine(col("va"), col("vb")).as("cosine")).distinct()
+        VectorSearch.cosine(col("va"), col("vb")).as("cosine"))
       .filter(col("cosine") > threshold)
   }
 }
