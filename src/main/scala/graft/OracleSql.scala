@@ -2,6 +2,12 @@ package graft
 
 /** DuckDB oracle twins for SparkEntry.queries (driver contract).
   *
+  * KNOWN PARITY ASSUMPTION: the Spark operators tokenize with the regex
+  * `\s+`, the DuckDB twins with `string_split(text, ' ')`. These agree
+  * only because the generated document corpus is single-space separated
+  * with no tabs/newlines (verified at all scale factors). Corpora with
+  * other whitespace need the twins rewritten with regexp_split_to_array.
+  *
   * Dialect notes (parity decisions, validated against DuckDB 1.0):
   *  - events.ts is ns-precision parquet; DuckDB truncates to µs, which
   *    matches Spark's floor(ns/1000) via Tables.events.
@@ -213,7 +219,11 @@ object OracleSql {
         SELECT doc_id, w || ' ' || lead(w) OVER (PARTITION BY doc_id ORDER BY pos)
                || ' ' || lead(w, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS sh
         FROM toks),
-      sh AS (SELECT DISTINCT doc_id, sh FROM sh0 WHERE sh IS NOT NULL),
+      sh AS (
+        SELECT DISTINCT doc_id, sh FROM sh0 WHERE sh IS NOT NULL
+        UNION
+        SELECT doc_id, lower(text) FROM documents
+        WHERE len(string_split(lower(text), ' ')) < 3),
       sizes AS (SELECT doc_id, count(*) AS nsh FROM sh GROUP BY 1),
       inter AS (
         SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
@@ -317,7 +327,11 @@ object OracleSql {
         SELECT doc_id, w || ' ' || lead(w) OVER (PARTITION BY doc_id ORDER BY pos)
                || ' ' || lead(w, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS sh
         FROM toks),
-      sh AS (SELECT DISTINCT doc_id, sh FROM sh0 WHERE sh IS NOT NULL),
+      sh AS (
+        SELECT DISTINCT doc_id, sh FROM sh0 WHERE sh IS NOT NULL
+        UNION
+        SELECT doc_id, lower(text) FROM deduped
+        WHERE len(string_split(lower(text), ' ')) < 3),
       sizes AS (SELECT doc_id, count(*) AS nsh FROM sh GROUP BY 1),
       inter AS (
         SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter

@@ -83,12 +83,15 @@ object TextAnalysis {
   }
 
   /** Rolling-hash document fingerprint (content-defined, order
-    * sensitive): fold xxhash64 of each token into a 64-bit state.
+    * sensitive): fold reduced xxhash64 token hashes through a modular
+    * polynomial. All intermediates stay far below Long range, so the
+    * fold is safe under Spark's default ANSI overflow checking.
     * Production variant — not oracle-portable (xxhash64 is Spark's).
     */
   def fingerprint(text: Column): Column =
     aggregate(split(lower(trim(text)), "\\s+"), lit(0L),
-      (acc, t) => acc * lit(31L) + xxhash64(t))
+      (acc, t) => pmod(acc * lit(31L) + pmod(xxhash64(t), lit(1000000007L)),
+        lit(1000000007L)))
 
   /** Engine-portable fingerprint: position-weighted sum over
     * (first-char codepoint, token length) mod 1e6+3. Order-sensitive

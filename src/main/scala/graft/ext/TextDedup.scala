@@ -14,6 +14,13 @@ import org.apache.spark.sql.functions._
   * (banding / bucketing / posting-list caps), then exact verification
   * only on candidates. That is the shape that survives 100 TB: the
   * all-pairs O(n²) comparison is never materialized.
+  *
+  * Caching note: the pairwise operators persist their self-consumed
+  * intermediates (signatures, posting lists, buckets) and do NOT
+  * unpersist — the frames are still lazily referenced by the returned
+  * plan. Long-lived sessions should release them after consuming the
+  * result (`spark.catalog.clearCache()` or targeted unpersist), as
+  * graft.Verify/Bench do between queries.
   */
 object TextDedup {
 
@@ -184,14 +191,17 @@ object TextDedup {
     */
   def simhashPairs(df: DataFrame, text: String, id: String,
                    maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 64, "maxHamming in [0, 64)")
     val chunks = maxHamming + 1
     val width = 64 / chunks
+    // width = 64 (exact-match case): (1L << 64) wraps, spell the mask out
+    val mask = if (width == 64) -1L else (1L << width) - 1
     val sigs = df.select(col(id).as("doc"), tokens(col(text)).as("toks"))
       .select(col("doc"), simhashOfTokens.as("sim"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val keyed = sigs.select(col("doc"), col("sim"),
       posexplode(expr(
-        s"transform(sequence(0, ${chunks - 1}), c -> (shiftrightunsigned(sim, c * $width) & ${(1L << width) - 1}L))")))
+        s"transform(sequence(0, ${chunks - 1}), c -> (shiftrightunsigned(sim, c * $width) & ${mask}L))")))
       .withColumnRenamed("pos", "chunk").withColumnRenamed("col", "piece")
     val a = keyed.select(col("chunk"), col("piece"), col("doc").as("id_a"), col("sim").as("sim_a"))
     val b = keyed.select(col("chunk"), col("piece"), col("doc").as("id_b"), col("sim").as("sim_b"))

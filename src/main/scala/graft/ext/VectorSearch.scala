@@ -115,9 +115,16 @@ object VectorSearch {
     val spark = corpus.sparkSession
     import spark.implicits._
     val centDf = centroidRows.toDF("ivf_list", "centroid")
+    // rank probe lists by EUCLIDEAN distance — the metric KMeans
+    // assigned corpus vectors with; mixing metrics would probe lists
+    // that exclude the query's own assignment list
+    def sqDist(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => {
+        val d = x.cast("double") - y.cast("double"); d * d
+      }), lit(0.0), (acc, v) => acc + v)
     val q = queries.select(col(id).as("query_id"), col(vec).as("qv"))
       .crossJoin(broadcast(centDf))
-      .withColumn("dist", -cosine(col("qv"), col("centroid")))
+      .withColumn("dist", sqDist(col("qv"), col("centroid")))
       .withColumn("_r", row_number().over(
         Window.partitionBy("query_id").orderBy(col("dist"), col("ivf_list"))))
       .filter(col("_r") <= nprobe)

@@ -203,11 +203,15 @@ object VectorExpressions {
     */
   case class LshBucket(child: Expression, bits: Int)
       extends UnaryExpression with CodegenFallback {
+    require(bits >= 1 && bits <= 63, "lsh_bucket bits must be in [1, 63]")
     override def dataType: DataType = LongType
     override def prettyName: String = "lsh_bucket"
     @transient private lazy val isFloat =
       child.dataType.asInstanceOf[ArrayType].elementType == FloatType
-    @transient private var planes: Array[Array[Double]] = _
+    // volatile: plane matrix is built on first eval and may be read by
+    // concurrent tasks sharing this expression instance — the volatile
+    // write publishes the fully-constructed array
+    @transient @volatile private var planes: Array[Array[Double]] = _
     private def splitmix64(seed: Long): Long = {
       var z = seed + 0x9e3779b97f4a7c15L
       z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
@@ -215,13 +219,15 @@ object VectorExpressions {
       z ^ (z >>> 31)
     }
     private def planeMatrix(dim: Int): Array[Array[Double]] = {
-      if (planes == null || planes(0).length != dim) {
-        planes = Array.tabulate(bits, dim) { (p, j) =>
+      var p = planes
+      if (p == null || p(0).length != dim) {
+        p = Array.tabulate(bits, dim) { (pl, j) =>
           // uniform in [-1, 1] from the top 53 bits
-          (splitmix64(p.toLong * 1000003L + j) >>> 11) / 4503599627370495.0 * 2.0 - 1.0
+          (splitmix64(pl.toLong * 1000003L + j) >>> 11) / 4503599627370495.0 * 2.0 - 1.0
         }
+        planes = p
       }
-      planes
+      p
     }
     override def nullSafeEval(v: Any): Any = {
       val a = v.asInstanceOf[ArrayData]

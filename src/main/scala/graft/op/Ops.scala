@@ -95,11 +95,19 @@ object PriceGen {
     * base+0.23), 2)`: a Knuth multiplicative hash of (station key,
     * fuel-type ordinal) mapped onto the same 0.60-wide price band in
     * integer cents, so no float rounding is involved. Identical
-    * arithmetic is expressible in any ANSI SQL engine.
+    * arithmetic is expressible in any ANSI SQL engine. Numeric keys
+    * only — string business keys go through [[keyAsNumeric]] first
+    * (ANSI mode would otherwise throw CAST_INVALID_INPUT).
     */
   def priceCents(stationKey: Column, ftIdx: Column, baseCents: Column): Column =
     baseCents - lit(37L) +
       pmod(stationKey * lit(2654435761L) + ftIdx * lit(7919L), lit(61L))
+
+  /** Deterministic numeric surrogate for a string business key (the
+    * unified model's location_id is VARCHAR). Bounded so the multiply
+    * in priceCents cannot overflow Long.
+    */
+  def keyAsNumeric(key: Column): Column = pmod(xxhash64(key), lit(1000000007L))
 
   def price(stationKey: Column, ftIdx: Column, baseCents: Column): Column =
     (priceCents(stationKey, ftIdx, baseCents) / lit(100.0)).as("price")
@@ -109,13 +117,20 @@ object PriceGen {
     * CURRENT_DATE; callers pass a date column for reproducibility).
     */
   def generate(stations: DataFrame, stationKey: String,
-               fuelTypes: DataFrame, date: Column): DataFrame =
+               fuelTypes: DataFrame, date: Column): DataFrame = {
+    // string business keys hash to a bounded numeric key for the price
+    // formula; numeric keys use the oracle-portable arithmetic directly
+    val numericKey = stations.schema(stationKey).dataType match {
+      case org.apache.spark.sql.types.StringType => keyAsNumeric(col(stationKey))
+      case _ => col(stationKey)
+    }
     stations.crossJoin(broadcast(fuelTypes))
       .select(
         col(stationKey).as("location_id"),
         col("fuel_type"),
-        price(col(stationKey), col("ft_idx"), col("base_cents")),
+        price(numericKey, col("ft_idx"), col("base_cents")),
         date.as("date"))
+  }
 
   /** Typed surface: the generated prices as Dataset[FuelPrice] with the
     * reference's DECIMAL(5,2) price type

@@ -24,8 +24,10 @@ object Pipeline {
       case "places" => JsonIngest.normalizePlaces(spark, payloads)
       case other => throw new IllegalArgumentException(s"unknown dialect $other")
     }
+    // the tie-break must be a TOTAL order over every non-key column, or
+    // the survivor's remaining fields are shuffle-order-dependent
     val deduped = Dedup.firstSeen(normalized.cache(), Seq("location_id"),
-      Seq(col("location_name"), col("brand_name")))
+      normalized.columns.filterNot(_ == "location_id").map(col).toSeq)
     Dedup.newKeysOnly(deduped, existing, "location_id", hintBroadcast = true)
   }
 

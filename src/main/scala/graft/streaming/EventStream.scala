@@ -38,12 +38,14 @@ object EventStream {
       .groupBy(window(col("ts"), window_, slide), col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
 
-  final case class PriceState(lastValue: Double, updates: Long)
+  final case class PriceState(lastValue: Double, lastVersion: Long, updates: Long)
   final case class PriceUpdate(key: String, value: Double, updates: Long)
 
   /** Stateful last-write-wins — the streaming form of the reference's
-    * ON CONFLICT upsert (T10/S8): per key keep the latest value with
-    * mapGroupsWithState; emits the current merged row each batch.
+    * ON CONFLICT upsert (T10/S8): per key keep the value with the
+    * highest version (event_id) seen so far, across micro-batches — a
+    * late batch carrying an older event must not clobber a newer value,
+    * so the state stores the high-water version.
     */
   def lastWriteWinsStream(spark: SparkSession, events: DataFrame) = {
     import spark.implicits._
@@ -53,11 +55,14 @@ object EventStream {
       .groupByKey(_._1)
       .mapGroupsWithState[PriceState, PriceUpdate](GroupStateTimeout.NoTimeout) {
         case (key, rows, state: GroupState[PriceState]) =>
-          val sorted = rows.toSeq.sortBy(_._3)
-          val prev = state.getOption.getOrElse(PriceState(0.0, 0L))
-          val next = PriceState(
-            if (sorted.nonEmpty) sorted.last._2 else prev.lastValue,
-            prev.updates + sorted.size)
+          val batch = rows.toSeq
+          val prev = state.getOption.getOrElse(PriceState(0.0, Long.MinValue, 0L))
+          val newest = batch.maxByOption(_._3)
+          val next = newest match {
+            case Some((_, v, ver)) if ver > prev.lastVersion =>
+              PriceState(v, ver, prev.updates + batch.size)
+            case _ => prev.copy(updates = prev.updates + batch.size)
+          }
           state.update(next)
           PriceUpdate(key, next.lastValue, next.updates)
       }

@@ -36,6 +36,13 @@ class ExtSpec extends SparkSpec {
     assert(!j.contains((1L, 3L))) // no shared shingle at all
   }
 
+  test("simhash maxHamming=0 finds exact signature matches without blowup") {
+    val pairs = TextDedup.simhashPairs(docs, "text", "doc_id", maxHamming = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 4L))) // exact dup: identical signature
+    assert(!pairs.contains((1L, 3L)))
+  }
+
   test("simhash: identical docs at hamming 0; near-dups within small distance") {
     val pairs = TextDedup.simhashPairs(docs, "text", "doc_id", maxHamming = 16)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap

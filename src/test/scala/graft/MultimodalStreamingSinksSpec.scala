@@ -133,6 +133,29 @@ class StreamingSpec extends SparkSpec {
     assert(back == Set(("a", 2.0, 2L), ("b", 5.0, 3L))) // last write won
   }
 
+  test("stateful LWW: a late batch with an older event does not clobber newer state") {
+    val dir = java.nio.file.Files.createTempDirectory("evstream5").toString
+    // file 1 carries the NEWER event; file 2 (arriving in a later
+    // micro-batch via maxFilesPerTrigger=1) carries an OLDER one
+    Seq((10L, java.sql.Timestamp.valueOf("2024-01-01 00:10:00"), 7L, "price", 100.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(dir + "/f1")
+    Thread.sleep(1100) // distinct mtimes => deterministic batch order
+    Seq((5L, java.sql.Timestamp.valueOf("2024-01-01 00:05:00"), 7L, "price", 50.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(dir + "/f2")
+    val stream = spark.readStream.schema(EventStream.eventSchema)
+      .option("maxFilesPerTrigger", "1").parquet(dir + "/*")
+    val merged = EventStream.lastWriteWinsStream(spark, stream)
+    EventStream.runAvailableNow(merged.toDF(), "lww_late",
+      org.apache.spark.sql.streaming.OutputMode.Update)
+    // final state for the key must hold the NEWER event's value
+    val last = spark.sql("select value, updates from lww_late order by updates desc limit 1")
+      .as[(Double, Long)].head()
+    assert(last._1 == 100.0, s"older late event clobbered state: $last")
+    assert(last._2 == 2L)
+  }
+
   test("stateful last-write-wins stream merges to latest value per key") {
     val dir = java.nio.file.Files.createTempDirectory("evstream2").toString
     Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 00:01:00"), 7L, "price", 10.0, "{}"),

@@ -82,6 +82,29 @@ class OpsSpec extends SparkSpec {
     assert(df.as[String].head() == """{"location_id":1,"brand_name":"BP"}""")
   }
 
+  test("price pipeline works on string business keys (ANSI mode)") {
+    val stations = Seq("bp-001", "mob-001", "ChIJxxxx").toDF("location_id")
+    val prices = graft.pipeline.Pipeline.dailyPrices(spark, stations,
+      "location_id", None, to_date(lit("2024-06-01")))
+    val rows = prices.collect()
+    assert(rows.length == 12) // 3 stations × 4 fuel types
+    assert(rows.forall(r => !r.isNullAt(r.fieldIndex("price"))))
+    // deterministic across runs
+    val again = graft.pipeline.Pipeline.dailyPrices(spark, stations,
+      "location_id", None, to_date(lit("2024-06-01")))
+    assert(prices.orderBy("location_id", "fuel_type").collect().toSeq ==
+      again.orderBy("location_id", "fuel_type").collect().toSeq)
+  }
+
+  test("rolling fingerprint evaluates under ANSI and is order-sensitive") {
+    val fp = Seq(Tuple1("alpha beta gamma"), Tuple1("beta alpha gamma"),
+      Tuple1("alpha beta gamma")).toDF("text")
+      .select(graft.ext.TextAnalysis.fingerprint($"text").as("fp"))
+      .as[Long].collect()
+    assert(fp(0) == fp(2) && fp(0) != fp(1))
+    assert(fp.forall(v => v >= 0 && v < 1000000007L))
+  }
+
   test("sessionize: gap splits sessions, ordinals count from zero") {
     def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
     val ev = Seq((7L, ts(0), 1.0), (7L, ts(10), 2.0), (7L, ts(50), 3.0),
