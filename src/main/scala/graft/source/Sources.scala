@@ -103,6 +103,7 @@ object JsonIngest {
       col("r.state").as("state_province"),
       col("r.postcode").as("postal_code"),
       col("r.country_code").as("country"))
+      .filter(col("location_id").isNotNull)
   }
 
   /** Mobil dialect: `Locations` envelope → unified schema
@@ -121,6 +122,7 @@ object JsonIngest {
       col("r.StateProvince").as("state_province"),
       col("r.PostalCode").as("postal_code"),
       col("r.Country").as("country"))
+      .filter(col("location_id").isNotNull)
   }
 
   /** Places dialect (Z / Pak'nSave): `results` envelope, nested
@@ -141,6 +143,7 @@ object JsonIngest {
       lit("").as("state_province"),
       lit("").as("postal_code"),
       lit("NZ").as("country"))
+      .filter(col("location_id").isNotNull)
   }
 }
 
