@@ -38,13 +38,18 @@ object Sketches {
 
   /** One-call corpus profile: row count, distinct docs/langs/sources,
     * char-length quantiles — the summary a curation run logs per shard.
+    * Quantiles come back as scalar columns (p50/p95), not an array, so
+    * the result is flat and sortable by any downstream consumer.
     */
-  def corpusProfile(docs: DataFrame): DataFrame =
+  def corpusProfile(docs: DataFrame): DataFrame = {
+    val qs = percentile_approx(col("n_chars"), array(lit(0.5), lit(0.95)),
+      lit(10000))
     docs.agg(
       count(lit(1)).as("n_docs"),
       approx_count_distinct(col("text"), 0.02).as("approx_distinct_texts"),
       approx_count_distinct(col("lang"), 0.02).as("approx_langs"),
       approx_count_distinct(col("source"), 0.02).as("approx_sources"),
-      percentile_approx(col("n_chars"), array(lit(0.5), lit(0.95)), lit(10000))
-        .as("n_chars_p50_p95"))
+      qs.getItem(0).as("n_chars_p50"),
+      qs.getItem(1).as("n_chars_p95"))
+  }
 }

@@ -106,21 +106,28 @@ object TextDedup {
   def minhashLsh(df: DataFrame, text: String, id: String,
                  shingleN: Int = 3, numPerms: Int = 64,
                  bands: Int = 16, threshold: Double = 0.5,
-                 maxBucket: Int = 1000): DataFrame = {
+                 maxBucket: Int = 1000, verbose: Boolean = false): DataFrame = {
     require(numPerms % bands == 0, "bands must divide numPerms")
     val r = numPerms / bands
+    // persisted narrow (doc, sig): feeds the band explosion once and the
+    // per-pair signature join at the end — the signature stage (shingle +
+    // minhash, the expensive map side) never runs twice
     val sigs = docShingles(df, text, id, shingleN)
       .select(col("doc"), minhashSignature(numPerms).as("sig"))
-    val buckets = sigs.select(col("doc"), col("sig"),
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // band-exploded frame carries only (doc, band, bucket) — the 16×
+    // explosion never replicates the 64-long signature arrays
+    val buckets = sigs.select(col("doc"),
       posexplode(expr(
         s"transform(sequence(0, ${bands - 1}), b -> xxhash64(b, cast(slice(sig, b * $r + 1, $r) as string)))")))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
-    // persisted: both sides of the candidate self-join read this frame —
-    // without it the signature stage runs twice
-    val guarded = buckets.withColumn("_bsize",
+    // persisted: both sides of the candidate self-join read this frame;
+    // the pre-filter counts stay available for the truncation report
+    val counted = buckets.withColumn("_bsize",
       count(lit(1)).over(Window.partitionBy("band", "bucket")))
-      .filter(col("_bsize") <= maxBucket).drop("_bsize")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    if (verbose) logDroppedBuckets(counted, maxBucket)
+    val guarded = counted.filter(col("_bsize") <= maxBucket).drop("_bsize")
     // candidate ids deduped while narrow (a pair colliding in k bands
     // appears k times); the wide signatures only join back once per
     // surviving pair, not through the distinct shuffle
@@ -129,11 +136,9 @@ object TextDedup {
     val cand = a.join(b, Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
-    // signatures read back from the persisted bucket frame, not recomputed
-    val sigOnly = guarded.select(col("doc"), col("sig")).distinct()
     cand
-      .join(sigOnly.select(col("doc").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
-      .join(sigOnly.select(col("doc").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
+      .join(sigs.select(col("doc").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
+      .join(sigs.select(col("doc").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
       .withColumn("est_jaccard",
         expr("size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), v -> v))") /
           lit(numPerms.toDouble))
@@ -141,22 +146,109 @@ object TextDedup {
       .select(col("id_a"), col("id_b"), col("est_jaccard"))
   }
 
+  /** MinHash-LSH candidate generation + EXACT n-gram Jaccard
+    * verification: banding finds the candidates (never all pairs), the
+    * exact set similarity is computed only per candidate via
+    * array_intersect on the shingle arrays. With aggressive banding
+    * (r = numPerms/bands = 2, bands = 32) the candidate recall at
+    * jaccard ≥ 0.5 is 1-(1-j²)^32 ≈ 0.9999 — so the output equals the
+    * exact-jaccard pair set while the join volume stays LSH-bounded;
+    * this is the oracle-checkable production form of minhash dedup
+    * (estimate-only `minhashLsh` remains for signature-level tuning).
+    */
+  def minhashVerifiedPairs(df: DataFrame, text: String, id: String,
+                           shingleN: Int = 3, numPerms: Int = 64,
+                           bands: Int = 32, threshold: Double = 0.5,
+                           maxBucket: Int = 1000): DataFrame = {
+    require(numPerms % bands == 0, "bands must divide numPerms")
+    val r = numPerms / bands
+    // persisted narrow (doc, shingle-array): feeds signatures once and
+    // the per-candidate exact verify once
+    val shingles = docShingles(df, text, id, shingleN)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val buckets = shingles
+      .select(col("doc"), minhashSignature(numPerms).as("sig"))
+      .select(col("doc"),
+        posexplode(expr(
+          s"transform(sequence(0, ${bands - 1}), b -> xxhash64(b, cast(slice(sig, b * $r + 1, $r) as string)))")))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+    val guarded = buckets.withColumn("_bsize",
+      count(lit(1)).over(Window.partitionBy("band", "bucket")))
+      .filter(col("_bsize") <= maxBucket).drop("_bsize")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val a = guarded.select(col("band"), col("bucket"), col("doc").as("id_a"))
+    val b = guarded.select(col("band"), col("bucket"), col("doc").as("id_b"))
+    val cand = a.join(b, Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    cand
+      .join(shingles.select(col("doc").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(shingles.select(col("doc").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (size(col("sh_a")) + size(col("sh_b")) - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** Buckets minhashLsh would drop at the given cap, as (band, bucket,
+    * n_docs) — the diagnostic twin of `maxBucket` so truncation at scale
+    * is observable, never silent. Recomputes signatures; run it as a
+    * side audit, not in the hot path (or set `verbose = true` on
+    * `minhashLsh`, which reports from the already-persisted frame).
+    */
+  def minhashDroppedBuckets(df: DataFrame, text: String, id: String,
+                            shingleN: Int = 3, numPerms: Int = 64,
+                            bands: Int = 16, maxBucket: Int = 1000): DataFrame = {
+    require(numPerms % bands == 0, "bands must divide numPerms")
+    val r = numPerms / bands
+    docShingles(df, text, id, shingleN)
+      .select(col("doc"), minhashSignature(numPerms).as("sig"))
+      .select(col("doc"),
+        posexplode(expr(
+          s"transform(sequence(0, ${bands - 1}), b -> xxhash64(b, cast(slice(sig, b * $r + 1, $r) as string)))")))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+      .groupBy("band", "bucket").agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") > maxBucket)
+  }
+
+  private def logDroppedBuckets(counted: DataFrame, maxBucket: Int): Unit = {
+    val d = counted.filter(col("_bsize") > maxBucket)
+      .agg(coalesce(count_distinct(struct(col("band"), col("bucket"))), lit(0L)),
+        count(lit(1))).head()
+    org.apache.log4j.Logger.getLogger(getClass)
+      .warn(s"minhashLsh: dropped ${d.getLong(0)} over-cap buckets " +
+        s"(${d.getLong(1)} doc-band rows) at maxBucket=$maxBucket")
+  }
+
   /** Exact n-gram Jaccard similarity for all pairs sharing ≥ 1 shingle.
-    * Shuffle bounded by shingle posting-list sizes; at corpus scale cap
-    * them with maxPostings (an ultra-common shingle carries no signal
-    * but quadratic join cost).
+    *
+    * Posting lists are document-frequency-pruned BY DEFAULT: a shingle
+    * shared by more than `maxPostings` documents is boilerplate, not a
+    * similarity signal, and its pair explosion is quadratic — on a
+    * degenerate corpus (a stopword-ish trigram, a common header) the
+    * unpruned query dies at scale. The similarity is computed over the
+    * pruned shingle universe on BOTH sides (intersection and sizes), so
+    * it stays a well-defined Jaccard. The cap is required to stay within
+    * the `array_pairs` hard bound, so the pair kernel can never throw.
     */
   def ngramJaccardPairs(df: DataFrame, text: String, id: String,
                         shingleN: Int = 3, threshold: Double = 0.5,
-                        maxPostings: Long = Long.MaxValue): DataFrame = {
+                        maxPostings: Long = 5000,
+                        verbose: Boolean = false): DataFrame = {
+    require(maxPostings >= 1 && maxPostings <= 10000,
+      "maxPostings must be in [1, 10000] (array_pairs bound)")
     val sh = docShingles(df, text, id, shingleN)
       .select(col("doc"), explode(col("sh")).as("sh"))
-    // persisted: read twice (doc sizes + the grouped pair-explosion)
-    val pruned = (if (maxPostings == Long.MaxValue) sh else {
-      val freq = sh.groupBy("sh").agg(count(lit(1)).as("_pf"))
-        .filter(col("_pf") <= maxPostings).select("sh")
-      sh.join(freq, Seq("sh"))
-    }).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // df-prune with a window count: ONE shuffle on sh (vs the two a
+    // groupBy+join would pay), and the resulting sh-partitioning is
+    // reused by the posting-list groupBy below. Persisted pre-filter so
+    // the truncation report reads the cache, not a recompute.
+    val counted = sh.withColumn("_pf",
+      count(lit(1)).over(Window.partitionBy("sh")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    if (verbose) logPrunedShingles(counted, maxPostings)
+    val pruned = counted.filter(col("_pf") <= maxPostings).drop("_pf")
     val sizes = pruned.groupBy("doc").agg(count(lit(1)).as("nsh"))
     // candidate pairs by grouping each shingle's posting list and
     // exploding its ordered pairs natively — one shuffle of the posting
@@ -174,6 +266,25 @@ object TextDedup {
         col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** Shingles ngramJaccardPairs would prune at the given cap, as
+    * (sh, doc_freq) — the audit twin of `maxPostings`, so what the
+    * operator drops at scale is observable, never silent.
+    */
+  def overCapShingles(df: DataFrame, text: String, id: String,
+                      shingleN: Int = 3, maxPostings: Long = 5000): DataFrame =
+    docShingles(df, text, id, shingleN)
+      .select(col("doc"), explode(col("sh")).as("sh"))
+      .groupBy("sh").agg(count(lit(1)).as("doc_freq"))
+      .filter(col("doc_freq") > maxPostings)
+
+  private def logPrunedShingles(counted: DataFrame, maxPostings: Long): Unit = {
+    val d = counted.filter(col("_pf") > maxPostings)
+      .agg(coalesce(count_distinct(col("sh")), lit(0L)), count(lit(1))).head()
+    org.apache.log4j.Logger.getLogger(getClass)
+      .warn(s"ngramJaccardPairs: pruned ${d.getLong(0)} over-cap shingles " +
+        s"(${d.getLong(1)} posting rows) at maxPostings=$maxPostings")
   }
 
   /** 64-bit SimHash over a tokens array column `toks`: bit j is the sign

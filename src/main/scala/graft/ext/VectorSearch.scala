@@ -73,46 +73,65 @@ object VectorSearch {
   def lshBuckets(df: DataFrame, vec: String, bits: Int = 8): DataFrame =
     df.withColumn("bucket", lshBucketExpr(bits, vec))
 
-  /** IVF (inverted-file) index: KMeans centroids over a sample, every
-    * vector assigned to its nearest centroid list. Queries probe the
-    * `nprobe` nearest centroid lists only — the classic coarse-quantizer
-    * ANN layout. Deterministic (fixed seed); centroids are tiny and
-    * broadcast. Complements the hyperplane LSH: IVF adapts to the data
-    * distribution, LSH needs no training pass.
+  /** A prebuilt IVF index: the corpus with each row's list assignment
+    * (persisted — assignment is computed once at build), the centroid
+    * matrix (tiny, re-broadcast per probe), and the column names it was
+    * built over. Build once with `ivfBuild`, probe many times with
+    * `ivfTopK(index, ...)` — training cost is paid exactly once, which
+    * is the difference between an index and a per-query KMeans fit.
     */
-  def ivfIndex(df: DataFrame, vec: String, nLists: Int = 16,
-               seed: Long = 42L): (DataFrame, org.apache.spark.ml.linalg.DenseMatrix) = {
+  final case class IvfIndex(assigned: DataFrame,
+                            centroids: org.apache.spark.ml.linalg.DenseMatrix,
+                            id: String, vec: String)
+
+  /** IVF (inverted-file) index build: KMeans centroids, every vector
+    * assigned to its nearest centroid list. Deterministic (fixed seed);
+    * centroids are tiny and broadcast. Complements the hyperplane LSH:
+    * IVF adapts to the data distribution, LSH needs no training pass.
+    *
+    * `fitSampleFraction < 1` fits the quantizer on a corpus sample — at
+    * 100 TB the centroids converge on a few million rows; only the
+    * (map-side) assignment pass must see every row.
+    */
+  def ivfBuild(df: DataFrame, id: String, vec: String, nLists: Int = 16,
+               seed: Long = 42L, fitSampleFraction: Double = 1.0): IvfIndex = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
+    require(fitSampleFraction > 0 && fitSampleFraction <= 1.0,
+      "fitSampleFraction in (0, 1]")
     val feat = df.withColumn("_fv",
       array_to_vector(transform(col(vec), v => v.cast("double"))))
+    val fitData =
+      if (fitSampleFraction < 1.0) feat.sample(fitSampleFraction, seed) else feat
     // few iterations suffice for a coarse quantizer — lists need to be
-    // balanced, not optimal; at corpus scale fit on a sample instead
+    // balanced, not optimal
     val model = new KMeans().setK(nLists).setSeed(seed).setMaxIter(5)
-      .setFeaturesCol("_fv").setPredictionCol("_list").fit(feat)
+      .setFeaturesCol("_fv").setPredictionCol("_list").fit(fitData)
     val assigned = model.transform(feat).drop("_fv")
       .withColumnRenamed("_list", "ivf_list")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val centers = model.clusterCenters
     val mat = new org.apache.spark.ml.linalg.DenseMatrix(
       centers.length, centers.head.size,
       centers.flatMap(_.toArray), isTransposed = true)
-    (assigned, mat)
+    IvfIndex(assigned, mat, id, vec)
   }
 
-  /** IVF top-k: each query probes its `nprobe` nearest centroid lists;
-    * exact cosine within the probed lists. The corpus side shuffles once
-    * on `ivf_list`; the probed-queries side is broadcast.
+  /** IVF top-k probe against a prebuilt index: each query probes its
+    * `nprobe` nearest centroid lists; exact cosine within the probed
+    * lists. The corpus side shuffles once on `ivf_list`; the
+    * probed-queries side is broadcast. No training happens here.
     */
-  def ivfTopK(corpus: DataFrame, queries: DataFrame, id: String,
-              vec: String, k: Int, nLists: Int = 16,
-              nprobe: Int = 3, seed: Long = 42L): DataFrame = {
-    val (assigned, centers) = ivfIndex(corpus, vec, nLists, seed)
-    val c = assigned.select(col("ivf_list"), col(id).as("vec_id"), col(vec).as("cv"))
+  def ivfTopK(index: IvfIndex, queries: DataFrame, k: Int,
+              nprobe: Int): DataFrame = {
+    val (id, vec, centers) = (index.id, index.vec, index.centroids)
+    val c = index.assigned
+      .select(col("ivf_list"), col(id).as("vec_id"), col(vec).as("cv"))
     // rank centroid lists per query by distance, keep nprobe
     val centroidRows = (0 until centers.numRows).map { i =>
       (i, (0 until centers.numCols).map(j => centers(i, j)).toArray)
     }
-    val spark = corpus.sparkSession
+    val spark = index.assigned.sparkSession
     import spark.implicits._
     val centDf = centroidRows.toDF("ivf_list", "centroid")
     // rank probe lists by EUCLIDEAN distance — the metric KMeans
@@ -138,6 +157,15 @@ object VectorSearch {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("vec_id"), col("sim"))
   }
+
+  /** One-shot convenience: build the index, then probe. Repeated-query
+    * workloads should call `ivfBuild` once and reuse the index — this
+    * form re-trains per call.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, id: String,
+              vec: String, k: Int, nLists: Int = 16,
+              nprobe: Int = 3, seed: Long = 42L): DataFrame =
+    ivfTopK(ivfBuild(corpus, id, vec, nLists, seed), queries, k, nprobe)
 
   /** Approximate top-k: probe only the query's bucket. Recall is traded
     * against `bits` (and can be raised with multi-probe: pass

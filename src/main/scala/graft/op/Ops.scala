@@ -55,6 +55,24 @@ object Dedup {
       Seq(key), "left_anti")
   }
 
+  /** T5, size-conditional: broadcast the existing-keys side only while
+    * Catalyst's size estimate fits under the session's
+    * autoBroadcastJoinThreshold. An accumulated station table grows
+    * without bound — a pinned broadcast that is right today OOMs the
+    * executors in a year; past the threshold this falls back to a
+    * shuffle join (and AQE may still convert it back at runtime if the
+    * estimate was pessimistic).
+    */
+  def newKeysOnlyAuto(batch: DataFrame, existing: DataFrame, key: String): DataFrame = {
+    val keys = existing.select(key).distinct()
+    val conf = existing.sparkSession.conf
+      .get("spark.sql.autoBroadcastJoinThreshold", "10MB")
+    val threshold = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(conf)
+    val estimate = keys.queryExecution.optimizedPlan.stats.sizeInBytes
+    val fits = threshold > 0 && estimate <= threshold
+    batch.join(if (fits) broadcast(keys) else keys, Seq(key), "left_anti")
+  }
+
   /** T6 — intra-batch first-seen-wins dedup (the reference's read-your-
     * own-writes COUNT probe makes the first row per location_id win).
     * `dropDuplicates` is shuffle-order-nondeterministic, so we use an

@@ -19,10 +19,18 @@ object Curation {
   /** @param minQuality     keep docs with quality_score ≥ this
     * @param jaccardThreshold near-dup pairs at/above this lose their
     *                         higher-id member
+    * @param maxPostings    document-frequency cap on near-dup shingle
+    *                       posting lists — the explicit bound that keeps
+    *                       the pairwise stage from going quadratic on a
+    *                       boilerplate shingle at corpus scale
+    * @param verbose        log pruned-shingle counts (what the cap
+    *                       dropped) from the near-dup stage
     */
   def curate(docs: DataFrame, text: String, id: String,
              minQuality: Double = 0.7,
-             jaccardThreshold: Double = 0.3): DataFrame = {
+             jaccardThreshold: Double = 0.3,
+             maxPostings: Long = 5000,
+             verbose: Boolean = false): DataFrame = {
     val kept = TextAnalysis.qualityScore(docs, text)
       .filter(col("quality_score") >= minQuality)
     // persisted: consumed by the near-dup candidate stage AND the final
@@ -31,7 +39,8 @@ object Curation {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val losers = TextDedup
       .ngramJaccardPairs(deduped, text, id, shingleN = 3,
-        threshold = jaccardThreshold)
+        threshold = jaccardThreshold, maxPostings = maxPostings,
+        verbose = verbose)
       .select(col("id_b").as(id)).distinct()
     deduped.join(losers, Seq(id), "left_anti")
       .select(col(id), col("n_words").cast("long").as("n_words"),

@@ -14,7 +14,11 @@ object Pipeline {
 
   /** §3.1 collection run: payloads → decode → normalize (per dialect) →
     * intra-batch dedup (T6) → anti-join existing (T5) → new rows.
-    * One shuffle total (the window dedup); the anti-join broadcasts.
+    * One shuffle total (the window dedup); the anti-join broadcasts the
+    * existing-keys side only while its size estimate fits the broadcast
+    * threshold — the accumulated station table outgrows the driver
+    * eventually, and a pinned broadcast would OOM instead of degrading
+    * to a shuffle join.
     */
   def collect(spark: SparkSession, payloads: Dataset[String],
               dialect: String, existing: DataFrame): DataFrame = {
@@ -28,7 +32,7 @@ object Pipeline {
     // the survivor's remaining fields are shuffle-order-dependent
     val deduped = Dedup.firstSeen(normalized.cache(), Seq("location_id"),
       normalized.columns.filterNot(_ == "location_id").map(col).toSeq)
-    Dedup.newKeysOnly(deduped, existing, "location_id", hintBroadcast = true)
+    Dedup.newKeysOnlyAuto(deduped, existing, "location_id")
   }
 
   /** §3.2 price run: station keys (single-column scan S5) × fuel types

@@ -86,13 +86,49 @@ object JsonIngest {
   def decode(raw: DataFrame, jsonCol: String, schema: StructType): DataFrame =
     raw.withColumn("_parsed", from_json(col(jsonCol), schema))
 
+  /** Strict-dialect helpers: the reference's BP/Mobil DAGs index payloads
+    * with `[]` — a missing key raises KeyError → task failure → retry
+    * (dag_collection_data_from_bp.py:47-56) — while Places uses `.get()`
+    * → silent nulls (dag_collection_data_from_z.py:73-78). `strict=true`
+    * (the BP/Mobil default) mirrors fail-fast: unparseable payloads throw
+    * (FAILFAST decode), a missing envelope or row id throws; a user
+    * relying on "bad BP payload ⇒ run fails loudly" gets exactly that.
+    * `strict=false` gives the Places-style permissive/null policy.
+    */
+  private def jsonOpts(strict: Boolean): Map[String, String] =
+    if (strict) Map("mode" -> "FAILFAST") else Map.empty[String, String]
+
+  /** Null envelope/array from a NON-null payload means the JSON parsed
+    * but the expected structure is absent — the KeyError case. */
+  private def requireOrNull(payload: Column, parsed: Column, what: String): Column =
+    when(payload.isNotNull && parsed.isNull,
+      raise_error(concat(lit(s"strict parse: $what missing in payload "), payload)))
+      .otherwise(parsed)
+
+  /** Fail-on-null-id as a FILTER predicate: a filter changes row counts,
+    * so Catalyst can never prune it away (a check hidden in a projected
+    * column is dropped the moment a downstream count() stops selecting
+    * that column — and then silently stops checking).
+    */
+  private def requireIdPresent(df: DataFrame, dialect: String): DataFrame =
+    df.filter(
+      when(col("location_id").isNull,
+        raise_error(lit(s"strict parse: $dialect row missing location id")))
+        .otherwise(lit(true)))
+
   /** BP dialect: bare array payload → unified schema
-    * (dag_collection_data_from_bp.py:45-57). */
-  def normalizeBp(spark: SparkSession, payloads: Dataset[String]): DataFrame = {
+    * (dag_collection_data_from_bp.py:45-57). Fail-fast by default —
+    * the reference's `[]` indexing semantics. */
+  def normalizeBp(spark: SparkSession, payloads: Dataset[String],
+                  strict: Boolean = true): DataFrame = {
     val rows = payloads.toDF("payload")
-      .select(from_json(col("payload"),
-        org.apache.spark.sql.types.ArrayType(Schemas.bpPayload)).as("rows"))
-    rows.select(explode(col("rows")).as("r")).select(
+      .select(col("payload"), from_json(col("payload"),
+        org.apache.spark.sql.types.ArrayType(Schemas.bpPayload),
+        jsonOpts(strict)).as("rows"))
+    val arr = if (strict)
+      rows.select(requireOrNull(col("payload"), col("rows"), "BP array").as("rows"))
+    else rows.select(col("rows"))
+    val base = arr.select(explode(col("rows")).as("r")).select(
       col("r.id").as("location_id"),
       col("r.site_brand").as("brand_name"),
       col("r.name").as("location_name"),
@@ -103,15 +139,23 @@ object JsonIngest {
       col("r.state").as("state_province"),
       col("r.postcode").as("postal_code"),
       col("r.country_code").as("country"))
-      .filter(col("location_id").isNotNull)
+    if (strict) requireIdPresent(base, "BP")
+    else base.filter(col("location_id").isNotNull)
   }
 
   /** Mobil dialect: `Locations` envelope → unified schema
-    * (dag_collection_data_from_mobil.py:45-64). */
-  def normalizeMobil(spark: SparkSession, payloads: Dataset[String]): DataFrame = {
+    * (dag_collection_data_from_mobil.py:45-64). Fail-fast by default —
+    * the reference's `[]` indexing semantics. */
+  def normalizeMobil(spark: SparkSession, payloads: Dataset[String],
+                     strict: Boolean = true): DataFrame = {
     val parsed = payloads.toDF("payload")
-      .select(from_json(col("payload"), Schemas.mobilEnvelope).as("p"))
-    parsed.select(explode(col("p.Locations")).as("r")).select(
+      .select(col("payload"),
+        from_json(col("payload"), Schemas.mobilEnvelope, jsonOpts(strict)).as("p"))
+    val arr = if (strict)
+      parsed.select(
+        requireOrNull(col("payload"), col("p.Locations"), "Locations envelope").as("rows"))
+    else parsed.select(col("p.Locations").as("rows"))
+    val base = arr.select(explode(col("rows")).as("r")).select(
       col("r.LocationID").as("location_id"),
       col("r.BrandName").as("brand_name"),
       col("r.LocationName").as("location_name"),
@@ -122,7 +166,8 @@ object JsonIngest {
       col("r.StateProvince").as("state_province"),
       col("r.PostalCode").as("postal_code"),
       col("r.Country").as("country"))
-      .filter(col("location_id").isNotNull)
+    if (strict) requireIdPresent(base, "Mobil")
+    else base.filter(col("location_id").isNotNull)
   }
 
   /** Places dialect (Z / Pak'nSave): `results` envelope, nested

@@ -37,13 +37,38 @@ class EdgeCaseSpec extends SparkSpec {
     assert(params == Seq("location_id", "location_id"))
   }
 
-  test("corrupt payloads: normalizers yield no rows, not failures (Places policy)") {
+  test("corrupt payloads, lenient: normalizers yield no rows, not failures (Places policy)") {
     assert(JsonIngest.normalizePlaces(spark,
       spark.createDataset(Seq("this is not json"))).count() == 0)
     assert(JsonIngest.normalizeMobil(spark,
-      spark.createDataset(Seq("""{"WrongKey": []}"""))).count() == 0)
+      spark.createDataset(Seq("""{"WrongKey": []}""")), strict = false).count() == 0)
     assert(JsonIngest.normalizeBp(spark,
-      spark.createDataset(Seq("{}"))).count() == 0)
+      spark.createDataset(Seq("{}")), strict = false).count() == 0)
+  }
+
+  test("corrupt payloads, strict (BP/Mobil default): parse fails loudly (KeyError policy)") {
+    // missing envelope key — the reference's response.json()["Locations"]
+    intercept[Exception] {
+      JsonIngest.normalizeMobil(spark,
+        spark.createDataset(Seq("""{"WrongKey": []}"""))).count()
+    }
+    // unparseable JSON
+    intercept[Exception] {
+      JsonIngest.normalizeBp(spark,
+        spark.createDataset(Seq("this is not json"))).count()
+    }
+    // row present but id key missing — row["id"] KeyError
+    intercept[Exception] {
+      JsonIngest.normalizeBp(spark,
+        spark.createDataset(Seq("""[{"name": "no id here"}]"""))).count()
+    }
+    intercept[Exception] {
+      JsonIngest.normalizeMobil(spark,
+        spark.createDataset(Seq("""{"Locations": [{"BrandName": "Mobil"}]}"""))).count()
+    }
+    // well-formed payloads still parse under strict
+    assert(JsonIngest.normalizeBp(spark,
+      spark.createDataset(Seq(Fixtures.bp))).count() == 1)
   }
 
   test("skew report mean basis includes all keys (regression guard)") {

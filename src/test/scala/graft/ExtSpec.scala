@@ -36,6 +36,19 @@ class ExtSpec extends SparkSpec {
     assert(!j.contains((1L, 3L))) // no shared shingle at all
   }
 
+  test("minhash verified pairs equal the exact jaccard pair set (sf0.001)") {
+    val corpus = spark.read.parquet(s"$sf/documents.parquet")
+    val exact = TextDedup.ngramJaccardPairs(corpus, "text", "doc_id",
+      shingleN = 3, threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val verified = TextDedup.minhashVerifiedPairs(corpus, "text", "doc_id")
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // r=2/b=32 banding has ~0.9999 recall at j>=0.5; on this corpus the
+    // candidate set must cover every exact pair (the oracle relies on it)
+    assert(verified == exact, s"missed: ${exact -- verified}")
+    assert(exact.nonEmpty)
+  }
+
   test("simhash maxHamming=0 finds exact signature matches without blowup") {
     val pairs = TextDedup.simhashPairs(docs, "text", "doc_id", maxHamming = 0)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
@@ -194,8 +207,9 @@ class ExtSpec extends SparkSpec {
     val distinct = r.getAs[Long]("approx_distinct_texts")
     assert(n == docs.count())
     assert(math.abs(distinct - n).toDouble / n < 0.1) // all texts unique
-    val q = r.getAs[scala.collection.Seq[Long]]("n_chars_p50_p95")
-    assert(q.length == 2 && q(0) <= q(1))
+    val p50 = r.getAs[Long]("n_chars_p50")
+    val p95 = r.getAs[Long]("n_chars_p95")
+    assert(p50 > 0 && p50 <= p95)
   }
 
   test("token counts: whitespace and subword regex") {

@@ -31,6 +31,21 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("ReadSchema: struct<l_orderkey:bigint>"), p)
   }
 
+  test("T5 auto: anti-join broadcasts a small existing side, shuffles a large one") {
+    val batch = spark.range(100).selectExpr("id AS location_id")
+    val small = spark.range(10).selectExpr("id AS location_id")
+    val pSmall = graft.op.Dedup.newKeysOnlyAuto(batch, small, "location_id")
+      .queryExecution.explainString(FormattedMode)
+    assert(pSmall.contains("BroadcastHashJoin") && pSmall.contains("LeftAnti"), pSmall)
+    // ~80 MB size estimate — over the 10 MB broadcast threshold, and the
+    // anti-join's build side can't be the batch, so it must shuffle
+    val big = spark.range(10L * 1000 * 1000).selectExpr("id AS location_id")
+    val pBig = graft.op.Dedup.newKeysOnlyAuto(batch, big, "location_id")
+      .queryExecution.explainString(FormattedMode)
+    assert(!pBig.contains("BroadcastHashJoin"), pBig)
+    assert(pBig.contains("SortMergeJoin") || pBig.contains("ShuffledHashJoin"), pBig)
+  }
+
   test("T8/T9: literal fuel side broadcasts for the cross join") {
     val p = planOf("t9_price_formula")
     assert(p.contains("BroadcastNestedLoopJoin"), p)
@@ -86,6 +101,12 @@ class PlanSpec extends SparkSpec {
       nLists = 8, nprobe = 3)
       .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
     assert(ivf == again)
+    // a prebuilt index probes to the same result: the build/probe split
+    // changes where training cost is paid, never the answer
+    val idx = VectorSearch.ivfBuild(emb, "vec_id", "embedding", nLists = 8)
+    val viaIndex = VectorSearch.ivfTopK(idx, q, k = 10, nprobe = 3)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    assert(viaIndex == ivf)
   }
 
   test("curation pipeline removes quality failures, exact dups, and near-dups") {

@@ -26,6 +26,39 @@ class ScaleSpec extends SparkSpec {
     assert(top.getDouble(2) > 5.0)
   }
 
+  test("degenerate corpus: jaccard pairs stay bounded, no array_pairs throw") {
+    // every doc shares one boilerplate shingle ("copyright header footer");
+    // pairs via that shingle alone would be quadratic — the df-prune cap
+    // must drop it and still find the genuine near-dup pair (40/41)
+    val docs = (1 to 40).map { i =>
+      (i.toLong, s"copyright header footer unique$i body$i text$i")
+    } :+ (41L, "copyright header footer unique40 body40 text40 extra")
+    val df = docs.toDF("doc_id", "text")
+    val pairs = graft.ext.TextDedup.ngramJaccardPairs(
+      df, "text", "doc_id", shingleN = 3, threshold = 0.3, maxPostings = 10)
+      .collect()
+    // the boilerplate shingle (df=41 > 10) is pruned, so no quadratic
+    // 41×40/2 pair set; only genuinely-similar pairs remain
+    assert(pairs.length < 50, s"expected bounded pairs, got ${pairs.length}")
+    assert(pairs.exists(r => r.getLong(0) == 40L && r.getLong(1) == 41L),
+      "near-dup pair 40/41 must survive pruning")
+    // audit twin reports exactly the dropped shingle
+    val dropped = graft.ext.TextDedup.overCapShingles(
+      df, "text", "doc_id", shingleN = 3, maxPostings = 10).collect()
+    assert(dropped.length == 1 && dropped.head.getLong(1) == 41L, dropped.toSeq)
+  }
+
+  test("minhash dropped-bucket audit reports over-cap buckets") {
+    // 30 identical docs all collide into the same buckets in every band
+    val df = ((1 to 30).map(i => (i.toLong, "same text in every document here"))
+      :+ (31L, "completely different content nothing shared at all"))
+      .toDF("doc_id", "text")
+    val dropped = graft.ext.TextDedup.minhashDroppedBuckets(
+      df, "text", "doc_id", maxBucket = 10).collect()
+    assert(dropped.nonEmpty)
+    assert(dropped.forall(_.getLong(2) == 30L), dropped.toSeq)
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
