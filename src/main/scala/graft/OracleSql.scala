@@ -146,6 +146,36 @@ object OracleSql {
       FROM s GROUP BY user_id, session_seq
       ORDER BY user_id, session_seq""",
 
+    // independent implementation check: DuckDB's NATIVE ASOF LEFT JOIN
+    // vs our union+window formulation
+    "t_asof_join" ->
+      """WITH p AS (
+        SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase'),
+      c0 AS (
+        SELECT user_id, event_id AS click_id, ts AS click_ts, value AS click_value
+        FROM events WHERE event_type = 'click'),
+      c AS (
+        SELECT user_id, click_id, click_ts, click_value FROM (
+          SELECT *, row_number() OVER (PARTITION BY user_id, click_ts ORDER BY click_id DESC) AS rn
+          FROM c0) WHERE rn = 1)
+      SELECT p.user_id, p.event_id, p.ts AS purchase_ts, c.click_ts,
+        c.click_id AS asof_click_id, c.click_value AS asof_click_value
+      FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.click_ts
+      ORDER BY p.user_id, p.event_id""",
+
+    "ns_stratified_sample" ->
+      """SELECT doc_id, lang, source FROM documents
+      WHERE (doc_id * 2654435761) % 1000 <
+        (CASE lang WHEN 'en' THEN 300.0 WHEN 'zh' THEN 800.0 ELSE 1000.0 END)
+      ORDER BY doc_id""",
+
+    "ns_corpus_mix" ->
+      """SELECT doc_id, lang, CAST(copy AS BIGINT) AS copy FROM (
+        SELECT doc_id, lang,
+          unnest(generate_series(1, CASE lang WHEN 'de' THEN 3 WHEN 'zh' THEN 0 ELSE 1 END)) AS copy
+        FROM documents)
+      ORDER BY doc_id, copy""",
+
     "t_pivot" ->
       """SELECT user_id,
         count(*) FILTER (event_type = 'click') AS click,

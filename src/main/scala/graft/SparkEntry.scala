@@ -188,6 +188,50 @@ object SparkEntry {
         col("total_value"))
       .orderBy("user_id", "session_seq")
 
+  /** As-of join (engine completeness — no reference instance): each
+    * purchase matched to the user's latest prior-or-same-instant click.
+    * The right side is deduped per (user, instant) first so the match is
+    * deterministic in every engine; the oracle uses DuckDB's native
+    * ASOF LEFT JOIN — an independent implementation of the semantics.
+    */
+  private def tAsofJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("ts_us"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"),
+        col("ts_us").as("click_ts"), col("value").as("click_value"))
+    val dedupedClicks = Dedup.lastWriteWins(clicks,
+      Seq("user_id", "click_ts"), Seq(col("click_id")))
+    graft.op.AsofJoin.asof(purchases, dedupedClicks, "user_id",
+      "ts_us", "click_ts", Seq("click_id", "click_value"))
+      .select(col("user_id"), col("event_id"),
+        expr("cast(ts_us as timestamp_ntz)").as("purchase_ts"),
+        expr("cast(asof_time as timestamp_ntz)").as("click_ts"),
+        col("asof_click_id"), col("asof_click_value"))
+      .orderBy("user_id", "event_id")
+  }
+
+  /** Deterministic stratified sampling over the corpus: per-language
+    * keep fractions decided by a portable key hash — reproducible and
+    * oracle-checkable, unlike rand()-based sample().
+    */
+  private def nsStratifiedSample(s: SparkSession, dir: String): DataFrame =
+    graft.ext.Sampling.stratifiedSample(
+      t(s, dir, "documents").select("doc_id", "lang", "source"),
+      "lang", "doc_id", Map("en" -> 0.3, "zh" -> 0.8))
+      .orderBy("doc_id")
+
+  /** Deterministic corpus mixing: integer per-language repeat weights
+    * (de ×3, zh dropped), copy ordinal emitted.
+    */
+  private def nsCorpusMix(s: SparkSession, dir: String): DataFrame =
+    graft.ext.Sampling.mixCorpus(
+      t(s, dir, "documents").select("doc_id", "lang"),
+      "lang", Map("de" -> 3, "zh" -> 0))
+      .select(col("doc_id"), col("lang"), col("copy").cast("long").as("copy"))
+      .orderBy("doc_id", "copy")
+
   /** Pivot (engine completeness): per-user event counts fanned out to
     * one column per event type. Pivot values are pinned so the output
     * schema is stable regardless of which types a partition sees.
@@ -461,6 +505,9 @@ object SparkEntry {
     "t_rollup" -> tRollup,
     "t_pivot" -> tPivot,
     "t_sessionize" -> tSessionize,
+    "t_asof_join" -> tAsofJoin,
+    "ns_stratified_sample" -> nsStratifiedSample,
+    "ns_corpus_mix" -> nsCorpusMix,
     "t12_full_address" -> t12FullAddress,
     "t13_row_to_json" -> t13RowToJson,
     "pipeline_collection" -> pipelineCollection,

@@ -1,0 +1,61 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling and mixture weighting for training-data
+  * assembly.
+  *
+  * Both operators are pure map-side column expressions — zero shuffles,
+  * zero RNG state — because the keep/repeat decision is a deterministic
+  * function of the row's key: the identical sample comes out of every
+  * run, every engine, every partition layout. That is what makes a
+  * 100 TB corpus sample reproducible (and oracle-checkable), where
+  * `df.sample()` / `rand()` is not.
+  */
+object Sampling {
+
+  /** Key hash → bucket in [0, 1000): Knuth multiplicative hash on the
+    * numeric key — the same engine-portable integer arithmetic family
+    * as PriceGen (any ANSI engine computes the identical bucket).
+    * String business keys: map through a numeric surrogate first
+    * (`PriceGen.keyAsNumeric`).
+    */
+  def bucket1000(key: Column): Column =
+    pmod(key * lit(2654435761L), lit(1000L))
+
+  /** Stratified deterministic sampling: keep `fractions(stratum)` of
+    * each stratum (thousandth resolution), decided per row by the key
+    * bucket. Strata absent from the map keep `defaultFraction`.
+    */
+  def stratifiedSample(df: DataFrame, stratum: String, key: String,
+                       fractions: Map[String, Double],
+                       defaultFraction: Double = 1.0): DataFrame = {
+    require((fractions.values.toSeq :+ defaultFraction)
+      .forall(f => f >= 0.0 && f <= 1.0), "fractions in [0, 1]")
+    val frac = fractions.foldLeft(lit(defaultFraction)) {
+      case (acc, (s, f)) => when(col(stratum) === s, lit(f)).otherwise(acc)
+    }
+    df.filter(bucket1000(col(key)) < frac * lit(1000.0))
+  }
+
+  /** Integer-weighted corpus mixing — the deterministic upsampling step
+    * of a training mixture: each row is repeated `weights(stratum)`
+    * times (0 drops the stratum), with a `copy` ordinal so downstream
+    * exact-dedup stages can tell intentional repetition from accidental
+    * duplication. Explode of a generated sequence: map-side, no join.
+    */
+  def mixCorpus(df: DataFrame, stratum: String, weights: Map[String, Int],
+                defaultWeight: Int = 1): DataFrame = {
+    require((weights.values.toSeq :+ defaultWeight).forall(_ >= 0),
+      "weights must be non-negative")
+    val w = weights.foldLeft(lit(defaultWeight)) {
+      case (acc, (s, n)) => when(col(stratum) === s, lit(n)).otherwise(acc)
+    }
+    // sequence(1, 0) would infer step -1 and emit [1, 0] — guard the
+    // zero-weight case to an empty array so those rows drop
+    df.withColumn("copy",
+      explode(when(w >= 1, sequence(lit(1), w))
+        .otherwise(array().cast("array<integer>"))))
+  }
+}

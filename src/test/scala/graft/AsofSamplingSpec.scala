@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ext.Sampling
+import graft.op.AsofJoin
+
+/** As-of join and deterministic sampling/mixing operators. */
+class AsofSamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val trades = Seq(
+    ("a", 100L, 1L), ("a", 205L, 2L), ("b", 150L, 3L), ("c", 90L, 4L))
+    .toDF("sym", "t", "trade_id")
+  private val quotes = Seq(
+    ("a", 90L, 10L, 1.0), ("a", 100L, 11L, 1.1), ("a", 200L, 12L, 1.2),
+    ("b", 160L, 13L, 2.0))
+    .toDF("sym", "qt", "quote_id", "px")
+
+  test("asof backward: latest right <= left time, inclusive; no match -> nulls") {
+    val out = AsofJoin.asof(trades, quotes, "sym", "t", "qt",
+      Seq("quote_id", "px"))
+      .select("sym", "trade_id", "asof_quote_id").collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+    // trade a@100 matches quote 11 (equal time inclusive), a@205 -> 12,
+    // b@150 has no quote at/before 150, c has no quotes at all
+    assert(out == Set(("a", 1L, 11L), ("a", 2L, 12L), ("b", 3L, -1L), ("c", 4L, -1L)))
+  }
+
+  test("asof forward: earliest right >= left time") {
+    val out = AsofJoin.asof(trades, quotes, "sym", "t", "qt",
+      Seq("quote_id"), direction = "forward")
+      .select("sym", "trade_id", "asof_quote_id").collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+    // a@100 -> quote 11 (equal time), a@205 -> none, b@150 -> 13
+    assert(out == Set(("a", 1L, 11L), ("a", 2L, -1L), ("b", 3L, 13L), ("c", 4L, -1L)))
+  }
+
+  test("asof: equal-time right rows resolved by tiebreak, struct kept atomic") {
+    val q2 = Seq(("a", 100L, 20L, 5.0), ("a", 100L, 21L, 6.0))
+      .toDF("sym", "qt", "quote_id", "px")
+    val one = Seq(("a", 100L, 1L)).toDF("sym", "t", "trade_id")
+    val r = AsofJoin.asof(one, q2, "sym", "t", "qt",
+      Seq("quote_id", "px"), rightTiebreak = Some("quote_id")).head()
+    // highest tiebreak wins AND its px comes from the same row
+    assert(r.getAs[Long]("asof_quote_id") == 21L)
+    assert(r.getAs[Double]("asof_px") == 6.0)
+    val fwd = AsofJoin.asof(one, q2, "sym", "t", "qt",
+      Seq("quote_id", "px"), rightTiebreak = Some("quote_id"),
+      direction = "forward").head()
+    // forward: the FIRST right row in scan order = lowest tiebreak
+    assert(fwd.getAs[Long]("asof_quote_id") == 20L)
+    assert(fwd.getAs[Double]("asof_px") == 5.0)
+  }
+
+  test("asof matches a per-key scala model on random-ish data") {
+    val left = (1 to 50).map(i => ((i % 5).toString, (i * 17 % 97).toLong, i.toLong))
+      .toDF("k", "t", "lid")
+    val right = (1 to 40).map(i => ((i % 5).toString, (i * 13 % 89).toLong, (1000 + i).toLong))
+      .toDF("k", "rt", "rid")
+    val deduped = graft.op.Dedup.lastWriteWins(right, Seq("k", "rt"), Seq(col("rid")))
+    val got = AsofJoin.asof(left, deduped, "k", "t", "rt", Seq("rid"))
+      .select("k", "lid", "asof_rid").collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (if (r.isNullAt(2)) None else Some(r.getLong(2)))).toMap
+    val rightRows = deduped.select("k", "rt", "rid").as[(String, Long, Long)]
+      .collect().groupBy(_._1)
+    val leftRows = left.select("k", "t", "lid").as[(String, Long, Long)].collect()
+    leftRows.foreach { case (k, t, lid) =>
+      val expect = rightRows.getOrElse(k, Array.empty)
+        .filter(_._2 <= t).sortBy(r => (r._2, r._3)).lastOption.map(_._3)
+      assert(got((k, lid)) == expect, s"key $k lid $lid")
+    }
+  }
+
+  test("stratified sample: deterministic, fraction 0 drops, 1 keeps all") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "lang")
+    val once = Sampling.stratifiedSample(docs, "lang", "doc_id",
+      Map("en" -> 0.3), defaultFraction = 1.0)
+    val twice = Sampling.stratifiedSample(docs, "lang", "doc_id",
+      Map("en" -> 0.3), defaultFraction = 1.0)
+    assert(once.collect().toSet == twice.collect().toSet)
+    val nEn = docs.filter($"lang" === "en").count()
+    val kept = once.filter($"lang" === "en").count()
+    assert(kept < nEn && kept > 0, s"$kept of $nEn")
+    // non-en strata untouched at default 1.0
+    assert(once.filter($"lang" =!= "en").count() ==
+      docs.filter($"lang" =!= "en").count())
+    assert(Sampling.stratifiedSample(docs, "lang", "doc_id",
+      Map("en" -> 0.0), 1.0).filter($"lang" === "en").count() == 0)
+  }
+
+  test("corpus mix: weights repeat rows with copy ordinals; 0 drops") {
+    val docs = Seq((1L, "de"), (2L, "en"), (3L, "zh")).toDF("doc_id", "lang")
+    val out = Sampling.mixCorpus(docs, "lang", Map("de" -> 3, "zh" -> 0))
+      .select("doc_id", "copy").as[(Long, Int)].collect().toSet
+    assert(out == Set((1L, 1), (1L, 2), (1L, 3), (2L, 1)))
+  }
+}
