@@ -408,6 +408,32 @@ object OracleSql {
       WHERE NOT EXISTS (SELECT 1 FROM losers l WHERE l.id_b = d.doc_id)
       ORDER BY doc_id""",
 
+    // argmax over per-language marker-hit ratios; tie semantics mirror
+    // Spark's greatest(struct(score, lang)): highest score, then highest
+    // lang string. Scores are small-integer ratios -> bit-exact doubles.
+    "ns_lang_id" ->
+      s"""WITH w AS (
+        SELECT doc_id, lang, string_split(lower(trim(text)), ' ') AS words FROM documents),
+      scores AS (
+        SELECT doc_id, lang, 'en' AS cand,
+          CAST(len(list_filter(words, t -> t IN $stopwordsIn)) AS DOUBLE) / len(words) AS score FROM w
+        UNION ALL
+        SELECT doc_id, lang, 'de',
+          CAST(len(list_filter(words, t -> t IN ('der','die','das','und','oder','von','zu','ist','sind','für','auf','mit','als','bei','ein','eine'))) AS DOUBLE) / len(words) FROM w
+        UNION ALL
+        SELECT doc_id, lang, 'es',
+          CAST(len(list_filter(words, t -> t IN ('el','la','los','las','y','o','de','a','en','es','son','para','con','como','por','un','una'))) AS DOUBLE) / len(words) FROM w
+        UNION ALL
+        SELECT doc_id, lang, 'fr',
+          CAST(len(list_filter(words, t -> t IN ('le','la','les','et','ou','de','à','en','est','sont','pour','avec','comme','par','un','une'))) AS DOUBLE) / len(words) FROM w),
+      best AS (
+        SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, cand DESC) AS rn
+        FROM scores)
+      SELECT doc_id, lang,
+        CASE WHEN score > 0 THEN cand ELSE 'und' END AS predicted_lang,
+        score AS lang_score
+      FROM best WHERE rn = 1 ORDER BY doc_id""",
+
     "ns_multimodal_join" ->
       """SELECT d.doc_id, d.lang, d.source, d.n_chars, e.label, CAST(len(e.embedding) AS INT) AS dim
       FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id ORDER BY d.doc_id""")

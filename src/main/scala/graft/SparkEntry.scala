@@ -533,9 +533,12 @@ object SparkEntry {
     "ns_multimodal_features" -> nsMultimodalFeatures)
 
   /** DuckDB twins. Omitted: ns_dedup_minhash / ns_dedup_simhash /
-    * ns_ann_lsh (hash-seeded approximations — Spark-internal xxhash64),
-    * ns_lang_id (argmax-over-profiles, struct-compare semantics),
-    * ns_multimodal_features (stubbed binary decode) → rows-only checks.
+    * ns_ann_lsh / ns_embed_neardup_lsh / ns_ivf_topk (hash- or
+    * training-seeded approximations — recall < 1 by design, each
+    * bounded against its exact twin in specs; minhash additionally has
+    * the oracle-checked `ns_dedup_minhash_verified` form),
+    * ns_sketches (approximate aggregates), ns_multimodal_features
+    * (stubbed binary decode) → rows-only checks.
     */
   def oracleSql: Map[String, String] = OracleSql.all
 }
