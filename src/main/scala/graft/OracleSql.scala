@@ -163,6 +163,30 @@ object OracleSql {
       FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.click_ts
       ORDER BY p.user_id, p.event_id""",
 
+    // the range predicate stated directly — DuckDB's IEJoin is an
+    // independent implementation of the chunked equi-join's semantics
+    "t_range_join" ->
+      """WITH e AS (
+        SELECT user_id, event_id AS error_id, epoch_us(ts) AS t
+        FROM events WHERE event_type = 'error'),
+      p AS (
+        SELECT user_id, event_id AS purchase_id, epoch_us(ts) AS pt
+        FROM events WHERE event_type = 'purchase')
+      SELECT e.user_id, e.error_id, p.purchase_id, e.t - p.pt AS delta_us
+      FROM e JOIN p ON e.user_id = p.user_id
+        AND e.t BETWEEN p.pt - 1800000000 AND p.pt + 1800000000
+      ORDER BY e.user_id, error_id, purchase_id""",
+
+    "ns_tfidf" ->
+      """WITH toks AS (
+        SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS term
+        FROM documents),
+      tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+      dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1)
+      SELECT tf.doc_id, tf.term, tf.tf, dfreq.df
+      FROM tf JOIN dfreq USING (term)
+      ORDER BY doc_id, term""",
+
     "ns_stratified_sample" ->
       """SELECT doc_id, lang, source FROM documents
       WHERE (doc_id * 2654435761) % 1000 <

@@ -232,6 +232,36 @@ object SparkEntry {
       .select(col("doc_id"), col("lang"), col("copy").cast("long").as("copy"))
       .orderBy("doc_id", "copy")
 
+  /** Range (point-in-interval) join: errors within ±30 min of a
+    * purchase by the same user — chunked equi-join formulation, never a
+    * nested loop; the oracle states the predicate as a plain BETWEEN
+    * inequality join (DuckDB IEJoin), an independent implementation.
+    */
+  private def tRangeJoin(s: SparkSession, dir: String): DataFrame = {
+    val halfWin = 1800000000L // 30 min in µs
+    val ev = Tables.events(s, dir)
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("user_id"), col("event_id").as("error_id"),
+        unix_micros(col("ts_us")).as("t"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        (unix_micros(col("ts_us")) - halfWin).as("w_start"),
+        (unix_micros(col("ts_us")) + halfWin).as("w_end"))
+    graft.op.RangeJoin.pointInInterval(errors, purchases,
+      "t", "w_start", "w_end", chunkWidth = halfWin, keys = Seq("user_id"))
+      .select(col("user_id"), col("error_id"), col("purchase_id"),
+        (col("t") - (col("w_start") + halfWin)).as("delta_us"))
+      .orderBy("user_id", "error_id", "purchase_id")
+  }
+
+  /** TF-IDF term stats (exact tf/df columns — the ln() product is
+    * engine-local and excluded from the hash check).
+    */
+  private def nsTfidf(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.tfidf(t(s, dir, "documents"), "text", "doc_id")
+      .select(col("doc").as("doc_id"), col("term"), col("tf"), col("df"))
+      .orderBy("doc_id", "term")
+
   /** Pivot (engine completeness): per-user event counts fanned out to
     * one column per event type. Pivot values are pinned so the output
     * schema is stable regardless of which types a partition sees.
@@ -506,6 +536,8 @@ object SparkEntry {
     "t_pivot" -> tPivot,
     "t_sessionize" -> tSessionize,
     "t_asof_join" -> tAsofJoin,
+    "t_range_join" -> tRangeJoin,
+    "ns_tfidf" -> nsTfidf,
     "ns_stratified_sample" -> nsStratifiedSample,
     "ns_corpus_mix" -> nsCorpusMix,
     "t12_full_address" -> t12FullAddress,

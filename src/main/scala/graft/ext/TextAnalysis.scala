@@ -63,6 +63,28 @@ object TextAnalysis {
       .groupBy("token").agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("token")).limit(k)
 
+  /** Per-(doc, term) TF-IDF over whitespace tokens: tf = in-document
+    * term count, df = number of documents containing the term,
+    * tfidf = tf · (ln((N+1)/(df+1)) + 1) (smoothed). Two partial-agg
+    * shuffles (per-doc term counts, then per-term doc frequency) plus a
+    * broadcast of the single-row corpus count — at 100 TB the df table
+    * is the only corpus-wide state and it is one row per distinct term.
+    * tf/df are exact integers (the oracle checks those); the tfidf
+    * double carries engine-local ln().
+    */
+  def tfidf(df: DataFrame, text: String, id: String): DataFrame = {
+    val toks = df.select(col(id).as("doc"),
+      explode(split(lower(trim(col(text))), "\\s+")).as("term"))
+    val tf = toks.groupBy("doc", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val nDocs = df.agg(count(lit(1)).as("n_docs"))
+    tf.join(dfreq, Seq("term"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("tfidf", col("tf") *
+        (log((col("n_docs") + 1).cast("double") / (col("df") + 1)) + 1))
+      .select(col("doc"), col("term"), col("tf"), col("df"), col("tfidf"))
+  }
+
   /** Language ID, n-gram/stopword-profile heuristic: score each language
     * by the fraction of tokens hitting its marker list; argmax wins,
     * 'und' (undetermined) when nothing scores. Profiles are tiny and

@@ -98,4 +98,66 @@ class AsofSamplingSpec extends SparkSpec {
       .select("doc_id", "copy").as[(Long, Int)].collect().toSet
     assert(out == Set((1L, 1), (1L, 2), (1L, 3), (2L, 1)))
   }
+
+  test("range join equals the naive inequality join; bounds inclusive") {
+    val pts = (1 to 60).map(i => ((i % 4).toLong, i.toLong * 7 % 101, i.toLong))
+      .toDF("k", "t", "pid")
+    val ivs = (1 to 25).map { i =>
+      val s = (i.toLong * 11) % 90; ((i % 4).toLong, s, s + (i % 13), 100L + i)
+    }.toDF("k", "s", "e", "iid")
+    val chunked = graft.op.RangeJoin.pointInInterval(
+      pts, ivs, "t", "s", "e", chunkWidth = 8, keys = Seq("k"))
+      .select("k", "pid", "iid").as[(Long, Long, Long)].collect().toSet
+    val naive = pts.join(ivs, Seq("k"))
+      .filter($"t" >= $"s" && $"t" <= $"e")
+      .select("k", "pid", "iid").as[(Long, Long, Long)].collect().toSet
+    assert(chunked == naive, s"diff: ${(chunked diff naive) ++ (naive diff chunked)}")
+    assert(naive.nonEmpty)
+    // boundary inclusivity both ends
+    val b = graft.op.RangeJoin.pointInInterval(
+      Seq((1L, 10L, 1L), (1L, 20L, 2L), (1L, 21L, 3L)).toDF("k", "t", "pid"),
+      Seq((1L, 10L, 20L, 9L)).toDF("k", "s", "e", "iid"),
+      "t", "s", "e", chunkWidth = 4, keys = Seq("k"))
+      .select("pid").as[Long].collect().toSet
+    assert(b == Set(1L, 2L))
+  }
+
+  test("range join fails loudly on an interval spanning too many chunks") {
+    val pts = Seq((1L, 5L, 1L)).toDF("k", "t", "pid")
+    val huge = Seq((1L, 0L, 10000L, 9L)).toDF("k", "s", "e", "iid")
+    intercept[Exception] {
+      graft.op.RangeJoin.pointInInterval(pts, huge, "t", "s", "e",
+        chunkWidth = 1, keys = Seq("k"), maxChunks = 100).count()
+    }
+  }
+
+  test("tfidf: exact tf/df and smoothed weight on a tiny corpus") {
+    val docs = Seq((1L, "a b a"), (2L, "a c"), (3L, "d d d")).toDF("doc_id", "text")
+    val out = graft.ext.TextAnalysis.tfidf(docs, "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(out((1L, "a"))._1 == 2 && out((1L, "a"))._2 == 2)
+    assert(out((2L, "c"))._1 == 1 && out((2L, "c"))._2 == 1)
+    assert(out((3L, "d"))._1 == 3 && out((3L, "d"))._2 == 1)
+    // smoothed idf: tf * (ln((N+1)/(df+1)) + 1), N = 3
+    val expect = 2.0 * (math.log(4.0 / 3.0) + 1)
+    assert(math.abs(out((1L, "a"))._3 - expect) < 1e-12)
+  }
+
+  test("plan shapes: sampling/mixing shuffle-free, asof exactly one shuffle") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "lang")
+    val sPlan = Sampling.stratifiedSample(docs, "lang", "doc_id",
+      Map("en" -> 0.5)).queryExecution.executedPlan.toString
+    assert(!sPlan.contains("Exchange"), sPlan)
+    val mPlan = Sampling.mixCorpus(docs, "lang", Map("de" -> 2))
+      .queryExecution.executedPlan.toString
+    assert(!mPlan.contains("Exchange"), mPlan)
+    // as-of: union of both sides, ONE hash shuffle on the key for the
+    // window pass — never a per-key range explosion or a sort-merge pair
+    val aPlan = AsofJoin.asof(trades, quotes, "sym", "t", "qt", Seq("px"))
+      .queryExecution.executedPlan.toString
+    val nExchanges = "Exchange hashpartitioning".r.findAllIn(aPlan).size
+    assert(nExchanges == 1, s"expected 1 hash exchange, got $nExchanges:\n$aPlan")
+  }
 }
