@@ -109,21 +109,29 @@ object Sinks {
   }
 
   /** S8 + S11 — distributed JDBC upsert: Spark has no MERGE-to-JDBC, so
-    * each partition opens one connection, addBatch()es the upsert
-    * statement, and commits once per partition (S11's batch-commit
-    * semantics; rollback + rethrow on failure like
-    * dag_collection_data_from_mobil.py:88-92).
+    * each partition opens one connection and addBatch()es the upsert
+    * statement in `batchSize` chunks, one transaction per chunk with a
+    * bounded retry (rollback → backoff → re-run the chunk). Upserts are
+    * idempotent per (key, version), so a chunk retry — or a whole
+    * Spark task retry — converges to the same final table; that is what
+    * makes retries safe where plain INSERTs would double rows. The
+    * retry absorbs transient serialization/lock conflicts that
+    * concurrent writers hit on any MVCC engine (and embedded Derby's
+    * internal latch errors in tests); non-transient failures roll back
+    * and rethrow like dag_collection_data_from_mobil.py:88-92.
     *
     * IMPORTANT at scale: dedup the batch on the conflict key first
     * (Dedup.lastWriteWins) so concurrent partitions never race on the
-    * same key, and repartition by the key so retries are idempotent per
-    * partition.
+    * same key, and repartition by the key so chunk transactions from
+    * different executors touch disjoint key ranges.
     */
   def jdbcUpsert(df: DataFrame, url: String, table: String,
                  conflictKeys: Seq[String],
                  props: java.util.Properties = new java.util.Properties,
                  batchSize: Int = 1000,
-                 dialect: UpsertDialect = postgresDialect): Unit = {
+                 dialect: UpsertDialect = postgresDialect,
+                 maxRetries: Int = 3,
+                 retryDelayMs: Long = 200): Unit = {
     val columns = df.schema.fieldNames.toSeq
     val (sql, paramCols) = dialect(table, columns, conflictKeys)
     val paramIdx = paramCols.map(columns.indexOf).toArray
@@ -133,24 +141,34 @@ object Sinks {
         val conn = java.sql.DriverManager.getConnection(url, props)
         try {
           conn.setAutoCommit(false)
-          val st = conn.prepareStatement(sql)
-          var n = 0
-          rows.foreach { r =>
-            paramIdx.zipWithIndex.foreach { case (ci, p) =>
-              val v = r.get(ci)
-              schema(ci).dataType match {
-                case DateType => st.setDate(p + 1, v.asInstanceOf[java.sql.Date])
-                case _ => st.setObject(p + 1, v)
-              }
+          rows.grouped(batchSize).foreach { chunk =>
+            var attempt = 0
+            var done = false
+            while (!done) {
+              val st = conn.prepareStatement(sql)
+              try {
+                chunk.foreach { r =>
+                  paramIdx.zipWithIndex.foreach { case (ci, p) =>
+                    val v = r.get(ci)
+                    schema(ci).dataType match {
+                      case DateType => st.setDate(p + 1, v.asInstanceOf[java.sql.Date])
+                      case _ => st.setObject(p + 1, v)
+                    }
+                  }
+                  st.addBatch()
+                }
+                st.executeBatch()
+                conn.commit()
+                done = true
+              } catch {
+                case e: java.sql.SQLException if attempt < maxRetries =>
+                  conn.rollback()
+                  attempt += 1
+                  Thread.sleep(retryDelayMs * attempt)
+                case e: Throwable => conn.rollback(); throw e
+              } finally st.close()
             }
-            st.addBatch()
-            n += 1
-            if (n % batchSize == 0) st.executeBatch()
           }
-          st.executeBatch()
-          conn.commit()
-        } catch {
-          case e: Throwable => conn.rollback(); throw e
         } finally conn.close()
       }
     }

@@ -68,6 +68,51 @@ object EventStream {
       }
   }
 
+  final case class AsofRef(t: Long, refId: Long, refValue: Double)
+  final case class AsofIn(key: String, t: Long, side: Int, id: Long, value: Double)
+  final case class AsofOut(key: String, id: Long, t: Long,
+                           ref_id: Option[Long], ref_t: Option[Long],
+                           ref_value: Option[Double])
+
+  /** Streaming as-of enrichment — the incremental twin of
+    * `op.AsofJoin.asof` (backward): one keyed stream carries both sides
+    * (side 0 = reference rows, e.g. quotes; side 1 = probe rows, e.g.
+    * trades); each probe row is emitted with the latest reference row
+    * at-or-before its time. State is O(1) per key — only the reference
+    * high-water row is kept, the monotone-state pattern shared with
+    * `lastWriteWinsStream`: a late micro-batch carrying an older
+    * reference row cannot clobber newer state.
+    *
+    * Within a micro-batch rows are processed in (t, side, id) order, so
+    * in-order streams reproduce the batch operator exactly (inclusive
+    * same-instant match, highest-id tiebreak). Probe rows older than
+    * the kept reference (late beyond the O(1) state horizon) emit an
+    * unmatched row rather than a wrong one — a full late-data replay is
+    * a batch `AsofJoin` over the historical table, not streaming state.
+    */
+  def streamingAsof(spark: SparkSession, tagged: DataFrame) = {
+    import spark.implicits._
+    tagged.as[AsofIn].groupByKey(_.key)
+      .flatMapGroupsWithState[AsofRef, AsofOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (key, rows, state: GroupState[AsofRef]) =>
+          var ref = state.getOption
+          val out = Vector.newBuilder[AsofOut]
+          rows.toSeq.sortBy(e => (e.t, e.side, e.id)).foreach { e =>
+            if (e.side == 0) {
+              if (ref.forall(r => r.t < e.t || (r.t == e.t && r.refId < e.id)))
+                ref = Some(AsofRef(e.t, e.id, e.value))
+            } else {
+              val m = ref.filter(_.t <= e.t)
+              out += AsofOut(key, e.id, e.t,
+                m.map(_.refId), m.map(_.t), m.map(_.refValue))
+            }
+          }
+          ref.foreach(state.update)
+          out.result().iterator
+      }
+  }
+
   /** Streaming key dedup — the incremental form of the reference's
     * T5/T6 "insert only if unseen" (the anti-join against all history
     * becomes watermarked streaming state): each key is emitted once;

@@ -156,6 +156,31 @@ class StreamingSpec extends SparkSpec {
     assert(last._2 == 2L)
   }
 
+  test("streaming asof enriches probes with latest reference row across batches") {
+    val dir = java.nio.file.Files.createTempDirectory("evasof").toString
+    // batch 1: a reference row then a probe after it (same micro-batch)
+    Seq(("k1", 10L, 0, 100L, 1.5), ("k1", 15L, 1, 1L, 0.0))
+      .toDF("key", "t", "side", "id", "value")
+      .write.parquet(dir + "/f1")
+    Thread.sleep(1100)
+    // batch 2: a probe relying on carried state, and a too-late probe
+    Seq(("k1", 20L, 1, 2L, 0.0), ("k1", 5L, 1, 3L, 0.0))
+      .toDF("key", "t", "side", "id", "value")
+      .write.parquet(dir + "/f2")
+    val stream = spark.readStream
+      .schema("key string, t bigint, side int, id bigint, value double")
+      .option("maxFilesPerTrigger", "1").parquet(dir + "/*")
+    val enriched = EventStream.streamingAsof(spark, stream)
+    EventStream.runAvailableNow(enriched.toDF(), "sasof",
+      org.apache.spark.sql.streaming.OutputMode.Append)
+    val out = spark.sql("select id, ref_id, ref_value from sasof")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some((r.getLong(1), r.getDouble(2))))).toMap
+    assert(out(1L).contains((100L, 1.5))) // same-batch match
+    assert(out(2L).contains((100L, 1.5))) // state carried across batches
+    assert(out(3L).isEmpty) // probe older than kept reference: unmatched
+  }
+
   test("stateful last-write-wins stream merges to latest value per key") {
     val dir = java.nio.file.Files.createTempDirectory("evstream2").toString
     Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 00:01:00"), 7L, "price", 10.0, "{}"),
