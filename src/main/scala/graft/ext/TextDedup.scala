@@ -242,18 +242,22 @@ object TextDedup {
       .select(col("doc"), explode(col("sh")).as("sh"))
     // df-prune with a window count: ONE shuffle on sh (vs the two a
     // groupBy+join would pay), and the resulting sh-partitioning is
-    // reused by the posting-list groupBy below. Persisted pre-filter so
-    // the truncation report reads the cache, not a recompute.
+    // reused by the posting-list groupBy below. Persisted post-filter
+    // (with the count kept) so both consumers read the cache.
     val counted = sh.withColumn("_pf",
       count(lit(1)).over(Window.partitionBy("sh")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     if (verbose) logPrunedShingles(counted, maxPostings)
-    val pruned = counted.filter(col("_pf") <= maxPostings).drop("_pf")
+    val pruned = counted.filter(col("_pf") <= maxPostings)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = pruned.groupBy("doc").agg(count(lit(1)).as("nsh"))
     // candidate pairs by grouping each shingle's posting list and
     // exploding its ordered pairs natively — one shuffle of the posting
-    // lists instead of the two a self-join pays
-    val inter = pruned.groupBy("sh")
+    // lists instead of the two a self-join pays. Shingles appearing in
+    // a single document (the vast majority of a real corpus) cannot
+    // produce a pair — drop them before the collect, which shrinks the
+    // posting-list aggregation to the shared-shingle minority.
+    val inter = pruned.filter(col("_pf") >= 2).drop("_pf")
+      .groupBy("sh")
       .agg(collect_list(col("doc")).as("docs"))
       .select(explode(
         graft.functions.VectorExpressions.array_pairs(col("docs"))).as("p"))
