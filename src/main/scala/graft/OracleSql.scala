@@ -322,6 +322,41 @@ object OracleSql {
       WHERE CAST(inter AS DOUBLE) / (sa.nsh + sb.nsh - inter) >= 0.5
       ORDER BY id_a, id_b""",
 
+    // connected components by transitive closure (recursive CTE) — an
+    // independent implementation of the Spark side's iterative min-label
+    // propagation over the same pair graph
+    "ns_dedup_clusters" ->
+      """WITH RECURSIVE toks AS (
+        SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w,
+               generate_subscripts(string_split(lower(text), ' '), 1) AS pos
+        FROM documents),
+      sh0 AS (
+        SELECT doc_id, w || ' ' || lead(w) OVER (PARTITION BY doc_id ORDER BY pos)
+               || ' ' || lead(w, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS sh
+        FROM toks),
+      sh AS (
+        SELECT DISTINCT doc_id, sh FROM sh0 WHERE sh IS NOT NULL
+        UNION
+        SELECT doc_id, lower(text) FROM documents
+        WHERE len(string_split(lower(text), ' ')) < 3),
+      sizes AS (SELECT doc_id, count(*) AS nsh FROM sh GROUP BY 1),
+      inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+        FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+      pairs AS (
+        SELECT id_a, id_b FROM inter
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE CAST(inter AS DOUBLE) / (sa.nsh + sb.nsh - inter) >= 0.12),
+      edges AS (SELECT id_a AS a, id_b AS b FROM pairs UNION SELECT id_b, id_a FROM pairs),
+      reach AS (
+        SELECT a AS node, b AS r FROM edges
+        UNION
+        SELECT reach.node, edges.b FROM reach JOIN edges ON reach.r = edges.a),
+      lbl AS (SELECT node, least(node, min(r)) AS cluster FROM reach GROUP BY node)
+      SELECT node AS doc_id, cluster FROM lbl ORDER BY doc_id""",
+
     "ns_embed_neardup" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
         round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS cosine_r

@@ -393,6 +393,18 @@ object SparkEntry {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard_r"))
       .orderBy("id_a", "id_b")
 
+  /** Near-dup clusters: connected components over the exact-jaccard
+    * pair graph — each doc in a pair labeled with its component's
+    * smallest id. Oracle = DuckDB recursive-CTE transitive closure, an
+    * independent implementation of the same reachability semantics.
+    */
+  private def nsDedupClusters(s: SparkSession, dir: String): DataFrame =
+    TextDedup.nearDupClusters(
+      TextDedup.ngramJaccardPairs(t(s, dir, "documents"), "text", "doc_id",
+        shingleN = 3, threshold = 0.12))
+      .select(col("doc").as("doc_id"), col("cluster"))
+      .orderBy("doc_id")
+
   private def nsDedupSimhash(s: SparkSession, dir: String): DataFrame =
     TextDedup.simhashPairs(t(s, dir, "documents"), "text", "doc_id",
       maxHamming = 7)
@@ -549,6 +561,7 @@ object SparkEntry {
     "ns_dedup_ngram_jaccard" -> nsDedupNgramJaccard,
     "ns_dedup_minhash" -> nsDedupMinhash,
     "ns_dedup_minhash_verified" -> nsDedupMinhashVerified,
+    "ns_dedup_clusters" -> nsDedupClusters,
     "ns_dedup_simhash" -> nsDedupSimhash,
     "ns_embed_neardup" -> nsEmbedNearDup,
     "ns_embed_neardup_lsh" -> nsEmbedNearDupLsh,

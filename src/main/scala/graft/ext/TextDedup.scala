@@ -326,6 +326,58 @@ object TextDedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Connected components over an undirected near-dup pair list
+    * (id_a, id_b) — the clustering step that turns pairwise similarity
+    * into groups: every node is labeled with the smallest id reachable
+    * through the pair graph, so "keep one doc per cluster" becomes a
+    * filter on `doc === cluster`.
+    *
+    * Iterative min-label propagation: each round every node takes the
+    * min of its own label and its neighbors' labels; converges in
+    * O(graph diameter) rounds, and near-dup graphs are shallow (most
+    * components are pairs/triangles). Each round is one join + one
+    * aggregation; the convergence check is a distributed count, not a
+    * collect. At extreme scale swap in the large-star/small-star
+    * variant — same join shape, fewer rounds on adversarial chains;
+    * `maxIterations` fails loudly rather than looping forever.
+    *
+    * Only nodes that appear in `pairs` are labeled (singletons never
+    * entered the graph).
+    */
+  def nearDupClusters(pairs: DataFrame, maxIterations: Int = 50): DataFrame = {
+    val edges = pairs
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var iter = 0
+    var converged = false
+    while (!converged) {
+      if (iter >= maxIterations) throw new IllegalStateException(
+        s"nearDupClusters: no convergence in $maxIterations rounds — " +
+          "pathological chain; use a star-contraction variant")
+      val neighborMin = edges
+        .join(labels.select(col("node").as("dst"), col("label").as("_nl")), Seq("dst"))
+        .groupBy(col("src").as("node")).agg(min(col("_nl")).as("_nmin"))
+      val updated = labels
+        .join(neighborMin, Seq("node"), "left")
+        .select(col("node"),
+          least(col("label"), coalesce(col("_nmin"), col("label"))).as("label"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val changed = updated
+        .join(labels.select(col("node"), col("label").as("_old")), Seq("node"))
+        .filter(col("label") =!= col("_old")).count()
+      labels.unpersist()
+      labels = updated
+      converged = changed == 0
+      iter += 1
+    }
+    edges.unpersist()
+    labels.select(col("node").as("doc"), col("label").as("cluster"))
+  }
+
   /** Embedding-cosine near-duplicates: exact pairs above a threshold.
     * This exact form is the per-candidate verification kernel; at corpus
     * scale generate candidates first with VectorSearch.lshBuckets and

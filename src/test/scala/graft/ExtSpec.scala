@@ -36,6 +36,18 @@ class ExtSpec extends SparkSpec {
     assert(!j.contains((1L, 3L))) // no shared shingle at all
   }
 
+  test("near-dup clusters: connected components labeled by min id") {
+    // components: {1,2,3,9} via chain 1-2, 2-3, 3-9; {5,7}; {10,11,12} star
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 9L), (5L, 7L),
+      (10L, 11L), (10L, 12L)).toDF("id_a", "id_b")
+    val out = TextDedup.nearDupClusters(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 9L -> 1L,
+      5L -> 5L, 7L -> 5L, 10L -> 10L, 11L -> 10L, 12L -> 10L))
+    // keep-one-per-cluster = filter doc === cluster
+    assert(out.count { case (d, c) => d == c } == 3)
+  }
+
   test("minhash verified pairs equal the exact jaccard pair set (sf0.001)") {
     val corpus = spark.read.parquet(s"$sf/documents.parquet")
     val exact = TextDedup.ngramJaccardPairs(corpus, "text", "doc_id",
