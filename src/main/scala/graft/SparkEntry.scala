@@ -330,8 +330,7 @@ object SparkEntry {
     val batch = stations.filter(col("event_id") % 2 === 1)
     val existing = stations.filter(col("event_id") % 2 === 0)
     val deduped = Dedup.firstSeen(batch, Seq("location_id"), Seq(col("event_id")))
-    val fresh = Dedup.newKeysOnly(deduped, existing, "location_id",
-      hintBroadcast = true)
+    val fresh = Dedup.newKeysOnlyAuto(deduped, existing, "location_id")
     fresh.groupBy("brand_name")
       .agg(count(lit(1)).as("n_stations"),
         countDistinct(col("city")).as("n_cities"))

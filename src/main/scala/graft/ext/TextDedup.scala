@@ -345,15 +345,29 @@ object TextDedup {
     * entered the graph).
     */
   def nearDupClusters(pairs: DataFrame, maxIterations: Int = 50): DataFrame = {
-    val edges = pairs
-      .select(col("id_a").as("src"), col("id_b").as("dst"))
-      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // persist the INPUT pair plan: the union below reads it twice, and
+    // the pair generation (a whole similarity query) must not run twice
+    val p0 = pairs.select(col("id_a"), col("id_b")).persist(lvl)
+    // the pair graph is orders of magnitude smaller than the corpus —
+    // size the round partitioning to the graph, not the session default,
+    // so a small graph's rounds are single-task jobs
+    val nEdges = 2L * p0.count()
+    val p = math.max(1, math.min((nEdges / 2000000L + 1).toInt, 200))
+    val edges = p0.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(p0.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .repartition(p, col("dst")).persist(lvl)
+    edges.count()
+    p0.unpersist()
     var labels = edges.select(col("src").as("node")).distinct()
       .withColumn("label", col("node"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(lvl)
     var iter = 0
     var converged = false
+    // labels are monotone non-increasing, so the sum of labels strictly
+    // decreases on any change — one aggregate per round is a complete
+    // convergence test (no join against the previous round needed)
+    var prevSum: java.math.BigDecimal = null
     while (!converged) {
       if (iter >= maxIterations) throw new IllegalStateException(
         s"nearDupClusters: no convergence in $maxIterations rounds — " +
@@ -365,13 +379,13 @@ object TextDedup {
         .join(neighborMin, Seq("node"), "left")
         .select(col("node"),
           least(col("label"), coalesce(col("_nmin"), col("label"))).as("label"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val changed = updated
-        .join(labels.select(col("node"), col("label").as("_old")), Seq("node"))
-        .filter(col("label") =!= col("_old")).count()
+        .persist(lvl)
+      val newSum = updated
+        .agg(sum(col("label")).cast("decimal(38,0)")).head().getDecimal(0)
       labels.unpersist()
       labels = updated
-      converged = changed == 0
+      converged = prevSum != null && newSum.compareTo(prevSum) == 0
+      prevSum = newSum
       iter += 1
     }
     edges.unpersist()

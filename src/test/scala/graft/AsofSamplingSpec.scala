@@ -159,5 +159,13 @@ class AsofSamplingSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     val nExchanges = "Exchange hashpartitioning".r.findAllIn(aPlan).size
     assert(nExchanges == 1, s"expected 1 hash exchange, got $nExchanges:\n$aPlan")
+    // range join: the chunked formulation must plan as a HASH join on
+    // (keys, chunk) — the naive BETWEEN predicate would be a nested loop
+    val rPlan = graft.op.RangeJoin.pointInInterval(
+      trades.withColumnRenamed("t", "pt"), quotes, "pt", "qt", "qt",
+      chunkWidth = 8, keys = Seq("sym"))
+      .queryExecution.executedPlan.toString
+    assert(!rPlan.contains("NestedLoop") && !rPlan.contains("Cartesian"), rPlan)
+    assert(rPlan.contains("HashJoin") || rPlan.contains("SortMergeJoin"), rPlan)
   }
 }

@@ -158,15 +158,18 @@ class StreamingSpec extends SparkSpec {
 
   test("streaming asof enriches probes with latest reference row across batches") {
     val dir = java.nio.file.Files.createTempDirectory("evasof").toString
-    // batch 1: a reference row then a probe after it (same micro-batch)
+    // batch 1: a reference row then a probe after it (same micro-batch).
+    // coalesce(1): one parquet file per logical batch, or
+    // maxFilesPerTrigger=1 would split rows across micro-batches in
+    // file-listing order
     Seq(("k1", 10L, 0, 100L, 1.5), ("k1", 15L, 1, 1L, 0.0))
       .toDF("key", "t", "side", "id", "value")
-      .write.parquet(dir + "/f1")
+      .coalesce(1).write.parquet(dir + "/f1")
     Thread.sleep(1100)
     // batch 2: a probe relying on carried state, and a too-late probe
     Seq(("k1", 20L, 1, 2L, 0.0), ("k1", 5L, 1, 3L, 0.0))
       .toDF("key", "t", "side", "id", "value")
-      .write.parquet(dir + "/f2")
+      .coalesce(1).write.parquet(dir + "/f2")
     val stream = spark.readStream
       .schema("key string, t bigint, side int, id bigint, value double")
       .option("maxFilesPerTrigger", "1").parquet(dir + "/*")
