@@ -23,8 +23,12 @@ object Bench {
         org.apache.spark.sql.expressions.Window
           .partitionBy("r_regionkey").orderBy("n_nationkey")))
       .filter("rn = 1").write.format("noop").mode("overwrite").save()
-    // index construction is an offline, amortized step — build it before
-    // the timed loop so ns_ivf_topk measures probing
+    // index TRAINING (the KMeans fit) is an offline, amortized step —
+    // build before the timed loop so ns_ivf_topk never pays it. The
+    // per-query clearCache below does evict the persisted assignment,
+    // so the timed probe still includes one map-side re-assignment scan
+    // (cheap and honest: a cold cluster reading the index from storage
+    // pays the same scan).
     SparkEntry.warmupIndexes(spark, sfDir)
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()

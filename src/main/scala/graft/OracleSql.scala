@@ -22,6 +22,44 @@ object OracleSql {
   private val stopwordsIn =
     "('the','a','an','and','or','of','to','in','is','are','was','for','on','with','as','by','at','it')"
 
+  /** Shared n-gram jaccard CTE chain over `src` rows (doc_id, text):
+    * tokens → 3-gram shingles (whole-text fallback under 3 words) →
+    * sizes + pairwise intersections. `pruned = true` mirrors
+    * TextDedup.ngramJaccardPairs' default document-frequency cap
+    * (maxPostings = 5000) so the oracle and the engine stay equal on
+    * corpora where a boilerplate shingle exceeds the cap — not only at
+    * test scale where the cap is a no-op. `pruned = false` is the full
+    * shingle universe, which is what minhashVerifiedPairs verifies
+    * against.
+    */
+  private def jaccardCtes(src: String, pruned: Boolean): String = {
+    val shSrc = if (pruned) "shp" else "sh"
+    s"""toks AS (
+        SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w,
+               generate_subscripts(string_split(lower(text), ' '), 1) AS pos
+        FROM $src),
+      sh0 AS (
+        SELECT doc_id, w || ' ' || lead(w) OVER (PARTITION BY doc_id ORDER BY pos)
+               || ' ' || lead(w, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS sh
+        FROM toks),
+      sh AS (
+        SELECT DISTINCT doc_id, sh FROM sh0 WHERE sh IS NOT NULL
+        UNION
+        SELECT doc_id, lower(text) FROM $src
+        WHERE len(string_split(lower(text), ' ')) < 3),""" +
+      (if (pruned) """
+      shp AS (
+        SELECT doc_id, sh FROM sh
+        WHERE sh IN (SELECT sh FROM sh GROUP BY sh HAVING count(*) <= 5000)),"""
+      else "") +
+      s"""
+      sizes AS (SELECT doc_id, count(*) AS nsh FROM $shSrc GROUP BY 1),
+      inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+        FROM $shSrc a JOIN $shSrc b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        GROUP BY 1, 2)"""
+  }
+
   val all: Map[String, String] = Map(
     "s1_ingest_dialects" ->
       """SELECT * FROM (VALUES
@@ -189,8 +227,8 @@ object OracleSql {
 
     "ns_stratified_sample" ->
       """SELECT doc_id, lang, source FROM documents
-      WHERE (doc_id * 2654435761) % 1000 <
-        (CASE lang WHEN 'en' THEN 300.0 WHEN 'zh' THEN 800.0 ELSE 1000.0 END)
+      WHERE ((doc_id % 1000000007) * 2654435761) % 1000 <
+        (CASE lang WHEN 'en' THEN 300 WHEN 'zh' THEN 800 ELSE 1000 END)
       ORDER BY doc_id""",
 
     "ns_corpus_mix" ->
@@ -265,24 +303,7 @@ object OracleSql {
         FROM hashed) WHERE rn = 1 ORDER BY doc_id""",
 
     "ns_dedup_ngram_jaccard" ->
-      """WITH toks AS (
-        SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w,
-               generate_subscripts(string_split(lower(text), ' '), 1) AS pos
-        FROM documents),
-      sh0 AS (
-        SELECT doc_id, w || ' ' || lead(w) OVER (PARTITION BY doc_id ORDER BY pos)
-               || ' ' || lead(w, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS sh
-        FROM toks),
-      sh AS (
-        SELECT DISTINCT doc_id, sh FROM sh0 WHERE sh IS NOT NULL
-        UNION
-        SELECT doc_id, lower(text) FROM documents
-        WHERE len(string_split(lower(text), ' ')) < 3),
-      sizes AS (SELECT doc_id, count(*) AS nsh FROM sh GROUP BY 1),
-      inter AS (
-        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
-        FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
-        GROUP BY 1, 2)
+      s"""WITH ${jaccardCtes("documents", pruned = true)}
       SELECT id_a, id_b,
         round(CAST(inter AS DOUBLE) / (sa.nsh + sb.nsh - inter), 6) AS jaccard_r
       FROM inter
@@ -296,24 +317,7 @@ object OracleSql {
     // ~0.9999 at j>=0.5 with r=2/b=32 banding; equality verified
     // empirically at the test scale factors)
     "ns_dedup_minhash_verified" ->
-      """WITH toks AS (
-        SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w,
-               generate_subscripts(string_split(lower(text), ' '), 1) AS pos
-        FROM documents),
-      sh0 AS (
-        SELECT doc_id, w || ' ' || lead(w) OVER (PARTITION BY doc_id ORDER BY pos)
-               || ' ' || lead(w, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS sh
-        FROM toks),
-      sh AS (
-        SELECT DISTINCT doc_id, sh FROM sh0 WHERE sh IS NOT NULL
-        UNION
-        SELECT doc_id, lower(text) FROM documents
-        WHERE len(string_split(lower(text), ' ')) < 3),
-      sizes AS (SELECT doc_id, count(*) AS nsh FROM sh GROUP BY 1),
-      inter AS (
-        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
-        FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
-        GROUP BY 1, 2)
+      s"""WITH ${jaccardCtes("documents", pruned = false)}
       SELECT id_a, id_b,
         round(CAST(inter AS DOUBLE) / (sa.nsh + sb.nsh - inter), 6) AS jaccard_r
       FROM inter
@@ -326,24 +330,7 @@ object OracleSql {
     // independent implementation of the Spark side's iterative min-label
     // propagation over the same pair graph
     "ns_dedup_clusters" ->
-      """WITH RECURSIVE toks AS (
-        SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w,
-               generate_subscripts(string_split(lower(text), ' '), 1) AS pos
-        FROM documents),
-      sh0 AS (
-        SELECT doc_id, w || ' ' || lead(w) OVER (PARTITION BY doc_id ORDER BY pos)
-               || ' ' || lead(w, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS sh
-        FROM toks),
-      sh AS (
-        SELECT DISTINCT doc_id, sh FROM sh0 WHERE sh IS NOT NULL
-        UNION
-        SELECT doc_id, lower(text) FROM documents
-        WHERE len(string_split(lower(text), ' ')) < 3),
-      sizes AS (SELECT doc_id, count(*) AS nsh FROM sh GROUP BY 1),
-      inter AS (
-        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
-        FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
-        GROUP BY 1, 2),
+      s"""WITH RECURSIVE ${jaccardCtes("documents", pruned = true)},
       pairs AS (
         SELECT id_a, id_b FROM inter
         JOIN sizes sa ON sa.doc_id = id_a
@@ -439,24 +426,7 @@ object OracleSql {
       deduped AS (
         SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY th ORDER BY doc_id) AS rn FROM hashed)
         WHERE rn = 1),
-      toks AS (
-        SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w,
-               generate_subscripts(string_split(lower(text), ' '), 1) AS pos
-        FROM deduped),
-      sh0 AS (
-        SELECT doc_id, w || ' ' || lead(w) OVER (PARTITION BY doc_id ORDER BY pos)
-               || ' ' || lead(w, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS sh
-        FROM toks),
-      sh AS (
-        SELECT DISTINCT doc_id, sh FROM sh0 WHERE sh IS NOT NULL
-        UNION
-        SELECT doc_id, lower(text) FROM deduped
-        WHERE len(string_split(lower(text), ' ')) < 3),
-      sizes AS (SELECT doc_id, count(*) AS nsh FROM sh GROUP BY 1),
-      inter AS (
-        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
-        FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
-        GROUP BY 1, 2),
+      ${jaccardCtes("deduped", pruned = true)},
       losers AS (
         SELECT DISTINCT id_b FROM inter
         JOIN sizes sa ON sa.doc_id = id_a

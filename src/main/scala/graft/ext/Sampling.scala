@@ -18,11 +18,15 @@ object Sampling {
   /** Key hash → bucket in [0, 1000): Knuth multiplicative hash on the
     * numeric key — the same engine-portable integer arithmetic family
     * as PriceGen (any ANSI engine computes the identical bucket).
+    * The key is reduced mod 1e9+7 BEFORE the multiply so the product
+    * stays below 2^63 for 64-bit ids — an unreduced multiply overflows
+    * at keys ≥ ~3.5e9, which ANSI mode turns into a runtime crash.
     * String business keys: map through a numeric surrogate first
-    * (`PriceGen.keyAsNumeric`).
+    * (`PriceGen.keyAsNumeric`). Keys are assumed non-negative (SQL `%`
+    * of a negative differs from pmod across engines).
     */
   def bucket1000(key: Column): Column =
-    pmod(key * lit(2654435761L), lit(1000L))
+    pmod(pmod(key, lit(1000000007L)) * lit(2654435761L), lit(1000L))
 
   /** Stratified deterministic sampling: keep `fractions(stratum)` of
     * each stratum (thousandth resolution), decided per row by the key
@@ -33,10 +37,14 @@ object Sampling {
                        defaultFraction: Double = 1.0): DataFrame = {
     require((fractions.values.toSeq :+ defaultFraction)
       .forall(f => f >= 0.0 && f <= 1.0), "fractions in [0, 1]")
-    val frac = fractions.foldLeft(lit(defaultFraction)) {
-      case (acc, (s, f)) => when(col(stratum) === s, lit(f)).otherwise(acc)
+    // integer thresholds: frac * 1000.0 in double drifts (0.07 * 1000 =
+    // 70.000…01 keeps one extra bucket); round once on the driver and
+    // compare long-to-long, which any engine reproduces exactly
+    val cut = fractions.foldLeft(lit(math.round(defaultFraction * 1000))) {
+      case (acc, (s, f)) =>
+        when(col(stratum) === s, lit(math.round(f * 1000))).otherwise(acc)
     }
-    df.filter(bucket1000(col(key)) < frac * lit(1000.0))
+    df.filter(bucket1000(col(key)) < cut)
   }
 
   /** Integer-weighted corpus mixing — the deterministic upsampling step

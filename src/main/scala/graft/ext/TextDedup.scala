@@ -103,39 +103,51 @@ object TextDedup {
     * Returns (id_a, id_b, est_jaccard) where est_jaccard = fraction of
     * matching signature components, for pairs ≥ threshold.
     */
-  def minhashLsh(df: DataFrame, text: String, id: String,
-                 shingleN: Int = 3, numPerms: Int = 64,
-                 bands: Int = 16, threshold: Double = 0.5,
-                 maxBucket: Int = 1000, verbose: Boolean = false): DataFrame = {
+  /** Banding SQL for the minhash signature column `sig`: one xxhash64
+    * bucket id per band over the band's signature slice.
+    */
+  private def bandSql(bands: Int, rowsPerBand: Int): String =
+    s"transform(sequence(0, ${bands - 1}), b -> xxhash64(b, " +
+      s"cast(slice(sig, b * $rowsPerBand + 1, $rowsPerBand) as string)))"
+
+  /** Shared LSH candidate generation: (doc, shingle-array) → persisted
+    * narrow signatures + deduped candidate id pairs. The band-exploded
+    * frame carries only (doc, band, bucket) — never the signature
+    * arrays; over-cap buckets are dropped (boilerplate, not
+    * near-duplication); candidate pairs are deduped while narrow, so
+    * anything wide joins back once per surviving pair.
+    */
+  private def lshCandidates(shingles: DataFrame, numPerms: Int, bands: Int,
+                            maxBucket: Int, verbose: Boolean)
+  : (DataFrame, DataFrame) = {
     require(numPerms % bands == 0, "bands must divide numPerms")
     val r = numPerms / bands
-    // persisted narrow (doc, sig): feeds the band explosion once and the
-    // per-pair signature join at the end — the signature stage (shingle +
-    // minhash, the expensive map side) never runs twice
-    val sigs = docShingles(df, text, id, shingleN)
+    val sigs = shingles
       .select(col("doc"), minhashSignature(numPerms).as("sig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // band-exploded frame carries only (doc, band, bucket) — the 16×
-    // explosion never replicates the 64-long signature arrays
-    val buckets = sigs.select(col("doc"),
-      posexplode(expr(
-        s"transform(sequence(0, ${bands - 1}), b -> xxhash64(b, cast(slice(sig, b * $r + 1, $r) as string)))")))
+    val buckets = sigs.select(col("doc"), posexplode(expr(bandSql(bands, r))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
-    // persisted: both sides of the candidate self-join read this frame;
-    // the pre-filter counts stay available for the truncation report
     val counted = buckets.withColumn("_bsize",
       count(lit(1)).over(Window.partitionBy("band", "bucket")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // the verbose audit recomputes the (cheap, sigs-cached) bucket pass;
+    // the hot path persists only the post-filter frame both join sides read
     if (verbose) logDroppedBuckets(counted, maxBucket)
     val guarded = counted.filter(col("_bsize") <= maxBucket).drop("_bsize")
-    // candidate ids deduped while narrow (a pair colliding in k bands
-    // appears k times); the wide signatures only join back once per
-    // surviving pair, not through the distinct shuffle
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = guarded.select(col("band"), col("bucket"), col("doc").as("id_a"))
     val b = guarded.select(col("band"), col("bucket"), col("doc").as("id_b"))
     val cand = a.join(b, Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
+    (sigs, cand)
+  }
+
+  def minhashLsh(df: DataFrame, text: String, id: String,
+                 shingleN: Int = 3, numPerms: Int = 64,
+                 bands: Int = 16, threshold: Double = 0.5,
+                 maxBucket: Int = 1000, verbose: Boolean = false): DataFrame = {
+    val (sigs, cand) = lshCandidates(docShingles(df, text, id, shingleN),
+      numPerms, bands, maxBucket, verbose)
     cand
       .join(sigs.select(col("doc").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
       .join(sigs.select(col("doc").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
@@ -160,27 +172,15 @@ object TextDedup {
                            shingleN: Int = 3, numPerms: Int = 64,
                            bands: Int = 32, threshold: Double = 0.5,
                            maxBucket: Int = 1000): DataFrame = {
-    require(numPerms % bands == 0, "bands must divide numPerms")
-    val r = numPerms / bands
     // persisted narrow (doc, shingle-array): feeds signatures once and
-    // the per-candidate exact verify once
+    // the per-candidate exact verify once. The verify runs over the
+    // FULL shingle universe (no df-pruning) — candidate volume is
+    // bounded by banding, not posting caps, so this is the exact
+    // similarity, which is what the oracle computes.
     val shingles = docShingles(df, text, id, shingleN)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val buckets = shingles
-      .select(col("doc"), minhashSignature(numPerms).as("sig"))
-      .select(col("doc"),
-        posexplode(expr(
-          s"transform(sequence(0, ${bands - 1}), b -> xxhash64(b, cast(slice(sig, b * $r + 1, $r) as string)))")))
-      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
-    val guarded = buckets.withColumn("_bsize",
-      count(lit(1)).over(Window.partitionBy("band", "bucket")))
-      .filter(col("_bsize") <= maxBucket).drop("_bsize")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val a = guarded.select(col("band"), col("bucket"), col("doc").as("id_a"))
-    val b = guarded.select(col("band"), col("bucket"), col("doc").as("id_b"))
-    val cand = a.join(b, Seq("band", "bucket"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
+    val (_, cand) = lshCandidates(shingles, numPerms, bands, maxBucket,
+      verbose = false)
     cand
       .join(shingles.select(col("doc").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
       .join(shingles.select(col("doc").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
@@ -201,12 +201,9 @@ object TextDedup {
                             shingleN: Int = 3, numPerms: Int = 64,
                             bands: Int = 16, maxBucket: Int = 1000): DataFrame = {
     require(numPerms % bands == 0, "bands must divide numPerms")
-    val r = numPerms / bands
     docShingles(df, text, id, shingleN)
       .select(col("doc"), minhashSignature(numPerms).as("sig"))
-      .select(col("doc"),
-        posexplode(expr(
-          s"transform(sequence(0, ${bands - 1}), b -> xxhash64(b, cast(slice(sig, b * $r + 1, $r) as string)))")))
+      .select(col("doc"), posexplode(expr(bandSql(bands, numPerms / bands))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
       .groupBy("band", "bucket").agg(count(lit(1)).as("n_docs"))
       .filter(col("n_docs") > maxBucket)
@@ -353,6 +350,11 @@ object TextDedup {
     // size the round partitioning to the graph, not the session default,
     // so a small graph's rounds are single-task jobs
     val nEdges = 2L * p0.count()
+    if (nEdges == 0L) {
+      // clean corpus: no pairs, no clusters — empty result, zero rounds
+      p0.unpersist()
+      return p0.select(col("id_a").as("doc"), col("id_a").as("cluster")).limit(0)
+    }
     val p = math.max(1, math.min((nEdges / 2000000L + 1).toInt, 200))
     val edges = p0.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(p0.select(col("id_b").as("src"), col("id_a").as("dst")))
@@ -380,8 +382,11 @@ object TextDedup {
         .select(col("node"),
           least(col("label"), coalesce(col("_nmin"), col("label"))).as("label"))
         .persist(lvl)
+      // sum in decimal (not Long): a billion-node graph of 64-bit ids
+      // overflows a LongType sum, which under ANSI crashes and without
+      // ANSI wraps — breaking the strict-decrease convergence invariant
       val newSum = updated
-        .agg(sum(col("label")).cast("decimal(38,0)")).head().getDecimal(0)
+        .agg(sum(col("label").cast("decimal(38,0)"))).head().getDecimal(0)
       labels.unpersist()
       labels = updated
       converged = prevSum != null && newSum.compareTo(prevSum) == 0

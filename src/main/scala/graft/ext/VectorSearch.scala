@@ -82,7 +82,13 @@ object VectorSearch {
     */
   final case class IvfIndex(assigned: DataFrame,
                             centroids: org.apache.spark.ml.linalg.DenseMatrix,
-                            id: String, vec: String)
+                            id: String, vec: String) {
+    /** Release the persisted assignment frame. Long-lived drivers that
+      * rebuild indexes must call this (or clearCache) on the old index,
+      * or each rebuild leaks one cached corpus copy.
+      */
+    def close(): Unit = { assigned.unpersist(); () }
+  }
 
   /** IVF (inverted-file) index build: KMeans centroids, every vector
     * assigned to its nearest centroid list. Deterministic (fixed seed);
@@ -159,8 +165,9 @@ object VectorSearch {
   }
 
   /** One-shot convenience: build the index, then probe. Repeated-query
-    * workloads should call `ivfBuild` once and reuse the index — this
-    * form re-trains per call.
+    * workloads should call `ivfBuild` once, reuse the index, and
+    * `close()` it when done — this form re-trains per call and leaves
+    * its per-call index cached until the session clears its cache.
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, id: String,
               vec: String, k: Int, nLists: Int = 16,

@@ -67,7 +67,11 @@ object Dedup {
     val keys = existing.select(key).distinct()
     val conf = existing.sparkSession.conf
       .get("spark.sql.autoBroadcastJoinThreshold", "10MB")
-    val threshold = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(conf)
+    // "-1" (broadcast disabled) fails byteStringAsBytes' size regex —
+    // any unparseable value means "do not pin a broadcast"
+    val threshold =
+      try org.apache.spark.network.util.JavaUtils.byteStringAsBytes(conf)
+      catch { case _: NumberFormatException => -1L }
     val estimate = keys.queryExecution.optimizedPlan.stats.sizeInBytes
     val fits = threshold > 0 && estimate <= threshold
     batch.join(if (fits) broadcast(keys) else keys, Seq(key), "left_anti")

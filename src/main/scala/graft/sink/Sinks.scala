@@ -125,6 +125,13 @@ object Sinks {
     * same key, and repartition by the key so chunk transactions from
     * different executors touch disjoint key ranges.
     */
+  /** Roll back, but never let a rollback failure mask the original
+    * error — it is attached as a suppressed exception instead.
+    */
+  private def rollbackKeeping(conn: java.sql.Connection, cause: Throwable): Unit =
+    try conn.rollback()
+    catch { case r: Throwable => cause.addSuppressed(r) }
+
   def jdbcUpsert(df: DataFrame, url: String, table: String,
                  conflictKeys: Seq[String],
                  props: java.util.Properties = new java.util.Properties,
@@ -161,11 +168,16 @@ object Sinks {
                 conn.commit()
                 done = true
               } catch {
-                case e: java.sql.SQLException if attempt < maxRetries =>
-                  conn.rollback()
+                // retry only plausibly-transient failures — a constraint
+                // violation or syntax error (SQLNonTransientException)
+                // is deterministic and retrying it just burns time
+                case e: java.sql.SQLException
+                    if attempt < maxRetries &&
+                      !e.isInstanceOf[java.sql.SQLNonTransientException] =>
+                  rollbackKeeping(conn, e)
                   attempt += 1
                   Thread.sleep(retryDelayMs * attempt)
-                case e: Throwable => conn.rollback(); throw e
+                case e: Throwable => rollbackKeeping(conn, e); throw e
               } finally st.close()
             }
           }

@@ -74,6 +74,32 @@ class AsofSamplingSpec extends SparkSpec {
     }
   }
 
+  test("auto anti-join honors a disabled (-1) broadcast threshold") {
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val batch = spark.range(100).selectExpr("id AS location_id")
+      val small = spark.range(10).selectExpr("id AS location_id")
+      val df = graft.op.Dedup.newKeysOnlyAuto(batch, small, "location_id")
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastHashJoin"), plan) // no pinned broadcast
+      assert(df.count() == 90)
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
+  test("stratified sample matches the integer-threshold hash model exactly") {
+    val keys = spark.range(10000).selectExpr("id AS doc_id", "'en' AS lang")
+    val kept = Sampling.stratifiedSample(keys, "lang", "doc_id",
+      Map("en" -> 0.07)).select("doc_id").as[Long].collect().toSet
+    def bucket(k: Long): Long = ((k % 1000000007L) * 2654435761L) % 1000L
+    val model = (0L until 10000L).filter(bucket(_) < 70).toSet
+    assert(kept == model, s"sizes ${kept.size} vs ${model.size}")
+    // 64-bit ids beyond the naive-multiply overflow point still work
+    val big = Seq(5000000000L, Long.MaxValue / 2).toDF("doc_id")
+      .selectExpr("doc_id", "'en' AS lang")
+    assert(Sampling.stratifiedSample(big, "lang", "doc_id",
+      Map("en" -> 1.0)).count() == 2)
+  }
+
   test("stratified sample: deterministic, fraction 0 drops, 1 keeps all") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
       .select("doc_id", "lang")

@@ -48,6 +48,11 @@ class ExtSpec extends SparkSpec {
     assert(out.count { case (d, c) => d == c } == 3)
   }
 
+  test("near-dup clusters: empty pair graph returns empty, no iteration") {
+    val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    assert(TextDedup.nearDupClusters(empty).count() == 0)
+  }
+
   test("minhash verified pairs equal the exact jaccard pair set (sf0.001)") {
     val corpus = spark.read.parquet(s"$sf/documents.parquet")
     val exact = TextDedup.ngramJaccardPairs(corpus, "text", "doc_id",
