@@ -64,6 +64,60 @@ object PropertySpec extends Properties("graft") {
       }
     }
 
+  private val eventGen = Gen.listOfN(30,
+    Gen.zip(Gen.choose(0, 3), Gen.choose(0L, 40L), Gen.choose(1L, 1000L)))
+
+  property("as-of join matches the per-key scan model (backward)") =
+    Prop.forAll(eventGen, eventGen) { (ls, rs) =>
+      (ls.nonEmpty && rs.nonEmpty) ==> {
+        // unique ids per side; dedup right per (key, time) like production
+        val left = ls.zipWithIndex.map { case ((k, t, _), i) => (k.toString, t, i.toLong) }
+          .toDF("k", "t", "lid")
+        val right0 = rs.zipWithIndex.map { case ((k, t, _), i) => (k.toString, t, 1000L + i) }
+          .toDF("k", "rt", "rid")
+        val right = Dedup.lastWriteWins(right0, Seq("k", "rt"), Seq(col("rid")))
+        val got = graft.op.AsofJoin.asof(left, right, "k", "t", "rt", Seq("rid"))
+          .select("k", "lid", "asof_rid").collect()
+          .map(r => (r.getString(0), r.getLong(1)) ->
+            (if (r.isNullAt(2)) -1L else r.getLong(2))).toMap
+        val rmap = right.select("k", "rt", "rid").as[(String, Long, Long)]
+          .collect().groupBy(_._1)
+        left.select("k", "t", "lid").as[(String, Long, Long)].collect().forall {
+          case (k, t, lid) =>
+            val want = rmap.getOrElse(k, Array.empty).filter(_._2 <= t)
+              .sortBy(r => (r._2, r._3)).lastOption.map(_._3).getOrElse(-1L)
+            got((k, lid)) == want
+        }
+      }
+    }
+
+  property("range join == naive inequality join for any chunk width") =
+    Prop.forAll(eventGen, eventGen, Gen.choose(1L, 64L)) { (ps, ivs, w) =>
+      (ps.nonEmpty && ivs.nonEmpty) ==> {
+        val points = ps.zipWithIndex.map { case ((k, t, _), i) => (k.toString, t, i.toLong) }
+          .toDF("k", "t", "pid")
+        val intervals = ivs.zipWithIndex.map { case ((k, s, len), i) =>
+          (k.toString, s, s + len % 20, 1000L + i) }.toDF("k", "s", "e", "iid")
+        val chunked = graft.op.RangeJoin.pointInInterval(
+          points, intervals, "t", "s", "e", chunkWidth = w, keys = Seq("k"))
+          .select("pid", "iid").as[(Long, Long)].collect().toSet
+        val naive = points.join(intervals, Seq("k"))
+          .filter(col("t") >= col("s") && col("t") <= col("e"))
+          .select("pid", "iid").as[(Long, Long)].collect().toSet
+        chunked == naive
+      }
+    }
+
+  property("stratified sample partitions: fractions f and 1-f exactly tile the stratum") =
+    Prop.forAll(Gen.choose(0.0, 1.0)) { f =>
+      val docs = spark.range(500).selectExpr("id AS doc_id", "'x' AS lang")
+      val kept = graft.ext.Sampling.stratifiedSample(docs, "lang", "doc_id",
+        Map("x" -> f)).select("doc_id").as[Long].collect().toSet
+      val cut = math.round(f * 1000)
+      def bucket(k: Long): Long = ((k % 1000000007L) * 2654435761L) % 1000L
+      kept == (0L until 500L).filter(bucket(_) < cut).toSet
+    }
+
   property("minhash est_jaccard tracks exact jaccard within sampling error") =
     Prop.forAll(Gen.choose(4, 28)) { overlap =>
       // two 32-word docs sharing `overlap` words in their tail; sets
