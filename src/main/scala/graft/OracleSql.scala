@@ -231,6 +231,11 @@ object OracleSql {
         (CASE lang WHEN 'en' THEN 300 WHEN 'zh' THEN 800 ELSE 1000 END)
       ORDER BY doc_id""",
 
+    "ns_row_numbers" ->
+      """SELECT doc_id, lang,
+        row_number() OVER (ORDER BY doc_id) AS row_id
+      FROM documents ORDER BY doc_id""",
+
     "ns_corpus_mix" ->
       """SELECT doc_id, lang, CAST(copy AS BIGINT) AS copy FROM (
         SELECT doc_id, lang,

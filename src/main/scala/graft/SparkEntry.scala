@@ -262,6 +262,18 @@ object SparkEntry {
       .select(col("doc").as("doc_id"), col("term"), col("tf"), col("df"))
       .orderBy("doc_id", "term")
 
+  /** Contiguous global row numbering in doc_id order — the scalable
+    * two-pass form (range partition + local number + offset), never a
+    * single-partition global window; oracle = the plain single-node
+    * row_number() OVER (ORDER BY ...).
+    */
+  private def nsRowNumbers(s: SparkSession, dir: String): DataFrame =
+    graft.op.Scale.globalRowNumbers(
+      t(s, dir, "documents").select("doc_id", "lang"),
+      Seq("doc_id"), numPartitions = 8)
+      .select(col("doc_id"), col("lang"), col("row_id"))
+      .orderBy("doc_id")
+
   /** Pivot (engine completeness): per-user event counts fanned out to
     * one column per event type. Pivot values are pinned so the output
     * schema is stable regardless of which types a partition sees.
@@ -551,6 +563,7 @@ object SparkEntry {
     "ns_tfidf" -> nsTfidf,
     "ns_stratified_sample" -> nsStratifiedSample,
     "ns_corpus_mix" -> nsCorpusMix,
+    "ns_row_numbers" -> nsRowNumbers,
     "t12_full_address" -> t12FullAddress,
     "t13_row_to_json" -> t13RowToJson,
     "pipeline_collection" -> pipelineCollection,

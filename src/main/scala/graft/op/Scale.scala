@@ -63,4 +63,44 @@ object Scale {
     */
   def partitionByKey(df: DataFrame, key: String, partitions: Int): DataFrame =
     df.repartition(partitions, col(key))
+
+  /** Contiguous global row numbers (1..N) in the total order of
+    * `sortCols` — WITHOUT the single-partition bottleneck of
+    * `row_number() OVER (ORDER BY ...)`, whose empty-partitionBy window
+    * funnels the whole table through one task.
+    *
+    * Classic two-pass shape: range-partition on the sort key, number
+    * locally within each range, then add each range's starting offset
+    * (per-partition counts are a `numPartitions`-row driver-side
+    * cumulative sum — the only non-distributed step, and it is O(tasks)
+    * not O(rows)). `sortCols` must be a total order (unique), or ties
+    * make the numbering nondeterministic — same contract as any ORDER BY
+    * based numbering.
+    */
+  def globalRowNumbers(df: DataFrame, sortCols: Seq[String],
+                       numPartitions: Int = 0, idCol: String = "row_id"): DataFrame = {
+    val parts = if (numPartitions > 0) numPartitions
+      else df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200").toInt
+    val cols = sortCols.map(col)
+    val ranged = df.repartitionByRange(parts, cols: _*)
+      .withColumn("_pid", spark_partition_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // O(parts) rows to the driver — partition SIZES, never data
+    val counts = ranged.groupBy("_pid").agg(count(lit(1)).as("_n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val offsets = (0 until parts).scanLeft(0L) {
+      case (acc, pid) => acc + counts.getOrElse(pid, 0L)
+    }
+    val spark = df.sparkSession
+    import spark.implicits._
+    val offsetDf = (0 until parts).map(p => (p, offsets(p))).toDF("_pid", "_offset")
+    // local numbering: window partitioned by _pid — rows are already
+    // range-placed, so every partition numbers independently in parallel
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("_pid").orderBy(cols: _*)
+    ranged
+      .join(broadcast(offsetDf), Seq("_pid"))
+      .withColumn(idCol, col("_offset") + row_number().over(w))
+      .drop("_pid", "_offset")
+  }
 }

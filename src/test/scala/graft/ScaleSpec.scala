@@ -59,6 +59,19 @@ class ScaleSpec extends SparkSpec {
     assert(dropped.forall(_.getLong(2) == 30L), dropped.toSeq)
   }
 
+  test("global row numbers: contiguous 1..N in sort order, any partition count") {
+    // id*7 % 1000 is a permutation of 0..999 (gcd(7,1000)=1): unique keys
+    val df = spark.range(1000).selectExpr("id * 7 % 1000 AS k")
+    val out = Scale.globalRowNumbers(df, Seq("k"), numPartitions = 7)
+      .orderBy("k").select("k", "row_id").as[(Long, Long)].collect()
+    assert(out.map(_._2).toSeq == (1L to 1000L))
+    assert(out.map(_._1).toSeq == out.map(_._1).sorted.toSeq)
+    // numbering is partition-count independent
+    val again = Scale.globalRowNumbers(df, Seq("k"), numPartitions = 13)
+      .orderBy("k").select("k", "row_id").as[(Long, Long)].collect()
+    assert(again.toSeq == out.toSeq)
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
