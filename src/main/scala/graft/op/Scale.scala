@@ -64,6 +64,24 @@ object Scale {
   def partitionByKey(df: DataFrame, key: String, partitions: Int): DataFrame =
     df.repartition(partitions, col(key))
 
+  /** Size a frame to `targetBytes` output files using Catalyst's size
+    * estimate — the small-file compaction step every long-running
+    * 100 TB table needs (a daily pipeline writing 32 shuffle partitions
+    * of a few MB each produces thousands of tiny files a month, and
+    * file-open overhead then dominates every downstream scan).
+    * `coalesce` when shrinking (no shuffle); `repartition` only when
+    * the frame has fewer partitions than the target.
+    */
+  def sizedForWrite(df: DataFrame, targetBytes: Long = 128L << 20): DataFrame = {
+    require(targetBytes > 0)
+    val estimate = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val files = (((estimate + targetBytes - 1) / targetBytes) max BigInt(1)).toLong
+    val current = df.rdd.getNumPartitions
+    if (files < current) df.coalesce(files.toInt)
+    else if (files > current) df.repartition(files.toInt)
+    else df
+  }
+
   /** Contiguous global row numbers (1..N) in the total order of
     * `sortCols` — WITHOUT the single-partition bottleneck of
     * `row_number() OVER (ORDER BY ...)`, whose empty-partitionBy window

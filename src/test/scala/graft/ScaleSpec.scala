@@ -59,6 +59,17 @@ class ScaleSpec extends SparkSpec {
     assert(dropped.forall(_.getLong(2) == 30L), dropped.toSeq)
   }
 
+  test("sizedForWrite coalesces many small partitions down to the size target") {
+    val df = spark.read.parquet(s"$sf/lineitem.parquet").repartition(16)
+    // tiny table, generous target -> one output partition, via coalesce
+    val sized = Scale.sizedForWrite(df, targetBytes = 1L << 30)
+    assert(sized.rdd.getNumPartitions == 1)
+    assert(sized.count() == df.count())
+    // small target -> more than one file
+    val many = Scale.sizedForWrite(df, targetBytes = 64L << 10)
+    assert(many.rdd.getNumPartitions > 1)
+  }
+
   test("global row numbers: contiguous 1..N in sort order, any partition count") {
     // id*7 % 1000 is a permutation of 0..999 (gcd(7,1000)=1): unique keys
     val df = spark.range(1000).selectExpr("id * 7 % 1000 AS k")
