@@ -109,6 +109,58 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("jaccard-family expressions: codegen arm bit-identical to interpreted") {
+    import graft.functions.VectorExpressions._
+    val corpus = spark.read.parquet(s"$sf/documents.parquet")
+    // one projection exercising every formerly-CodegenFallback kernel;
+    // array_pairs gets a tiny deterministic long array per row
+    def run(): Array[org.apache.spark.sql.Row] = corpus
+      .select(col("doc_id"), split(lower(col("text")), "\\s+").as("toks"))
+      .select(col("doc_id"),
+        simhash64(col("toks")).as("sim"),
+        minhash_sig(word_shingles(col("toks"), 3), 64).as("sig"),
+        word_shingles(col("toks"), 3).as("sh"),
+        lsh_bucket(transform(col("toks"),
+          t => hash(t).cast("double")).as("v"), 8).as("bkt"),
+        array_pairs(array(col("doc_id"), col("doc_id") + 1,
+          col("doc_id") * 7 % 100)).as("pairs"))
+      .orderBy("doc_id").limit(200).collect()
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    try {
+      val gen = run()
+      spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+      spark.conf.set("spark.sql.codegen.wholeStage", "false")
+      val interp = run()
+      assert(gen.length == 200)
+      assert(gen.sameElements(interp))
+    } finally {
+      spark.conf.unset("spark.sql.codegen.factoryMode")
+      spark.conf.unset("spark.sql.codegen.wholeStage")
+    }
+  }
+
+  test("dedup hot path stays inside whole-stage codegen (no fallback expressions)") {
+    // the signature projection of the minhash pipeline must be fused:
+    // a single CodegenFallback expression would un-fuse the whole stage
+    // shingleN=5 so the plan fragment can't cache-match a frame some
+    // earlier test persisted (an InMemoryTableScan would un-fuse the top)
+    val plan = TextDedup.docShingles(
+        spark.read.parquet(s"$sf/documents.parquet"), "text", "doc_id", n = 5)
+      .select(col("doc"), TextDedup.minhashSignature(64).as("sig"),
+        graft.functions.VectorExpressions.simhash64(
+          split(lit("a b c"), " ")).as("sim"))
+      .queryExecution.executedPlan
+    val fused = plan.collect {
+      case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w }
+    assert(fused.nonEmpty, plan.toString)
+    // every Project line is starred (inside a codegen span) — with the
+    // old CodegenFallback expressions the signature projection printed
+    // as a bare `Project`, un-fused from the scan
+    val projectLines = plan.toString.linesIterator
+      .map(_.trim.stripPrefix("+- ")).filter(_.startsWith("Project")).toList
+    assert(projectLines.isEmpty, plan.toString)
+  }
+
   test("cosine: self-similarity 1.0, orthogonal 0.0") {
     val df = Seq((1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 2.0f)),
       (3L, Array(2.0f, 0.0f))).toDF("vec_id", "embedding")
