@@ -421,11 +421,18 @@ object SparkEntry {
       maxHamming = 7)
       .orderBy("id_a", "id_b")
 
-  private def nsEmbedNearDup(s: SparkSession, dir: String): DataFrame =
-    TextDedup.embeddingNearDups(t(s, dir, "embeddings"), "vec_id",
-      "embedding", threshold = 0.45)
+  /** Exact near-dup verify kernel in its 100 TB shape: a bounded probe
+    * set (vec_id < 200) broadcast against the full corpus — one
+    * map-side pass, no CartesianProduct (the full cross-join form of
+    * `embeddingNearDups` stays a test-twin kernel only).
+    */
+  private def nsEmbedNearDup(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    TextDedup.embeddingNearDupsProbe(emb, emb.filter(col("vec_id") < 200),
+      "vec_id", "embedding", threshold = 0.45)
       .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine_r"))
       .orderBy("id_a", "id_b")
+  }
 
   /** Scale path for near-dup: LSH-bucket candidates + exact verify —
     * approximate (recall < 1) so rows-only checked; ExtSpec compares its

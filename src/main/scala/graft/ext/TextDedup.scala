@@ -397,16 +397,39 @@ object TextDedup {
     labels.select(col("node").as("doc"), col("label").as("cluster"))
   }
 
-  /** Embedding-cosine near-duplicates: exact pairs above a threshold.
-    * This exact form is the per-candidate verification kernel; at corpus
-    * scale generate candidates first with VectorSearch.lshBuckets and
-    * run this within buckets only.
+  /** Embedding-cosine near-duplicates: exact pairs above a threshold,
+    * as a full cross join — the per-candidate verification KERNEL and
+    * test twin only, never a registered production query (PlanSpec
+    * asserts no registered plan carries a CartesianProduct). At corpus
+    * scale use [[embeddingNearDupsProbe]] for a bounded probe set or
+    * [[embeddingNearDupsBucketed]] for all-pairs candidates.
     */
   def embeddingNearDups(emb: DataFrame, id: String, vec: String,
                         threshold: Double): DataFrame = {
     val a = emb.select(col(id).as("id_a"), col(vec).as("va"))
     val b = emb.select(col(id).as("id_b"), col(vec).as("vb"))
     a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .withColumn("cosine", VectorSearch.cosine(col("va"), col("vb")))
+      .filter(col("cosine") > threshold)
+      .select(col("id_a"), col("id_b"), col("cosine"))
+  }
+
+  /** Exact near-duplicates of a bounded probe set against the full
+    * corpus: probe × corpus with the probe side BROADCAST — the
+    * registered, 100 TB-shaped form of the exact kernel. O(|probe|·n)
+    * work in one map-side pass over the corpus (no shuffle, no
+    * CartesianProduct); the probe side must be small enough to
+    * broadcast, which is the contract of a verify/audit kernel. Pairs
+    * are reported once as (smaller id, larger id); a pair qualifies
+    * when its SMALLER id is in the probe set, so the output equals the
+    * all-pairs result restricted to min(id) ∈ probe — an
+    * oracle-expressible exact semantics.
+    */
+  def embeddingNearDupsProbe(emb: DataFrame, probe: DataFrame, id: String,
+                             vec: String, threshold: Double): DataFrame = {
+    val a = broadcast(probe.select(col(id).as("id_a"), col(vec).as("va")))
+    val b = emb.select(col(id).as("id_b"), col(vec).as("vb"))
+    a.join(b, col("id_a") < col("id_b"))
       .withColumn("cosine", VectorSearch.cosine(col("va"), col("vb")))
       .filter(col("cosine") > threshold)
       .select(col("id_a"), col("id_b"), col("cosine"))

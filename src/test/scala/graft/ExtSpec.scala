@@ -161,6 +161,24 @@ class ExtSpec extends SparkSpec {
     assert(projectLines.isEmpty, plan.toString)
   }
 
+  test("probe near-dups equal the exact kernel restricted to min(id) in probe") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val exact = TextDedup.embeddingNearDups(emb, "vec_id", "embedding", 0.45)
+      .filter($"id_a" < 200)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val probed = TextDedup.embeddingNearDupsProbe(
+        emb, emb.filter($"vec_id" < 200), "vec_id", "embedding", 0.45)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(probed == exact)
+    assert(probed.nonEmpty)
+    // and the probe side broadcasts: one corpus pass, no cartesian
+    val plan = TextDedup.embeddingNearDupsProbe(
+        emb, emb.filter($"vec_id" < 200), "vec_id", "embedding", 0.45)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("cosine: self-similarity 1.0, orthogonal 0.0") {
     val df = Seq((1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 2.0f)),
       (3L, Array(2.0f, 0.0f))).toDF("vec_id", "embedding")

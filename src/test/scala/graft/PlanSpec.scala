@@ -109,6 +109,18 @@ class PlanSpec extends SparkSpec {
     assert(viaIndex == ivf)
   }
 
+  test("no registered query plans a CartesianProduct") {
+    // a cartesian of two full tables is the one join shape that cannot
+    // survive a 100× scale-up; every pairwise operator must instead
+    // broadcast a bounded side or equi-join on a bucket/band key.
+    // Building a plan is enough (no execution) — some queries train or
+    // iterate eagerly at construction, which sf0.001 keeps cheap.
+    for ((name, q) <- SparkEntry.queries) {
+      val plan = q(spark, sf).queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"), s"$name plans a cartesian:\n$plan")
+    }
+  }
+
   test("curation pipeline removes quality failures, exact dups, and near-dups") {
     import spark.implicits._
     val docs = Seq(
