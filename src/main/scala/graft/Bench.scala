@@ -1,11 +1,34 @@
 package graft
 import org.apache.spark.sql.SparkSession
 import java.nio.file.{Files, Paths}
+
+/** Benchmark main. Prints TWO JSON lines: a detail line (per-pass
+  * stats) first, then the compact primary line the driver's contract
+  * expects LAST — stdout may be tail-truncated upstream, so the
+  * primary must be nearest the end.
+  *
+  * Honesty rules (round-2 verdict):
+  *  - A query that throws is RECORDED in `"errors"` (never a silent
+  *    near-zero time), and the primary `"value"` is -1 when any query
+  *    failed every pass — a broken bench must not look healthy.
+  *  - Per-query numbers are the MIN over `SPARK_GRAFT_BENCH_N`
+  *    (default 3) passes; the detail line also carries the median.
+  *    Min over passes filters transient co-tenant load spikes, which
+  *    inflated the recorded round-2 numbers 3-7x; the medians expose
+  *    a loaded machine (median >> min).
+  *  - Timings assume an otherwise-idle machine ("note" in artifact).
+  */
 object Bench {
+  private def jnum(v: Double): String = {
+    val s = v.toString
+    if (s.contains("E") || s.contains("e")) f"$v%.6f" else s
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench.json")
+    val nPasses = sys.env.getOrElse("SPARK_GRAFT_BENCH_N", "3").toInt.max(1)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -30,26 +53,54 @@ object Bench {
     // (cheap and honest: a cold cluster reading the index from storage
     // pays the same scan).
     SparkEntry.warmupIndexes(spark, sfDir)
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    val names = SparkEntry.queries.keys.toSeq
+    // per query: successful pass times + first error message (if any)
+    val times = scala.collection.mutable.Map[String, Vector[Double]]()
+      .withDefaultValue(Vector.empty)
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+    for (_ <- 1 to nPasses; name <- names) {
+      val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
       // noop write materializes EVERY output column (unlike count(),
       // which lets Catalyst prune final projections) — honest timings
       // for projection-heavy queries
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => () }
-      finally spark.catalog.clearCache() // release per-query persists
-      name -> (System.nanoTime() - t0) / 1e9
+      try {
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        times(name) = times(name) :+ (System.nanoTime() - t0) / 1e9
+      } catch {
+        case e: Throwable =>
+          val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
+          errors.getOrElseUpdate(name,
+            msg.replaceAll("[\"\\n\\r\\\\]", " ").take(160))
+      } finally spark.catalog.clearCache() // release per-query persists
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+
+    def minOf(n: String): Option[Double] = times(n).minOption
+    def medOf(n: String): Option[Double] = {
+      val s = times(n).sorted
+      if (s.isEmpty) None else Some(s(s.size / 2))
+    }
+    val deadQueries = names.filter(times(_).isEmpty) // failed EVERY pass
+    val qMin = names.flatMap(n => minOf(n).map(n -> _))
+    val qMed = names.flatMap(n => medOf(n).map(n -> _))
+    def jmap(m: Seq[(String, Double)]): String =
+      m.map { case (k, v) => "\"" + k + "\":" + jnum(v) }.mkString("{", ",", "}")
+    val errJson = errors
+      .map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }.mkString("{", ",", "}")
+    val total = if (deadQueries.nonEmpty) -1.0 else qMin.map(_._2).sum
+    val detail =
+      s"""{"metric":"bench_detail","n_passes":$nPasses,"queries_median":${jmap(qMed)},"errors":$errJson,"failed_all_passes":${deadQueries.map("\"" + _ + "\"").mkString("[", ",", "]")}}"""
+    val primary =
+      s"""{"metric":"total","value":${jnum(total)},"unit":"sec","queries":${jmap(qMin)},"sf":"$sfDir","n_passes":$nPasses,"err_count":${errors.size},"note":"per-query min over $nPasses passes; requires idle machine; value=-1 if any query failed all passes"}"""
     // stdout for the driver AND a file, so a log-prefix-polluted stdout
-    // can never lose the round's numbers
-    println(json)
-    try Files.writeString(Paths.get(outFile), json + "\n")
+    // can never lose the round's numbers; primary line LAST (upstream
+    // keeps only the tail of stdout)
+    println(detail)
+    println(primary)
+    try Files.writeString(Paths.get(outFile), detail + "\n" + primary + "\n")
     catch { case _: Throwable => () }
     spark.stop()
+    if (deadQueries.nonEmpty) sys.exit(1)
   }
 }
