@@ -329,19 +329,110 @@ object TextDedup {
     * through the pair graph, so "keep one doc per cluster" becomes a
     * filter on `doc === cluster`.
     *
-    * Iterative min-label propagation: each round every node takes the
-    * min of its own label and its neighbors' labels; converges in
-    * O(graph diameter) rounds, and near-dup graphs are shallow (most
-    * components are pairs/triangles). Each round is one join + one
-    * aggregation; the convergence check is a distributed count, not a
-    * collect. At extreme scale swap in the large-star/small-star
-    * variant — same join shape, fewer rounds on adversarial chains;
-    * `maxIterations` fails loudly rather than looping forever.
+    * Algorithm: alternating large-star / small-star contraction
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC'14) — each round is two window-aggregated edge rewrites that
+    * provably converge in O(log n) rounds even on adversarial chains,
+    * where plain min-label propagation needs O(diameter). Per-round
+    * cost is one shuffle per star op on the EDGE set (graph-sized, not
+    * corpus-sized). Convergence is an exact set-equality check
+    * (count + anti-join), not a heuristic; `maxIterations` fails
+    * loudly rather than looping forever.
     *
     * Only nodes that appear in `pairs` are labeled (singletons never
     * entered the graph).
     */
-  def nearDupClusters(pairs: DataFrame, maxIterations: Int = 50): DataFrame = {
+  def nearDupClusters(pairs: DataFrame, maxIterations: Int = 30): DataFrame =
+    starContract(pairs, maxIterations)._1
+
+  /** Large-star: per node u over its full undirected neighborhood,
+    * point every LARGER neighbor at m = min(N(u) ∪ u). Small-star:
+    * per node u over its smaller neighbors (canonical edges u > v),
+    * point u and every smaller neighbor except the min at the min.
+    * Both preserve connectivity and the canonical u > v edge
+    * orientation; their alternation's fixpoint is a disjoint union of
+    * stars centered at each component's minimum id.
+    */
+  private def largeStar(e: DataFrame): DataFrame = {
+    val nbrs = e.select(col("u"), col("v"))
+      .union(e.select(col("v").as("u"), col("u").as("v")))
+    nbrs.withColumn("m", least(min(col("v")).over(Window.partitionBy("u")), col("u")))
+      .filter(col("v") > col("u"))
+      .select(col("v").as("u"), col("m").as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+  }
+
+  private def smallStar(e: DataFrame): DataFrame = {
+    val withMin = e.withColumn("m", min(col("v")).over(Window.partitionBy("u")))
+    withMin.filter(col("v") =!= col("m"))
+      .select(col("v").as("u"), col("m").as("v"))
+      .union(withMin.select(col("u"), col("m").as("v")))
+      .filter(col("u") =!= col("v")).distinct()
+  }
+
+  /** Star-contraction driver; returns (labels, rounds) so tests can
+    * assert the O(log n) round bound against propagation's O(diameter).
+    */
+  private[graft] def starContract(pairs: DataFrame,
+                                  maxIterations: Int = 30): (DataFrame, Int) = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val p0 = pairs.select(col("id_a"), col("id_b"))
+      .filter(col("id_a") =!= col("id_b")).persist(lvl)
+    val nPairs = p0.count()
+    if (nPairs == 0L) {
+      p0.unpersist()
+      return (p0.select(col("id_a").as("doc"), col("id_a").as("cluster")).limit(0), 0)
+    }
+    // the pair graph is orders of magnitude smaller than the corpus —
+    // size the round partitioning to the graph, not the session default,
+    // so a small graph's rounds are single-task jobs
+    val p = math.max(1, math.min((nPairs / 1000000L + 1).toInt, 200))
+    // eager localCheckpoint (not persist): each star op references its
+    // input TWICE, so the logical plan would grow 4x per round and the
+    // planner/explain machinery OOMs long before the data does;
+    // checkpointing truncates lineage to the materialized rows each
+    // round (the standard iterative-graph pattern). Checkpointed RDDs
+    // are reclaimed by the ContextCleaner once unreferenced.
+    var edges = p0
+      .select(greatest(col("id_a"), col("id_b")).as("u"),
+        least(col("id_a"), col("id_b")).as("v"))
+      .distinct().repartition(p, col("u")).localCheckpoint(true)
+    var nEdges = edges.count()
+    p0.unpersist()
+    var iter = 0
+    var converged = false
+    while (!converged) {
+      if (iter >= maxIterations) throw new IllegalStateException(
+        s"nearDupClusters: no convergence in $maxIterations star rounds " +
+          "— should be impossible (O(log n) bound); check for NaN/null ids")
+      val next = smallStar(largeStar(edges))
+        .repartition(p, col("u")).localCheckpoint(true)
+      val nNext = next.count()
+      // exact fixpoint test: same count + empty one-sided difference
+      // (two graph-sized jobs per round; rounds are O(log n), so this
+      // never dominates)
+      converged = nNext == nEdges && next.except(edges).head(1).isEmpty
+      edges = next
+      nEdges = nNext
+      iter += 1
+    }
+    // fixpoint = disjoint stars (child > root): children label by their
+    // root edge, roots label themselves
+    val labels = edges.select(col("u").as("doc"), col("v").as("cluster"))
+      .union(edges.select(col("v").as("doc"), col("v").as("cluster")).distinct())
+    (labels, iter)
+  }
+
+  /** Min-label propagation variant (O(graph diameter) rounds) — kept
+    * as an independent twin for cross-checking the star contraction and
+    * for shallow graphs where per-round cost matters more than round
+    * count.
+    */
+  def nearDupClustersPropagate(pairs: DataFrame, maxIterations: Int = 50): DataFrame =
+    propagateLabels(pairs, maxIterations)._1
+
+  private[graft] def propagateLabels(pairs: DataFrame,
+                                     maxIterations: Int = 50): (DataFrame, Int) = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     // persist the INPUT pair plan: the union below reads it twice, and
     // the pair generation (a whole similarity query) must not run twice
@@ -353,7 +444,7 @@ object TextDedup {
     if (nEdges == 0L) {
       // clean corpus: no pairs, no clusters — empty result, zero rounds
       p0.unpersist()
-      return p0.select(col("id_a").as("doc"), col("id_a").as("cluster")).limit(0)
+      return (p0.select(col("id_a").as("doc"), col("id_a").as("cluster")).limit(0), 0)
     }
     val p = math.max(1, math.min((nEdges / 2000000L + 1).toInt, 200))
     val edges = p0.select(col("id_a").as("src"), col("id_b").as("dst"))
@@ -377,24 +468,27 @@ object TextDedup {
       val neighborMin = edges
         .join(labels.select(col("node").as("dst"), col("label").as("_nl")), Seq("dst"))
         .groupBy(col("src").as("node")).agg(min(col("_nl")).as("_nmin"))
+      // eager localCheckpoint, not persist: each round references the
+      // previous round's labels twice, so the lineage would double per
+      // round and the planner OOMs on deep (high-diameter) graphs long
+      // before the data is large
       val updated = labels
         .join(neighborMin, Seq("node"), "left")
         .select(col("node"),
           least(col("label"), coalesce(col("_nmin"), col("label"))).as("label"))
-        .persist(lvl)
+        .localCheckpoint(true)
       // sum in decimal (not Long): a billion-node graph of 64-bit ids
       // overflows a LongType sum, which under ANSI crashes and without
       // ANSI wraps — breaking the strict-decrease convergence invariant
       val newSum = updated
         .agg(sum(col("label").cast("decimal(38,0)"))).head().getDecimal(0)
-      labels.unpersist()
       labels = updated
       converged = prevSum != null && newSum.compareTo(prevSum) == 0
       prevSum = newSum
       iter += 1
     }
     edges.unpersist()
-    labels.select(col("node").as("doc"), col("label").as("cluster"))
+    (labels.select(col("node").as("doc"), col("label").as("cluster")), iter)
   }
 
   /** Embedding-cosine near-duplicates: exact pairs above a threshold,

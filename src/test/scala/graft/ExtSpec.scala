@@ -53,6 +53,20 @@ class ExtSpec extends SparkSpec {
     assert(TextDedup.nearDupClusters(empty).count() == 0)
   }
 
+  test("star contraction: O(log n) rounds on a planted chain, same labels as propagation") {
+    // a 64-node chain is the adversarial case: diameter 63, so min-label
+    // propagation needs ~63 rounds while star contraction needs O(log n)
+    val chain = (0L until 63L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val (starLabels, starRounds) = TextDedup.starContract(chain)
+    val star = starLabels.as[(Long, Long)].collect().toMap
+    assert(star == (0L to 63L).map(_ -> 0L).toMap)
+    assert(starRounds <= 10, s"star took $starRounds rounds on a 64-chain")
+    val (propLabels, propRounds) = TextDedup.propagateLabels(chain, maxIterations = 100)
+    assert(propLabels.as[(Long, Long)].collect().toMap == star)
+    assert(propRounds > 2 * starRounds,
+      s"propagation ($propRounds) should need far more rounds than star ($starRounds)")
+  }
+
   test("minhash verified pairs equal the exact jaccard pair set (sf0.001)") {
     val corpus = spark.read.parquet(s"$sf/documents.parquet")
     val exact = TextDedup.ngramJaccardPairs(corpus, "text", "doc_id",
