@@ -172,18 +172,28 @@ object TextDedup {
                            shingleN: Int = 3, numPerms: Int = 64,
                            bands: Int = 32, threshold: Double = 0.5,
                            maxBucket: Int = 1000): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     // persisted narrow (doc, shingle-array): feeds signatures once and
-    // the per-candidate exact verify once. The verify runs over the
-    // FULL shingle universe (no df-pruning) — candidate volume is
-    // bounded by banding, not posting caps, so this is the exact
-    // similarity, which is what the oracle computes.
-    val shingles = docShingles(df, text, id, shingleN)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // the exact verify once. The verify runs over the FULL shingle
+    // universe (no df-pruning) — candidate volume is bounded by
+    // banding, not posting caps, so this is the exact similarity,
+    // which is what the oracle computes.
+    val shingles = docShingles(df, text, id, shingleN).persist(lvl)
     val (_, cand) = lshCandidates(shingles, numPerms, bands, maxBucket,
       verbose = false)
+    // per-candidate exact verify over xxhash64'd shingle arrays
+    // (array<long>) rather than the raw shingle strings: the join
+    // traffic per candidate drops ~3x (8 bytes vs ~25 per shingle) and
+    // long equality beats string comparison inside array_intersect,
+    // while keeping the minimal two-join / single-stage verify shape.
+    // Intersection counts are exact modulo 2^-64 hash collisions —
+    // measured A/B at sf0.1: equal results, equal-or-better time, and
+    // at 100x the byte savings is the difference that matters.
+    val hashed = shingles
+      .select(col("doc"), expr("transform(sh, s -> xxhash64(s))").as("sha"))
     cand
-      .join(shingles.select(col("doc").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
-      .join(shingles.select(col("doc").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .join(hashed.select(col("doc").as("id_a"), col("sha").as("sh_a")), Seq("id_a"))
+      .join(hashed.select(col("doc").as("id_b"), col("sha").as("sh_b")), Seq("id_b"))
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
       .withColumn("jaccard", col("inter").cast("double") /
         (size(col("sh_a")) + size(col("sh_b")) - col("inter")))
