@@ -40,12 +40,13 @@ object Multimodal {
   final case class MediaFeatures(width: Int, height: Int, channels: Int,
                                  durationMs: Long)
 
-  /** STUB decoder ??? — stands in for a real image/audio decode.
-    * Deterministic pure function of the bytes so tests are stable; a
-    * real implementation replaces only this function.
+  /** STUB decoder — stands in for a real audio/video decode (no media
+    * libraries beyond the JDK in this environment). Deterministic pure
+    * function of the bytes so tests are stable; a real implementation
+    * replaces only this function.
     */
   def decodeStub(bytes: Array[Byte], mediaType: String): MediaFeatures = {
-    // ??? real codec goes here (e.g. javax.imageio / ffmpeg bindings)
+    // ??? real av codec goes here (e.g. ffmpeg bindings)
     val h = if (bytes == null) 0L
       else bytes.foldLeft(1125899906842597L)((a, b) => a * 31 + b)
     val pos = h & Long.MaxValue
@@ -55,6 +56,46 @@ object Multimodal {
       channels = if (mediaType == "audio") 2 else 3,
       durationMs = if (mediaType == "image") 0L else pos % 600000L)
   }
+
+  /** REAL image decode via pure-JVM `javax.imageio` for any format the
+    * JDK registry handles (PNG, JPEG, GIF, BMP). Header-only: the
+    * reader reports width/height/color-model WITHOUT decoding pixels,
+    * so cost per blob is a few KB of header parse, not a full decode —
+    * the shape that survives a 100 TB media column. Returns None for
+    * bytes no registered reader recognizes (caller falls back to the
+    * stub).
+    */
+  def decodeImage(bytes: Array[Byte]): Option[MediaFeatures] = {
+    if (bytes == null || bytes.length < 8) return None
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) return None
+      val reader = readers.next()
+      try {
+        reader.setInput(iis, true, true)
+        val channels = {
+          val types = reader.getImageTypes(0)
+          if (types.hasNext) types.next().getColorModel.getNumComponents else 3
+        }
+        Some(MediaFeatures(
+          width = reader.getWidth(0),
+          height = reader.getHeight(0),
+          channels = channels,
+          durationMs = 0L))
+      } finally reader.dispose()
+    } catch { case scala.util.control.NonFatal(_) => None }
+    finally iis.close()
+  }
+
+  /** Decode dispatch: real image decode when the bytes ARE a readable
+    * image (sniffed by the ImageIO registry, independent of the declared
+    * media_type — declared metadata lies at corpus scale), stub
+    * otherwise.
+    */
+  def decode(bytes: Array[Byte], mediaType: String): MediaFeatures =
+    decodeImage(bytes).getOrElse(decodeStub(bytes, mediaType))
 
   /** Decode/feature-extract stage: batch-wise over partitions (the
     * `mapInPandas` shape — bounded memory, codec initialized once per
@@ -77,12 +118,12 @@ object Multimodal {
     val mediaIdx = inSchema.fieldIndex("media")
     val metaIdx = inSchema.fieldIndex("media_meta")
     val rdd = df.rdd.mapPartitions { rows =>
-      // per-partition init of the (stub) codec happens here
+      // per-partition init of the codec happens here
       rows.grouped(batchSize).flatMap { batch =>
         batch.map { r =>
           val bytes = r.get(mediaIdx).asInstanceOf[Array[Byte]]
           val mtype = r.getStruct(metaIdx).getString(0)
-          val f = decodeStub(bytes, mtype)
+          val f = decode(bytes, mtype)
           Row.fromSeq(r.toSeq ++ Seq[Any](f.width, f.height, f.channels, f.durationMs))
         }
       }

@@ -52,6 +52,36 @@ class MultimodalSpec extends SparkSpec {
     assert(top.count() == 2)
   }
 
+  test("real image bytes decode via javax.imageio; non-image bytes fall back to stub") {
+    def imageBytes(w: Int, h: Int, format: String, imgType: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h, imgType)
+      for (x <- 0 until w; y <- 0 until h) img.setRGB(x, y, (x * 31 + y) & 0xffffff)
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, format, bos))
+      bos.toByteArray
+    }
+    val png = imageBytes(7, 5, "png", java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val jpg = imageBytes(12, 9, "jpg", java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val gray = imageBytes(4, 3, "png", java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    // direct decode goldens
+    assert(Multimodal.decodeImage(png).contains(Multimodal.MediaFeatures(7, 5, 3, 0L)))
+    assert(Multimodal.decodeImage(jpg).contains(Multimodal.MediaFeatures(12, 9, 3, 0L)))
+    assert(Multimodal.decodeImage(gray).contains(Multimodal.MediaFeatures(4, 3, 1, 0L)))
+    assert(Multimodal.decodeImage("not an image".getBytes).isEmpty)
+    assert(Multimodal.decodeImage(null).isEmpty)
+    // through the distributed pipeline: real images get real dimensions,
+    // the garbage row falls back to the deterministic stub
+    val df = Seq((1L, png), (2L, jpg), (3L, "garbage bytes".getBytes))
+      .toDF("doc_id", "raw")
+    val out = Multimodal.extractFeatures(Multimodal.withMedia(df, "raw", "image"))
+      .select("doc_id", "width", "height", "channels")
+      .as[(Long, Int, Int, Int)].collect().sortBy(_._1)
+    assert(out(0) == ((1L, 7, 5, 3)))
+    assert(out(1) == ((2L, 12, 9, 3)))
+    val stub = Multimodal.decodeStub("garbage bytes".getBytes, "image")
+    assert(out(2) == ((3L, stub.width, stub.height, stub.channels)))
+  }
+
   test("typed FuelPrice dataset carries the reference DECIMAL(5,2) price") {
     val prices = graft.op.PriceGen.generateTyped(
       spark.read.parquet(s"$sf/supplier.parquet"), "s_suppkey",
