@@ -46,25 +46,55 @@ object EventStream {
     * highest version (event_id) seen so far, across micro-batches — a
     * late batch carrying an older event must not clobber a newer value,
     * so the state stores the high-water version.
+    *
+    * State retention contract: state expires via event-time timeout
+    * once a key has been idle for `stateTTLMs` past the watermark —
+    * without it, state grows with key cardinality forever (fine at
+    * gas-station scale, fatal at events scale). On expiry the final
+    * value is flushed once and the state removed; an event arriving
+    * after its key expired starts a fresh version floor (a
+    * full-history merge is the batch T10 operator, not streaming
+    * state).
     */
-  def lastWriteWinsStream(spark: SparkSession, events: DataFrame) = {
+  def lastWriteWinsStream(spark: SparkSession, events: DataFrame,
+                          watermark: String = "10 minutes",
+                          stateTTLMs: Long = 30L * 24 * 3600 * 1000) = {
     import spark.implicits._
-    events.selectExpr("concat(cast(user_id as string), '|', event_type) as key",
-        "value", "event_id")
-      .as[(String, Double, Long)]
+    // ts stays in the projection: the analyzer requires the watermarked
+    // event-time attribute to survive to the stateful operator
+    events.withWatermark("ts", watermark)
+      .selectExpr("concat(cast(user_id as string), '|', event_type) as key",
+        "value", "event_id", "ts")
+      .as[(String, Double, Long, java.sql.Timestamp)]
       .groupByKey(_._1)
-      .mapGroupsWithState[PriceState, PriceUpdate](GroupStateTimeout.NoTimeout) {
+      .mapGroupsWithState[PriceState, PriceUpdate](GroupStateTimeout.EventTimeTimeout) {
         case (key, rows, state: GroupState[PriceState]) =>
-          val batch = rows.toSeq
-          val prev = state.getOption.getOrElse(PriceState(0.0, Long.MinValue, 0L))
-          val newest = batch.maxByOption(_._3)
-          val next = newest match {
-            case Some((_, v, ver)) if ver > prev.lastVersion =>
-              PriceState(v, ver, prev.updates + batch.size)
-            case _ => prev.copy(updates = prev.updates + batch.size)
+          if (state.hasTimedOut) {
+            // idle beyond the retention horizon: flush the final value
+            // once, then free the state
+            val last = state.get
+            state.remove()
+            PriceUpdate(key, last.lastValue, last.updates)
+          } else {
+            val batch = rows.toSeq
+            val prev = state.getOption.getOrElse(PriceState(0.0, Long.MinValue, 0L))
+            val newest = batch.maxByOption(_._3)
+            val next = newest match {
+              case Some((_, v, ver, _)) if ver > prev.lastVersion =>
+                PriceState(v, ver, prev.updates + batch.size)
+              case _ => prev.copy(updates = prev.updates + batch.size)
+            }
+            state.update(next)
+            // expire TTL past the key's own latest event time (bounded
+            // below by the watermark: setTimeoutTimestamp must stay
+            // ahead of it) — NOT watermark + TTL, which in the first
+            // micro-batch (watermark 0) would schedule 1970-era timers
+            // that fire the moment real event times advance the clock
+            val maxEventMs = batch.map(_._4.getTime).max
+            state.setTimeoutTimestamp(
+              math.max(maxEventMs, state.getCurrentWatermarkMs()) + stateTTLMs)
+            PriceUpdate(key, next.lastValue, next.updates)
           }
-          state.update(next)
-          PriceUpdate(key, next.lastValue, next.updates)
       }
   }
 
@@ -89,27 +119,51 @@ object EventStream {
     * the kept reference (late beyond the O(1) state horizon) emit an
     * unmatched row rather than a wrong one — a full late-data replay is
     * a batch `AsofJoin` over the historical table, not streaming state.
+    *
+    * State retention contract: `t` is interpreted as event-time epoch
+    * MILLIS; a key whose reference has been idle for `stateTTLMs` past
+    * the watermark is dropped silently (expired state emits nothing —
+    * probes for that key thereafter emit unmatched until a new
+    * reference row arrives). Without the timeout, one reference row is
+    * retained per key forever.
     */
-  def streamingAsof(spark: SparkSession, tagged: DataFrame) = {
+  def streamingAsof(spark: SparkSession, tagged: DataFrame,
+                    watermark: String = "10 minutes",
+                    stateTTLMs: Long = 30L * 24 * 3600 * 1000) = {
     import spark.implicits._
-    tagged.as[AsofIn].groupByKey(_.key)
+    tagged
+      .withColumn("_event_ts", timestamp_millis(col("t").cast("long")))
+      .withWatermark("_event_ts", watermark)
+      .as[AsofIn].groupByKey(_.key)
       .flatMapGroupsWithState[AsofRef, AsofOut](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         case (key, rows, state: GroupState[AsofRef]) =>
-          var ref = state.getOption
-          val out = Vector.newBuilder[AsofOut]
-          rows.toSeq.sortBy(e => (e.t, e.side, e.id)).foreach { e =>
-            if (e.side == 0) {
-              if (ref.forall(r => r.t < e.t || (r.t == e.t && r.refId < e.id)))
-                ref = Some(AsofRef(e.t, e.id, e.value))
-            } else {
-              val m = ref.filter(_.t <= e.t)
-              out += AsofOut(key, e.id, e.t,
-                m.map(_.refId), m.map(_.t), m.map(_.refValue))
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            var ref = state.getOption
+            val batch = rows.toSeq
+            val out = Vector.newBuilder[AsofOut]
+            batch.sortBy(e => (e.t, e.side, e.id)).foreach { e =>
+              if (e.side == 0) {
+                if (ref.forall(r => r.t < e.t || (r.t == e.t && r.refId < e.id)))
+                  ref = Some(AsofRef(e.t, e.id, e.value))
+              } else {
+                val m = ref.filter(_.t <= e.t)
+                out += AsofOut(key, e.id, e.t,
+                  m.map(_.refId), m.map(_.t), m.map(_.refValue))
+              }
             }
+            ref.foreach { r =>
+              state.update(r)
+              // TTL past the key's latest event time, never behind the
+              // watermark (see lastWriteWinsStream)
+              state.setTimeoutTimestamp(
+                math.max(batch.map(_.t).max, state.getCurrentWatermarkMs()) + stateTTLMs)
+            }
+            out.result().iterator
           }
-          ref.foreach(state.update)
-          out.result().iterator
       }
   }
 

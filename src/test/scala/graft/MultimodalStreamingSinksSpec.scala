@@ -214,6 +214,71 @@ class StreamingSpec extends SparkSpec {
     assert(out(3L).isEmpty) // probe older than kept reference: unmatched
   }
 
+  test("LWW state expires after the event-time TTL; post-expiry events start fresh") {
+    val dir = java.nio.file.Files.createTempDirectory("evttl").toString
+    def write(sub: String, rows: Seq[(Long, String, Long, Double)]): Unit = {
+      rows.map { case (id, ts, uid, v) =>
+        (id, java.sql.Timestamp.valueOf(ts), uid, "price", v, "{}") }
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.parquet(s"$dir/$sub")
+      Thread.sleep(1100) // distinct mtimes => deterministic batch order
+    }
+    // f1: key 7 gets value 100 (version 10); its timer is scheduled at
+    // its event time + 60 s. f2: unrelated key 8 a day ahead — its
+    // trigger still runs under f1's watermark, but AFTER it the
+    // watermark jumps past 7's timeout. f3: another key-8 filler whose
+    // trigger fires 7's expired timer (timers only fire for groups with
+    // no data in the trigger) → flush + remove. f4: an OLDER event for
+    // 7 — with live state it could never win (version floor); after
+    // expiry it starts a fresh floor and must win. f4's TIMESTAMP is
+    // recent (rows behind the watermark are dropped by the engine's
+    // late-row filter before the stateful op); only its VERSION
+    // (event_id 5 < 10) is old, which is what the state floor tracks.
+    write("f1", Seq((10L, "2024-01-01 00:10:00", 7L, 100.0)))
+    write("f2", Seq((200L, "2024-01-02 00:00:00", 8L, 8.0)))
+    write("f3", Seq((201L, "2024-01-02 00:01:00", 8L, 8.1)))
+    write("f4", Seq((5L, "2024-01-02 00:02:00", 7L, 50.0)))
+    val stream = spark.readStream.schema(EventStream.eventSchema)
+      .option("maxFilesPerTrigger", "1").parquet(dir + "/*")
+    val merged = EventStream.lastWriteWinsStream(spark, stream,
+      watermark = "1 minute", stateTTLMs = 60000L)
+    EventStream.runAvailableNow(merged.toDF(), "lww_ttl",
+      org.apache.spark.sql.streaming.OutputMode.Update)
+    val rows7 = spark.sql("select value, updates from lww_ttl where key = '7|price'")
+      .as[(Double, Long)].collect().toSeq
+    // fresh state after expiry: the old event won with a reset counter
+    assert(rows7.contains((50.0, 1L)), rows7.toString)
+    // had state survived, the older event would have been absorbed into
+    // the existing state as (100.0, 2)
+    assert(!rows7.contains((100.0, 2L)), rows7.toString)
+  }
+
+  test("asof reference state expires after the TTL; later probes emit unmatched") {
+    val dir = java.nio.file.Files.createTempDirectory("evasofttl").toString
+    def write(sub: String, rows: Seq[(String, Long, Int, Long, Double)]): Unit = {
+      rows.toDF("key", "t", "side", "id", "value")
+        .coalesce(1).write.parquet(s"$dir/$sub")
+      Thread.sleep(1100)
+    }
+    // f1: k1 reference at t=1000ms (timeout scheduled at wm(0)+5000).
+    // f2/f3: k2 filler far ahead — f2 lifts the watermark, f3's trigger
+    // fires k1's expired timer (k1 has no data in it). f4: a k1 probe
+    // AFTER expiry: must emit unmatched, not enrich from dropped state.
+    write("f1", Seq(("k1", 1000L, 0, 100L, 1.5)))
+    write("f2", Seq(("k2", 2000000L, 0, 200L, 2.0)))
+    write("f3", Seq(("k2", 2100000L, 0, 201L, 2.1)))
+    write("f4", Seq(("k1", 2200000L, 1, 9L, 0.0)))
+    val stream = spark.readStream
+      .schema("key string, t bigint, side int, id bigint, value double")
+      .option("maxFilesPerTrigger", "1").parquet(dir + "/*")
+    val enriched = EventStream.streamingAsof(spark, stream,
+      watermark = "1 second", stateTTLMs = 5000L)
+    EventStream.runAvailableNow(enriched.toDF(), "sasof_ttl",
+      org.apache.spark.sql.streaming.OutputMode.Append)
+    val probe = spark.sql("select ref_id from sasof_ttl where id = 9").head()
+    assert(probe.isNullAt(0), s"probe matched expired state: $probe")
+  }
+
   test("stateful last-write-wins stream merges to latest value per key") {
     val dir = java.nio.file.Files.createTempDirectory("evstream2").toString
     Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 00:01:00"), 7L, "price", 10.0, "{}"),
