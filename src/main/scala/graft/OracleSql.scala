@@ -282,6 +282,16 @@ object OracleSql {
       fresh AS (SELECT * FROM deduped d WHERE NOT EXISTS (SELECT 1 FROM existing e WHERE e.location_id = d.location_id))
       SELECT brand_name, count(*) AS n_stations, count(DISTINCT city) AS n_cities FROM fresh GROUP BY brand_name ORDER BY brand_name""",
 
+    "pipeline_backfill" ->
+      """WITH ft(fuel_type, base_cents, ft_idx) AS (VALUES
+        ('Unleaded 91', 279, 0), ('Unleaded 95', 298, 1), ('Unleaded 98', 311, 2), ('Diesel', 210, 3)),
+      d AS (SELECT CAST(unnest(generate_series(DATE '2024-06-01', DATE '2024-06-03', INTERVAL 1 DAY)) AS DATE) AS date)
+      SELECT s_suppkey AS location_id, fuel_type,
+        (base_cents - 37 + (s_suppkey * 2654435761 + ft_idx * 7919) % 61) / 100.0 AS price,
+        date
+      FROM supplier CROSS JOIN ft CROSS JOIN d
+      ORDER BY location_id, fuel_type, date""",
+
     "ns_dedup_exact" ->
       """WITH doubled AS (
         SELECT doc_id, text FROM documents

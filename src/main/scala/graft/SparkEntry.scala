@@ -349,6 +349,20 @@ object SparkEntry {
       .orderBy("brand_name")
   }
 
+  /** O2 backfill/catchup: day 1 is already processed (the existing
+    * table); replaying the full three-day range over it must converge
+    * to exactly the three-day generation — idempotent catchup.
+    */
+  private def pipelineBackfill(s: SparkSession, dir: String): DataFrame = {
+    val sup = t(s, dir, "supplier")
+    val day1 = Pipeline.dailyPrices(s, sup, "s_suppkey", None,
+      to_date(lit("2024-06-01")))
+    Pipeline.backfillPrices(s, sup, "s_suppkey", Some(day1),
+      java.time.LocalDate.parse("2024-06-01"),
+      java.time.LocalDate.parse("2024-06-03"))
+      .orderBy("location_id", "fuel_type", "date")
+  }
+
   // ---- LLM-data-pipeline extensions (SURVEY §7.4) ----
 
   /** Variant-id offset is far beyond any plausible doc count so copies
@@ -574,6 +588,7 @@ object SparkEntry {
     "t12_full_address" -> t12FullAddress,
     "t13_row_to_json" -> t13RowToJson,
     "pipeline_collection" -> pipelineCollection,
+    "pipeline_backfill" -> pipelineBackfill,
     "ns_dedup_exact" -> nsDedupExact,
     "ns_dedup_exact_norm" -> nsDedupExactNorm,
     "ns_sketches" -> nsSketches,

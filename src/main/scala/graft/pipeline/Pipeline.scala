@@ -45,13 +45,48 @@ object Pipeline {
     val generated = PriceGen.generate(
       Tables.keyScan(stations, stationKey), stationKey,
       Tables.fuelTypes(spark), date)
+    merge(existing, generated)
+  }
+
+  /** O2 backfill/catchup analog. The reference's Mobil DAG leaves
+    * Airflow `catchup` enabled (dag_collection_data_from_mobil.py:16-21)
+    * so missed schedule days are replayed; this is the batch twin:
+    * reprocess an INCLUSIVE historical date range through the price
+    * pipeline and last-write-wins-merge the result over the existing
+    * table. The range is exploded as a DATE COLUMN, so replaying three
+    * years is ONE distributed job (stations × fuels × days), not a
+    * thousand sequential DAG runs — the scheduler loop becomes a
+    * dimension of the plan. Generation is deterministic per (station,
+    * fuel type, date), so the operation is idempotent: replaying an
+    * already-processed range converges to the same table (T10
+    * semantics), and overlapping re-runs commute.
+    */
+  def backfillPrices(spark: SparkSession, stations: DataFrame,
+                     stationKey: String, existing: Option[DataFrame],
+                     from: java.time.LocalDate,
+                     to: java.time.LocalDate): DataFrame = {
+    require(!to.isBefore(from), s"backfill range is empty: $from > $to")
+    val dates = spark.range(1).select(explode(sequence(
+      lit(java.sql.Date.valueOf(from)), lit(java.sql.Date.valueOf(to)),
+      expr("interval 1 day"))).as("date"))
+    // date dimension broadcasts (days are few, stations are many): the
+    // station side never shuffles, exactly like the fuel-type side
+    val keyedDays = Tables.keyScan(stations, stationKey)
+      .crossJoin(broadcast(dates))
+    val generated = PriceGen.generate(keyedDays, stationKey,
+      Tables.fuelTypes(spark), col("date"))
+    merge(existing, generated)
+  }
+
+  /** Replayed rows win over existing ones: version 1 beats 0; equal
+    * regenerated values make the merge a fixpoint (idempotent replay).
+    */
+  private def merge(existing: Option[DataFrame], generated: DataFrame): DataFrame =
     existing match {
       case None => generated
       case Some(old) =>
-        // new rows win over existing ones: version 1 beats 0
         Dedup.lastWriteWins(
           old.withColumn("_v", lit(0)).unionByName(generated.withColumn("_v", lit(1))),
           Seq("location_id", "fuel_type", "date"), Seq(col("_v"))).drop("_v")
     }
-  }
 }

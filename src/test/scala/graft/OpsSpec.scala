@@ -96,6 +96,26 @@ class OpsSpec extends SparkSpec {
       again.orderBy("location_id", "fuel_type").collect().toSeq)
   }
 
+  test("backfill replays a date range idempotently (catchup converges)") {
+    import java.time.LocalDate
+    val stations = Seq("bp-001", "mob-001", "ChIJxxxx").toDF("location_id")
+    def run(existing: Option[org.apache.spark.sql.DataFrame],
+            from: String, to: String) =
+      graft.pipeline.Pipeline.backfillPrices(spark, stations, "location_id",
+        existing, LocalDate.parse(from), LocalDate.parse(to))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("location_id", "fuel_type", "date").collect().toSeq
+    // one shot over the full range is the ground truth
+    val full = run(None, "2024-06-01", "2024-06-04")
+    assert(full.count() == 3 * 4 * 4) // stations x fuels x days
+    // replaying the SAME range over its own output is a fixpoint
+    assert(rows(run(Some(full), "2024-06-01", "2024-06-04")) == rows(full))
+    // catchup: days 1-2 processed, then an overlapping replay of 2-4
+    // converges to the same table as the one-shot full range
+    val firstHalf = run(None, "2024-06-01", "2024-06-02")
+    assert(rows(run(Some(firstHalf), "2024-06-02", "2024-06-04")) == rows(full))
+  }
+
   test("rolling fingerprint evaluates under ANSI and is order-sensitive") {
     val fp = Seq(Tuple1("alpha beta gamma"), Tuple1("beta alpha gamma"),
       Tuple1("alpha beta gamma")).toDF("text")
