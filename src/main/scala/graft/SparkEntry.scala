@@ -502,10 +502,14 @@ object SparkEntry {
       .orderBy("query_id", "rank")
   }
 
+  /** probeNeighbors = 2 per the TUNING.md sweep: on this corpus depth 2
+    * roughly doubles recall over depth 1 at the same wall time (the
+    * probe fan-out is still a bounded bucket fraction of the corpus).
+    */
   private def nsAnnLsh(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
     VectorSearch.annTopK(emb, emb.filter(col("vec_id") < 5),
-      "vec_id", "embedding", k = 10, bits = 6, probeNeighbors = 1)
+      "vec_id", "embedding", k = 10, bits = 6, probeNeighbors = 2)
       .orderBy("query_id", "rank")
   }
 

@@ -174,23 +174,47 @@ object VectorSearch {
               nprobe: Int = 3, seed: Long = 42L): DataFrame =
     ivfTopK(ivfBuild(corpus, id, vec, nLists, seed), queries, k, nprobe)
 
+  /** All buckets within Hamming distance `depth` (0-2) of `bucket`, as
+    * a SQL array expression — the multi-probe neighborhood. Sizes:
+    * 1, 1+bits, 1+bits+C(bits,2); each probed bucket adds ~corpus/2^bits
+    * rows to the query's candidate scan.
+    */
+  private def probeNeighborhood(bits: Int, depth: Int): String = {
+    val self = "array(cast(bucket as long))"
+    val d1 = s"transform(sequence(0, ${bits - 1}), b -> " +
+      "cast(bucket as long) ^ shiftleft(1L, b))"
+    // b1 ranges to bits-2 so the inner sequence(b1+1, bits-1) is always
+    // ascending (a descending sequence would double-count pairs)
+    val d2 = s"flatten(transform(sequence(0, ${bits - 2}), b1 -> " +
+      s"transform(sequence(b1 + 1, ${bits - 1}), b2 -> " +
+      "cast(bucket as long) ^ shiftleft(1L, b1) ^ shiftleft(1L, b2))))"
+    depth match {
+      case 0 => self
+      case 1 => s"array_union($self, $d1)"
+      case 2 => s"array_union(array_union($self, $d1), $d2)"
+    }
+  }
+
   /** Approximate top-k: probe only the query's bucket. Recall is traded
-    * against `bits` (and can be raised with multi-probe: pass
-    * `probeNeighbors > 0` to also search buckets at Hamming distance 1).
+    * against `bits`, and raised with multi-probe: `probeNeighbors` is
+    * the maximum Hamming distance of probed buckets (0 = own bucket
+    * only, 1 = + bits neighbors, 2 = + C(bits,2) more — measured sweep
+    * in TUNING.md; depth 2 at low bits approaches exact recall while
+    * still bounding the scan to a bucket fraction of the corpus).
     */
   def annTopK(corpus: DataFrame, queries: DataFrame, id: String,
               vec: String, k: Int, bits: Int = 8,
               probeNeighbors: Int = 0): DataFrame = {
+    require(probeNeighbors >= 0 && probeNeighbors <= 2,
+      "probeNeighbors (max probe Hamming distance) must be 0, 1, or 2")
+    require(bits >= 2, "bits must be >= 2")
     val c = lshBuckets(corpus, vec, bits)
       .select(col("bucket"), col(id).as("vec_id"), col(vec).as("cv"))
     val q0 = lshBuckets(queries, vec, bits)
       .select(col("bucket"), col(id).as("query_id"), col(vec).as("qv"))
     val q = if (probeNeighbors == 0) q0 else {
-      // multi-probe: original bucket + all buckets at Hamming distance 1
       q0.select(col("query_id"), col("qv"),
-        explode(expr(
-          s"array_union(array(bucket), transform(sequence(0, ${bits - 1}), " +
-            "b -> cast(bucket as long) ^ shiftleft(1L, b)))")).as("bucket"))
+        explode(expr(probeNeighborhood(bits, probeNeighbors))).as("bucket"))
     }
     val scored = c.join(broadcast(q), Seq("bucket"))
       .filter(col("query_id") =!= col("vec_id"))

@@ -218,13 +218,17 @@ class ExtSpec extends SparkSpec {
     val q = emb.filter($"vec_id" < 10)
     val exact = VectorSearch.bruteForceTopK(emb, q, "vec_id", "embedding", 10)
       .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
-    val approx = VectorSearch.annTopK(emb, q, "vec_id", "embedding", 10,
-      bits = 4, probeNeighbors = 1)
-      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
-    val recall = (exact & approx).size.toDouble / exact.size
-    assert(recall > 0.3, s"recall $recall too low")
-    // and the candidate set actually shrank vs brute force
-    assert(approx.size <= exact.size)
+    def recallAt(depth: Int): Double = {
+      val approx = VectorSearch.annTopK(emb, q, "vec_id", "embedding", 10,
+        bits = 4, probeNeighbors = depth)
+        .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+      assert(approx.size <= exact.size) // candidate set shrank vs brute force
+      (exact & approx).size.toDouble / exact.size
+    }
+    val r = (0 to 2).map(recallAt)
+    assert(r(1) > 0.3, s"recall ${r(1)} too low")
+    // deeper probe neighborhoods only add buckets: recall is monotone
+    assert(r(0) <= r(1) && r(1) <= r(2), r.toString)
   }
 
   test("quality score rewards stopword-bearing prose, penalizes fragments") {
