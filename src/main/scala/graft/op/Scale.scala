@@ -69,17 +69,21 @@ object Scale {
     * 100 TB table needs (a daily pipeline writing 32 shuffle partitions
     * of a few MB each produces thousands of tiny files a month, and
     * file-open overhead then dominates every downstream scan).
-    * `coalesce` when shrinking (no shuffle); `repartition` only when
-    * the frame has fewer partitions than the target.
+    * Compaction is a SHRINK: `coalesce(files)` caps the partition count
+    * with no shuffle and is a no-op when the frame already has fewer —
+    * decided purely from plan statistics, never by materializing the
+    * frame (reading `df.rdd.getNumPartitions` under AQE executes the
+    * upstream query stages once before the write runs them again).
+    * Pass `allowGrow = true` to instead force exactly `files`
+    * partitions via one shuffle, for frames whose few huge partitions
+    * would exceed the per-file target.
     */
-  def sizedForWrite(df: DataFrame, targetBytes: Long = 128L << 20): DataFrame = {
+  def sizedForWrite(df: DataFrame, targetBytes: Long = 128L << 20,
+                    allowGrow: Boolean = false): DataFrame = {
     require(targetBytes > 0)
     val estimate = df.queryExecution.optimizedPlan.stats.sizeInBytes
     val files = (((estimate + targetBytes - 1) / targetBytes) max BigInt(1)).toLong
-    val current = df.rdd.getNumPartitions
-    if (files < current) df.coalesce(files.toInt)
-    else if (files > current) df.repartition(files.toInt)
-    else df
+    if (allowGrow) df.repartition(files.toInt) else df.coalesce(files.toInt)
   }
 
   /** Contiguous global row numbers (1..N) in the total order of
