@@ -32,8 +32,11 @@ object OracleSql {
     * shingle universe, which is what minhashVerifiedPairs verifies
     * against.
     */
-  private def jaccardCtes(src: String, pruned: Boolean): String = {
-    val shSrc = if (pruned) "shp" else "sh"
+  /** Word-trigram shingle CTEs over `src` (toks / sh0 / sh): sh =
+    * distinct (doc_id, shingle), with short docs collapsing to one
+    * whole-text shingle — mirrors `TextDedup.docShingles`.
+    */
+  private def shingleCtes(src: String): String =
     s"""toks AS (
         SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w,
                generate_subscripts(string_split(lower(text), ' '), 1) AS pos
@@ -46,7 +49,11 @@ object OracleSql {
         SELECT DISTINCT doc_id, sh FROM sh0 WHERE sh IS NOT NULL
         UNION
         SELECT doc_id, lower(text) FROM $src
-        WHERE len(string_split(lower(text), ' ')) < 3),""" +
+        WHERE len(string_split(lower(text), ' ')) < 3)"""
+
+  private def jaccardCtes(src: String, pruned: Boolean): String = {
+    val shSrc = if (pruned) "shp" else "sh"
+    shingleCtes(src) + "," +
       (if (pruned) """
       shp AS (
         SELECT doc_id, sh FROM sh
@@ -326,6 +333,23 @@ object OracleSql {
       JOIN sizes sb ON sb.doc_id = id_b
       WHERE CAST(inter AS DOUBLE) / (sa.nsh + sb.nsh - inter) >= 0.12
       ORDER BY id_a, id_b""",
+
+    "ns_decontaminate" ->
+      s"""WITH ${shingleCtes("documents")},
+      bench AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 17 = 0),
+      corp AS (SELECT doc_id, sh FROM sh WHERE doc_id % 17 <> 0)
+      SELECT doc_id, count(*) AS n_hits
+      FROM corp JOIN bench USING (sh)
+      GROUP BY 1 ORDER BY doc_id""",
+
+    "ns_repetition" ->
+      s"""WITH ${shingleCtes("documents")},
+      nd AS (SELECT doc_id, count(*) AS n_distinct FROM sh GROUP BY 1),
+      t AS (SELECT doc_id, greatest(len(string_split(lower(text), ' ')) - 2, 1) AS n_ngrams FROM documents)
+      SELECT t.doc_id, t.n_ngrams, nd.n_distinct,
+        round(CAST(t.n_ngrams - nd.n_distinct AS DOUBLE) / t.n_ngrams, 6) AS rep_ratio
+      FROM t JOIN nd ON t.doc_id = nd.doc_id
+      ORDER BY t.doc_id""",
 
     // exact all-pairs jaccard at the verified threshold — the Spark side
     // reaches the same set through LSH candidates + exact verify (recall

@@ -430,6 +430,26 @@ object SparkEntry {
       .select(col("doc").as("doc_id"), col("cluster"))
       .orderBy("doc_id")
 
+  /** Decontamination: docs with doc_id % 17 == 0 stand in for a
+    * benchmark set; every other doc is scored by distinct shared
+    * trigrams. The benchmark shingle set broadcasts (dimension-table
+    * contract).
+    */
+  private def nsDecontaminate(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    TextDedup.contaminated(
+      docs.filter(col("doc_id") % 17 =!= 0), "text", "doc_id",
+      docs.filter(col("doc_id") % 17 === 0), "text")
+      .select(col("doc").as("doc_id"), col("n_hits"))
+      .orderBy("doc_id")
+  }
+
+  private def nsRepetition(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.repetitionRatio(t(s, dir, "documents"), "text", "doc_id")
+      .select(col("doc").as("doc_id"), col("n_ngrams"), col("n_distinct"),
+        col("rep_ratio"))
+      .orderBy("doc_id")
+
   private def nsDedupSimhash(s: SparkSession, dir: String): DataFrame =
     TextDedup.simhashPairs(t(s, dir, "documents"), "text", "doc_id",
       maxHamming = 7)
@@ -601,6 +621,8 @@ object SparkEntry {
     "ns_dedup_minhash_verified" -> nsDedupMinhashVerified,
     "ns_dedup_clusters" -> nsDedupClusters,
     "ns_dedup_simhash" -> nsDedupSimhash,
+    "ns_decontaminate" -> nsDecontaminate,
+    "ns_repetition" -> nsRepetition,
     "ns_embed_neardup" -> nsEmbedNearDup,
     "ns_embed_neardup_lsh" -> nsEmbedNearDupLsh,
     "ns_topk_similarity" -> nsTopkSimilarity,

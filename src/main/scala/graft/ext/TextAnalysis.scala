@@ -55,6 +55,26 @@ object TextAnalysis {
         + when(col("avg_word_len").between(2.0, 12.0), 1).otherwise(0))
         / lit(10.0))
 
+  /** Intra-document repetition ratio — the Gopher-style quality signal
+    * for boilerplate/spam: the fraction of a doc's word n-gram
+    * occurrences that are repeats of an earlier n-gram in the same doc
+    * (0 = no repetition, → 1 for a looping document). Pure map-side
+    * expressions: total n-gram count is arithmetic on the token count,
+    * distinct count comes from the native WordShingles expression. Docs
+    * shorter than n words carry one whole-text shingle → ratio 0.
+    */
+  def repetitionRatio(df: DataFrame, text: String, id: String,
+                      n: Int = 3): DataFrame = {
+    val toks = split(lower(col(text)), "\\s+")
+    val total = greatest(size(toks) - lit(n - 1), lit(1))
+    val distinctN = size(
+      graft.functions.VectorExpressions.word_shingles(toks, n))
+    df.select(col(id).as("doc"),
+      total.cast("long").as("n_ngrams"),
+      distinctN.cast("long").as("n_distinct"),
+      round((total - distinctN).cast("double") / total, 6).as("rep_ratio"))
+  }
+
   /** Corpus token frequency: the global top-k tokens. Partial (map-side)
     * aggregation makes this a single light shuffle even at corpus scale.
     */

@@ -501,6 +501,48 @@ object TextDedup {
     (labels.select(col("node").as("doc"), col("label").as("cluster")), iter)
   }
 
+  /** Benchmark decontamination: for every corpus document, the number
+    * of distinct word n-gram shingles it shares with ANY benchmark
+    * document — the standard training-data hygiene check (a doc
+    * containing verbatim benchmark n-grams leaks evaluation data into
+    * training). Returns (doc, n_hits) for docs with n_hits ≥
+    * `minOverlap`.
+    *
+    * Scale shape: the benchmark shingle set is deduplicated to a bare
+    * shingle column and BROADCAST (benchmarks are MBs, corpora are
+    * 100 TB — same contract as a dimension table); the corpus side then
+    * pays one map-side semi-match pass + one aggregation on its own
+    * doc id. The corpus never shuffles on the shingle.
+    */
+  def contaminated(corpus: DataFrame, corpusText: String, corpusId: String,
+                   benchmark: DataFrame, benchText: String,
+                   shingleN: Int = 3, minOverlap: Long = 1): DataFrame = {
+    require(minOverlap >= 1, "minOverlap must be >= 1")
+    import graft.functions.VectorExpressions.word_shingles
+    val benchSh = benchmark
+      .select(explode(word_shingles(tokens(col(benchText)), shingleN)).as("sh"))
+      .distinct()
+    val corpSh = corpus
+      .select(col(corpusId).as("doc"),
+        explode(word_shingles(tokens(col(corpusText)), shingleN)).as("sh"))
+    corpSh.join(broadcast(benchSh), Seq("sh"))
+      .groupBy("doc").agg(count(lit(1)).as("n_hits"))
+      .filter(col("n_hits") >= minOverlap)
+  }
+
+  /** The filtering form: corpus rows whose shingle overlap with the
+    * benchmark stays BELOW `minOverlap` (anti-join against
+    * [[contaminated]]) — "remove anything that leaks eval data".
+    */
+  def decontaminate(corpus: DataFrame, corpusText: String, corpusId: String,
+                    benchmark: DataFrame, benchText: String,
+                    shingleN: Int = 3, minOverlap: Long = 1): DataFrame =
+    corpus.join(
+      contaminated(corpus, corpusText, corpusId, benchmark, benchText,
+        shingleN, minOverlap)
+        .select(col("doc").as(corpusId)),
+      Seq(corpusId), "left_anti")
+
   /** Embedding-cosine near-duplicates: exact pairs above a threshold,
     * as a full cross join — the per-candidate verification KERNEL and
     * test twin only, never a registered production query (PlanSpec

@@ -80,6 +80,41 @@ class ExtSpec extends SparkSpec {
     assert(exact.nonEmpty)
   }
 
+  test("decontamination flags benchmark-overlapping docs, filter removes them") {
+    val bench = Seq((100L, "the capital of france is paris obviously")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "we know the capital of france is paris and it is lovely"), // leaks 4 bench trigrams
+      (2L, "completely unrelated prose about spark physical planning"),
+      (3L, "paris obviously has great food")) // shares no full trigram? "paris obviously has" no; bench has "is paris obviously"
+      .toDF("doc_id", "text")
+    val hits = TextDedup.contaminated(corpus, "text", "doc_id", bench, "text")
+      .as[(Long, Long)].collect().toMap
+    // doc 1 contains "the capital of", "capital of france", "of france is",
+    // "france is paris" — 4 distinct shared trigrams
+    assert(hits(1L) == 4L, hits.toString)
+    assert(!hits.contains(2L) && !hits.contains(3L), hits.toString)
+    val clean = TextDedup.decontaminate(corpus, "text", "doc_id", bench, "text")
+      .select("doc_id").as[Long].collect().toSet
+    assert(clean == Set(2L, 3L))
+    // threshold: requiring >= 5 overlaps clears doc 1 too
+    val lax = TextDedup.decontaminate(corpus, "text", "doc_id", bench, "text",
+      minOverlap = 5).select("doc_id").as[Long].collect().toSet
+    assert(lax == Set(1L, 2L, 3L))
+  }
+
+  test("repetition ratio: looping doc high, varied doc zero, short doc zero") {
+    val df = Seq(
+      (1L, "spam spam spam spam spam spam spam spam"), // 6 trigram slots, 1 distinct
+      (2L, "eight distinct words make a varied document here"),
+      (3L, "too short")) // < n words -> whole-text shingle, ratio 0
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.repetitionRatio(df, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out(1L) == ((6L, 1L, 0.833333)))
+    assert(out(2L) == ((6L, 6L, 0.0)))
+    assert(out(3L) == ((1L, 1L, 0.0)))
+  }
+
   test("simhash maxHamming=0 finds exact signature matches without blowup") {
     val pairs = TextDedup.simhashPairs(docs, "text", "doc_id", maxHamming = 0)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
