@@ -587,7 +587,8 @@ object TextDedup {
     * O(n²) cross join with one equi-join on the bucket id — at 100 TB
     * the per-bucket pair count is bounded by (corpus / 2^bits)² per
     * bucket instead of corpus². Recall < 1 by construction; raise
-    * `bits` down or `probeNeighbors` up to trade cost for recall.
+    * `bits` down or `probeNeighbors` (max probe Hamming distance, 0-2 —
+    * sweep in TUNING.md) up to trade cost for recall.
     */
   def embeddingNearDupsBucketed(emb: DataFrame, id: String, vec: String,
                                 threshold: Double, bits: Int = 8,
@@ -602,8 +603,7 @@ object TextDedup {
     val a = if (probeNeighbors == 0) a0 else
       a0.select(col("id_a"),
         explode(expr(
-          s"array_union(array(bucket), transform(sequence(0, ${bits - 1}), " +
-            "b -> cast(bucket as long) ^ shiftleft(1L, b)))")).as("bucket"))
+          VectorSearch.probeNeighborhoodSql(bits, probeNeighbors))).as("bucket"))
     val b = bucketed.select(col("bucket"), col("_id").as("id_b"))
     val vecs = bucketed.select(col("_id"), col("_v"))
     a.join(b, Seq("bucket")).filter(col("id_a") < col("id_b"))

@@ -179,7 +179,7 @@ object VectorSearch {
     * 1, 1+bits, 1+bits+C(bits,2); each probed bucket adds ~corpus/2^bits
     * rows to the query's candidate scan.
     */
-  private def probeNeighborhood(bits: Int, depth: Int): String = {
+  private[ext] def probeNeighborhoodSql(bits: Int, depth: Int): String = {
     val self = "array(cast(bucket as long))"
     val d1 = s"transform(sequence(0, ${bits - 1}), b -> " +
       "cast(bucket as long) ^ shiftleft(1L, b))"
@@ -214,7 +214,7 @@ object VectorSearch {
       .select(col("bucket"), col(id).as("query_id"), col(vec).as("qv"))
     val q = if (probeNeighbors == 0) q0 else {
       q0.select(col("query_id"), col("qv"),
-        explode(expr(probeNeighborhood(bits, probeNeighbors))).as("bucket"))
+        explode(expr(probeNeighborhoodSql(bits, probeNeighbors))).as("bucket"))
     }
     val scored = c.join(broadcast(q), Seq("bucket"))
       .filter(col("query_id") =!= col("vec_id"))
