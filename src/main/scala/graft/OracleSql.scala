@@ -342,6 +342,19 @@ object OracleSql {
       FROM corp JOIN bench USING (sh)
       GROUP BY 1 ORDER BY doc_id""",
 
+    "ns_scrub" ->
+      """SELECT doc_id,
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(
+              text || ' contact user' || CAST(doc_id AS VARCHAR)
+                   || '@example.com or https://ex.ample/p/' || CAST(doc_id AS VARCHAR)
+                   || ' ref 900' || CAST(doc_id + 1000000 AS VARCHAR),
+              '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
+            'https?://[^ \t\n]+', '<URL>', 'g'),
+          '[0-9]{7,}', '<NUM>', 'g') AS clean
+      FROM documents ORDER BY doc_id""",
+
     "ns_repetition" ->
       s"""WITH ${shingleCtes("documents")},
       nd AS (SELECT doc_id, count(*) AS n_distinct FROM sh GROUP BY 1),

@@ -444,6 +444,18 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** The synthetic corpus carries no PII, so both sides append the same
+    * constructed email/URL/ID tail to every doc — the scrub must redact
+    * exactly those three spans and leave the prose untouched.
+    */
+  private def nsScrub(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(col("doc_id"),
+      TextAnalysis.scrub(concat(col("text"),
+        lit(" contact user"), col("doc_id").cast("string"),
+        lit("@example.com or https://ex.ample/p/"), col("doc_id").cast("string"),
+        lit(" ref 900"), (col("doc_id") + 1000000).cast("string"))).as("clean"))
+      .orderBy("doc_id")
+
   private def nsRepetition(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.repetitionRatio(t(s, dir, "documents"), "text", "doc_id")
       .select(col("doc").as("doc_id"), col("n_ngrams"), col("n_distinct"),
@@ -623,6 +635,7 @@ object SparkEntry {
     "ns_dedup_simhash" -> nsDedupSimhash,
     "ns_decontaminate" -> nsDecontaminate,
     "ns_repetition" -> nsRepetition,
+    "ns_scrub" -> nsScrub,
     "ns_embed_neardup" -> nsEmbedNearDup,
     "ns_embed_neardup_lsh" -> nsEmbedNearDupLsh,
     "ns_topk_similarity" -> nsTopkSimilarity,

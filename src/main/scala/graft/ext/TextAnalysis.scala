@@ -55,6 +55,23 @@ object TextAnalysis {
         + when(col("avg_word_len").between(2.0, 12.0), 1).otherwise(0))
         / lit(10.0))
 
+  /** PII/URL scrubbing — the redaction pass training-data pipelines run
+    * before anything else sees the text: emails, then URLs, then long
+    * digit runs (phone numbers, IDs) are replaced by stable placeholder
+    * tokens. Pure codegen'd `regexp_replace` chain (map-side, no
+    * shuffle); the patterns stay inside the RE2-compatible subset so
+    * the identical regex text runs on any engine (the oracle mirrors
+    * them verbatim). Order matters: emails are matched before their
+    * domain dots / digits can be partially eaten by the later rules.
+    */
+  def scrub(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text,
+          "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}", "<EMAIL>"),
+        "https?://[^ \\t\\n]+", "<URL>"),
+      "[0-9]{7,}", "<NUM>")
+
   /** Intra-document repetition ratio — the Gopher-style quality signal
     * for boilerplate/spam: the fraction of a doc's word n-gram
     * occurrences that are repeats of an earlier n-gram in the same doc

@@ -102,6 +102,21 @@ class ExtSpec extends SparkSpec {
     assert(lax == Set(1L, 2L, 3L))
   }
 
+  test("scrub redacts emails, urls, and long digit runs; prose untouched") {
+    val out = Seq(
+      (1L, "mail a.b+c@sub.example.org now"),
+      (2L, "see https://ex.com/a?b=1 and http://plain.io end"),
+      (3L, "call 12345678 but keep 123456 and the year 2024"),
+      (4L, "plain prose stays exactly as written"))
+      .toDF("doc_id", "text")
+      .select($"doc_id", TextAnalysis.scrub($"text").as("clean"))
+      .as[(Long, String)].collect().toMap
+    assert(out(1L) == "mail <EMAIL> now")
+    assert(out(2L) == "see <URL> and <URL> end")
+    assert(out(3L) == "call <NUM> but keep 123456 and the year 2024")
+    assert(out(4L) == "plain prose stays exactly as written")
+  }
+
   test("repetition ratio: looping doc high, varied doc zero, short doc zero") {
     val df = Seq(
       (1L, "spam spam spam spam spam spam spam spam"), // 6 trigram slots, 1 distinct
