@@ -22,6 +22,29 @@ object OracleSql {
   private val stopwordsIn =
     "('the','a','an','and','or','of','to','in','is','are','was','for','on','with','as','by','at','it')"
 
+  /** Quality-feature + score CTEs over documents (f / scored) — the
+    * DuckDB mirror of `TextAnalysis.qualityScore`; shared by
+    * ns_text_quality and ns_quality_filter so the formula stays in
+    * lockstep.
+    */
+  private def qualityCtes: String =
+    s"""f AS (
+        SELECT doc_id,
+          len(string_split(lower(trim(text)), ' ')) AS n_words,
+          CAST(length(text) - (len(string_split(lower(trim(text)), ' ')) - 1) AS DOUBLE)
+            / len(string_split(lower(trim(text)), ' ')) AS avg_word_len,
+          CAST(len(regexp_extract_all(text, '[\\.,;:!\\?]')) AS DOUBLE) / length(text) AS punct_ratio,
+          CAST(len(list_filter(string_split(lower(trim(text)), ' '), w -> w IN $stopwordsIn)) AS DOUBLE)
+            / len(string_split(lower(trim(text)), ' ')) AS stopword_ratio
+        FROM documents),
+      scored AS (
+        SELECT doc_id, n_words, avg_word_len, stopword_ratio,
+          (CASE WHEN n_words BETWEEN 10 AND 10000 THEN 4 ELSE 0 END
+           + CASE WHEN stopword_ratio > 0.05 THEN 3 ELSE 0 END
+           + CASE WHEN punct_ratio < 0.2 THEN 2 ELSE 0 END
+           + CASE WHEN avg_word_len BETWEEN 2.0 AND 12.0 THEN 1 ELSE 0 END) / 10.0 AS quality_score
+        FROM f)"""
+
   /** Shared n-gram jaccard CTE chain over `src` rows (doc_id, text):
     * tokens → 3-gram shingles (whole-text fallback under 3 words) →
     * sizes + pairwise intersections. `pruned = true` mirrors
@@ -428,21 +451,16 @@ object OracleSql {
       FROM documents ORDER BY doc_id""",
 
     "ns_text_quality" ->
-      s"""WITH f AS (
-        SELECT doc_id,
-          len(string_split(lower(trim(text)), ' ')) AS n_words,
-          CAST(length(text) - (len(string_split(lower(trim(text)), ' ')) - 1) AS DOUBLE)
-            / len(string_split(lower(trim(text)), ' ')) AS avg_word_len,
-          CAST(len(regexp_extract_all(text, '[\\.,;:!\\?]')) AS DOUBLE) / length(text) AS punct_ratio,
-          CAST(len(list_filter(string_split(lower(trim(text)), ' '), w -> w IN $stopwordsIn)) AS DOUBLE)
-            / len(string_split(lower(trim(text)), ' ')) AS stopword_ratio
-        FROM documents)
-      SELECT doc_id, CAST(n_words AS BIGINT) AS n_words, avg_word_len, stopword_ratio,
-        (CASE WHEN n_words BETWEEN 10 AND 10000 THEN 4 ELSE 0 END
-         + CASE WHEN stopword_ratio > 0.05 THEN 3 ELSE 0 END
-         + CASE WHEN punct_ratio < 0.2 THEN 2 ELSE 0 END
-         + CASE WHEN avg_word_len BETWEEN 2.0 AND 12.0 THEN 1 ELSE 0 END) / 10.0 AS quality_score
-      FROM f ORDER BY doc_id""",
+      s"""WITH $qualityCtes
+      SELECT doc_id, CAST(n_words AS BIGINT) AS n_words, avg_word_len,
+        stopword_ratio, quality_score
+      FROM scored ORDER BY doc_id""",
+
+    "ns_quality_filter" ->
+      s"""WITH $qualityCtes,
+      thr AS (SELECT quantile_cont(quality_score, 0.5) AS t FROM scored)
+      SELECT doc_id, quality_score FROM scored, thr
+      WHERE quality_score >= t ORDER BY doc_id""",
 
     "ns_fingerprint" ->
       """SELECT doc_id, CAST(SUM(CAST(pos AS BIGINT) * (ascii(substring(w, 1, 1)) * 131 + length(w))) % 1000003 AS BIGINT) AS fp

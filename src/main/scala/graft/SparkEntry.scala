@@ -560,6 +560,11 @@ object SparkEntry {
         col("avg_word_len"), col("stopword_ratio"), col("quality_score"))
       .orderBy("doc_id")
 
+  private def nsQualityFilter(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.qualityFilter(t(s, dir, "documents"), "text", 0.5)
+      .select(col("doc_id"), col("quality_score"))
+      .orderBy("doc_id")
+
   private def nsLangId(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.languageId(t(s, dir, "documents"), "text")
       .select(col("doc_id"), col("lang"), col("predicted_lang"),
@@ -645,6 +650,7 @@ object SparkEntry {
     "ns_text_tokens" -> nsTextTokens,
     "ns_token_stats" -> nsTokenStats,
     "ns_text_quality" -> nsTextQuality,
+    "ns_quality_filter" -> nsQualityFilter,
     "ns_lang_id" -> nsLangId,
     "ns_fingerprint" -> nsFingerprint,
     "ns_multimodal_join" -> nsMultimodalJoin,

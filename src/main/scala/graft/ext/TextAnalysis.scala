@@ -55,6 +55,25 @@ object TextAnalysis {
         + when(col("avg_word_len").between(2.0, 12.0), 1).otherwise(0))
         / lit(10.0))
 
+  /** Quantile quality gate: keep documents whose quality_score is at or
+    * above the corpus `quantile` — "keep the best half" without a
+    * hand-picked absolute threshold. The threshold is a ONE-ROW exact
+    * `percentile` aggregate broadcast back over the corpus (no driver
+    * collect, no extra shuffle beyond the aggregate); the map-side
+    * score expressions are recomputed on the second pass, which at
+    * corpus scale is cheaper than caching the whole scored table.
+    */
+  def qualityFilter(df: DataFrame, text: String,
+                    quantile: Double = 0.5): DataFrame = {
+    require(quantile >= 0.0 && quantile <= 1.0, "quantile in [0, 1]")
+    val scored = qualityScore(df, text)
+    val thr = scored.agg(
+      expr(s"percentile(quality_score, $quantile)").as("_thr"))
+    scored.crossJoin(broadcast(thr))
+      .filter(col("quality_score") >= col("_thr"))
+      .drop("_thr")
+  }
+
   /** PII/URL scrubbing — the redaction pass training-data pipelines run
     * before anything else sees the text: emails, then URLs, then long
     * digit runs (phone numbers, IDs) are replaced by stable placeholder

@@ -102,6 +102,23 @@ class ExtSpec extends SparkSpec {
     assert(lax == Set(1L, 2L, 3L))
   }
 
+  test("quality filter keeps the at-or-above-quantile docs, no collect") {
+    val corpus = spark.read.parquet(s"$sf/documents.parquet")
+    val kept = TextAnalysis.qualityFilter(corpus, "text", 0.5)
+    val total = corpus.count()
+    val n = kept.count()
+    // at least half survive (>= threshold includes the tied mass at it)
+    assert(n >= total / 2 && n <= total, s"$n of $total")
+    // every survivor's score >= every dropped doc's score
+    val minKept = kept.agg(min($"quality_score")).head().getDouble(0)
+    val dropped = TextAnalysis.qualityScore(corpus, "text")
+      .join(kept.select("doc_id"), Seq("doc_id"), "left_anti")
+    if (dropped.count() > 0)
+      assert(dropped.agg(max($"quality_score")).head().getDouble(0) < minKept)
+    // quantile 0 keeps everything
+    assert(TextAnalysis.qualityFilter(corpus, "text", 0.0).count() == total)
+  }
+
   test("scrub redacts emails, urls, and long digit runs; prose untouched") {
     val out = Seq(
       (1L, "mail a.b+c@sub.example.org now"),
