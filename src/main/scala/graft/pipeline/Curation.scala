@@ -7,12 +7,16 @@ import graft.ext.{TextAnalysis, TextDedup}
 /** End-to-end training-data curation: the §7.4 operators composed the
   * way a real corpus pipeline runs them —
   *
-  *   quality gate → normalized exact dedup → near-dup removal
+  *   [scrub] → quality gate → [repetition gate] → normalized exact
+  *   dedup → near-dup removal → [benchmark decontamination]
   *
-  * Each stage only shrinks the data (filter, dedup, anti-join), so the
-  * expensive pairwise stage runs on the smallest possible set; at
-  * corpus scale the stages checkpoint to parquet between runs, but the
-  * composition is one lazy plan here.
+  * Bracketed stages are opt-in (defaults preserve the oracled base
+  * chain). Each stage only shrinks the data (filter, dedup,
+  * anti-join) — except scrub, a 1:1 rewrite that runs FIRST so every
+  * later signature sees redacted text — so the expensive pairwise
+  * stage runs on the smallest possible set; at corpus scale the stages
+  * checkpoint to parquet between runs, but the composition is one lazy
+  * plan here.
   */
 object Curation {
 
@@ -25,14 +29,38 @@ object Curation {
     *                       boilerplate shingle at corpus scale
     * @param verbose        log pruned-shingle counts (what the cap
     *                       dropped) from the near-dup stage
+    * @param scrubPii       redact emails/URLs/digit runs before any
+    *                       signature is computed
+    * @param maxRepetition  drop docs whose intra-doc n-gram repetition
+    *                       ratio exceeds this (boilerplate/spam gate)
+    * @param benchmark      decontamination set: docs sharing ≥
+    *                       `benchmarkMinOverlap` trigrams with any
+    *                       benchmark text are removed last (cheapest
+    *                       point: the corpus is already smallest, and
+    *                       the benchmark side broadcasts regardless)
     */
   def curate(docs: DataFrame, text: String, id: String,
              minQuality: Double = 0.7,
              jaccardThreshold: Double = 0.3,
              maxPostings: Long = 5000,
-             verbose: Boolean = false): DataFrame = {
-    val kept = TextAnalysis.qualityScore(docs, text)
+             verbose: Boolean = false,
+             scrubPii: Boolean = false,
+             maxRepetition: Option[Double] = None,
+             benchmark: Option[DataFrame] = None,
+             benchmarkMinOverlap: Long = 1): DataFrame = {
+    val input = if (!scrubPii) docs
+      else docs.withColumn(text, TextAnalysis.scrub(col(text)))
+    val qualified = TextAnalysis.qualityScore(input, text)
       .filter(col("quality_score") >= minQuality)
+    val kept = maxRepetition match {
+      case None => qualified
+      case Some(maxRep) =>
+        qualified.join(
+          TextAnalysis.repetitionRatio(input, text, id)
+            .filter(col("rep_ratio") > maxRep)
+            .select(col("doc").as(id)),
+          Seq(id), "left_anti")
+    }
     // persisted: consumed by the near-dup candidate stage AND the final
     // anti-join — without it the quality+dedup chain runs twice
     val deduped = TextDedup.exactNormalized(kept, text, id)
@@ -42,8 +70,14 @@ object Curation {
         threshold = jaccardThreshold, maxPostings = maxPostings,
         verbose = verbose)
       .select(col("id_b").as(id)).distinct()
-    deduped.join(losers, Seq(id), "left_anti")
-      .select(col(id), col("n_words").cast("long").as("n_words"),
-        col("quality_score"))
+    val neardupFree = deduped.join(losers, Seq(id), "left_anti")
+    val clean = benchmark match {
+      case None => neardupFree
+      case Some(bench) =>
+        TextDedup.decontaminate(neardupFree, text, id, bench, text,
+          minOverlap = benchmarkMinOverlap)
+    }
+    clean.select(col(id), col("n_words").cast("long").as("n_words"),
+      col("quality_score"))
   }
 }

@@ -133,4 +133,30 @@ class PlanSpec extends SparkSpec {
     // 2 is an exact normalized dup of 1; 3 is a near-dup of 1; 4 fails quality
     assert(out == Set(1L))
   }
+
+  test("full curation chain: scrub, repetition gate, and decontamination compose") {
+    import spark.implicits._
+    val bench = Seq((100L, "the secret benchmark question about spark internals"))
+      .toDF("doc_id", "text")
+    val docs = Seq(
+      (1L, "the cat sat on the mat and it was a fine day for all of us"),
+      // leaks benchmark trigrams -> decontaminated away
+      (2L, "we discuss the secret benchmark question about spark internals on a fine day"),
+      // passes quality (stopword-rich, right length) but loops -> repetition gate
+      (3L, "the spam the spam the spam the spam the spam the spam"),
+      // 4/5 differ ONLY in their email: scrub makes them identical, dedup keeps 4
+      (4L, "contact a@x.com for the dog ran over the hill and it was a long day for everyone"),
+      (5L, "contact b@y.org for the dog ran over the hill and it was a long day for everyone"))
+      .toDF("doc_id", "text")
+    val out = graft.pipeline.Curation.curate(docs, "text", "doc_id",
+      minQuality = 0.7, jaccardThreshold = 0.9, scrubPii = true,
+      maxRepetition = Some(0.5), benchmark = Some(bench))
+      .select("doc_id").as[Long].collect().toSet
+    assert(out == Set(1L, 4L), out.toString)
+    // defaults-off call is unchanged by the new stages (oracle contract)
+    val base = graft.pipeline.Curation.curate(docs, "text", "doc_id",
+      minQuality = 0.7, jaccardThreshold = 0.9)
+      .select("doc_id").as[Long].collect().toSet
+    assert(base == Set(1L, 2L, 3L, 4L, 5L), base.toString)
+  }
 }
