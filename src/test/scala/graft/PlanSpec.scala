@@ -121,6 +121,18 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("decontamination broadcasts the benchmark shingle side") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val plan = graft.ext.TextDedup.contaminated(
+      docs.filter($"doc_id" % 17 =!= 0), "text", "doc_id",
+      docs.filter($"doc_id" % 17 === 0), "text")
+      .queryExecution.executedPlan.toString
+    // the corpus must never shuffle on the shingle: the benchmark set
+    // is the dimension side of a broadcast hash join
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
   test("curation pipeline removes quality failures, exact dups, and near-dups") {
     import spark.implicits._
     val docs = Seq(
