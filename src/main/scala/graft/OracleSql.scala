@@ -90,6 +90,14 @@ object OracleSql {
         GROUP BY 1, 2)"""
   }
 
+  private def decontaminateSql: String =
+    s"""WITH ${shingleCtes("documents")},
+      bench AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 17 = 0),
+      corp AS (SELECT doc_id, sh FROM sh WHERE doc_id % 17 <> 0)
+      SELECT doc_id, count(*) AS n_hits
+      FROM corp JOIN bench USING (sh)
+      GROUP BY 1 ORDER BY doc_id"""
+
   val all: Map[String, String] = Map(
     "s1_ingest_dialects" ->
       """SELECT * FROM (VALUES
@@ -245,6 +253,113 @@ object OracleSql {
         AND e.t BETWEEN p.pt - 1800000000 AND p.pt + 1800000000
       ORDER BY e.user_id, error_id, purchase_id""",
 
+    "t_retention_cohort" ->
+      """WITH d AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+      f AS (SELECT user_id, min(day) AS cohort FROM d GROUP BY 1)
+      SELECT cohort, CAST(date_diff('day', cohort, day) AS INT) AS offset_days,
+        count(*) AS n_users
+      FROM d JOIN f USING (user_id)
+      GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    // strict ordering (> not >=): a tie does not advance the funnel —
+    // the Spark side implements the same rule
+    "t_funnel" ->
+      """WITH u AS (SELECT DISTINCT user_id FROM events),
+      v AS (SELECT user_id, min(ts) AS view_ts FROM events
+            WHERE event_type = 'view' GROUP BY 1),
+      c AS (SELECT e.user_id, min(e.ts) AS click_ts FROM events e
+            JOIN v USING (user_id)
+            WHERE e.event_type = 'click' AND e.ts > v.view_ts GROUP BY 1),
+      p AS (SELECT e.user_id, min(e.ts) AS purchase_ts FROM events e
+            JOIN c USING (user_id)
+            WHERE e.event_type = 'purchase' AND e.ts > c.click_ts GROUP BY 1)
+      SELECT u.user_id, v.view_ts, c.click_ts, p.purchase_ts,
+        CAST(CASE WHEN p.purchase_ts IS NOT NULL THEN 3
+                  WHEN c.click_ts IS NOT NULL THEN 2
+                  WHEN v.view_ts IS NOT NULL THEN 1
+                  ELSE 0 END AS INT) AS stage
+      FROM u LEFT JOIN v USING (user_id) LEFT JOIN c USING (user_id)
+             LEFT JOIN p USING (user_id)
+      ORDER BY u.user_id""",
+
+    // Spark `percentile` and DuckDB `quantile_cont` both define the
+    // p-quantile by linear interpolation at rank p*(n-1)
+    "t_percentiles" ->
+      """SELECT l_returnflag,
+        round(quantile_cont(l_quantity, 0.5), 6) AS p50_qty,
+        round(quantile_cont(l_quantity, 0.9), 6) AS p90_qty,
+        round(quantile_cont(l_quantity, 0.99), 6) AS p99_qty,
+        round(quantile_cont(l_extendedprice, 0.5), 6) AS p50_price,
+        round(quantile_cont(l_extendedprice, 0.9), 6) AS p90_price,
+        round(quantile_cont(l_extendedprice, 0.99), 6) AS p99_price,
+        count(*) AS n
+      FROM lineitem GROUP BY 1 ORDER BY 1""",
+
+    "t_cube" ->
+      """SELECT event_type, CAST(year(ts) AS INT) AS event_year,
+        count(*) AS n,
+        CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      FROM events
+      GROUP BY CUBE (event_type, CAST(year(ts) AS INT))
+      ORDER BY event_type NULLS FIRST, event_year NULLS FIRST""",
+
+    "t_topk_per_group" ->
+      """SELECT o_orderpriority, CAST(rk AS INT) AS rk, o_orderkey, o_totalprice
+      FROM (SELECT *, row_number() OVER (
+              PARTITION BY o_orderpriority
+              ORDER BY o_totalprice DESC, o_orderkey) AS rk
+            FROM orders)
+      WHERE rk <= 3 ORDER BY o_orderpriority, rk""",
+
+    // one window cumsum IS the packing spec; the Spark side reaches the
+    // same numbers through the distributed two-pass prefix sum
+    "ns_seq_pack" ->
+      """WITH t AS (
+        SELECT doc_id, CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_tokens
+        FROM documents),
+      c AS (
+        SELECT doc_id, n_tokens,
+          CAST(SUM(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) - n_tokens AS cb
+        FROM t)
+      SELECT doc_id, n_tokens, cb // 2048 AS bin,
+        cb - (cb // 2048) * 2048 AS bin_offset
+      FROM c ORDER BY doc_id""",
+
+    "ns_block_dedup" ->
+      """WITH src AS (
+        SELECT doc_id,
+          'site nav home products pricing docs blog careers about contact legal privacy terms cookies help search ' || text AS text
+        FROM documents),
+      toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+               generate_subscripts(string_split(text, ' '), 1) AS p
+        FROM src),
+      blk AS (
+        SELECT doc_id, CAST((p - 1) // 8 AS INT) AS pos,
+               string_agg(w, ' ' ORDER BY p) AS block
+        FROM toks GROUP BY 1, 2),
+      keep AS (
+        SELECT doc_id, pos, block FROM (
+          SELECT *, row_number() OVER (PARTITION BY block ORDER BY doc_id, pos) AS rn
+          FROM blk) WHERE rn = 1),
+      agg AS (
+        SELECT doc_id, count(*) AS n_kept,
+               string_agg(block, ' ' ORDER BY pos) AS clean
+        FROM keep GROUP BY 1),
+      tot AS (SELECT doc_id, count(*) AS n_blocks FROM blk GROUP BY 1)
+      SELECT t.doc_id, coalesce(a.clean, '') AS clean, t.n_blocks,
+        coalesce(a.n_kept, 0) AS n_kept
+      FROM tot t LEFT JOIN agg a USING (doc_id) ORDER BY t.doc_id""",
+
+    "ns_dup_ngram_fraction" ->
+      s"""WITH ${shingleCtes("documents")},
+      dfc AS (SELECT sh AS s, count(*) AS dfc FROM sh GROUP BY 1)
+      SELECT doc_id, count(*) AS n_shingles,
+        CAST(sum(CASE WHEN dfc >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+        round(CAST(sum(CASE WHEN dfc >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS dup_frac
+      FROM sh JOIN dfc ON sh.sh = dfc.s
+      GROUP BY doc_id ORDER BY doc_id""",
+
     "ns_tfidf" ->
       """WITH toks AS (
         SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS term
@@ -357,13 +472,10 @@ object OracleSql {
       WHERE CAST(inter AS DOUBLE) / (sa.nsh + sb.nsh - inter) >= 0.12
       ORDER BY id_a, id_b""",
 
-    "ns_decontaminate" ->
-      s"""WITH ${shingleCtes("documents")},
-      bench AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 17 = 0),
-      corp AS (SELECT doc_id, sh FROM sh WHERE doc_id % 17 <> 0)
-      SELECT doc_id, count(*) AS n_hits
-      FROM corp JOIN bench USING (sh)
-      GROUP BY 1 ORDER BY doc_id""",
+    "ns_decontaminate" -> decontaminateSql,
+    // identical semantics, different physical plan (shuffle-hash instead
+    // of broadcast) — the oracle is shared by construction
+    "ns_decontaminate_xl" -> decontaminateSql,
 
     "ns_scrub" ->
       """SELECT doc_id,

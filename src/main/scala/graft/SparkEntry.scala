@@ -363,7 +363,130 @@ object SparkEntry {
       .orderBy("location_id", "fuel_type", "date")
   }
 
+  /** Cohort retention matrix over the event stream: users bucketed by
+    * first-seen day, counted per return-day offset.
+    */
+  private def tRetentionCohort(s: SparkSession, dir: String): DataFrame =
+    graft.ext.EventAnalytics.retentionCohorts(Tables.events(s, dir),
+      "user_id", "ts_us")
+      .select(col("cohort"), col("offset_days"), col("n_users"))
+      .orderBy("cohort", "offset_days")
+
+  /** Strictly-ordered view → click → purchase funnel, one row per user
+    * with per-stage first timestamps and completed-stage depth.
+    */
+  private def tFunnel(s: SparkSession, dir: String): DataFrame =
+    graft.ext.EventAnalytics.funnel(Tables.events(s, dir),
+      "user_id", "ts_us", "event_type", Seq("view", "click", "purchase"))
+      .select(col("user").as("user_id"),
+        expr("cast(ts_0 as timestamp_ntz)").as("view_ts"),
+        expr("cast(ts_1 as timestamp_ntz)").as("click_ts"),
+        expr("cast(ts_2 as timestamp_ntz)").as("purchase_ts"),
+        col("stage"))
+      .orderBy("user_id")
+
+  /** Exact group percentiles (Spark `percentile` ↔ DuckDB
+    * `quantile_cont`, both linear-interpolation) — the building block
+    * behind distribution-based quality gates; rounded after bit-parity
+    * double arithmetic.
+    */
+  private def tPercentiles(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem").groupBy("l_returnflag")
+      .agg(
+        expr("percentile(l_quantity, array(0.5D, 0.9D, 0.99D))").as("qq"),
+        expr("percentile(l_extendedprice, array(0.5D, 0.9D, 0.99D))").as("qp"),
+        count(lit(1)).as("n"))
+      .select(col("l_returnflag"),
+        round(element_at(col("qq"), 1), 6).as("p50_qty"),
+        round(element_at(col("qq"), 2), 6).as("p90_qty"),
+        round(element_at(col("qq"), 3), 6).as("p99_qty"),
+        round(element_at(col("qp"), 1), 6).as("p50_price"),
+        round(element_at(col("qp"), 2), 6).as("p90_price"),
+        round(element_at(col("qp"), 3), 6).as("p99_price"),
+        col("n"))
+      .orderBy("l_returnflag")
+
+  /** CUBE aggregation (engine completeness, next to t_rollup): all
+    * (event_type × year) subtotal combinations, null ordering pinned.
+    */
+  private def tCube(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .withColumn("event_year", year(col("ts_us")))
+      .cube(col("event_type"), col("event_year"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+      .orderBy(asc_nulls_first("event_type"), asc_nulls_first("event_year"))
+
+  /** Top-k per group via a rank window — planned as WindowGroupLimit
+    * (per-partition top-k before the shuffle), not a full sort.
+    */
+  private def tTopkPerGroup(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("o_orderpriority")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    t(s, dir, "orders").withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("o_orderpriority"), col("rk"), col("o_orderkey"),
+        col("o_totalprice"))
+      .orderBy("o_orderpriority", "rk")
+  }
+
   // ---- LLM-data-pipeline extensions (SURVEY §7.4) ----
+
+  /** Sequence packing: documents laid end-to-end in doc_id order and
+    * cut into 2048-token training bins — distributed prefix sum, never
+    * a single-partition global window.
+    */
+  private def nsSeqPack(s: SparkSession, dir: String): DataFrame =
+    graft.ext.Packing.packByBudget(
+      t(s, dir, "documents").select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens")),
+      Seq("doc_id"), "n_tokens", capacity = 2048L, numPartitions = 8)
+      .select("doc_id", "n_tokens", "bin", "bin_offset")
+      .orderBy("doc_id")
+
+  /** Block (paragraph-level) dedup: a 16-word boilerplate header is
+    * prepended to every doc — exactly two 8-word blocks — so the
+    * corpus-wide first-occurrence rule must strip it from every doc but
+    * the first while reassembling the unique prose untouched.
+    */
+  private def nsBlockDedup(s: SparkSession, dir: String): DataFrame = {
+    val boiler = "site nav home products pricing docs blog careers " +
+      "about contact legal privacy terms cookies help search "
+    val docs = t(s, dir, "documents").select(col("doc_id"),
+      concat(lit(boiler), col("text")).as("text"))
+    TextDedup.blockDedup(docs, "text", "doc_id", blockWords = 8)
+      .select(col("doc").as("doc_id"), col("clean"), col("n_blocks"),
+        col("n_kept"))
+      .orderBy("doc_id")
+  }
+
+  /** Inter-document duplication profile: per doc, the count and fraction
+    * of its distinct trigrams shared with at least one other document.
+    */
+  private def nsDupNgramFraction(s: SparkSession, dir: String): DataFrame =
+    TextDedup.duplicateShingleFraction(t(s, dir, "documents"), "text",
+      "doc_id", shingleN = 3)
+      .select(col("doc").as("doc_id"), col("n_shingles"), col("n_dup"),
+        col("dup_frac"))
+      .orderBy("doc_id")
+
+  /** Decontamination in its XL-benchmark shape: identical semantics to
+    * ns_decontaminate (same oracle SQL) but the benchmark side joins via
+    * shuffle-hash instead of broadcast — the plan a 1000-executor job
+    * needs once the combined benchmark suite outgrows the broadcast
+    * budget. PlanSpec asserts the two physical shapes diverge as
+    * intended.
+    */
+  private def nsDecontaminateXl(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    TextDedup.contaminated(
+      docs.filter(col("doc_id") % 17 =!= 0), "text", "doc_id",
+      docs.filter(col("doc_id") % 17 === 0), "text",
+      broadcastBench = false)
+      .select(col("doc").as("doc_id"), col("n_hits"))
+      .orderBy("doc_id")
+  }
 
   /** Variant-id offset is far beyond any plausible doc count so copies
     * can never collide with real ids (which would make the min-id
@@ -622,6 +745,11 @@ object SparkEntry {
     "t_sessionize" -> tSessionize,
     "t_asof_join" -> tAsofJoin,
     "t_range_join" -> tRangeJoin,
+    "t_retention_cohort" -> tRetentionCohort,
+    "t_funnel" -> tFunnel,
+    "t_percentiles" -> tPercentiles,
+    "t_cube" -> tCube,
+    "t_topk_per_group" -> tTopkPerGroup,
     "ns_tfidf" -> nsTfidf,
     "ns_stratified_sample" -> nsStratifiedSample,
     "ns_corpus_mix" -> nsCorpusMix,
@@ -639,6 +767,10 @@ object SparkEntry {
     "ns_dedup_clusters" -> nsDedupClusters,
     "ns_dedup_simhash" -> nsDedupSimhash,
     "ns_decontaminate" -> nsDecontaminate,
+    "ns_decontaminate_xl" -> nsDecontaminateXl,
+    "ns_seq_pack" -> nsSeqPack,
+    "ns_block_dedup" -> nsBlockDedup,
+    "ns_dup_ngram_fraction" -> nsDupNgramFraction,
     "ns_repetition" -> nsRepetition,
     "ns_scrub" -> nsScrub,
     "ns_embed_neardup" -> nsEmbedNearDup,

@@ -85,6 +85,75 @@ object TextDedup {
       .filter(col("_rn") === 1).drop("_rn")
   }
 
+  /** Paragraph-level dedup (CCNet-style), adapted to paragraph-free
+    * corpora: a "paragraph" is a fixed window of `blockWords` consecutive
+    * words. Every block occurrence after the corpus-wide first (smallest
+    * (id, position)) is dropped — including repeats WITHIN a document —
+    * and each document is reassembled from its surviving blocks in
+    * original order. Returns (id, clean, n_blocks, n_kept); documents
+    * whose every block is boilerplate come back with clean = '' and
+    * n_kept = 0 rather than vanishing, so the caller decides their fate.
+    *
+    * Scale shape: blocks are exact-matched (dedup key = the block text,
+    * ~blockWords words of shuffle width per row) through one
+    * first-occurrence shuffle, then one per-document regroup — two
+    * shuffles total, both on bounded-width rows, no pairwise stage at
+    * all. This is the cheap sledgehammer that removes headers/footers/
+    * navigation boilerplate before the similarity-based passes run.
+    */
+  def blockDedup(df: DataFrame, text: String, id: String,
+                 blockWords: Int = 10): DataFrame = {
+    require(blockWords >= 1, "blockWords must be >= 1")
+    // exact single-space split (NOT tokens(): case and spacing are
+    // content here — reassembly must reproduce surviving text verbatim)
+    val blocks = df
+      .select(col(id).as("doc"), split(col(text), " ").as("_toks"))
+      .withColumn("_nb",
+        greatest(ceil(size(col("_toks")) / lit(blockWords.toDouble)), lit(1L))
+          .cast("int"))
+      .select(col("doc"), posexplode(expr(
+        s"transform(sequence(0, _nb - 1), " +
+          s"i -> concat_ws(' ', slice(_toks, i * $blockWords + 1, $blockWords)))"))
+        .as(Seq("pos", "block")))
+    val totals = blocks.groupBy("doc").agg(count(lit(1)).as("n_blocks"))
+    val w = Window.partitionBy(col("block")).orderBy(col("doc"), col("pos"))
+    val kept = blocks.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1).drop("_rn")
+    val reassembled = kept.groupBy("doc").agg(
+      count(lit(1)).as("n_kept"),
+      concat_ws(" ", expr(
+        "transform(array_sort(collect_list(struct(pos, block))), x -> x.block)"))
+        .as("clean"))
+    totals.join(reassembled, Seq("doc"), "left")
+      .select(col("doc"), coalesce(col("clean"), lit("")).as("clean"),
+        col("n_blocks"), coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+  }
+
+  /** Inter-document duplication profile (the corpus-level signal behind
+    * "deduplicate before training"): for each document, how many of its
+    * distinct word n-gram shingles also occur in at least one OTHER
+    * document, and the fraction they make up. High `dup_frac` with low
+    * exact-dup hits marks template/boilerplate families that only the
+    * near-dup passes will catch.
+    *
+    * Scale shape: one shuffle keyed on the shingle computes document
+    * frequencies, reusing the same exchange for the join back (Catalyst
+    * ReusedExchange), then one aggregation on the doc id. No pairwise
+    * candidate stage — cost is linear in total distinct shingles.
+    */
+  def duplicateShingleFraction(df: DataFrame, text: String, id: String,
+                               shingleN: Int = 3): DataFrame = {
+    val rows = docShingles(df, text, id, shingleN)
+      .select(col("doc"), explode(col("sh")).as("sh"))
+    val dfCounts = rows.groupBy("sh").agg(count(lit(1)).as("_df"))
+    rows.join(dfCounts, Seq("sh"))
+      .groupBy("doc").agg(
+        count(lit(1)).as("n_shingles"),
+        sum(when(col("_df") >= 2, 1L).otherwise(0L)).as("n_dup"))
+      .withColumn("dup_frac",
+        round(col("n_dup").cast("double") / col("n_shingles"), 6))
+  }
+
   /** MinHash signature over the shingle array column `sh`: numPerms
     * permutations via the native MinHashSig expression (one pass over
     * the shingles with the h1 + i·h2 permutation family). Map-side only.
@@ -516,7 +585,8 @@ object TextDedup {
     */
   def contaminated(corpus: DataFrame, corpusText: String, corpusId: String,
                    benchmark: DataFrame, benchText: String,
-                   shingleN: Int = 3, minOverlap: Long = 1): DataFrame = {
+                   shingleN: Int = 3, minOverlap: Long = 1,
+                   broadcastBench: Boolean = true): DataFrame = {
     require(minOverlap >= 1, "minOverlap must be >= 1")
     import graft.functions.VectorExpressions.word_shingles
     val benchSh = benchmark
@@ -525,7 +595,14 @@ object TextDedup {
     val corpSh = corpus
       .select(col(corpusId).as("doc"),
         explode(word_shingles(tokens(col(corpusText)), shingleN)).as("sh"))
-    corpSh.join(broadcast(benchSh), Seq("sh"))
+    // broadcastBench = false is the XL-benchmark escape hatch: when the
+    // combined benchmark suite outgrows the broadcast budget, pay one
+    // shuffle-hash join on the shingle instead — same rows, no driver /
+    // executor-memory ceiling on the benchmark side.
+    val joined =
+      if (broadcastBench) corpSh.join(broadcast(benchSh), Seq("sh"))
+      else corpSh.join(benchSh.hint("shuffle_hash"), Seq("sh"))
+    joined
       .groupBy("doc").agg(count(lit(1)).as("n_hits"))
       .filter(col("n_hits") >= minOverlap)
   }

@@ -99,6 +99,46 @@ object Scale {
     * make the numbering nondeterministic — same contract as any ORDER BY
     * based numbering.
     */
+  /** Exclusive global running sum of `valueCol` (integral) in the total
+    * order of `sortCols` — the distributed prefix-sum primitive behind
+    * sequence packing and offset assignment, built the same two-pass way
+    * as [[globalRowNumbers]]: range-partition on the sort key, sum
+    * locally, add each range's starting offset (per-partition totals are
+    * an O(tasks) driver-side scan, never O(rows)). "Exclusive" = the sum
+    * of all STRICTLY-preceding rows (0 for the first row), which is the
+    * form packing arithmetic wants. `sortCols` must be a total order.
+    */
+  def globalRunningSum(df: DataFrame, sortCols: Seq[String], valueCol: String,
+                       numPartitions: Int = 0,
+                       outCol: String = "running_sum"): DataFrame = {
+    val parts = if (numPartitions > 0) numPartitions
+      else df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200").toInt
+    val cols = sortCols.map(col)
+    val ranged = df.repartitionByRange(parts, cols: _*)
+      .withColumn("_pid", spark_partition_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // O(parts) rows to the driver — partition TOTALS, never data
+    val sums = ranged.groupBy("_pid")
+      .agg(sum(col(valueCol).cast("long")).as("_s"))
+      .collect().map(r => r.getInt(0) -> (if (r.isNullAt(1)) 0L else r.getLong(1)))
+      .toMap
+    val offsets = (0 until parts).scanLeft(0L) {
+      case (acc, pid) => acc + sums.getOrElse(pid, 0L)
+    }
+    val spark = df.sparkSession
+    import spark.implicits._
+    val offsetDf = (0 until parts).map(p => (p, offsets(p))).toDF("_pid", "_offset")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("_pid").orderBy(cols: _*)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    ranged
+      .join(broadcast(offsetDf), Seq("_pid"))
+      .withColumn(outCol,
+        col("_offset") + sum(col(valueCol).cast("long")).over(w)
+          - col(valueCol).cast("long"))
+      .drop("_pid", "_offset")
+  }
+
   def globalRowNumbers(df: DataFrame, sortCols: Seq[String],
                        numPartitions: Int = 0, idCol: String = "row_id"): DataFrame = {
     val parts = if (numPartitions > 0) numPartitions

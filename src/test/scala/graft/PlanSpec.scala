@@ -133,6 +133,27 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
 
+  test("decontamination XL variant shuffles instead of broadcasting") {
+    // same rows as ns_decontaminate (shared oracle); the physical plan
+    // must NOT hinge on the benchmark fitting in a broadcast — that is
+    // the whole point of the variant
+    val p = planOf("ns_decontaminate_xl")
+    assert(p.contains("ShuffledHashJoin"), p)
+    assert(!p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("sequence packing never plans a single-partition exchange") {
+    // the naive form — sum() OVER (ORDER BY ...) — funnels the corpus
+    // through ONE task; the two-pass prefix sum must not
+    val p = planOf("ns_seq_pack")
+    assert(!p.contains("Exchange SinglePartition"), p)
+  }
+
+  test("top-k per group plans WindowGroupLimit, not a full sort") {
+    val p = planOf("t_topk_per_group")
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
   test("curation pipeline removes quality failures, exact dups, and near-dups") {
     import spark.implicits._
     val docs = Seq(
