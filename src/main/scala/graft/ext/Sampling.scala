@@ -47,6 +47,29 @@ object Sampling {
     df.filter(bucket1000(col(key)) < cut)
   }
 
+  /** Exact-k deterministic sample per stratum: within each stratum keep
+    * the `k` rows that sort first by (key-hash, key) — a fixed-SIZE
+    * counterpart to [[stratifiedSample]]'s fixed-RATE keep, for "give me
+    * exactly 10k eval docs per language" requests. The hash order is a
+    * uniform pseudo-random permutation, but a deterministic one: the
+    * same k rows come out of every run and every engine.
+    *
+    * Scale shape: one rank window per stratum, planned as
+    * WindowGroupLimit — each map task pre-prunes to its local top-k
+    * before the shuffle, so the exchange carries O(partitions × k) rows
+    * per stratum, not the corpus.
+    */
+  def sampleExactK(df: DataFrame, stratum: String, key: String,
+                   k: Int): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(stratum))
+      .orderBy(pmod(pmod(col(key), lit(1000000007L)) * lit(2654435761L),
+        lit(1000000007L)), col(key))
+    df.withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") <= k).drop("_rk")
+  }
+
   /** Integer-weighted corpus mixing — the deterministic upsampling step
     * of a training mixture: each row is repeated `weights(stratum)`
     * times (0 drops the stratum), with a `copy` ordinal so downstream

@@ -111,6 +111,49 @@ object TextAnalysis {
       round((total - distinctN).cast("double") / total, 6).as("rep_ratio"))
   }
 
+  /** Sliding-window context chunking: each document becomes overlapping
+    * `chunkTokens`-token windows advancing by `stride` tokens — the step
+    * that turns curated documents into model-context-sized training /
+    * retrieval examples (overlap = `chunkTokens - stride` keeps context
+    * across cuts). Chunk `i` starts at token `i·stride`; windows are
+    * emitted while their start lies inside the document, so the tail
+    * chunk may be short. Pure map-side (split + transform + posexplode):
+    * zero shuffles at any corpus size.
+    */
+  def chunkDocs(df: DataFrame, text: String, id: String,
+                chunkTokens: Int = 32, stride: Int = 24): DataFrame = {
+    require(chunkTokens >= 1 && stride >= 1 && stride <= chunkTokens,
+      "need 1 <= stride <= chunkTokens")
+    df.select(col(id).as("doc"), split(col(text), " ").as("_toks"))
+      .withColumn("_nc",
+        greatest(ceil(size(col("_toks")) / lit(stride.toDouble)), lit(1L))
+          .cast("int"))
+      .select(col("doc"), posexplode(expr(
+        s"transform(sequence(0, _nc - 1), " +
+          s"i -> concat_ws(' ', slice(_toks, i * $stride + 1, $chunkTokens)))"))
+        .as(Seq("chunk_id", "chunk")))
+      .withColumn("n_chunk_tokens", size(split(col("chunk"), " ")))
+  }
+
+  /** Frequency-ranked vocabulary: distinct tokens with corpus counts and
+    * a contiguous `vocab_id` assigned in (count desc, token) order —
+    * tokenizer-style id assignment. The ranking uses the distributed
+    * two-pass numbering ([[graft.op.Scale.globalRowNumbers]]), never a
+    * single-partition global window; the count aggregation is one
+    * map-side-combined shuffle on the token.
+    */
+  def buildVocab(df: DataFrame, text: String, minCount: Long = 1): DataFrame = {
+    require(minCount >= 1, "minCount must be >= 1")
+    val counts = df
+      .select(explode(split(lower(trim(col(text))), "\\s+")).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("n"))
+      .filter(col("n") >= minCount)
+    graft.op.Scale.globalRowNumbers(
+        counts.withColumn("_neg_n", -col("n")), Seq("_neg_n", "token"),
+        idCol = "vocab_id")
+      .drop("_neg_n")
+  }
+
   /** Corpus token frequency: the global top-k tokens. Partial (map-side)
     * aggregation makes this a single light shuffle even at corpus scale.
     */
