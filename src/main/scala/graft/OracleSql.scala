@@ -98,7 +98,132 @@ object OracleSql {
       FROM corp JOIN bench USING (sh)
       GROUP BY 1 ORDER BY doc_id"""
 
+  /** Unrolled integer-arithmetic PageRank (Graph.pageRank's fixed-point
+    * semantics, damping 85/100, scale 1e12) over the symmetrized
+    * supplier↔nation graph: each power iteration is one join+aggregate
+    * CTE pair. Sums of BIGINT are HUGEINT in DuckDB, so every rank is
+    * cast back to BIGINT to match Spark's long column.
+    */
+  private def pagerankSql(iters: Int): String = {
+    val head =
+      """WITH e0 AS (
+        SELECT CAST(s_suppkey AS BIGINT) AS a,
+               CAST(s_nationkey AS BIGINT) + 2000000000 AS b
+        FROM supplier),
+      e AS (SELECT a, b FROM e0 UNION ALL SELECT b AS a, a AS b FROM e0),
+      nodes AS (SELECT DISTINCT a AS node FROM e),
+      p AS (SELECT count(*) AS n FROM nodes),
+      deg AS (SELECT a, count(*) AS deg FROM e GROUP BY 1),
+      r0 AS (SELECT node, 1000000000000 // n AS pr FROM nodes CROSS JOIN p)"""
+    val steps = (1 to iters).map { i =>
+      s""",
+      c$i AS (SELECT e.b AS node, SUM(r.pr // d.deg) AS s
+              FROM e JOIN deg d ON e.a = d.a
+              JOIN r${i - 1} r ON r.node = e.a GROUP BY 1),
+      r$i AS (SELECT nd.node,
+                CAST((1000000000000 // n) * 15 // 100
+                     + coalesce(c.s, 0) * 85 // 100 AS BIGINT) AS pr
+              FROM nodes nd CROSS JOIN p
+              LEFT JOIN c$i c ON c.node = nd.node)"""
+    }.mkString
+    head + steps + s"\n      SELECT node, pr FROM r$iters ORDER BY node"
+  }
+
   val all: Map[String, String] = Map(
+    "t_pagerank" -> pagerankSql(3),
+
+    // the same decimal-exact moment sums and the same double expression
+    // tree as Stats.corrStats — bit-identical, unlike corr()/regr_*()
+    // whose double accumulators are reduction-order dependent
+    "t_corr_stats" ->
+      """WITH m AS (
+        SELECT l_returnflag, count(*) AS n,
+          CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+          CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+          CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy,
+          CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+          CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy
+        FROM lineitem GROUP BY 1)
+      SELECT l_returnflag, n,
+        round((n * sxy - sx * sy) / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS corr,
+        round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+        round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6) AS intercept
+      FROM m ORDER BY l_returnflag""",
+
+    "t_moving_avg" ->
+      """SELECT user_id, event_id, ts AS event_ts,
+        CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS roll_sum,
+        COUNT(*) OVER w AS roll_n,
+        round(CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) / COUNT(*) OVER w, 6) AS roll_avg
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+      ORDER BY user_id, event_id""",
+
+    "t_ntile" ->
+      """SELECT o_orderkey, o_orderpriority, o_totalprice,
+        CAST(ntile(4) OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice, o_orderkey) AS INT) AS quartile
+      FROM orders ORDER BY o_orderkey""",
+
+    "t_histogram" ->
+      """SELECT CAST(floor(o_totalprice / 25000.0) AS BIGINT) AS bucket,
+        count(*) AS n, min(o_totalprice) AS lo, max(o_totalprice) AS hi
+      FROM orders GROUP BY 1 ORDER BY bucket""",
+
+    "ns_chunk_docs" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      nc AS (SELECT doc_id, toks,
+               greatest(CAST(ceil(len(toks) / 24.0) AS BIGINT), 1) AS n_chunks
+             FROM t),
+      c AS (SELECT doc_id, toks, unnest(generate_series(0, n_chunks - 1)) AS cid
+            FROM nc),
+      ch AS (SELECT doc_id, CAST(cid AS INT) AS chunk_id,
+               array_to_string(toks[CAST(cid * 24 + 1 AS INT) : CAST(cid * 24 + 32 AS INT)], ' ') AS chunk
+             FROM c)
+      SELECT doc_id, chunk_id, chunk,
+        CAST(len(string_split(chunk, ' ')) AS INT) AS n_chunk_tokens
+      FROM ch ORDER BY doc_id, chunk_id""",
+
+    "ns_vocab" ->
+      """WITH c AS (
+        SELECT token, count(*) AS n FROM (
+          SELECT unnest(string_split(lower(trim(text)), ' ')) AS token
+          FROM documents)
+        GROUP BY 1 HAVING count(*) >= 2)
+      SELECT token, n, row_number() OVER (ORDER BY n DESC, token) AS vocab_id
+      FROM c ORDER BY vocab_id""",
+
+    // the same Knuth-multiplicative permutation as Sampling.sampleExactK
+    "ns_sample_exact_k" ->
+      """SELECT doc_id, lang FROM (
+        SELECT doc_id, lang, row_number() OVER (
+          PARTITION BY lang
+          ORDER BY ((doc_id % 1000000007) * 2654435761) % 1000000007, doc_id) AS rk
+        FROM documents) WHERE rk <= 40 ORDER BY doc_id""",
+
+    "ns_bigrams" ->
+      """WITH toks AS (
+        SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS w,
+               generate_subscripts(string_split(lower(trim(text)), ' '), 1) AS pos
+        FROM documents),
+      bg AS (
+        SELECT w || ' ' || lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS bigram
+        FROM toks)
+      SELECT bigram, count(*) AS n FROM bg WHERE bigram IS NOT NULL
+      GROUP BY 1 ORDER BY n DESC, bigram LIMIT 30""",
+
+    "ns_ttr" ->
+      """WITH tc AS (
+        SELECT doc_id, token, count(*) AS cnt FROM (
+          SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS token
+          FROM documents)
+        GROUP BY 1, 2)
+      SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_tokens, count(*) AS n_types,
+        CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+        round(CAST(count(*) AS DOUBLE) / sum(cnt), 6) AS ttr
+      FROM tc GROUP BY doc_id ORDER BY doc_id""",
+
     "s1_ingest_dialects" ->
       """SELECT * FROM (VALUES
         ('ChIJxxxx', 'Z Moorhouse', 'Z Moorhouse', CAST(-43.5366 AS DOUBLE), CAST(172.63 AS DOUBLE), '238 Moorhouse Avenue, Christchurch', 'Christchurch', '', '', 'NZ'),

@@ -431,16 +431,118 @@ object SparkEntry {
       .orderBy("o_orderpriority", "rk")
   }
 
+  /** PageRank over the symmetrized supplier↔nation bipartite graph —
+    * fixed-point INTEGER arithmetic (Graph.pageRank), so the ranks are
+    * bit-identical in any engine and hash-checkable; the oracle unrolls
+    * the same three power iterations in SQL.
+    */
+  private def tPagerank(s: SparkSession, dir: String): DataFrame = {
+    val sup = t(s, dir, "supplier").select(
+      col("s_suppkey").cast("long").as("a"),
+      (col("s_nationkey").cast("long") + 2000000000L).as("b"))
+    val edges = sup.unionByName(sup.select(col("b").as("a"), col("a").as("b")))
+    graft.op.Graph.pageRank(edges, "a", "b", iterations = 3)
+      .select(col("node"), col("rank").as("pr"))
+      .orderBy("node")
+  }
+
+  /** Grouped correlation/regression from decimal-exact moment sums —
+    * quantity vs line price per return flag. The built-in corr() is
+    * deliberately not used: its double accumulator is reduction-order
+    * dependent and can never hash-match across engines.
+    */
+  private def tCorrStats(s: SparkSession, dir: String): DataFrame =
+    graft.op.Stats.corrStats(t(s, dir, "lineitem"), "l_returnflag",
+      "l_quantity", "l_extendedprice")
+      .orderBy("l_returnflag")
+
+  /** Trailing 3-event rolling sum/mean per user — decimal-exact window
+    * sum, partitioned by user (never a global-order window).
+    */
+  private def tMovingAvg(s: SparkSession, dir: String): DataFrame =
+    graft.op.Stats.rollingAgg(
+      Tables.events(s, dir).select("user_id", "event_id", "ts_us", "value"),
+      Seq("user_id"), Seq("ts_us", "event_id"), "value", window = 3)
+      .select(col("user_id"), col("event_id"),
+        expr("cast(ts_us as timestamp_ntz)").as("event_ts"),
+        col("roll_sum"), col("roll_n"), col("roll_avg"))
+      .orderBy("user_id", "event_id")
+
+  /** ntile quartiles within each order-priority class (engine
+    * completeness): the window stays partitioned by the class — quartile
+    * assignment never funnels the table through one task.
+    */
+  private def tNtile(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("o_orderpriority")
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    t(s, dir, "orders").select(col("o_orderkey"), col("o_orderpriority"),
+      col("o_totalprice"), ntile(4).over(w).as("quartile"))
+      .orderBy("o_orderkey")
+  }
+
+  /** Fixed-width price histogram — O(buckets) output rows from one
+    * partial-aggregated shuffle.
+    */
+  private def tHistogram(s: SparkSession, dir: String): DataFrame =
+    graft.op.Stats.fixedWidthHistogram(t(s, dir, "orders"),
+      "o_totalprice", 25000.0)
+      .orderBy("bucket")
+
   // ---- LLM-data-pipeline extensions (SURVEY §7.4) ----
+
+  /** Sliding-window chunking of documents into 32-token windows with
+    * stride 24 — pure map-side (no shuffle at any corpus size).
+    */
+  private def nsChunkDocs(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.chunkDocs(t(s, dir, "documents"), "text", "doc_id",
+      chunkTokens = 32, stride = 24)
+      .select(col("doc").as("doc_id"), col("chunk_id"), col("chunk"),
+        col("n_chunk_tokens"))
+      .orderBy("doc_id", "chunk_id")
+
+  /** Frequency-ranked vocabulary with contiguous ids — the two-pass
+    * distributed numbering, never a single-partition global window.
+    */
+  private def nsVocab(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.buildVocab(t(s, dir, "documents"), "text", minCount = 2)
+      .select(col("token"), col("n"), col("vocab_id"))
+      .orderBy("vocab_id")
+
+  /** Exact-k deterministic sample per language — WindowGroupLimit plan
+    * (map-side top-k pre-prune before the shuffle).
+    */
+  private def nsSampleExactK(s: SparkSession, dir: String): DataFrame =
+    graft.ext.Sampling.sampleExactK(
+      t(s, dir, "documents").select("doc_id", "lang"), "lang", "doc_id",
+      k = 40)
+      .orderBy("doc_id")
+
+  /** Corpus top-30 bigram collocations (exact single-space tokens). */
+  private def nsBigrams(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.topBigrams(t(s, dir, "documents"), "text", 30)
+
+  /** Per-document lexical diversity (tokens/types/hapax/TTR). */
+  private def nsTtr(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.typeTokenStats(t(s, dir, "documents"), "text", "doc_id")
+      .select(col("doc").as("doc_id"), col("n_tokens"), col("n_types"),
+        col("n_hapax"), col("ttr"))
+      .orderBy("doc_id")
 
   /** Sequence packing: documents laid end-to-end in doc_id order and
     * cut into 2048-token training bins — distributed prefix sum, never
     * a single-partition global window.
+    *
+    * Token counts use the EXACT single-space split (the blockDedup
+    * convention), not tokenCount's `\s+` regex: the oracle splits with
+    * `string_split(trim(text), ' ')`, and on text with consecutive
+    * whitespace the two rules disagree — pin the same rule on both
+    * sides rather than rely on the corpus being single-spaced.
     */
   private def nsSeqPack(s: SparkSession, dir: String): DataFrame =
     graft.ext.Packing.packByBudget(
       t(s, dir, "documents").select(col("doc_id"),
-        TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens")),
+        size(split(trim(col("text")), " ")).cast("long").as("n_tokens")),
       Seq("doc_id"), "n_tokens", capacity = 2048L, numPartitions = 8)
       .select("doc_id", "n_tokens", "bin", "bin_offset")
       .orderBy("doc_id")
@@ -750,6 +852,16 @@ object SparkEntry {
     "t_percentiles" -> tPercentiles,
     "t_cube" -> tCube,
     "t_topk_per_group" -> tTopkPerGroup,
+    "t_pagerank" -> tPagerank,
+    "t_corr_stats" -> tCorrStats,
+    "t_moving_avg" -> tMovingAvg,
+    "t_ntile" -> tNtile,
+    "t_histogram" -> tHistogram,
+    "ns_chunk_docs" -> nsChunkDocs,
+    "ns_vocab" -> nsVocab,
+    "ns_sample_exact_k" -> nsSampleExactK,
+    "ns_bigrams" -> nsBigrams,
+    "ns_ttr" -> nsTtr,
     "ns_tfidf" -> nsTfidf,
     "ns_stratified_sample" -> nsStratifiedSample,
     "ns_corpus_mix" -> nsCorpusMix,

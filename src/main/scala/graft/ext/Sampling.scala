@@ -58,10 +58,21 @@ object Sampling {
     * WindowGroupLimit — each map task pre-prunes to its local top-k
     * before the shuffle, so the exchange carries O(partitions × k) rows
     * per stratum, not the corpus.
+    *
+    * The key MUST be a non-negative integral column (the [[bucket1000]]
+    * contract: the permutation is pmod arithmetic on the key). String
+    * business keys go through a numeric surrogate first
+    * (`PriceGen.keyAsNumeric`) — enforced here so the misuse fails at
+    * call time with a clear message, not at analysis time.
     */
   def sampleExactK(df: DataFrame, stratum: String, key: String,
                    k: Int): DataFrame = {
     require(k >= 1, "k must be >= 1")
+    val kt = df.schema(key).dataType
+    require(Seq("byte", "short", "int", "long", "integer", "bigint")
+      .contains(kt.simpleString),
+      s"sampleExactK key '$key' must be integral (got ${kt.simpleString}); " +
+        "map string keys through a numeric surrogate (PriceGen.keyAsNumeric)")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(stratum))
       .orderBy(pmod(pmod(col(key), lit(1000000007L)) * lit(2654435761L),

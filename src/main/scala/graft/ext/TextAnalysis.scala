@@ -154,6 +154,44 @@ object TextAnalysis {
       .drop("_neg_n")
   }
 
+  /** Corpus-wide top-k bigram (adjacent word pair) counts — the
+    * collocation profile quality teams eyeball for boilerplate. Tokens
+    * are the EXACT single-space split (pinned on both engines, like
+    * blockDedup/seq-pack — not the `\s+` regex). Bigrams are generated
+    * map-side (transform over the token array, no self-join); the count
+    * is one partial-aggregated shuffle on the bigram; top-k is a
+    * TakeOrdered, never a global sort.
+    */
+  def topBigrams(df: DataFrame, text: String, k: Int): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    df.select(split(lower(trim(col(text))), " ").as("t"))
+      .filter(size(col("t")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(t) - 1), " +
+          "i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))"))
+        .as("bigram"))
+      .groupBy("bigram").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("bigram")).limit(k)
+  }
+
+  /** Per-document lexical diversity: token count, distinct-type count,
+    * hapax (frequency-1) count, and type-token ratio. All counts are
+    * exact integers; the ratio is one integer-derived division rounded
+    * once — engine-portable. Two partial-aggregated shuffles, both keyed
+    * on the doc id (the second reuses the first's partitioning).
+    */
+  def typeTokenStats(df: DataFrame, text: String, id: String): DataFrame = {
+    val counts = df.select(col(id).as("doc"),
+        explode(split(lower(trim(col(text))), "\\s+")).as("token"))
+      .groupBy("doc", "token").agg(count(lit(1)).as("c"))
+    counts.groupBy("doc").agg(
+        sum("c").cast("long").as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(when(col("c") === 1, 1L).otherwise(0L)).as("n_hapax"))
+      .withColumn("ttr",
+        round(col("n_types").cast("double") / col("n_tokens"), 6))
+  }
+
   /** Corpus token frequency: the global top-k tokens. Partial (map-side)
     * aggregation makes this a single light shuffle even at corpus scale.
     */

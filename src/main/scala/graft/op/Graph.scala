@@ -43,6 +43,7 @@ object Graph {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val outDeg = e.groupBy("a").agg(count(lit(1)).as("deg"))
     val n = nodes.count()
+    require(n > 0, "pageRank needs a non-empty edge list")
     val init = scale / n
     val base = (init * (100 - dampingNum)) / 100
     var ranks = nodes.withColumn("rank", lit(init))

@@ -86,19 +86,6 @@ object Scale {
     if (allowGrow) df.repartition(files.toInt) else df.coalesce(files.toInt)
   }
 
-  /** Contiguous global row numbers (1..N) in the total order of
-    * `sortCols` — WITHOUT the single-partition bottleneck of
-    * `row_number() OVER (ORDER BY ...)`, whose empty-partitionBy window
-    * funnels the whole table through one task.
-    *
-    * Classic two-pass shape: range-partition on the sort key, number
-    * locally within each range, then add each range's starting offset
-    * (per-partition counts are a `numPartitions`-row driver-side
-    * cumulative sum — the only non-distributed step, and it is O(tasks)
-    * not O(rows)). `sortCols` must be a total order (unique), or ties
-    * make the numbering nondeterministic — same contract as any ORDER BY
-    * based numbering.
-    */
   /** Exclusive global running sum of `valueCol` (integral) in the total
     * order of `sortCols` — the distributed prefix-sum primitive behind
     * sequence packing and offset assignment, built the same two-pass way
@@ -139,6 +126,19 @@ object Scale {
       .drop("_pid", "_offset")
   }
 
+  /** Contiguous global row numbers (1..N) in the total order of
+    * `sortCols` — WITHOUT the single-partition bottleneck of
+    * `row_number() OVER (ORDER BY ...)`, whose empty-partitionBy window
+    * funnels the whole table through one task.
+    *
+    * Classic two-pass shape: range-partition on the sort key, number
+    * locally within each range, then add each range's starting offset
+    * (per-partition counts are a `numPartitions`-row driver-side
+    * cumulative sum — the only non-distributed step, and it is O(tasks)
+    * not O(rows)). `sortCols` must be a total order (unique), or ties
+    * make the numbering nondeterministic — same contract as any ORDER BY
+    * based numbering.
+    */
   def globalRowNumbers(df: DataFrame, sortCols: Seq[String],
                        numPartitions: Int = 0, idCol: String = "row_id"): DataFrame = {
     val parts = if (numPartitions > 0) numPartitions

@@ -1,0 +1,89 @@
+package graft.op
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed descriptive statistics built for oracle-exact
+  * cross-engine parity: every aggregate that feeds a float result is
+  * first accumulated as an exact DECIMAL sum (associative, order
+  * independent), and the float arithmetic happens once, on the driver's
+  * fixed expression tree, after aggregation. `corr()`/`covar_samp()`
+  * built-ins are NOT used on purpose — their double accumulators are
+  * reduction-order dependent, so two runs (or two engines) can disagree
+  * in the last bits; the moment-sum formulation is bit-reproducible.
+  */
+object Stats {
+
+  /** Grouped Pearson correlation + OLS slope/intercept of `y` on `x`
+    * from decimal-exact moment sums (n, Σx, Σy, Σxy, Σx², Σy²).
+    *
+    * Scale shape: ONE partial-aggregated shuffle on the group key — the
+    * six moments ride the same aggregation, so cost is identical to a
+    * plain groupBy/sum no matter how many statistics are derived.
+    * Inputs are cast to DECIMAL(18,2) (exact for currency-style data);
+    * products are DECIMAL(37,4) and their sums stay within DECIMAL(38,4)
+    * up to ~10^18 of accumulated product mass — overflow fails loudly
+    * under ANSI rather than silently losing precision.
+    */
+  def corrStats(df: DataFrame, group: String, x: String, y: String): DataFrame = {
+    val dx = col(x).cast("decimal(18,2)")
+    val dy = col(y).cast("decimal(18,2)")
+    val m = df.groupBy(group).agg(
+      count(lit(1)).as("n"),
+      sum(dx).as("_sx"), sum(dy).as("_sy"),
+      sum(dx * dy).as("_sxy"), sum(dx * dx).as("_sxx"), sum(dy * dy).as("_syy"))
+    // all-double from here: the decimal→double casts and this exact
+    // expression tree are mirrored verbatim by the DuckDB oracle, so
+    // the doubles are bit-identical across engines
+    val nD = col("n").cast("double")
+    val sx = col("_sx").cast("double"); val sy = col("_sy").cast("double")
+    val sxy = col("_sxy").cast("double"); val sxx = col("_sxx").cast("double")
+    val syy = col("_syy").cast("double")
+    val covN = nD * sxy - sx * sy // n² · cov(x,y)
+    val varXN = nD * sxx - sx * sx // n² · var(x)
+    val varYN = nD * syy - sy * sy
+    val slope = covN / varXN
+    m.select(col(group), col("n"),
+      round(covN / sqrt(varXN * varYN), 6).as("corr"),
+      round(slope, 6).as("slope"),
+      round((sy - slope * sx) / nD, 6).as("intercept"))
+  }
+
+  /** Fixed-width histogram of `valueCol`: bucket i covers
+    * [i·width, (i+1)·width). One partial-aggregated shuffle keyed on the
+    * bucket — the output is O(buckets) rows regardless of input size.
+    * The bucket id is floor(value / width) in double arithmetic, which
+    * every IEEE engine computes identically.
+    */
+  def fixedWidthHistogram(df: DataFrame, valueCol: String,
+                          width: Double): DataFrame = {
+    require(width > 0, "width must be positive")
+    df.groupBy(floor(col(valueCol) / lit(width)).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        min(col(valueCol)).as("lo"), max(col(valueCol)).as("hi"))
+  }
+
+  /** Rolling window aggregate: per partition-key group, ordered by
+    * `order` (which must be a total order within the group), the sum /
+    * count / mean of `valueCol` over the trailing `window` rows. The sum
+    * accumulates as DECIMAL(18,2) — exact and frame-order independent —
+    * and only the final mean divides in double.
+    *
+    * Scale shape: one hash shuffle on the partition keys, then a local
+    * sort per partition — never a global sort, never a single-partition
+    * window.
+    */
+  def rollingAgg(df: DataFrame, part: Seq[String], order: Seq[String],
+                 valueCol: String, window: Int): DataFrame = {
+    require(window >= 1, "window must be >= 1")
+    require(part.nonEmpty, "rollingAgg needs partition keys — an empty " +
+      "partitionBy funnels the whole input through one task")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(part.map(col): _*).orderBy(order.map(col): _*)
+      .rowsBetween(-(window - 1), 0)
+    df.withColumn("roll_sum",
+        sum(col(valueCol).cast("decimal(18,2)")).over(w).cast("double"))
+      .withColumn("roll_n", count(lit(1)).over(w))
+      .withColumn("roll_avg", round(col("roll_sum") / col("roll_n"), 6))
+  }
+}
