@@ -171,6 +171,46 @@ object OracleSql {
         count(*) AS n, min(o_totalprice) AS lo, max(o_totalprice) AS hi
       FROM orders GROUP BY 1 ORDER BY bucket""",
 
+    "t_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      FROM orders
+      GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+                              (o_orderstatus, o_orderpriority))
+      ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""",
+
+    "t_semi_join" ->
+      """SELECT c_custkey, c_name FROM customer c
+      WHERE EXISTS (SELECT 1 FROM orders o
+                    WHERE o.o_custkey = c.c_custkey
+                      AND o.o_orderpriority = '1-URGENT')
+      ORDER BY c_custkey""",
+
+    "t_lag_lead" ->
+      """SELECT user_id, event_id, ts AS event_ts,
+        epoch_us(ts) - epoch_us(lag(ts) OVER w) AS gap_us,
+        lead(event_id) OVER w AS next_event_id
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      ORDER BY user_id, event_id""",
+
+    // the same scaled-integer exact mean as VectorSearch.labelCentroids
+    "ns_embed_centroids" ->
+      """SELECT label, CAST(pos - 1 AS INT) AS dim, count(*) AS n,
+        round(CAST(sum(CAST(round(CAST(v AS DOUBLE) * 1000000) AS BIGINT)) AS DOUBLE)
+              / (count(*) * 1000000.0), 6) AS centroid
+      FROM (SELECT label, unnest(embedding) AS v,
+                   generate_subscripts(embedding, 1) AS pos
+            FROM embeddings)
+      GROUP BY 1, 2 ORDER BY label, dim""",
+
+    "ns_source_stats" ->
+      """SELECT source, count(*) AS n_docs,
+        CAST(sum(len(string_split(trim(text), ' '))) AS BIGINT) AS n_tokens,
+        CAST(sum(n_chars) AS BIGINT) AS n_chars_total,
+        round(CAST(sum(len(string_split(trim(text), ' '))) AS DOUBLE) / count(*), 6) AS avg_tokens
+      FROM documents GROUP BY 1 ORDER BY source""",
+
     "ns_chunk_docs" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
       nc AS (SELECT doc_id, toks,

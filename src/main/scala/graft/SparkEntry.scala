@@ -489,7 +489,69 @@ object SparkEntry {
       "o_totalprice", 25000.0)
       .orderBy("bucket")
 
+  /** GROUPING SETS through the SQL surface (engine completeness, next
+    * to rollup/cube): per-status, per-priority, and per-(status,
+    * priority) totals in one pass; the money sum is decimal-exact.
+    */
+  private def tGroupingSets(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "orders").createOrReplaceTempView("v_orders_gs")
+    s.sql("""
+      SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      FROM v_orders_gs
+      GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+                              (o_orderstatus, o_orderpriority))
+      ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""")
+  }
+
+  /** Left-semi join (the EXISTS dual of T5's anti-join): customers with
+    * at least one urgent order — the probe side never widens the row.
+    */
+  private def tSemiJoin(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer").join(
+      t(s, dir, "orders").filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_custkey").as("c_custkey")),
+      Seq("c_custkey"), "left_semi")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+
+  /** lag/lead navigation: per-user inter-event gap (µs) and the next
+    * event id — partitioned by user, ordered by the (ts, id) total
+    * order; nulls at the partition edges are part of the contract.
+    */
+  private def tLagLead(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
+    Tables.events(s, dir).select(col("user_id"), col("event_id"),
+      expr("cast(ts_us as timestamp_ntz)").as("event_ts"),
+      (unix_micros(col("ts_us")) - unix_micros(lag(col("ts_us"), 1).over(w)))
+        .as("gap_us"),
+      lead(col("event_id"), 1).over(w).as("next_event_id"))
+      .orderBy("user_id", "event_id")
+  }
+
   // ---- LLM-data-pipeline extensions (SURVEY §7.4) ----
+
+  /** Per-label embedding centroids — exact (scaled-integer sums), in
+    * long (label, dim) form so the result is hash-checkable.
+    */
+  private def nsEmbedCentroids(s: SparkSession, dir: String): DataFrame =
+    VectorSearch.labelCentroids(t(s, dir, "embeddings"), "label", "embedding")
+      .orderBy("label", "dim")
+
+  /** Per-source corpus profile: doc/token/char totals and mean tokens —
+    * the one-glance report a curation run starts from.
+    */
+  private def nsSourceStats(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("source"),
+        size(split(trim(col("text")), " ")).cast("long").as("nt"),
+        col("n_chars"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("nt").as("n_tokens"),
+        sum("n_chars").as("n_chars_total"),
+        round(sum("nt").cast("double") / count(lit(1)), 6).as("avg_tokens"))
+      .orderBy("source")
 
   /** Sliding-window chunking of documents into 32-token windows with
     * stride 24 — pure map-side (no shuffle at any corpus size).
@@ -857,11 +919,16 @@ object SparkEntry {
     "t_moving_avg" -> tMovingAvg,
     "t_ntile" -> tNtile,
     "t_histogram" -> tHistogram,
+    "t_grouping_sets" -> tGroupingSets,
+    "t_semi_join" -> tSemiJoin,
+    "t_lag_lead" -> tLagLead,
     "ns_chunk_docs" -> nsChunkDocs,
     "ns_vocab" -> nsVocab,
     "ns_sample_exact_k" -> nsSampleExactK,
     "ns_bigrams" -> nsBigrams,
     "ns_ttr" -> nsTtr,
+    "ns_embed_centroids" -> nsEmbedCentroids,
+    "ns_source_stats" -> nsSourceStats,
     "ns_tfidf" -> nsTfidf,
     "ns_stratified_sample" -> nsStratifiedSample,
     "ns_corpus_mix" -> nsCorpusMix,

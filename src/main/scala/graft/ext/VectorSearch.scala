@@ -30,6 +30,27 @@ object VectorSearch {
   def cosine(a: Column, b: Column): Column =
     graft.functions.VectorExpressions.cosine_sim(a, b)
 
+  /** Per-label centroid of an embedding column, in long form
+    * (label, dim, n, centroid) — the class-prototype computation behind
+    * nearest-centroid classification and IVF-style coarse quantizers.
+    *
+    * Float means are reduction-order dependent, so each component is
+    * first scaled to a 1e-6-resolution BIGINT (exact, associative sum —
+    * the same decimal-exact aggregation discipline as Stats.corrStats)
+    * and divided back once after aggregation. Scale shape: posexplode
+    * fans out n×d rows, but the groupBy partial-aggregates map-side to
+    * labels×d rows per task before the one shuffle — at corpus scale
+    * the exchange carries O(labels × dims × tasks), never O(rows × dims).
+    */
+  def labelCentroids(df: DataFrame, label: String, vec: String): DataFrame =
+    df.select(col(label), posexplode(col(vec)).as(Seq("dim", "v")))
+      .groupBy(col(label), col("dim"))
+      .agg(count(lit(1)).as("n"),
+        sum(expr("cast(round(cast(v as double) * 1000000) as bigint)")).as("_s"))
+      .withColumn("centroid",
+        round(col("_s").cast("double") / (col("n") * lit(1000000.0)), 6))
+      .drop("_s")
+
   /** L2-normalize once so repeated searches only pay dot products. */
   def normalized(df: DataFrame, vec: String): DataFrame =
     df.withColumn("_norm",

@@ -192,4 +192,41 @@ class PlanSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSet
     assert(base == Set(1L, 2L, 3L, 4L, 5L), base.toString)
   }
+
+  // ---- round-5 operators ----
+
+  test("corr stats: six moments ride ONE aggregation exchange") {
+    val p = planOf("t_corr_stats")
+    // one partial->final HashAggregate pair = exactly one hash shuffle
+    // (the only other exchange is the final ORDER BY's range partition)
+    val exchanges = "hashpartitioning\\(".r.findAllIn(p).size
+    assert(exchanges == 1, s"expected 1 hash exchange, plan:\n$p")
+  }
+
+  test("chunking is pure map-side: no exchange anywhere in the plan") {
+    // the raw operator (without the registered query's display ORDER BY)
+    val physical = graft.ext.TextAnalysis.chunkDocs(
+      graft.source.Tables.table(spark, sf, "documents"), "text", "doc_id")
+      .queryExecution.explainString(FormattedMode)
+    assert(!physical.contains("Exchange"), physical)
+  }
+
+  test("bigram counts never self-join; top-k is TakeOrdered, not a global sort") {
+    val p = planOf("ns_bigrams")
+    assert(!p.contains("Join"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("semi-join broadcasts the filtered key side") {
+    val p = planOf("t_semi_join")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"), p)
+  }
+
+  test("label centroids partial-aggregate before the one exchange") {
+    val p = SparkEntry.queries("ns_embed_centroids")(spark, sf)
+      .queryExecution.explainString(FormattedMode)
+    // map-side combine: a partial HashAggregate below the one exchange
+    assert("hashpartitioning\\(".r.findAllIn(p).size == 1, p)
+    assert(p.contains("partial_count"), p)
+  }
 }

@@ -179,6 +179,17 @@ class Round5Spec extends SparkSpec {
       (3L, 7.0, 3L, round6(7.0 / 3)), (4L, 14.0, 3L, round6(14.0 / 3))))
   }
 
+  test("labelCentroids: exact scaled-integer means in long form") {
+    val df = Seq(
+      (0, Seq(1.0f, -2.0f)), (0, Seq(3.0f, 4.0f)), (1, Seq(0.5f, 0.25f)))
+      .toDF("label", "embedding")
+    val got = graft.ext.VectorSearch.labelCentroids(df, "label", "embedding")
+      .select($"label", $"dim", $"n", $"centroid")
+      .as[(Int, Int, Long, Double)].collect().toSet
+    assert(got == Set((0, 0, 2L, 2.0), (0, 1, 2L, 1.0),
+      (1, 0, 1L, 0.5), (1, 1, 1L, 0.25)))
+  }
+
   test("fixedWidthHistogram: floor buckets with exact bounds") {
     val df = Seq(0.0, 9.99, 10.0, 19.5, 25.0).toDF("v")
     val got = Stats.fixedWidthHistogram(df, "v", 10.0)
