@@ -179,6 +179,15 @@ object OracleSql {
                               (o_orderstatus, o_orderpriority))
       ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""",
 
+    "t_star_join" ->
+      """SELECT p.p_brand, n.n_name, count(*) AS n_items,
+        CAST(SUM(CAST(round(l.l_extendedprice * (1 - l.l_discount), 4) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+      FROM lineitem l
+      JOIN part p ON l.l_partkey = p.p_partkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+      GROUP BY 1, 2 ORDER BY p_brand, n_name""",
+
     "t_semi_join" ->
       """SELECT c_custkey, c_name FROM customer c
       WHERE EXISTS (SELECT 1 FROM orders o

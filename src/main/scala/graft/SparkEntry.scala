@@ -530,6 +530,30 @@ object SparkEntry {
       .orderBy("user_id", "event_id")
   }
 
+  /** Star-schema aggregation: the lineitem fact joined to THREE
+    * broadcast dimensions (part, supplier, nation) — the fact table
+    * never shuffles until the final group-by. This is the plan shape a
+    * 100 TB fact scan must keep: every dim under the broadcast budget
+    * rides the scan; the only exchange is the O(brands × nations)
+    * aggregate. Revenue is rounded per item then decimal-summed (exact,
+    * order-independent — the sql_revenue_topk convention).
+    */
+  private def tStarJoin(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val p = broadcast(t(s, dir, "part").select("p_partkey", "p_brand"))
+    val sup = broadcast(t(s, dir, "supplier")
+      .select("s_suppkey", "s_nationkey"))
+    val nat = broadcast(t(s, dir, "nation").select("n_nationkey", "n_name"))
+    li.join(p, li("l_partkey") === p("p_partkey"))
+      .join(sup, li("l_suppkey") === sup("s_suppkey"))
+      .join(nat, sup("s_nationkey") === nat("n_nationkey"))
+      .groupBy(col("p_brand"), col("n_name"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(expr("cast(round(l_extendedprice * (1 - l_discount), 4) as decimal(18,4))"))
+          .cast("double").as("revenue"))
+      .orderBy("p_brand", "n_name")
+  }
+
   // ---- LLM-data-pipeline extensions (SURVEY §7.4) ----
 
   /** Per-label embedding centroids — exact (scaled-integer sums), in
@@ -922,6 +946,7 @@ object SparkEntry {
     "t_grouping_sets" -> tGroupingSets,
     "t_semi_join" -> tSemiJoin,
     "t_lag_lead" -> tLagLead,
+    "t_star_join" -> tStarJoin,
     "ns_chunk_docs" -> nsChunkDocs,
     "ns_vocab" -> nsVocab,
     "ns_sample_exact_k" -> nsSampleExactK,

@@ -222,6 +222,14 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"), p)
   }
 
+  test("star join: three broadcast dims, fact never shuffles pre-aggregate") {
+    val p = planOf("t_star_join")
+    // tree lines only — FormattedMode repeats each node in the detail list
+    assert("BroadcastHashJoin Inner BuildRight \\(\\d+\\)".r.findAllIn(p).size == 3, p)
+    // the only hash exchange is the final (brand, nation) aggregate
+    assert("hashpartitioning\\(".r.findAllIn(p).size == 1, p)
+  }
+
   test("label centroids partial-aggregate before the one exchange") {
     val p = SparkEntry.queries("ns_embed_centroids")(spark, sf)
       .queryExecution.explainString(FormattedMode)
