@@ -179,6 +179,39 @@ object OracleSql {
                               (o_orderstatus, o_orderpriority))
       ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""",
 
+    "t_running_total" ->
+      """SELECT user_id, event_id, ts AS event_ts,
+        CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS running_value
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING)
+      ORDER BY user_id, event_id""",
+
+    // identical moment sums and double expression tree as Stats.zscores
+    "t_zscore" ->
+      """WITH m AS (
+        SELECT event_type, count(*) AS n,
+          CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+          CAST(sum(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sxx
+        FROM events GROUP BY 1)
+      SELECT event_id, e.event_type, value,
+        round((value - sx / n) / sqrt((n * sxx - sx * sx) / (n * (n - 1))), 6) AS z
+      FROM events e JOIN m USING (event_type)
+      ORDER BY event_id""",
+
+    // clamp thresholds rounded to 6 dp on BOTH engines so the rare
+    // clamped rows carry the identical pinned value
+    "t_winsorize" ->
+      """WITH thr AS (
+        SELECT event_type,
+          round(quantile_cont(value, 0.05), 6) AS plo,
+          round(quantile_cont(value, 0.95), 6) AS phi
+        FROM events GROUP BY 1)
+      SELECT event_id, e.event_type, value,
+        least(greatest(value, plo), phi) AS value_w
+      FROM events e JOIN thr USING (event_type)
+      ORDER BY event_id""",
+
     "t_star_join" ->
       """SELECT p.p_brand, n.n_name, count(*) AS n_items,
         CAST(SUM(CAST(round(l.l_extendedprice * (1 - l.l_discount), 4) AS DECIMAL(18,4))) AS DOUBLE) AS revenue

@@ -530,6 +530,40 @@ object SparkEntry {
       .orderBy("user_id", "event_id")
   }
 
+  /** Per-user cumulative (running) value total — the unbounded-frame
+    * dual of t_moving_avg's trailing window; decimal-exact sum.
+    */
+  private def tRunningTotal(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    Tables.events(s, dir).select(col("user_id"), col("event_id"),
+      expr("cast(ts_us as timestamp_ntz)").as("event_ts"),
+      sum(col("value").cast("decimal(18,2)")).over(w).cast("double")
+        .as("running_value"))
+      .orderBy("user_id", "event_id")
+  }
+
+  /** Per-event-type z-scores of the value column — broadcast moment
+    * join, one aggregation shuffle, map-side standardization.
+    */
+  private def tZscore(s: SparkSession, dir: String): DataFrame =
+    graft.op.Stats.zscores(
+      Tables.events(s, dir).select("event_id", "event_type", "value"),
+      "event_type", "value")
+      .select(col("event_id"), col("event_type"), col("value"), col("z"))
+      .orderBy("event_id")
+
+  /** Winsorized values at the per-type [p05, p95] — exact-percentile
+    * clamp thresholds broadcast over the rows.
+    */
+  private def tWinsorize(s: SparkSession, dir: String): DataFrame =
+    graft.op.Stats.winsorize(
+      Tables.events(s, dir).select("event_id", "event_type", "value"),
+      "event_type", "value", lo = 0.05, hi = 0.95, out = "value_w")
+      .select(col("event_id"), col("event_type"), col("value"), col("value_w"))
+      .orderBy("event_id")
+
   /** Star-schema aggregation: the lineitem fact joined to THREE
     * broadcast dimensions (part, supplier, nation) — the fact table
     * never shuffles until the final group-by. This is the plan shape a
@@ -947,6 +981,9 @@ object SparkEntry {
     "t_semi_join" -> tSemiJoin,
     "t_lag_lead" -> tLagLead,
     "t_star_join" -> tStarJoin,
+    "t_running_total" -> tRunningTotal,
+    "t_zscore" -> tZscore,
+    "t_winsorize" -> tWinsorize,
     "ns_chunk_docs" -> nsChunkDocs,
     "ns_vocab" -> nsVocab,
     "ns_sample_exact_k" -> nsSampleExactK,

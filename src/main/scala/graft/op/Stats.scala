@@ -63,6 +63,50 @@ object Stats {
         min(col(valueCol)).as("lo"), max(col(valueCol)).as("hi"))
   }
 
+  /** Per-row z-score standardization within each group — the feature
+    * normalization step of a training pipeline. Group mean/std come
+    * from the same decimal-exact moment sums as [[corrStats]] (sample
+    * variance, n−1); the per-group moment table is tiny and BROADCAST
+    * back onto the rows, so the corpus pays one aggregation shuffle and
+    * one map-side join — it never re-shuffles on the group key.
+    * Degenerate groups (n = 1 or constant x) produce NaN, matching
+    * IEEE semantics in any engine.
+    */
+  def zscores(df: DataFrame, group: String, x: String,
+              out: String = "z"): DataFrame = {
+    val dx = col(x).cast("decimal(18,2)")
+    val m = df.groupBy(group).agg(
+      count(lit(1)).as("_n"), sum(dx).as("_sx"), sum(dx * dx).as("_sxx"))
+    val mm = m.select(col(group), col("_n").cast("double").as("_nd"),
+      col("_sx").cast("double").as("_sxd"),
+      col("_sxx").cast("double").as("_sxxd"))
+    df.join(broadcast(mm), Seq(group))
+      .withColumn(out, round(
+        (col(x) - col("_sxd") / col("_nd")) /
+          sqrt((col("_nd") * col("_sxxd") - col("_sxd") * col("_sxd")) /
+            (col("_nd") * (col("_nd") - 1))), 6))
+      .drop("_nd", "_sxd", "_sxxd")
+  }
+
+  /** Winsorization: clamp `x` to its group's [lo, hi] quantiles — the
+    * outlier-capping cleaner that keeps heavy tails from dominating
+    * downstream statistics. Thresholds are ONE exact-percentile
+    * aggregate (rounded to 6 dp so both engines pin identical clamp
+    * values) broadcast back over the rows — same one-shuffle shape as
+    * [[zscores]] and TextAnalysis.qualityFilter.
+    */
+  def winsorize(df: DataFrame, group: String, x: String,
+                lo: Double = 0.05, hi: Double = 0.95,
+                out: String = "winsorized"): DataFrame = {
+    require(lo >= 0 && hi <= 1 && lo < hi, "need 0 <= lo < hi <= 1")
+    val thr = df.groupBy(group).agg(
+      round(expr(s"percentile($x, ${lo}D)"), 6).as("_plo"),
+      round(expr(s"percentile($x, ${hi}D)"), 6).as("_phi"))
+    df.join(broadcast(thr), Seq(group))
+      .withColumn(out, least(greatest(col(x), col("_plo")), col("_phi")))
+      .drop("_plo", "_phi")
+  }
+
   /** Rolling window aggregate: per partition-key group, ordered by
     * `order` (which must be a total order within the group), the sum /
     * count / mean of `valueCol` over the trailing `window` rows. The sum

@@ -190,6 +190,22 @@ class Round5Spec extends SparkSpec {
       (1, 0, 1L, 0.5), (1, 1, 1L, 0.25)))
   }
 
+  test("zscores: mean 0 / unit std on a known group") {
+    val df = Seq(("g", 1.0), ("g", 2.0), ("g", 3.0)).toDF("g", "x")
+    val got = Stats.zscores(df, "g", "x").select($"x", $"z")
+      .as[(Double, Double)].collect().toMap
+    assert(got == Map(1.0 -> -1.0, 2.0 -> 0.0, 3.0 -> 1.0))
+  }
+
+  test("winsorize clamps to the interpolated group quantiles") {
+    val df = (1 to 10).map(i => ("g", i.toDouble)).toDF("g", "x")
+    val got = Stats.winsorize(df, "g", "x", lo = 0.05, hi = 0.95, out = "w")
+      .select($"x", $"w").as[(Double, Double)].collect().toMap
+    // percentile interpolates at rank p*(n-1): p05 = 1.45, p95 = 9.55
+    assert(got(1.0) == 1.45 && got(10.0) == 9.55)
+    assert((2 to 9).forall(i => got(i.toDouble) == i.toDouble))
+  }
+
   test("fixedWidthHistogram: floor buckets with exact bounds") {
     val df = Seq(0.0, 9.99, 10.0, 19.5, 25.0).toDF("v")
     val got = Stats.fixedWidthHistogram(df, "v", 10.0)
