@@ -179,6 +179,31 @@ object OracleSql {
                               (o_orderstatus, o_orderpriority))
       ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""",
 
+    // DuckDB needs the 'g' flag for Spark's replace-all default;
+    // length/instr return BIGINT there (cast to Spark's INT)
+    "t_string_funcs" ->
+      """SELECT c_custkey,
+        CAST(length(c_name) AS INT) AS name_len,
+        upper(c_name) AS name_upper,
+        substring(c_name, 1, 8) AS name_prefix,
+        lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS key_padded,
+        regexp_replace(c_name, '[aeiou]', '_', 'g') AS name_devoweled,
+        reverse(c_name) AS name_rev,
+        CAST(instr(c_name, 'a') AS INT) AS first_a,
+        concat_ws('|', c_name, c_mktsegment) AS joined
+      FROM customer ORDER BY c_custkey""",
+
+    "t_null_funcs" ->
+      """SELECT c_custkey,
+        nullif(c_mktsegment, 'BUILDING') AS seg_nb,
+        coalesce(nullif(c_mktsegment, 'BUILDING'), 'REDACTED') AS seg_filled,
+        greatest(c_acctbal, 0.0) AS bal_floor,
+        least(c_acctbal, 1000.0) AS bal_cap,
+        CASE WHEN c_acctbal < 0 THEN 'neg'
+             WHEN c_acctbal < 1000 THEN 'low'
+             ELSE 'high' END AS bal_band
+      FROM customer ORDER BY c_custkey""",
+
     "t_running_total" ->
       """SELECT user_id, event_id, ts AS event_ts,
         CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS running_value

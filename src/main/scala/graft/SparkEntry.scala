@@ -530,6 +530,42 @@ object SparkEntry {
       .orderBy("user_id", "event_id")
   }
 
+  /** String-function surface parity: the everyday mapping toolkit
+    * (length/case/substr/pad/regex/reverse/search/concat) computed in
+    * one map-side pass and pinned against the oracle's equivalents —
+    * the "a user can port their expressions" completeness check.
+    * DuckDB regexp_replace needs the 'g' flag to match Spark's
+    * replace-all default; DuckDB length/instr return BIGINT (cast).
+    */
+  private def tStringFuncs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer").select(
+      col("c_custkey"),
+      length(col("c_name")).as("name_len"),
+      upper(col("c_name")).as("name_upper"),
+      substring(col("c_name"), 1, 8).as("name_prefix"),
+      lpad(col("c_custkey").cast("string"), 8, "0").as("key_padded"),
+      regexp_replace(col("c_name"), "[aeiou]", "_").as("name_devoweled"),
+      reverse(col("c_name")).as("name_rev"),
+      instr(col("c_name"), "a").as("first_a"),
+      concat_ws("|", col("c_name"), col("c_mktsegment")).as("joined"))
+      .orderBy("c_custkey")
+
+  /** Null-handling / conditional surface parity: nullif, coalesce,
+    * greatest/least clamping, and CASE banding — map-side only.
+    */
+  private def tNullFuncs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer").select(
+      col("c_custkey"),
+      nullif(col("c_mktsegment"), lit("BUILDING")).as("seg_nb"),
+      coalesce(nullif(col("c_mktsegment"), lit("BUILDING")), lit("REDACTED"))
+        .as("seg_filled"),
+      greatest(col("c_acctbal"), lit(0.0)).as("bal_floor"),
+      least(col("c_acctbal"), lit(1000.0)).as("bal_cap"),
+      when(col("c_acctbal") < 0, "neg")
+        .when(col("c_acctbal") < 1000, "low")
+        .otherwise("high").as("bal_band"))
+      .orderBy("c_custkey")
+
   /** Per-user cumulative (running) value total — the unbounded-frame
     * dual of t_moving_avg's trailing window; decimal-exact sum.
     */
@@ -984,6 +1020,8 @@ object SparkEntry {
     "t_running_total" -> tRunningTotal,
     "t_zscore" -> tZscore,
     "t_winsorize" -> tWinsorize,
+    "t_string_funcs" -> tStringFuncs,
+    "t_null_funcs" -> tNullFuncs,
     "ns_chunk_docs" -> nsChunkDocs,
     "ns_vocab" -> nsVocab,
     "ns_sample_exact_k" -> nsSampleExactK,
