@@ -763,6 +763,35 @@ object OracleSql {
       lbl AS (SELECT node, least(node, min(r)) AS cluster FROM reach GROUP BY node)
       SELECT node AS doc_id, cluster FROM lbl ORDER BY doc_id""",
 
+    // same transitive closure as ns_dedup_clusters, then the keep-
+    // longest survivor rule stated as a rank over (n_chars desc, id)
+    "ns_dedup_survivors" ->
+      s"""WITH RECURSIVE ${jaccardCtes("documents", pruned = true)},
+      prs AS (
+        SELECT id_a, id_b FROM inter
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE CAST(inter AS DOUBLE) / (sa.nsh + sb.nsh - inter) >= 0.12),
+      edges AS (SELECT id_a AS a, id_b AS b FROM prs UNION SELECT id_b, id_a FROM prs),
+      reach AS (
+        SELECT a AS node, b AS r FROM edges
+        UNION
+        SELECT reach.node, edges.b FROM reach JOIN edges ON reach.r = edges.a),
+      lbl AS (SELECT node, least(node, min(r)) AS cluster FROM reach GROUP BY node)
+      SELECT cluster, survivor, n_chars, n_members FROM (
+        SELECT lbl.cluster, d.doc_id AS survivor, d.n_chars,
+          count(*) OVER (PARTITION BY lbl.cluster) AS n_members,
+          row_number() OVER (PARTITION BY lbl.cluster
+                             ORDER BY d.n_chars DESC, d.doc_id) AS rn
+        FROM lbl JOIN documents d ON d.doc_id = lbl.node)
+      WHERE rn = 1 ORDER BY cluster""",
+
+    "ns_pct_rank" ->
+      """SELECT doc_id, lang, n_chars,
+        round(percent_rank() OVER (PARTITION BY lang
+                                   ORDER BY n_chars, doc_id), 6) AS pr
+      FROM documents ORDER BY doc_id""",
+
     "ns_embed_neardup" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
         round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS cosine_r

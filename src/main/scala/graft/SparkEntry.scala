@@ -811,6 +811,31 @@ object SparkEntry {
       .select(col("doc").as("doc_id"), col("cluster"))
       .orderBy("doc_id")
 
+  /** Survivor policy over the near-dup clusters: keep each cluster's
+    * LONGEST doc (ties → smallest id) — the curation rule that beats
+    * min-id when duplicates differ by truncation.
+    */
+  private def nsDedupSurvivors(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val clusters = TextDedup.nearDupClusters(
+      TextDedup.ngramJaccardPairs(docs, "text", "doc_id",
+        shingleN = 3, threshold = 0.12))
+    TextDedup.clusterSurvivors(clusters, docs, "doc_id", "n_chars")
+      .orderBy("cluster")
+  }
+
+  /** Per-language percent_rank of document length over the (n_chars,
+    * doc_id) total order — the distribution-position feature length
+    * filters threshold on.
+    */
+  private def nsPctRank(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy(col("n_chars"), col("doc_id"))
+    t(s, dir, "documents").select(col("doc_id"), col("lang"), col("n_chars"),
+      round(percent_rank().over(w), 6).as("pr"))
+      .orderBy("doc_id")
+  }
+
   /** Decontamination: docs with doc_id % 17 == 0 stand in for a
     * benchmark set; every other doc is scored by distinct shared
     * trigrams. The benchmark shingle set broadcasts (dimension-table
@@ -1044,6 +1069,8 @@ object SparkEntry {
     "ns_dedup_minhash" -> nsDedupMinhash,
     "ns_dedup_minhash_verified" -> nsDedupMinhashVerified,
     "ns_dedup_clusters" -> nsDedupClusters,
+    "ns_dedup_survivors" -> nsDedupSurvivors,
+    "ns_pct_rank" -> nsPctRank,
     "ns_dedup_simhash" -> nsDedupSimhash,
     "ns_decontaminate" -> nsDecontaminate,
     "ns_decontaminate_xl" -> nsDecontaminateXl,

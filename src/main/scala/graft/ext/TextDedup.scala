@@ -424,6 +424,25 @@ object TextDedup {
   def nearDupClusters(pairs: DataFrame, maxIterations: Int = 30): DataFrame =
     starContract(pairs, maxIterations)._1
 
+  /** Survivor policy over near-dup clusters: within each cluster keep
+    * the document with the HIGHEST `scoreCol` (ties broken by smallest
+    * id) — "keep the longest/highest-quality copy", the survivor rule
+    * real curation pipelines want instead of min-id. One join of the
+    * cluster labels onto the scores plus one aggregation, both keyed on
+    * small frames (the pair-graph membership, not the corpus). The
+    * argmax is a single `min(struct(-score, id))` aggregate — exact,
+    * order-independent, no window needed.
+    */
+  def clusterSurvivors(clusters: DataFrame, docs: DataFrame, id: String,
+                       scoreCol: String): DataFrame =
+    clusters
+      .join(docs.select(col(id).as("doc"), col(scoreCol)), Seq("doc"))
+      .groupBy("cluster")
+      .agg(min(struct((-col(scoreCol)).as("_neg"), col("doc").as("_d")))
+        .as("_best"), count(lit(1)).as("n_members"))
+      .select(col("cluster"), col("_best._d").as("survivor"),
+        (-col("_best._neg")).as(scoreCol), col("n_members"))
+
   /** Large-star: per node u over its full undirected neighborhood,
     * point every LARGER neighbor at m = min(N(u) ∪ u). Small-star:
     * per node u over its smaller neighbors (canonical edges u > v),

@@ -190,6 +190,19 @@ class Round5Spec extends SparkSpec {
       (1, 0, 1L, 0.5), (1, 1, 1L, 0.25)))
   }
 
+  test("clusterSurvivors keeps the longest doc, ties to smallest id") {
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (7L, 7L), (8L, 7L))
+      .toDF("doc", "cluster")
+    val docs = Seq((1L, 10L), (2L, 50L), (3L, 50L), (7L, 5L), (8L, 5L))
+      .toDF("doc_id", "n_chars")
+    val got = graft.ext.TextDedup
+      .clusterSurvivors(clusters, docs, "doc_id", "n_chars")
+      .select($"cluster", $"survivor", $"n_chars", $"n_members")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    // cluster 1: docs 2 and 3 tie at 50 chars -> smallest id 2 wins
+    assert(got == Set((1L, 2L, 50L, 3L), (7L, 7L, 5L, 2L)))
+  }
+
   test("zscores: mean 0 / unit std on a known group") {
     val df = Seq(("g", 1.0), ("g", 2.0), ("g", 3.0)).toDF("g", "x")
     val got = Stats.zscores(df, "g", "x").select($"x", $"z")
