@@ -709,6 +709,29 @@ object OracleSql {
     // of broadcast) — the oracle is shared by construction
     "ns_decontaminate_xl" -> decontaminateSql,
 
+    "ns_token_budget" ->
+      """WITH t AS (
+        SELECT doc_id, CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_tokens
+        FROM documents),
+      c AS (
+        SELECT doc_id, n_tokens,
+          CAST(SUM(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) - n_tokens AS cum_before
+        FROM t)
+      SELECT doc_id, n_tokens, cum_before FROM c
+      WHERE cum_before < 50000 ORDER BY doc_id""",
+
+    "ns_contamination_by_source" ->
+      s"""WITH ${shingleCtes("documents")},
+      bench AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 17 = 0),
+      corp AS (SELECT doc_id, sh FROM sh WHERE doc_id % 17 <> 0),
+      hit AS (SELECT DISTINCT doc_id FROM corp JOIN bench USING (sh))
+      SELECT source, count(*) AS n_docs,
+        CAST(sum(CASE WHEN hit.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
+        round(CAST(sum(CASE WHEN hit.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS contaminated_frac
+      FROM (SELECT doc_id, source FROM documents WHERE doc_id % 17 <> 0) d
+      LEFT JOIN hit USING (doc_id)
+      GROUP BY 1 ORDER BY source""",
+
     "ns_scrub" ->
       """SELECT doc_id,
         regexp_replace(

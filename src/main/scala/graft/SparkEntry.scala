@@ -836,6 +836,43 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** Token-budget truncation: keep documents in doc_id order while the
+    * cumulative token count BEFORE each doc is under the budget (the
+    * straddling doc is kept) — "give me the first 50k tokens of the
+    * corpus", deterministically, via the distributed prefix sum.
+    */
+  private def nsTokenBudget(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"),
+      size(split(trim(col("text")), " ")).cast("long").as("n_tokens"))
+    graft.op.Scale.globalRunningSum(docs, Seq("doc_id"), "n_tokens",
+        numPartitions = 8, outCol = "cum_before")
+      .filter(col("cum_before") < 50000L)
+      .select("doc_id", "n_tokens", "cum_before")
+      .orderBy("doc_id")
+  }
+
+  /** Contamination report by source: which slices of the corpus leak
+    * benchmark n-grams, as counts and fractions — the per-source
+    * dashboard a decontamination run ends with. Same broadcast
+    * benchmark-shingle shape as ns_decontaminate, one extra aggregation
+    * on the source.
+    */
+  private def nsContaminationBySource(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val corpus = docs.filter(col("doc_id") % 17 =!= 0)
+    val hits = TextDedup.contaminated(corpus, "text", "doc_id",
+      docs.filter(col("doc_id") % 17 === 0), "text")
+      .select(col("doc"))
+    corpus.select(col("doc_id").as("doc"), col("source"))
+      .join(hits.withColumn("_hit", lit(1L)), Seq("doc"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(coalesce(col("_hit"), lit(0L))).as("n_contaminated"),
+        round(sum(coalesce(col("_hit"), lit(0L))).cast("double") / count(lit(1)), 6)
+          .as("contaminated_frac"))
+      .orderBy("source")
+  }
+
   /** Decontamination: docs with doc_id % 17 == 0 stand in for a
     * benchmark set; every other doc is scored by distinct shared
     * trigrams. The benchmark shingle set broadcasts (dimension-table
@@ -1074,6 +1111,8 @@ object SparkEntry {
     "ns_dedup_simhash" -> nsDedupSimhash,
     "ns_decontaminate" -> nsDecontaminate,
     "ns_decontaminate_xl" -> nsDecontaminateXl,
+    "ns_token_budget" -> nsTokenBudget,
+    "ns_contamination_by_source" -> nsContaminationBySource,
     "ns_seq_pack" -> nsSeqPack,
     "ns_block_dedup" -> nsBlockDedup,
     "ns_dup_ngram_fraction" -> nsDupNgramFraction,
