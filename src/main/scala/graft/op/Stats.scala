@@ -42,9 +42,15 @@ object Stats {
     val covN = nD * sxy - sx * sy // n² · cov(x,y)
     val varXN = nD * sxx - sx * sx // n² · var(x)
     val varYN = nD * syy - sy * sy
-    val slope = covN / varXN
+    // ANSI mode turns double 0/0 into a runtime error, so the IEEE
+    // "degenerate group → NaN" contract needs an explicit branch: a
+    // constant x (or y) zeroes the variance term and the statistic is
+    // undefined, never a crash and never a fake 0.
+    val nan = lit(Double.NaN)
+    val slope = when(varXN === 0d, nan).otherwise(covN / varXN)
     m.select(col(group), col("n"),
-      round(covN / sqrt(varXN * varYN), 6).as("corr"),
+      round(when(varXN * varYN === 0d, nan)
+        .otherwise(covN / sqrt(varXN * varYN)), 6).as("corr"),
       round(slope, 6).as("slope"),
       round((sy - slope * sx) / nD, 6).as("intercept"))
   }
@@ -80,11 +86,14 @@ object Stats {
     val mm = m.select(col(group), col("_n").cast("double").as("_nd"),
       col("_sx").cast("double").as("_sxd"),
       col("_sxx").cast("double").as("_sxxd"))
+    // n² · var(x); zero for single-row and constant-x groups. ANSI mode
+    // errors on double 0/0, so the NaN contract is an explicit branch.
+    val varN = col("_nd") * col("_sxxd") - col("_sxd") * col("_sxd")
     df.join(broadcast(mm), Seq(group))
       .withColumn(out, round(
-        (col(x) - col("_sxd") / col("_nd")) /
-          sqrt((col("_nd") * col("_sxxd") - col("_sxd") * col("_sxd")) /
-            (col("_nd") * (col("_nd") - 1))), 6))
+        when(col("_nd") <= 1d || varN === 0d, lit(Double.NaN)).otherwise(
+          (col(x) - col("_sxd") / col("_nd")) /
+            sqrt(varN / (col("_nd") * (col("_nd") - 1)))), 6))
       .drop("_nd", "_sxd", "_sxxd")
   }
 

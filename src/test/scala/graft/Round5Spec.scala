@@ -230,4 +230,52 @@ class Round5Spec extends SparkSpec {
 
   private def round6(d: Double): Double =
     BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  // ---- degenerate inputs: behavior is pinned, not accidental ----
+
+  test("corrStats: constant x yields NaN (0/0), never a crash or a fake 0") {
+    val df = Seq(("g", 5.0, 1.0), ("g", 5.0, 2.0)).toDF("g", "x", "y")
+    val r = Stats.corrStats(df, "g", "x", "y")
+      .select($"corr", $"slope").as[(Double, Double)].head()
+    assert(r._1.isNaN && r._2.isNaN)
+  }
+
+  test("zscores: single-row group yields NaN (sample std undefined)") {
+    val df = Seq(("g", 3.0)).toDF("g", "x")
+    val z = Stats.zscores(df, "g", "x").select($"z").as[Double].head()
+    assert(z.isNaN)
+  }
+
+  test("zscores: constant-x group yields NaN (zero variance), not a crash") {
+    val df = Seq(("g", 3.0), ("g", 3.0), ("g", 3.0)).toDF("g", "x")
+    val zs = Stats.zscores(df, "g", "x").select($"z").as[Double].collect()
+    assert(zs.length == 3 && zs.forall(_.isNaN))
+  }
+
+  test("winsorize: single-row group clamps to itself (p05 = p95 = x)") {
+    val df = Seq(("g", 7.0)).toDF("g", "x")
+    val w = Stats.winsorize(df, "g", "x", out = "w")
+      .select($"w").as[Double].head()
+    assert(w == 7.0)
+  }
+
+  test("rollingAgg: window of 1 degenerates to the row itself") {
+    val df = Seq(("u", 1L, 2.5), ("u", 2L, 3.5)).toDF("g", "seq", "v")
+    val got = Stats.rollingAgg(df, Seq("g"), Seq("seq"), "v", window = 1)
+      .select($"seq", $"roll_sum", $"roll_n").as[(Long, Double, Long)]
+      .collect().sortBy(_._1)
+    assert(got.toSeq == Seq((1L, 2.5, 1L), (2L, 3.5, 1L)))
+  }
+
+  test("labelCentroids on an empty frame returns an empty frame") {
+    val df = Seq.empty[(Int, Seq[Float])].toDF("label", "embedding")
+    assert(graft.ext.VectorSearch.labelCentroids(df, "label", "embedding")
+      .count() == 0)
+  }
+
+  test("topBigrams/typeTokenStats on empty corpus: empty, no throw") {
+    val df = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(TextAnalysis.topBigrams(df, "text", 5).count() == 0)
+    assert(TextAnalysis.typeTokenStats(df, "text", "doc_id").count() == 0)
+  }
 }
