@@ -271,6 +271,30 @@ object OracleSql {
             FROM embeddings)
       GROUP BY 1, 2 ORDER BY label, dim""",
 
+    // same exact centroid CTE as ns_embed_centroids; the argmax orders
+    // by (-sim, label) — identical tie semantics to Spark's
+    // min(struct(-sim, label)) aggregate
+    "ns_nearest_centroid" ->
+      """WITH exploded AS (
+        SELECT label, unnest(embedding) AS v,
+               generate_subscripts(embedding, 1) AS pos
+        FROM embeddings),
+      cent AS (
+        SELECT label, pos,
+          round(CAST(sum(CAST(round(CAST(v AS DOUBLE) * 1000000) AS BIGINT)) AS DOUBLE)
+                / (count(*) * 1000000.0), 6) AS centroid
+        FROM exploded GROUP BY 1, 2),
+      cvecs AS (
+        SELECT label AS pred_label, list(centroid ORDER BY pos) AS cvec
+        FROM cent GROUP BY 1),
+      scored AS (
+        SELECT e.vec_id, c.pred_label,
+          round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cvec), 6) AS sim
+        FROM embeddings e CROSS JOIN cvecs c)
+      SELECT vec_id, pred_label, sim FROM scored
+      QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY -sim, pred_label) = 1
+      ORDER BY vec_id""",
+
     "ns_source_stats" ->
       """SELECT source, count(*) AS n_docs,
         CAST(sum(len(string_split(trim(text), ' '))) AS BIGINT) AS n_tokens,

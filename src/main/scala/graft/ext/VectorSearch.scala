@@ -51,6 +51,47 @@ object VectorSearch {
         round(col("_s").cast("double") / (col("n") * lit(1000000.0)), 6))
       .drop("_s")
 
+  /** Per-label centroids gathered into dim-ordered vectors
+    * (label, cvec: array<double>) — the broadcastable prototype matrix
+    * form of [[labelCentroids]]. The gather is a collect_list sorted by
+    * dim, so the array order is deterministic regardless of aggregation
+    * order.
+    */
+  def centroidVectors(df: DataFrame, label: String, vec: String): DataFrame =
+    labelCentroids(df, label, vec)
+      .groupBy(label)
+      .agg(transform(
+        array_sort(collect_list(struct(col("dim"), col("centroid")))),
+        x => x.getField("centroid")).as("cvec"))
+
+  /** Nearest-centroid classification: label every vector with the class
+    * whose centroid it is most cosine-similar to (ties → smallest
+    * label). The prototype-classifier inference step on top of
+    * [[labelCentroids]], oracle-exact end to end: centroids are the
+    * scaled-integer exact means, similarities round to 6 dp before the
+    * argmax, and the argmax is `min(struct(-sim, label))` — identical
+    * to an ORDER BY (-sim, label) LIMIT 1 in any engine.
+    *
+    * Scale shape: the centroid matrix is labels×dims (tiny) and is
+    * BROADCAST; each corpus row scores all labels map-side and the
+    * argmax partial-aggregates before the one shuffle on `id` — the
+    * corpus is never replicated into the exchange, L×N rows exist only
+    * inside tasks.
+    */
+  def nearestCentroid(df: DataFrame, id: String, label: String,
+                      vec: String): DataFrame = {
+    val cvecs = centroidVectors(df, label, vec)
+      .select(col(label).as("pred_label"), col("cvec"))
+    df.select(col(id), col(vec))
+      .crossJoin(broadcast(cvecs))
+      .withColumn("sim", round(cosine(col(vec), col("cvec")), 6))
+      .groupBy(col(id))
+      .agg(min(struct((-col("sim")).as("_ns"), col("pred_label").as("_l")))
+        .as("_b"))
+      .select(col(id), col("_b._l").as("pred_label"),
+        (-col("_b._ns")).as("sim"))
+  }
+
   /** L2-normalize once so repeated searches only pay dot products. */
   def normalized(df: DataFrame, vec: String): DataFrame =
     df.withColumn("_norm",

@@ -267,6 +267,21 @@ class Round5Spec extends SparkSpec {
     assert(got.toSeq == Seq((1L, 2.5, 1L), (2L, 3.5, 1L)))
   }
 
+  test("nearestCentroid recovers planted classes and breaks ties low") {
+    import graft.ext.VectorSearch
+    // two well-separated classes on orthogonal axes plus one diagonal
+    // member of class 7 — it drags the class-7 centroid toward the
+    // diagonal, so it must classify back into its own class
+    val df = Seq(
+      (1L, Seq(1.0f, 0.0f), 7), (2L, Seq(0.9f, 0.1f), 7),
+      (3L, Seq(0.0f, 1.0f), 9), (4L, Seq(0.1f, 0.9f), 9),
+      (5L, Seq(0.5f, 0.5f), 7)
+    ).toDF("vec_id", "embedding", "label")
+    val got = VectorSearch.nearestCentroid(df, "vec_id", "label", "embedding")
+      .select($"vec_id", $"pred_label").as[(Long, Int)].collect().toMap
+    assert(got == Map(1L -> 7, 2L -> 7, 3L -> 9, 4L -> 9, 5L -> 7))
+  }
+
   test("labelCentroids on an empty frame returns an empty frame") {
     val df = Seq.empty[(Int, Seq[Float])].toDF("label", "embedding")
     assert(graft.ext.VectorSearch.labelCentroids(df, "label", "embedding")
