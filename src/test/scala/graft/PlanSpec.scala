@@ -237,4 +237,15 @@ class PlanSpec extends SparkSpec {
     assert("hashpartitioning\\(".r.findAllIn(p).size == 1, p)
     assert(p.contains("partial_count"), p)
   }
+
+  test("nearest centroid broadcasts the prototype matrix; argmax is partial") {
+    val p = planOf("ns_nearest_centroid")
+    // the labels×dims centroid side is broadcast — the corpus is never
+    // replicated into an exchange to be scored
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    // and the per-vector argmax partial-aggregates map-side, so the
+    // post-score exchange carries one row per vector, not one per
+    // (vector, label)
+    assert(p.contains("partial_min"), p)
+  }
 }
