@@ -99,17 +99,14 @@ object OracleSql {
       GROUP BY 1 ORDER BY doc_id"""
 
   /** Unrolled integer-arithmetic PageRank (Graph.pageRank's fixed-point
-    * semantics, damping 85/100, scale 1e12) over the symmetrized
-    * supplier↔nation graph: each power iteration is one join+aggregate
-    * CTE pair. Sums of BIGINT are HUGEINT in DuckDB, so every rank is
-    * cast back to BIGINT to match Spark's long column.
+    * semantics, damping 85/100, scale 1e12) over the symmetrization of
+    * the directed edge list `e0Sql` produces: each power iteration is
+    * one join+aggregate CTE pair. Sums of BIGINT are HUGEINT in DuckDB,
+    * so every rank is cast back to BIGINT to match Spark's long column.
     */
-  private def pagerankSql(iters: Int): String = {
+  private def pagerankSql(iters: Int, e0Sql: String): String = {
     val head =
-      """WITH e0 AS (
-        SELECT CAST(s_suppkey AS BIGINT) AS a,
-               CAST(s_nationkey AS BIGINT) + 2000000000 AS b
-        FROM supplier),
+      s"""WITH e0 AS ($e0Sql),
       e AS (SELECT a, b FROM e0 UNION ALL SELECT b AS a, a AS b FROM e0),
       nodes AS (SELECT DISTINCT a AS node FROM e),
       p AS (SELECT count(*) AS n FROM nodes),
@@ -130,7 +127,18 @@ object OracleSql {
   }
 
   val all: Map[String, String] = Map(
-    "t_pagerank" -> pagerankSql(3),
+    "t_pagerank" -> pagerankSql(3,
+      """SELECT CAST(s_suppkey AS BIGINT) AS a,
+               CAST(s_nationkey AS BIGINT) + 2000000000 AS b
+        FROM supplier"""),
+
+    // user ↔ active-day bipartite graph: the day key is the epoch-day
+    // integer division both engines compute identically (events ts is
+    // positive, so µs vs ns truncation cannot move the day)
+    "t_pagerank_events" -> pagerankSql(4,
+      """SELECT DISTINCT user_id AS a,
+               epoch_us(ts) // 86400000000 + 2000000000 AS b
+        FROM events"""),
 
     // the same decimal-exact moment sums and the same double expression
     // tree as Stats.corrStats — bit-identical, unlike corr()/regr_*()

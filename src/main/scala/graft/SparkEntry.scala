@@ -446,6 +446,25 @@ object SparkEntry {
       .orderBy("node")
   }
 
+  /** PageRank at event scale: the user ↔ active-day bipartite graph
+    * (an edge when the user had any event that day, deduplicated), so
+    * rank concentrates on users active across many days and on the
+    * busiest days. Day node = epoch day + 2e9 offset, computed by
+    * integer division of the raw nanos — engine-exact, no timestamp
+    * arithmetic. Same fixed-point integer iteration as [[tPagerank]];
+    * 4 unrolled power iterations in the oracle.
+    */
+  private def tPagerankEvents(s: SparkSession, dir: String): DataFrame = {
+    val e0 = Tables.events(s, dir)
+      .select(col("user_id").as("a"),
+        (expr("ts div 86400000000000") + lit(2000000000L)).as("b"))
+      .distinct()
+    val edges = e0.unionByName(e0.select(col("b").as("a"), col("a").as("b")))
+    graft.op.Graph.pageRank(edges, "a", "b", iterations = 4)
+      .select(col("node"), col("rank").as("pr"))
+      .orderBy("node")
+  }
+
   /** Grouped correlation/regression from decimal-exact moment sums —
     * quantity vs line price per return flag. The built-in corr() is
     * deliberately not used: its double accumulator is reduction-order
@@ -1099,6 +1118,7 @@ object SparkEntry {
     "t_cube" -> tCube,
     "t_topk_per_group" -> tTopkPerGroup,
     "t_pagerank" -> tPagerank,
+    "t_pagerank_events" -> tPagerankEvents,
     "t_corr_stats" -> tCorrStats,
     "t_moving_avg" -> tMovingAvg,
     "t_ntile" -> tNtile,
