@@ -167,6 +167,57 @@ object EventStream {
       }
   }
 
+  final case class RollState(ringCents: Vector[Long])
+  final case class RollOut(user_id: Long, event_id: Long,
+                           roll_sum: Double, roll_n: Long, roll_avg: Double)
+
+  /** Streaming rolling-window statistics — the incremental twin of
+    * `op.Stats.rollingAgg`: per user, the sum/count/mean of `value` over
+    * the trailing `window` rows in (ts, event_id) order. State is a
+    * bounded ring of the last `window` values per key (never the
+    * history), expired by the same event-time TTL contract as
+    * [[lastWriteWinsStream]].
+    *
+    * Parity discipline: the batch operator accumulates DECIMAL(18,2);
+    * here each value is scaled to exact integer cents, summed as longs,
+    * and divided back once — so on in-order streams the emitted numbers
+    * equal the batch operator's bit for bit (StreamSpec asserts it).
+    * Rows arriving out of order across micro-batches see the ring as of
+    * arrival (their trailing window is approximate); an exact late-data
+    * replay is the batch operator over the historical table.
+    */
+  def rollingStatsStream(spark: SparkSession, events: DataFrame,
+                         window: Int = 5,
+                         watermark: String = "10 minutes",
+                         stateTTLMs: Long = 30L * 24 * 3600 * 1000) = {
+    import spark.implicits._
+    require(window >= 1, "window must be >= 1")
+    events.withWatermark("ts", watermark)
+      .selectExpr("user_id", "event_id", "value", "ts")
+      .as[(Long, Long, Double, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[RollState, RollOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (_, rows, state: GroupState[RollState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var ring = state.getOption.map(_.ringCents).getOrElse(Vector.empty)
+            val batch = rows.toSeq.sortBy(r => (r._4.getTime, r._2))
+            val out = batch.map { case (uid, id, v, _) =>
+              ring = (ring :+ math.round(v * 100)).takeRight(window)
+              val sum = ring.sum / 100.0
+              val avg = BigDecimal(sum / ring.size)
+                .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+              RollOut(uid, id, sum, ring.size, avg)
+            }
+            state.update(RollState(ring))
+            state.setTimeoutTimestamp(math.max(batch.map(_._4.getTime).max,
+              state.getCurrentWatermarkMs()) + stateTTLMs)
+            out.iterator
+          }
+      }
+  }
+
   /** Streaming key dedup — the incremental form of the reference's
     * T5/T6 "insert only if unseen" (the anti-join against all history
     * becomes watermarked streaming state): each key is emitted once;

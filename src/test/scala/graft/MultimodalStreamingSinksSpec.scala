@@ -293,6 +293,38 @@ class StreamingSpec extends SparkSpec {
       .as[(String, Double, Long)].collect()
     assert(out.toSeq == Seq(("7|price", 20.0, 2L)))
   }
+
+  test("streaming rolling stats equal the batch rollingAgg across micro-batches") {
+    val dir = java.nio.file.Files.createTempDirectory("roll").toString
+    def row(id: Long, ts: String, uid: Long, v: Double) =
+      (id, java.sql.Timestamp.valueOf(ts), uid, "m", v, "{}")
+    // two users interleaved; file split is mid-stream so the ring state
+    // must carry across micro-batches to stay batch-equivalent
+    val f1 = Seq(row(1, "2024-01-01 00:01:00", 7, 1.25),
+      row(2, "2024-01-01 00:02:00", 8, 10.00),
+      row(3, "2024-01-01 00:03:00", 7, 2.50))
+    val f2 = Seq(row(4, "2024-01-01 00:04:00", 7, 4.75),
+      row(5, "2024-01-01 00:05:00", 8, 0.01),
+      row(6, "2024-01-01 00:06:00", 7, 3.33))
+    val cols = Seq("event_id", "ts", "user_id", "event_type", "value", "props")
+    f1.toDF(cols: _*).coalesce(1).write.parquet(s"$dir/f1")
+    Thread.sleep(1100) // distinct mtimes => deterministic batch order
+    f2.toDF(cols: _*).coalesce(1).write.parquet(s"$dir/f2")
+    val stream = spark.readStream.schema(EventStream.eventSchema)
+      .option("maxFilesPerTrigger", "1").parquet(dir + "/*")
+    val rolled = EventStream.rollingStatsStream(spark, stream, window = 2)
+    EventStream.runAvailableNow(rolled.toDF(), "sroll",
+      org.apache.spark.sql.streaming.OutputMode.Append)
+    val got = spark.sql(
+      "select user_id, event_id, roll_sum, roll_n, roll_avg from sroll")
+      .as[(Long, Long, Double, Long, Double)].collect().sortBy(_._2)
+    val expected = graft.op.Stats.rollingAgg(
+      (f1 ++ f2).toDF(cols: _*), Seq("user_id"), Seq("ts", "event_id"),
+      "value", window = 2)
+      .select($"user_id", $"event_id", $"roll_sum", $"roll_n", $"roll_avg")
+      .as[(Long, Long, Double, Long, Double)].collect().sortBy(_._2)
+    assert(got.toSeq == expected.toSeq)
+  }
 }
 
 class SinksSpec extends SparkSpec {
