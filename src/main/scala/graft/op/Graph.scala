@@ -36,27 +36,43 @@ object Graph {
                iterations: Int = 4, dampingNum: Long = 85,
                scale: Long = 1000000000000L): DataFrame = {
     require(iterations >= 1 && dampingNum >= 0 && dampingNum <= 100)
-    val e = edges.select(col(src).as("a"), col(dst).as("b"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val nodes = e.select(col("a").as("node"))
-      .union(e.select(col("b").as("node"))).distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val outDeg = e.groupBy("a").agg(count(lit(1)).as("deg"))
-    val n = nodes.count()
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val e0 = edges.select(col(src).as("a"), col(dst).as("b")).persist(lvl)
+    val nodes0 = e0.select(col("a").as("node"))
+      .union(e0.select(col("b").as("node"))).distinct()
+    val n = nodes0.count()
     require(n > 0, "pageRank needs a non-empty edge list")
+    // size the per-round partitioning to the GRAPH, not the session
+    // default (same discipline as TextDedup.starContract), and
+    // pre-partition the edge list on the join key ONCE — every round's
+    // rank join then reuses that partitioning instead of re-shuffling
+    // the edges, and a small graph's rounds are a handful of tasks, not
+    // 32+ near-empty shuffle partitions × iterations of fixed overhead
+    val p = math.max(1, math.min((n / 500000L + 1).toInt, 200))
+    val e = e0.repartition(p, col("a")).localCheckpoint(true)
+    val nodes = nodes0.repartition(p, col("node")).localCheckpoint(true)
+    e0.unpersist()
+    val outDeg = e.groupBy("a").agg(count(lit(1)).as("deg"))
     val init = scale / n
     val base = (init * (100 - dampingNum)) / 100
     var ranks = nodes.withColumn("rank", lit(init))
-    for (_ <- 1 to iterations) {
+    for (i <- 1 to iterations) {
       val contrib = e.join(outDeg, Seq("a"))
         .join(ranks.withColumnRenamed("node", "a"), Seq("a"))
         .select(col("b").as("node"), expr("rank div deg").as("c"))
         .groupBy("node").agg(sum(col("c")).as("in_sum"))
-      ranks = nodes.join(contrib, Seq("node"), "left")
+      val next = nodes.join(contrib, Seq("node"), "left")
         .select(col("node"),
           (lit(base) + expr(s"coalesce(in_sum, 0L) * $dampingNum div 100"))
             .as("rank"))
-        .localCheckpoint(true)
+      // ranks feeds the next round ONCE, so lineage grows linearly (not
+      // the 4x/round of starContract's double-referenced input) — an
+      // every-other-round checkpoint bounds plan depth at two rounds
+      // while halving the materialization jobs that dominate small
+      // graphs
+      ranks = if (i % 2 == 0 || i == iterations)
+        next.repartition(p, col("node")).localCheckpoint(true)
+      else next
     }
     ranks
   }
