@@ -303,6 +303,24 @@ object OracleSql {
       QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY -sim, pred_label) = 1
       ORDER BY vec_id""",
 
+    // same (v / maxabs) * 127 double tree as VectorSearch.quantizeInt8;
+    // round() is half-away-from-zero in both engines
+    "ns_embed_quantize" ->
+      """WITH m AS (
+        SELECT vec_id, embedding,
+               list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS maxabs
+        FROM embeddings),
+      exploded AS (
+        SELECT vec_id, maxabs, unnest(embedding) AS v,
+               generate_subscripts(embedding, 1) AS pos
+        FROM m)
+      SELECT vec_id, CAST(pos - 1 AS INT) AS dim,
+        CASE WHEN maxabs = 0 THEN CAST(0 AS TINYINT)
+             ELSE CAST(round(CAST(v AS DOUBLE) / maxabs * 127.0) AS TINYINT)
+        END AS q,
+        round(maxabs / 127.0, 6) AS qscale
+      FROM exploded ORDER BY vec_id, dim""",
+
     "ns_source_stats" ->
       """SELECT source, count(*) AS n_docs,
         CAST(sum(len(string_split(trim(text), ' '))) AS BIGINT) AS n_tokens,

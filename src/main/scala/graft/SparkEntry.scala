@@ -662,6 +662,14 @@ object SparkEntry {
       "vec_id", "label", "embedding")
       .orderBy("vec_id")
 
+  /** Symmetric int8 quantization of the embedding table in long form —
+    * the 4× storage/bandwidth compression step, hash-checked per
+    * component against the oracle's identical double expression tree.
+    */
+  private def nsEmbedQuantize(s: SparkSession, dir: String): DataFrame =
+    VectorSearch.quantizeInt8(t(s, dir, "embeddings"), "vec_id", "embedding")
+      .orderBy("vec_id", "dim")
+
   /** Per-source corpus profile: doc/token/char totals and mean tokens —
     * the one-glance report a curation run starts from.
     */
@@ -1139,6 +1147,7 @@ object SparkEntry {
     "ns_ttr" -> nsTtr,
     "ns_embed_centroids" -> nsEmbedCentroids,
     "ns_nearest_centroid" -> nsNearestCentroid,
+    "ns_embed_quantize" -> nsEmbedQuantize,
     "ns_source_stats" -> nsSourceStats,
     "ns_tfidf" -> nsTfidf,
     "ns_stratified_sample" -> nsStratifiedSample,

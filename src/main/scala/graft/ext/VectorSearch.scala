@@ -92,6 +92,33 @@ object VectorSearch {
         (-col("_b._ns")).as("sim"))
   }
 
+  /** Symmetric int8 quantization of an embedding column — the 4×
+    * storage/shuffle-bandwidth reduction trick of large-scale vector
+    * pipelines: per vector, scale = max|v|/127 and each component maps
+    * to round(v/max|v|·127) ∈ [−127, 127]. Pure map-side (zero
+    * shuffle); dequantization is q·scale with ≤ scale/2 absolute error
+    * per component. The all-zero vector quantizes to zeros with
+    * scale 0 (explicit branch — ANSI would otherwise turn the 0/0 into
+    * a runtime error).
+    *
+    * Engine parity: max|v| via a double array_max (index order
+    * irrelevant for max), the per-component expression is the same
+    * (v / maxabs) · 127 double tree in the oracle, and round is
+    * half-away-from-zero in both engines.
+    */
+  def quantizeInt8(df: DataFrame, id: String, vec: String): DataFrame = {
+    val maxabs = array_max(transform(col(vec), v => abs(v.cast("double"))))
+    df.select(col(id), col(vec), maxabs.as("_m"))
+      .select(col(id), round(col("_m") / 127.0d, 6).as("qscale"),
+        posexplode(when(col("_m") === 0d,
+          transform(col(vec), _ => lit(0L)))
+          .otherwise(transform(col(vec),
+            v => round(v.cast("double") / col("_m") * 127.0d, 0).cast("long"))))
+          .as(Seq("dim", "q")))
+      .select(col(id), col("dim"), col("q").cast("tinyint").as("q"),
+        col("qscale"))
+  }
+
   /** L2-normalize once so repeated searches only pay dot products. */
   def normalized(df: DataFrame, vec: String): DataFrame =
     df.withColumn("_norm",

@@ -282,6 +282,28 @@ class Round5Spec extends SparkSpec {
     assert(got == Map(1L -> 7, 2L -> 7, 3L -> 9, 4L -> 9, 5L -> 7))
   }
 
+  test("quantizeInt8: extremes hit ±127, zero vector quantizes clean, " +
+    "round-trip error ≤ scale/2") {
+    import graft.ext.VectorSearch
+    val df = Seq(
+      (1L, Seq(0.5f, -0.5f, 0.25f, 0.0f)),
+      (2L, Seq(0.0f, 0.0f, 0.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val q = VectorSearch.quantizeInt8(df, "vec_id", "embedding")
+      .select($"vec_id", $"dim", $"q".cast("int"), $"qscale")
+      .as[(Long, Int, Int, Double)].collect()
+    val v1 = q.filter(_._1 == 1L).sortBy(_._2)
+    assert(v1.map(_._3).toSeq == Seq(127, -127, 64, 0)) // 63.5 rounds up
+    // dequantization error bound: |q·scale − v| ≤ scale/2
+    val scale1 = v1.head._4
+    val orig = Seq(0.5, -0.5, 0.25, 0.0)
+    v1.foreach { case (_, d, qi, s) =>
+      assert(math.abs(qi * s - orig(d)) <= s / 2 + 1e-9) }
+    val v2 = q.filter(_._1 == 2L)
+    assert(v2.forall(r => r._3 == 0 && r._4 == 0.0))
+    assert(scale1 > 0)
+  }
+
   test("labelCentroids on an empty frame returns an empty frame") {
     val df = Seq.empty[(Int, Seq[Float])].toDF("label", "embedding")
     assert(graft.ext.VectorSearch.labelCentroids(df, "label", "embedding")
