@@ -658,6 +658,13 @@ object OracleSql {
         (CASE lang WHEN 'en' THEN 300 WHEN 'zh' THEN 800 ELSE 1000 END)
       ORDER BY doc_id""",
 
+    "ns_train_split" ->
+      """SELECT doc_id, lang,
+        CASE WHEN ((doc_id % 1000000007) * 2654435761) % 1000 < 50 THEN 'test'
+             WHEN ((doc_id % 1000000007) * 2654435761) % 1000 < 100 THEN 'val'
+             ELSE 'train' END AS split
+      FROM documents ORDER BY doc_id""",
+
     "ns_row_numbers" ->
       """SELECT doc_id, lang,
         row_number() OVER (ORDER BY doc_id) AS row_id

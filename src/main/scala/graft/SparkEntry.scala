@@ -222,6 +222,14 @@ object SparkEntry {
       "lang", "doc_id", Map("en" -> 0.3, "zh" -> 0.8))
       .orderBy("doc_id")
 
+  /** Deterministic 90/5/5 train/val/test assignment by key bucket —
+    * map-side, stable under corpus growth, engine-reproducible.
+    */
+  private def nsTrainSplit(s: SparkSession, dir: String): DataFrame =
+    graft.ext.Sampling.trainValTestSplit(
+      t(s, dir, "documents").select("doc_id", "lang"), "doc_id")
+      .orderBy("doc_id")
+
   /** Deterministic corpus mixing: integer per-language repeat weights
     * (de ×3, zh dropped), copy ordinal emitted.
     */
@@ -1151,6 +1159,7 @@ object SparkEntry {
     "ns_source_stats" -> nsSourceStats,
     "ns_tfidf" -> nsTfidf,
     "ns_stratified_sample" -> nsStratifiedSample,
+    "ns_train_split" -> nsTrainSplit,
     "ns_corpus_mix" -> nsCorpusMix,
     "ns_row_numbers" -> nsRowNumbers,
     "t12_full_address" -> t12FullAddress,

@@ -47,6 +47,27 @@ object Sampling {
     df.filter(bucket1000(col(key)) < cut)
   }
 
+  /** Deterministic train/val/test assignment — the split column every
+    * training pipeline stamps before anything else. Decided per row by
+    * the [[bucket1000]] of `key`: bucket < testPermille → "test", next
+    * valPermille buckets → "val", rest → "train". A pure function of
+    * the key: map-side, zero shuffle, stable under re-partitioning,
+    * re-runs, and engine changes — a document can never migrate between
+    * splits when the corpus grows, because membership depends only on
+    * its own key. Keys must be non-negative (see [[bucket1000]]).
+    */
+  def trainValTestSplit(df: DataFrame, key: String,
+                        valPermille: Int = 50, testPermille: Int = 50,
+                        out: String = "split"): DataFrame = {
+    require(valPermille >= 0 && testPermille >= 0 &&
+      valPermille + testPermille <= 1000, "permilles in [0, 1000]")
+    val b = bucket1000(col(key))
+    df.withColumn(out,
+      when(b < testPermille, lit("test"))
+        .when(b < testPermille + valPermille, lit("val"))
+        .otherwise(lit("train")))
+  }
+
   /** Exact-k deterministic sample per stratum: within each stratum keep
     * the `k` rows that sort first by (key-hash, key) — a fixed-SIZE
     * counterpart to [[stratifiedSample]]'s fixed-RATE keep, for "give me

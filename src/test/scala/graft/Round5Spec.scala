@@ -304,6 +304,24 @@ class Round5Spec extends SparkSpec {
     assert(scale1 > 0)
   }
 
+  test("trainValTestSplit: total cover, no migration when the corpus grows") {
+    import graft.ext.Sampling
+    val small = spark.range(1000).toDF("k")
+    val big = spark.range(5000).toDF("k")
+    val s1 = Sampling.trainValTestSplit(small, "k")
+      .select($"k", $"split").as[(Long, String)].collect().toMap
+    val s2 = Sampling.trainValTestSplit(big, "k")
+      .select($"k", $"split").as[(Long, String)].collect().toMap
+    // every row labeled; growing the corpus never moves an existing key
+    assert(s1.keySet == (0L until 1000L).toSet)
+    assert(s1.forall { case (k, v) => s2(k) == v })
+    // rough 90/5/5 proportions at n=5000
+    val frac = s2.values.groupBy(identity).view.mapValues(_.size / 5000.0)
+    assert(math.abs(frac("train") - 0.9) < 0.03, frac.toMap)
+    assert(math.abs(frac("val") - 0.05) < 0.02 &&
+      math.abs(frac("test") - 0.05) < 0.02, frac.toMap)
+  }
+
   test("labelCentroids on an empty frame returns an empty frame") {
     val df = Seq.empty[(Int, Seq[Float])].toDF("label", "embedding")
     assert(graft.ext.VectorSearch.labelCentroids(df, "label", "embedding")
