@@ -201,6 +201,38 @@ object OracleSql {
         concat_ws('|', c_name, c_mktsegment) AS joined
       FROM customer ORDER BY c_custkey""",
 
+    // Spark dayofweek is 1-based Sunday, DuckDB 0-based (+1 below);
+    // Spark year/month/... return INT, DuckDB BIGINT (casts below)
+    "t_datetime_funcs" ->
+      """SELECT o_orderkey,
+        CAST(o_orderdate AS DATE) AS od,
+        CAST(year(o_orderdate) AS INT) AS yr,
+        CAST(month(o_orderdate) AS INT) AS mo,
+        CAST(day(o_orderdate) AS INT) AS dom,
+        CAST(quarter(o_orderdate) AS INT) AS qtr,
+        CAST(dayofweek(o_orderdate) + 1 AS INT) AS dow,
+        CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+        CAST(o_orderdate AS DATE) + 30 AS plus30,
+        CAST(last_day(CAST(o_orderdate AS DATE)) AS DATE) AS eom,
+        CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INT)
+          AS days_since
+      FROM orders ORDER BY o_orderkey""",
+
+    // only the bit-exact subset (no exp/ln/pow: libm ulp differences
+    // across engines make them un-hashable, like float sums)
+    "t_math_funcs" ->
+      """SELECT l_orderkey, l_linenumber,
+        abs(l_discount - 0.05) AS disc_dev,
+        CAST(sign(l_discount - 0.05) AS DOUBLE) AS disc_sign,
+        CAST(ceil(l_extendedprice) AS BIGINT) AS price_ceil,
+        CAST(floor(l_extendedprice) AS BIGINT) AS price_floor,
+        round(l_extendedprice / 7.0, 2) AS price_r2,
+        sqrt(l_quantity) AS qty_sqrt,
+        l_orderkey % 97 AS key_mod,
+        l_orderkey & 255 AS key_and,
+        CAST(l_linenumber << 3 AS INT) AS ln_shl
+      FROM lineitem ORDER BY l_orderkey, l_linenumber""",
+
     "t_null_funcs" ->
       """SELECT c_custkey,
         nullif(c_mktsegment, 'BUILDING') AS seg_nb,

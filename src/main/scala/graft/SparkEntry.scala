@@ -577,6 +577,49 @@ object SparkEntry {
       concat_ws("|", col("c_name"), col("c_mktsegment")).as("joined"))
       .orderBy("c_custkey")
 
+  /** Datetime-function surface parity: calendar-field extraction,
+    * truncation, arithmetic, and diffs — map-side only. Engine notes:
+    * Spark dayofweek is 1-based Sunday; DuckDB 0-based (oracle adds 1).
+    * Outputs are DATE or INT, never raw timestamps (NOTES rule 5).
+    */
+  private def tDatetimeFuncs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders").select(
+      col("o_orderkey"),
+      to_date(col("o_orderdate")).as("od"),
+      year(col("o_orderdate")).as("yr"),
+      month(col("o_orderdate")).as("mo"),
+      dayofmonth(col("o_orderdate")).as("dom"),
+      quarter(col("o_orderdate")).as("qtr"),
+      dayofweek(col("o_orderdate")).as("dow"),
+      date_trunc("month", col("o_orderdate")).cast("date").as("month_start"),
+      date_add(to_date(col("o_orderdate")), 30).as("plus30"),
+      last_day(col("o_orderdate")).as("eom"),
+      datediff(to_date(col("o_orderdate")), lit("1995-01-01").cast("date"))
+        .as("days_since"))
+      .orderBy("o_orderkey")
+
+  /** Math-function surface parity, restricted to the operations that
+    * are bit-exact in IEEE/integer arithmetic across engines (abs,
+    * sign, ceil/floor, fixed-scale round, sqrt, modulo, bitwise ops,
+    * shifts). exp/ln/pow are deliberately excluded: libm
+    * implementations differ in the last ulp between engines, so they
+    * can never be hash-gated — the same reasoning that keeps float
+    * sums out of every verified query.
+    */
+  private def tMathFuncs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem").select(
+      col("l_orderkey"), col("l_linenumber"),
+      abs(col("l_discount") - 0.05d).as("disc_dev"),
+      signum(col("l_discount") - 0.05d).as("disc_sign"),
+      ceil(col("l_extendedprice")).as("price_ceil"),
+      floor(col("l_extendedprice")).as("price_floor"),
+      round(col("l_extendedprice") / 7.0d, 2).as("price_r2"),
+      sqrt(col("l_quantity")).as("qty_sqrt"),
+      pmod(col("l_orderkey"), lit(97L)).as("key_mod"),
+      col("l_orderkey").bitwiseAND(lit(255L)).as("key_and"),
+      shiftleft(col("l_linenumber"), 3).as("ln_shl"))
+      .orderBy("l_orderkey", "l_linenumber")
+
   /** Null-handling / conditional surface parity: nullif, coalesce,
     * greatest/least clamping, and CASE banding — map-side only.
     */
@@ -1148,6 +1191,8 @@ object SparkEntry {
     "t_winsorize" -> tWinsorize,
     "t_string_funcs" -> tStringFuncs,
     "t_null_funcs" -> tNullFuncs,
+    "t_datetime_funcs" -> tDatetimeFuncs,
+    "t_math_funcs" -> tMathFuncs,
     "ns_chunk_docs" -> nsChunkDocs,
     "ns_vocab" -> nsVocab,
     "ns_sample_exact_k" -> nsSampleExactK,
