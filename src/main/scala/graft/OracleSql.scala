@@ -233,6 +233,39 @@ object OracleSql {
         CAST(l_linenumber << 3 AS INT) AS ln_shl
       FROM lineitem ORDER BY l_orderkey, l_linenumber""",
 
+    // FILTER/ORDER-BY-in-aggregate are DuckDB's forms of Spark's
+    // count_if / sort_array∘collect_list; empty string_agg is NULL in
+    // DuckDB but '' in Spark's concat_ws (coalesce normalizes)
+    "t_agg_funcs" ->
+      """SELECT o_orderpriority,
+        count(*) AS n,
+        count(DISTINCT o_custkey) AS n_customers,
+        count(*) FILTER (WHERE o_totalprice > 150000) AS n_big,
+        CAST(sum(CASE WHEN o_totalprice > 150000
+                      THEN CAST(o_totalprice AS DECIMAL(18,2))
+                      ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS big_total,
+        bool_and(o_totalprice > 0) AS all_positive,
+        bool_or(o_totalprice > 400000) AS any_huge,
+        max_by(o_totalprice, o_orderkey) AS latest_price,
+        coalesce(string_agg(CAST(o_orderkey AS VARCHAR), ',' ORDER BY o_orderkey)
+                   FILTER (WHERE o_orderkey % 500 = 0), '') AS sample_keys
+      FROM orders GROUP BY 1 ORDER BY o_orderpriority""",
+
+    // DuckDB list idioms for Spark's array functions: len is BIGINT,
+    // slices are 1-based inclusive, [-1] is the tail element
+    "t_array_funcs" ->
+      """WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS toks
+                    FROM documents)
+      SELECT doc_id,
+        CAST(len(toks) AS INT) AS n_toks,
+        list_contains(toks, 'the') AS has_the,
+        CAST(len(list_distinct(toks)) AS INT) AS n_types,
+        toks[1] AS first_tok,
+        toks[-1] AS last_tok,
+        array_to_string(toks[1:5], ' ') AS head5,
+        array_to_string(list_sort(list_distinct(toks))[1:3], ' ') AS sorted3
+      FROM t ORDER BY doc_id""",
+
     "t_null_funcs" ->
       """SELECT c_custkey,
         nullif(c_mktsegment, 'BUILDING') AS seg_nb,

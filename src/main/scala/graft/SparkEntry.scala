@@ -620,6 +620,51 @@ object SparkEntry {
       shiftleft(col("l_linenumber"), 3).as("ln_shl"))
       .orderBy("l_orderkey", "l_linenumber")
 
+  /** Aggregate-function surface parity: distinct counts, conditional
+    * aggregation (count_if / sum-CASE), bool_and/bool_or, argmax over
+    * a unique ordering key, and a deterministic ordered string
+    * aggregation (sort_array ∘ collect_list — the engine-portable form
+    * of LISTAGG ... WITHIN GROUP). Decimal-exact money sums per the
+    * standing float rule.
+    */
+  private def tAggFuncs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy("o_orderpriority")
+      .agg(
+        count(lit(1)).as("n"),
+        countDistinct(col("o_custkey")).as("n_customers"),
+        count_if(col("o_totalprice") > 150000d).as("n_big"),
+        sum(when(col("o_totalprice") > 150000d,
+          col("o_totalprice").cast("decimal(18,2)")).otherwise(lit(0))
+          .cast("decimal(18,2)")).cast("double").as("big_total"),
+        bool_and(col("o_totalprice") > 0d).as("all_positive"),
+        bool_or(col("o_totalprice") > 400000d).as("any_huge"),
+        max_by(col("o_totalprice"), col("o_orderkey")).as("latest_price"),
+        concat_ws(",", transform(sort_array(collect_list(
+          when(col("o_orderkey") % 500 === 0, col("o_orderkey")))),
+          k => k.cast("string"))).as("sample_keys"))
+      .orderBy("o_orderpriority")
+
+  /** Array-function surface parity over tokenized text: size,
+    * membership, distinct, positional access (head/tail), slicing and
+    * sorted joins — Spark arrays ↔ DuckDB lists (1-based inclusive
+    * slices, BIGINT lengths; see NOTES parity rules). Map-side only.
+    */
+  private def tArrayFuncs(s: SparkSession, dir: String): DataFrame = {
+    val toks = split(trim(col("text")), " ")
+    t(s, dir, "documents").select(
+      col("doc_id"),
+      size(toks).as("n_toks"),
+      array_contains(toks, "the").as("has_the"),
+      size(array_distinct(toks)).as("n_types"),
+      element_at(toks, 1).as("first_tok"),
+      element_at(toks, -1).as("last_tok"),
+      concat_ws(" ", slice(toks, 1, 5)).as("head5"),
+      concat_ws(" ", slice(sort_array(array_distinct(toks)), 1, 3))
+        .as("sorted3"))
+      .orderBy("doc_id")
+  }
+
   /** Null-handling / conditional surface parity: nullif, coalesce,
     * greatest/least clamping, and CASE banding — map-side only.
     */
@@ -1193,6 +1238,8 @@ object SparkEntry {
     "t_null_funcs" -> tNullFuncs,
     "t_datetime_funcs" -> tDatetimeFuncs,
     "t_math_funcs" -> tMathFuncs,
+    "t_agg_funcs" -> tAggFuncs,
+    "t_array_funcs" -> tArrayFuncs,
     "ns_chunk_docs" -> nsChunkDocs,
     "ns_vocab" -> nsVocab,
     "ns_sample_exact_k" -> nsSampleExactK,
