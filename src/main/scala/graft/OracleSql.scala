@@ -854,6 +854,36 @@ object OracleSql {
       LEFT JOIN hit USING (doc_id)
       GROUP BY 1 ORDER BY source""",
 
+    // corpus health report: the clusters closure + the contamination
+    // match + plain corpus aggregates, assembled into one row
+    "ns_corpus_report" ->
+      s"""WITH RECURSIVE ${jaccardCtes("documents", pruned = true)},
+      pairs AS (
+        SELECT id_a, id_b FROM inter
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE CAST(inter AS DOUBLE) / (sa.nsh + sb.nsh - inter) >= 0.12),
+      edges AS (SELECT id_a AS a, id_b AS b FROM pairs UNION SELECT id_b, id_a FROM pairs),
+      reach AS (
+        SELECT a AS node, b AS r FROM edges
+        UNION
+        SELECT reach.node, edges.b FROM reach JOIN edges ON reach.r = edges.a),
+      lbl AS (SELECT node, least(node, min(r)) AS cluster FROM reach GROUP BY node),
+      bench AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 17 = 0),
+      hit AS (SELECT DISTINCT s.doc_id FROM sh s JOIN bench USING (sh)
+              WHERE s.doc_id % 17 <> 0),
+      base AS (
+        SELECT count(*) AS n_docs,
+          count(DISTINCT source) AS n_sources,
+          count(DISTINCT lang) AS n_langs,
+          CAST(sum(len(string_split(trim(text), ' '))) AS BIGINT) AS n_tokens,
+          count(*) - count(DISTINCT text) AS n_exact_dup_docs
+        FROM documents),
+      nd AS (SELECT count(*) AS n_near_dup_docs,
+               count(DISTINCT cluster) AS n_near_dup_clusters FROM lbl),
+      cont AS (SELECT count(*) AS n_contaminated FROM hit)
+      SELECT * FROM base CROSS JOIN nd CROSS JOIN cont""",
+
     "ns_scrub" ->
       """SELECT doc_id,
         regexp_replace(

@@ -766,6 +766,32 @@ object SparkEntry {
     VectorSearch.quantizeInt8(t(s, dir, "embeddings"), "vec_id", "embedding")
       .orderBy("vec_id", "dim")
 
+  /** One-row corpus health report — the dashboard line a curation run
+    * ends with: corpus size/diversity, exact-dup volume, near-dup
+    * graph size (probing the [[clusterLabels]] artifact — no second
+    * pair-graph run), and benchmark-contamination count. Every number
+    * is exact and hash-gated; the tiny scalar frames combine by
+    * broadcast, so the corpus is scanned once per family and never
+    * re-shuffled to assemble the row.
+    */
+  private def nsCorpusReport(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val base = docs.agg(
+      count(lit(1)).as("n_docs"),
+      countDistinct(col("source")).as("n_sources"),
+      countDistinct(col("lang")).as("n_langs"),
+      sum(size(split(trim(col("text")), " ")).cast("long")).as("n_tokens"),
+      (count(lit(1)) - countDistinct(col("text"))).as("n_exact_dup_docs"))
+    val nd = clusterLabels(s, dir).agg(
+      count(lit(1)).as("n_near_dup_docs"),
+      countDistinct(col("cluster")).as("n_near_dup_clusters"))
+    val cont = TextDedup.contaminated(
+      docs.filter(col("doc_id") % 17 =!= 0), "text", "doc_id",
+      docs.filter(col("doc_id") % 17 === 0), "text")
+      .agg(count(lit(1)).as("n_contaminated"))
+    base.crossJoin(broadcast(nd)).crossJoin(broadcast(cont))
+  }
+
   /** Per-source corpus profile: doc/token/char totals and mean tokens —
     * the one-glance report a curation run starts from.
     */
@@ -1252,6 +1278,7 @@ object SparkEntry {
     "ns_tfidf" -> nsTfidf,
     "ns_stratified_sample" -> nsStratifiedSample,
     "ns_train_split" -> nsTrainSplit,
+    "ns_corpus_report" -> nsCorpusReport,
     "ns_corpus_mix" -> nsCorpusMix,
     "ns_row_numbers" -> nsRowNumbers,
     "t12_full_address" -> t12FullAddress,
