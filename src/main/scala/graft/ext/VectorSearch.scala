@@ -119,6 +119,26 @@ object VectorSearch {
         col("qscale"))
   }
 
+  /** Vector-form int8 quantization: (id, qvec, qscale) with the
+    * quantized components kept as a float array so the result plugs
+    * straight into [[bruteForceTopK]]/[[annTopK]]. Cosine similarity is
+    * scale-invariant per vector — cos(s_a·q_a, s_b·q_b) = cos(q_a, q_b)
+    * — so searching the quantized corpus needs NO dequantization and
+    * differs from exact search only by the bounded rounding noise
+    * (recall asserted in Round5Spec). Same arithmetic as
+    * [[quantizeInt8]]'s long form.
+    */
+  def quantizeInt8Vectors(df: DataFrame, id: String, vec: String): DataFrame = {
+    val m = array_max(transform(col(vec), v => abs(v.cast("double"))))
+    df.select(col(id), col(vec), m.as("_m"))
+      .select(col(id),
+        when(col("_m") === 0d, transform(col(vec), _ => lit(0.0f)))
+          .otherwise(transform(col(vec),
+            v => round(v.cast("double") / col("_m") * 127.0d, 0).cast("float")))
+          .as("qvec"),
+        round(col("_m") / 127.0d, 6).as("qscale"))
+  }
+
   /** L2-normalize once so repeated searches only pay dot products. */
   def normalized(df: DataFrame, vec: String): DataFrame =
     df.withColumn("_norm",

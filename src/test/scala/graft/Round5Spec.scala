@@ -322,6 +322,21 @@ class Round5Spec extends SparkSpec {
       math.abs(frac("test") - 0.05) < 0.02, frac.toMap)
   }
 
+  test("search over int8-quantized vectors: recall@10 >= 0.9 vs exact") {
+    import graft.ext.VectorSearch
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.filter($"vec_id" < 20)
+    val exact = VectorSearch.bruteForceTopK(emb, queries, "vec_id", "embedding", 10)
+      .select($"query_id", $"vec_id").as[(Long, Long)].collect().toSet
+    val q = VectorSearch.quantizeInt8Vectors(emb, "vec_id", "embedding")
+      .withColumnRenamed("qvec", "embedding")
+    val qq = q.filter($"vec_id" < 20)
+    val approx = VectorSearch.bruteForceTopK(q, qq, "vec_id", "embedding", 10)
+      .select($"query_id", $"vec_id").as[(Long, Long)].collect().toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall >= 0.9, s"quantized recall $recall")
+  }
+
   test("labelCentroids on an empty frame returns an empty frame") {
     val df = Seq.empty[(Int, Seq[Float])].toDF("label", "embedding")
     assert(graft.ext.VectorSearch.labelCentroids(df, "label", "embedding")
