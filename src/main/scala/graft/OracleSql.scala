@@ -319,6 +319,49 @@ object OracleSql {
       JOIN nation n ON s.s_nationkey = n.n_nationkey
       GROUP BY 1, 2 ORDER BY p_brand, n_name""",
 
+    // salted join: the salt only reshapes the shuffle — the result is
+    // the plain join, which is exactly what the oracle runs
+    "t_salted_join" ->
+      """SELECT s_name, count(*) AS n_items,
+        CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+      FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      GROUP BY 1 ORDER BY s_name""",
+
+    // bucketed join: bucketing changes the physical layout, never the
+    // result — the oracle is the same join straight off the raw files
+    "t_bucketed_join" ->
+      """SELECT o_orderpriority, count(*) AS n_items,
+        CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount), 4) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      GROUP BY 1 ORDER BY o_orderpriority""",
+
+    // reaggregation: the engine merges daily partials; the oracle
+    // aggregates monthly directly from raw — merge must equal direct
+    "t_reaggregate" ->
+      """WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day, event_type, count(*) AS n,
+          sum(CAST(value AS DECIMAL(18,2))) AS sum_value
+        FROM events GROUP BY 1, 2)
+      SELECT CAST(date_trunc('month', day) AS DATE) AS month, event_type,
+        CAST(sum(n) AS BIGINT) AS n_events, count(*) AS n_days,
+        CAST(sum(sum_value) AS DOUBLE) AS total_value
+      FROM daily GROUP BY 1, 2 ORDER BY month, event_type""",
+
+    // median + MAD: exact interpolated percentiles in both engines;
+    // deviations are double arithmetic over identical inputs, rounded
+    // to 6 dp after the bit-parity expression
+    "t_mad" ->
+      """WITH med AS (
+        SELECT event_type, quantile_cont(value, 0.5) AS med
+        FROM events GROUP BY 1),
+      dev AS (
+        SELECT e.event_type, med, abs(value - med) AS adev
+        FROM events e JOIN med USING (event_type))
+      SELECT event_type, round(any_value(med), 6) AS median_value,
+        round(quantile_cont(adev, 0.5), 6) AS mad,
+        count(*) AS n
+      FROM dev GROUP BY 1 ORDER BY event_type""",
+
     "t_semi_join" ->
       """SELECT c_custkey, c_name FROM customer c
       WHERE EXISTS (SELECT 1 FROM orders o

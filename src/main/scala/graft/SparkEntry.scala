@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.ext.{Multimodal, TextAnalysis, TextDedup, VectorSearch}
-import graft.op.{Dedup, Normalize, PriceGen}
+import graft.op.{Dedup, Normalize, PriceGen, Scale}
 import graft.pipeline.Pipeline
 import graft.source.{JsonIngest, Tables}
 
@@ -739,6 +739,99 @@ object SparkEntry {
       .orderBy("p_brand", "n_name")
   }
 
+  /** Skew-salted fact ⋈ dim join: every left row gets one of 8 salt
+    * sub-keys and the dimension is replicated across all of them, so a
+    * pathological hot key fans out over 8 tasks instead of sinking one
+    * executor — the manual fallback for keys bigger than anything AQE's
+    * skew-join can split. The salt only reshapes the SHUFFLE: each left
+    * row still meets exactly one copy of its dimension row, so the
+    * result is identical to the plain join — which is what makes this
+    * oracle-checkable against un-salted SQL.
+    */
+  private def tSaltedJoin(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+      .select(col("l_suppkey").as("suppkey"), col("l_quantity"))
+    val sup = t(s, dir, "supplier")
+      .select(col("s_suppkey").as("suppkey"), col("s_name"))
+    Scale.saltedJoin(li, sup, "suppkey", saltFactor = 8)
+      .groupBy("s_name")
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("l_quantity").cast("long")).as("sum_qty"))
+      .orderBy("s_name")
+  }
+
+  /** Bucketed co-located join: both sides are written as parquet tables
+    * bucketed + sorted on the join key, so the join plans as a
+    * SortMergeJoin over pre-bucketed scans with ZERO shuffle on either
+    * side — the storage-level answer for fact tables that are re-joined
+    * every day at 100 TB (pay the bucketing shuffle once at write time,
+    * never again at read time). The only exchange left in the plan is
+    * the O(priorities) aggregate (PlanSpec-locked). Tables are external
+    * (explicit path under target/) so the data location never depends
+    * on the host process's cwd-derived warehouse dir.
+    */
+  private def tBucketedJoin(s: SparkSession, dir: String): DataFrame = {
+    val base = "/root/repo/target/graft-warehouse"
+    Scale.writeBucketed(
+      t(s, dir, "orders").select("o_orderkey", "o_orderpriority"),
+      "graft_orders_b", "o_orderkey", buckets = 8,
+      path = Some(s"$base/graft_orders_b"))
+    Scale.writeBucketed(
+      t(s, dir, "lineitem").select(col("l_orderkey").as("o_orderkey"),
+        col("l_extendedprice"), col("l_discount")),
+      "graft_lineitem_b", "o_orderkey", buckets = 8,
+      path = Some(s"$base/graft_lineitem_b"))
+    s.table("graft_orders_b").join(s.table("graft_lineitem_b"), "o_orderkey")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_items"),
+        sum(expr("cast(round(l_extendedprice * (1 - l_discount), 4) as decimal(18,4))"))
+          .cast("double").as("revenue"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** Two-level mergeable aggregation: daily partials (count + decimal
+    * sum) re-aggregated into monthly totals WITHOUT re-reading raw
+    * events — the incremental shape every long-running pipeline needs
+    * at 100 TB (each day is aggregated once, month/quarter rollups
+    * merge partials ~30× smaller than raw). Counts sum, decimal sums
+    * sum; the oracle computes the monthly totals directly from raw
+    * rows, proving merge-of-partials ≡ direct aggregation.
+    */
+  private def tReaggregate(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .groupBy(to_date(col("ts_us")).as("day"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).as("sum_value"))
+    daily
+      .groupBy(date_trunc("month", col("day")).cast("date").as("month"),
+        col("event_type"))
+      .agg(sum(col("n")).as("n_events"),
+        count(lit(1)).as("n_days"),
+        sum(col("sum_value")).cast("double").as("total_value"))
+      .orderBy("month", "event_type")
+  }
+
+  /** Robust per-group location/spread: exact median + MAD (median of
+    * absolute deviations) — the outlier-resistant twin of
+    * [[tZscore]]'s mean/stddev (one wild value moves a mean arbitrarily
+    * far; it moves a median by at most one rank). Two exact-percentile
+    * passes; the per-group medians (one row per group) broadcast back
+    * over the rows, so the table is scanned twice but never shuffled
+    * beyond the two group-by exchanges.
+    */
+  private def tMad(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).select(col("event_type"), col("value"))
+    val med = ev.groupBy("event_type")
+      .agg(expr("percentile(value, 0.5D)").as("med"))
+    ev.join(broadcast(med), Seq("event_type"))
+      .withColumn("adev", abs(col("value") - col("med")))
+      .groupBy("event_type")
+      .agg(round(first(col("med")), 6).as("median_value"),
+        round(expr("percentile(adev, 0.5D)"), 6).as("mad"),
+        count(lit(1)).as("n"))
+      .orderBy("event_type")
+  }
+
   // ---- LLM-data-pipeline extensions (SURVEY §7.4) ----
 
   /** Per-label embedding centroids — exact (scaled-integer sums), in
@@ -1257,6 +1350,10 @@ object SparkEntry {
     "t_semi_join" -> tSemiJoin,
     "t_lag_lead" -> tLagLead,
     "t_star_join" -> tStarJoin,
+    "t_salted_join" -> tSaltedJoin,
+    "t_bucketed_join" -> tBucketedJoin,
+    "t_reaggregate" -> tReaggregate,
+    "t_mad" -> tMad,
     "t_running_total" -> tRunningTotal,
     "t_zscore" -> tZscore,
     "t_winsorize" -> tWinsorize,

@@ -52,10 +52,16 @@ object Scale {
     * merge pipelines re-join every day.
     */
   def writeBucketed(df: DataFrame, table: String, key: String,
-                    buckets: Int, mode: SaveMode = SaveMode.Overwrite): Unit =
-    df.write.mode(mode)
+                    buckets: Int, mode: SaveMode = SaveMode.Overwrite,
+                    path: Option[String] = None): Unit = {
+    val w = df.write.mode(mode)
       .bucketBy(buckets, key).sortBy(key)
-      .format("parquet").saveAsTable(table)
+      .format("parquet")
+    // explicit path ⇒ external table: data location is independent of
+    // spark.sql.warehouse.dir (which is fixed at session start and
+    // defaults to the process cwd — not somewhere a library should write)
+    path.fold(w.saveAsTable(table))(p => w.option("path", p).saveAsTable(table))
+  }
 
   /** Repartition by key with an explicit partition count — reuse one
     * partitioning across several stages (aggregate + join on the same
