@@ -362,6 +362,60 @@ object OracleSql {
         count(*) AS n
       FROM dev GROUP BY 1 ORDER BY event_type""",
 
+    "t_outer_join" ->
+      """WITH c AS (
+        SELECT user_id, count(*) AS n_clicks FROM events
+        WHERE event_type = 'click' GROUP BY 1),
+      p AS (
+        SELECT user_id, count(*) AS n_purchases FROM events
+        WHERE event_type = 'purchase' GROUP BY 1)
+      SELECT COALESCE(c.user_id, p.user_id) AS user_id,
+        COALESCE(n_clicks, 0) AS n_clicks,
+        COALESCE(n_purchases, 0) AS n_purchases
+      FROM c FULL OUTER JOIN p ON c.user_id = p.user_id
+      ORDER BY user_id""",
+
+    // unpivot = the UNION ALL of one row per measure (engine-portable
+    // spelling of UNPIVOT); decimal sums, cast to double at the end
+    "t_unpivot" ->
+      """WITH w AS (
+        SELECT l_returnflag,
+          sum(CAST(l_quantity AS DECIMAL(18,2))) AS qty,
+          sum(CAST(round(l_extendedprice, 2) AS DECIMAL(18,2))) AS price,
+          sum(CAST(round(l_discount, 2) AS DECIMAL(18,2))) AS disc
+        FROM lineitem GROUP BY 1)
+      SELECT l_returnflag, measure, CAST(total AS DOUBLE) AS total FROM (
+        SELECT l_returnflag, 'disc' AS measure, disc AS total FROM w
+        UNION ALL SELECT l_returnflag, 'price', price FROM w
+        UNION ALL SELECT l_returnflag, 'qty', qty FROM w)
+      ORDER BY l_returnflag, measure""",
+
+    // SCD2 gaps-and-islands: same lag/run-sum/aggregate/lead chain as
+    // the engine, over the identical (user_id, ts) total order
+    "t_scd2" ->
+      """WITH s AS (
+        SELECT user_id, event_type, ts,
+          CASE WHEN lag(event_type) OVER w IS NULL
+                 OR lag(event_type) OVER w <> event_type
+               THEN 1 ELSE 0 END AS chg
+        FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+      r AS (
+        SELECT user_id, event_type, ts,
+          sum(chg) OVER (PARTITION BY user_id ORDER BY ts
+                         ROWS UNBOUNDED PRECEDING) AS run
+        FROM s),
+      i AS (
+        SELECT user_id, min(event_type) AS event_type,
+          min(ts) AS valid_from, count(*) AS n_snapshots
+        FROM r GROUP BY user_id, run)
+      SELECT user_id, event_type, valid_from,
+        lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from)
+          AS valid_to,
+        n_snapshots,
+        lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from)
+          IS NULL AS is_current
+      FROM i ORDER BY user_id, valid_from""",
+
     "t_semi_join" ->
       """SELECT c_custkey, c_name FROM customer c
       WHERE EXISTS (SELECT 1 FROM orders o

@@ -811,6 +811,57 @@ object SparkEntry {
       .orderBy("month", "event_type")
   }
 
+  /** Full-outer join surface: users who clicked vs users who purchased
+    * — keys missing on either side survive with zero-filled counts.
+    * Completes the join surface next to inner ([[tStarJoin]]), semi,
+    * anti, cross, as-of, and range.
+    */
+  private def tOuterJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .groupBy("user_id").agg(count(lit(1)).as("n_clicks"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .groupBy("user_id").agg(count(lit(1)).as("n_purchases"))
+    clicks.join(purchases, Seq("user_id"), "full_outer")
+      .select(col("user_id"),
+        coalesce(col("n_clicks"), lit(0L)).as("n_clicks"),
+        coalesce(col("n_purchases"), lit(0L)).as("n_purchases"))
+      .orderBy("user_id")
+  }
+
+  /** Unpivot (wide → long), the inverse of [[tPivot]]: three per-flag
+    * decimal measure sums stacked into (measure, total) rows — `stack`
+    * is pure map-side, so the only exchange is the aggregate's.
+    */
+  private def tUnpivot(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        sum(col("l_quantity").cast("decimal(18,2)")).as("qty"),
+        sum(expr("cast(round(l_extendedprice, 2) as decimal(18,2))")).as("price"),
+        sum(expr("cast(round(l_discount, 2) as decimal(18,2))")).as("disc"))
+      .select(col("l_returnflag"),
+        expr("stack(3, 'disc', disc, 'price', price, 'qty', qty) AS (measure, total)"))
+      .select(col("l_returnflag"), col("measure"),
+        col("total").cast("double").as("total"))
+      .orderBy("l_returnflag", "measure")
+
+  /** SCD2 history: each user's event-type runs collapsed into validity
+    * intervals `[valid_from, valid_to)` with the newest interval open —
+    * the history-preserving dual of [[Dedup.lastWriteWins]]. One hash
+    * partitioning on the key carries all four steps (change-mark, run
+    * numbering, interval aggregate, interval close).
+    */
+  private def tScd2(s: SparkSession, dir: String): DataFrame =
+    graft.op.Scd.collapse(
+      Tables.events(s, dir)
+        .select(col("user_id"), col("event_type"),
+          expr("cast(ts_us as timestamp_ntz)").as("ts")),
+      "user_id", "event_type", col("ts"))
+      .select(col("user_id"), col("event_type"), col("valid_from"),
+        col("valid_to"), col("n_snapshots"), col("is_current"))
+      .orderBy("user_id", "valid_from")
+
   /** Robust per-group location/spread: exact median + MAD (median of
     * absolute deviations) — the outlier-resistant twin of
     * [[tZscore]]'s mean/stddev (one wild value moves a mean arbitrarily
@@ -1354,6 +1405,9 @@ object SparkEntry {
     "t_bucketed_join" -> tBucketedJoin,
     "t_reaggregate" -> tReaggregate,
     "t_mad" -> tMad,
+    "t_outer_join" -> tOuterJoin,
+    "t_unpivot" -> tUnpivot,
+    "t_scd2" -> tScd2,
     "t_running_total" -> tRunningTotal,
     "t_zscore" -> tZscore,
     "t_winsorize" -> tWinsorize,
