@@ -90,6 +90,31 @@ object OracleSql {
         GROUP BY 1, 2)"""
   }
 
+  /** Cross-corpus jaccard (new batch = doc_id % 10 = 0 vs the rest),
+    * over the corpus-df-pruned shingle universe — the same pruning
+    * rule TextDedup.crossNearDups applies (cap 5000 on the CORPUS side,
+    * removed from both sides). Keep in lockstep with the Scala op.
+    */
+  private def crossDedupSql: String =
+    s"""WITH ${shingleCtes("documents")},
+      sh_new AS (SELECT doc_id, sh FROM sh WHERE doc_id % 10 = 0),
+      sh_old AS (SELECT doc_id, sh FROM sh WHERE doc_id % 10 <> 0),
+      overcap AS (SELECT sh FROM sh_old GROUP BY sh HAVING count(*) > 5000),
+      pn AS (SELECT doc_id, sh FROM sh_new
+             WHERE sh NOT IN (SELECT sh FROM overcap)),
+      po AS (SELECT doc_id, sh FROM sh_old
+             WHERE sh NOT IN (SELECT sh FROM overcap)),
+      na AS (SELECT doc_id, count(*) AS n FROM pn GROUP BY 1),
+      nb AS (SELECT doc_id, count(*) AS n FROM po GROUP BY 1),
+      inter AS (
+        SELECT pn.doc_id AS id_new, po.doc_id AS id_old, count(*) AS inter
+        FROM pn JOIN po ON pn.sh = po.sh GROUP BY 1, 2)
+      SELECT id_new, id_old,
+        round(CAST(inter AS DOUBLE) / (na.n + nb.n - inter), 6) AS jaccard_r
+      FROM inter JOIN na ON na.doc_id = id_new JOIN nb ON nb.doc_id = id_old
+      WHERE CAST(inter AS DOUBLE) / (na.n + nb.n - inter) >= 0.12
+      ORDER BY id_new, id_old"""
+
   private def decontaminateSql: String =
     s"""WITH ${shingleCtes("documents")},
       bench AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 17 = 0),
@@ -923,6 +948,7 @@ object OracleSql {
       WHERE CAST(inter AS DOUBLE) / (sa.nsh + sb.nsh - inter) >= 0.12
       ORDER BY id_a, id_b""",
 
+    "ns_cross_dedup" -> crossDedupSql,
     "ns_decontaminate" -> decontaminateSql,
     // identical semantics, different physical plan (shuffle-hash instead
     // of broadcast) — the oracle is shared by construction

@@ -639,6 +639,56 @@ object TextDedup {
         .select(col("doc").as(corpusId)),
       Seq(corpusId), "left_anti")
 
+  /** Cross-corpus near-dup detection: which docs of a NEW batch are
+    * n-gram-Jaccard near-duplicates of the EXISTING corpus — the
+    * incremental form of dedup at 100 TB. A fresh crawl is deduped
+    * AGAINST the corpus; the corpus is never re-paired with itself
+    * (that quadratic work happened once, when each earlier batch
+    * arrived).
+    *
+    * Scale shape: the new batch is bounded (a day's crawl vs the
+    * accumulated corpus), so its pruned shingle postings BROADCAST to
+    * the corpus scan — the corpus pays one df-count shuffle on the
+    * shingle (in steady state that df table is a maintained corpus
+    * statistic, amortized like the bucketed/IVF artifacts) and one
+    * aggregation per candidate pair; it never joins itself.
+    *
+    * Boilerplate control mirrors [[ngramJaccardPairs]]: shingles whose
+    * CORPUS document frequency exceeds `maxPostings` are dropped from
+    * BOTH sides' universes, so the Jaccard stays well-defined over the
+    * pruned universe and a common header can never explode the
+    * candidate set.
+    */
+  def crossNearDups(newBatch: DataFrame, corpus: DataFrame, text: String,
+                    id: String, shingleN: Int = 3, threshold: Double = 0.5,
+                    maxPostings: Long = 5000): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val shNew = docShingles(newBatch, text, id, shingleN)
+      .select(col("doc").as("id_new"), explode(col("sh")).as("sh"))
+    val counted = docShingles(corpus, text, id, shingleN)
+      .select(col("doc").as("id_old"), explode(col("sh")).as("sh"))
+      .withColumn("_pf", count(lit(1)).over(Window.partitionBy("sh")))
+      .persist(lvl)
+    val shOld = counted.filter(col("_pf") <= maxPostings).drop("_pf")
+      .persist(lvl)
+    // the over-cap set is the boilerplate MINORITY by construction —
+    // bounded enough to broadcast for the new side's anti-join
+    val overCap = counted.filter(col("_pf") > maxPostings)
+      .select("sh").distinct()
+    val shNewP = shNew.join(broadcast(overCap), Seq("sh"), "left_anti")
+      .persist(lvl)
+    val sizesNew = shNewP.groupBy("id_new").agg(count(lit(1)).as("na"))
+    val sizesOld = shOld.groupBy("id_old").agg(count(lit(1)).as("nb"))
+    shOld.join(broadcast(shNewP), Seq("sh"))
+      .groupBy("id_new", "id_old").agg(count(lit(1)).as("inter"))
+      .join(broadcast(sizesNew), Seq("id_new"))
+      .join(sizesOld, Seq("id_old"))
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_new"), col("id_old"), col("jaccard"))
+  }
+
   /** Embedding-cosine near-duplicates: exact pairs above a threshold,
     * as a full cross join — the per-candidate verification KERNEL and
     * test twin only, never a registered production query (PlanSpec

@@ -392,4 +392,42 @@ class ExtSpec extends SparkSpec {
     assert(w == 4)
     assert(s == 6) // hello, world, x, 42, done, !
   }
+
+  test("cross-corpus dedup: finds the planted batch-vs-corpus pair only") {
+    // doc 100 (new batch) is a light edit of corpus doc 1; corpus docs
+    // 2 and 3 are near-dups of EACH OTHER — which cross-dedup must NOT
+    // report (corpus-internal pairs are the other operator's job)
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "one two three four five six seven eight nine"),
+      (3L, "one two three four five six seven eight ten"),
+      (4L, "totally unrelated content about something else entirely")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (100L, "alpha beta gamma delta epsilon zeta eta iota"),
+      (101L, "nothing in common with anything stored before now")
+    ).toDF("doc_id", "text")
+    val pairs = graft.ext.TextDedup.crossNearDups(
+      batch, corpus, "text", "doc_id", shingleN = 3, threshold = 0.3)
+      .select("id_new", "id_old").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((100L, 1L)), pairs)
+  }
+
+  test("cross-corpus dedup: corpus-df pruning drops boilerplate from both sides") {
+    // every corpus doc shares one boilerplate trigram; with the cap
+    // below its df the planted genuine pair must still surface and the
+    // boilerplate-only match must not
+    val corpus = (1L to 20L).map(i =>
+      (i, s"standard header line unique$i filler$i content$i words$i"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (100L, "standard header line unique7 filler7 content7 words7 tail"),
+      (101L, "standard header line but otherwise fresh new material here")
+    ).toDF("doc_id", "text")
+    val pairs = graft.ext.TextDedup.crossNearDups(
+      batch, corpus, "text", "doc_id", shingleN = 3, threshold = 0.3,
+      maxPostings = 5)
+      .select("id_new", "id_old").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((100L, 7L)), pairs)
+  }
 }
