@@ -415,6 +415,20 @@ object OracleSql {
         UNION ALL SELECT l_returnflag, 'qty', qty FROM w)
       ORDER BY l_returnflag, measure""",
 
+    // schema-drift union: the old snapshot's missing column null-fills
+    "t_union_evolve" ->
+      """WITH v1 AS (
+        SELECT event_id, event_type, CAST(NULL AS DECIMAL(18,2)) AS value2
+        FROM events WHERE event_id % 2 = 0),
+      v2 AS (
+        SELECT event_id, event_type, CAST(value AS DECIMAL(18,2)) AS value2
+        FROM events WHERE event_id % 2 <> 0)
+      SELECT event_type, count(*) AS n_rows,
+        count(value2) AS n_with_value,
+        CAST(sum(value2) AS DOUBLE) AS total_value
+      FROM (SELECT * FROM v1 UNION ALL SELECT * FROM v2)
+      GROUP BY 1 ORDER BY event_type""",
+
     // SCD2 gaps-and-islands: same lag/run-sum/aggregate/lead chain as
     // the engine, over the identical (user_id, ts) total order
     "t_scd2" ->

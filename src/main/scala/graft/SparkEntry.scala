@@ -883,6 +883,29 @@ object SparkEntry {
         col("valid_to"), col("n_snapshots"), col("is_current"))
       .orderBy("user_id", "valid_from")
 
+  /** Schema-drift union: an "old snapshot" lacking a column unioned by
+    * NAME with a "new snapshot" that has it (`allowMissingColumns` —
+    * positional union would silently misalign). The missing column
+    * null-fills, and the aggregate separates real zeros from absent
+    * data — the read-side half of schema evolution (the file-level
+    * mergeSchema read is unit-tested against real parquet in
+    * SourcesSpec).
+    */
+  private def tUnionEvolve(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val v1 = ev.filter(col("event_id") % 2 === 0)
+      .select(col("event_id"), col("event_type"))
+    val v2 = ev.filter(col("event_id") % 2 =!= 0)
+      .select(col("event_id"), col("event_type"),
+        col("value").cast("decimal(18,2)").as("value2"))
+    v1.unionByName(v2, allowMissingColumns = true)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_rows"),
+        count(col("value2")).as("n_with_value"),
+        sum(col("value2")).cast("double").as("total_value"))
+      .orderBy("event_type")
+  }
+
   /** Robust per-group location/spread: exact median + MAD (median of
     * absolute deviations) — the outlier-resistant twin of
     * [[tZscore]]'s mean/stddev (one wild value moves a mean arbitrarily
@@ -1445,6 +1468,7 @@ object SparkEntry {
     "t_outer_join" -> tOuterJoin,
     "t_unpivot" -> tUnpivot,
     "t_scd2" -> tScd2,
+    "t_union_evolve" -> tUnionEvolve,
     "t_running_total" -> tRunningTotal,
     "t_zscore" -> tZscore,
     "t_winsorize" -> tWinsorize,

@@ -38,6 +38,16 @@ object Tables {
       .withColumn("ts_us", timestamp_micros(expr("ts div 1000")))
   }
 
+  /** Evolution-tolerant parquet read: `mergeSchema` unions the files'
+    * footer schemas, and files written before a column existed
+    * null-fill it — the read-side contract that lets a long-lived
+    * 100 TB table gain columns without rewriting history. Off by
+    * default in Spark because footer-merging touches every file's
+    * metadata; turn it on per-read like this, not globally.
+    */
+  def readEvolved(spark: SparkSession, paths: Seq[String]): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(paths: _*)
+
   /** S5 — single-column key scan (reference: SELECT location_id FROM
     * gas_station, dag_daily_fuel_price_generation.py:113-114). Column
     * pruning reaches the parquet footer: only `key` is read.

@@ -218,6 +218,68 @@ object EventStream {
       }
   }
 
+  final case class ScdState(state: String, validFromMs: Long, n: Long)
+  final case class ScdOut(user_id: Long, state: String,
+                          valid_from: java.sql.Timestamp,
+                          valid_to: Option[java.sql.Timestamp],
+                          n_snapshots: Long, is_current: Boolean)
+
+  /** Streaming SCD2 — the incremental twin of `op.Scd.collapse`: per
+    * key, consecutive same-state snapshots extend the OPEN interval;
+    * a state flip closes it (emitted once, `valid_to` = the flip time)
+    * and opens the next. State is O(1) per key — only the open
+    * interval, never history.
+    *
+    * On in-order streams the closed intervals equal the batch
+    * operator's bit for bit (StreamSpec asserts it); the one open
+    * interval per key lives in state and is flushed as `is_current`
+    * when the key expires via the shared event-time-TTL contract
+    * ([[lastWriteWinsStream]]). Out-of-order snapshots across
+    * micro-batches see intervals as of arrival; the exact late-data
+    * replay is the batch operator over the historical table.
+    */
+  def scd2Stream(spark: SparkSession, events: DataFrame,
+                 watermark: String = "10 minutes",
+                 stateTTLMs: Long = 30L * 24 * 3600 * 1000) = {
+    import spark.implicits._
+    events.withWatermark("ts", watermark)
+      .selectExpr("user_id", "event_type", "ts")
+      .as[(Long, String, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[ScdState, ScdOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (key, rows, state: GroupState[ScdState]) =>
+          if (state.hasTimedOut) {
+            // retention horizon: flush the open interval as current
+            val fin = state.getOption.map(c => ScdOut(key, c.state,
+              new java.sql.Timestamp(c.validFromMs), None, c.n, true))
+            state.remove()
+            fin.iterator
+          } else {
+            val batch = rows.toSeq.sortBy(_._3.getTime)
+            var cur = state.getOption
+            val closed = Vector.newBuilder[ScdOut]
+            batch.foreach { case (_, st, ts) =>
+              cur match {
+                case Some(c) if c.state == st => cur = Some(c.copy(n = c.n + 1))
+                case Some(c) =>
+                  closed += ScdOut(key, c.state,
+                    new java.sql.Timestamp(c.validFromMs),
+                    Some(ts), c.n, is_current = false)
+                  cur = Some(ScdState(st, ts.getTime, 1))
+                case None => cur = Some(ScdState(st, ts.getTime, 1))
+              }
+            }
+            cur.foreach { c =>
+              state.update(c)
+              state.setTimeoutTimestamp(math.max(batch.map(_._3.getTime).max,
+                state.getCurrentWatermarkMs()) + stateTTLMs)
+            }
+            closed.result().iterator
+          }
+      }
+  }
+
   /** Streaming key dedup — the incremental form of the reference's
     * T5/T6 "insert only if unseen" (the anti-join against all history
     * becomes watermarked streaming state): each key is emitted once;

@@ -325,6 +325,45 @@ class StreamingSpec extends SparkSpec {
       .as[(Long, Long, Double, Long, Double)].collect().sortBy(_._2)
     assert(got.toSeq == expected.toSeq)
   }
+
+  test("streaming SCD2 closed intervals equal the batch collapse across micro-batches") {
+    val dir = java.nio.file.Files.createTempDirectory("scd2s").toString
+    def row(id: Long, ts: String, uid: Long, st: String) =
+      (id, java.sql.Timestamp.valueOf(ts), uid, st, 0.0, "{}")
+    // user 7 flips a→a→b→a (flip mid-file and across the file split);
+    // user 8 never flips, so it must emit NO closed interval at all
+    val f1 = Seq(row(1, "2024-01-01 00:01:00", 7, "a"),
+      row(2, "2024-01-01 00:02:00", 7, "a"),
+      row(3, "2024-01-01 00:03:00", 8, "x"),
+      row(4, "2024-01-01 00:04:00", 7, "b"))
+    val f2 = Seq(row(5, "2024-01-01 00:05:00", 7, "a"),
+      row(6, "2024-01-01 00:06:00", 8, "x"))
+    val cols = Seq("event_id", "ts", "user_id", "event_type", "value", "props")
+    f1.toDF(cols: _*).coalesce(1).write.parquet(s"$dir/f1")
+    Thread.sleep(1100) // distinct mtimes => deterministic batch order
+    f2.toDF(cols: _*).coalesce(1).write.parquet(s"$dir/f2")
+    val stream = spark.readStream.schema(EventStream.eventSchema)
+      .option("maxFilesPerTrigger", "1").parquet(dir + "/*")
+    val out = EventStream.scd2Stream(spark, stream)
+    EventStream.runAvailableNow(out.toDF(), "sscd2",
+      org.apache.spark.sql.streaming.OutputMode.Append)
+    val got = spark.sql(
+      """select user_id, state, valid_from, valid_to, n_snapshots
+         from sscd2 order by user_id, valid_from""")
+      .as[(Long, String, java.sql.Timestamp, Option[java.sql.Timestamp], Long)]
+      .collect().toSeq
+    val batchClosed = graft.op.Scd.collapse(
+      (f1 ++ f2).toDF(cols: _*).select($"user_id", $"event_type", $"ts"),
+      "user_id", "event_type", $"ts")
+      .filter(!$"is_current")
+      .select($"user_id", $"event_type", $"valid_from", $"valid_to",
+        $"n_snapshots")
+      .orderBy($"user_id", $"valid_from")
+      .as[(Long, String, java.sql.Timestamp, Option[java.sql.Timestamp], Long)]
+      .collect().toSeq
+    assert(got == batchClosed)
+    assert(got.map(_._1).forall(_ == 7L), "user 8 never flips: no closed interval")
+  }
 }
 
 class SinksSpec extends SparkSpec {
