@@ -90,6 +90,43 @@ object OracleSql {
         GROUP BY 1, 2)"""
   }
 
+  /** BM25 CTE chain over documents for a fixed query-term set —
+    * scoring formulas injected VERBATIM from [[graft.ext.Bm25]] so both
+    * engines parse the identical expression tree (the rational-idf
+    * form; see Bm25's scaladoc for why log-idf can never hash-match).
+    * Produces `bm(doc, score_pts, n_terms)`. DuckDB `sum(BIGINT)` is
+    * HUGEINT — cast back to BIGINT.
+    */
+  private def bm25Ctes(termsIn: String, k1: Double = 1.2,
+                       b: Double = 0.75): String =
+    s"""bmbase AS (
+        SELECT doc_id AS doc,
+               CAST(len(string_split(lower(trim(text)), ' ')) AS BIGINT) AS dl
+        FROM documents),
+      bmstats AS (
+        SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl
+        FROM bmbase),
+      bmtoks AS (
+        SELECT doc_id AS doc,
+               unnest(string_split(lower(trim(text)), ' ')) AS term
+        FROM documents),
+      bmtf AS (
+        SELECT t.doc, b.dl, t.term, count(*) AS tf
+        FROM bmtoks t JOIN bmbase b ON b.doc = t.doc
+        WHERE t.term IN $termsIn GROUP BY 1, 2, 3),
+      bmdf AS (SELECT term, count(*) AS dfq FROM bmtf GROUP BY 1),
+      bmpts AS (
+        SELECT doc, ${graft.ext.Bm25.pointsSql(k1, b)} AS pts
+        FROM (SELECT bmtf.*, bmdf.dfq, n_docs,
+                     ${graft.ext.Bm25.avgdlSql} AS avgdl
+              FROM bmtf JOIN bmdf USING (term) CROSS JOIN bmstats)),
+      bm AS (
+        SELECT doc, CAST(sum(pts) AS BIGINT) AS score_pts,
+               count(*) AS n_terms
+        FROM bmpts GROUP BY 1)"""
+
+  private val bm25TermsIn = "('spark','vector','dup')"
+
   /** Cross-corpus jaccard (new batch = doc_id % 10 = 0 vs the rest),
     * over the corpus-df-pruned shingle universe — the same pruning
     * rule TextDedup.crossNearDups applies (cap 5000 on the CORPUS side,
@@ -468,6 +505,22 @@ object OracleSql {
         lead(event_id) OVER w AS next_event_id
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      ORDER BY user_id, event_id""",
+
+    "t_window_funcs" ->
+      """SELECT user_id, event_id,
+        CAST(dense_rank() OVER wv AS INT) AS val_dense_rank,
+        CAST(rank() OVER wv AS INT) AS val_rank,
+        first_value(event_id) OVER wo AS first_event_id,
+        last_value(event_id) OVER wf AS last_event_id,
+        nth_value(event_id, 2) OVER wf AS second_event_id,
+        cume_dist() OVER wo AS user_cume_dist
+      FROM events WHERE user_id % 16 = 0
+      WINDOW
+        wo AS (PARTITION BY user_id ORDER BY ts, event_id),
+        wf AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING),
+        wv AS (PARTITION BY event_type ORDER BY value)
       ORDER BY user_id, event_id""",
 
     // the same scaled-integer exact mean as VectorSearch.labelCentroids
@@ -961,6 +1014,62 @@ object OracleSql {
       JOIN sizes sb ON sb.doc_id = id_b
       WHERE CAST(inter AS DOUBLE) / (sa.nsh + sb.nsh - inter) >= 0.12
       ORDER BY id_a, id_b""",
+
+    "ns_containment" ->
+      s"""WITH ${jaccardCtes("documents", pruned = true)}
+      SELECT id_a, id_b, inter, sa.nsh AS na, sb.nsh AS nb,
+        round(CAST(inter AS DOUBLE) / sa.nsh, 6) AS cont_a,
+        round(CAST(inter AS DOUBLE) / sb.nsh, 6) AS cont_b
+      FROM inter
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE CAST(inter AS DOUBLE) / sa.nsh >= 0.4
+         OR CAST(inter AS DOUBLE) / sb.nsh >= 0.4
+      ORDER BY id_a, id_b""",
+
+    "ns_bm25_topk" ->
+      s"""WITH ${bm25Ctes(bm25TermsIn)}
+      SELECT CAST(rank AS INT) AS rank, doc AS doc_id, score_pts, n_terms
+      FROM (SELECT doc, score_pts, n_terms,
+              row_number() OVER (ORDER BY score_pts DESC, doc) AS rank
+            FROM bm)
+      WHERE rank <= 20 ORDER BY rank""",
+
+    "ns_hybrid_rrf" ->
+      s"""WITH ${bm25Ctes(bm25TermsIn)},
+      bmtop AS (
+        SELECT doc, CAST(row_number() OVER (ORDER BY score_pts DESC, doc) AS INT) AS r_txt
+        FROM bm QUALIFY r_txt <= 50),
+      vq AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 7),
+      vscored AS (
+        SELECT e.vec_id AS doc,
+               round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), vq.qv), 6) AS sim
+        FROM embeddings e CROSS JOIN vq WHERE e.vec_id <> 7),
+      vtop AS (
+        SELECT doc, CAST(row_number() OVER (ORDER BY sim DESC, doc) AS INT) AS r_vec
+        FROM vscored QUALIFY r_vec <= 50)
+      SELECT coalesce(b.doc, v.doc) AS doc_id, b.r_txt, v.r_vec,
+        coalesce(${graft.ext.Bm25.rrfPtsSql("b.r_txt")}, 0)
+          + coalesce(${graft.ext.Bm25.rrfPtsSql("v.r_vec")}, 0) AS rrf_pts
+      FROM bmtop b FULL OUTER JOIN vtop v ON b.doc = v.doc
+      ORDER BY rrf_pts DESC, doc_id LIMIT 10""",
+
+    "ns_keywords" ->
+      s"""WITH ktf AS (
+        SELECT doc_id AS doc, term, count(*) AS tf FROM (
+          SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS term
+          FROM documents)
+        GROUP BY 1, 2),
+      kdf AS (SELECT term, count(*) AS df FROM ktf GROUP BY 1),
+      kn AS (SELECT count(*) AS n_docs FROM documents),
+      kscored AS (
+        SELECT doc, term, tf, df,
+          tf * ${graft.ext.Bm25.keywordIdfPtsSql} AS score_pts
+        FROM ktf JOIN kdf USING (term) CROSS JOIN kn)
+      SELECT doc AS doc_id,
+        CAST(row_number() OVER (PARTITION BY doc ORDER BY score_pts DESC, term) AS INT) AS rk,
+        term, tf, df, score_pts
+      FROM kscored QUALIFY rk <= 3 ORDER BY doc_id, rk""",
 
     "ns_cross_dedup" -> crossDedupSql,
     "ns_decontaminate" -> decontaminateSql,

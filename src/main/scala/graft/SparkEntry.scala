@@ -557,6 +557,36 @@ object SparkEntry {
       .orderBy("user_id", "event_id")
   }
 
+  /** Window-function surface parity: dense_rank/rank over value order
+    * (deterministic under ties by definition), first/last/nth value
+    * over the per-user (ts_us, event_id) total order with an explicit
+    * full frame (the default frame stops at CURRENT ROW in both
+    * engines — pinned explicitly so neither default can drift), and
+    * cume_dist as an exact rational count ratio. Ranks are INT in
+    * Spark, BIGINT in DuckDB (cast). lineitem was rejected as the
+    * base: (l_orderkey, l_linenumber) is NOT unique in the testdata,
+    * so no short deterministic ordering exists there. Filtered to a
+    * deterministic user slice to bound output volume.
+    */
+  private def tWindowFuncs(s: SparkSession, dir: String): DataFrame = {
+    val wOrd = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts_us", "event_id")
+    val wFull = wOrd.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding,
+      org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    val wVal = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type").orderBy("value")
+    Tables.events(s, dir).filter(col("user_id") % 16 === 0)
+      .select(col("user_id"), col("event_id"),
+        dense_rank().over(wVal).as("val_dense_rank"),
+        rank().over(wVal).as("val_rank"),
+        first(col("event_id")).over(wOrd).as("first_event_id"),
+        last(col("event_id")).over(wFull).as("last_event_id"),
+        nth_value(col("event_id"), 2).over(wFull).as("second_event_id"),
+        cume_dist().over(wOrd).as("user_cume_dist"))
+      .orderBy("user_id", "event_id")
+  }
+
   /** String-function surface parity: the everyday mapping toolkit
     * (length/case/substr/pad/regex/reverse/search/concat) computed in
     * one map-side pass and pinned against the oracle's equivalents —
@@ -1129,6 +1159,56 @@ object SparkEntry {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard_r"))
       .orderBy("id_a", "id_b")
 
+  /** Containment near-dups at 0.4: on this corpus the planted dups are
+    * near-symmetric so the pair set matches the jaccard family; the
+    * asymmetric quote-detection semantics are pinned by unit test.
+    */
+  private def nsContainment(s: SparkSession, dir: String): DataFrame =
+    TextDedup.containmentPairs(t(s, dir, "documents"), "text", "doc_id",
+      shingleN = 3, threshold = 0.4)
+      .orderBy("id_a", "id_b")
+
+  /** Two common terms + the rare near-dup marker "dup" — mixed-df
+    * queries exercise the idf spread; see OracleSql for the twin.
+    */
+  private val bm25Query = Seq("spark", "vector", "dup")
+
+  private def nsBm25Topk(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.bm25TopK(t(s, dir, "documents"), "text", "doc_id",
+      bm25Query, k = 20)
+      .select(col("rank"), col("doc").as("doc_id"), col("score_pts"),
+        col("n_terms"))
+      .orderBy("rank")
+
+  /** Hybrid retrieval: BM25 lexical ranks fused with brute-force cosine
+    * ranks by reciprocal-rank fusion (k=60), both contributions as
+    * exact integer nano-points. doc_id and vec_id are aligned in the
+    * testdata, which is what makes the fusion join meaningful.
+    */
+  private def nsHybridRrf(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val txt = TextAnalysis.bm25TopK(t(s, dir, "documents"), "text", "doc_id",
+      bm25Query, k = 50)
+      .select(col("doc"), col("rank").as("r_txt"))
+    val vec = VectorSearch.bruteForceTopK(emb,
+      emb.filter(col("vec_id") === 7), "vec_id", "embedding", k = 50)
+      .select(col("vec_id").as("doc"), col("rank").as("r_vec"))
+    txt.join(vec, Seq("doc"), "full_outer")
+      .withColumn("rrf_pts",
+        coalesce(expr(graft.ext.Bm25.rrfPtsSql("r_txt")), lit(0L)) +
+          coalesce(expr(graft.ext.Bm25.rrfPtsSql("r_vec")), lit(0L)))
+      .orderBy(col("rrf_pts").desc, col("doc")).limit(10)
+      .select(col("doc").as("doc_id"), col("r_txt"), col("r_vec"),
+        col("rrf_pts"))
+      .orderBy(col("rrf_pts").desc, col("doc_id"))
+  }
+
+  private def nsKeywords(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.keywords(t(s, dir, "documents"), "text", "doc_id", k = 3)
+      .select(col("doc").as("doc_id"), col("rk"), col("term"), col("tf"),
+        col("df"), col("score_pts"))
+      .orderBy("doc_id", "rk")
+
   private def nsDedupMinhash(s: SparkSession, dir: String): DataFrame =
     TextDedup.minhashLsh(t(s, dir, "documents"), "text", "doc_id",
       shingleN = 3, numPerms = 64, bands = 16, threshold = 0.1)
@@ -1460,6 +1540,7 @@ object SparkEntry {
     "t_grouping_sets" -> tGroupingSets,
     "t_semi_join" -> tSemiJoin,
     "t_lag_lead" -> tLagLead,
+    "t_window_funcs" -> tWindowFuncs,
     "t_star_join" -> tStarJoin,
     "t_salted_join" -> tSaltedJoin,
     "t_bucketed_join" -> tBucketedJoin,
@@ -1501,6 +1582,10 @@ object SparkEntry {
     "ns_dedup_exact_norm" -> nsDedupExactNorm,
     "ns_sketches" -> nsSketches,
     "ns_dedup_ngram_jaccard" -> nsDedupNgramJaccard,
+    "ns_containment" -> nsContainment,
+    "ns_bm25_topk" -> nsBm25Topk,
+    "ns_hybrid_rrf" -> nsHybridRrf,
+    "ns_keywords" -> nsKeywords,
     "ns_cross_dedup" -> nsCrossDedup,
     "ns_dedup_minhash" -> nsDedupMinhash,
     "ns_dedup_minhash_verified" -> nsDedupMinhashVerified,

@@ -222,6 +222,90 @@ object TextAnalysis {
       .select(col("doc"), col("term"), col("tf"), col("df"), col("tfidf"))
   }
 
+  /** BM25 document scoring for a fixed query-term set — the retrieval
+    * scorer a training-data pipeline uses for topic mining, hard-negative
+    * selection, and retrieval-augmented filtering.
+    *
+    * This is the BM25 family with the RATIONAL idf
+    * `(N − df + 0.5) / (df + 0.5)` — the odds ratio the classic log-idf
+    * wraps. `ln`/`exp` are not correctly-rounded IEEE ops (libm
+    * implementations differ by ulps across engines — the reason
+    * `t_math_funcs` excludes them), so a log-based score can never
+    * hash-match an independent engine; `+ − * /` ARE correctly rounded,
+    * so the identical expression tree (shared verbatim with the oracle
+    * via [[Bm25]]) is bit-equal anywhere. Per-term contributions are
+    * scaled to integer micro-points and summed as BIGINT — associative,
+    * so partition/reduction order cannot perturb totals.
+    *
+    * Scale shape: the query-term filter runs map-side BEFORE any
+    * shuffle (only matching tokens survive), corpus stats and per-term
+    * df are one-row / |q|-row broadcasts, and the per-doc sum is one
+    * partial-agg shuffle over ≤|q| rows per matching doc. Tokenization
+    * is the exact single-space convention (see `blockDedup`).
+    */
+  def bm25Scores(df: DataFrame, text: String, id: String,
+                 queryTerms: Seq[String],
+                 k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    val base = df.select(col(id).as("doc"),
+      split(lower(trim(col(text))), " ").as("_toks"))
+      .withColumn("dl", size(col("_toks")).cast("long"))
+    val stats = base.agg(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl"))
+    val tf = base.select(col("doc"), col("dl"), explode(col("_toks")).as("term"))
+      .filter(col("term").isin(queryTerms: _*))
+      .groupBy("doc", "dl", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("dfq"))
+    tf.join(broadcast(dfreq), Seq("term"))
+      .crossJoin(broadcast(stats))
+      .withColumn("avgdl", expr(Bm25.avgdlSql))
+      .withColumn("_pts", expr(Bm25.pointsSql(k1, b)))
+      .groupBy("doc")
+      .agg(sum("_pts").as("score_pts"), count(lit(1)).as("n_terms"))
+  }
+
+  /** Top-k BM25 retrieval: `bm25Scores` → distributed TakeOrdered on
+    * (score desc, doc) → rank. The rank window runs over the k
+    * surviving rows only (bounded by k, never corpus-sized).
+    */
+  def bm25TopK(df: DataFrame, text: String, id: String,
+               queryTerms: Seq[String], k: Int = 10,
+               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("score_pts").desc, col("doc"))
+    bm25Scores(df, text, id, queryTerms, k1, b)
+      .orderBy(col("score_pts").desc, col("doc")).limit(k)
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .select(col("rank"), col("doc"), col("score_pts"), col("n_terms"))
+  }
+
+  /** Per-document keyword extraction: top-k terms by tf·idf with the
+    * rational idf `(N+1)/(df+1)` pre-scaled to integer micro-points, so
+    * the score is EXACT BIGINT arithmetic (`tf · round(1e6·(N+1)/(df+1))`)
+    * — portable across engines where the classic log-idf is not (see
+    * [[bm25Scores]]). Ties break on term text; same two-shuffle shape
+    * as [[tfidf]] plus a WindowGroupLimit-able per-doc top-k.
+    */
+  def keywords(df: DataFrame, text: String, id: String,
+               k: Int = 3): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val toks = df.select(col(id).as("doc"),
+      explode(split(lower(trim(col(text))), " ")).as("term"))
+    val tf = toks.groupBy("doc", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val nDocs = df.agg(count(lit(1)).as("n_docs"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc").orderBy(col("score_pts").desc, col("term"))
+    tf.join(dfreq, Seq("term"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("idf_pts", expr(Bm25.keywordIdfPtsSql))
+      .withColumn("score_pts", col("tf") * col("idf_pts"))
+      .withColumn("rk", row_number().over(w).cast("int"))
+      .filter(col("rk") <= k)
+      .select(col("doc"), col("rk"), col("term"), col("tf"), col("df"),
+        col("score_pts"))
+  }
+
   /** Language ID, n-gram/stopword-profile heuristic: score each language
     * by the fraction of tokens hitting its marker list; argmax wins,
     * 'und' (undetermined) when nothing scores. Profiles are tiny and
@@ -262,6 +346,46 @@ object TextAnalysis {
     expr(s"pmod(aggregate(zip_with($tokensCol, sequence(1, size($tokensCol)), " +
       "(t, i) -> cast(i as bigint) * (ascii(substring(t, 1, 1)) * 131 + length(t))), " +
       "0L, (acc, v) -> acc + v), 1000003)")
+}
+
+/** SQL-portable BM25 expression texts, shared VERBATIM between the
+  * Spark operator (via `expr`) and the DuckDB oracle (`OracleSql`) so
+  * both engines evaluate the same parse tree. Every numeric literal is
+  * wrapped in `CAST(... AS DOUBLE)` — bare decimal literals are DECIMAL
+  * in both SQL dialects and their propagation rules differ; the casts
+  * pin every operation to correctly-rounded IEEE double arithmetic,
+  * which is what makes the scores bit-identical across engines.
+  * Expected column names: tf, dfq, dl, n_docs, sum_dl, avgdl.
+  */
+object Bm25 {
+  val avgdlSql: String = "CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)"
+
+  def idfSql: String =
+    "(CAST(n_docs - dfq AS DOUBLE) + CAST(0.5 AS DOUBLE)) / " +
+      "(CAST(dfq AS DOUBLE) + CAST(0.5 AS DOUBLE))"
+
+  def tfPartSql(k1: Double, b: Double): String =
+    s"CAST(tf AS DOUBLE) * CAST($k1 + 1.0 AS DOUBLE) / " +
+      s"(CAST(tf AS DOUBLE) + CAST($k1 AS DOUBLE) * " +
+      s"(CAST(1.0 - $b AS DOUBLE) + CAST($b AS DOUBLE) * " +
+      s"CAST(dl AS DOUBLE) / avgdl))"
+
+  /** Per-(doc, term) contribution in integer micro-points. */
+  def pointsSql(k1: Double, b: Double): String =
+    s"CAST(round(($idfSql) * (${tfPartSql(k1, b)}) * " +
+      "CAST(1000000.0 AS DOUBLE)) AS BIGINT)"
+
+  /** Rational-idf micro-points for keyword extraction: round(1e6·(N+1)/(df+1)). */
+  val keywordIdfPtsSql: String =
+    "CAST(round(CAST(1000000.0 AS DOUBLE) * CAST(n_docs + 1 AS DOUBLE) / " +
+      "CAST(df + 1 AS DOUBLE)) AS BIGINT)"
+
+  /** Reciprocal-rank-fusion contribution in integer nano-points:
+    * round(1e9 / (60 + rank)) for the given rank column.
+    */
+  def rrfPtsSql(rankCol: String): String =
+    s"CAST(round(CAST(1000000000.0 AS DOUBLE) / " +
+      s"CAST(60 + $rankCol AS DOUBLE)) AS BIGINT)"
 }
 
 /** Tiny inline stopword / marker-word profiles. Real deployments load

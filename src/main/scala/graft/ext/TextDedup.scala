@@ -311,7 +311,44 @@ object TextDedup {
   def ngramJaccardPairs(df: DataFrame, text: String, id: String,
                         shingleN: Int = 3, threshold: Double = 0.5,
                         maxPostings: Long = 5000,
-                        verbose: Boolean = false): DataFrame = {
+                        verbose: Boolean = false): DataFrame =
+    pairCounts(df, text, id, shingleN, maxPostings, verbose)
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+
+  /** Asymmetric containment near-dup pairs: C(A→B) = |A∩B| / |A| over
+    * the same df-pruned shingle universe as [[ngramJaccardPairs]] — the
+    * signal Jaccard misses when a short document is quoted inside a
+    * long one (|A∩B|/|A∪B| stays small while |A∩B|/|A| → 1): partial
+    * copies, boilerplate-wrapped reposts, chunk/parent overlap. Emits
+    * every pair where EITHER direction's containment reaches
+    * `threshold`, with both directions reported (rounded to 6 places;
+    * the filter runs on the unrounded correctly-rounded quotients,
+    * mirrored verbatim by the oracle). Same scale shape as the jaccard
+    * pass — the pair kernel is shared.
+    */
+  def containmentPairs(df: DataFrame, text: String, id: String,
+                       shingleN: Int = 3, threshold: Double = 0.5,
+                       maxPostings: Long = 5000,
+                       verbose: Boolean = false): DataFrame =
+    pairCounts(df, text, id, shingleN, maxPostings, verbose)
+      .filter(col("inter").cast("double") / col("na") >= threshold ||
+        col("inter").cast("double") / col("nb") >= threshold)
+      .withColumn("cont_a", round(col("inter").cast("double") / col("na"), 6))
+      .withColumn("cont_b", round(col("inter").cast("double") / col("nb"), 6))
+      .select(col("id_a"), col("id_b"), col("inter"), col("na"), col("nb"),
+        col("cont_a"), col("cont_b"))
+
+  /** Shared pair kernel of the jaccard/containment detectors:
+    * (id_a, id_b, inter, na, nb) for every ordered doc pair sharing at
+    * least one shingle that survives the df-prune, with sizes measured
+    * over the pruned universe on both sides.
+    */
+  private def pairCounts(df: DataFrame, text: String, id: String,
+                         shingleN: Int, maxPostings: Long,
+                         verbose: Boolean): DataFrame = {
     require(maxPostings >= 1 && maxPostings <= 10000,
       "maxPostings must be in [1, 10000] (array_pairs bound)")
     val sh = docShingles(df, text, id, shingleN)
@@ -342,10 +379,6 @@ object TextDedup {
     inter
       .join(sizes.select(col("doc").as("id_a"), col("nsh").as("na")), Seq("id_a"))
       .join(sizes.select(col("doc").as("id_b"), col("nsh").as("nb")), Seq("id_b"))
-      .withColumn("jaccard",
-        col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
-      .filter(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
   /** Shingles ngramJaccardPairs would prune at the given cap, as

@@ -1,0 +1,123 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ext.{Bm25, TextAnalysis, TextDedup}
+
+/** Retrieval family (round 5, continued): portable BM25, keyword
+  * extraction, containment near-dups, and RRF fusion arithmetic.
+  */
+class RetrievalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val corpus = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the the the the the the the the the the the the the the the quick"),
+    (3L, "zebra runs far"),
+    (4L, "the quick dog sleeps"),
+    (5L, "a plain sentence with nothing special inside it at all")
+  ).toDF("doc_id", "text")
+
+  // ---- BM25 ----
+
+  test("bm25: rare-term doc outranks common-term doc") {
+    // "zebra" appears in exactly one doc; "the" in four — the rational
+    // idf must put doc 3 above any doc matched only through "the"
+    val top = TextAnalysis.bm25TopK(corpus, "text", "doc_id",
+      Seq("zebra", "the"), k = 5)
+      .select("rank", "doc").as[(Int, Long)].collect()
+    assert(top.head == (1, 3L))
+    assert(top.map(_._2).toSet == Set(1L, 2L, 3L, 4L))
+  }
+
+  test("bm25: document-length normalization dampens repeated terms") {
+    // doc 2 has tf("the") = 15 but is long; the saturating tf part
+    // (k1 = 1.2) must keep its score below 15x a single occurrence
+    val scores = TextAnalysis.bm25Scores(corpus, "text", "doc_id", Seq("the"))
+      .select("doc", "score_pts").as[(Long, Long)].collect().toMap
+    assert(scores(2L) < 15L * scores(4L))
+    assert(scores(2L) > scores(4L)) // but more evidence still scores higher
+  }
+
+  test("bm25: score is invariant under input partitioning") {
+    val a = TextAnalysis.bm25Scores(corpus.repartition(7), "text", "doc_id",
+      Seq("quick", "dog")).orderBy("doc").collect()
+    val b = TextAnalysis.bm25Scores(corpus.coalesce(1), "text", "doc_id",
+      Seq("quick", "dog")).orderBy("doc").collect()
+    assert(a.sameElements(b))
+  }
+
+  test("bm25TopK: k bounds the output and ranks are contiguous") {
+    val top = TextAnalysis.bm25TopK(corpus, "text", "doc_id",
+      Seq("the"), k = 2).select("rank").as[Int].collect()
+    assert(top.toSeq == Seq(1, 2))
+  }
+
+  // ---- keywords ----
+
+  test("keywords: rare high-tf term wins over ubiquitous term") {
+    val kw = TextAnalysis.keywords(corpus, "text", "doc_id", k = 1)
+      .select("doc", "term").as[(Long, String)].collect().toMap
+    // doc 2: "the" has tf 15 but df 4; "quick" tf 1 df 3 — exact
+    // integer scoring must still favor the massive tf here
+    assert(kw(2L) == "the")
+    // doc 3: all terms unique (df 1) — ties break on term text
+    assert(kw(3L) == "far")
+  }
+
+  test("keywords: per-doc top-k respects score-then-term order") {
+    val kw = TextAnalysis.keywords(corpus, "text", "doc_id", k = 3)
+      .filter(col("doc") === 3L).orderBy("rk")
+      .select("term").as[String].collect()
+    assert(kw.toSeq == Seq("far", "runs", "zebra")) // equal scores, term order
+  }
+
+  // ---- containment ----
+
+  test("containment catches a quoted subset that jaccard misses") {
+    val docs = Seq(
+      (10L, "alpha beta gamma delta epsilon"),
+      // doc 10's full text quoted inside a much longer document
+      (20L, "intro words first alpha beta gamma delta epsilon then many " +
+        "unrelated trailing tokens pad this out to a much longer body")
+    ).toDF("doc_id", "text")
+    val cont = TextDedup.containmentPairs(docs, "text", "doc_id",
+      threshold = 0.9)
+      .select("id_a", "id_b", "cont_a", "cont_b")
+      .as[(Long, Long, Double, Double)].collect()
+    assert(cont.length == 1)
+    val (a, b, ca, cb) = cont.head
+    assert((a, b) == (10L, 20L))
+    assert(ca == 1.0) // every shingle of the short doc appears in the long one
+    assert(cb < 0.5)
+    // the symmetric detector must NOT fire at the same strength
+    val jac = TextDedup.ngramJaccardPairs(docs, "text", "doc_id",
+      threshold = 0.9).count()
+    assert(jac == 0L)
+  }
+
+  test("containment: no pair without a shared surviving shingle") {
+    val docs = Seq((1L, "aa bb cc dd"), (2L, "ee ff gg hh"))
+      .toDF("doc_id", "text")
+    assert(TextDedup.containmentPairs(docs, "text", "doc_id",
+      threshold = 0.01).count() == 0L)
+  }
+
+  // ---- RRF arithmetic ----
+
+  test("rrf points match the closed form and ignore a missing side") {
+    val df = Seq((1, 1), (2, 40)).toDF("r_txt", "r_vec")
+      .withColumn("pts",
+        coalesce(expr(Bm25.rrfPtsSql("r_txt")), lit(0L)) +
+          coalesce(expr(Bm25.rrfPtsSql("r_vec")), lit(0L)))
+    val got = df.select("pts").as[Long].collect().toSeq
+    assert(got == Seq(
+      math.round(1e9 / 61) + math.round(1e9 / 61),
+      math.round(1e9 / 62) + math.round(1e9 / 100)))
+    val one = Seq((Some(3), Option.empty[Int])).toDF("r_txt", "r_vec")
+      .withColumn("pts",
+        coalesce(expr(Bm25.rrfPtsSql("r_txt")), lit(0L)) +
+          coalesce(expr(Bm25.rrfPtsSql("r_vec")), lit(0L)))
+      .select("pts").as[Long].head()
+    assert(one == math.round(1e9 / 63))
+  }
+}
