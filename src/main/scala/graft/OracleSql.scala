@@ -127,6 +127,15 @@ object OracleSql {
 
   private val bm25TermsIn = "('spark','vector','dup')"
 
+  /** Morton interleave of the low `bits` bits of x/y as explicit
+    * shift-mask-or terms — the SQL mirror of `op.Scale.zValue` (exact
+    * integer arithmetic on both engines).
+    */
+  private def zvalueSql(x: String, y: String, bits: Int): String =
+    (0 until bits).flatMap(i => Seq(
+      s"((($x >> $i) & 1) << ${2 * i})",
+      s"((($y >> $i) & 1) << ${2 * i + 1})")).mkString(" | ")
+
   /** Cross-corpus jaccard (new batch = doc_id % 10 = 0 vs the rest),
     * over the corpus-df-pruned shingle universe — the same pruning
     * rule TextDedup.crossNearDups applies (cap 5000 on the CORPUS side,
@@ -505,6 +514,21 @@ object OracleSql {
         lead(event_id) OVER w AS next_event_id
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      ORDER BY user_id, event_id""",
+
+    "t_zorder" ->
+      s"""WITH z AS (SELECT (${zvalueSql("(l_partkey % 1024)", "(l_suppkey % 1024)", 10)}) AS zv
+        FROM lineitem)
+      SELECT zv >> 12 AS zbucket, count(*) AS n, min(zv) AS zmin, max(zv) AS zmax
+      FROM z GROUP BY 1 ORDER BY 1""",
+
+    "t_range_window" ->
+      """SELECT user_id, event_id,
+        CAST(sum(CAST(round(value * CAST(100.0 AS DOUBLE)) AS BIGINT)) OVER w AS BIGINT) AS trail_10m_cents,
+        CAST(count(*) OVER w AS BIGINT) AS trail_10m_n
+      FROM events WHERE user_id % 16 = 0
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                   RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW)
       ORDER BY user_id, event_id""",
 
     "t_window_funcs" ->

@@ -587,6 +587,43 @@ object SparkEntry {
       .orderBy("user_id", "event_id")
   }
 
+  /** Z-order (Morton) layout check: the exact interleave arithmetic is
+    * oracle-checked via a bucketed zvalue profile over (l_partkey,
+    * l_suppkey); the LAYOUT property (every output file a compact
+    * (x, y) rectangle ⇒ min/max pruning on either dimension) is
+    * asserted in ZorderSpec against a lexicographic-sort strawman.
+    */
+  private def tZorder(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .select(graft.op.Scale.zValue(
+        col("l_partkey") % 1024, col("l_suppkey") % 1024, bits = 10).as("zv"))
+      .groupBy(shiftright(col("zv"), 12).as("zbucket"))
+      .agg(count(lit(1)).as("n"), min("zv").as("zmin"), max("zv").as("zmax"))
+      .orderBy("zbucket")
+
+  /** Time-RANGE window surface: per-user trailing 10-minute sums — the
+    * frame every rate-limit / rolling-exposure query needs, distinct
+    * from the ROWS frames elsewhere (t_moving_avg) because the frame
+    * edge is an event-time offset, not a row count. RANGE frames are
+    * tie-inclusive by definition, so duplicate timestamps inside one
+    * user cannot perturb the result. Sums ride scaled-integer cents
+    * (round-then-cast, both engines half-away-from-zero) — double
+    * accumulation over a frame has engine-local reduction order.
+    */
+  private def tRangeWindow(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("ts_micros"))
+      .rangeBetween(-600000000L, 0L)
+    Tables.events(s, dir).filter(col("user_id") % 16 === 0)
+      .withColumn("ts_micros", unix_micros(col("ts_us")))
+      .withColumn("value_cents",
+        expr("CAST(round(value * CAST(100.0 AS DOUBLE)) AS BIGINT)"))
+      .select(col("user_id"), col("event_id"),
+        sum(col("value_cents")).over(w).as("trail_10m_cents"),
+        count(lit(1)).over(w).cast("long").as("trail_10m_n"))
+      .orderBy("user_id", "event_id")
+  }
+
   /** String-function surface parity: the everyday mapping toolkit
     * (length/case/substr/pad/regex/reverse/search/concat) computed in
     * one map-side pass and pinned against the oracle's equivalents —
@@ -1541,6 +1578,8 @@ object SparkEntry {
     "t_semi_join" -> tSemiJoin,
     "t_lag_lead" -> tLagLead,
     "t_window_funcs" -> tWindowFuncs,
+    "t_range_window" -> tRangeWindow,
+    "t_zorder" -> tZorder,
     "t_star_join" -> tStarJoin,
     "t_salted_join" -> tSaltedJoin,
     "t_bucketed_join" -> tBucketedJoin,

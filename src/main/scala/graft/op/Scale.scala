@@ -171,4 +171,44 @@ object Scale {
       .withColumn(idCol, col("_offset") + row_number().over(w))
       .drop("_pid", "_offset")
   }
+
+  /** Morton (Z-order) value of two non-negative dimension columns: the
+    * low `bits` bits of x and y interleaved (x in even positions, y in
+    * odd). Pure integer shift/mask arithmetic — exact on any engine —
+    * and monotone locality: rows close in z-value are close in BOTH
+    * dimensions, which is what makes a z-sorted file layout prunable
+    * on either column, not just the leading one of a lexicographic
+    * sort. Inputs are masked to `bits` bits, so out-of-range values
+    * wrap rather than collide across rows of different magnitude —
+    * callers bucket/normalize dimensions first (as any z-order writer
+    * does).
+    */
+  def zValue(x: Column, y: Column, bits: Int = 16): Column = {
+    require(bits >= 1 && bits <= 31, "bits in [1, 31] (2*bits must fit a long)")
+    (0 until bits).map { i =>
+      val xi = shiftleft(shiftright(x.cast("long"), i).bitwiseAND(lit(1L)), 2 * i)
+      val yi = shiftleft(shiftright(y.cast("long"), i).bitwiseAND(lit(1L)), 2 * i + 1)
+      xi.bitwiseOR(yi)
+    }.reduce(_.bitwiseOR(_))
+  }
+
+  /** Z-order layout for a two-dimension write: range-partition on the
+    * Morton value, then sort within partitions — every output file
+    * covers a compact rectangle in (x, y) space, so parquet min/max
+    * stats prune scans filtered on EITHER dimension. This is the
+    * data-layout lever at 100 TB: a lexicographic (x, y) sort prunes
+    * x-filters only; z-order prunes both at a small constant factor in
+    * each. Partition count comes from `numPartitions` (0 = session
+    * shuffle partitions), matching the sizedForWrite convention.
+    */
+  def zorderBy(df: DataFrame, xCol: String, yCol: String,
+               bits: Int = 16, numPartitions: Int = 0): DataFrame = {
+    val parts = if (numPartitions > 0) numPartitions
+      else df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200").toInt
+    val zv = zValue(col(xCol), col(yCol), bits)
+    df.withColumn("_zv", zv)
+      .repartitionByRange(parts, col("_zv"))
+      .sortWithinPartitions("_zv")
+      .drop("_zv")
+  }
 }
