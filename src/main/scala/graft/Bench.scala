@@ -102,8 +102,11 @@ object Bench {
     val total = if (deadQueries.nonEmpty) -1.0 else qMin.map(_._2).sum
     val detail =
       s"""{"metric":"bench_detail","n_passes":$nPasses,"queries_min_full":${jmap(qMin)},"queries_median":${jmap(qMed)},"errors":$errJson,"failed_all_passes":${deadQueries.map("\"" + _ + "\"").mkString("[", ",", "]")}}"""
+    // keep this line SHORT (well under the driver's ~3 kB stdout tail
+    // buffer; see jnum3) — at 100+ queries every byte of note text and
+    // per-query precision counts
     val primary =
-      s"""{"metric":"total","value":${jnum3(total)},"unit":"sec","queries":${jmap3(qMin)},"sf":"$sfDir","n_passes":$nPasses,"err_count":${errors.size},"note":"min/query over $nPasses passes on idle machine; -1=failure"}"""
+      s"""{"metric":"total","value":${jnum3(total)},"unit":"sec","queries":${jmap3(qMin)},"sf":"$sfDir","n_passes":$nPasses,"err_count":${errors.size},"note":"min/q, idle; -1=fail"}"""
     // stdout for the driver AND a file, so a log-prefix-polluted stdout
     // can never lose the round's numbers; primary line LAST (upstream
     // keeps only the tail of stdout)

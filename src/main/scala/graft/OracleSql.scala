@@ -1078,6 +1078,26 @@ object OracleSql {
       FROM bmtop b FULL OUTER JOIN vtop v ON b.doc = v.doc
       ORDER BY rrf_pts DESC, doc_id LIMIT 10""",
 
+    "ns_lm_score" ->
+      s"""WITH lmt AS (
+        SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS w,
+               generate_subscripts(string_split(lower(trim(text)), ' '), 1) AS pos
+        FROM documents),
+      bg AS (
+        SELECT doc_id, w AS w1,
+               lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+        FROM lmt QUALIFY w2 IS NOT NULL),
+      c2t AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY 1, 2),
+      c1t AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY 1),
+      p AS (SELECT w1, w2, ${graft.ext.TextAnalysis.lmPointsSql} AS p_pts
+            FROM c2t JOIN c1t USING (w1)),
+      d AS (SELECT doc_id, CAST(sum(p_pts) AS BIGINT) AS lm_pts,
+                   count(*) AS n_bigrams
+            FROM bg JOIN p USING (w1, w2) GROUP BY 1)
+      SELECT doc_id, n_bigrams, lm_pts,
+        round(CAST(lm_pts AS DOUBLE) / n_bigrams, 6) AS avg_p_micro
+      FROM d ORDER BY doc_id""",
+
     "ns_keywords" ->
       s"""WITH ktf AS (
         SELECT doc_id AS doc, term, count(*) AS tf FROM (

@@ -1240,6 +1240,12 @@ object SparkEntry {
       .orderBy(col("rrf_pts").desc, col("doc_id"))
   }
 
+  private def nsLmScore(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.lmScore(t(s, dir, "documents"), "text", "doc_id")
+      .select(col("doc").as("doc_id"), col("n_bigrams"), col("lm_pts"),
+        col("avg_p_micro"))
+      .orderBy("doc_id")
+
   private def nsKeywords(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.keywords(t(s, dir, "documents"), "text", "doc_id", k = 3)
       .select(col("doc").as("doc_id"), col("rk"), col("term"), col("tf"),
@@ -1625,6 +1631,7 @@ object SparkEntry {
     "ns_bm25_topk" -> nsBm25Topk,
     "ns_hybrid_rrf" -> nsHybridRrf,
     "ns_keywords" -> nsKeywords,
+    "ns_lm_score" -> nsLmScore,
     "ns_cross_dedup" -> nsCrossDedup,
     "ns_dedup_minhash" -> nsDedupMinhash,
     "ns_dedup_minhash_verified" -> nsDedupMinhashVerified,

@@ -306,6 +306,52 @@ object TextAnalysis {
         col("score_pts"))
   }
 
+  /** SQL-portable bigram-probability micro-points — shared verbatim
+    * with the DuckDB oracle (expects columns c2, c1); see [[Bm25]] for
+    * the literal-pinning rationale.
+    */
+  val lmPointsSql: String =
+    "CAST(round(CAST(1000000.0 AS DOUBLE) * CAST(c2 AS DOUBLE) / " +
+      "CAST(c1 AS DOUBLE)) AS BIGINT)"
+
+  /** Corpus-trained bigram language-model scoring — the
+    * perplexity-PROXY quality signal (KenLM-style filtering) in an
+    * engine-portable form: each in-document bigram (w1, w2) scores the
+    * conditional probability c(w1,w2)/c(w1) estimated from the corpus
+    * itself, scaled to integer micro-points (one correctly-rounded
+    * double division — exact and order-independent under the BIGINT
+    * sum), and a document's score is the mean over its bigrams. True
+    * log-perplexity needs `ln`, which is not correctly rounded and can
+    * never hash-match across engines (see [[Bm25]]); the mean raw
+    * probability ranks fluent-vs-gibberish the same direction and IS
+    * exact. Low avg ⇒ improbable token transitions ⇒ gibberish/noise.
+    *
+    * Scale shape: bigram generation is pure map-side; the model is two
+    * partial-agg shuffles over bigram/unigram TYPES (vocab-bounded, not
+    * corpus-bounded); scoring is one join on (w1, w2) co-partitioned
+    * with the type table plus the final per-doc partial-agg sum. Docs
+    * with fewer than two tokens have no bigrams and are excluded.
+    */
+  def lmScore(df: DataFrame, text: String, id: String): DataFrame = {
+    val base = df.select(col(id).as("doc"),
+      split(lower(trim(col(text))), " ").as("_tk"))
+    // guard < 2 tokens BEFORE sequence(): Spark's sequence(0, -1)
+    // descends rather than producing an empty array
+    val bg = base.filter(size(col("_tk")) >= 2)
+      .select(col("doc"), explode(expr(
+        "transform(sequence(0, size(_tk) - 2), " +
+          "i -> struct(_tk[i] AS w1, _tk[i + 1] AS w2))")).as("b"))
+      .select(col("doc"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val c2 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    val c1 = bg.groupBy("w1").agg(count(lit(1)).as("c1"))
+    val p = c2.join(c1, Seq("w1")).withColumn("p_pts", expr(lmPointsSql))
+    bg.join(p, Seq("w1", "w2"))
+      .groupBy("doc")
+      .agg(sum("p_pts").as("lm_pts"), count(lit(1)).as("n_bigrams"))
+      .withColumn("avg_p_micro",
+        round(col("lm_pts").cast("double") / col("n_bigrams"), 6))
+  }
+
   /** Language ID, n-gram/stopword-profile heuristic: score each language
     * by the fraction of tokens hitting its marker list; argmax wins,
     * 'und' (undetermined) when nothing scores. Profiles are tiny and

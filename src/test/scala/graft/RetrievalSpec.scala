@@ -102,6 +102,26 @@ class RetrievalSpec extends SparkSpec {
       threshold = 0.01).count() == 0L)
   }
 
+  // ---- bigram LM scoring ----
+
+  test("lmScore matches hand-computed bigram probabilities") {
+    val docs = Seq((1L, "a b a b"), (2L, "a c")).toDF("doc_id", "text")
+    // corpus bigrams: (a,b)x2 (b,a)x1 (a,c)x1; contexts: a->3, b->1
+    // p(a,b)=2/3 -> 666667 pts; p(b,a)=1/1 -> 1000000; p(a,c)=1/3 -> 333333
+    val byDoc = TextAnalysis.lmScore(docs, "text", "doc_id")
+      .select("doc", "lm_pts", "n_bigrams").as[(Long, Long, Long)]
+      .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(byDoc(1L) == ((666667L * 2 + 1000000L, 3L)))
+    assert(byDoc(2L) == ((333333L, 1L)))
+  }
+
+  test("lmScore: deterministic text scores p=1 everywhere; short docs drop") {
+    val docs = Seq((1L, "x x x x"), (2L, "solo")).toDF("doc_id", "text")
+    val got = TextAnalysis.lmScore(docs, "text", "doc_id")
+      .select("doc", "avg_p_micro").as[(Long, Double)].collect()
+    assert(got.toSeq == Seq((1L, 1000000.0))) // doc 2 has no bigrams
+  }
+
   // ---- RRF arithmetic ----
 
   test("rrf points match the closed form and ignore a missing side") {
