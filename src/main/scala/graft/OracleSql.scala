@@ -936,6 +936,13 @@ object OracleSql {
         (CASE lang WHEN 'en' THEN 300 WHEN 'zh' THEN 800 ELSE 1000 END)
       ORDER BY doc_id""",
 
+    "ns_weighted_sample" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+      WHERE ((doc_id % 1000000007) * 2654435761) % 1000 <
+        CAST(round(least(CAST(1.0 AS DOUBLE), CAST(n_chars AS DOUBLE) / CAST(400.0 AS DOUBLE))
+          * CAST(1000.0 AS DOUBLE)) AS BIGINT)
+      ORDER BY doc_id""",
+
     "ns_train_split" ->
       """SELECT doc_id, lang,
         CASE WHEN ((doc_id % 1000000007) * 2654435761) % 1000 < 50 THEN 'test'

@@ -222,6 +222,17 @@ object SparkEntry {
       "lang", "doc_id", Map("en" -> 0.3, "zh" -> 0.8))
       .orderBy("doc_id")
 
+  /** Length-weighted Bernoulli keep: p = min(1, n_chars/400) — the
+    * continuous-weight mixing primitive; the weight expression is
+    * mirrored literal-for-literal in the oracle.
+    */
+  private def nsWeightedSample(s: SparkSession, dir: String): DataFrame =
+    graft.ext.Sampling.weightedSample(
+      t(s, dir, "documents").select("doc_id", "lang", "n_chars"),
+      "doc_id",
+      expr("least(CAST(1.0 AS DOUBLE), CAST(n_chars AS DOUBLE) / CAST(400.0 AS DOUBLE))"))
+      .orderBy("doc_id")
+
   /** Deterministic 90/5/5 train/val/test assignment by key bucket —
     * map-side, stable under corpus growth, engine-reproducible.
     */
@@ -1615,6 +1626,7 @@ object SparkEntry {
     "ns_source_stats" -> nsSourceStats,
     "ns_tfidf" -> nsTfidf,
     "ns_stratified_sample" -> nsStratifiedSample,
+    "ns_weighted_sample" -> nsWeightedSample,
     "ns_train_split" -> nsTrainSplit,
     "ns_corpus_report" -> nsCorpusReport,
     "ns_corpus_mix" -> nsCorpusMix,

@@ -47,6 +47,22 @@ object Sampling {
     df.filter(bucket1000(col(key)) < cut)
   }
 
+  /** Continuous-weight deterministic Bernoulli sampling — the
+    * importance-sampling primitive behind quality-weighted data mixing:
+    * keep each row with probability `weight` (a per-row column in
+    * [0, 1]), decided by the row's own key bucket, never by rand().
+    * The weight is converted to a permille threshold by ONE
+    * round-half-up per row (exact on any ANSI engine — callers mirror
+    * the same expression text in an oracle), so keep decisions are
+    * integer comparisons: rerun-, partitioning- and engine-stable,
+    * zero shuffle. The fixed-rate-per-stratum special case is
+    * [[stratifiedSample]]; keys must be non-negative integral
+    * ([[bucket1000]] contract).
+    */
+  def weightedSample(df: DataFrame, key: String, weight: Column): DataFrame =
+    df.filter(bucket1000(col(key)) <
+      round(weight * lit(1000.0)).cast("long"))
+
   /** Deterministic train/val/test assignment — the split column every
     * training pipeline stamps before anything else. Decided per row by
     * the [[bucket1000]] of `key`: bucket < testPermille → "test", next

@@ -118,6 +118,21 @@ class AsofSamplingSpec extends SparkSpec {
       Map("en" -> 0.0), 1.0).filter($"lang" === "en").count() == 0)
   }
 
+  test("weighted sample: keep rate tracks the per-row weight; 0/1 edges") {
+    val rows = spark.range(20000).selectExpr("id AS doc_id",
+      "CAST(id % 200 AS DOUBLE) / 200.0 AS w")
+    val kept = Sampling.weightedSample(rows, "doc_id", col("w"))
+    // exact model: bucket(k) < round(w * 1000)
+    def bucket(k: Long): Long = ((k % 1000000007L) * 2654435761L) % 1000L
+    val model = (0L until 20000L)
+      .filter(k => bucket(k) < math.round((k % 200).toDouble / 200.0 * 1000.0))
+    assert(kept.count() == model.size)
+    assert(kept.select("doc_id").as[Long].collect().toSet == model.toSet)
+    // weight 0 keeps nothing, weight 1 keeps everything
+    assert(Sampling.weightedSample(rows, "doc_id", lit(0.0)).count() == 0)
+    assert(Sampling.weightedSample(rows, "doc_id", lit(1.0)).count() == 20000)
+  }
+
   test("corpus mix: weights repeat rows with copy ordinals; 0 drops") {
     val docs = Seq((1L, "de"), (2L, "en"), (3L, "zh")).toDF("doc_id", "lang")
     val out = Sampling.mixCorpus(docs, "lang", Map("de" -> 3, "zh" -> 0))
