@@ -312,7 +312,17 @@ object TextDedup {
                         shingleN: Int = 3, threshold: Double = 0.5,
                         maxPostings: Long = 5000,
                         verbose: Boolean = false): DataFrame =
-    pairCounts(df, text, id, shingleN, maxPostings, verbose)
+    jaccardFromPairs(
+      candidatePairCounts(df, text, id, shingleN, maxPostings, verbose),
+      threshold)
+
+  /** Jaccard over a prebuilt [[candidatePairCounts]] frame — the probe
+    * half of the build/probe split: a pipeline that materializes the
+    * pair graph once can derive every similarity policy from it
+    * without re-running the posting-list pass.
+    */
+  def jaccardFromPairs(pairs: DataFrame, threshold: Double): DataFrame =
+    pairs
       .withColumn("jaccard",
         col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
       .filter(col("jaccard") >= threshold)
@@ -333,7 +343,15 @@ object TextDedup {
                        shingleN: Int = 3, threshold: Double = 0.5,
                        maxPostings: Long = 5000,
                        verbose: Boolean = false): DataFrame =
-    pairCounts(df, text, id, shingleN, maxPostings, verbose)
+    containmentFromPairs(
+      candidatePairCounts(df, text, id, shingleN, maxPostings, verbose),
+      threshold)
+
+  /** Containment over a prebuilt [[candidatePairCounts]] frame (probe
+    * half of the build/probe split; see [[jaccardFromPairs]]).
+    */
+  def containmentFromPairs(pairs: DataFrame, threshold: Double): DataFrame =
+    pairs
       .filter(col("inter").cast("double") / col("na") >= threshold ||
         col("inter").cast("double") / col("nb") >= threshold)
       .withColumn("cont_a", round(col("inter").cast("double") / col("na"), 6))
@@ -344,11 +362,14 @@ object TextDedup {
   /** Shared pair kernel of the jaccard/containment detectors:
     * (id_a, id_b, inter, na, nb) for every ordered doc pair sharing at
     * least one shingle that survives the df-prune, with sizes measured
-    * over the pruned universe on both sides.
+    * over the pruned universe on both sides. This is the frame a real
+    * pipeline materializes ONCE per corpus snapshot (it is pair-graph
+    * sized, not corpus sized) and derives every similarity policy
+    * from — see the artifact cache in SparkEntry.
     */
-  private def pairCounts(df: DataFrame, text: String, id: String,
-                         shingleN: Int, maxPostings: Long,
-                         verbose: Boolean): DataFrame = {
+  def candidatePairCounts(df: DataFrame, text: String, id: String,
+                          shingleN: Int = 3, maxPostings: Long = 5000,
+                          verbose: Boolean = false): DataFrame = {
     require(maxPostings >= 1 && maxPostings <= 10000,
       "maxPostings must be in [1, 10000] (array_pairs bound)")
     val sh = docShingles(df, text, id, shingleN)
