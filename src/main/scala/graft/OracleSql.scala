@@ -127,6 +127,18 @@ object OracleSql {
 
   private val bm25TermsIn = "('spark','vector','dup')"
 
+  /** Exact scaled-integer per-label embedding means — shared by the
+    * explode-form and UDAF-form centroid queries (bit-equal contract).
+    */
+  private val embedCentroidsSql: String =
+    """SELECT label, CAST(pos - 1 AS INT) AS dim, count(*) AS n,
+        round(CAST(sum(CAST(round(CAST(v AS DOUBLE) * 1000000) AS BIGINT)) AS DOUBLE)
+              / (count(*) * 1000000.0), 6) AS centroid
+      FROM (SELECT label, unnest(embedding) AS v,
+                   generate_subscripts(embedding, 1) AS pos
+            FROM embeddings)
+      GROUP BY 1, 2 ORDER BY label, dim"""
+
   /** Morton interleave of the low `bits` bits of x/y as explicit
     * shift-mask-or terms — the SQL mirror of `op.Scale.zValue` (exact
     * integer arithmetic on both engines).
@@ -548,14 +560,11 @@ object OracleSql {
       ORDER BY user_id, event_id""",
 
     // the same scaled-integer exact mean as VectorSearch.labelCentroids
-    "ns_embed_centroids" ->
-      """SELECT label, CAST(pos - 1 AS INT) AS dim, count(*) AS n,
-        round(CAST(sum(CAST(round(CAST(v AS DOUBLE) * 1000000) AS BIGINT)) AS DOUBLE)
-              / (count(*) * 1000000.0), 6) AS centroid
-      FROM (SELECT label, unnest(embedding) AS v,
-                   generate_subscripts(embedding, 1) AS pos
-            FROM embeddings)
-      GROUP BY 1, 2 ORDER BY label, dim""",
+    "ns_embed_centroids" -> embedCentroidsSql,
+
+    // identical oracle by design: the UDAF form must be bit-equal to
+    // the explode form (same micro-point rounding, same division)
+    "ns_embed_centroids_agg" -> embedCentroidsSql,
 
     // same exact centroid CTE as ns_embed_centroids; the argmax orders
     // by (-sim, label) — identical tie semantics to Spark's

@@ -1014,6 +1014,23 @@ object SparkEntry {
     VectorSearch.labelCentroids(t(s, dir, "embeddings"), "label", "embedding")
       .orderBy("label", "dim")
 
+  /** The UDAF form of [[nsEmbedCentroids]]: one Aggregator state per
+    * (label, map task) crosses the exchange instead of the exploded
+    * (row × dim) stream — bit-identical output (same micro-point
+    * rounding, same final division expression), same oracle SQL.
+    */
+  private def nsEmbedCentroidsAgg(s: SparkSession, dir: String): DataFrame = {
+    val vecsum = udaf(graft.functions.VecSumAgg)
+    t(s, dir, "embeddings")
+      .groupBy("label").agg(vecsum(col("embedding")).as("st"))
+      .select(col("label"), col("st.n").as("n"),
+        posexplode(col("st.sums")).as(Seq("dim", "_s")))
+      .withColumn("centroid",
+        round(col("_s").cast("double") / (col("n") * lit(1000000.0)), 6))
+      .select(col("label"), col("dim"), col("n"), col("centroid"))
+      .orderBy("label", "dim")
+  }
+
   /** Nearest-centroid classification: every embedding labeled with its
     * most cosine-similar class prototype — the inference step on top of
     * [[nsEmbedCentroids]]. Oracle-exact: exact centroids, 6-dp rounded
@@ -1637,6 +1654,7 @@ object SparkEntry {
     "ns_bigrams" -> nsBigrams,
     "ns_ttr" -> nsTtr,
     "ns_embed_centroids" -> nsEmbedCentroids,
+    "ns_embed_centroids_agg" -> nsEmbedCentroidsAgg,
     "ns_nearest_centroid" -> nsNearestCentroid,
     "ns_embed_quantize" -> nsEmbedQuantize,
     "ns_source_stats" -> nsSourceStats,
