@@ -765,6 +765,15 @@ object OracleSql {
       ORDER BY revenue DESC, c_custkey
       LIMIT 10""",
 
+    "sql_correlated" ->
+      """SELECT n.n_nationkey, n.n_name,
+        (SELECT COUNT(*) FROM supplier s2
+         WHERE s2.s_nationkey = n.n_nationkey) AS n_suppliers
+      FROM nation n
+      WHERE EXISTS (SELECT 1 FROM supplier s1
+                    WHERE s1.s_nationkey = n.n_nationkey)
+      ORDER BY n.n_nationkey""",
+
     "t_set_ops" ->
       """WITH oc AS (SELECT o_custkey AS k FROM orders),
       bb AS (SELECT c_custkey AS k FROM customer WHERE c_acctbal > 0)

@@ -174,6 +174,25 @@ object SparkEntry {
       LIMIT 10""")
   }
 
+  /** SQL-surface: correlated EXISTS + correlated scalar subquery in one
+    * statement — the decorrelation machinery (Catalyst rewrites both
+    * into joins) a SQL user depends on. Nations that have suppliers,
+    * with each nation's supplier count, phrased as subqueries rather
+    * than joins; DuckDB runs the same text.
+    */
+  private def sqlCorrelated(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "nation").createOrReplaceTempView("v_nation")
+    t(s, dir, "supplier").createOrReplaceTempView("v_supplier")
+    s.sql("""
+      SELECT n.n_nationkey, n.n_name,
+        (SELECT COUNT(*) FROM v_supplier s2
+         WHERE s2.s_nationkey = n.n_nationkey) AS n_suppliers
+      FROM v_nation n
+      WHERE EXISTS (SELECT 1 FROM v_supplier s1
+                    WHERE s1.s_nationkey = n.n_nationkey)
+      ORDER BY n.n_nationkey""")
+  }
+
   /** Gap-based sessionization over the event stream (30-minute gap),
     * via Spark's native session_window; the oracle reproduces the
     * merged-interval semantics with lag + cumulative flags.
@@ -1607,6 +1626,7 @@ object SparkEntry {
     "t_window_hourly" -> tWindowHourly,
     "t11_date_lineitem" -> t11DateLineitem,
     "sql_revenue_topk" -> sqlRevenueTopk,
+    "sql_correlated" -> sqlCorrelated,
     "t_set_ops" -> tSetOps,
     "t_rollup" -> tRollup,
     "t_pivot" -> tPivot,

@@ -248,4 +248,49 @@ class PlanSpec extends SparkSpec {
     // (vector, label)
     assert(p.contains("partial_min"), p)
   }
+
+  test("bm25: df and corpus stats broadcast; top-k is TakeOrdered") {
+    val p = planOf("ns_bm25_topk")
+    assert(p.contains("BroadcastHashJoin"), p)   // per-term df side
+    assert(p.contains("BroadcastNestedLoopJoin"), p) // one-row stats
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("keywords: per-doc top-k compiles to WindowGroupLimit") {
+    val p = planOf("ns_keywords")
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
+  test("containment probe is one exchange over the pair artifact") {
+    // warm the artifact, then assert the PROBE plan: the posting-list
+    // build must not reappear per consumer
+    SparkEntry.queries("ns_containment")(spark, sf).collect()
+    val p = planOf("ns_containment")
+    assert("(hash|range)partitioning\\(".r.findAllIn(p).size == 1, p)
+    assert(!p.contains("WordShingles") && !p.contains("word_shingles"), p)
+  }
+
+  test("zorderBy plans a range exchange + in-partition sort, no global sort") {
+    val grid = spark.range(1000)
+      .selectExpr("id % 32 AS x", "id / 32 AS y")
+    val p = graft.op.Scale.zorderBy(grid, "x", "y", bits = 5,
+      numPartitions = 8).queryExecution.explainString(FormattedMode)
+    assert(p.contains("rangepartitioning"), p)
+    // the only Sort must be the local (non-global) one
+    assert("Sort ".r.findAllIn(p).size >= 1 && !p.contains("Sort [_zv"), p)
+    assert(!p.contains("Exchange SinglePartition"), p)
+  }
+
+  test("lm score: map-side bigrams, vocab-bounded joins, no cartesian") {
+    val p = planOf("ns_lm_score")
+    assert(!p.contains("CartesianProduct"), p)
+    // tiny test-scale model sides broadcast; at real scale AQE decides
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"), p)
+  }
+
+  test("weighted sample filters map-side: only the output sort exchanges") {
+    val p = planOf("ns_weighted_sample")
+    assert("(hash|range)partitioning\\(".r.findAllIn(p).size == 1, p)
+  }
 }

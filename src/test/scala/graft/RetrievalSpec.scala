@@ -102,6 +102,20 @@ class RetrievalSpec extends SparkSpec {
       threshold = 0.01).count() == 0L)
   }
 
+  test("bm25/keywords argument contracts fail loudly; no-hit query is empty") {
+    intercept[IllegalArgumentException] {
+      TextAnalysis.bm25Scores(corpus, "text", "doc_id", Seq.empty)
+    }
+    intercept[IllegalArgumentException] {
+      TextAnalysis.bm25TopK(corpus, "text", "doc_id", Seq("the"), k = 0)
+    }
+    intercept[IllegalArgumentException] {
+      TextAnalysis.keywords(corpus, "text", "doc_id", k = 0)
+    }
+    assert(TextAnalysis.bm25Scores(corpus, "text", "doc_id",
+      Seq("xyzzy")).count() == 0L)
+  }
+
   // ---- bigram LM scoring ----
 
   test("lmScore matches hand-computed bigram probabilities") {
