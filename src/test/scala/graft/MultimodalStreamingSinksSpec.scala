@@ -142,6 +142,34 @@ class StreamingSpec extends SparkSpec {
       .toSeq == Seq(7L, 8L))
   }
 
+  test("map-side curation ops run unchanged on a document stream") {
+    // scrub + quality scoring + weighted sampling are pure column
+    // expressions — the same code must work on readStream without a
+    // streaming twin. Batch result is the oracle.
+    val dir = java.nio.file.Files.createTempDirectory("docstream").toString
+    Seq(
+      (1L, "the quick brown fox jumps over the lazy dog and more of the words here to pass the gate"),
+      (2L, "contact me at someone@example.com for all of the details on this and that topic again"),
+      (3L, "x"),
+      (4L, "a plain sentence with a few of the common stopwords in it to score above the threshold"))
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+    def curate(df: org.apache.spark.sql.DataFrame) =
+      graft.ext.Sampling.weightedSample(
+        graft.ext.TextAnalysis.qualityScore(
+          df.withColumn("text", graft.ext.TextAnalysis.scrub(col("text"))),
+          "text"),
+        "doc_id", least(lit(1.0), col("quality_score") + lit(0.5)))
+        .select("doc_id", "text", "quality_score")
+    EventStream.runAvailableNow(
+      curate(spark.readStream.schema(schema).parquet(dir)), "stream_curate")
+    val streamed = spark.sql("select * from stream_curate").collect().toSet
+    val batch = curate(spark.read.parquet(dir)).collect().toSet
+    assert(streamed == batch && batch.nonEmpty)
+    // the scrub actually ran in the stream
+    assert(streamed.forall(!_.getString(1).contains("example.com")))
+  }
+
   test("streaming foreachBatch upserts merged micro-batches into JDBC") {
     val url = "jdbc:derby:memory:streamupsert;create=true"
     val c = java.sql.DriverManager.getConnection(url)
