@@ -954,6 +954,26 @@ object OracleSql {
         (CASE lang WHEN 'en' THEN 300 WHEN 'zh' THEN 800 ELSE 1000 END)
       ORDER BY doc_id""",
 
+    "ns_bootstrap" ->
+      """WITH reps AS (
+        SELECT doc_id, n_chars, unnest(generate_series(1, 20)) AS rep
+        FROM documents),
+      b AS (
+        SELECT rep, n_chars,
+          ((((doc_id % 1000000007) * (rep + 1) + rep * 7919) % 1000000007)
+            * 2654435761) % 1000 AS bkt
+        FROM reps),
+      m AS (
+        SELECT rep, n_chars,
+          CASE WHEN bkt < 368 THEN 0 WHEN bkt < 736 THEN 1
+               WHEN bkt < 920 THEN 2 WHEN bkt < 981 THEN 3
+               WHEN bkt < 996 THEN 4 ELSE 5 END AS mult
+        FROM b)
+      SELECT CAST(rep AS BIGINT) AS rep,
+        CAST(sum(mult) AS BIGINT) AS n_eff,
+        round(CAST(sum(mult * n_chars) AS DOUBLE) / sum(mult), 6) AS mean_metric
+      FROM m GROUP BY rep ORDER BY rep""",
+
     "ns_weighted_sample" ->
       """SELECT doc_id, lang, n_chars FROM documents
       WHERE ((doc_id % 1000000007) * 2654435761) % 1000 <

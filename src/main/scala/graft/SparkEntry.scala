@@ -252,6 +252,15 @@ object SparkEntry {
       expr("least(CAST(1.0 AS DOUBLE), CAST(n_chars AS DOUBLE) / CAST(400.0 AS DOUBLE))"))
       .orderBy("doc_id")
 
+  /** 20 deterministic Poisson-bootstrap replicates of the mean doc
+    * length — the spread across rows is the corpus statistic's
+    * uncertainty, computed distributively with zero rand().
+    */
+  private def nsBootstrap(s: SparkSession, dir: String): DataFrame =
+    graft.ext.Sampling.poissonBootstrap(
+      t(s, dir, "documents"), "doc_id", "n_chars", replicates = 20)
+      .orderBy("rep")
+
   /** Deterministic 90/5/5 train/val/test assignment by key bucket —
     * map-side, stable under corpus growth, engine-reproducible.
     */
@@ -1681,6 +1690,7 @@ object SparkEntry {
     "ns_tfidf" -> nsTfidf,
     "ns_stratified_sample" -> nsStratifiedSample,
     "ns_weighted_sample" -> nsWeightedSample,
+    "ns_bootstrap" -> nsBootstrap,
     "ns_train_split" -> nsTrainSplit,
     "ns_corpus_report" -> nsCorpusReport,
     "ns_corpus_mix" -> nsCorpusMix,

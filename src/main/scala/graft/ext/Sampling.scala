@@ -47,6 +47,51 @@ object Sampling {
     df.filter(bucket1000(col(key)) < cut)
   }
 
+  /** Deterministic Poisson bootstrap: `replicates` resamples of the
+    * corpus where each row's multiplicity in replicate r is drawn from
+    * Poisson(1) quantized to thousandths — P(k)=368,368,184,61,15,4 for
+    * k=0..5 — selected by the (key, replicate) hash bucket instead of
+    * rand(), so every engine and every rerun produces the identical
+    * resample. Emits one row per replicate: effective row count and
+    * the replicate mean of `metric` (exact integer sum, one division,
+    * rounded) — the spread across replicates IS the uncertainty of the
+    * corpus statistic, computed without any driver-side loop.
+    *
+    * Scale shape: the replicate fan-out is a map-side
+    * explode(sequence), and the per-replicate aggregate partial-
+    * aggregates, so the exchange carries `replicates` rows per map
+    * task. `metric` must be integer-valued (exact sums); keys
+    * non-negative integral ([[bucket1000]] contract).
+    */
+  def poissonBootstrap(df: DataFrame, key: String, metric: String,
+                       replicates: Int = 20): DataFrame = {
+    require(replicates >= 1 && replicates <= 1000, "replicates in [1, 1000]")
+    // multiplicative replicate mixing: an ADDITIVE offset (key' + c·r)
+    // collapses to one constant bucket shift per replicate — on a
+    // key set that fills buckets evenly every replicate then draws the
+    // identical n_eff (caught by the spec); scaling by (r + 1) gives
+    // each replicate a different affine map over the key space
+    val mixed = pmod(
+      pmod(col(key), lit(1000000007L)) * (col("rep") + lit(1))
+        + col("rep") * lit(7919L), lit(1000000007L))
+    val bkt = bucket1000(mixed)
+    // cumulative thousandths of the Poisson(1) pmf, k = 0..5
+    val mult = when(bkt < 368, 0L).when(bkt < 736, 1L).when(bkt < 920, 2L)
+      .when(bkt < 981, 3L).when(bkt < 996, 4L).otherwise(5L)
+    df.select(col(key), col(metric).cast("long").as("_m"),
+        explode(expr(s"sequence(1, $replicates)")).as("rep"))
+      .withColumn("_mult", mult)
+      .groupBy("rep")
+      .agg(sum(col("_mult")).as("n_eff"),
+        sum(col("_mult") * col("_m")).as("_sum"))
+      .withColumn("mean_metric",
+        round(col("_sum").cast("double") / col("n_eff"), 6))
+      // rep is INT from sequence(); emit BIGINT to match any engine's
+      // generate_series
+      .select(col("rep").cast("long").as("rep"), col("n_eff"),
+        col("mean_metric"))
+  }
+
   /** Continuous-weight deterministic Bernoulli sampling — the
     * importance-sampling primitive behind quality-weighted data mixing:
     * keep each row with probability `weight` (a per-row column in

@@ -133,6 +133,26 @@ class AsofSamplingSpec extends SparkSpec {
     assert(Sampling.weightedSample(rows, "doc_id", lit(1.0)).count() == 20000)
   }
 
+  test("poisson bootstrap: deterministic, n_eff near N, multiplicity pmf") {
+    val rows = spark.range(20000).selectExpr("id AS doc_id", "id % 100 AS m")
+    val a = Sampling.poissonBootstrap(rows, "doc_id", "m", replicates = 10)
+      .orderBy("rep").collect()
+    val b = Sampling.poissonBootstrap(rows.repartition(9), "doc_id", "m",
+      replicates = 10).orderBy("rep").collect()
+    assert(a.sameElements(b)) // partitioning cannot change a resample
+    // E[n_eff] = N (Poisson(1) multiplicities, quantized): every
+    // replicate within 5% of N at N = 20000
+    a.foreach { r =>
+      val nEff = r.getLong(r.fieldIndex("n_eff"))
+      assert(math.abs(nEff - 20000L) < 1000L, s"n_eff $nEff")
+      // replicate means stay near the true mean 49.5 of id % 100
+      val mean = r.getDouble(r.fieldIndex("mean_metric"))
+      assert(mean > 48.0 && mean < 51.0, s"mean $mean")
+    }
+    // the replicates genuinely differ (it is a resample, not a copy)
+    assert(a.map(_.getLong(1)).distinct.length > 1)
+  }
+
   test("corpus mix: weights repeat rows with copy ordinals; 0 drops") {
     val docs = Seq((1L, "de"), (2L, "en"), (3L, "zh")).toDF("doc_id", "lang")
     val out = Sampling.mixCorpus(docs, "lang", Map("de" -> 3, "zh" -> 0))
