@@ -954,6 +954,26 @@ object OracleSql {
         (CASE lang WHEN 'en' THEN 300 WHEN 'zh' THEN 800 ELSE 1000 END)
       ORDER BY doc_id""",
 
+    "ns_drift_report" ->
+      """WITH pb AS (
+        SELECT lang, count(*) AS n_docs_before,
+               CAST(sum(len(string_split(trim(text), ' '))) AS BIGINT) AS n_tokens_before
+        FROM documents WHERE doc_id % 2 = 0 GROUP BY lang),
+      pa AS (
+        SELECT lang, count(*) AS n_docs_after,
+               CAST(sum(len(string_split(trim(text), ' '))) AS BIGINT) AS n_tokens_after
+        FROM documents WHERE doc_id % 2 = 1 GROUP BY lang)
+      SELECT coalesce(pb.lang, pa.lang) AS lang,
+        coalesce(n_docs_before, 0) AS n_docs_before,
+        coalesce(n_tokens_before, 0) AS n_tokens_before,
+        coalesce(n_docs_after, 0) AS n_docs_after,
+        coalesce(n_tokens_after, 0) AS n_tokens_after,
+        coalesce(n_docs_after, 0) - coalesce(n_docs_before, 0) AS docs_delta,
+        round(CAST(coalesce(n_docs_after, 0) - coalesce(n_docs_before, 0) AS DOUBLE)
+              / nullif(coalesce(n_docs_before, 0), 0), 6) AS docs_rel
+      FROM pb FULL OUTER JOIN pa ON pb.lang = pa.lang
+      ORDER BY lang""",
+
     "ns_bootstrap" ->
       """WITH reps AS (
         SELECT doc_id, n_chars, unnest(generate_series(1, 20)) AS rep

@@ -252,6 +252,17 @@ object SparkEntry {
       expr("least(CAST(1.0 AS DOUBLE), CAST(n_chars AS DOUBLE) / CAST(400.0 AS DOUBLE))"))
       .orderBy("doc_id")
 
+  /** Per-language drift between two corpus snapshots (even vs odd
+    * doc_id halves stand in for consecutive ingests).
+    */
+  private def nsDriftReport(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    TextAnalysis.corpusDrift(
+      docs.filter(col("doc_id") % 2 === 0),
+      docs.filter(col("doc_id") % 2 === 1), "lang", "text")
+      .orderBy("lang")
+  }
+
   /** 20 deterministic Poisson-bootstrap replicates of the mean doc
     * length — the spread across rows is the corpus statistic's
     * uncertainty, computed distributively with zero rand().
@@ -1691,6 +1702,7 @@ object SparkEntry {
     "ns_stratified_sample" -> nsStratifiedSample,
     "ns_weighted_sample" -> nsWeightedSample,
     "ns_bootstrap" -> nsBootstrap,
+    "ns_drift_report" -> nsDriftReport,
     "ns_train_split" -> nsTrainSplit,
     "ns_corpus_report" -> nsCorpusReport,
     "ns_corpus_mix" -> nsCorpusMix,

@@ -352,6 +352,33 @@ object TextAnalysis {
         round(col("lm_pts").cast("double") / col("n_bigrams"), 6))
   }
 
+  /** Corpus drift report: per-group (language, source, …) profile of
+    * two corpus snapshots side by side with absolute and relative
+    * deltas — the monitoring table a production pipeline materializes
+    * on every ingest to catch composition shifts (a language
+    * collapsing, a source ballooning) before they reach training.
+    * Counts are exact integers; the relative delta is one
+    * correctly-rounded division (NULL when the group is new — no
+    * baseline to compare against). Two partial-agg shuffles (one per
+    * snapshot, each output is |groups| rows) + a tiny full-outer join.
+    */
+  def corpusDrift(before: DataFrame, after: DataFrame, group: String,
+                  text: String): DataFrame = {
+    def profile(df: DataFrame, suffix: String): DataFrame =
+      df.groupBy(group).agg(
+        count(lit(1)).as(s"n_docs_$suffix"),
+        sum(size(split(trim(col(text)), " ")).cast("long"))
+          .as(s"n_tokens_$suffix"))
+    profile(before, "before").join(profile(after, "after"),
+        Seq(group), "full_outer")
+      .na.fill(0L, Seq("n_docs_before", "n_tokens_before",
+        "n_docs_after", "n_tokens_after"))
+      .withColumn("docs_delta", col("n_docs_after") - col("n_docs_before"))
+      .withColumn("docs_rel",
+        round(col("docs_delta").cast("double") /
+          nullif(col("n_docs_before"), lit(0L)), 6))
+  }
+
   /** Language ID, n-gram/stopword-profile heuristic: score each language
     * by the fraction of tokens hitting its marker list; argmax wins,
     * 'und' (undetermined) when nothing scores. Profiles are tiny and

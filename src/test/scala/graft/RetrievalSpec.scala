@@ -136,6 +136,26 @@ class RetrievalSpec extends SparkSpec {
     assert(got.toSeq == Seq((1L, 1000000.0))) // doc 2 has no bigrams
   }
 
+  // ---- corpus drift ----
+
+  test("corpusDrift reports deltas, new groups (null rel), vanished groups") {
+    val before = Seq((1L, "a b c", "en"), (2L, "d e", "en"), (3L, "x y", "de"))
+      .toDF("doc_id", "text", "lang")
+    val after = Seq((4L, "a b", "en"), (5L, "p q r s", "fr"))
+      .toDF("doc_id", "text", "lang")
+    val got = TextAnalysis.corpusDrift(before, after, "lang", "text")
+      .orderBy("lang")
+      .select("lang", "n_docs_before", "n_docs_after", "n_tokens_before",
+        "n_tokens_after", "docs_delta", "docs_rel")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          Option(r.get(6)).map(_.asInstanceOf[Double]))))
+      .toMap
+    assert(got("en") == ((2L, 1L, 5L, 2L, -1L, Some(-0.5))))
+    assert(got("de") == ((1L, 0L, 2L, 0L, -1L, Some(-1.0)))) // vanished
+    assert(got("fr") == ((0L, 1L, 0L, 4L, 1L, None)))        // new: no baseline
+  }
+
   // ---- RRF arithmetic ----
 
   test("rrf points match the closed form and ignore a missing side") {
