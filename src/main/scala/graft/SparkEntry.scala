@@ -1557,6 +1557,21 @@ object SparkEntry {
       VectorSearch.ivfBuild(t(s, dir, "embeddings"), "vec_id", "embedding",
         nLists = 8))
 
+  /** Release every per-(session, dir) corpus artifact — IVF index,
+    * cluster labels, candidate-pair graph. Long-lived drivers that
+    * move between corpus snapshots must call this on the old dir or
+    * each snapshot leaks one artifact set (`spark.catalog.clearCache`
+    * does NOT evict localCheckpoint blocks). The IVF assignment frame
+    * unpersists immediately; the localCheckpoint'd frames have no
+    * un-checkpoint API — dropping the last reference here lets the
+    * ContextCleaner reclaim their blocks on the next GC.
+    */
+  def releaseArtifacts(s: SparkSession, dir: String): Unit = {
+    ivfIndexCache.remove((s, dir)).foreach(_.close())
+    clusterCache.remove((s, dir)).foreach(_.unpersist())
+    pairCache.remove((s, dir)).foreach(_.unpersist())
+  }
+
   private def nsTopkSimilarity(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
     VectorSearch.bruteForceTopK(emb, emb.filter(col("vec_id") < 5),

@@ -277,8 +277,12 @@ class PlanSpec extends SparkSpec {
     val p = graft.op.Scale.zorderBy(grid, "x", "y", bits = 5,
       numPartitions = 8).queryExecution.explainString(FormattedMode)
     assert(p.contains("rangepartitioning"), p)
-    // the only Sort must be the local (non-global) one
-    assert("Sort ".r.findAllIn(p).size >= 1 && !p.contains("Sort [_zv"), p)
+    // formatted mode prints a Sort's global flag on its Arguments line:
+    // "Arguments: [_zv#.. ASC NULLS FIRST], false, 0" — the in-partition
+    // sort must be there and NO Sort may be global (", true, 0" would
+    // mean zorderBy degraded to a full global sort)
+    assert("ASC NULLS FIRST\\], false, 0".r.findAllIn(p).nonEmpty, p)
+    assert(!p.contains("], true, 0"), p)
     assert(!p.contains("Exchange SinglePartition"), p)
   }
 

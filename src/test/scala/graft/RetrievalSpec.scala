@@ -136,6 +136,14 @@ class RetrievalSpec extends SparkSpec {
     assert(got.toSeq == Seq((1L, 1000000.0))) // doc 2 has no bigrams
   }
 
+  test("releaseArtifacts drops per-dir caches; consumers rebuild cleanly") {
+    val before = SparkEntry.queries("ns_containment")(spark, sf).count()
+    SparkEntry.releaseArtifacts(spark, sf)
+    // next consumer rebuilds the artifact from scratch, same result
+    assert(SparkEntry.queries("ns_containment")(spark, sf).count() == before)
+    assert(before > 0)
+  }
+
   // ---- corpus drift ----
 
   test("corpusDrift reports deltas, new groups (null rel), vanished groups") {
