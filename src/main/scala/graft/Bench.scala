@@ -111,7 +111,13 @@ object Bench {
     val fullMap = jmap3(qMin)
     val (qJson, omitted) =
       if (fullMap.length <= 2400) (fullMap, 0)
-      else (jmap3(qMin.sortBy(-_._2).take(40)), qMin.size - 40)
+      else {
+        // failures (value < 0) survive truncation unconditionally;
+        // remaining slots go to the slowest passing queries
+        val (failed, passing) = qMin.partition(_._2 < 0)
+        val kept = failed ++ passing.sortBy(-_._2).take((40 - failed.size) max 0)
+        (jmap3(kept), qMin.size - kept.size)
+      }
     val omittedJson =
       if (omitted > 0) s""","queries_omitted":$omitted""" else ""
     val primary =

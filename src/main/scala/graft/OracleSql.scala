@@ -556,7 +556,7 @@ object OracleSql {
         wo AS (PARTITION BY user_id ORDER BY ts, event_id),
         wf AS (PARTITION BY user_id ORDER BY ts, event_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING),
-        wv AS (PARTITION BY event_type ORDER BY value)
+        wv AS (PARTITION BY event_type ORDER BY value NULLS FIRST)
       ORDER BY user_id, event_id""",
 
     // the same scaled-integer exact mean as VectorSearch.labelCentroids

@@ -625,7 +625,7 @@ object SparkEntry {
       org.apache.spark.sql.expressions.Window.unboundedPreceding,
       org.apache.spark.sql.expressions.Window.unboundedFollowing)
     val wVal = org.apache.spark.sql.expressions.Window
-      .partitionBy("event_type").orderBy("value")
+      .partitionBy("event_type").orderBy(asc_nulls_first("value"))
     Tables.events(s, dir).filter(col("user_id") % 16 === 0)
       .select(col("user_id"), col("event_id"),
         dense_rank().over(wVal).as("val_dense_rank"),
@@ -1377,10 +1377,10 @@ object SparkEntry {
     * (the survivor policy) reads the artifact.
     */
   private val clusterCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]
 
   private def clusterLabels(s: SparkSession, dir: String): DataFrame =
-    clusterCache.getOrElseUpdate((s, dir),
+    clusterCache.computeIfAbsent((s, dir), _ =>
       TextDedup.nearDupClusters(
         TextDedup.jaccardFromPairs(pairGraph(s, dir), threshold = 0.12))
         .localCheckpoint(true))
@@ -1393,10 +1393,10 @@ object SparkEntry {
     * the build; the containment and cluster-label consumers probe.
     */
   private val pairCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]
 
   private def pairGraph(s: SparkSession, dir: String): DataFrame =
-    pairCache.getOrElseUpdate((s, dir),
+    pairCache.computeIfAbsent((s, dir), _ =>
       TextDedup.candidatePairCounts(t(s, dir, "documents"), "text", "doc_id",
         shingleN = 3).localCheckpoint(true))
 
@@ -1538,11 +1538,11 @@ object SparkEntry {
     * cluster where the index is built nightly and probed all day.
     */
   private val ivfIndexCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), VectorSearch.IvfIndex]
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), VectorSearch.IvfIndex]
 
   private def nsIvfTopk(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
-    val idx = ivfIndexCache.getOrElseUpdate((s, dir),
+    val idx = ivfIndexCache.computeIfAbsent((s, dir), _ =>
       VectorSearch.ivfBuild(emb, "vec_id", "embedding", nLists = 8))
     VectorSearch.ivfTopK(idx, emb.filter(col("vec_id") < 5), k = 10, nprobe = 2)
       .orderBy("query_id", "rank")
@@ -1553,7 +1553,7 @@ object SparkEntry {
     * cluster the index is built once offline and probed all day.
     */
   def warmupIndexes(s: SparkSession, dir: String): Unit =
-    ivfIndexCache.getOrElseUpdate((s, dir),
+    ivfIndexCache.computeIfAbsent((s, dir), _ =>
       VectorSearch.ivfBuild(t(s, dir, "embeddings"), "vec_id", "embedding",
         nLists = 8))
 
@@ -1565,11 +1565,21 @@ object SparkEntry {
     * unpersists immediately; the localCheckpoint'd frames have no
     * un-checkpoint API — dropping the last reference here lets the
     * ContextCleaner reclaim their blocks on the next GC.
+    *
+    * QUIESCENCE contract: callers must ensure no in-flight consumer
+    * still holds a DataFrame derived from the old dir's artifacts
+    * before calling. The checkpointed frames have truncated lineage,
+    * so once their blocks are evicted a surviving consumer fails
+    * UNRECOVERABLY (there is no plan left to recompute from) — this is
+    * a snapshot-swap barrier, not a concurrent-safe eviction. The
+    * caches themselves populate atomically (ConcurrentHashMap
+    * `computeIfAbsent`), so a racing first use can no longer
+    * double-build and strand one build's checkpoint blocks.
     */
   def releaseArtifacts(s: SparkSession, dir: String): Unit = {
-    ivfIndexCache.remove((s, dir)).foreach(_.close())
-    clusterCache.remove((s, dir)).foreach(_.unpersist())
-    pairCache.remove((s, dir)).foreach(_.unpersist())
+    Option(ivfIndexCache.remove((s, dir))).foreach(_.close())
+    Option(clusterCache.remove((s, dir))).foreach(_.unpersist())
+    Option(pairCache.remove((s, dir))).foreach(_.unpersist())
   }
 
   private def nsTopkSimilarity(s: SparkSession, dir: String): DataFrame = {

@@ -103,6 +103,13 @@ object Sampling {
     * zero shuffle. The fixed-rate-per-stratum special case is
     * [[stratifiedSample]]; keys must be non-negative integral
     * ([[bucket1000]] contract).
+    *
+    * NULL-weight contract: a NULL weight makes the `<` comparison
+    * NULL, which `filter` treats as false — the row is DROPPED. This
+    * is deliberate (identical to SQL `WHERE` semantics, so the DuckDB
+    * twin agrees), but it means NULL weights vanish silently; callers
+    * who want a loud failure should `coalesce` or `assert_true` the
+    * weight expression before passing it in.
     */
   def weightedSample(df: DataFrame, key: String, weight: Column): DataFrame =
     df.filter(bucket1000(col(key)) <

@@ -181,7 +181,10 @@ object Scale {
     * sort. Inputs are masked to `bits` bits, so out-of-range values
     * wrap rather than collide across rows of different magnitude —
     * callers bucket/normalize dimensions first (as any z-order writer
-    * does).
+    * does). NEGATIVE inputs are part of that contract: two's-complement
+    * low bits of a negative long interleave to a garbage (non-local)
+    * z-value, so normalize to non-negative first — e.g.
+    * `(x % 1024 + 1024) % 1024` or an offset shift.
     */
   def zValue(x: Column, y: Column, bits: Int = 16): Column = {
     require(bits >= 1 && bits <= 31, "bits in [1, 31] (2*bits must fit a long)")
@@ -205,10 +208,14 @@ object Scale {
                bits: Int = 16, numPartitions: Int = 0): DataFrame = {
     val parts = if (numPartitions > 0) numPartitions
       else df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200").toInt
+    // collision-safe temp name: withColumn would silently OVERWRITE a
+    // caller column of the same name and drop() would then delete it
+    val tmp = Iterator.from(0).map(i => s"_zv$i")
+      .find(n => !df.columns.contains(n)).get
     val zv = zValue(col(xCol), col(yCol), bits)
-    df.withColumn("_zv", zv)
-      .repartitionByRange(parts, col("_zv"))
-      .sortWithinPartitions("_zv")
-      .drop("_zv")
+    df.withColumn(tmp, zv)
+      .repartitionByRange(parts, col(tmp))
+      .sortWithinPartitions(tmp)
+      .drop(tmp)
   }
 }

@@ -46,4 +46,16 @@ class ZorderSpec extends SparkSpec {
     // z-order: BOTH dimensions compact (each partition ~a rectangle)
     assert(zx < 40.0 && zy < 40.0)
   }
+
+  test("zorderBy leaves a caller column named like its temp intact") {
+    // regression: the temp column used to be the fixed name "_zv" —
+    // a caller column of that name was overwritten and then dropped
+    val df = Seq((1L, 2L, "keep-a"), (3L, 4L, "keep-b"))
+      .toDF("x", "y", "_zv0").withColumn("_zv", lit("payload"))
+    val out = Scale.zorderBy(df, "x", "y", bits = 4, numPartitions = 2)
+    assert(out.columns.toSet == Set("x", "y", "_zv0", "_zv"))
+    assert(out.select("_zv").as[String].collect().toSet == Set("payload"))
+    assert(out.select("_zv0").as[String].collect().toSet ==
+      Set("keep-a", "keep-b"))
+  }
 }
