@@ -2,11 +2,17 @@ package graft
 
 /** DuckDB oracle twins for SparkEntry.queries (driver contract).
   *
-  * KNOWN PARITY ASSUMPTION: the Spark operators tokenize with the regex
-  * `\s+`, the DuckDB twins with `string_split(text, ' ')`. These agree
-  * only because the generated document corpus is single-space separated
-  * with no tabs/newlines (verified at all scale factors). Corpora with
-  * other whitespace need the twins rewritten with regexp_split_to_array.
+  * TOKENIZATION: the analysis-family twins use [[wsToks]]/[[wsToksCased]]
+  * — the exact DuckDB mirror of the engine's pinned tokenizer
+  * ([[graft.ext.Tok]]): whitespace-charset trim + split on the explicit
+  * class `[ \t\n\x0B\f\r]+`. Parity holds on ANY whitespace shape
+  * (gated on the tab/CRLF/double-space fixture of
+  * tools/make_ws_fixture.py), not just the single-spaced generated
+  * corpus. Only the reassembly twins (ns_block_dedup, ns_chunk_docs)
+  * and the array-surface test (t_array_funcs) keep the exact
+  * single-space `string_split` — matching the engine rule there, where
+  * spacing is content (both engines keep internal AND trailing empty
+  * fields, so `split(t, " ")` = `string_split(t, ' ')` on any input).
   *
   * Dialect notes (parity decisions, validated against DuckDB 1.0):
   *  - events.ts is ns-precision parquet; DuckDB truncates to µs, which
@@ -22,6 +28,18 @@ object OracleSql {
   private val stopwordsIn =
     "('the','a','an','and','or','of','to','in','is','are','was','for','on','with','as','by','at','it')"
 
+  /** DuckDB mirror of [[graft.ext.Tok]] — the pinned analysis-family
+    * tokenizer. The trim charset is spelled out because DuckDB's
+    * one-arg trim strips only spaces, and the split class is explicit
+    * because RE2 `\s` excludes \x0B while Java's includes it.
+    */
+  private val wsTrimChars =
+    "(' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13))"
+  private def wsToks(e: String): String =
+    s"regexp_split_to_array(trim(lower($e), $wsTrimChars), '[ \\t\\n\\x0B\\f\\r]+')"
+  private def wsToksCased(e: String): String =
+    s"regexp_split_to_array(trim($e, $wsTrimChars), '[ \\t\\n\\x0B\\f\\r]+')"
+
   /** Quality-feature + score CTEs over documents (f / scored) — the
     * DuckDB mirror of `TextAnalysis.qualityScore`; shared by
     * ns_text_quality and ns_quality_filter so the formula stays in
@@ -30,12 +48,12 @@ object OracleSql {
   private def qualityCtes: String =
     s"""f AS (
         SELECT doc_id,
-          len(string_split(lower(trim(text)), ' ')) AS n_words,
-          CAST(length(text) - (len(string_split(lower(trim(text)), ' ')) - 1) AS DOUBLE)
-            / len(string_split(lower(trim(text)), ' ')) AS avg_word_len,
+          len(${wsToks("text")}) AS n_words,
+          CAST(length(text) - (len(${wsToks("text")}) - 1) AS DOUBLE)
+            / len(${wsToks("text")}) AS avg_word_len,
           CAST(len(regexp_extract_all(text, '[\\.,;:!\\?]')) AS DOUBLE) / length(text) AS punct_ratio,
-          CAST(len(list_filter(string_split(lower(trim(text)), ' '), w -> w IN $stopwordsIn)) AS DOUBLE)
-            / len(string_split(lower(trim(text)), ' ')) AS stopword_ratio
+          CAST(len(list_filter(${wsToks("text")}, w -> w IN $stopwordsIn)) AS DOUBLE)
+            / len(${wsToks("text")}) AS stopword_ratio
         FROM documents),
       scored AS (
         SELECT doc_id, n_words, avg_word_len, stopword_ratio,
@@ -60,10 +78,12 @@ object OracleSql {
     * whole-text shingle — mirrors `TextDedup.docShingles`.
     */
   private def shingleCtes(src: String): String =
-    s"""toks AS (
-        SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w,
-               generate_subscripts(string_split(lower(text), ' '), 1) AS pos
-        FROM $src),
+    s"""toksa AS (
+        SELECT doc_id, ${wsToks("text")} AS toka FROM $src),
+      toks AS (
+        SELECT doc_id, unnest(toka) AS w,
+               generate_subscripts(toka, 1) AS pos
+        FROM toksa),
       sh0 AS (
         SELECT doc_id, w || ' ' || lead(w) OVER (PARTITION BY doc_id ORDER BY pos)
                || ' ' || lead(w, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS sh
@@ -71,8 +91,8 @@ object OracleSql {
       sh AS (
         SELECT DISTINCT doc_id, sh FROM sh0 WHERE sh IS NOT NULL
         UNION
-        SELECT doc_id, lower(text) FROM $src
-        WHERE len(string_split(lower(text), ' ')) < 3)"""
+        SELECT doc_id, array_to_string(toka, ' ') FROM toksa
+        WHERE len(toka) < 3)"""
 
   private def jaccardCtes(src: String, pruned: Boolean): String = {
     val shSrc = if (pruned) "shp" else "sh"
@@ -101,14 +121,14 @@ object OracleSql {
                        b: Double = 0.75): String =
     s"""bmbase AS (
         SELECT doc_id AS doc,
-               CAST(len(string_split(lower(trim(text)), ' ')) AS BIGINT) AS dl
+               CAST(len(${wsToks("text")}) AS BIGINT) AS dl
         FROM documents),
       bmstats AS (
         SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl
         FROM bmbase),
       bmtoks AS (
         SELECT doc_id AS doc,
-               unnest(string_split(lower(trim(text)), ' ')) AS term
+               unnest(${wsToks("text")}) AS term
         FROM documents),
       bmtf AS (
         SELECT t.doc, b.dl, t.term, count(*) AS tf
@@ -609,10 +629,10 @@ object OracleSql {
       FROM exploded ORDER BY vec_id, dim""",
 
     "ns_source_stats" ->
-      """SELECT source, count(*) AS n_docs,
-        CAST(sum(len(string_split(trim(text), ' '))) AS BIGINT) AS n_tokens,
+      s"""SELECT source, count(*) AS n_docs,
+        CAST(sum(len(${wsToksCased("text")})) AS BIGINT) AS n_tokens,
         CAST(sum(n_chars) AS BIGINT) AS n_chars_total,
-        round(CAST(sum(len(string_split(trim(text), ' '))) AS DOUBLE) / count(*), 6) AS avg_tokens
+        round(CAST(sum(len(${wsToksCased("text")})) AS DOUBLE) / count(*), 6) AS avg_tokens
       FROM documents GROUP BY 1 ORDER BY source""",
 
     "ns_chunk_docs" ->
@@ -630,9 +650,9 @@ object OracleSql {
       FROM ch ORDER BY doc_id, chunk_id""",
 
     "ns_vocab" ->
-      """WITH c AS (
+      s"""WITH c AS (
         SELECT token, count(*) AS n FROM (
-          SELECT unnest(string_split(lower(trim(text)), ' ')) AS token
+          SELECT unnest(${wsToks("text")}) AS token
           FROM documents)
         GROUP BY 1 HAVING count(*) >= 2)
       SELECT token, n, row_number() OVER (ORDER BY n DESC, token) AS vocab_id
@@ -647,9 +667,9 @@ object OracleSql {
         FROM documents) WHERE rk <= 40 ORDER BY doc_id""",
 
     "ns_bigrams" ->
-      """WITH toks AS (
-        SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS w,
-               generate_subscripts(string_split(lower(trim(text)), ' '), 1) AS pos
+      s"""WITH toks AS (
+        SELECT doc_id, unnest(${wsToks("text")}) AS w,
+               generate_subscripts(${wsToks("text")}, 1) AS pos
         FROM documents),
       bg AS (
         SELECT w || ' ' || lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS bigram
@@ -658,9 +678,9 @@ object OracleSql {
       GROUP BY 1 ORDER BY n DESC, bigram LIMIT 30""",
 
     "ns_ttr" ->
-      """WITH tc AS (
+      s"""WITH tc AS (
         SELECT doc_id, token, count(*) AS cnt FROM (
-          SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS token
+          SELECT doc_id, unnest(${wsToks("text")}) AS token
           FROM documents)
         GROUP BY 1, 2)
       SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_tokens, count(*) AS n_types,
@@ -892,8 +912,8 @@ object OracleSql {
     // one window cumsum IS the packing spec; the Spark side reaches the
     // same numbers through the distributed two-pass prefix sum
     "ns_seq_pack" ->
-      """WITH t AS (
-        SELECT doc_id, CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_tokens
+      s"""WITH t AS (
+        SELECT doc_id, CAST(len(${wsToksCased("text")}) AS BIGINT) AS n_tokens
         FROM documents),
       c AS (
         SELECT doc_id, n_tokens,
@@ -939,8 +959,8 @@ object OracleSql {
       GROUP BY doc_id ORDER BY doc_id""",
 
     "ns_tfidf" ->
-      """WITH toks AS (
-        SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS term
+      s"""WITH toks AS (
+        SELECT doc_id, unnest(${wsToks("text")}) AS term
         FROM documents),
       tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
       dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1)
@@ -955,13 +975,13 @@ object OracleSql {
       ORDER BY doc_id""",
 
     "ns_drift_report" ->
-      """WITH pb AS (
+      s"""WITH pb AS (
         SELECT lang, count(*) AS n_docs_before,
-               CAST(sum(len(string_split(trim(text), ' '))) AS BIGINT) AS n_tokens_before
+               CAST(sum(len(${wsToksCased("text")})) AS BIGINT) AS n_tokens_before
         FROM documents WHERE doc_id % 2 = 0 GROUP BY lang),
       pa AS (
         SELECT lang, count(*) AS n_docs_after,
-               CAST(sum(len(string_split(trim(text), ' '))) AS BIGINT) AS n_tokens_after
+               CAST(sum(len(${wsToksCased("text")})) AS BIGINT) AS n_tokens_after
         FROM documents WHERE doc_id % 2 = 1 GROUP BY lang)
       SELECT coalesce(pb.lang, pa.lang) AS lang,
         coalesce(n_docs_before, 0) AS n_docs_before,
@@ -1145,8 +1165,8 @@ object OracleSql {
 
     "ns_lm_score" ->
       s"""WITH lmt AS (
-        SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS w,
-               generate_subscripts(string_split(lower(trim(text)), ' '), 1) AS pos
+        SELECT doc_id, unnest(${wsToks("text")}) AS w,
+               generate_subscripts(${wsToks("text")}, 1) AS pos
         FROM documents),
       bg AS (
         SELECT doc_id, w AS w1,
@@ -1166,7 +1186,7 @@ object OracleSql {
     "ns_keywords" ->
       s"""WITH ktf AS (
         SELECT doc_id AS doc, term, count(*) AS tf FROM (
-          SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS term
+          SELECT doc_id, unnest(${wsToks("text")}) AS term
           FROM documents)
         GROUP BY 1, 2),
       kdf AS (SELECT term, count(*) AS df FROM ktf GROUP BY 1),
@@ -1187,8 +1207,8 @@ object OracleSql {
     "ns_decontaminate_xl" -> decontaminateSql,
 
     "ns_token_budget" ->
-      """WITH t AS (
-        SELECT doc_id, CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_tokens
+      s"""WITH t AS (
+        SELECT doc_id, CAST(len(${wsToksCased("text")}) AS BIGINT) AS n_tokens
         FROM documents),
       c AS (
         SELECT doc_id, n_tokens,
@@ -1231,7 +1251,7 @@ object OracleSql {
         SELECT count(*) AS n_docs,
           count(DISTINCT source) AS n_sources,
           count(DISTINCT lang) AS n_langs,
-          CAST(sum(len(string_split(trim(text), ' '))) AS BIGINT) AS n_tokens,
+          CAST(sum(len(${wsToksCased("text")})) AS BIGINT) AS n_tokens,
           count(*) - count(DISTINCT text) AS n_exact_dup_docs
         FROM documents),
       nd AS (SELECT count(*) AS n_near_dup_docs,
@@ -1255,7 +1275,7 @@ object OracleSql {
     "ns_repetition" ->
       s"""WITH ${shingleCtes("documents")},
       nd AS (SELECT doc_id, count(*) AS n_distinct FROM sh GROUP BY 1),
-      t AS (SELECT doc_id, greatest(len(string_split(lower(text), ' ')) - 2, 1) AS n_ngrams FROM documents)
+      t AS (SELECT doc_id, greatest(len(${wsToks("text")}) - 2, 1) AS n_ngrams FROM documents)
       SELECT t.doc_id, t.n_ngrams, nd.n_distinct,
         round(CAST(t.n_ngrams - nd.n_distinct AS DOUBLE) / t.n_ngrams, 6) AS rep_ratio
       FROM t JOIN nd ON t.doc_id = nd.doc_id
@@ -1343,14 +1363,14 @@ object OracleSql {
       SELECT query_id, rank, vec_id, sim FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""",
 
     "ns_text_tokens" ->
-      """SELECT token, count(*) AS n FROM (
-        SELECT unnest(string_split(lower(trim(text)), ' ')) AS token FROM documents
+      s"""SELECT token, count(*) AS n FROM (
+        SELECT unnest(${wsToks("text")}) AS token FROM documents
       ) GROUP BY token ORDER BY n DESC, token LIMIT 20""",
 
     "ns_token_stats" ->
-      """SELECT doc_id,
-        CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_tokens,
-        CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS n_subwords
+      s"""SELECT doc_id,
+        CAST(len(${wsToksCased("text")}) AS BIGINT) AS n_tokens,
+        CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 \\t\\n\\x0B\\f\\r]')) AS BIGINT) AS n_subwords
       FROM documents ORDER BY doc_id""",
 
     "ns_text_quality" ->
@@ -1366,21 +1386,21 @@ object OracleSql {
       WHERE quality_score >= t ORDER BY doc_id""",
 
     "ns_fingerprint" ->
-      """SELECT doc_id, CAST(SUM(CAST(pos AS BIGINT) * (ascii(substring(w, 1, 1)) * 131 + length(w))) % 1000003 AS BIGINT) AS fp
-      FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w,
-                   generate_subscripts(string_split(lower(text), ' '), 1) AS pos
+      s"""SELECT doc_id, CAST(SUM(CAST(pos AS BIGINT) * (ascii(substring(w, 1, 1)) * 131 + length(w))) % 1000003 AS BIGINT) AS fp
+      FROM (SELECT doc_id, unnest(${wsToks("text")}) AS w,
+                   generate_subscripts(${wsToks("text")}, 1) AS pos
             FROM documents)
       GROUP BY doc_id ORDER BY doc_id""",
 
     "ns_curation_pipeline" ->
       s"""WITH f AS (
         SELECT doc_id, text,
-          len(string_split(lower(trim(text)), ' ')) AS n_words,
-          CAST(length(text) - (len(string_split(lower(trim(text)), ' ')) - 1) AS DOUBLE)
-            / len(string_split(lower(trim(text)), ' ')) AS avg_word_len,
+          len(${wsToks("text")}) AS n_words,
+          CAST(length(text) - (len(${wsToks("text")}) - 1) AS DOUBLE)
+            / len(${wsToks("text")}) AS avg_word_len,
           CAST(len(regexp_extract_all(text, '[\\.,;:!\\?]')) AS DOUBLE) / length(text) AS punct_ratio,
-          CAST(len(list_filter(string_split(lower(trim(text)), ' '), w -> w IN $stopwordsIn)) AS DOUBLE)
-            / len(string_split(lower(trim(text)), ' ')) AS stopword_ratio
+          CAST(len(list_filter(${wsToks("text")}, w -> w IN $stopwordsIn)) AS DOUBLE)
+            / len(${wsToks("text")}) AS stopword_ratio
         FROM documents),
       scored AS (
         SELECT doc_id, text, n_words,
@@ -1416,7 +1436,7 @@ object OracleSql {
     // lang string. Scores are small-integer ratios -> bit-exact doubles.
     "ns_lang_id" ->
       s"""WITH w AS (
-        SELECT doc_id, lang, string_split(lower(trim(text)), ' ') AS words FROM documents),
+        SELECT doc_id, lang, ${wsToks("text")} AS words FROM documents),
       scores AS (
         SELECT doc_id, lang, 'en' AS cand,
           CAST(len(list_filter(words, t -> t IN $stopwordsIn)) AS DOUBLE) / len(words) AS score FROM w

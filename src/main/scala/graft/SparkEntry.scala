@@ -1102,7 +1102,7 @@ object SparkEntry {
       count(lit(1)).as("n_docs"),
       countDistinct(col("source")).as("n_sources"),
       countDistinct(col("lang")).as("n_langs"),
-      sum(size(split(trim(col("text")), " ")).cast("long")).as("n_tokens"),
+      sum(graft.ext.Tok.count(col("text")).cast("long")).as("n_tokens"),
       (count(lit(1)) - countDistinct(col("text"))).as("n_exact_dup_docs"))
     val nd = clusterLabels(s, dir).agg(
       count(lit(1)).as("n_near_dup_docs"),
@@ -1120,7 +1120,7 @@ object SparkEntry {
   private def nsSourceStats(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
       .select(col("source"),
-        size(split(trim(col("text")), " ")).cast("long").as("nt"),
+        graft.ext.Tok.count(col("text")).cast("long").as("nt"),
         col("n_chars"))
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs"), sum("nt").as("n_tokens"),
@@ -1170,16 +1170,14 @@ object SparkEntry {
     * cut into 2048-token training bins — distributed prefix sum, never
     * a single-partition global window.
     *
-    * Token counts use the EXACT single-space split (the blockDedup
-    * convention), not tokenCount's `\s+` regex: the oracle splits with
-    * `string_split(trim(text), ' ')`, and on text with consecutive
-    * whitespace the two rules disagree — pin the same rule on both
-    * sides rather than rely on the corpus being single-spaced.
+    * Token counts use the pinned analysis tokenizer ([[graft.ext.Tok]]),
+    * mirrored exactly by the oracle's `wsToksCased` — the same rule on
+    * both sides rather than relying on the corpus being single-spaced.
     */
   private def nsSeqPack(s: SparkSession, dir: String): DataFrame =
     graft.ext.Packing.packByBudget(
       t(s, dir, "documents").select(col("doc_id"),
-        size(split(trim(col("text")), " ")).cast("long").as("n_tokens")),
+        graft.ext.Tok.count(col("text")).cast("long").as("n_tokens")),
       Seq("doc_id"), "n_tokens", capacity = 2048L, numPartitions = 8)
       .select("doc_id", "n_tokens", "bin", "bin_offset")
       .orderBy("doc_id")
@@ -1430,7 +1428,7 @@ object SparkEntry {
     */
   private def nsTokenBudget(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents").select(col("doc_id"),
-      size(split(trim(col("text")), " ")).cast("long").as("n_tokens"))
+      graft.ext.Tok.count(col("text")).cast("long").as("n_tokens"))
     graft.op.Scale.globalRunningSum(docs, Seq("doc_id"), "n_tokens",
         numPartitions = 8, outCol = "cum_before")
       .filter(col("cum_before") < 50000L)

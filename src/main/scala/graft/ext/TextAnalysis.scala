@@ -11,7 +11,7 @@ import org.apache.spark.sql.functions._
 object TextAnalysis {
 
   /** Whitespace token count. */
-  def tokenCount(text: Column): Column = size(split(trim(text), "\\s+"))
+  def tokenCount(text: Column): Column = Tok.count(text)
 
   /** BPE-ish subword token count: runs of letters, runs of digits, and
     * single other non-space characters — the common pre-tokenizer
@@ -19,7 +19,8 @@ object TextAnalysis {
     * token count, used for corpus budgeting.
     */
   def subwordTokenCount(text: Column): Column =
-    size(regexp_extract_all(lower(text), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0)))
+    size(regexp_extract_all(lower(text),
+      lit("[a-z]+|[0-9]+|[^a-z0-9 \\t\\n\\x0B\\f\\r]"), lit(0)))
 
   /** Per-document quality features (length, word stats, punctuation /
     * digit / stopword ratios). Ratios are exact integer divisions cast
@@ -27,7 +28,7 @@ object TextAnalysis {
     */
   def qualityFeatures(df: DataFrame, text: String): DataFrame = {
     val t = col(text)
-    val words = split(lower(trim(t)), "\\s+")
+    val words = Tok.tokens(t)
     df.withColumn("n_chars_m", length(t))
       .withColumn("n_words", size(words))
       .withColumn("avg_word_len",
@@ -101,7 +102,7 @@ object TextAnalysis {
     */
   def repetitionRatio(df: DataFrame, text: String, id: String,
                       n: Int = 3): DataFrame = {
-    val toks = split(lower(col(text)), "\\s+")
+    val toks = Tok.tokens(col(text))
     val total = greatest(size(toks) - lit(n - 1), lit(1))
     val distinctN = size(
       graft.functions.VectorExpressions.word_shingles(toks, n))
@@ -145,7 +146,7 @@ object TextAnalysis {
   def buildVocab(df: DataFrame, text: String, minCount: Long = 1): DataFrame = {
     require(minCount >= 1, "minCount must be >= 1")
     val counts = df
-      .select(explode(split(lower(trim(col(text))), "\\s+")).as("token"))
+      .select(explode(Tok.tokens(col(text))).as("token"))
       .groupBy("token").agg(count(lit(1)).as("n"))
       .filter(col("n") >= minCount)
     graft.op.Scale.globalRowNumbers(
@@ -156,15 +157,14 @@ object TextAnalysis {
 
   /** Corpus-wide top-k bigram (adjacent word pair) counts — the
     * collocation profile quality teams eyeball for boilerplate. Tokens
-    * are the EXACT single-space split (pinned on both engines, like
-    * blockDedup/seq-pack — not the `\s+` regex). Bigrams are generated
+    * are the pinned analysis tokenizer ([[Tok]]). Bigrams are generated
     * map-side (transform over the token array, no self-join); the count
     * is one partial-aggregated shuffle on the bigram; top-k is a
     * TakeOrdered, never a global sort.
     */
   def topBigrams(df: DataFrame, text: String, k: Int): DataFrame = {
     require(k >= 1, "k must be >= 1")
-    df.select(split(lower(trim(col(text))), " ").as("t"))
+    df.select(Tok.tokens(col(text)).as("t"))
       .filter(size(col("t")) >= 2)
       .select(explode(expr(
         "transform(sequence(1, size(t) - 1), " +
@@ -182,7 +182,7 @@ object TextAnalysis {
     */
   def typeTokenStats(df: DataFrame, text: String, id: String): DataFrame = {
     val counts = df.select(col(id).as("doc"),
-        explode(split(lower(trim(col(text))), "\\s+")).as("token"))
+        explode(Tok.tokens(col(text))).as("token"))
       .groupBy("doc", "token").agg(count(lit(1)).as("c"))
     counts.groupBy("doc").agg(
         sum("c").cast("long").as("n_tokens"),
@@ -196,7 +196,7 @@ object TextAnalysis {
     * aggregation makes this a single light shuffle even at corpus scale.
     */
   def topTokens(df: DataFrame, text: String, k: Int): DataFrame =
-    df.select(explode(split(lower(trim(col(text))), "\\s+")).as("token"))
+    df.select(explode(Tok.tokens(col(text))).as("token"))
       .groupBy("token").agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("token")).limit(k)
 
@@ -211,7 +211,7 @@ object TextAnalysis {
     */
   def tfidf(df: DataFrame, text: String, id: String): DataFrame = {
     val toks = df.select(col(id).as("doc"),
-      explode(split(lower(trim(col(text))), "\\s+")).as("term"))
+      explode(Tok.tokens(col(text))).as("term"))
     val tf = toks.groupBy("doc", "term").agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val nDocs = df.agg(count(lit(1)).as("n_docs"))
@@ -241,14 +241,14 @@ object TextAnalysis {
     * shuffle (only matching tokens survive), corpus stats and per-term
     * df are one-row / |q|-row broadcasts, and the per-doc sum is one
     * partial-agg shuffle over ≤|q| rows per matching doc. Tokenization
-    * is the exact single-space convention (see `blockDedup`).
+    * is the pinned analysis rule ([[Tok]]).
     */
   def bm25Scores(df: DataFrame, text: String, id: String,
                  queryTerms: Seq[String],
                  k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(queryTerms.nonEmpty, "queryTerms must be non-empty")
     val base = df.select(col(id).as("doc"),
-      split(lower(trim(col(text))), " ").as("_toks"))
+      Tok.tokens(col(text)).as("_toks"))
       .withColumn("dl", size(col("_toks")).cast("long"))
     val stats = base.agg(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl"))
     val tf = base.select(col("doc"), col("dl"), explode(col("_toks")).as("term"))
@@ -290,7 +290,7 @@ object TextAnalysis {
                k: Int = 3): DataFrame = {
     require(k >= 1, "k must be >= 1")
     val toks = df.select(col(id).as("doc"),
-      explode(split(lower(trim(col(text))), " ")).as("term"))
+      explode(Tok.tokens(col(text))).as("term"))
     val tf = toks.groupBy("doc", "term").agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val nDocs = df.agg(count(lit(1)).as("n_docs"))
@@ -334,7 +334,7 @@ object TextAnalysis {
     */
   def lmScore(df: DataFrame, text: String, id: String): DataFrame = {
     val base = df.select(col(id).as("doc"),
-      split(lower(trim(col(text))), " ").as("_tk"))
+      Tok.tokens(col(text)).as("_tk"))
     // guard < 2 tokens BEFORE sequence(): Spark's sequence(0, -1)
     // descends rather than producing an empty array
     val bg = base.filter(size(col("_tk")) >= 2)
@@ -367,7 +367,7 @@ object TextAnalysis {
     def profile(df: DataFrame, suffix: String): DataFrame =
       df.groupBy(group).agg(
         count(lit(1)).as(s"n_docs_$suffix"),
-        sum(size(split(trim(col(text)), " ")).cast("long"))
+        sum(Tok.count(col(text)).cast("long"))
           .as(s"n_tokens_$suffix"))
     profile(before, "before").join(profile(after, "after"),
         Seq(group), "full_outer")
@@ -385,7 +385,7 @@ object TextAnalysis {
     * inlined into the expression — no join, no model, map-side only.
     */
   def languageId(df: DataFrame, text: String): DataFrame = {
-    val words = split(lower(trim(col(text))), "\\s+")
+    val words = Tok.tokens(col(text))
     val scored = Stopwords.profiles.map { case (lang, markers) =>
       struct(
         (size(filter(words, w => w.isin(markers: _*))).cast("double") / size(words)).as("score"),
@@ -405,7 +405,7 @@ object TextAnalysis {
     * Production variant — not oracle-portable (xxhash64 is Spark's).
     */
   def fingerprint(text: Column): Column =
-    aggregate(split(lower(trim(text)), "\\s+"), lit(0L),
+    aggregate(Tok.tokens(text), lit(0L),
       (acc, t) => pmod(acc * lit(31L) + pmod(xxhash64(t), lit(1000000007L)),
         lit(1000000007L)))
 

@@ -24,8 +24,12 @@ import org.apache.spark.sql.functions._
   */
 object TextDedup {
 
-  /** Word tokens of a text column (lowercase, whitespace split). */
-  def tokens(text: Column): Column = split(lower(text), "\\s+")
+  /** Word tokens of a text column — the pinned analysis-family
+    * tokenizer ([[Tok.tokens]]: whitespace-charset trim, lowercase,
+    * split on the explicit `[ \t\n\x0B\f\r]+` class; see [[Tok]] for
+    * the cross-engine parity rationale).
+    */
+  def tokens(text: Column): Column = Tok.tokens(text)
 
   /** Distinct word n-gram shingles over a tokens array column (native
     * expression — one pass per row; shingle text equals
