@@ -949,6 +949,41 @@ object OracleSql {
         coalesce(a.n_kept, 0) AS n_kept
       FROM tot t LEFT JOIN agg a USING (doc_id) ORDER BY t.doc_id""",
 
+    // suffix-array-style repeated-substring detection, stated with
+    // window arithmetic: positional 8-token windows -> per-window
+    // occurrence count + global first occurrence (row_number over
+    // (doc, pos)) -> gaps-and-islands merge of marked positions into
+    // maximal spans. Planted construction mirrors the Spark query
+    // verbatim (pads + SubstringFixture.passage).
+    "ns_substring_dedup" ->
+      s"""WITH src AS (
+        SELECT doc_id,
+          CASE WHEN doc_id % 7 = 0
+               THEN repeat('pad ', CAST(doc_id % 5 AS INT))
+                    || '${SubstringFixture.passage} ' || text
+               ELSE text END AS text
+        FROM documents),
+      t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM src),
+      occ AS (
+        SELECT doc_id, CAST(g AS INT) AS pos,
+               array_to_string(toks[CAST(g + 1 AS INT):CAST(g + 8 AS INT)], ' ') AS sh
+        FROM (SELECT doc_id, toks, unnest(generate_series(0, len(toks) - 8)) AS g
+              FROM t WHERE len(toks) >= 8)),
+      d AS (
+        SELECT doc_id, pos FROM (
+          SELECT doc_id, pos,
+                 count(*) OVER (PARTITION BY sh) AS n,
+                 row_number() OVER (PARTITION BY sh ORDER BY doc_id, pos) AS rn
+          FROM occ) WHERE n >= 2 AND rn > 1),
+      r AS (
+        SELECT doc_id, pos,
+               pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+        FROM d)
+      SELECT doc_id, CAST(min(pos) AS INT) AS span_start,
+        CAST(max(pos) - min(pos) + 8 AS INT) AS span_tokens
+      FROM r GROUP BY doc_id, grp
+      ORDER BY doc_id, span_start""",
+
     "ns_dup_ngram_fraction" ->
       s"""WITH ${shingleCtes("documents")},
       dfc AS (SELECT sh AS s, count(*) AS dfc FROM sh GROUP BY 1)

@@ -1198,6 +1198,25 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** Exact repeated-substring (suffix-array-style) dedup over a corpus
+    * with a PLANTED unaligned shared passage: docs with doc_id % 7 == 0
+    * get (doc_id % 5) pad tokens, then a fixed 16-token passage, then
+    * their own text — the same passage at five different token offsets,
+    * which ns_block_dedup's fixed 8-word grid cannot line up on. The
+    * detector reports maximal repeated spans of ≥ 8 tokens; the
+    * globally-first occurrence stays unmarked (survivor-in-place).
+    */
+  private def nsSubstringDedup(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"),
+      when(col("doc_id") % 7 === 0,
+        concat(expr("repeat('pad ', cast(doc_id % 5 as int))"),
+          lit(SubstringFixture.passage + " "), col("text")))
+        .otherwise(col("text")).as("text"))
+    TextDedup.repeatedSpans(docs, "text", "doc_id", k = 8, minSpanTokens = 8)
+      .select(col("doc").as("doc_id"), col("span_start"), col("span_tokens"))
+      .orderBy("doc_id", "span_start")
+  }
+
   /** Inter-document duplication profile: per doc, the count and fraction
     * of its distinct trigrams shared with at least one other document.
     */
@@ -1756,6 +1775,7 @@ object SparkEntry {
     "ns_contamination_by_source" -> nsContaminationBySource,
     "ns_seq_pack" -> nsSeqPack,
     "ns_block_dedup" -> nsBlockDedup,
+    "ns_substring_dedup" -> nsSubstringDedup,
     "ns_dup_ngram_fraction" -> nsDupNgramFraction,
     "ns_repetition" -> nsRepetition,
     "ns_scrub" -> nsScrub,
@@ -1783,6 +1803,15 @@ object SparkEntry {
     * (stubbed binary decode) → rows-only checks.
     */
   def oracleSql: Map[String, String] = OracleSql.all
+}
+
+/** The planted 16-token passage shared VERBATIM by the Spark query and
+  * the DuckDB twin of ns_substring_dedup (unaligned repeated-substring
+  * detection).
+  */
+object SubstringFixture {
+  val passage: String = "the quick brown fox jumps over the lazy dog " +
+    "while seven wizards brew strong black tea"
 }
 
 /** Reference API payload fixtures (FIXTURES.md §A, pinned to the

@@ -818,4 +818,99 @@ object TextDedup {
         VectorSearch.cosine(col("va"), col("vb")).as("cosine"))
       .filter(col("cosine") > threshold)
   }
+
+  /** Positional k-token windows of the exact single-space split —
+    * (doc, pos, sh) for every window start `pos` (0-based). The
+    * reassembly tokenizer family (like [[blockDedup]]): case and
+    * spacing are content, because [[stripRepeatedSpans]] rebuilds the
+    * surviving text from these positions verbatim. Docs shorter than
+    * k tokens produce no windows (nothing to repeat at length ≥ k).
+    * Pure map-side.
+    */
+  private def positionalWindows(df: DataFrame, text: String, id: String,
+                                k: Int): DataFrame =
+    df.select(col(id).as("doc"), split(col(text), " ").as("_toks"))
+      .filter(size(col("_toks")) >= k)
+      .select(col("doc"), posexplode(expr(
+        s"transform(sequence(0, size(_toks) - $k), " +
+          s"i -> concat_ws(' ', slice(_toks, i + 1, $k)))"))
+        .as(Seq("pos", "sh")))
+
+  /** Exact repeated-substring detection (the suffix-array-style dedup
+    * target): maximal spans of ≥ k tokens that occur verbatim anywhere
+    * else in the corpus — UNALIGNED, unlike [[blockDedup]]'s fixed
+    * block grid, so a shared passage at different offsets in two
+    * documents is caught. Survivor rule: the globally-first occurrence
+    * of each window (smallest (doc, pos)) is not marked; every later
+    * occurrence is. Consecutive marked window starts merge into one
+    * maximal span: a repeated span of L tokens covers window starts
+    * [s, s+L-k], so the span is reported as (span_start = s,
+    * span_tokens = last-first+k ≥ k). Returns (doc, span_start,
+    * span_tokens), `minSpanTokens` filters short repeats (the
+    * published rule strips only spans of ≥ 50 tokens).
+    *
+    * Scale shape — intrinsically LINEAR, no pairwise stage: one
+    * partial-aggregated shuffle on the window text computes
+    * (occurrences, first occurrence) per distinct window — map-side
+    * combine absorbs boilerplate skew, and the join back is 1:1 per
+    * position (AQE handles the residual skewed-key join); then one
+    * doc-partitioned window pass merges runs. No caps needed: a
+    * boilerplate window with millions of occurrences costs its posting
+    * rows, never a quadratic pair set.
+    */
+  def repeatedSpans(df: DataFrame, text: String, id: String,
+                    k: Int = 8, minSpanTokens: Int = 8): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    require(minSpanTokens >= k, "minSpanTokens must be >= k")
+    val occ = positionalWindows(df, text, id, k)
+    val firsts = occ.groupBy("sh").agg(
+      count(lit(1)).as("_n"),
+      min(struct(col("doc"), col("pos"))).as("_first"))
+    val dup = occ.join(firsts, Seq("sh"))
+      .filter(col("_n") >= 2 &&
+        !(col("doc") === col("_first.doc") && col("pos") === col("_first.pos")))
+      .select("doc", "pos")
+    val runs = dup.withColumn("_grp",
+      col("pos") - row_number().over(
+        Window.partitionBy("doc").orderBy("pos")))
+    runs.groupBy(col("doc"), col("_grp"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) - min(col("pos")) + lit(k)).as("span_tokens"))
+      .filter(col("span_tokens") >= minSpanTokens)
+      .select(col("doc"), col("span_start").cast("int"),
+        col("span_tokens").cast("int"))
+  }
+
+  /** The removal form of [[repeatedSpans]]: every token covered by a
+    * qualifying repeated span is dropped (the globally-first occurrence
+    * of each window survives in place) and the remainder is reassembled
+    * in order — (doc, clean, n_tokens_before, n_tokens_after). Docs
+    * with no repeated span come back untouched.
+    *
+    * One extra join against the span list collected per doc (span
+    * count per doc is bounded by n_tokens/k) plus a map-side filter of
+    * the token array by span cover — the corpus is never reshuffled.
+    */
+  def stripRepeatedSpans(df: DataFrame, text: String, id: String,
+                         k: Int = 8, minSpanTokens: Int = 8): DataFrame = {
+    val spans = repeatedSpans(df, text, id, k, minSpanTokens)
+      .groupBy("doc").agg(collect_list(
+        struct(col("span_start").as("s"), col("span_tokens").as("n")))
+        .as("_spans"))
+    df.select(col(id).as("doc"), split(col(text), " ").as("_toks"))
+      .join(spans, Seq("doc"), "left")
+      // adjacent maximal runs can COVER overlapping token ranges (runs
+      // are disjoint in window-start space, not token space), so the
+      // kept count is measured on the filtered array, never by
+      // subtracting span lengths
+      .withColumn("_kept", expr(
+        "filter(transform(_toks, (t, i) -> " +
+          "CASE WHEN _spans IS NULL THEN t " +
+          "WHEN exists(_spans, sp -> i >= sp.s AND i < sp.s + sp.n) " +
+          "THEN NULL ELSE t END), t -> t IS NOT NULL)"))
+      .select(col("doc"),
+        concat_ws(" ", col("_kept")).as("clean"),
+        size(col("_toks")).cast("long").as("n_tokens_before"),
+        size(col("_kept")).cast("long").as("n_tokens_after"))
+  }
 }
