@@ -38,6 +38,16 @@ object Curation {
     *                       benchmark text are removed last (cheapest
     *                       point: the corpus is already smallest, and
     *                       the benchmark side broadcasts regardless)
+    * @param checkpointDir  corpus-scale escape hatch for the mid-chain
+    *                       persist: when set, the deduped frame (read
+    *                       by BOTH the pairwise stage and the final
+    *                       anti-join) is written to
+    *                       `checkpointDir/curation_deduped` as parquet
+    *                       and read back, instead of a MEMORY_AND_DISK
+    *                       persist that is corpus-sized at 100 TB. The
+    *                       written stage also survives the session for
+    *                       downstream reuse/debugging; the caller owns
+    *                       the directory's lifecycle.
     */
   def curate(docs: DataFrame, text: String, id: String,
              minQuality: Double = 0.7,
@@ -47,7 +57,8 @@ object Curation {
              scrubPii: Boolean = false,
              maxRepetition: Option[Double] = None,
              benchmark: Option[DataFrame] = None,
-             benchmarkMinOverlap: Long = 1): DataFrame = {
+             benchmarkMinOverlap: Long = 1,
+             checkpointDir: Option[String] = None): DataFrame = {
     val input = if (!scrubPii) docs
       else docs.withColumn(text, TextAnalysis.scrub(col(text)))
     val qualified = TextAnalysis.qualityScore(input, text)
@@ -61,10 +72,20 @@ object Curation {
             .select(col("doc").as(id)),
           Seq(id), "left_anti")
     }
-    // persisted: consumed by the near-dup candidate stage AND the final
-    // anti-join — without it the quality+dedup chain runs twice
-    val deduped = TextDedup.exactNormalized(kept, text, id)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // materialized: consumed by the near-dup candidate stage AND the
+    // final anti-join — without it the quality+dedup chain runs twice.
+    // Default is a MEMORY_AND_DISK persist (right for bench/test
+    // scale); `checkpointDir` swaps it for a parquet write/read, the
+    // corpus-scale stage boundary.
+    val dedupedPlan = TextDedup.exactNormalized(kept, text, id)
+    val deduped = checkpointDir match {
+      case None =>
+        dedupedPlan.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      case Some(dir) =>
+        val path = s"$dir/curation_deduped"
+        dedupedPlan.write.mode("overwrite").parquet(path)
+        docs.sparkSession.read.parquet(path)
+    }
     val losers = TextDedup
       .ngramJaccardPairs(deduped, text, id, shingleN = 3,
         threshold = jaccardThreshold, maxPostings = maxPostings,

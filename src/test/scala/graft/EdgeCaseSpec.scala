@@ -96,4 +96,19 @@ class EdgeCaseSpec extends SparkSpec {
     val twice = graft.pipeline.Curation.curate(survivors, "text", "doc_id")
     assert(once.count() == twice.count())
   }
+
+  test("curation checkpointDir path yields output identical to the persist path") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val tmp = java.nio.file.Files.createTempDirectory("curation_ckpt")
+      .toString
+    val persisted = graft.pipeline.Curation.curate(docs, "text", "doc_id")
+      .orderBy("doc_id").collect().toSeq
+    val checkpointed = graft.pipeline.Curation.curate(docs, "text", "doc_id",
+      checkpointDir = Some(tmp))
+      .orderBy("doc_id").collect().toSeq
+    assert(persisted == checkpointed)
+    // the stage boundary is on disk and survives the plan
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$tmp/curation_deduped")))
+  }
 }

@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.op.Dedup
+import graft.pipeline.Pipeline
+import graft.sink.Sinks
+
+/** Pipeline-LEVEL incremental test (round-5 verdict #6): a
+  * Trigger.AvailableNow file stream over day-snapshot parquet drives
+  * collect → dedup → price → JDBC upsert across two simulated days
+  * (one micro-batch per day via maxFilesPerTrigger=1, same
+  * composition as the reference's daily DAG), then day 1 is
+  * RE-DELIVERED. The resulting Derby table must equal the one-shot
+  * batch backfill (Pipeline.backfillPrices) over the same range — the
+  * incremental and batch paths are the same pipeline at two cadences,
+  * and the upsert makes replay idempotent.
+  */
+class IncrementalPipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("two-day AvailableNow incremental run equals the batch backfill, replay included") {
+    val url = "jdbc:derby:memory:incrpipe;create=true"
+    val c = java.sql.DriverManager.getConnection(url)
+    c.createStatement().execute(
+      "CREATE TABLE prices (location_id VARCHAR(40), fuel_type VARCHAR(40), " +
+        "price DOUBLE, date DATE, PRIMARY KEY (location_id, fuel_type, date))")
+    c.close()
+
+    val d1 = java.sql.Date.valueOf("2024-06-01")
+    val d2 = java.sql.Date.valueOf("2024-06-02")
+    val dir = java.nio.file.Files.createTempDirectory("incr_days").toString
+    // full daily snapshots (the reference's collection DAGs re-fetch
+    // everything daily); day files carry an intra-day duplicate row the
+    // dedup stage must collapse before pricing
+    val snapshot = Seq("st-a" -> "BP", "st-b" -> "Z", "st-b" -> "Z",
+      "st-c" -> "Mobil")
+    snapshot.map { case (id, b) => (id, b, d1) }
+      .toDF("location_id", "brand", "day")
+      .coalesce(1).write.parquet(s"$dir/f1")
+    Thread.sleep(1100) // distinct file mod times -> deterministic batch order
+    snapshot.map { case (id, b) => (id, b, d2) }
+      .toDF("location_id", "brand", "day")
+      .coalesce(1).write.parquet(s"$dir/f2")
+    Thread.sleep(1100)
+    // day-1 REPLAY (late re-delivery): must be a no-op under the upsert
+    snapshot.map { case (id, b) => (id, b, d1) }
+      .toDF("location_id", "brand", "day")
+      .coalesce(1).write.parquet(s"$dir/f3")
+
+    val stream = spark.readStream
+      .schema("location_id string, brand string, day date")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$dir/*")
+    val q = stream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val day = batch.agg(max(col("day"))).head().getDate(0)
+          val deduped = Dedup.firstSeen(batch, Seq("location_id"),
+            Seq(col("brand"), col("day")))
+          val prices = Pipeline.dailyPrices(spark, deduped, "location_id",
+            None, lit(day))
+          Sinks.jdbcUpsert(prices, url, "prices",
+            Seq("location_id", "fuel_type", "date"),
+            dialect = Sinks.ansiMergeDialect)
+        }
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(180000)
+
+    val incremental = spark.read.jdbc(url, "prices", new java.util.Properties)
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getDouble(2), r.getDate(3).toString)).toSet
+
+    val stations = snapshot.map { case (id, b) => (id, b) }.distinct
+      .toDF("location_id", "brand")
+    val batchBackfill = Pipeline.backfillPrices(spark, stations,
+      "location_id", None, d1.toLocalDate, d2.toLocalDate)
+      .collect().map(r => (r.getAs[String]("location_id"),
+        r.getAs[String]("fuel_type"), r.getAs[Double]("price"),
+        r.getAs[java.sql.Date]("date").toString)).toSet
+
+    assert(incremental == batchBackfill)
+    assert(incremental.size == 3 * 4 * 2) // 3 stations x 4 fuels x 2 days
+  }
+}
