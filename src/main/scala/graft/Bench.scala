@@ -91,6 +91,30 @@ object Bench {
       if (s.isEmpty) None else Some(s(s.size / 2))
     }
     val deadQueries = names.filter(times(_).isEmpty) // failed EVERY pass
+    // recall sidecar: the approximate ANN queries scored against the
+    // exact brute-force top-k on THIS corpus (not the unit-scale toy) —
+    // the per-run evidence behind the probe-depth defaults (TUNING.md
+    // sweeps). Untimed; failures degrade to an absent entry, never a
+    // broken bench.
+    val recall: Seq[(String, Double)] =
+      try {
+        val exact = SparkEntry.queries("ns_topk_similarity")(spark, sfDir)
+          .select("query_id", "vec_id").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        Seq("ns_ann_lsh", "ns_ivf_topk").flatMap { n =>
+          try {
+            if (exact.isEmpty) None
+            else {
+              val approx = SparkEntry.queries(n)(spark, sfDir)
+                .select("query_id", "vec_id").collect()
+                .map(r => (r.getLong(0), r.getLong(1))).toSet
+              Some(n -> math.round(approx.intersect(exact).size.toDouble
+                / exact.size * 10000) / 10000.0)
+            }
+          } catch { case _: Throwable => None }
+          finally spark.catalog.clearCache()
+        }
+      } catch { case _: Throwable => Seq.empty }
     val qMin = names.flatMap(n => minOf(n).map(n -> _))
     val qMed = names.flatMap(n => medOf(n).map(n -> _))
     def jmap(m: Seq[(String, Double)]): String =
@@ -101,7 +125,7 @@ object Bench {
       .map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }.mkString("{", ",", "}")
     val total = if (deadQueries.nonEmpty) -1.0 else qMin.map(_._2).sum
     val detail =
-      s"""{"metric":"bench_detail","n_passes":$nPasses,"queries_min_full":${jmap(qMin)},"queries_median":${jmap(qMed)},"errors":$errJson,"failed_all_passes":${deadQueries.map("\"" + _ + "\"").mkString("[", ",", "]")}}"""
+      s"""{"metric":"bench_detail","n_passes":$nPasses,"queries_min_full":${jmap(qMin)},"queries_median":${jmap(qMed)},"errors":$errJson,"recall":${jmap(recall)},"failed_all_passes":${deadQueries.map("\"" + _ + "\"").mkString("[", ",", "]")}}"""
     // keep this line SHORT (well under the driver's ~3 kB stdout tail
     // buffer; see jnum3): the full per-query map crossed 2.8 kB at 117
     // queries, so when it outgrows the budget the primary carries only
@@ -121,7 +145,7 @@ object Bench {
     val omittedJson =
       if (omitted > 0) s""","queries_omitted":$omitted""" else ""
     val primary =
-      s"""{"metric":"total","value":${jnum3(total)},"unit":"sec","queries":$qJson$omittedJson,"sf":"$sfDir","n_passes":$nPasses,"err_count":${errors.size},"note":"min/q, idle; -1=fail"}"""
+      s"""{"metric":"total","value":${jnum3(total)},"unit":"sec","queries":$qJson$omittedJson,"sf":"$sfDir","n_passes":$nPasses,"err_count":${errors.size},"recall":${jmap(recall)},"note":"min/q, idle; -1=fail"}"""
     // stdout for the driver AND a file, so a log-prefix-polluted stdout
     // can never lose the round's numbers; primary line LAST (upstream
     // keeps only the tail of stdout)

@@ -40,6 +40,18 @@ object OracleSql {
   private def wsToksCased(e: String): String =
     s"regexp_split_to_array(trim($e, $wsTrimChars), '[ \\t\\n\\x0B\\f\\r]+')"
 
+  /** Rank-ordered BPE replace chain over the space-separated character
+    * form — generated from the same [[graft.ext.PinnedBpe]] constant
+    * the Spark query evaluates, so both engines apply the identical
+    * merge table with identical left-to-right non-overlapping
+    * replace() semantics.
+    */
+  private def bpeChainSql(wordExpr: String): String =
+    graft.ext.PinnedBpe.merges.foldLeft(
+      s"' ' || regexp_replace($wordExpr, '(.)', '\\1 ', 'g')") {
+      case (acc, (l, r)) => s"replace($acc, ' $l $r ', ' $l$r ')"
+    }
+
   /** Quality-feature + score CTEs over documents (f / scored) — the
     * DuckDB mirror of `TextAnalysis.qualityScore`; shared by
     * ns_text_quality and ns_quality_filter so the formula stays in
@@ -915,6 +927,34 @@ object OracleSql {
       s"""WITH t AS (
         SELECT doc_id, CAST(len(${wsToksCased("text")}) AS BIGINT) AS n_tokens
         FROM documents),
+      c AS (
+        SELECT doc_id, n_tokens,
+          CAST(SUM(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) - n_tokens AS cb
+        FROM t)
+      SELECT doc_id, n_tokens, cb // 2048 AS bin,
+        cb - (cb // 2048) * 2048 AS bin_offset
+      FROM c ORDER BY doc_id""",
+
+    "ns_bpe_tokens" ->
+      s"""WITH w AS (
+        SELECT doc_id, unnest(${wsToks("text")}) AS w FROM documents),
+      e AS (
+        SELECT doc_id,
+          CAST(len(string_split(trim(${bpeChainSql("w")}), ' ')) AS BIGINT) AS nb
+        FROM w WHERE w <> '')
+      SELECT doc_id, count(*) AS n_words,
+        CAST(sum(nb) AS BIGINT) AS n_bpe_tokens
+      FROM e GROUP BY 1 ORDER BY doc_id""",
+
+    "ns_seq_pack_bpe" ->
+      s"""WITH w AS (
+        SELECT doc_id, unnest(${wsToks("text")}) AS w FROM documents),
+      e AS (
+        SELECT doc_id,
+          CAST(len(string_split(trim(${bpeChainSql("w")}), ' ')) AS BIGINT) AS nb
+        FROM w WHERE w <> ''),
+      t AS (SELECT doc_id, CAST(sum(nb) AS BIGINT) AS n_tokens
+            FROM e GROUP BY 1),
       c AS (
         SELECT doc_id, n_tokens,
           CAST(SUM(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) - n_tokens AS cb

@@ -1182,6 +1182,36 @@ object SparkEntry {
       .select("doc_id", "n_tokens", "bin", "bin_offset")
       .orderBy("doc_id")
 
+  /** Per-document subword token counts from the TRAINED BPE merge
+    * table ([[graft.ext.PinnedBpe]] — the public merge-learning
+    * algorithm, pinned so every scale factor evaluates the identical
+    * table): whitespace word counts vs real tokenizer-style counts
+    * side by side. The per-word encode is the rank-ordered replace
+    * chain shared semantically with the DuckDB twin; BpeSpec proves it
+    * equals the canonical greedy kernel on every word type of this
+    * corpus.
+    */
+  private def nsBpeTokens(s: SparkSession, dir: String): DataFrame =
+    graft.ext.Bpe.docTokenCounts(t(s, dir, "documents"), "text", "doc_id",
+      graft.ext.PinnedBpe.merges)
+      .select(col("doc").as("doc_id"), col("n_words"), col("n_bpe_tokens"))
+      .orderBy("doc_id")
+
+  /** Sequence packing by REAL (trained-BPE) token counts — ns_seq_pack
+    * with the 2048 budget measured in subword tokens instead of
+    * whitespace words, which is what a training run actually packs to.
+    * Same distributed prefix sum, never a single-partition window.
+    */
+  private def nsSeqPackBpe(s: SparkSession, dir: String): DataFrame =
+    graft.ext.Packing.packByBudget(
+      graft.ext.Bpe.docTokenCounts(t(s, dir, "documents"), "text", "doc_id",
+        graft.ext.PinnedBpe.merges)
+        .select(col("doc").as("doc_id"),
+          col("n_bpe_tokens").as("n_tokens")),
+      Seq("doc_id"), "n_tokens", capacity = 2048L, numPartitions = 8)
+      .select("doc_id", "n_tokens", "bin", "bin_offset")
+      .orderBy("doc_id")
+
   /** Block (paragraph-level) dedup: a 16-word boilerplate header is
     * prepended to every doc — exactly two 8-word blocks — so the
     * corpus-wide first-occurrence rule must strip it from every doc but
@@ -1774,6 +1804,8 @@ object SparkEntry {
     "ns_token_budget" -> nsTokenBudget,
     "ns_contamination_by_source" -> nsContaminationBySource,
     "ns_seq_pack" -> nsSeqPack,
+    "ns_bpe_tokens" -> nsBpeTokens,
+    "ns_seq_pack_bpe" -> nsSeqPackBpe,
     "ns_block_dedup" -> nsBlockDedup,
     "ns_substring_dedup" -> nsSubstringDedup,
     "ns_dup_ngram_fraction" -> nsDupNgramFraction,

@@ -6,6 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.GraftColumnBridge
 import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Native Catalyst expressions for the per-row kernels that dominate the
   * similarity / dedup workloads. The higher-order-function formulations
@@ -125,6 +126,30 @@ object VectorExpressions {
     override protected def withNewChildInternal(c: Expression): MinHashSig = copy(c)
   }
 
+  /** Greedy BPE subword token count of a single word (string column)
+    * against a FIXED merge table carried in the plan. The rank map is
+    * built once per plan and shipped to the generated code as a
+    * reference object, so evaluation stays inside whole-stage codegen
+    * (one static call per row, like the other kernels).
+    * Kernel: [[BpeKernels.tokenCount]].
+    */
+  case class BpeTokenCount(child: Expression, merges: Seq[(String, String)])
+    extends UnaryExpression {
+    override def dataType: DataType = IntegerType
+    override def prettyName: String = "bpe_token_count"
+    @transient private lazy val ranks = BpeKernels.ranksOf(merges)
+    override def nullSafeEval(v: Any): Any =
+      BpeKernels.tokenCount(v.asInstanceOf[UTF8String], ranks)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ranksRef = ctx.addReferenceObj("bpeRanks", ranks,
+        "java.util.HashMap<String, Integer>")
+      defineCodeGen(ctx, ev, c =>
+        s"graft.functions.BpeKernels.tokenCount($c, $ranksRef)")
+    }
+    override protected def withNewChildInternal(c: Expression): BpeTokenCount =
+      copy(child = c)
+  }
+
   /** Distinct word n-gram shingles of a string-array column: one pass,
     * first-seen order (array_distinct semantics). Shingle text equals
     * `concat_ws(' ', w_i, …, w_{i+n-1})` — the engine-portable form the
@@ -213,4 +238,8 @@ object VectorExpressions {
 
   def array_pairs(xs: Column): Column =
     GraftColumnBridge.column(ArrayPairs(GraftColumnBridge.expression(xs)))
+
+  def bpe_token_count(word: Column, merges: Seq[(String, String)]): Column =
+    GraftColumnBridge.column(
+      BpeTokenCount(GraftColumnBridge.expression(word), merges))
 }
