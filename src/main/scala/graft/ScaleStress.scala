@@ -1,0 +1,128 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import java.nio.file.{Files, Paths}
+
+/** Scale-stress driver for the dedup/curation family: runs the heavy
+  * registered queries plus their cap AUDITS against a corpus built by
+  * tools/make_scale_corpus.py (a copies-fold self-union with exact
+  * clones, near-dup families, and boilerplate shingles planted far
+  * over maxPostings/maxBucket), and emits one JSON line per step plus
+  * a summary line.
+  *
+  * Purpose (round-5 verdict #1): at the shipped test scales the
+  * df-prune and bucket caps are no-ops, so "the caps bound the work"
+  * rested on design reading. This main produces the measurement: audit
+  * counters engaging (nonzero pruned shingles / dropped buckets),
+  * candidate-pair counts staying bounded, and wall times for the
+  * scaling curve recorded in TUNING.md.
+  *
+  * Usage: SPARK_GRAFT_CPUS=32 sbt "runMain graft.ScaleStress <dir> <outJson>"
+  */
+object ScaleStress {
+  def main(args: Array[String]): Unit = {
+    val Array(dir, outPath) = args
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // spill-aware sizing knob: at the bigger stress corpora the pair
+    // aggregations need MORE partitions than cores so each task's hash
+    // buffers fit the per-task heap share (the same lever a real
+    // cluster turns; see TUNING.md scale-stress section)
+    val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
+    def newSession(): SparkSession = {
+      val s = SparkSession.builder()
+        .master(s"local[$cpus]")
+        .config("spark.sql.shuffle.partitions", shuffle)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      s.sparkContext.setLogLevel("WARN")
+      s
+    }
+    var spark = newSession()
+    val sb = new StringBuilder
+    def rootCause(e: Throwable): String = {
+      var c = e
+      val chain = new StringBuilder(e.toString.take(300))
+      while (c.getCause != null && (c.getCause ne c)) {
+        c = c.getCause
+        chain.append(" <- ").append(c.toString.take(300))
+      }
+      chain.toString.take(1200)
+    }
+    def step(name: String)(body: SparkSession => Map[String, Any]): Unit = {
+      // a step that kills the SparkContext must not cascade: rebuild
+      if (spark.sparkContext.isStopped) {
+        SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
+        spark = newSession()
+      }
+      val t0 = System.nanoTime()
+      val extra =
+        try body(spark)
+        catch { case e: Throwable => Map("error" -> rootCause(e)) }
+        // the library's documented cache contract (TextDedup class doc,
+        // same hygiene as Verify/Bench): release per-query persists
+        // between steps — otherwise the CacheManager can hand a later
+        // query a plan fragment cached by an earlier one and trip the
+        // canonicalized-plan NPE at stress scale. The checkpointed
+        // artifact caches (pair graph, labels, IVF) survive this by
+        // design, so probe steps still amortize.
+        finally { try spark.catalog.clearCache() catch { case _: Throwable => () } }
+      val sec = (System.nanoTime() - t0) / 1e9
+      val kv = (Map[String, Any]("step" -> name,
+        "sec" -> math.round(sec * 1000) / 1000.0) ++ extra)
+        .map {
+          case (k, v: String) => s""""$k":"${v.replace("\"", "'")}""""
+          case (k, v) => s""""$k":$v"""
+        }.mkString("{", ",", "}")
+      println(s"STRESS $kv")
+      sb.append(kv).append('\n')
+    }
+
+    step("corpus")(s => Map(
+      "n_docs" -> s.read.parquet(s"$dir/documents.parquet").count(),
+      "dir" -> dir))
+
+    // cap audits — these MUST be nonzero on the stress corpus
+    step("audit_overcap_shingles") { s =>
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val oc = graft.ext.TextDedup.overCapShingles(docs, "text", "doc_id")
+        .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)),
+          org.apache.spark.sql.functions.coalesce(
+            org.apache.spark.sql.functions.max("doc_freq"),
+            org.apache.spark.sql.functions.lit(0L)),
+          org.apache.spark.sql.functions.coalesce(
+            org.apache.spark.sql.functions.sum("doc_freq"),
+            org.apache.spark.sql.functions.lit(0L))).head()
+      Map("overcap_shingles" -> oc.getLong(0), "max_df" -> oc.getLong(1),
+        "pruned_posting_rows" -> oc.getLong(2))
+    }
+    step("audit_minhash_dropped_buckets") { s =>
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val db = graft.ext.TextDedup.minhashDroppedBuckets(
+        docs, "text", "doc_id").agg(
+        org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)),
+        org.apache.spark.sql.functions.coalesce(
+          org.apache.spark.sql.functions.max("n_docs"),
+          org.apache.spark.sql.functions.lit(0L))).head()
+      Map("dropped_buckets" -> db.getLong(0), "max_bucket" -> db.getLong(1))
+    }
+
+    // the graded queries, in artifact-reuse order: the pair-graph build
+    // is priced by the first consumer, the probes show the amortized cost
+    val names = Seq("ns_dedup_ngram_jaccard", "ns_containment",
+      "ns_dedup_clusters", "ns_dedup_survivors", "ns_dup_ngram_fraction",
+      "ns_dedup_minhash", "ns_dedup_exact", "ns_block_dedup",
+      "ns_substring_dedup", "ns_curation_pipeline", "ns_ann_lsh")
+    names.foreach { q =>
+      step(q)(s => Map("rows" -> SparkEntry.queries(q)(s, dir).count()))
+    }
+    step("release_artifacts") { s =>
+      SparkEntry.releaseArtifacts(s, dir)
+      Map()
+    }
+    Files.write(Paths.get(outPath), sb.toString.getBytes)
+    spark.stop()
+  }
+}

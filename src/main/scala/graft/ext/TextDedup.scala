@@ -221,9 +221,13 @@ object TextDedup {
                  maxBucket: Int = 1000, verbose: Boolean = false): DataFrame = {
     val (sigs, cand) = lshCandidates(docShingles(df, text, id, shingleN),
       numPerms, bands, maxBucket, verbose)
+    // sigs is corpus-cardinality — keep the signature joins shuffled
+    // (see candidatePairCounts: a planner broadcast cannot survive scale)
     cand
-      .join(sigs.select(col("doc").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
-      .join(sigs.select(col("doc").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
+      .join(sigs.select(col("doc").as("id_a"), col("sig").as("sig_a"))
+        .hint("shuffle_hash"), Seq("id_a"))
+      .join(sigs.select(col("doc").as("id_b"), col("sig").as("sig_b"))
+        .hint("shuffle_hash"), Seq("id_b"))
       .withColumn("est_jaccard",
         expr("size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), v -> v))") /
           lit(numPerms.toDouble))
@@ -264,9 +268,13 @@ object TextDedup {
     // at 100x the byte savings is the difference that matters.
     val hashed = shingles
       .select(col("doc"), expr("transform(sh, s -> xxhash64(s))").as("sha"))
+    // hashed is corpus-cardinality — shuffled joins only (see
+    // candidatePairCounts)
     cand
-      .join(hashed.select(col("doc").as("id_a"), col("sha").as("sh_a")), Seq("id_a"))
-      .join(hashed.select(col("doc").as("id_b"), col("sha").as("sh_b")), Seq("id_b"))
+      .join(hashed.select(col("doc").as("id_a"), col("sha").as("sh_a"))
+        .hint("shuffle_hash"), Seq("id_a"))
+      .join(hashed.select(col("doc").as("id_b"), col("sha").as("sh_b"))
+        .hint("shuffle_hash"), Seq("id_b"))
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
       .withColumn("jaccard", col("inter").cast("double") /
         (size(col("sh_a")) + size(col("sh_b")) - col("inter")))
@@ -387,6 +395,13 @@ object TextDedup {
     if (verbose) logPrunedShingles(counted, maxPostings)
     val pruned = counted.filter(col("_pf") <= maxPostings)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // materialize the cache EAGERLY, single-threaded: the sizes and
+    // posting-list branches below both read it, and letting two AQE
+    // table-cache stages race to first-build the same InMemoryRelation
+    // intermittently trips a canonicalized-plan NPE
+    // ("SparkPlan.session() is null") at high local parallelism —
+    // observed on the 75k-doc stress corpus at local[32]
+    pruned.count()
     val sizes = pruned.groupBy("doc").agg(count(lit(1)).as("nsh"))
     // candidate pairs by grouping each shingle's posting list and
     // exploding its ordered pairs natively — one shuffle of the posting
@@ -401,9 +416,19 @@ object TextDedup {
         graft.functions.VectorExpressions.array_pairs(col("docs"))).as("p"))
       .groupBy(col("p.a").as("id_a"), col("p.b").as("id_b"))
       .agg(count(lit(1)).as("inter"))
+    // sizes is CORPUS-cardinality (one row per doc) — never allow the
+    // planner to broadcast it: at 100 TB it cannot fit, and even at
+    // stress scale the broadcast build competes with the concurrently
+    // materializing pair aggregation for the unified memory pool and
+    // dies with "Not enough memory to build and broadcast" (observed on
+    // the 15x stress corpus — it killed the whole SparkContext). The
+    // shuffle_hash hint keeps both joins as spillable shuffled joins,
+    // which is also the only shape that survives a real cluster.
     inter
-      .join(sizes.select(col("doc").as("id_a"), col("nsh").as("na")), Seq("id_a"))
-      .join(sizes.select(col("doc").as("id_b"), col("nsh").as("nb")), Seq("id_b"))
+      .join(sizes.select(col("doc").as("id_a"), col("nsh").as("na"))
+        .hint("shuffle_hash"), Seq("id_a"))
+      .join(sizes.select(col("doc").as("id_b"), col("nsh").as("nb"))
+        .hint("shuffle_hash"), Seq("id_b"))
   }
 
   /** Shingles ngramJaccardPairs would prune at the given cap, as
@@ -740,7 +765,7 @@ object TextDedup {
     shOld.join(broadcast(shNewP), Seq("sh"))
       .groupBy("id_new", "id_old").agg(count(lit(1)).as("inter"))
       .join(broadcast(sizesNew), Seq("id_new"))
-      .join(sizesOld, Seq("id_old"))
+      .join(sizesOld.hint("shuffle_hash"), Seq("id_old"))
       .withColumn("jaccard",
         col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
       .filter(col("jaccard") >= threshold)
@@ -866,7 +891,10 @@ object TextDedup {
     val firsts = occ.groupBy("sh").agg(
       count(lit(1)).as("_n"),
       min(struct(col("doc"), col("pos"))).as("_first"))
-    val dup = occ.join(firsts, Seq("sh"))
+    // firsts is window-universe-cardinality — shuffled join only (see
+    // candidatePairCounts); the map-side combine in its aggregation is
+    // what absorbs boilerplate skew before this 1:1 join
+    val dup = occ.join(firsts.hint("shuffle_hash"), Seq("sh"))
       .filter(col("_n") >= 2 &&
         !(col("doc") === col("_first.doc") && col("pos") === col("_first.pos")))
       .select("doc", "pos")
