@@ -1069,6 +1069,37 @@ object OracleSql {
       FROM pb FULL OUTER JOIN pa ON pb.lang = pa.lang
       ORDER BY lang""",
 
+    "ns_source_cap" ->
+      """SELECT doc_id, source, n_chars FROM (
+        SELECT doc_id, source, n_chars,
+          row_number() OVER (PARTITION BY source
+                             ORDER BY n_chars DESC NULLS LAST, doc_id) AS rn
+        FROM documents) WHERE rn <= 10
+      ORDER BY doc_id""",
+
+    "ns_jackknife" ->
+      """WITH per AS (
+        SELECT (((l_orderkey % 1000000007) * 2654435761) % 1000) % 10 AS grp,
+               CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS s_g,
+               count(*) AS n_g
+        FROM lineitem GROUP BY 1),
+      tot AS (
+        SELECT CAST(sum(s_g) AS BIGINT) AS s,
+               CAST(sum(n_g) AS BIGINT) AS n FROM per),
+      loo AS (
+        SELECT grp, n_g, s_g,
+               ((s - s_g) * 1000000) // (n - n_g) AS loo_mean_micro
+        FROM per, tot),
+      sq AS (
+        SELECT CAST(sum(loo_mean_micro) AS BIGINT) AS sx,
+               CAST(sum(loo_mean_micro * loo_mean_micro) AS BIGINT) AS sxx,
+               count(*) AS g FROM loo)
+      SELECT grp, n_g, s_g, loo_mean_micro,
+        round(sqrt((CAST(sxx AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / g)
+                   * (g - 1) / g) / 1000000.0, 6) AS jk_se
+      FROM loo, sq ORDER BY grp""",
+
     "ns_bootstrap" ->
       """WITH reps AS (
         SELECT doc_id, n_chars, unnest(generate_series(1, 20)) AS rep

@@ -272,6 +272,29 @@ object SparkEntry {
       t(s, dir, "documents"), "doc_id", "n_chars", replicates = 20)
       .orderBy("rep")
 
+  /** Per-source quota: at most 10 docs per source, keeping the longest
+    * (n_chars DESC, doc_id tiebreak) — the anti-domination cap of a
+    * web-corpus mixture. WindowGroupLimit shape (PlanSpec); 10 < the
+    * 25-docs-per-source floor of every test SF, so the cap ENGAGES in
+    * every verified run.
+    */
+  private def nsSourceCap(s: SparkSession, dir: String): DataFrame =
+    graft.ext.Sampling.capPerGroup(
+      t(s, dir, "documents").select("doc_id", "source", "n_chars"),
+      "source", 10,
+      Seq(desc_nulls_last("n_chars")), "doc_id")
+      .orderBy("doc_id")
+
+  /** Delete-one-group jackknife SE of mean(l_quantity) over 10
+    * key-hash groups of l_orderkey — exact integer micro-means, SE by
+    * a fixed correctly-rounded double chain shared with the oracle.
+    */
+  private def nsJackknife(s: SparkSession, dir: String): DataFrame =
+    graft.ext.Sampling.jackknifeMean(
+      t(s, dir, "lineitem").select("l_orderkey", "l_quantity"),
+      "l_orderkey", col("l_quantity"), groups = 10)
+      .orderBy("grp")
+
   /** Deterministic 90/5/5 train/val/test assignment by key bucket —
     * map-side, stable under corpus growth, engine-reproducible.
     */
@@ -1774,6 +1797,8 @@ object SparkEntry {
     "ns_stratified_sample" -> nsStratifiedSample,
     "ns_weighted_sample" -> nsWeightedSample,
     "ns_bootstrap" -> nsBootstrap,
+    "ns_source_cap" -> nsSourceCap,
+    "ns_jackknife" -> nsJackknife,
     "ns_drift_report" -> nsDriftReport,
     "ns_train_split" -> nsTrainSplit,
     "ns_corpus_report" -> nsCorpusReport,

@@ -170,6 +170,76 @@ object Sampling {
       .filter(col("_rk") <= k).drop("_rk")
   }
 
+  /** Per-group quota cap — "at most k documents per source/domain",
+    * the standard anti-domination lever in web-corpus curation: without
+    * it a handful of boilerplate-heavy domains swallow the token
+    * budget. Unlike [[sampleExactK]] (unbiased hash-ordered pick) the
+    * survivors here are the k BEST rows of each group under the
+    * caller's `priority` ordering (quality score, length, recency...);
+    * `key` breaks ties for a total order, so the survivor set is
+    * deterministic under reruns and repartitioning.
+    *
+    * Scale shape: the rank-filter compiles to WindowGroupLimit, which
+    * Spark applies on the MAP side before the shuffle — the exchange
+    * carries at most k rows per group per input task, never the full
+    * group, so a million-doc domain costs what a (k·tasks)-doc domain
+    * costs. Asserted in PlanSpec.
+    */
+  def capPerGroup(df: DataFrame, group: String, k: Int,
+                  priority: Seq[Column], key: String): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val tmp = Iterator.from(0).map(i => s"_qrn$i")
+      .find(n => !df.columns.contains(n)).get
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(group))
+      .orderBy(priority :+ col(key).asc: _*)
+    df.withColumn(tmp, row_number().over(w))
+      .filter(col(tmp) <= k).drop(tmp)
+  }
+
+  /** Delete-one-group jackknife for a corpus mean — the one-pass
+    * uncertainty estimate that complements [[poissonBootstrap]]: no
+    * replicate fan-out, just `groups` deterministic key-hash buckets
+    * (drop bucket g, how does the mean move?). Emits one row per
+    * group: its exact BIGINT sum/count, the leave-one-out mean in
+    * integer micro-units, and the jackknife standard error of the
+    * corpus mean (same scalar on every row).
+    *
+    * Exactness contract (what makes this oracle-checkable where a
+    * textbook double implementation is not): group sums are exact
+    * BIGINT; the leave-one-out mean is ONE integer division to
+    * micro-units (`(S−s_g)·1e6 div (N−n_g)`); the SE is computed from
+    * exact BIGINT Σx/Σx² of those micro-means by a fixed chain of
+    * correctly-rounded IEEE ops — every engine reproduces it bit-for-
+    * bit. `metric` must be integer-valued (exact sums; same contract
+    * as poissonBootstrap); keys non-negative ([[bucket1000]]).
+    * Magnitude bound: `(S−s_g)·1e6` must fit a long ⇒ Σmetric < ~9e12.
+    *
+    * Scale shape: one partial-agg shuffle down to `groups` rows; the
+    * totals and SE attach by broadcast-one-row joins. Nothing after
+    * the first aggregate is corpus-sized.
+    */
+  def jackknifeMean(df: DataFrame, key: String, metric: Column,
+                    groups: Int = 10): DataFrame = {
+    require(groups >= 2, "jackknife needs >= 2 groups")
+    val per = df
+      .groupBy(pmod(bucket1000(col(key)), lit(groups.toLong)).as("grp"))
+      .agg(sum(metric.cast("long")).as("s_g"), count(lit(1)).as("n_g"))
+    val tot = per.agg(sum("s_g").as("s"), sum("n_g").as("n"))
+    val loo = per.crossJoin(broadcast(tot))
+      .withColumn("loo_mean_micro",
+        expr("((s - s_g) * 1000000L) div (n - n_g)"))
+    val sq = loo.agg(sum("loo_mean_micro").as("sx"),
+      sum(expr("loo_mean_micro * loo_mean_micro")).as("sxx"),
+      count(lit(1)).as("g"))
+    loo.crossJoin(broadcast(sq))
+      .withColumn("jk_se",
+        round(sqrt((col("sxx").cast("double") -
+            col("sx").cast("double") * col("sx").cast("double") / col("g")) *
+            (col("g") - lit(1)) / col("g")) / lit(1000000.0), 6))
+      .select("grp", "n_g", "s_g", "loo_mean_micro", "jk_se")
+  }
+
   /** Integer-weighted corpus mixing — the deterministic upsampling step
     * of a training mixture: each row is repeated `weights(stratum)`
     * times (0 drops the stratum), with a `copy` ordinal so downstream

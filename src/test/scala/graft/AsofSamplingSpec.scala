@@ -229,4 +229,63 @@ class AsofSamplingSpec extends SparkSpec {
     assert(!rPlan.contains("NestedLoop") && !rPlan.contains("Cartesian"), rPlan)
     assert(rPlan.contains("HashJoin") || rPlan.contains("SortMergeJoin"), rPlan)
   }
+
+  test("capPerGroup keeps the k best rows per group, deterministic ties") {
+    val df = Seq(
+      ("s1", 1L, 100L), ("s1", 2L, 300L), ("s1", 3L, 300L), ("s1", 4L, 200L),
+      ("s2", 5L, 50L), ("s2", 6L, 60L))
+      .toDF("source", "doc_id", "n_chars")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Sampling.capPerGroup(d, "source", 2,
+        Seq(desc_nulls_last("n_chars")), "doc_id")
+        .select("doc_id").as[Long].collect().toSet
+    // s1: the 300-tie breaks by doc_id (2 before 3) and 4 drops;
+    // s2: under cap, both survive
+    assert(run(df) == Set(2L, 3L, 5L, 6L))
+    assert(run(df.repartition(9)) == Set(2L, 3L, 5L, 6L))
+    // compiles to WindowGroupLimit: map-side group limit, the exchange
+    // never carries more than k rows per group per task
+    val p = Sampling.capPerGroup(df, "source", 2,
+      Seq(desc_nulls_last("n_chars")), "doc_id")
+      .queryExecution.executedPlan.toString
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
+  test("capPerGroup survives a caller column named like its temp") {
+    val df = Seq(("s1", 1L, 9L), ("s1", 2L, 8L))
+      .toDF("source", "doc_id", "_qrn0")
+    val out = Sampling.capPerGroup(df, "source", 1,
+      Seq(col("_qrn0").desc), "doc_id")
+    assert(out.columns.toSeq == Seq("source", "doc_id", "_qrn0"))
+    assert(out.select("doc_id").as[Long].collect().toSeq == Seq(1L))
+  }
+
+  test("jackknifeMean matches the exact model; partitioning-invariant") {
+    val rows = (0L until 200L).map(k => (k, (k % 7) + 1)).toDF("k", "m")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Sampling.jackknifeMean(d, "k", col("m"), groups = 5)
+        .orderBy("grp").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getDouble(4)))
+    val out = run(rows)
+    // direct model: same bucket arithmetic, exact integers throughout
+    def bucket(k: Long) = ((k % 1000000007L) * 2654435761L % 1000L) % 5L
+    val data = (0L until 200L).map(k => (bucket(k), (k % 7) + 1))
+    val byG = data.groupBy(_._1).map { case (g, v) =>
+      (g, v.map(_._2).sum, v.size.toLong) }.toSeq.sortBy(_._1)
+    val s = data.map(_._2).sum
+    val n = data.size.toLong
+    val loo = byG.map { case (g, sg, ng) =>
+      (g, ng, sg, (s - sg) * 1000000L / (n - ng)) }
+    assert(out.map(x => (x._1, x._2, x._3, x._4)).toSeq == loo)
+    val g = loo.size
+    val sx = loo.map(_._4).sum
+    val sxx = loo.map(x => x._4 * x._4).sum
+    val se = math.sqrt((sxx.toDouble - sx.toDouble * sx.toDouble / g) *
+      (g - 1) / g) / 1000000.0
+    assert(out.forall(x => math.abs(x._5 - se) < 1.01e-6))
+    // the SE is one scalar: identical on every row, invariant to layout
+    assert(out.map(_._5).distinct.length == 1)
+    assert(run(rows.repartition(9)).toSeq == out.toSeq)
+  }
 }
