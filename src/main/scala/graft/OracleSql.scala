@@ -1250,6 +1250,46 @@ object OracleSql {
             FROM bm)
       WHERE rank <= 20 ORDER BY rank""",
 
+    "ns_bm25_route" ->
+      s"""WITH rbase AS (
+        SELECT doc_id AS doc,
+               CAST(len(${wsToks("text")}) AS BIGINT) AS dl
+        FROM documents),
+      rstats AS (
+        SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl
+        FROM rbase),
+      rtoks AS (
+        SELECT doc_id AS doc, unnest(${wsToks("text")}) AS term
+        FROM documents),
+      rtf AS (
+        SELECT t.doc, b.dl, t.term, count(*) AS tf
+        FROM rtoks t JOIN rbase b ON b.doc = t.doc
+        WHERE t.term IN ('join','merge','hash','scan','filter','sort',
+                         'vector','stream','batch')
+        GROUP BY 1, 2, 3),
+      rdf AS (SELECT term, count(*) AS dfq FROM rtf GROUP BY 1),
+      rterm AS (
+        SELECT * FROM (VALUES
+          ('joins','join'), ('joins','merge'), ('joins','hash'),
+          ('scans','scan'), ('scans','filter'), ('scans','sort'),
+          ('vectors','vector'), ('vectors','stream'), ('vectors','batch'))
+          v(route, term)),
+      rpts AS (
+        SELECT doc, term, ${graft.ext.Bm25.pointsSql(1.2, 0.75)} AS pts
+        FROM (SELECT rtf.*, rdf.dfq, n_docs,
+                     ${graft.ext.Bm25.avgdlSql} AS avgdl
+              FROM rtf JOIN rdf USING (term) CROSS JOIN rstats)),
+      routed AS (
+        SELECT p.doc, r.route, CAST(sum(pts) AS BIGINT) AS score_pts,
+               count(*) AS n_terms
+        FROM rpts p JOIN rterm r USING (term) GROUP BY 1, 2)
+      SELECT doc AS doc_id, route, score_pts, n_terms FROM (
+        SELECT doc, route, score_pts, n_terms,
+          row_number() OVER (PARTITION BY doc
+                             ORDER BY score_pts DESC, route) AS rn
+        FROM routed) WHERE rn = 1
+      ORDER BY doc_id""",
+
     "ns_hybrid_rrf" ->
       s"""WITH ${bm25Ctes(bm25TermsIn)},
       bmtop AS (

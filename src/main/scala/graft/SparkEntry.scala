@@ -1348,6 +1348,27 @@ object SparkEntry {
     */
   private val bm25Query = Seq("spark", "vector", "dup")
 
+  /** Topic routes for the BM25 routing query — terms drawn from the
+    * synthetic documents vocabulary so every route has real df mass.
+    */
+  private val routeDefs: Map[String, Seq[String]] = Map(
+    "joins" -> Seq("join", "merge", "hash"),
+    "scans" -> Seq("scan", "filter", "sort"),
+    "vectors" -> Seq("vector", "stream", "batch"))
+
+  /** BM25-scored routing: snapshot the model from the corpus, then
+    * assign each doc its best route (ties by route name). The batch
+    * face of `EventStream.bm25RouteStream` — identical kernel.
+    */
+  private def nsBm25Route(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val model = TextAnalysis.bm25Snapshot(docs, "text", "doc_id", routeDefs)
+    TextAnalysis.bm25Route(docs, "text", "doc_id", model)
+      .select(col("doc").as("doc_id"), col("route"),
+        col("score_pts"), col("n_terms"))
+      .orderBy("doc_id")
+  }
+
   private def nsBm25Topk(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.bm25TopK(t(s, dir, "documents"), "text", "doc_id",
       bm25Query, k = 20)
@@ -1814,6 +1835,7 @@ object SparkEntry {
     "ns_dedup_ngram_jaccard" -> nsDedupNgramJaccard,
     "ns_containment" -> nsContainment,
     "ns_bm25_topk" -> nsBm25Topk,
+    "ns_bm25_route" -> nsBm25Route,
     "ns_hybrid_rrf" -> nsHybridRrf,
     "ns_keywords" -> nsKeywords,
     "ns_lm_score" -> nsLmScore,

@@ -279,6 +279,85 @@ object TextAnalysis {
       .select(col("rank"), col("doc"), col("score_pts"), col("n_terms"))
   }
 
+  /** Frozen BM25 routing model: corpus statistics snapshotted ONCE
+    * from a reference corpus, so scoring new documents needs no pass
+    * over that corpus. `termDf` holds document frequencies for the
+    * union of all route terms only — vocab-bounded (routes × terms),
+    * never corpus-bounded, which is what makes the model broadcastable
+    * and the scoring map-side at any corpus size. Staleness is the
+    * caller's contract: scores drift as the live corpus diverges from
+    * the snapshot; re-snapshot on a cadence.
+    */
+  case class Bm25Snapshot(nDocs: Long, sumDl: Long,
+                          termDf: Map[String, Long],
+                          routes: Map[String, Seq[String]])
+
+  /** Build a [[Bm25Snapshot]] from a static corpus: one aggregation
+    * for (n_docs, sum_dl), one vocab-bounded df aggregation filtered
+    * to the route terms. The collect is |∪ route terms| rows — the
+    * dimension-table contract, not a corpus collect.
+    */
+  def bm25Snapshot(corpus: DataFrame, text: String, id: String,
+                   routes: Map[String, Seq[String]]): Bm25Snapshot = {
+    require(routes.nonEmpty && routes.values.forall(_.nonEmpty),
+      "routes must be non-empty with non-empty term lists")
+    val allTerms = routes.values.flatten.toSeq.distinct
+    val base = corpus.select(col(id).as("doc"),
+      Tok.tokens(col(text)).as("_toks"))
+      .withColumn("dl", size(col("_toks")).cast("long"))
+    val Array(n, sdl) = base.agg(count(lit(1)), sum("dl"))
+      .head().toSeq.map(v => Option(v).fold(0L)(_.asInstanceOf[Long])).toArray
+    require(n > 0, "bm25Snapshot needs a non-empty reference corpus " +
+      "(avgdl is undefined on an empty one)")
+    val dfs = base.select(col("doc"), explode(col("_toks")).as("term"))
+      .filter(col("term").isin(allTerms: _*))
+      .groupBy("doc", "term").agg(count(lit(1)))
+      .groupBy("term").agg(count(lit(1)).as("dfq"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    Bm25Snapshot(n, sdl, dfs, routes)
+  }
+
+  /** Score documents against a frozen [[Bm25Snapshot]] and keep each
+    * document's best route (ties break on route name): the model-
+    * scoring kernel shared verbatim by the batch operator and the
+    * streaming twin (`EventStream.bm25RouteStream` runs THIS kernel
+    * per micro-batch, so stream/batch bit-equality is structural, not
+    * coincidental). Documents matching no route term emit nothing.
+    *
+    * Scale shape: the model joins in as a broadcast (route, term, dfq)
+    * dimension table; the token filter runs map-side before any
+    * shuffle; per-(doc, route) sums partial-aggregate; the best-route
+    * pick is a WindowGroupLimit. Nothing corpus-sized shuffles beyond
+    * the matching tokens themselves.
+    */
+  def bm25Route(df: DataFrame, text: String, id: String,
+                model: Bm25Snapshot,
+                k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val s = df.sparkSession
+    import s.implicits._
+    val modelRows = model.routes.toSeq.flatMap { case (r, terms) =>
+      terms.distinct.map(t => (r, t, model.termDf.getOrElse(t, 0L)))
+    }.toDF("route", "term", "dfq")
+    val base = df.select(col(id).as("doc"),
+      Tok.tokens(col(text)).as("_toks"))
+      .withColumn("dl", size(col("_toks")).cast("long"))
+    val tf = base.select(col("doc"), col("dl"),
+      explode(col("_toks")).as("term"))
+      .filter(col("term").isin(model.termDf.keys.toSeq: _*))
+      .groupBy("doc", "dl", "term").agg(count(lit(1)).as("tf"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc").orderBy(col("score_pts").desc, col("route"))
+    tf.join(broadcast(modelRows), Seq("term"))
+      .withColumn("n_docs", lit(model.nDocs))
+      .withColumn("sum_dl", lit(model.sumDl))
+      .withColumn("avgdl", expr(Bm25.avgdlSql))
+      .withColumn("_pts", expr(Bm25.pointsSql(k1, b)))
+      .groupBy("doc", "route")
+      .agg(sum("_pts").as("score_pts"), count(lit(1)).as("n_terms"))
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1).drop("_rn")
+  }
+
   /** Per-document keyword extraction: top-k terms by tf·idf with the
     * rational idf `(N+1)/(df+1)` pre-scaled to integer micro-points, so
     * the score is EXACT BIGINT arithmetic (`tf · round(1e6·(N+1)/(df+1))`)

@@ -310,6 +310,30 @@ object EventStream {
         dialect = dialect)
     }
 
+  /** Streaming BM25-scored routing — the incremental twin of
+    * `TextAnalysis.bm25Route`: incoming documents are scored against a
+    * FROZEN [[graft.ext.TextAnalysis.Bm25Snapshot]] (corpus stats +
+    * route-term dfs snapshotted once from a reference corpus) and each
+    * doc's best route is appended to the sink. Because a document's
+    * score depends only on its own tokens and the frozen model, there
+    * is no cross-batch state at all: each micro-batch runs the EXACT
+    * batch kernel via foreachBatch, so stream output is bit-equal to
+    * the batch operator under any batch split (spec-asserted).
+    *
+    * Model staleness is the explicit contract (class doc of
+    * Bm25Snapshot): route quality drifts as the live corpus diverges
+    * from the snapshot — production re-snapshots on a cadence and
+    * swaps the model between micro-batches by restarting the query.
+    */
+  def bm25RouteStream(docs: DataFrame, text: String, id: String,
+                      model: graft.ext.TextAnalysis.Bm25Snapshot,
+                      k1: Double = 1.2, b: Double = 0.75)
+                     (sink: DataFrame => Unit)
+  : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      sink(graft.ext.TextAnalysis.bm25Route(batch, text, id, model, k1, b))
+    }
+
   /** Run a streaming query to completion over currently-available data
     * (the daily-batch trigger), writing to an in-memory sink — used by
     * tests; production swaps the sink for parquet/kafka.

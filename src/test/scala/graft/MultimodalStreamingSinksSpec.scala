@@ -392,6 +392,69 @@ class StreamingSpec extends SparkSpec {
     assert(got == batchClosed)
     assert(got.map(_._1).forall(_ == 7L), "user 8 never flips: no closed interval")
   }
+
+  test("streaming bm25 routing equals the batch kernel across micro-batches") {
+    import graft.ext.TextAnalysis
+    val dir = java.nio.file.Files.createTempDirectory("route").toString
+    // model snapshotted from a small reference corpus
+    val corpus = Seq(
+      (1L, "spark shuffle join partitions broadcast"),
+      (2L, "tennis football match score goal"),
+      (3L, "spark sql join planner"),
+      (4L, "football stadium crowd score")).toDF("doc_id", "text")
+    val routes = Map(
+      "eng" -> Seq("spark", "join", "shuffle"),
+      "sport" -> Seq("football", "tennis", "score"))
+    val model = TextAnalysis.bm25Snapshot(corpus, "text", "doc_id", routes)
+    assert(model.nDocs == 4 && model.termDf("spark") == 2 &&
+      model.termDf("score") == 2)
+    // incoming docs split across two micro-batches; doc 13 matches no
+    // route term and must emit nothing
+    val f1 = Seq((10L, "spark join tuning"), (11L, "football score update"))
+    val f2 = Seq((12L, "shuffle spark spark"), (13L, "cooking pasta recipe"))
+    f1.toDF("doc_id", "text").coalesce(1).write.parquet(s"$dir/f1")
+    Thread.sleep(1100) // distinct mtimes => deterministic batch order
+    f2.toDF("doc_id", "text").coalesce(1).write.parquet(s"$dir/f2")
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add("doc_id", "long").add("text", "string")
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir + "/*")
+    val buf = collection.mutable.ArrayBuffer[(Long, String, Long, Long)]()
+    val q = EventStream.bm25RouteStream(stream, "text", "doc_id", model) {
+      out => buf.synchronized {
+        buf ++= out.as[(Long, String, Long, Long)].collect()
+      }
+    }.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val batch = TextAnalysis.bm25Route(
+      (f1 ++ f2).toDF("doc_id", "text"), "text", "doc_id", model)
+      .as[(Long, String, Long, Long)].collect()
+    // bit-equal to the batch kernel regardless of the batch split
+    assert(buf.sortBy(_._1).toSeq == batch.sortBy(_._1).toSeq)
+    val byDoc = buf.map(r => r._1 -> r._2).toMap
+    assert(byDoc(10L) == "eng" && byDoc(12L) == "eng" &&
+      byDoc(11L) == "sport")
+    assert(!byDoc.contains(13L), "no-match docs emit nothing")
+  }
+
+  test("bm25 route ties break on route name; empty corpus snapshot rejected") {
+    import graft.ext.TextAnalysis
+    val corpus = Seq((1L, "alpha beta"), (2L, "alpha gamma"))
+      .toDF("doc_id", "text")
+    // two routes sharing the identical term set => identical scores
+    val model = TextAnalysis.bm25Snapshot(corpus, "text", "doc_id",
+      Map("b_route" -> Seq("alpha"), "a_route" -> Seq("alpha")))
+    val out = TextAnalysis.bm25Route(
+      Seq((9L, "alpha alpha")).toDF("doc_id", "text"),
+      "text", "doc_id", model)
+      .as[(Long, String, Long, Long)].collect()
+    assert(out.length == 1 && out.head._2 == "a_route")
+    intercept[IllegalArgumentException] {
+      TextAnalysis.bm25Snapshot(
+        corpus.filter($"doc_id" > 99), "text", "doc_id",
+        Map("r" -> Seq("alpha")))
+    }
+  }
 }
 
 class SinksSpec extends SparkSpec {
