@@ -262,6 +262,21 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"), p)
   }
 
+  test("bm25 route: model joins as broadcast; argmax is WindowGroupLimit") {
+    val p = planOf("ns_bm25_route")
+    // the frozen (route, term, dfq) model is a broadcast dimension
+    // table — a shuffled model join would shuffle the corpus tokens
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    // best-route pick: rank-filter compiles to the map-side group limit
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
+  test("source cap: registered query plans the map-side group limit") {
+    val p = planOf("ns_source_cap")
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
   test("containment probe is one exchange over the pair artifact") {
     // warm the artifact, then assert the PROBE plan: the posting-list
     // build must not reappear per consumer
