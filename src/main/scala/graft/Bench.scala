@@ -101,7 +101,7 @@ object Bench {
         val exact = SparkEntry.queries("ns_topk_similarity")(spark, sfDir)
           .select("query_id", "vec_id").collect()
           .map(r => (r.getLong(0), r.getLong(1))).toSet
-        Seq("ns_ann_lsh", "ns_ivf_topk").flatMap { n =>
+        Seq("ns_ann_lsh", "ns_ivf_topk", "ns_pq_topk").flatMap { n =>
           try {
             if (exact.isEmpty) None
             else {

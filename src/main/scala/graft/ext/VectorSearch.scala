@@ -334,4 +334,163 @@ object VectorSearch {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("vec_id"), col("sim"))
   }
+
+  /** A prebuilt product-quantization index: every corpus vector
+    * compressed to `m` sub-codebook indices (the persisted `codes`
+    * frame, `m` small ints ≈ `m` bytes per vector vs `4·dim` float
+    * bytes — 32× at dim=64/m=8), plus the per-subspace codebooks
+    * (m × kCent × dim/m doubles — tiny, re-broadcast per probe).
+    *
+    * This is the MEMORY-side ANN scale path, complementing IVF (which
+    * prunes how many vectors a query scans, but stores them full-size):
+    * at 10^9+ vectors the full-precision corpus no longer fits the
+    * cluster's RAM; PQ codes do. Vectors are L2-NORMALIZED at build,
+    * so the probe's squared-L2 ADC ranking is monotone with cosine
+    * (‖q−x‖² = 2−2·q·x on unit vectors) — recall is measured against
+    * the same exact-cosine baseline as the other ANN tiers.
+    */
+  final case class PqIndex(codes: DataFrame,
+                           codebooks: Array[(Int, Int, Array[Double])],
+                           id: String, vec: String, m: Int, kCent: Int) {
+    /** Release the persisted codes frame (same contract as IvfIndex). */
+    def close(): Unit = { codes.unpersist(); () }
+  }
+
+  /** Train a PQ index: split each (normalized) vector into `m`
+    * subvectors, fit an independent KMeans codebook of `kCent`
+    * centroids per subspace (deterministic seed; optionally on a
+    * sample — at 100 TB codebooks converge on a few million rows),
+    * then encode every vector map-side against the broadcast
+    * codebooks. The encode pass aggregates (id, sub) argmins map-side,
+    * so its exchange carries O(rows · m) small rows, never the
+    * exploded (rows · m · kCent) distance rows.
+    */
+  def pqBuild(df: DataFrame, id: String, vec: String, m: Int = 8,
+              kCent: Int = 16, seed: Long = 42L,
+              fitSampleFraction: Double = 1.0): PqIndex = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    require(m >= 1 && kCent >= 2, "m >= 1, kCent >= 2")
+    require(fitSampleFraction > 0 && fitSampleFraction <= 1.0,
+      "fitSampleFraction in (0, 1]")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val dim = df.select(size(col(vec))).head().getInt(0)
+    require(dim % m == 0, s"dim $dim must be divisible by m=$m")
+    val sub = dim / m
+    val unit = normalized(df.select(col(id), col(vec)), vec)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // per-subspace codebooks: m independent small KMeans fits (driver
+    // loop over m, not over rows; each fit sees |sample| × (dim/m))
+    val codebooks = (0 until m).flatMap { s2 =>
+      val feat = unit.withColumn("_fv",
+        array_to_vector(slice(col(vec), s2 * sub + 1, sub)))
+      val fitData = if (fitSampleFraction < 1.0)
+        feat.sample(fitSampleFraction, seed + s2) else feat
+      val model = new KMeans().setK(kCent).setSeed(seed + s2).setMaxIter(5)
+        .setFeaturesCol("_fv").setPredictionCol("_c").fit(fitData)
+      model.clusterCenters.zipWithIndex.map { case (c, j) =>
+        (s2, j, c.toArray)
+      }
+    }.toArray
+    val cbDf = codebooks.toSeq.toDF("sub", "j", "cvec")
+    // encode: (id, sub, subvec) map-side fan-out, broadcast-join the
+    // codebooks, per-(id, sub) argmin as min(struct(dist, j)) — partial
+    // aggregation keeps the exchange at rows × m
+    val subvecs = unit.select(col(id),
+      posexplode(transform(sequence(lit(0), lit(m - 1)),
+        i => slice(col(vec), i * sub + lit(1), lit(sub)))).as(Seq("sub", "sv")))
+    val dist = aggregate(zip_with(col("sv"), col("cvec"), (x, y) => {
+      val d = x - y; d * d
+    }), lit(0.0), (acc, v) => acc + v)
+    val codes = subvecs.join(broadcast(cbDf), Seq("sub"))
+      .withColumn("_d", dist)
+      .groupBy(col(id), col("sub"))
+      .agg(min(struct(col("_d"), col("j"))).as("_best"))
+      .groupBy(col(id))
+      .agg(array_sort(collect_list(struct(col("sub"), col("_best.j").as("c"))))
+        .as("_sc"))
+      .select(col(id), expr("transform(_sc, x -> x.c)").as("codes"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    codes.count() // materialize before dropping the build-side persist
+    unit.unpersist()
+    PqIndex(codes, codebooks, id, vec, m, kCent)
+  }
+
+  /** PQ top-k probe by asymmetric distance (ADC): each query computes
+    * its m × kCent table of exact subspace distances to the codebook
+    * centroids ONCE, then every corpus vector scores as m table
+    * lookups over its codes — no float vector is ever read at scan
+    * time. Query side (with tables) broadcasts; the scan is one
+    * map-side pass over the codes frame; per-query top-k is the same
+    * bounded window as the other ANN tiers. Ranking is squared-L2 on
+    * the normalized vectors = cosine order (see [[PqIndex]]).
+    */
+  def pqTopK(index: PqIndex, queries: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val spark = index.codes.sparkSession
+    import spark.implicits._
+    val (m, kc) = (index.m, index.kCent)
+    val cbDf = index.codebooks.toSeq.toDF("sub", "j", "cvec")
+    val dim = index.codebooks.head._3.length * m
+    val sub = dim / m
+    val q = normalized(
+      queries.select(col(index.id).as("query_id"), col(index.vec)),
+      index.vec)
+    val qsub = q.select(col("query_id"),
+      posexplode(transform(sequence(lit(0), lit(m - 1)),
+        i => slice(col(index.vec), i * sub + lit(1), lit(sub)))).as(Seq("sub", "sv")))
+    val dist = aggregate(zip_with(col("sv"), col("cvec"), (x, y) => {
+      val d = x - y; d * d
+    }), lit(0.0), (acc, v) => acc + v)
+    // flat m·kCent distance table per query, indexed [sub·kCent + j]
+    val qtab = qsub.join(broadcast(cbDf), Seq("sub"))
+      .withColumn("_d", dist)
+      .groupBy(col("query_id"))
+      .agg(array_sort(collect_list(struct(
+        (col("sub") * kc + col("j")).as("slot"), col("_d").as("d"))))
+        .as("_st"))
+      .select(col("query_id"), expr("transform(_st, x -> x.d)").as("dtab"))
+    val scored = index.codes
+      .select(col(index.id).as("vec_id"), col("codes"))
+      .crossJoin(broadcast(qtab))
+      .filter(col("query_id") =!= col("vec_id"))
+      .withColumn("adist", round(expr(
+        s"aggregate(transform(codes, (c, s) -> dtab[s * $kc + c]), " +
+          "0D, (acc, v) -> acc + v)"), 6))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("adist").asc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id"), col("adist"))
+  }
+
+  /** PQ search with exact re-rank — the production two-stage shape:
+    * the ADC code scan shortlists `shortlist·k` candidates per query
+    * (cheap, compressed-domain), then ONLY those candidates' full
+    * vectors are fetched (one bounded hash equi-join against the
+    * corpus — queries·shortlist·k rows, never corpus-sized) and
+    * re-ranked by exact cosine. Recall loss is then confined to
+    * true-neighbors the shortlist missed, which shrinks geometrically
+    * with `shortlist` (sweep in the spec/TUNING.md). Output schema
+    * matches [[bruteForceTopK]].
+    */
+  def pqTopKRefined(index: PqIndex, corpus: DataFrame, queries: DataFrame,
+                    k: Int, shortlist: Int = 4): DataFrame = {
+    require(shortlist >= 1, "shortlist must be >= 1")
+    val cand = pqTopK(index, queries, k * shortlist)
+      .select(col("query_id"), col("vec_id"))
+    val c = corpus.select(col(index.id).as("vec_id"),
+      col(index.vec).as("cv"))
+    val q = queries.select(col(index.id).as("query_id"),
+      col(index.vec).as("qv"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("vec_id"))
+    cand.join(c, Seq("vec_id"))
+      .join(broadcast(q), Seq("query_id"))
+      .withColumn("sim", round(cosine(col("cv"), col("qv")), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id"), col("sim"))
+  }
 }

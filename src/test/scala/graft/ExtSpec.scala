@@ -298,6 +298,53 @@ class ExtSpec extends SparkSpec {
     assert(r(0) <= r(1) && r(1) <= r(2), r.toString)
   }
 
+  test("PQ: codes are m small ints; ADC top-k recalls well vs brute force") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val q = emb.filter($"vec_id" < 10)
+    val idx = VectorSearch.pqBuild(emb, "vec_id", "embedding",
+      m = 8, kCent = 16)
+    try {
+      // code shape: every vector compressed to m indices in [0, kCent)
+      val codes = idx.codes.select("codes").as[Seq[Int]].collect()
+      assert(codes.forall(c => c.length == 8 && c.forall(j => j >= 0 && j < 16)))
+      // ADC-only ranking is lossy on this clusterless random corpus —
+      // it exists to SHORTLIST; exact re-rank recovers the recall. The
+      // shortlist sweep must be monotone: more candidates, more of the
+      // true top-k re-ranked in.
+      val exact = VectorSearch.bruteForceTopK(emb, q, "vec_id", "embedding", 10)
+        .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+      def recallAt(shortlist: Int): Double = {
+        val approx = VectorSearch
+          .pqTopKRefined(idx, emb, q, k = 10, shortlist = shortlist)
+          .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+        (exact & approx).size.toDouble / exact.size
+      }
+      val r = Seq(1, 2, 4).map(recallAt)
+      assert(r(2) > 0.6, s"PQ refined recall ${r(2)} too low (sweep $r)")
+      assert(r(0) <= r(1) + 1e-9 && r(1) <= r(2) + 1e-9, r.toString)
+      // deterministic: a rebuilt index encodes identically and the
+      // probe is invariant to query partitioning
+      val idx2 = VectorSearch.pqBuild(emb, "vec_id", "embedding",
+        m = 8, kCent = 16)
+      try {
+        val a = VectorSearch.pqTopKRefined(idx2, emb, q.repartition(7),
+          k = 10, shortlist = 4)
+          .orderBy("query_id", "rank").collect().map(_.toSeq)
+        val b = VectorSearch.pqTopKRefined(idx, emb, q, k = 10,
+          shortlist = 4)
+          .orderBy("query_id", "rank").collect().map(_.toSeq)
+        assert(a.toSeq == b.toSeq)
+      } finally idx2.close()
+    } finally idx.close()
+  }
+
+  test("PQ build rejects a dimension not divisible by m") {
+    val bad = Seq((1L, Array.fill(6)(0.5f))).toDF("vec_id", "embedding")
+    intercept[IllegalArgumentException] {
+      VectorSearch.pqBuild(bad, "vec_id", "embedding", m = 4, kCent = 2)
+    }
+  }
+
   test("quality score rewards stopword-bearing prose, penalizes fragments") {
     val df = Seq((1L, "the cat sat on the mat and it was a fine day for all of us"),
       (2L, "zzz qqq")).toDF("doc_id", "text")
