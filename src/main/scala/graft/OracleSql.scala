@@ -241,7 +241,28 @@ object OracleSql {
     head + steps + s"\n      SELECT node, pr FROM r$iters ORDER BY node"
   }
 
+  /** TPC-H-Q1 pricing-summary text, shared VERBATIM between the Spark
+    * SQL surface (`sql_pricing_summary` runs it over a temp view) and
+    * the DuckDB oracle (over the parquet table) — the same parse tree
+    * on both engines. Money sums: round to a fixed scale → DECIMAL sum
+    * (exact, associative) → one cast to double; the average is one
+    * double division of exact operands.
+    */
+  def pricingSummarySql(table: String): String =
+    s"""SELECT l_returnflag, l_linestatus,
+      CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      CAST(SUM(CAST(round(l_extendedprice, 2) AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+      CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount), 4) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+      CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * (1 + l_tax), 6) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+      CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS DOUBLE) AS avg_qty,
+      COUNT(*) AS count_order
+    FROM $table
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus"""
+
   val all: Map[String, String] = Map(
+    "sql_pricing_summary" -> pricingSummarySql("lineitem"),
     "t_pagerank" -> pagerankSql(3,
       """SELECT CAST(s_suppkey AS BIGINT) AS a,
                CAST(s_nationkey AS BIGINT) + 2000000000 AS b

@@ -174,6 +174,20 @@ object SparkEntry {
       LIMIT 10""")
   }
 
+  /** SQL-surface: the TPC-H-Q1 pricing-summary shape — multi-measure
+    * aggregation with expression-derived measures and a date filter,
+    * run as the SAME SQL text on both engines. Money sums follow the
+    * engine-parity discipline: round to a fixed scale, sum as DECIMAL
+    * (exact, associative), cast to double once; averages are one
+    * double division of exact operands. The scan should push the
+    * l_shipdate predicate down (six output rows, one partial-agg
+    * shuffle — the canonical 100 TB-friendly aggregate).
+    */
+  private def sqlPricingSummary(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "lineitem").createOrReplaceTempView("v_lineitem")
+    s.sql(OracleSql.pricingSummarySql("v_lineitem"))
+  }
+
   /** SQL-surface: correlated EXISTS + correlated scalar subquery in one
     * statement — the decorrelation machinery (Catalyst rewrites both
     * into joins) a SQL user depends on. Nations that have suppliers,
@@ -1786,6 +1800,7 @@ object SparkEntry {
     "t_window_hourly" -> tWindowHourly,
     "t11_date_lineitem" -> t11DateLineitem,
     "sql_revenue_topk" -> sqlRevenueTopk,
+    "sql_pricing_summary" -> sqlPricingSummary,
     "sql_correlated" -> sqlCorrelated,
     "t_set_ops" -> tSetOps,
     "t_rollup" -> tRollup,

@@ -277,6 +277,13 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"), p)
   }
 
+  test("pricing summary: date filter pushed to the scan, partial agg") {
+    val p = planOf("sql_pricing_summary")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), " +
+      "LessThanOrEqual(l_shipdate"), p)
+    assert(p.contains("partial_sum"), p)
+  }
+
   test("containment probe is one exchange over the pair artifact") {
     // warm the artifact, then assert the PROBE plan: the posting-list
     // build must not reappear per consumer
