@@ -1241,6 +1241,25 @@ object OracleSql {
         SELECT doc_id, text_hash, row_number() OVER (PARTITION BY text_hash ORDER BY doc_id) AS rn
         FROM hashed) WHERE rn = 1 ORDER BY doc_id""",
 
+    "ns_split_leakage" ->
+      s"""WITH ${jaccardCtes("documents", pruned = true)},
+      spl AS (
+        SELECT doc_id,
+          CASE WHEN ((doc_id % 1000000007) * 2654435761) % 1000 < 50 THEN 'test'
+               WHEN ((doc_id % 1000000007) * 2654435761) % 1000 < 100 THEN 'val'
+               ELSE 'train' END AS split
+        FROM documents)
+      SELECT id_a, id_b, pa.split AS split_a, pb.split AS split_b,
+        round(CAST(inter AS DOUBLE) / (sa.nsh + sb.nsh - inter), 6) AS jaccard_r
+      FROM inter
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      JOIN spl pa ON pa.doc_id = id_a
+      JOIN spl pb ON pb.doc_id = id_b
+      WHERE CAST(inter AS DOUBLE) / (sa.nsh + sb.nsh - inter) >= 0.12
+        AND pa.split <> pb.split
+      ORDER BY id_a, id_b""",
+
     "ns_dedup_ngram_jaccard" ->
       s"""WITH ${jaccardCtes("documents", pruned = true)}
       SELECT id_a, id_b,

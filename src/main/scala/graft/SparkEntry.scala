@@ -1505,6 +1505,29 @@ object SparkEntry {
       TextDedup.candidatePairCounts(t(s, dir, "documents"), "text", "doc_id",
         shingleN = 3).localCheckpoint(true))
 
+  /** Train/val/test leakage audit: near-dup pairs whose members landed
+    * in DIFFERENT splits — the eval-integrity check every training
+    * pipeline needs (a val/test doc that near-duplicates a train doc
+    * inflates benchmark scores exactly like benchmark contamination).
+    * Another probe of the [[pairGraph]] artifact: the jaccard sibling
+    * prices the posting build; this adds two shuffled joins against
+    * the corpus-cardinality split frame (shuffle_hash — never
+    * broadcast a one-row-per-doc side; see TUNING.md stress findings).
+    */
+  private def nsSplitLeakage(s: SparkSession, dir: String): DataFrame = {
+    val split = graft.ext.Sampling.trainValTestSplit(
+      t(s, dir, "documents").select("doc_id"), "doc_id")
+    TextDedup.jaccardFromPairs(pairGraph(s, dir), threshold = 0.12)
+      .join(split.select(col("doc_id").as("id_a"),
+        col("split").as("split_a")).hint("shuffle_hash"), Seq("id_a"))
+      .join(split.select(col("doc_id").as("id_b"),
+        col("split").as("split_b")).hint("shuffle_hash"), Seq("id_b"))
+      .filter(col("split_a") =!= col("split_b"))
+      .select(col("id_a"), col("id_b"), col("split_a"), col("split_b"),
+        round(col("jaccard"), 6).as("jaccard_r"))
+      .orderBy("id_a", "id_b")
+  }
+
   /** Survivor policy over the near-dup clusters: keep each cluster's
     * LONGEST doc (ties → smallest id) — the curation rule that beats
     * min-id when duplicates differ by truncation. Probes the
@@ -1668,6 +1691,21 @@ object SparkEntry {
       VectorSearch.pqBuild(emb, "vec_id", "embedding", m = 8, kCent = 16))
     VectorSearch.pqTopKRefined(idx, emb, emb.filter(col("vec_id") < 5),
       k = 10, shortlist = 4)
+      .orderBy("query_id", "rank")
+  }
+
+  /** IVF-PQ composition — both amortized indexes together: nprobe
+    * lists scanned as ADC code lookups, exact re-rank of the bounded
+    * shortlist. The billion-scale recipe (see VectorSearch.ivfPqTopK).
+    */
+  private def nsIvfPqTopk(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val ivf = ivfIndexCache.computeIfAbsent((s, dir), _ =>
+      VectorSearch.ivfBuild(emb, "vec_id", "embedding", nLists = 8))
+    val pq = pqIndexCache.computeIfAbsent((s, dir), _ =>
+      VectorSearch.pqBuild(emb, "vec_id", "embedding", m = 8, kCent = 16))
+    VectorSearch.ivfPqTopK(ivf, pq, emb, emb.filter(col("vec_id") < 5),
+      k = 10, nprobe = 4, shortlist = 4)
       .orderBy("query_id", "rank")
   }
 
@@ -1883,6 +1921,7 @@ object SparkEntry {
     "ns_dedup_minhash_verified" -> nsDedupMinhashVerified,
     "ns_dedup_clusters" -> nsDedupClusters,
     "ns_dedup_survivors" -> nsDedupSurvivors,
+    "ns_split_leakage" -> nsSplitLeakage,
     "ns_pct_rank" -> nsPctRank,
     "ns_dedup_simhash" -> nsDedupSimhash,
     "ns_decontaminate" -> nsDecontaminate,
@@ -1903,6 +1942,7 @@ object SparkEntry {
     "ns_ann_lsh" -> nsAnnLsh,
     "ns_ivf_topk" -> nsIvfTopk,
     "ns_pq_topk" -> nsPqTopk,
+    "ns_ivfpq_topk" -> nsIvfPqTopk,
     "ns_curation_pipeline" -> nsCurationPipeline,
     "ns_text_tokens" -> nsTextTokens,
     "ns_token_stats" -> nsTokenStats,
@@ -1914,7 +1954,8 @@ object SparkEntry {
     "ns_multimodal_features" -> nsMultimodalFeatures)
 
   /** DuckDB twins. Omitted: ns_dedup_minhash / ns_dedup_simhash /
-    * ns_ann_lsh / ns_embed_neardup_lsh / ns_ivf_topk / ns_pq_topk (hash- or
+    * ns_ann_lsh / ns_embed_neardup_lsh / ns_ivf_topk / ns_pq_topk /
+    * ns_ivfpq_topk (hash- or
     * training-seeded approximations — recall < 1 by design, each
     * bounded against its exact twin in specs; minhash additionally has
     * the oracle-checked `ns_dedup_minhash_verified` form),

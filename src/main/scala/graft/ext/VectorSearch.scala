@@ -465,6 +465,89 @@ object VectorSearch {
       .select(col("query_id"), col("rank"), col("vec_id"), col("adist"))
   }
 
+  /** IVF-PQ: the standard billion-scale composition (coarse quantizer
+    * prunes WHICH vectors a query scans — `nprobe` lists of the IVF
+    * index; PQ codes compress WHAT is scanned — ADC lookups instead of
+    * float reads), finished by the exact re-rank of a bounded
+    * shortlist. Both indexes are prebuilt/amortized; the probe touches
+    * ~nprobe/nLists of the code frame and reads full vectors only for
+    * queries·shortlist·k candidates.
+    *
+    * Scale: candidate scan = hash equi-join of the code frame (joined
+    * map-side to list assignments) against the broadcast probed-query
+    * side; ADC scoring is m table lookups per candidate; both window
+    * passes are per-query-bounded. Nothing corpus-sized shuffles.
+    */
+  def ivfPqTopK(ivf: IvfIndex, pq: PqIndex, corpus: DataFrame,
+                queries: DataFrame, k: Int, nprobe: Int = 2,
+                shortlist: Int = 4): DataFrame = {
+    require(k >= 1 && nprobe >= 1 && shortlist >= 1,
+      "k, nprobe, shortlist must be >= 1")
+    val spark = ivf.assigned.sparkSession
+    import spark.implicits._
+    val centers = ivf.centroids
+    val centDf = (0 until centers.numRows).map { i =>
+      (i, (0 until centers.numCols).map(j => centers(i, j)).toArray)
+    }.toDF("ivf_list", "centroid")
+    def sqD(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => {
+        val d = x.cast("double") - y.cast("double"); d * d
+      }), lit(0.0), (acc, v) => acc + v)
+    // nprobe nearest lists per query — same euclidean metric KMeans
+    // assigned with (see ivfTopK)
+    val probed = queries
+      .select(col(ivf.id).as("query_id"), col(ivf.vec).as("qv"))
+      .crossJoin(broadcast(centDf))
+      .withColumn("dist", sqD(col("qv"), col("centroid")))
+      .withColumn("_r", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("dist"), col("ivf_list"))))
+      .filter(col("_r") <= nprobe)
+      .select(col("ivf_list"), col("query_id"))
+    // ADC distance tables per query (same construction as pqTopK)
+    val (m, kc) = (pq.m, pq.kCent)
+    val cbDf = pq.codebooks.toSeq.toDF("sub", "j", "cvec")
+    val sub = pq.codebooks.head._3.length
+    val qn = normalized(
+      queries.select(col(pq.id).as("query_id"), col(pq.vec)), pq.vec)
+    val qsub = qn.select(col("query_id"),
+      posexplode(transform(sequence(lit(0), lit(m - 1)),
+        i => slice(col(pq.vec), i * sub + lit(1), lit(sub))))
+        .as(Seq("sub", "sv")))
+    val qtab = qsub.join(broadcast(cbDf), Seq("sub"))
+      .withColumn("_d", sqD(col("sv"), col("cvec")))
+      .groupBy(col("query_id"))
+      .agg(array_sort(collect_list(struct(
+        (col("sub") * kc + col("j")).as("slot"), col("_d").as("d"))))
+        .as("_st"))
+      .select(col("query_id"), expr("transform(_st, x -> x.d)").as("dtab"))
+    val qside = probed.join(qtab, Seq("query_id"))
+    // candidate scan: codes of the probed lists only
+    val assigned = ivf.assigned
+      .select(col(ivf.id).as("vec_id"), col("ivf_list"))
+    val codes = pq.codes.select(col(pq.id).as("vec_id"), col("codes"))
+    val cand = codes.join(assigned, Seq("vec_id"))
+      .join(broadcast(qside), Seq("ivf_list"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .withColumn("adist", expr(
+        s"aggregate(transform(codes, (c, s) -> dtab[s * $kc + c]), " +
+          "0D, (acc, v) -> acc + v)"))
+      .withColumn("_sr", row_number().over(Window.partitionBy("query_id")
+        .orderBy(col("adist").asc, col("vec_id"))))
+      .filter(col("_sr") <= k * shortlist)
+      .select(col("query_id"), col("vec_id"))
+    // exact re-rank of the bounded shortlist
+    val c = corpus.select(col(pq.id).as("vec_id"), col(pq.vec).as("cv"))
+    val q = queries.select(col(pq.id).as("query_id"), col(pq.vec).as("qv"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("vec_id"))
+    cand.join(c, Seq("vec_id"))
+      .join(broadcast(q), Seq("query_id"))
+      .withColumn("sim", round(cosine(col("cv"), col("qv")), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id"), col("sim"))
+  }
+
   /** PQ search with exact re-rank — the production two-stage shape:
     * the ADC code scan shortlists `shortlist·k` candidates per query
     * (cheap, compressed-domain), then ONLY those candidates' full

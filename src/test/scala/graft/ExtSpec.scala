@@ -338,6 +338,43 @@ class ExtSpec extends SparkSpec {
     } finally idx.close()
   }
 
+  test("IVF-PQ composition recalls well and candidates shrink with nprobe") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val q = emb.filter($"vec_id" < 10)
+    val ivf = VectorSearch.ivfBuild(emb, "vec_id", "embedding", nLists = 8)
+    val pq = VectorSearch.pqBuild(emb, "vec_id", "embedding",
+      m = 8, kCent = 16)
+    try {
+      val exact = VectorSearch.bruteForceTopK(emb, q, "vec_id", "embedding", 10)
+        .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+      def recallAt(nprobe: Int, shortlist: Int): Double = {
+        val approx = VectorSearch.ivfPqTopK(ivf, pq, emb, q, k = 10,
+          nprobe = nprobe, shortlist = shortlist)
+          .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+        (exact & approx).size.toDouble / exact.size
+      }
+      // production shape (nprobe=4 of 8, shortlist=4): floor recall
+      assert(recallAt(4, 4) > 0.4, "IVF-PQ production recall too low")
+      // monotone-in-nprobe holds only when the shortlist cut is a
+      // no-op (shortlist·k >= every probed candidate): with a FIXED
+      // small shortlist, more probed lists can push true neighbors
+      // off the ADC shortlist — that non-monotonicity is real, so the
+      // principled sweep uses an uncut shortlist
+      val r = Seq(2, 4, 8).map(recallAt(_, 1000))
+      assert(r(2) > 0.6, s"IVF-PQ uncut full-probe recall ${r(2)} (sweep $r)")
+      assert(r(0) <= r(1) + 1e-9 && r(1) <= r(2) + 1e-9, r.toString)
+      // full probe + uncut shortlist degenerates to PQ-refined search
+      // over the whole corpus: recall must match it exactly
+      val pqAll = VectorSearch.pqTopKRefined(pq, emb, q, k = 10,
+        shortlist = 1000)
+        .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+      val ivfpqAll = VectorSearch.ivfPqTopK(ivf, pq, emb, q, k = 10,
+        nprobe = 8, shortlist = 1000)
+        .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+      assert(ivfpqAll == pqAll)
+    } finally { ivf.close(); pq.close() }
+  }
+
   test("PQ build rejects a dimension not divisible by m") {
     val bad = Seq((1L, Array.fill(6)(0.5f))).toDF("vec_id", "embedding")
     intercept[IllegalArgumentException] {
