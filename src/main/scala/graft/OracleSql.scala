@@ -1155,6 +1155,13 @@ object OracleSql {
              ELSE 'train' END AS split
       FROM documents ORDER BY doc_id""",
 
+    "ns_shuffle_order" ->
+      """SELECT doc_id, source,
+        row_number() OVER (ORDER BY
+          ((doc_id % 1000000007) * 2654435761) % 1000000007, doc_id)
+          AS shuffle_pos
+      FROM documents ORDER BY doc_id""",
+
     "ns_row_numbers" ->
       """SELECT doc_id, lang,
         row_number() OVER (ORDER BY doc_id) AS row_id

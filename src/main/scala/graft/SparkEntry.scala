@@ -369,6 +369,17 @@ object SparkEntry {
       .select(col("doc_id"), col("lang"), col("row_id"))
       .orderBy("doc_id")
 
+  /** Deterministic training-order shuffle position per doc — the
+    * reproducible corpus permutation (hash order, never rand();
+    * two-pass range numbering, never a single-partition window).
+    */
+  private def nsShuffleOrder(s: SparkSession, dir: String): DataFrame =
+    graft.op.Scale.shuffleOrder(
+      t(s, dir, "documents").select("doc_id", "source"),
+      "doc_id", numPartitions = 8)
+      .select(col("doc_id"), col("source"), col("shuffle_pos"))
+      .orderBy("doc_id")
+
   /** Pivot (engine completeness): per-user event counts fanned out to
     * one column per event type. Pivot values are pinned so the output
     * schema is stable regardless of which types a partition sees.
@@ -1902,6 +1913,7 @@ object SparkEntry {
     "ns_corpus_report" -> nsCorpusReport,
     "ns_corpus_mix" -> nsCorpusMix,
     "ns_row_numbers" -> nsRowNumbers,
+    "ns_shuffle_order" -> nsShuffleOrder,
     "t12_full_address" -> t12FullAddress,
     "t13_row_to_json" -> t13RowToJson,
     "pipeline_collection" -> pipelineCollection,

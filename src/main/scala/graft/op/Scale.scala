@@ -172,6 +172,29 @@ object Scale {
       .drop("_pid", "_offset")
   }
 
+  /** Deterministic training-order shuffle: a reproducible pseudorandom
+    * permutation position for every row — the corpus shuffle a
+    * training run does before sharding, WITHOUT `rand()`: rerun-,
+    * engine- and partitioning-stable, so restarting a preprocessing
+    * job cannot silently reorder the training data. Position =
+    * contiguous global row number (1..N) in the
+    * (multiplicative-hash(key), key) total order, computed with the
+    * two-pass range numbering of [[globalRowNumbers]] — never a
+    * single-partition window. Keys non-negative integral (the
+    * [[graft.ext.Sampling.bucket1000]] overflow contract); the hash
+    * key tiebreaks on `key` itself, so collisions keep a total order.
+    */
+  def shuffleOrder(df: DataFrame, key: String, numPartitions: Int = 0,
+                   outCol: String = "shuffle_pos"): DataFrame = {
+    val tmp = Iterator.from(0).map(i => s"_shk$i")
+      .find(n => !df.columns.contains(n)).get
+    globalRowNumbers(
+      df.withColumn(tmp, pmod(pmod(col(key), lit(1000000007L)) *
+        lit(2654435761L), lit(1000000007L))),
+      Seq(tmp, key), numPartitions, outCol)
+      .drop(tmp)
+  }
+
   /** Morton (Z-order) value of two non-negative dimension columns: the
     * low `bits` bits of x and y interleaved (x in even positions, y in
     * odd). Pure integer shift/mask arithmetic — exact on any engine —

@@ -83,6 +83,28 @@ class ScaleSpec extends SparkSpec {
     assert(again.toSeq == out.toSeq)
   }
 
+  test("shuffle order: a real permutation, deterministic, partition-stable") {
+    val df = spark.range(500).selectExpr("id AS k")
+    val out = Scale.shuffleOrder(df, "k", numPartitions = 7)
+      .select("k", "shuffle_pos").as[(Long, Long)].collect().sortBy(_._1)
+    // contiguous 1..N: a permutation, nothing dropped or duplicated
+    assert(out.map(_._2).sorted.toSeq == (1L to 500L))
+    // actually shuffled: the permutation must not be (close to) the
+    // identity or any monotone map of the key order
+    val monotonePairs = out.map(_._2).sliding(2)
+      .count { case Array(a, b) => a < b; case _ => false }
+    assert(monotonePairs < 400, s"suspiciously ordered: $monotonePairs")
+    // rerun- and partition-count-stable
+    val again = Scale.shuffleOrder(df.repartition(9), "k", numPartitions = 13)
+      .select("k", "shuffle_pos").as[(Long, Long)].collect().sortBy(_._1)
+    assert(again.toSeq == out.toSeq)
+    // collision-safe temp name: caller column _shk0 survives
+    val withTmp = df.withColumnRenamed("k", "_shk0")
+    val ok = Scale.shuffleOrder(withTmp, "_shk0", numPartitions = 3)
+    assert(ok.columns.toSeq.contains("_shk0") &&
+      ok.count() == 500)
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
