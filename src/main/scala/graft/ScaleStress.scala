@@ -114,7 +114,14 @@ object ScaleStress {
     val names = Seq("ns_dedup_ngram_jaccard", "ns_containment",
       "ns_dedup_clusters", "ns_dedup_survivors", "ns_dup_ngram_fraction",
       "ns_dedup_minhash", "ns_dedup_exact", "ns_block_dedup",
-      "ns_substring_dedup", "ns_curation_pipeline", "ns_ann_lsh")
+      "ns_substring_dedup", "ns_curation_pipeline", "ns_ann_lsh",
+      // round-6 additions that read the stress corpus: the leakage
+      // audit probes the pair graph (boilerplate-skew territory), the
+      // source cap hits the clone-heavy source distribution, bm25
+      // routing prices the token explode at scale, and the PQ tiers
+      // price code-scan ANN on the densified embedding clones
+      "ns_split_leakage", "ns_source_cap", "ns_bm25_route",
+      "ns_pq_topk", "ns_ivfpq_topk")
     names.foreach { q =>
       step(q)(s => Map("rows" -> SparkEntry.queries(q)(s, dir).count()))
     }
