@@ -111,4 +111,29 @@ class EdgeCaseSpec extends SparkSpec {
     assert(java.nio.file.Files.exists(
       java.nio.file.Paths.get(s"$tmp/curation_deduped")))
   }
+
+  test("round-6 operators: empty inputs and contract violations") {
+    import graft.ext.Sampling
+    val empty = Seq.empty[(String, Long, Long)].toDF("source", "doc_id", "n_chars")
+    // empty in -> empty out, no crash
+    assert(Sampling.capPerGroup(empty, "source", 3,
+      Seq(desc_nulls_last("n_chars")), "doc_id").count() == 0)
+    assert(graft.op.Scale.shuffleOrder(
+      Seq.empty[Long].toDF("k"), "k", numPartitions = 3).count() == 0)
+    // jackknife contracts: >= 2 groups, k >= 1 caps
+    intercept[IllegalArgumentException] {
+      Sampling.jackknifeMean(Seq((1L, 2L)).toDF("k", "m"), "k",
+        col("m"), groups = 1)
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.capPerGroup(empty, "source", 0, Seq(col("n_chars")), "doc_id")
+    }
+    // bm25Route on docs with zero matching terms emits nothing
+    val model = graft.ext.TextAnalysis.bm25Snapshot(
+      Seq((1L, "alpha beta")).toDF("doc_id", "text"), "text", "doc_id",
+      Map("r" -> Seq("alpha")))
+    assert(graft.ext.TextAnalysis.bm25Route(
+      Seq((9L, "zzz qqq")).toDF("doc_id", "text"),
+      "text", "doc_id", model).count() == 0)
+  }
 }
