@@ -1090,6 +1090,30 @@ object OracleSql {
       FROM pb FULL OUTER JOIN pa ON pb.lang = pa.lang
       ORDER BY lang""",
 
+    "ns_grouped_bootstrap" ->
+      """WITH per AS (
+        SELECT CAST(substring(source, 4) AS BIGINT) AS grp,
+               CAST(sum(n_chars) AS BIGINT) AS s, count(*) AS n
+        FROM documents GROUP BY 1),
+      reps AS (
+        SELECT grp, s, n, unnest(generate_series(1, 20)) AS rep FROM per),
+      b AS (
+        SELECT rep, s, n,
+          ((((grp % 1000000007) * (rep + 1) + rep * 7919) % 1000000007)
+            * 2654435761) % 1000 AS bkt
+        FROM reps),
+      m AS (
+        SELECT rep, s, n,
+          CASE WHEN bkt < 368 THEN 0 WHEN bkt < 736 THEN 1
+               WHEN bkt < 920 THEN 2 WHEN bkt < 981 THEN 3
+               WHEN bkt < 996 THEN 4 ELSE 5 END AS mult
+        FROM b)
+      SELECT CAST(rep AS BIGINT) AS rep,
+        CAST(sum(mult) AS BIGINT) AS g_eff,
+        CAST(sum(mult * n) AS BIGINT) AS n_eff,
+        round(CAST(sum(mult * s) AS DOUBLE) / sum(mult * n), 6) AS mean_metric
+      FROM m GROUP BY 1 ORDER BY rep""",
+
     "ns_source_cap" ->
       """SELECT doc_id, source, n_chars FROM (
         SELECT doc_id, source, n_chars,

@@ -309,6 +309,18 @@ object SparkEntry {
       "l_orderkey", col("l_quantity"), groups = 10)
       .orderBy("grp")
 
+  /** Grouped bootstrap over sources: resample DOMAINS, not docs — the
+    * clustered-data uncertainty estimate (docs within a source
+    * correlate). Source name maps to its numeric suffix as the group
+    * surrogate ('srcN' → N), mirrored verbatim in the oracle.
+    */
+  private def nsGroupedBootstrap(s: SparkSession, dir: String): DataFrame =
+    graft.ext.Sampling.groupedBootstrap(
+      t(s, dir, "documents"),
+      expr("CAST(substring(source, 4) AS BIGINT)"), "n_chars",
+      replicates = 20)
+      .orderBy("rep")
+
   /** Deterministic 90/5/5 train/val/test assignment by key bucket —
     * map-side, stable under corpus growth, engine-reproducible.
     */
@@ -1906,6 +1918,7 @@ object SparkEntry {
     "ns_stratified_sample" -> nsStratifiedSample,
     "ns_weighted_sample" -> nsWeightedSample,
     "ns_bootstrap" -> nsBootstrap,
+    "ns_grouped_bootstrap" -> nsGroupedBootstrap,
     "ns_source_cap" -> nsSourceCap,
     "ns_jackknife" -> nsJackknife,
     "ns_drift_report" -> nsDriftReport,

@@ -92,6 +92,50 @@ object Sampling {
         col("mean_metric"))
   }
 
+  /** Grouped (block/cluster) bootstrap: resample GROUPS, not rows —
+    * the honest uncertainty estimate when rows within a group are
+    * correlated (documents within a domain, events within a user).
+    * Row-level resampling ([[poissonBootstrap]]) treats correlated
+    * rows as independent and understates the variance; here each
+    * replicate draws a Poisson(1) multiplicity PER GROUP (same
+    * quantized pmf and multiplicative replicate mixing as
+    * poissonBootstrap — the additive-mix collapse lesson applies
+    * identically) and weights the group's exact sums by it.
+    *
+    * Scale shape: group sums aggregate once (one partial-agg shuffle,
+    * exact BIGINT); the replicate fan-out then explodes the G-row
+    * group frame — G·replicates rows, NOT rows·replicates, so this is
+    * CHEAPER than the row bootstrap at any corpus size. `groupKey`
+    * must be a non-negative integral expression (string groups map
+    * through a numeric surrogate — the [[bucket1000]] contract);
+    * `metric` integer-valued. A replicate that draws zero groups
+    * yields NaN mean (0/0 in double — pinned IEEE semantics both
+    * engines); with G ≥ 20 groups that is a ~1e-9 event.
+    */
+  def groupedBootstrap(df: DataFrame, groupKey: Column, metric: String,
+                       replicates: Int = 20): DataFrame = {
+    require(replicates >= 1 && replicates <= 1000, "replicates in [1, 1000]")
+    val per = df.groupBy(groupKey.as("grp"))
+      .agg(sum(col(metric).cast("long")).as("_s"), count(lit(1)).as("_n"))
+    val mixed = pmod(
+      pmod(col("grp"), lit(1000000007L)) * (col("rep") + lit(1))
+        + col("rep") * lit(7919L), lit(1000000007L))
+    val bkt = bucket1000(mixed)
+    val mult = when(bkt < 368, 0L).when(bkt < 736, 1L).when(bkt < 920, 2L)
+      .when(bkt < 981, 3L).when(bkt < 996, 4L).otherwise(5L)
+    per.select(col("grp"), col("_s"), col("_n"),
+        explode(expr(s"sequence(1, $replicates)")).as("rep"))
+      .withColumn("_mult", mult)
+      .groupBy("rep")
+      .agg(sum(col("_mult")).as("g_eff"),
+        sum(col("_mult") * col("_n")).as("n_eff"),
+        sum(col("_mult") * col("_s")).as("_sum"))
+      .withColumn("mean_metric",
+        round(col("_sum").cast("double") / col("n_eff"), 6))
+      .select(col("rep").cast("long").as("rep"), col("g_eff"),
+        col("n_eff"), col("mean_metric"))
+  }
+
   /** Continuous-weight deterministic Bernoulli sampling — the
     * importance-sampling primitive behind quality-weighted data mixing:
     * keep each row with probability `weight` (a per-row column in

@@ -260,6 +260,37 @@ class AsofSamplingSpec extends SparkSpec {
     assert(out.select("doc_id").as[Long].collect().toSeq == Seq(1L))
   }
 
+  test("grouped bootstrap matches the exact per-group model") {
+    val data = (0L until 300L).map(k => (k % 12, (k % 5) + 1))
+    val rows = data.toDF("g", "m")
+    val out = Sampling.groupedBootstrap(rows, col("g"), "m", replicates = 10)
+      .orderBy("rep").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val per = data.groupBy(_._1).map { case (g, v) =>
+      (g, v.map(_._2).sum, v.size.toLong) }.toSeq
+    def mult(g: Long, r: Long): Long = {
+      val mixed = ((g % 1000000007L) * (r + 1) + r * 7919L) % 1000000007L
+      val bkt = mixed * 2654435761L % 1000L
+      if (bkt < 368) 0L else if (bkt < 736) 1L else if (bkt < 920) 2L
+      else if (bkt < 981) 3L else if (bkt < 996) 4L else 5L
+    }
+    val model = (1L to 10L).map { r =>
+      val ms = per.map { case (g, s, n) => (mult(g, r), s, n) }
+      val geff = ms.map(_._1).sum
+      val neff = ms.map(x => x._1 * x._3).sum
+      val sum = ms.map(x => x._1 * x._2).sum
+      (r, geff, neff,
+        math.round(sum.toDouble / neff * 1e6) / 1e6)
+    }
+    assert(out.map(x => (x._1, x._2, x._3)).toSeq ==
+      model.map(x => (x._1, x._2, x._3)))
+    out.zip(model).foreach { case (a, b) =>
+      assert(math.abs(a._4 - b._4) < 1.01e-6, s"$a vs $b") }
+    // replicates actually differ (the multiplicative mix works at
+    // group granularity too)
+    assert(out.map(_._3).distinct.length > 1)
+  }
+
   test("jackknifeMean matches the exact model; partitioning-invariant") {
     val rows = (0L until 200L).map(k => (k, (k % 7) + 1)).toDF("k", "m")
     def run(d: org.apache.spark.sql.DataFrame) =
