@@ -310,6 +310,40 @@ object EventStream {
         dialect = dialect)
     }
 
+  final case class QuotaState(emitted: Long)
+
+  /** Streaming per-group quota — the incremental form of
+    * `Sampling.capPerGroup`, with the honest streaming contract: a
+    * stream cannot rank rows it has not seen, so the survivors are
+    * the FIRST k rows to ARRIVE per group (ties inside a micro-batch
+    * resolve by id, so a replayed batch emits identically), not the
+    * k best under a global priority — when the corpus is complete,
+    * re-rank offline with the batch cap. The state is ONE counter per
+    * group (O(groups), never O(rows)), and it never expires: a
+    * filled quota that timed out would silently re-open, so
+    * NoTimeout is the correct retention policy here, unlike the
+    * value-carrying states above.
+    */
+  def quotaStream(spark: SparkSession, docs: DataFrame, group: String,
+                  idCol: String, k: Int) = {
+    import spark.implicits._
+    require(k >= 1, "k must be >= 1")
+    docs.selectExpr(s"cast($group as string) as g",
+        s"cast($idCol as long) as id")
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[QuotaState, (String, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (g, rows, state: GroupState[QuotaState]) =>
+          val prev = state.getOption.map(_.emitted).getOrElse(0L)
+          val room = (k - prev).max(0L).toInt
+          val take = rows.map(_._2).toSeq.sorted.take(room)
+          state.update(QuotaState(prev + take.size))
+          take.iterator.map(id => (g, id))
+      }
+      .toDF("source", "doc_id")
+  }
+
   /** Streaming BM25-scored routing — the incremental twin of
     * `TextAnalysis.bm25Route`: incoming documents are scored against a
     * FROZEN [[graft.ext.TextAnalysis.Bm25Snapshot]] (corpus stats +

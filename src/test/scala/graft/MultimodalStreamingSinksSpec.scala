@@ -437,6 +437,30 @@ class StreamingSpec extends SparkSpec {
     assert(!byDoc.contains(13L), "no-match docs emit nothing")
   }
 
+  test("streaming quota caps each group at k across micro-batches") {
+    val dir = java.nio.file.Files.createTempDirectory("quota").toString
+    // s1 arrives 3 then 2 (quota 4 -> batch2 admits only the smallest
+    // id); s2 stays under quota
+    val f1 = Seq(("s1", 11L), ("s1", 12L), ("s1", 13L), ("s2", 21L))
+    val f2 = Seq(("s1", 15L), ("s1", 14L), ("s2", 22L))
+    f1.toDF("source", "doc_id").coalesce(1).write.parquet(s"$dir/f1")
+    Thread.sleep(1100) // distinct mtimes => deterministic batch order
+    f2.toDF("source", "doc_id").coalesce(1).write.parquet(s"$dir/f2")
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add("source", "string").add("doc_id", "long")
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir + "/*")
+    val out = EventStream.quotaStream(spark, stream, "source", "doc_id", 4)
+    EventStream.runAvailableNow(out, "squota",
+      org.apache.spark.sql.streaming.OutputMode.Append)
+    val got = spark.sql("select source, doc_id from squota")
+      .as[(String, Long)].collect().toSet
+    // batch1 admits 11,12,13; batch2 has room for ONE more s1 row and
+    // admits the smaller id (14), rejecting 15
+    assert(got == Set(("s1", 11L), ("s1", 12L), ("s1", 13L), ("s1", 14L),
+      ("s2", 21L), ("s2", 22L)))
+  }
+
   test("bm25 route ties break on route name; empty corpus snapshot rejected") {
     import graft.ext.TextAnalysis
     val corpus = Seq((1L, "alpha beta"), (2L, "alpha gamma"))
