@@ -261,8 +261,56 @@ object OracleSql {
     GROUP BY l_returnflag, l_linestatus
     ORDER BY l_returnflag, l_linestatus"""
 
+  /** TPC-H-Q5 local-supplier-volume text, shared VERBATIM between the
+    * Spark SQL surface (`sql_local_volume` over temp views) and the
+    * DuckDB oracle (over the parquet tables) — a 6-way snowflake join
+    * (fact × 2 mid tables × 3 dims) with the region/date selection
+    * the optimizer should push below the joins. Money follows the
+    * parity discipline: round per item, DECIMAL sum, one double cast.
+    */
+  def localVolumeSql(customer: String, orders: String, lineitem: String,
+                     supplier: String, nation: String,
+                     region: String): String =
+    s"""SELECT n_name,
+      CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount), 4) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+      COUNT(*) AS n_items
+    FROM $customer c
+    JOIN $orders o ON c.c_custkey = o.o_custkey
+    JOIN $lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN $supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+    JOIN $nation n ON s.s_nationkey = n.n_nationkey
+    JOIN $region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '1999-01-01 00:00:00'
+    GROUP BY n_name
+    ORDER BY revenue DESC, n_name"""
+
+  /** TPC-H-Q18 large-volume-orders text, shared VERBATIM between
+    * engines — an IN-subquery over a grouped HAVING that both planners
+    * must decorrelate into a (semi-)join against the aggregated fact
+    * table, then a top-k. Quantity sums are exact DECIMAL.
+    */
+  def largeOrdersSql(customer: String, orders: String,
+                     lineitem: String): String =
+    s"""SELECT c.c_custkey, c.c_name, o.o_orderkey,
+      CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+    FROM $customer c
+    JOIN $orders o ON c.c_custkey = o.o_custkey
+    JOIN $lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderkey IN (
+      SELECT l_orderkey FROM $lineitem
+      GROUP BY l_orderkey
+      HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 150)
+    GROUP BY c.c_custkey, c.c_name, o.o_orderkey
+    ORDER BY total_qty DESC, o_orderkey
+    LIMIT 100"""
+
   val all: Map[String, String] = Map(
     "sql_pricing_summary" -> pricingSummarySql("lineitem"),
+    "sql_local_volume" -> localVolumeSql("customer", "orders", "lineitem",
+      "supplier", "nation", "region"),
+    "sql_large_orders" -> largeOrdersSql("customer", "orders", "lineitem"),
     "t_pagerank" -> pagerankSql(3,
       """SELECT CAST(s_suppkey AS BIGINT) AS a,
                CAST(s_nationkey AS BIGINT) + 2000000000 AS b
@@ -709,6 +757,84 @@ object OracleSql {
         FROM toks)
       SELECT bigram, count(*) AS n FROM bg WHERE bigram IS NOT NULL
       GROUP BY 1 ORDER BY n DESC, bigram LIMIT 30""",
+
+    // lift score: the IDENTICAL expression tree as the Spark side —
+    // (double(n_pair) * double(n_tok)) / (double(c1) * double(c2)),
+    // two correctly-rounded multiplies + one divide over exact
+    // BIGINT-derived doubles. LEFT-associative in both parsers.
+    "ns_collocations" ->
+      s"""WITH toksa AS (
+        SELECT doc_id, ${wsToks("text")} AS t FROM documents),
+      tk AS (
+        SELECT doc_id, unnest(t) AS w, generate_subscripts(t, 1) AS pos
+        FROM toksa),
+      bg AS (
+        SELECT w AS w1, lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+        FROM tk),
+      pc AS (
+        SELECT w1, w2, CAST(count(*) AS BIGINT) AS n_pair FROM bg
+        WHERE w2 IS NOT NULL GROUP BY 1, 2 HAVING count(*) >= 5),
+      uc AS (SELECT w AS wu, CAST(count(*) AS BIGINT) AS c FROM tk GROUP BY 1),
+      tot AS (SELECT CAST(count(*) AS BIGINT) AS n_tok FROM tk)
+      SELECT w1, w2, n_pair, c1, c2,
+        CAST(n_pair AS DOUBLE) * CAST(n_tok AS DOUBLE)
+          / (CAST(c1 AS DOUBLE) * CAST(c2 AS DOUBLE)) AS lift
+      FROM (SELECT p.w1, p.w2, p.n_pair, a.c AS c1, b.c AS c2, n_tok
+            FROM pc p JOIN uc a ON a.wu = p.w1 JOIN uc b ON b.wu = p.w2
+            CROSS JOIN tot)
+      ORDER BY lift DESC, w1, w2 LIMIT 30""",
+
+    // source-level shingle universes mirror shingleCtes (distinct
+    // trigram shingles + whole-text collapse for short docs), keyed by
+    // source instead of doc
+    "ns_source_overlap" ->
+      s"""WITH toksa AS (
+        SELECT source, doc_id, ${wsToks("text")} AS t FROM documents),
+      tk AS (
+        SELECT source, doc_id, unnest(t) AS w,
+               generate_subscripts(t, 1) AS pos
+        FROM toksa),
+      sh0 AS (
+        SELECT source, w || ' ' || lead(w) OVER (PARTITION BY doc_id ORDER BY pos)
+               || ' ' || lead(w, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS sh
+        FROM tk),
+      sh AS (
+        SELECT DISTINCT source, sh FROM sh0 WHERE sh IS NOT NULL
+        UNION
+        SELECT DISTINCT source, array_to_string(t, ' ') FROM toksa
+        WHERE len(t) < 3),
+      sizes AS (SELECT source, CAST(count(*) AS BIGINT) AS nsh FROM sh GROUP BY 1),
+      inter AS (
+        SELECT a.source AS src_a, b.source AS src_b,
+               CAST(count(*) AS BIGINT) AS n_common
+        FROM sh a JOIN sh b ON a.sh = b.sh AND a.source < b.source
+        GROUP BY 1, 2)
+      SELECT i.src_a, i.src_b, i.n_common, sa.nsh AS n_a, sb.nsh AS n_b,
+        CAST(i.n_common AS DOUBLE)
+          / CAST(sa.nsh + sb.nsh - i.n_common AS DOUBLE) AS jaccard
+      FROM inter i
+      JOIN sizes sa ON sa.source = i.src_a
+      JOIN sizes sb ON sb.source = i.src_b
+      ORDER BY src_a, src_b""",
+
+    // cut chain: exact-BIGINT division → sqrt → ×1000.0 → floor, the
+    // identical correctly-rounded double expression as the Spark side;
+    // keep decision is the shared bucket1000 arithmetic
+    "ns_temperature_mix" ->
+      """WITH c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n
+                    FROM documents GROUP BY 1),
+      m AS (SELECT min(n) AS nmin FROM c),
+      r AS (SELECT lang,
+              CAST(floor(sqrt(CAST(nmin AS DOUBLE) / CAST(n AS DOUBLE))
+                   * 1000.0) AS BIGINT) AS rate_permille
+            FROM c CROSS JOIN m),
+      k AS (SELECT d.lang, CAST(count(*) AS BIGINT) AS n_kept
+            FROM documents d JOIN r ON d.lang = r.lang
+            WHERE ((d.doc_id % 1000000007) * 2654435761) % 1000
+                  < r.rate_permille
+            GROUP BY 1)
+      SELECT r.lang, r.rate_permille, k.n_kept
+      FROM r JOIN k ON k.lang = r.lang ORDER BY r.lang""",
 
     "ns_ttr" ->
       s"""WITH tc AS (

@@ -188,6 +188,31 @@ object SparkEntry {
     s.sql(OracleSql.pricingSummarySql("v_lineitem"))
   }
 
+  /** SQL-surface: the TPC-H-Q5 snowflake-join shape (fact × orders ×
+    * customer with three broadcastable dims), SAME SQL text on both
+    * engines via [[OracleSql.localVolumeSql]]. The plan to want at
+    * 100 TB: region/nation/supplier broadcast, the region filter and
+    * date range pushed below the fact scan, one partial-agg shuffle on
+    * n_name at the top.
+    */
+  private def sqlLocalVolume(s: SparkSession, dir: String): DataFrame = {
+    for (n <- Seq("customer", "orders", "lineitem", "supplier", "nation",
+      "region")) t(s, dir, n).createOrReplaceTempView(s"v_$n")
+    s.sql(OracleSql.localVolumeSql("v_customer", "v_orders", "v_lineitem",
+      "v_supplier", "v_nation", "v_region"))
+  }
+
+  /** SQL-surface: the TPC-H-Q18 large-orders shape — an IN-subquery
+    * over a grouped HAVING both planners decorrelate into a semi-join,
+    * then a deterministic top-100. Same SQL text on both engines via
+    * [[OracleSql.largeOrdersSql]].
+    */
+  private def sqlLargeOrders(s: SparkSession, dir: String): DataFrame = {
+    for (n <- Seq("customer", "orders", "lineitem"))
+      t(s, dir, n).createOrReplaceTempView(s"v_$n")
+    s.sql(OracleSql.largeOrdersSql("v_customer", "v_orders", "v_lineitem"))
+  }
+
   /** SQL-surface: correlated EXISTS + correlated scalar subquery in one
     * statement — the decorrelation machinery (Catalyst rewrites both
     * into joins) a SQL user depends on. Nations that have suppliers,
@@ -1219,6 +1244,34 @@ object SparkEntry {
   private def nsBigrams(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.topBigrams(t(s, dir, "documents"), "text", 30)
 
+  /** Corpus top-30 collocations by lift (PMI-ordered, exact-count
+    * score; see [[TextAnalysis.collocations]]).
+    */
+  private def nsCollocations(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.collocations(t(s, dir, "documents"), "text",
+      k = 30, minCount = 5)
+
+  /** Source×source shingle-overlap matrix — which corpus sources
+    * duplicate each other (the pre-dedup audit). 20 sources → ≤ 190
+    * pairs out, whatever the corpus size.
+    */
+  private def nsSourceOverlap(s: SparkSession, dir: String): DataFrame =
+    TextDedup.sourceOverlap(t(s, dir, "documents"), "text", "source")
+      .orderBy("src_a", "src_b")
+
+  /** Inverse-sqrt (α = 0.5) temperature mixing over the language
+    * groups: `en` (~40% of the corpus) is downsampled toward the
+    * minority languages; the smallest language is kept whole. Output
+    * is the per-language keep summary.
+    */
+  private def nsTemperatureMix(s: SparkSession, dir: String): DataFrame =
+    graft.ext.Sampling.temperatureSample(
+      t(s, dir, "documents").select("doc_id", "lang"), "lang", "doc_id")
+      .groupBy("lang", "rate_permille")
+      .agg(count(lit(1)).as("n_kept"))
+      .select(col("lang"), col("rate_permille"), col("n_kept"))
+      .orderBy("lang")
+
   /** Per-document lexical diversity (tokens/types/hapax/TTR). */
   private def nsTtr(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.typeTokenStats(t(s, dir, "documents"), "text", "doc_id")
@@ -1862,6 +1915,8 @@ object SparkEntry {
     "t11_date_lineitem" -> t11DateLineitem,
     "sql_revenue_topk" -> sqlRevenueTopk,
     "sql_pricing_summary" -> sqlPricingSummary,
+    "sql_local_volume" -> sqlLocalVolume,
+    "sql_large_orders" -> sqlLargeOrders,
     "sql_correlated" -> sqlCorrelated,
     "t_set_ops" -> tSetOps,
     "t_rollup" -> tRollup,
@@ -1908,6 +1963,9 @@ object SparkEntry {
     "ns_vocab" -> nsVocab,
     "ns_sample_exact_k" -> nsSampleExactK,
     "ns_bigrams" -> nsBigrams,
+    "ns_collocations" -> nsCollocations,
+    "ns_source_overlap" -> nsSourceOverlap,
+    "ns_temperature_mix" -> nsTemperatureMix,
     "ns_ttr" -> nsTtr,
     "ns_embed_centroids" -> nsEmbedCentroids,
     "ns_embed_centroids_agg" -> nsEmbedCentroidsAgg,

@@ -159,6 +159,43 @@ object Sampling {
     df.filter(bucket1000(col(key)) <
       round(weight * lit(1000.0)).cast("long"))
 
+  /** Inverse-sqrt temperature mixing (the standard α = 0.5 rule from
+    * multilingual/multi-corpus training recipes): each group g is kept
+    * at rate sqrt(n_min / n_g), where n_min is the smallest group's
+    * row count — the smallest group survives whole, a group 4× its
+    * size is halved, 100× its size keeps one row in ten. This flattens
+    * group imbalance toward (but not all the way to) uniform, which is
+    * exactly what α = 0.5 temperature sampling does to the multinomial
+    * source weights. α is pinned at 0.5 because sqrt is a
+    * correctly-rounded IEEE primitive on every engine — the general
+    * pow(x, α−1) is NOT, so only this exponent yields an
+    * oracle-matchable (and engine-portable) threshold.
+    *
+    * The keep decision is [[bucket1000]] of the row's own key vs the
+    * group's permille cut — map-side, rerun- and partition-stable; the
+    * cut chain (exact-BIGINT division → sqrt → ×1000 → floor) is one
+    * correctly-rounded double expression any engine reproduces bit-
+    * identically. Returns kept rows plus the group's `rate_permille`.
+    *
+    * Scale shape: one partial-agg shuffle for the group counts, a
+    * one-row min, then a BROADCAST of the group→cut table back onto
+    * the corpus — the dimension-table contract: group cardinality must
+    * be dimension-sized (languages, sources, domains up to ~millions),
+    * never row-unique. Keys non-negative integral ([[bucket1000]]).
+    */
+  def temperatureSample(df: DataFrame, group: String,
+                        key: String): DataFrame = {
+    val counts = df.groupBy(col(group)).agg(count(lit(1)).as("_n"))
+    val nmin = counts.agg(min(col("_n")).as("_nmin"))
+    val cuts = counts.crossJoin(broadcast(nmin))
+      .withColumn("rate_permille",
+        floor(sqrt(col("_nmin").cast("double") / col("_n").cast("double"))
+          * lit(1000.0)).cast("long"))
+      .select(col(group), col("rate_permille"))
+    df.join(broadcast(cuts), Seq(group))
+      .filter(bucket1000(col(key)) < col("rate_permille"))
+  }
+
   /** Deterministic train/val/test assignment — the split column every
     * training pipeline stamps before anything else. Decided per row by
     * the [[bucket1000]] of `key`: bucket < testPermille → "test", next

@@ -174,6 +174,49 @@ object TextAnalysis {
       .orderBy(col("n").desc, col("bigram")).limit(k)
   }
 
+  /** Corpus collocation mining: adjacent word pairs ranked by LIFT —
+    * observed pair count over the count expected under independence,
+    * `n_pair · N / (c(w1) · c(w2))` — with a minimum-count floor so
+    * hapax noise can't dominate. Lift is a strictly monotone transform
+    * of PMI (PMI = log2(lift · N_pairs/N)), so the ranking equals the
+    * PMI ranking while staying oracle-matchable: the score is two
+    * IEEE multiplies and one divide over exact-BIGINT-derived doubles
+    * (every count < 2^53), identical on any engine — a log-based PMI
+    * could never hash-match (`ln` is not correctly rounded).
+    *
+    * Scale shape: pairs are generated map-side within each document
+    * (no self-join), counted through one partial-agg shuffle; the
+    * unigram table is vocab-cardinality and joined twice AFTER the
+    * min-count floor has shrunk the pair table; the corpus total is a
+    * one-row broadcast; top-k is TakeOrdered. No corpus-sized state.
+    */
+  def collocations(df: DataFrame, text: String, k: Int = 30,
+                   minCount: Long = 5): DataFrame = {
+    require(k >= 1 && minCount >= 1, "k and minCount must be >= 1")
+    val toks = df.select(Tok.tokens(col(text)).as("t"))
+    val uni = toks.select(explode(col("t")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    val tot = uni.agg(sum(col("c")).cast("long").as("n_tok"))
+    val pairs = toks.filter(size(col("t")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(t) - 1), " +
+          "i -> named_struct('w1', element_at(t, i), " +
+          "'w2', element_at(t, i + 1)))")).as("b"))
+      .groupBy(col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .agg(count(lit(1)).as("n_pair"))
+      .filter(col("n_pair") >= minCount)
+    pairs
+      .join(uni.select(col("w").as("w1"), col("c").as("c1")), Seq("w1"))
+      .join(uni.select(col("w").as("w2"), col("c").as("c2")), Seq("w2"))
+      .crossJoin(broadcast(tot))
+      .withColumn("lift",
+        col("n_pair").cast("double") * col("n_tok").cast("double")
+          / (col("c1").cast("double") * col("c2").cast("double")))
+      .select(col("w1"), col("w2"), col("n_pair"), col("c1"), col("c2"),
+        col("lift"))
+      .orderBy(col("lift").desc, col("w1"), col("w2")).limit(k)
+  }
+
   /** Per-document lexical diversity: token count, distinct-type count,
     * hapax (frequency-1) count, and type-token ratio. All counts are
     * exact integers; the ratio is one integer-derived division rounded

@@ -442,6 +442,54 @@ object TextDedup {
       .groupBy("sh").agg(count(lit(1)).as("doc_freq"))
       .filter(col("doc_freq") > maxPostings)
 
+  /** Source-level corpus-overlap matrix: for every pair of groups
+    * (sources, snapshots, crawls) the Jaccard similarity of their
+    * DISTINCT shingle universes — the "which of my corpora duplicate
+    * each other" audit that decides what to dedup against what before
+    * any doc-level pass runs. Returns one row per overlapping pair:
+    * (src_a, src_b, n_common, n_a, n_b, jaccard), src_a < src_b;
+    * pairs sharing no shingle are absent.
+    *
+    * Scale shape: the corpus-sized work is ONE shuffle on the shingle
+    * (partial collect_set collapses each shingle's group set map-side,
+    * bounded by the group count); pair expansion is quadratic only in
+    * the groups sharing a shingle — the dimension-table contract:
+    * group cardinality must be dimension-sized (≲ thousands), never
+    * row-unique (that job is [[candidatePairCounts]]). Group sizes and
+    * the final join are group-cardinality frames — broadcast is
+    * correct there at any corpus size.
+    */
+  def sourceOverlap(df: DataFrame, text: String, group: String,
+                    shingleN: Int = 3): DataFrame = {
+    // per-shingle sorted distinct group list: one shuffle on sh
+    val g = df.select(col(group).as("grp"), tokens(col(text)).as("toks"))
+      .select(col("grp"), explode(shinglesOf("toks", shingleN)).as("sh"))
+      .groupBy("sh").agg(sort_array(collect_set(col("grp"))).as("gs"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    g.count() // eager: sizes + pairs both read it (see candidatePairCounts)
+    val sizes = g.select(explode(col("gs")).as("grp"))
+      .groupBy("grp").agg(count(lit(1)).as("nsh"))
+    // ordered pairs of the (sorted, deduped, bounded) group list —
+    // generated natively per row, no self-join on the shingle universe
+    val pairs = g.filter(size(col("gs")) >= 2)
+      .select(explode(expr(
+        "flatten(transform(sequence(1, size(gs) - 1), " +
+          "i -> transform(sequence(i + 1, size(gs)), " +
+          "j -> named_struct('a', element_at(gs, i), " +
+          "'b', element_at(gs, j)))))")).as("p"))
+      .groupBy(col("p.a").as("src_a"), col("p.b").as("src_b"))
+      .agg(count(lit(1)).as("n_common"))
+    pairs
+      .join(broadcast(sizes.select(col("grp").as("src_a"),
+        col("nsh").as("n_a"))), Seq("src_a"))
+      .join(broadcast(sizes.select(col("grp").as("src_b"),
+        col("nsh").as("n_b"))), Seq("src_b"))
+      .withColumn("jaccard", col("n_common").cast("double")
+        / (col("n_a") + col("n_b") - col("n_common")).cast("double"))
+      .select(col("src_a"), col("src_b"), col("n_common"), col("n_a"),
+        col("n_b"), col("jaccard"))
+  }
+
   private def logPrunedShingles(counted: DataFrame, maxPostings: Long): Unit = {
     val d = counted.filter(col("_pf") > maxPostings)
       .agg(coalesce(count_distinct(col("sh")), lit(0L)), count(lit(1))).head()

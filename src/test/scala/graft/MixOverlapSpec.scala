@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ext.{Sampling, TextAnalysis, TextDedup}
+
+/** Round-6 additions: temperature mixing, collocation mining, and the
+  * source-overlap matrix — planted micro-corpora with hand-computed
+  * expectations (the oracle gate covers the corpus-scale runs).
+  */
+class MixOverlapSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** The engine's bucket1000 arithmetic, reproduced independently. */
+  private def bucket(id: Long): Long = ((id % 1000000007L) * 2654435761L) % 1000L
+
+  test("temperatureSample: smallest group kept whole, 4x group halved") {
+    val df = ((0L to 7L).map(i => (i, "big")) ++
+      Seq((100L, "small"), (101L, "small"))).toDF("id", "grp")
+    val out = Sampling.temperatureSample(df, "grp", "id")
+      .select("id", "grp", "rate_permille")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    // nmin=2: rate(big) = floor(sqrt(2/8)*1000) = 500, rate(small) = 1000
+    val expected =
+      ((0L to 7L).filter(bucket(_) < 500L).map(i => (i, "big", 500L)) ++
+        Seq(100L, 101L).filter(bucket(_) < 1000L)
+          .map(i => (i, "small", 1000L))).toSet
+    assert(out === expected)
+    // the planted sizes actually downsample: some of big survives, not all
+    val keptBig = out.count(_._2 == "big")
+    assert(keptBig > 0 && keptBig < 8, s"big kept $keptBig of 8")
+    assert(out.count(_._2 == "small") === 2)
+  }
+
+  test("temperatureSample is idempotent on an already-balanced corpus") {
+    val df = (0L to 9L).map(i => (i, s"g${i % 2}")).toDF("id", "grp")
+    // both groups size 5 -> every rate 1000 -> nothing dropped
+    assert(Sampling.temperatureSample(df, "grp", "id").count() === 10L)
+  }
+
+  test("collocations: exact lift on a planted pair; minCount floors hapax") {
+    val docs = (Seq.fill(4)("a b") :+ "a b c").toDF("text")
+    val out = TextAnalysis.collocations(docs, "text", k = 10, minCount = 5)
+      .collect()
+    // pairs: (a,b) x5, (b,c) x1 (floored). N=11, c(a)=5, c(b)=5
+    assert(out.length === 1)
+    val r = out.head
+    assert((r.getString(0), r.getString(1)) === ("a", "b"))
+    assert((r.getLong(2), r.getLong(3), r.getLong(4)) === ((5L, 5L, 5L)))
+    assert(r.getDouble(5) === 5.0 * 11.0 / (5.0 * 5.0)) // lift = 2.2
+  }
+
+  test("collocations ranks by lift, not raw count") {
+    // (x,y) appears 5 times among much other text; (p,q) appears 6 times
+    // but p and q are individually frequent -> lower lift than (x,y)
+    val docs = (Seq.fill(5)("x y") ++ Seq.fill(6)("p q") ++
+      Seq.fill(20)("p p q q")).toDF("text")
+    val out = TextAnalysis.collocations(docs, "text", k = 2, minCount = 5)
+      .select("w1", "w2").as[(String, String)].collect()
+    assert(out.head === (("x", "y")))
+  }
+
+  test("sourceOverlap: planted shingle overlap, within-source dedup") {
+    val docs = Seq(
+      (1L, "x y z w", "A"), // shingles {x y z, y z w}
+      (2L, "x y z", "B"),   // {x y z}
+      (3L, "x y z", "B"),   // duplicate within B — still one shingle
+      (4L, "q r", "C")      // short doc -> whole-text shingle {q r}
+    ).toDF("doc_id", "text", "source")
+    val out = TextDedup.sourceOverlap(docs, "text", "source")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5)))
+    // only (A,B) overlap: common=1, nA=2, nB=1 -> jaccard 1/2
+    assert(out.toSeq === Seq(("A", "B", 1L, 2L, 1L, 0.5)))
+  }
+
+  test("sourceOverlap: disjoint sources produce no rows") {
+    val docs = Seq((1L, "a b c", "A"), (2L, "d e f", "B"))
+      .toDF("doc_id", "text", "source")
+    assert(TextDedup.sourceOverlap(docs, "text", "source").count() === 0L)
+  }
+}
