@@ -368,6 +368,31 @@ object EventStream {
       sink(graft.ext.TextAnalysis.bm25Route(batch, text, id, model, k1, b))
     }
 
+  /** Streaming decontamination — the incremental twin of
+    * `TextDedup.decontaminate`: each incoming micro-batch of documents
+    * is filtered against a FROZEN benchmark table (the eval suites a
+    * crawl must never leak), surviving docs appended to the sink. A
+    * document's keep decision depends only on its own shingles and the
+    * static benchmark side — no cross-batch state — so each
+    * micro-batch runs the EXACT batch kernel via foreachBatch and the
+    * stream output is bit-equal to the batch operator under any batch
+    * split (spec-asserted).
+    *
+    * This is the deployment shape for ingest-time decontamination:
+    * benchmarks change rarely (the model-staleness contract of
+    * [[bm25RouteStream]] applies — swap the benchmark table by
+    * restarting the query); the corpus streams in daily.
+    */
+  def decontaminateStream(docs: DataFrame, text: String, id: String,
+                          benchmark: DataFrame, benchText: String,
+                          shingleN: Int = 3, minOverlap: Long = 1)
+                         (sink: DataFrame => Unit)
+  : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      sink(graft.ext.TextDedup.decontaminate(batch, text, id,
+        benchmark, benchText, shingleN, minOverlap))
+    }
+
   /** Run a streaming query to completion over currently-available data
     * (the daily-batch trigger), writing to an in-memory sink — used by
     * tests; production swaps the sink for parquet/kafka.

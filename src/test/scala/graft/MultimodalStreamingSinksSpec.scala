@@ -437,6 +437,41 @@ class StreamingSpec extends SparkSpec {
     assert(!byDoc.contains(13L), "no-match docs emit nothing")
   }
 
+  test("streaming decontamination equals the batch kernel across micro-batches") {
+    import graft.ext.TextDedup
+    val dir = java.nio.file.Files.createTempDirectory("decon").toString
+    val benchmark = Seq("the quick brown fox jumps high")
+      .toDF("text") // trigrams: {the quick brown, quick brown fox, ...}
+    // doc 20 leaks a benchmark trigram mid-sentence; 21/23 are clean;
+    // 22 shares words but never three in a row
+    val f1 = Seq(
+      (20L, "today the quick brown fox appeared"),
+      (21L, "completely unrelated clean document text"))
+    val f2 = Seq(
+      (22L, "brown the quick fox scrambled order"),
+      (23L, "another clean sentence entirely"))
+    f1.toDF("doc_id", "text").coalesce(1).write.parquet(s"$dir/f1")
+    Thread.sleep(1100) // distinct mtimes => deterministic batch order
+    f2.toDF("doc_id", "text").coalesce(1).write.parquet(s"$dir/f2")
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add("doc_id", "long").add("text", "string")
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir + "/*")
+    val buf = collection.mutable.ArrayBuffer[(Long, String)]()
+    val q = EventStream.decontaminateStream(stream, "text", "doc_id",
+      benchmark, "text") { out =>
+      buf.synchronized { buf ++= out.as[(Long, String)].collect() }
+    }.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val batch = TextDedup.decontaminate(
+      (f1 ++ f2).toDF("doc_id", "text"), "text", "doc_id",
+      benchmark, "text")
+      .as[(Long, String)].collect()
+    assert(buf.sortBy(_._1).toSeq == batch.sortBy(_._1).toSeq)
+    assert(buf.map(_._1).toSet == Set(21L, 22L, 23L),
+      "only the doc leaking a full benchmark trigram is dropped")
+  }
+
   test("streaming quota caps each group at k across micro-batches") {
     val dir = java.nio.file.Files.createTempDirectory("quota").toString
     // s1 arrives 3 then 2 (quota 4 -> batch2 admits only the smallest
