@@ -75,6 +75,32 @@ object OracleSql {
            + CASE WHEN avg_word_len BETWEEN 2.0 AND 12.0 THEN 1 ELSE 0 END) / 10.0 AS quality_score
         FROM f)"""
 
+  /** Exact-BIGINT quality-model CTEs (qf / qm / qs) — the DuckDB
+    * mirror of `TextAnalysis.qualityModel`: integer-division
+    * micro-ratio features, pinned integer weights, one BIGINT linear
+    * chain. Shared by ns_quality_model and ns_quality_by_source.
+    */
+  private def qualityModelCtes: String =
+    s"""qf AS (
+        SELECT doc_id AS doc,
+          CAST(len(${wsToks("text")}) AS BIGINT) AS n_words,
+          greatest(CAST(length(text) AS BIGINT), 1) AS n_chars,
+          CAST(len(list_filter(${wsToks("text")}, w -> w IN $stopwordsIn)) AS BIGINT) AS stop,
+          CAST(len(regexp_extract_all(text, '[\\.,;:!\\?]')) AS BIGINT) AS punct,
+          CAST(len(regexp_extract_all(text, '[0-9]')) AS BIGINT) AS digit
+        FROM documents),
+      qm AS (
+        SELECT doc, n_words,
+          stop * 1000000 // n_words AS stop_m,
+          punct * 1000000 // n_chars AS punct_m,
+          digit * 1000000 // n_chars AS digit_m
+        FROM qf),
+      qs AS (
+        SELECT doc, n_words, stop_m, punct_m, digit_m,
+          CAST(800 * least(n_words, 1000) + 2 * stop_m - punct_m - digit_m
+               AS BIGINT) AS score_micro
+        FROM qm)"""
+
   /** Shared n-gram jaccard CTE chain over `src` rows (doc_id, text):
     * tokens → 3-gram shingles (whole-text fallback under 3 words) →
     * sizes + pairwise intersections. `pruned = true` mirrors
@@ -757,6 +783,26 @@ object OracleSql {
         FROM toks)
       SELECT bigram, count(*) AS n FROM bg WHERE bigram IS NOT NULL
       GROUP BY 1 ORDER BY n DESC, bigram LIMIT 30""",
+
+    "ns_quality_model" ->
+      s"""WITH $qualityModelCtes
+      SELECT doc AS doc_id, n_words, stop_m, punct_m, digit_m, score_micro,
+        CAST(score_micro >= 400000 AS INTEGER) AS keep
+      FROM qs ORDER BY doc_id""",
+
+    "ns_quality_by_source" ->
+      s"""WITH $qualityModelCtes,
+      qsrc AS (
+        SELECT q.doc, q.score_micro, d.source
+        FROM qs q JOIN documents d ON d.doc_id = q.doc),
+      qr AS (
+        SELECT doc, source, score_micro,
+          row_number() OVER (PARTITION BY source
+                             ORDER BY score_micro DESC, doc) AS rk,
+          count(*) OVER (PARTITION BY source) AS n
+        FROM qsrc)
+      SELECT doc AS doc_id, source, score_micro FROM qr
+      WHERE rk * 1000 <= 600 * n ORDER BY doc_id""",
 
     // lift score: the IDENTICAL expression tree as the Spark side —
     // (double(n_pair) * double(n_tok)) / (double(c1) * double(c2)),

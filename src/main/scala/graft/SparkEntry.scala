@@ -1272,6 +1272,30 @@ object SparkEntry {
       .select(col("lang"), col("rate_permille"), col("n_kept"))
       .orderBy("lang")
 
+  /** Pinned-weight linear quality model — the deterministic surrogate
+    * for classifier-scored quality filtering; exact-BIGINT feature and
+    * score chain ([[TextAnalysis.qualityModel]]). Pure map-side.
+    */
+  private def nsQualityModel(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.qualityModel(t(s, dir, "documents"), "text", "doc_id")
+      .select(col("doc").as("doc_id"), col("n_words"), col("stop_m"),
+        col("punct_m"), col("digit_m"), col("score_micro"), col("keep"))
+      .orderBy("doc_id")
+
+  /** Relative per-source quality gate: keep each source's top 60% by
+    * model score — proportional survivorship, so a big source can't
+    * dominate by volume ([[graft.ext.Sampling.topFractionPerGroup]]).
+    */
+  private def nsQualityBySource(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val scored = TextAnalysis.qualityModel(docs, "text", "doc_id")
+      .join(docs.select(col("doc_id").as("doc"), col("source")), Seq("doc"))
+    graft.ext.Sampling.topFractionPerGroup(scored, "source", 600,
+      Seq(col("score_micro").desc, col("doc")))
+      .select(col("doc").as("doc_id"), col("source"), col("score_micro"))
+      .orderBy("doc_id")
+  }
+
   /** Per-document lexical diversity (tokens/types/hapax/TTR). */
   private def nsTtr(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.typeTokenStats(t(s, dir, "documents"), "text", "doc_id")
@@ -2031,6 +2055,8 @@ object SparkEntry {
     "ns_token_stats" -> nsTokenStats,
     "ns_text_quality" -> nsTextQuality,
     "ns_quality_filter" -> nsQualityFilter,
+    "ns_quality_model" -> nsQualityModel,
+    "ns_quality_by_source" -> nsQualityBySource,
     "ns_lang_id" -> nsLangId,
     "ns_fingerprint" -> nsFingerprint,
     "ns_multimodal_join" -> nsMultimodalJoin,

@@ -278,6 +278,42 @@ object Sampling {
       .filter(col(tmp) <= k).drop(tmp)
   }
 
+  /** Keep each group's top `permille`‰ of rows by the given ordering —
+    * the RELATIVE per-group gate ("keep the best 60% of every source
+    * by quality") that complements [[capPerGroup]]'s absolute count
+    * cap: sources keep their best content proportionally, so a giant
+    * source can't dominate the survivor pool just by having more rows
+    * above a global threshold. The keep test is exact integer
+    * arithmetic (rank·1000 ≤ permille·n_group) — no double ratio, no
+    * engine divergence. The kept count is floor(permille·n/1000): a
+    * singleton group at permille < 1000 keeps NOTHING (0.6 of one row
+    * floors to zero) — callers who want small groups to survive whole
+    * should cap with [[capPerGroup]] instead, or first route tiny
+    * groups around the gate. Callers must pass a TOTAL ordering
+    * (tie-break on a unique key) or survivors are partition-dependent.
+    *
+    * Scale shape: ONE window shuffle on the group; rank and group
+    * count ride the same sorted partition (no WindowGroupLimit — the
+    * cutoff depends on n_group, so every row must be seen; the
+    * exchange carries the corpus once, same as any per-group rank).
+    */
+  def topFractionPerGroup(df: DataFrame, group: String, permille: Int,
+                          order: Seq[Column]): DataFrame = {
+    require(permille >= 0 && permille <= 1000, "permille in [0, 1000]")
+    require(order.nonEmpty, "ordering required")
+    val tmp = Iterator.from(0).map(i => s"_tfr$i")
+      .find(n => !df.columns.contains(n) && !df.columns.contains(n + "c"))
+      .get
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(group)).orderBy(order: _*)
+    val wc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(group))
+    df.withColumn(tmp, row_number().over(w))
+      .withColumn(tmp + "c", count(lit(1)).over(wc))
+      .filter(col(tmp) * lit(1000L) <= lit(permille.toLong) * col(tmp + "c"))
+      .drop(tmp, tmp + "c")
+  }
+
   /** Delete-one-group jackknife for a corpus mean — the one-pass
     * uncertainty estimate that complements [[poissonBootstrap]]: no
     * replicate fan-out, just `groups` deterministic key-hash buckets

@@ -75,6 +75,46 @@ object TextAnalysis {
       .drop("_thr")
   }
 
+  /** Model-scored quality filtering with a PINNED linear model — the
+    * deterministic surrogate for the fastText-style quality classifier
+    * big curation pipelines run (a real model's weights load the same
+    * way; only the feature extraction and the score algebra matter to
+    * the engine). Features are exact-BIGINT micro-ratios via INTEGER
+    * division (`x·1e6 div d` — floor division is exact and portable,
+    * unlike a double ratio), weights are pinned integers, so the score
+    * is one overflow-safe BIGINT linear chain: reproducible on any
+    * engine, any partitioning, bit-for-bit. Pure map-side (zero
+    * shuffle); `keep` = score ≥ threshold.
+    *
+    * score_micro = 800·min(n_words, 1000) + 2·stop_m − punct_m −
+    * digit_m, where stop_m/punct_m/digit_m are per-million ratios of
+    * stopword tokens (per word) and punctuation/digit chars (per
+    * char). Bounds: each term ≤ 2·10⁶·10⁶ — far below 2⁶³.
+    */
+  def qualityModel(df: DataFrame, text: String, id: String,
+                   threshold: Long = 400000L): DataFrame = {
+    val t = col(text)
+    val words = Tok.tokens(t)
+    df.select(col(id).as("doc"),
+        size(words).cast("long").as("n_words"),
+        greatest(length(t).cast("long"), lit(1L)).as("_n_chars"),
+        size(filter(words, w => w.isin(Stopwords.en: _*)))
+          .cast("long").as("_stop"),
+        size(regexp_extract_all(t, lit("[\\.,;:!\\?]"), lit(0)))
+          .cast("long").as("_punct"),
+        size(regexp_extract_all(t, lit("[0-9]"), lit(0)))
+          .cast("long").as("_digit"))
+      .select(col("doc"), col("n_words"),
+        expr("_stop * 1000000L div n_words").as("stop_m"),
+        expr("_punct * 1000000L div _n_chars").as("punct_m"),
+        expr("_digit * 1000000L div _n_chars").as("digit_m"))
+      .withColumn("score_micro",
+        lit(800L) * least(col("n_words"), lit(1000L))
+          + lit(2L) * col("stop_m") - col("punct_m") - col("digit_m"))
+      .withColumn("keep",
+        (col("score_micro") >= threshold).cast("int"))
+  }
+
   /** PII/URL scrubbing — the redaction pass training-data pipelines run
     * before anything else sees the text: emails, then URLs, then long
     * digit runs (phone numbers, IDs) are replaced by stable placeholder

@@ -73,6 +73,49 @@ class MixOverlapSpec extends SparkSpec {
     assert(out.toSeq === Seq(("A", "B", 1L, 2L, 1L, 0.5)))
   }
 
+  test("qualityModel: hand-computed features and score on a planted doc") {
+    // text: "the cat sat 42 here." -> 5 words, 20 chars, stopwords
+    // {the} (cat/sat/here not in the list? 'the' certainly is), digits
+    // {4,2}, punct {.}
+    val df = Seq((7L, "the cat sat 42 here.")).toDF("doc_id", "text")
+    val r = TextAnalysis.qualityModel(df, "text", "doc_id").collect().head
+    val nWords = r.getAs[Long]("n_words")
+    assert(nWords === 5L)
+    val stopHits = graft.ext.Stopwords.en
+      .count(Set("the", "cat", "sat", "42", "here.").contains)
+    assert(r.getAs[Long]("stop_m") === stopHits * 1000000L / 5L)
+    assert(r.getAs[Long]("punct_m") === 1L * 1000000L / 20L)  // one '.'
+    assert(r.getAs[Long]("digit_m") === 2L * 1000000L / 20L)  // '4','2'
+    assert(r.getAs[Long]("score_micro") ===
+      800L * 5L + 2L * r.getAs[Long]("stop_m") -
+        r.getAs[Long]("punct_m") - r.getAs[Long]("digit_m"))
+  }
+
+  test("qualityModel: empty text survives the n_chars guard; keep flag") {
+    val df = Seq((1L, ""), (2L, ("the and is " * 200).trim))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.qualityModel(df, "text", "doc_id")
+      .collect().map(r => r.getAs[Long]("doc") -> r.getAs[Int]("keep")).toMap
+    assert(out(1L) === 0) // empty: score ~ 800, far below threshold
+    assert(out(2L) === 1) // long stopword-rich text clears 400k
+  }
+
+  test("topFractionPerGroup keeps floor(permille*n/1000) rows per group") {
+    val df = (1L to 5L).map(i => ("g", i, 100L - i)) :+ (("solo", 9L, 1L))
+    val out = graft.ext.Sampling.topFractionPerGroup(
+      df.toDF("src", "id", "score"), "src", 600,
+      Seq(col("score").desc, col("id")))
+      .select("src", "id").as[(String, Long)].collect().toSet
+    // g: n=5 -> keep 3 best scores (ids 1,2,3); solo: n=1 -> floor(0.6)=0
+    assert(out === Set(("g", 1L), ("g", 2L), ("g", 3L)))
+  }
+
+  test("topFractionPerGroup: permille 1000 keeps everything") {
+    val df = (1L to 4L).map(i => ("s", i)).toDF("src", "id")
+    assert(graft.ext.Sampling.topFractionPerGroup(df, "src", 1000,
+      Seq(col("id"))).count() === 4L)
+  }
+
   test("sourceOverlap: disjoint sources produce no rows") {
     val docs = Seq((1L, "a b c", "A"), (2L, "d e f", "B"))
       .toDF("doc_id", "text", "source")
