@@ -287,6 +287,71 @@ object OracleSql {
     GROUP BY l_returnflag, l_linestatus
     ORDER BY l_returnflag, l_linestatus"""
 
+  /** Unrolled greedy MMR twin of `VectorSearch.mmrRerank` (shortlist
+    * 12 per probe query, kSel picks, λ = 0.5): step 1 is the pure-rel
+    * argmax (empty-set max-sim pinned to 0.0 exactly as the kernel
+    * does); each later step recomputes every remaining candidate's
+    * max cosine to the selected set through a correlated subquery and
+    * picks the mmr argmax with the same (mmr DESC, vec_id) tie rule.
+    * Like pagerankSql, the iteration is UNROLLED — an independent SQL
+    * implementation of the same greedy recurrence, not a port of the
+    * kernel. All cosines are DuckDB DOUBLE[] folds (bit-identical to
+    * the CosineSim chain); λ literals are CAST to DOUBLE so no
+    * DECIMAL arithmetic sneaks in.
+    */
+  private def mmrSql(kSel: Int): String = {
+    val head =
+      """WITH q AS (
+        SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+        FROM embeddings WHERE vec_id < 5),
+      cand AS (
+        SELECT query_id, vec_id, sim AS rel, cv FROM (
+          SELECT q.query_id, e.vec_id,
+                 round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv), 6) AS sim,
+                 CAST(e.embedding AS DOUBLE[]) AS cv,
+                 row_number() OVER (PARTITION BY q.query_id
+                   ORDER BY round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv), 6) DESC,
+                            e.vec_id) AS rk
+          FROM embeddings e CROSS JOIN q
+          WHERE e.vec_id <> q.query_id)
+        WHERE rk <= 12),
+      sel1 AS (
+        SELECT query_id, vec_id, rel, cv,
+               CAST(0.5 AS DOUBLE) * rel - CAST(0.5 AS DOUBLE) * CAST(0.0 AS DOUBLE) AS mmr
+        FROM (
+          SELECT cand.*, row_number() OVER (PARTITION BY query_id
+                   ORDER BY rel DESC, vec_id) AS rk
+          FROM cand)
+        WHERE rk = 1),
+      all1 AS (SELECT query_id, vec_id, rel, cv, mmr, 1 AS pos FROM sel1)"""
+    val steps = (2 to kSel).map { t =>
+      s""",
+      sc$t AS (
+        SELECT c.query_id, c.vec_id, c.rel, c.cv,
+               CAST(0.5 AS DOUBLE) * c.rel - CAST(0.5 AS DOUBLE) * (
+                 SELECT max(list_cosine_similarity(c.cv, s.cv))
+                 FROM all${t - 1} s WHERE s.query_id = c.query_id) AS mmr
+        FROM cand c
+        WHERE NOT EXISTS (SELECT 1 FROM all${t - 1} s
+                          WHERE s.query_id = c.query_id
+                            AND s.vec_id = c.vec_id)),
+      sel$t AS (
+        SELECT query_id, vec_id, rel, cv, mmr FROM (
+          SELECT sc$t.*, row_number() OVER (PARTITION BY query_id
+                   ORDER BY mmr DESC, vec_id) AS rk
+          FROM sc$t)
+        WHERE rk = 1),
+      all$t AS (
+        SELECT * FROM all${t - 1}
+        UNION ALL
+        SELECT query_id, vec_id, rel, cv, mmr, $t AS pos FROM sel$t)"""
+    }.mkString
+    head + steps +
+      s"""
+      SELECT query_id, CAST(pos AS INT) AS pos, vec_id, round(mmr, 6) AS mmr
+      FROM all$kSel ORDER BY query_id, pos"""
+  }
+
   /** TPC-H-Q5 local-supplier-volume text, shared VERBATIM between the
     * Spark SQL surface (`sql_local_volume` over temp views) and the
     * DuckDB oracle (over the parquet tables) — a 6-way snowflake join
@@ -1738,6 +1803,8 @@ object OracleSql {
       WHERE a.vec_id < 200
         AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) > 0.45
       ORDER BY id_a, id_b""",
+
+    "ns_mmr_rerank" -> mmrSql(5),
 
     "ns_topk_similarity" ->
       """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id < 5),

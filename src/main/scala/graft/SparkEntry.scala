@@ -1856,6 +1856,23 @@ object SparkEntry {
       .orderBy("query_id", "rank")
   }
 
+  /** MMR diversity re-rank over the brute-force shortlist: 12
+    * candidates per probe query, 5 picked greedily at λ = 0.5. The
+    * shortlist stage bounds the sequential kernel's input
+    * ([[VectorSearch.mmrRerank]] scale contract); the oracle unrolls
+    * the identical greedy steps in SQL.
+    */
+  private def nsMmrRerank(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val short = VectorSearch.bruteForceTopK(emb,
+      emb.filter(col("vec_id") < 5), "vec_id", "embedding", k = 12)
+    val withVec = short.join(emb.select(col("vec_id"), col("embedding")),
+      Seq("vec_id"))
+    VectorSearch.mmrRerank(withVec, "query_id", "vec_id", "sim",
+      "embedding", k = 5)
+      .orderBy("query_id", "pos")
+  }
+
   /** probeNeighbors = 2 per the TUNING.md sweep: on this corpus depth 2
     * roughly doubles recall over depth 1 at the same wall time (the
     * probe fan-out is still a bounded bucket fraction of the corpus).
@@ -2046,6 +2063,7 @@ object SparkEntry {
     "ns_embed_neardup" -> nsEmbedNearDup,
     "ns_embed_neardup_lsh" -> nsEmbedNearDupLsh,
     "ns_topk_similarity" -> nsTopkSimilarity,
+    "ns_mmr_rerank" -> nsMmrRerank,
     "ns_ann_lsh" -> nsAnnLsh,
     "ns_ivf_topk" -> nsIvfTopk,
     "ns_pq_topk" -> nsPqTopk,

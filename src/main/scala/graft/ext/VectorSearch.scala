@@ -576,4 +576,86 @@ object VectorSearch {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("vec_id"), col("sim"))
   }
+
+  /** The exact CosineSim accumulation loop on plain float arrays —
+    * shared by [[mmrRerank]]'s JVM kernel so its candidate-candidate
+    * similarities are bit-identical to the `cosine` Column (and hence
+    * to DuckDB's DOUBLE[] cosine, which the oracle uses). Any change
+    * here MUST mirror `VectorExpressions.CosineSim`.
+    */
+  private[graft] def cosineFold(a: Array[Float], b: Array[Float]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < a.length) {
+      val x = a(i).toDouble; val y = b(i).toDouble
+      dot += x * y; na += x * x; nb += y * y; i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  /** Maximal-Marginal-Relevance re-rank — the diversity stage retrieval
+    * pipelines run AFTER a top-k search: greedily pick, k times, the
+    * candidate maximizing `λ·rel − (1−λ)·max_{s∈selected} cos(c, s)`,
+    * so near-duplicate hits can't fill the result list. First pick is
+    * pure relevance (empty-set max-sim is pinned to 0.0); ties break on
+    * the smaller id. Emits (query_id, pos, vec_id, mmr) with the score
+    * at selection time, rounded like the search tiers.
+    *
+    * Determinism/oracle contract: `rel` must be a deterministic
+    * engine-portable score (the ROUNDED `sim` from any search tier);
+    * λ = lambdaPermille/1000 is dyadic-friendly at the 500 default, and
+    * every comparison happens on full-precision doubles produced by
+    * the same IEEE op chain on both engines — the DuckDB twin unrolls
+    * the identical greedy steps ([[OracleSql]] `mmrSql`).
+    *
+    * Scale shape: this is the bounded-group typed-kernel tier ((b) in
+    * the custom-operator preference order): the SHORTLIST stage bounds
+    * every group to ≤ shortlist rows, the groupByKey exchange carries
+    * queries·shortlist rows (never the corpus), and the per-group cost
+    * is O(k·shortlist²·dim). Feeding it an unbounded per-query set is
+    * a contract violation, not a slow path — the selection itself is
+    * inherently sequential, so it must never see corpus-sized input.
+    */
+  def mmrRerank(candidates: DataFrame, queryCol: String, docCol: String,
+                relCol: String, vecCol: String, k: Int,
+                lambdaPermille: Int = 500): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    require(lambdaPermille >= 0 && lambdaPermille <= 1000,
+      "lambdaPermille in [0, 1000]")
+    val lam = lambdaPermille / 1000.0
+    val ss = candidates.sparkSession
+    import ss.implicits._
+    val typed = candidates.select(
+      col(queryCol).cast("long").as("q"), col(docCol).cast("long").as("d"),
+      col(relCol).cast("double").as("rel"), col(vecCol).as("v"))
+      .as[(Long, Long, Double, Array[Float])]
+    typed.groupByKey(_._1).flatMapGroups { (q, it) =>
+      // deterministic candidate order regardless of partition layout
+      val cs = it.toArray.sortBy(c => (-c._3, c._2))
+      val used = scala.collection.mutable.HashSet[Long]()
+      val selected = scala.collection.mutable.ArrayBuffer[Array[Float]]()
+      val out = scala.collection.mutable.ArrayBuffer[(Long, Int, Long, Double)]()
+      var pos = 1
+      while (pos <= k && used.size < cs.length) {
+        var bestDoc = -1L; var bestVec: Array[Float] = null
+        var bestMmr = 0.0
+        for (c <- cs if !used.contains(c._2)) {
+          val maxSim =
+            if (selected.isEmpty) 0.0
+            else selected.iterator.map(s => cosineFold(c._4, s)).max
+          val mmr = lam * c._3 - (1.0 - lam) * maxSim
+          if (bestVec == null || mmr > bestMmr ||
+            (mmr == bestMmr && c._2 < bestDoc)) {
+            bestDoc = c._2; bestVec = c._4; bestMmr = mmr
+          }
+        }
+        used += bestDoc; selected += bestVec
+        // the same HALF_UP rounding as Spark round() (math.round differs
+        // on negative exact halves — the VecSumAgg lesson)
+        out += ((q, pos, bestDoc, BigDecimal(bestMmr)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+        pos += 1
+      }
+      out.iterator
+    }.toDF("query_id", "pos", "vec_id", "mmr")
+  }
 }

@@ -116,6 +116,42 @@ class MixOverlapSpec extends SparkSpec {
       Seq(col("id"))).count() === 4L)
   }
 
+  test("mmrRerank picks the diverse candidate pure relevance would skip") {
+    import graft.ext.VectorSearch
+    // query direction ~ (1,0); candidates: two near-identical A vectors
+    // with top relevance, one distinct B vector slightly less relevant.
+    // Pure relevance top-2 = the two A clones; MMR must take A then B.
+    val cands = Seq(
+      (1L, 10L, 0.99, Array(1.0f, 0.01f)),
+      (1L, 11L, 0.98, Array(1.0f, 0.02f)), // clone of 10
+      (1L, 12L, 0.80, Array(0.5f, 0.87f))  // different direction
+    ).toDF("query_id", "vec_id", "rel", "v")
+    val out = VectorSearch.mmrRerank(cands, "query_id", "vec_id", "rel",
+      "v", k = 2).select("pos", "vec_id").as[(Int, Long)].collect().sorted
+    assert(out === Array((1, 10L), (2, 12L)))
+  }
+
+  test("mmrRerank: lambda=1000 reduces to relevance order; k caps at n") {
+    import graft.ext.VectorSearch
+    val cands = Seq(
+      (1L, 10L, 0.9, Array(1.0f, 0.0f)),
+      (1L, 11L, 0.8, Array(1.0f, 0.1f))
+    ).toDF("query_id", "vec_id", "rel", "v")
+    val out = VectorSearch.mmrRerank(cands, "query_id", "vec_id", "rel",
+      "v", k = 5, lambdaPermille = 1000)
+      .select("pos", "vec_id").as[(Int, Long)].collect().sorted
+    assert(out === Array((1, 10L), (2, 11L))) // all candidates, rel order
+  }
+
+  test("mmrRerank: first pick's score is exactly lambda*rel") {
+    import graft.ext.VectorSearch
+    val cands = Seq((3L, 7L, 0.5, Array(1.0f, 0.0f)))
+      .toDF("query_id", "vec_id", "rel", "v")
+    val r = VectorSearch.mmrRerank(cands, "query_id", "vec_id", "rel",
+      "v", k = 1).collect().head
+    assert(r.getAs[Double]("mmr") === 0.25)
+  }
+
   test("sourceOverlap: disjoint sources produce no rows") {
     val docs = Seq((1L, "a b c", "A"), (2L, "d e f", "B"))
       .toDF("doc_id", "text", "source")
