@@ -928,6 +928,32 @@ object OracleSql {
       JOIN sizes sb ON sb.source = i.src_b
       ORDER BY src_a, src_b""",
 
+    // weight chain: exact BIGINT token totals → floor(sqrt) back to
+    // BIGINT (so the cross-group sum is associative integer math) →
+    // integer proration → hash-ordered window prefix fill
+    "ns_token_mix" ->
+      s"""WITH d AS (
+        SELECT doc_id, lang,
+               CAST(len(${wsToksCased("text")}) AS BIGINT) AS n_tokens
+        FROM documents),
+      t AS (SELECT lang, CAST(sum(n_tokens) AS BIGINT) AS tg
+            FROM d GROUP BY 1),
+      w AS (SELECT lang,
+              CAST(floor(sqrt(CAST(tg AS DOUBLE))) AS BIGINT) AS wg
+            FROM t),
+      ws AS (SELECT CAST(sum(wg) AS BIGINT) AS wsum FROM w),
+      sh AS (SELECT lang,
+               CASE WHEN wsum > 0 THEN 20000 * wg // wsum ELSE 0 END AS share
+             FROM w CROSS JOIN ws),
+      c AS (
+        SELECT d.lang, d.doc_id, d.n_tokens, sh.share,
+          CAST(sum(d.n_tokens) OVER (PARTITION BY d.lang
+            ORDER BY ((d.doc_id % 1000000007) * 2654435761) % 1000, d.doc_id
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+        FROM d JOIN sh ON sh.lang = d.lang)
+      SELECT lang, doc_id, n_tokens, cum_tokens, share FROM c
+      WHERE cum_tokens <= share ORDER BY lang, doc_id""",
+
     // cut chain: exact-BIGINT division → sqrt → ×1000.0 → floor, the
     // identical correctly-rounded double expression as the Spark side;
     // keep decision is the shared bucket1000 arithmetic

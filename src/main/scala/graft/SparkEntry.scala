@@ -1296,6 +1296,20 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** Global 20k-token training mix allocated across languages by
+    * inverse-sqrt token-mass weights, each language's share filled in
+    * deterministic hash order ([[graft.ext.Sampling.allocateTokenBudget]]).
+    */
+  private def nsTokenMix(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").select(col("doc_id"), col("lang"),
+      graft.ext.Tok.count(col("text")).cast("long").as("n_tokens"))
+    graft.ext.Sampling.allocateTokenBudget(d, "lang", "doc_id",
+      "n_tokens", 20000L)
+      .select(col("lang"), col("doc_id"), col("n_tokens"),
+        col("cum_tokens"), col("share"))
+      .orderBy("lang", "doc_id")
+  }
+
   /** Per-document lexical diversity (tokens/types/hapax/TTR). */
   private def nsTtr(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.typeTokenStats(t(s, dir, "documents"), "text", "doc_id")
@@ -2007,6 +2021,7 @@ object SparkEntry {
     "ns_collocations" -> nsCollocations,
     "ns_source_overlap" -> nsSourceOverlap,
     "ns_temperature_mix" -> nsTemperatureMix,
+    "ns_token_mix" -> nsTokenMix,
     "ns_ttr" -> nsTtr,
     "ns_embed_centroids" -> nsEmbedCentroids,
     "ns_embed_centroids_agg" -> nsEmbedCentroidsAgg,

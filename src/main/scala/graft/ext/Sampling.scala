@@ -278,6 +278,57 @@ object Sampling {
       .filter(col(tmp) <= k).drop(tmp)
   }
 
+  /** Assemble a training mix under a GLOBAL token budget: split
+    * `totalBudget` tokens across groups by inverse-sqrt temperature
+    * weights, then fill each group's share with its documents in a
+    * deterministic hash order. The "give me a 1B-token mix that
+    * doesn't just mirror corpus imbalance" operator.
+    *
+    * Exactness chain (every step engine-portable):
+    *   w_g   = floor(sqrt(T_g))        — one correctly-rounded sqrt of
+    *           an exact BIGINT token total, floored back to BIGINT, so
+    *           the cross-group SUM is associative integer math (a sum
+    *           of raw double weights would be reduction-order
+    *           dependent and could never hash-match);
+    *   share_g = totalBudget·w_g div Σw — exact integer proration;
+    *   fill  = hash-ordered cumulative token sum per group, keep while
+    *           cum ≤ share_g (a doc larger than the remaining share is
+    *           skipped with everything after it — the simple prefix
+    *           rule, not best-fit, so the oracle is one window).
+    *
+    * sqrt(T) weighting is the α = 0.5 temperature rule applied to
+    * token mass: a source with 100× the tokens gets 10× the budget,
+    * not 100×. Returns kept docs with (group, key, tokens, cum_tokens,
+    * share). Scale shape: one partial-agg shuffle to group totals
+    * (dimension-sized, broadcast back), one window shuffle on the
+    * group for the prefix fill — same shape as sequence packing.
+    * Keys non-negative integral ([[bucket1000]]); token counts must
+    * be exact integers. Magnitude contract (ANSI crashes loudly if
+    * violated): totalBudget · floor(sqrt(max T_g)) must fit a long —
+    * at 100 TB (T_g ≈ 2.5e13 tokens, w_g ≈ 5e6) budgets up to ~1.8
+    * TRILLION tokens are safe.
+    */
+  def allocateTokenBudget(df: DataFrame, group: String, key: String,
+                          tokens: String, totalBudget: Long): DataFrame = {
+    require(totalBudget >= 0, "totalBudget must be >= 0")
+    val totals = df.groupBy(col(group))
+      .agg(sum(col(tokens)).cast("long").as("_tg"))
+      .withColumn("_wg", floor(sqrt(col("_tg").cast("double"))).cast("long"))
+    val wsum = totals.agg(sum(col("_wg")).cast("long").as("_wsum"))
+    val shares = totals.crossJoin(broadcast(wsum))
+      .withColumn("share",
+        when(col("_wsum") > 0,
+          expr(s"$totalBudget * _wg div _wsum")).otherwise(lit(0L)))
+      .select(col(group), col("share"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(group))
+      .orderBy(bucket1000(col(key)), col(key))
+    df.join(broadcast(shares), Seq(group))
+      .withColumn("cum_tokens",
+        sum(col(tokens).cast("long")).over(w))
+      .filter(col("cum_tokens") <= col("share"))
+  }
+
   /** Keep each group's top `permille`‰ of rows by the given ordering —
     * the RELATIVE per-group gate ("keep the best 60% of every source
     * by quality") that complements [[capPerGroup]]'s absolute count

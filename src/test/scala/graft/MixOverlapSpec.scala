@@ -152,6 +152,36 @@ class MixOverlapSpec extends SparkSpec {
     assert(r.getAs[Double]("mmr") === 0.25)
   }
 
+  test("allocateTokenBudget: sqrt-weight shares and prefix fill") {
+    import graft.ext.Sampling
+    // A: 4 docs x 25 tokens (T=100, w=10); B: 4 x 100 (T=400, w=20)
+    // budget 30 -> share A = 30*10//30 = 10, share B = 20: nothing
+    // fits in A (first doc is 25 > 10), nothing in B (100 > 20)
+    val df = ((1L to 4L).map(i => ("A", i, 25L)) ++
+      (11L to 14L).map(i => ("B", i, 100L))).toDF("src", "id", "tok")
+    assert(Sampling.allocateTokenBudget(df, "src", "id", "tok", 30L)
+      .count() === 0L)
+    // budget 300 -> share A = 100 (all of A), share B = 200 (2 docs)
+    val out = Sampling.allocateTokenBudget(df, "src", "id", "tok", 300L)
+      .select("src", "id").as[(String, Long)].collect()
+    assert(out.count(_._1 == "A") === 4)
+    assert(out.count(_._1 == "B") === 2)
+    // B's kept pair is the first two in hash-then-id order
+    val hashOrder = (11L to 14L).sortBy(i =>
+      (((i % 1000000007L) * 2654435761L) % 1000L, i)).take(2).toSet
+    assert(out.filter(_._1 == "B").map(_._2).toSet === hashOrder)
+  }
+
+  test("allocateTokenBudget: zero budget keeps nothing, single group gets all") {
+    import graft.ext.Sampling
+    val df = (1L to 3L).map(i => ("only", i, 10L)).toDF("src", "id", "tok")
+    assert(Sampling.allocateTokenBudget(df, "src", "id", "tok", 0L)
+      .count() === 0L)
+    // one group: share = B*w div w = B = 30 -> all 3 docs fit exactly
+    assert(Sampling.allocateTokenBudget(df, "src", "id", "tok", 30L)
+      .count() === 3L)
+  }
+
   test("sourceOverlap: disjoint sources produce no rows") {
     val docs = Seq((1L, "a b c", "A"), (2L, "d e f", "B"))
       .toDF("doc_id", "text", "source")
