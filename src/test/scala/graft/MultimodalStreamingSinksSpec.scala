@@ -170,6 +170,26 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.forall(!_.getString(1).contains("example.com")))
   }
 
+  test("quality model scores a document stream identically to batch") {
+    // qualityModel is a pure map-side BIGINT chain — it must run on
+    // readStream with no twin. Batch result is the oracle.
+    val dir = java.nio.file.Files.createTempDirectory("qmstream").toString
+    Seq(
+      (1L, "the cat sat on the mat and then the dog came along too"),
+      (2L, "1234 5678 9999 0000 1111"),
+      (3L, ""))
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+    EventStream.runAvailableNow(
+      graft.ext.TextAnalysis.qualityModel(
+        spark.readStream.schema(schema).parquet(dir), "text", "doc_id"),
+      "stream_qm")
+    val streamed = spark.sql("select * from stream_qm").collect().toSet
+    val batch = graft.ext.TextAnalysis.qualityModel(
+      spark.read.parquet(dir), "text", "doc_id").collect().toSet
+    assert(streamed == batch && batch.size == 3)
+  }
+
   test("streaming foreachBatch upserts merged micro-batches into JDBC") {
     val url = "jdbc:derby:memory:streamupsert;create=true"
     val c = java.sql.DriverManager.getConnection(url)

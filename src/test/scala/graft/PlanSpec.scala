@@ -319,4 +319,38 @@ class PlanSpec extends SparkSpec {
     val p = planOf("ns_weighted_sample")
     assert("(hash|range)partitioning\\(".r.findAllIn(p).size == 1, p)
   }
+
+  test("quality model scores map-side: only the output sort exchanges") {
+    val p = planOf("ns_quality_model")
+    assert("(hash|range)partitioning\\(".r.findAllIn(p).size == 1, p)
+    // and the scan reads only the two columns the features need
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"), p)
+  }
+
+  test("temperature mix: group cuts broadcast back onto the corpus") {
+    val p = planOf("ns_temperature_mix")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("collocations: top-k is TakeOrdered, never a global sort") {
+    val p = planOf("ns_collocations")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("token mix: shares broadcast; one window shuffle fills the budget") {
+    val p = planOf("ns_token_mix")
+    assert(p.contains("BroadcastHashJoin"), p)
+    // corpus-path exchanges: ONE window partitioning + the output
+    // sort; the two extra hash exchanges live on the broadcast
+    // (dimension-sized) share-computation side
+    assert("(hash|range)partitioning\\(".r.findAllIn(p).size <= 4, p)
+  }
+
+  test("source overlap: one shingle shuffle feeds sizes and pairs") {
+    val p = planOf("ns_source_overlap")
+    // sizes join onto the pair aggregate must be broadcast (group-
+    // cardinality side), not a corpus shuffle
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
 }
