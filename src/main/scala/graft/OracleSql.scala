@@ -928,6 +928,38 @@ object OracleSql {
       JOIN sizes sb ON sb.source = i.src_b
       ORDER BY src_a, src_b""",
 
+    // POSITIONAL re-implementation of winnowing (k=3, w=4): gram
+    // hashes via lead(), every window start joined to its w hashes,
+    // rightmost-min by (h ASC, i DESC) row_number — an independent
+    // formulation of the same selection recurrence as the array kernel
+    "ns_winnow_fingerprints" ->
+      s"""WITH toksa AS (SELECT doc_id, ${wsToks("text")} AS t FROM documents),
+      tk AS (SELECT doc_id, unnest(t) AS wd,
+               generate_subscripts(t, 1) AS pos FROM toksa),
+      cv AS (SELECT doc_id, pos,
+               CAST(ascii(substring(wd, 1, 1)) AS BIGINT) * 131
+                 + CAST(length(wd) AS BIGINT) AS ci
+             FROM tk),
+      g0 AS (SELECT doc_id, pos AS i,
+               (1 * ci + 2 * lead(ci, 1) OVER dw
+                  + 3 * lead(ci, 2) OVER dw) AS s,
+               lead(ci, 2) OVER dw AS ok
+             FROM cv WINDOW dw AS (PARTITION BY doc_id ORDER BY pos)),
+      g AS (SELECT doc_id, i, s % 1000003 AS h FROM g0 WHERE ok IS NOT NULL),
+      m AS (SELECT doc_id, count(*) AS ng FROM g GROUP BY 1),
+      starts AS (SELECT g.doc_id, g.i AS ws
+                 FROM g JOIN m ON m.doc_id = g.doc_id
+                 WHERE g.i <= m.ng - 3),
+      cand AS (SELECT s.doc_id, s.ws, g.i, g.h
+               FROM starts s JOIN g ON g.doc_id = s.doc_id
+                AND g.i BETWEEN s.ws AND s.ws + 3),
+      sel AS (SELECT doc_id, ws, i, h,
+                row_number() OVER (PARTITION BY doc_id, ws
+                                   ORDER BY h ASC, i DESC) AS rk
+              FROM cand)
+      SELECT DISTINCT doc_id, i AS pos, h AS fp FROM sel WHERE rk = 1
+      ORDER BY doc_id, pos""",
+
     // weight chain: exact BIGINT token totals → floor(sqrt) back to
     // BIGINT (so the cross-group sum is associative integer math) →
     // integer proration → hash-ordered window prefix fill

@@ -1310,6 +1310,16 @@ object SparkEntry {
       .orderBy("lang", "doc_id")
   }
 
+  /** Winnowing (MOSS) fingerprints over every document — the
+    * guaranteed-detection local fingerprint set; one map-side
+    * projection, zero shuffles before the output sort.
+    */
+  private def nsWinnowFingerprints(s: SparkSession, dir: String): DataFrame =
+    TextDedup.winnowingFingerprints(t(s, dir, "documents"), "text",
+      "doc_id")
+      .select(col("doc").as("doc_id"), col("pos"), col("fp"))
+      .orderBy("doc_id", "pos")
+
   /** Per-document lexical diversity (tokens/types/hapax/TTR). */
   private def nsTtr(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.typeTokenStats(t(s, dir, "documents"), "text", "doc_id")
@@ -2022,6 +2032,7 @@ object SparkEntry {
     "ns_source_overlap" -> nsSourceOverlap,
     "ns_temperature_mix" -> nsTemperatureMix,
     "ns_token_mix" -> nsTokenMix,
+    "ns_winnow_fingerprints" -> nsWinnowFingerprints,
     "ns_ttr" -> nsTtr,
     "ns_embed_centroids" -> nsEmbedCentroids,
     "ns_embed_centroids_agg" -> nsEmbedCentroidsAgg,

@@ -490,6 +490,59 @@ object TextDedup {
         col("n_b"), col("jaccard"))
   }
 
+  /** Winnowing fingerprints (the MOSS local fingerprinting algorithm,
+    * Schleimer/Wilkerson/Aiken 2003): hash every k-token gram, slide a
+    * w-hash window, and in each window select the MINIMUM hash
+    * (rightmost on ties) — the selected (position, hash) set is the
+    * document's fingerprint. Guarantees: any shared run of at least
+    * k + w − 1 tokens between two documents yields at least one shared
+    * fingerprint, while only ~2/(w+1) of all gram hashes are kept —
+    * the density/detection trade every plagiarism and near-dup matcher
+    * uses. Returns (doc, pos, fp), pos = 1-based gram position.
+    *
+    * The gram hash is the engine-portable token-code chain of
+    * [[TextAnalysis.portableFingerprint]] (ascii/length arithmetic mod
+    * 1e6+3 — any ANSI engine computes the identical value); hashing,
+    * windowing and selection are all array expressions inside ONE
+    * map-side projection — zero shuffle at any corpus size; the
+    * oracle re-implements selection positionally (lead + window
+    * argmin), an independent formulation of the same recurrence.
+    *
+    * Docs shorter than k + w − 1 tokens have no full window and emit
+    * nothing (pinned; the whole-text collapse of [[shinglesOf]] does
+    * NOT apply here — winnowing is a positional scheme).
+    */
+  def winnowingFingerprints(df: DataFrame, text: String, id: String,
+                            k: Int = 3, w: Int = 4): DataFrame = {
+    require(k >= 1 && w >= 1, "k and w must be >= 1")
+    // Each intermediate array is BOUND as a lambda variable
+    // (`transform(array(X), x -> body)` evaluates X exactly once) —
+    // naming them as projection columns instead lets CollapseProject
+    // inline the whole array build into EVERY element_at, which turns
+    // the linear selection into O(n³) per document (observed: the
+    // corpus run never finished; this form is ~ms/doc).
+    val weights = (1 to k)
+      .map(j => s"$j * element_at(cs, i + ${j - 1})").mkString(" + ")
+    val hsFromCs =
+      s"transform(sequence(1, size(cs) - ${k - 1}), i -> pmod($weights, 1000003L))"
+    val selFromHs =
+      s"array_distinct(transform(sequence(1, size(hs) - ${w - 1}), " +
+        s"ws -> aggregate(sequence(ws, ws + ${w - 1}), " +
+        "named_struct('h', 9223372036854775807L, 'p', cast(0 as bigint)), " +
+        "(acc, i) -> if(element_at(hs, i) <= acc.h, " +
+        "named_struct('h', element_at(hs, i), 'p', cast(i as bigint)), acc))))"
+    val csExpr =
+      "transform(toks, t -> cast(ascii(substring(t, 1, 1)) as bigint) * 131 " +
+        "+ cast(length(t) as bigint))"
+    val selExpr =
+      s"element_at(transform(array(element_at(transform(array($csExpr), " +
+        s"cs -> $hsFromCs), 1)), hs -> $selFromHs), 1)"
+    df.select(col(id).as("doc"), Tok.tokens(col(text)).as("toks"))
+      .filter(size(col("toks")) >= k + w - 1) // no full window -> nothing
+      .select(col("doc"), explode(expr(selExpr)).as("f"))
+      .select(col("doc"), col("f.p").as("pos"), col("f.h").as("fp"))
+  }
+
   private def logPrunedShingles(counted: DataFrame, maxPostings: Long): Unit = {
     val d = counted.filter(col("_pf") > maxPostings)
       .agg(coalesce(count_distinct(col("sh")), lit(0L)), count(lit(1))).head()

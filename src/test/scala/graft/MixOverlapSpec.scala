@@ -182,6 +182,44 @@ class MixOverlapSpec extends SparkSpec {
       .count() === 3L)
   }
 
+  test("winnowing: shared runs of k+w-1 tokens always share a fingerprint") {
+    import graft.ext.TextDedup
+    // k=3, w=4: guarantee threshold is 6 shared tokens. The same
+    // 6-token passage embedded in different surroundings must collide.
+    val passage = "alpha beta gamma delta epsilon zeta"
+    val docs = Seq(
+      (1L, s"intro words here $passage and a tail of more words"),
+      (2L, s"totally different opening $passage closing remarks now")
+    ).toDF("doc_id", "text")
+    val fp = TextDedup.winnowingFingerprints(docs, "text", "doc_id")
+    val byDoc = fp.collect().groupBy(_.getLong(0))
+      .view.mapValues(_.map(_.getLong(2)).toSet).toMap
+    assert((byDoc(1L) intersect byDoc(2L)).nonEmpty,
+      "guaranteed detection: shared 6-token run -> shared fingerprint")
+  }
+
+  test("winnowing: density ~2/(w+1), short docs emit nothing, rightmost ties") {
+    import graft.ext.TextDedup
+    // seeded-random words so the (ascii, length) token codes spread —
+    // deterministic periodic patterns give quasi-monotone hash runs
+    // where every window picks a fresh rightmost min (no compression)
+    val rnd = new scala.util.Random(42)
+    val long = (1 to 200).map { _ =>
+      ('a' + rnd.nextInt(26)).toChar.toString * (1 + rnd.nextInt(8))
+    }.mkString(" ")
+    val docs = Seq((1L, long), (2L, "only five little words here"),
+      (3L, "same same same same same same same same")).toDF("doc_id", "text")
+    val fp = TextDedup.winnowingFingerprints(docs, "text", "doc_id")
+      .collect().groupBy(_.getLong(0))
+    // doc 1: 198 grams -> far fewer fingerprints than grams
+    assert(fp(1L).length < 198 / 2)
+    // doc 2: 5 tokens < k+w-1=6 -> no full window -> nothing
+    assert(!fp.contains(2L))
+    // doc 3: 8 identical tokens -> 6 identical gram hashes; every
+    // window picks its RIGHTMOST position -> positions w..m = 4,5,6
+    assert(fp(3L).map(_.getLong(1)).sorted.toSeq === Seq(4L, 5L, 6L))
+  }
+
   test("sourceOverlap: disjoint sources produce no rows") {
     val docs = Seq((1L, "a b c", "A"), (2L, "d e f", "B"))
       .toDF("doc_id", "text", "source")
