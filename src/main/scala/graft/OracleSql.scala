@@ -101,6 +101,37 @@ object OracleSql {
                AS BIGINT) AS score_micro
         FROM qm)"""
 
+  /** Winnowing CTE chain (k=3, w=4) through `sel` (rk = 1 rows are the
+    * selected fingerprints) — shared by ns_winnow_fingerprints and
+    * ns_winnow_matches so the positional re-implementation stays in
+    * lockstep.
+    */
+  private def winnowCtes: String =
+    s"""toksa AS (SELECT doc_id, ${wsToks("text")} AS t FROM documents),
+      tk AS (SELECT doc_id, unnest(t) AS wd,
+               generate_subscripts(t, 1) AS pos FROM toksa),
+      cv AS (SELECT doc_id, pos,
+               CAST(ascii(substring(wd, 1, 1)) AS BIGINT) * 131
+                 + CAST(length(wd) AS BIGINT) AS ci
+             FROM tk),
+      g0 AS (SELECT doc_id, pos AS i,
+               (1 * ci + 2 * lead(ci, 1) OVER dw
+                  + 3 * lead(ci, 2) OVER dw) AS s,
+               lead(ci, 2) OVER dw AS ok
+             FROM cv WINDOW dw AS (PARTITION BY doc_id ORDER BY pos)),
+      g AS (SELECT doc_id, i, s % 1000003 AS h FROM g0 WHERE ok IS NOT NULL),
+      m AS (SELECT doc_id, count(*) AS ng FROM g GROUP BY 1),
+      starts AS (SELECT g.doc_id, g.i AS ws
+                 FROM g JOIN m ON m.doc_id = g.doc_id
+                 WHERE g.i <= m.ng - 3),
+      cand AS (SELECT s.doc_id, s.ws, g.i, g.h
+               FROM starts s JOIN g ON g.doc_id = s.doc_id
+                AND g.i BETWEEN s.ws AND s.ws + 3),
+      sel AS (SELECT doc_id, ws, i, h,
+                row_number() OVER (PARTITION BY doc_id, ws
+                                   ORDER BY h ASC, i DESC) AS rk
+              FROM cand)"""
+
   /** Shared n-gram jaccard CTE chain over `src` rows (doc_id, text):
     * tokens → 3-gram shingles (whole-text fallback under 3 words) →
     * sizes + pairwise intersections. `pruned = true` mirrors
@@ -933,32 +964,25 @@ object OracleSql {
     // rightmost-min by (h ASC, i DESC) row_number — an independent
     // formulation of the same selection recurrence as the array kernel
     "ns_winnow_fingerprints" ->
-      s"""WITH toksa AS (SELECT doc_id, ${wsToks("text")} AS t FROM documents),
-      tk AS (SELECT doc_id, unnest(t) AS wd,
-               generate_subscripts(t, 1) AS pos FROM toksa),
-      cv AS (SELECT doc_id, pos,
-               CAST(ascii(substring(wd, 1, 1)) AS BIGINT) * 131
-                 + CAST(length(wd) AS BIGINT) AS ci
-             FROM tk),
-      g0 AS (SELECT doc_id, pos AS i,
-               (1 * ci + 2 * lead(ci, 1) OVER dw
-                  + 3 * lead(ci, 2) OVER dw) AS s,
-               lead(ci, 2) OVER dw AS ok
-             FROM cv WINDOW dw AS (PARTITION BY doc_id ORDER BY pos)),
-      g AS (SELECT doc_id, i, s % 1000003 AS h FROM g0 WHERE ok IS NOT NULL),
-      m AS (SELECT doc_id, count(*) AS ng FROM g GROUP BY 1),
-      starts AS (SELECT g.doc_id, g.i AS ws
-                 FROM g JOIN m ON m.doc_id = g.doc_id
-                 WHERE g.i <= m.ng - 3),
-      cand AS (SELECT s.doc_id, s.ws, g.i, g.h
-               FROM starts s JOIN g ON g.doc_id = s.doc_id
-                AND g.i BETWEEN s.ws AND s.ws + 3),
-      sel AS (SELECT doc_id, ws, i, h,
-                row_number() OVER (PARTITION BY doc_id, ws
-                                   ORDER BY h ASC, i DESC) AS rk
-              FROM cand)
+      s"""WITH $winnowCtes
       SELECT DISTINCT doc_id, i AS pos, h AS fp FROM sel WHERE rk = 1
       ORDER BY doc_id, pos""",
+
+    // matching half: distinct (doc, fp), boilerplate-capped posting
+    // lists, pairwise shared-fingerprint counts
+    "ns_winnow_matches" ->
+      s"""WITH $winnowCtes,
+      fps AS (SELECT DISTINCT doc_id, h AS fp FROM sel WHERE rk = 1),
+      pf AS (SELECT fp FROM fps GROUP BY fp
+             HAVING count(*) BETWEEN 2 AND 1000),
+      pr AS (SELECT f.doc_id, f.fp FROM fps f JOIN pf USING (fp)),
+      pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                  CAST(count(*) AS BIGINT) AS n_shared
+                FROM pr a JOIN pr b
+                  ON a.fp = b.fp AND a.doc_id < b.doc_id
+                GROUP BY 1, 2)
+      SELECT id_a, id_b, n_shared FROM pairs WHERE n_shared >= 3
+      ORDER BY id_a, id_b""",
 
     // weight chain: exact BIGINT token totals → floor(sqrt) back to
     // BIGINT (so the cross-group sum is associative integer math) →

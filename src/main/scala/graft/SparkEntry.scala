@@ -1320,6 +1320,13 @@ object SparkEntry {
       .select(col("doc").as("doc_id"), col("pos"), col("fp"))
       .orderBy("doc_id", "pos")
 
+  /** Doc pairs sharing ≥ 3 winnowing fingerprints — the matching half
+    * (position-independent passage reuse detection).
+    */
+  private def nsWinnowMatches(s: SparkSession, dir: String): DataFrame =
+    TextDedup.winnowingMatches(t(s, dir, "documents"), "text", "doc_id")
+      .orderBy("id_a", "id_b")
+
   /** Per-document lexical diversity (tokens/types/hapax/TTR). */
   private def nsTtr(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.typeTokenStats(t(s, dir, "documents"), "text", "doc_id")
@@ -2033,6 +2040,7 @@ object SparkEntry {
     "ns_temperature_mix" -> nsTemperatureMix,
     "ns_token_mix" -> nsTokenMix,
     "ns_winnow_fingerprints" -> nsWinnowFingerprints,
+    "ns_winnow_matches" -> nsWinnowMatches,
     "ns_ttr" -> nsTtr,
     "ns_embed_centroids" -> nsEmbedCentroids,
     "ns_embed_centroids_agg" -> nsEmbedCentroidsAgg,

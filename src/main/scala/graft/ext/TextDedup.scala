@@ -543,6 +543,38 @@ object TextDedup {
       .select(col("doc"), col("f.p").as("pos"), col("f.h").as("fp"))
   }
 
+  /** Document pairs sharing winnowing fingerprints — the matching half
+    * of [[winnowingFingerprints]]: position-independent (the fp VALUE
+    * matches, wherever the shared passage sits in each doc), with the
+    * match strength = number of distinct shared fingerprints. The
+    * guarantee transfers: two docs sharing a run of ≥ k + w − 1 tokens
+    * appear as a pair.
+    *
+    * Scale shape: the same posting-list discipline as
+    * [[candidatePairCounts]] — one shuffle on the fingerprint,
+    * per-fingerprint posting lists capped at `maxPostings` (a
+    * fingerprint shared by everything is boilerplate, not signal) and
+    * pair-expanded natively, then one aggregation on the pair.
+    */
+  def winnowingMatches(df: DataFrame, text: String, id: String,
+                       k: Int = 3, w: Int = 4, minShared: Long = 3,
+                       maxPostings: Long = 1000): DataFrame = {
+    require(minShared >= 1, "minShared must be >= 1")
+    require(maxPostings >= 2 && maxPostings <= 10000,
+      "maxPostings in [2, 10000] (array_pairs bound)")
+    val fp = winnowingFingerprints(df, text, id, k, w)
+      .select(col("doc"), col("fp")).distinct()
+    val counted = fp.withColumn("_pf",
+      count(lit(1)).over(Window.partitionBy("fp")))
+    counted.filter(col("_pf") >= 2 && col("_pf") <= maxPostings)
+      .groupBy("fp").agg(collect_list(col("doc")).as("docs"))
+      .select(explode(
+        graft.functions.VectorExpressions.array_pairs(col("docs"))).as("p"))
+      .groupBy(col("p.a").as("id_a"), col("p.b").as("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   private def logPrunedShingles(counted: DataFrame, maxPostings: Long): Unit = {
     val d = counted.filter(col("_pf") > maxPostings)
       .agg(coalesce(count_distinct(col("sh")), lit(0L)), count(lit(1))).head()

@@ -220,6 +220,26 @@ class MixOverlapSpec extends SparkSpec {
     assert(fp(3L).map(_.getLong(1)).sorted.toSeq === Seq(4L, 5L, 6L))
   }
 
+  test("winnowingMatches finds the planted passage pair, position-shifted") {
+    import graft.ext.TextDedup
+    val rnd = new scala.util.Random(7)
+    def noise(n: Int) = (1 to n).map(_ =>
+      ('a' + rnd.nextInt(26)).toChar.toString * (1 + rnd.nextInt(8)))
+      .mkString(" ")
+    val passage = noise(12) // 12 shared tokens >> k+w-1
+    val docs = Seq(
+      (1L, s"${noise(3)} $passage ${noise(20)}"),   // passage early
+      (2L, s"${noise(25)} $passage ${noise(2)}"),   // passage late
+      (3L, noise(40))                                // unrelated
+    ).toDF("doc_id", "text")
+    val pairs = TextDedup.winnowingMatches(docs, "text", "doc_id",
+      minShared = 2)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)),
+      "position-shifted shared passage must match")
+    assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)))
+  }
+
   test("sourceOverlap: disjoint sources produce no rows") {
     val docs = Seq((1L, "a b c", "A"), (2L, "d e f", "B"))
       .toDF("doc_id", "text", "source")
