@@ -513,7 +513,8 @@ object TextDedup {
     * NOT apply here — winnowing is a positional scheme).
     */
   def winnowingFingerprints(df: DataFrame, text: String, id: String,
-                            k: Int = 3, w: Int = 4): DataFrame = {
+                            k: Int = 3, w: Int = 4,
+                            portableHash: Boolean = true): DataFrame = {
     require(k >= 1 && w >= 1, "k and w must be >= 1")
     // Each intermediate array is BOUND as a lambda variable
     // (`transform(array(X), x -> body)` evaluates X exactly once) —
@@ -521,10 +522,19 @@ object TextDedup {
     // inline the whole array build into EVERY element_at, which turns
     // the linear selection into O(n³) per document (observed: the
     // corpus run never finished; this form is ~ms/doc).
+    // portableHash = true: the (ascii, length) token-code chain any
+    // ANSI engine reproduces — the oracle-checkable form, but weak
+    // (collision-prone on low-diversity tokens). false: xxhash64 of
+    // the gram text — the production-strength variant (same selection
+    // code, engine-local hash, so rows-only verifiable).
     val weights = (1 to k)
       .map(j => s"$j * element_at(cs, i + ${j - 1})").mkString(" + ")
     val hsFromCs =
-      s"transform(sequence(1, size(cs) - ${k - 1}), i -> pmod($weights, 1000003L))"
+      if (portableHash)
+        s"transform(sequence(1, size(cs) - ${k - 1}), i -> pmod($weights, 1000003L))"
+      else
+        s"transform(sequence(1, size(cs) - ${k - 1}), " +
+          s"i -> xxhash64(concat_ws(' ', slice(toks, i, $k))))"
     val selFromHs =
       s"array_distinct(transform(sequence(1, size(hs) - ${w - 1}), " +
         s"ws -> aggregate(sequence(ws, ws + ${w - 1}), " +
@@ -558,11 +568,12 @@ object TextDedup {
     */
   def winnowingMatches(df: DataFrame, text: String, id: String,
                        k: Int = 3, w: Int = 4, minShared: Long = 3,
-                       maxPostings: Long = 1000): DataFrame = {
+                       maxPostings: Long = 1000,
+                       portableHash: Boolean = true): DataFrame = {
     require(minShared >= 1, "minShared must be >= 1")
     require(maxPostings >= 2 && maxPostings <= 10000,
       "maxPostings in [2, 10000] (array_pairs bound)")
-    val fp = winnowingFingerprints(df, text, id, k, w)
+    val fp = winnowingFingerprints(df, text, id, k, w, portableHash)
       .select(col("doc"), col("fp")).distinct()
     val counted = fp.withColumn("_pf",
       count(lit(1)).over(Window.partitionBy("fp")))
