@@ -984,6 +984,34 @@ object OracleSql {
       SELECT id_a, id_b, n_shared FROM pairs WHERE n_shared >= 3
       ORDER BY id_a, id_b""",
 
+    // incremental half: fps split at doc_id 400, new side probes corpus
+    "ns_winnow_cross" ->
+      s"""WITH $winnowCtes,
+      fps AS (SELECT DISTINCT doc_id, h AS fp FROM sel WHERE rk = 1),
+      nw AS (SELECT doc_id AS new_doc, fp FROM fps WHERE doc_id >= 400),
+      cp AS (SELECT doc_id AS corpus_doc, fp FROM fps WHERE doc_id < 400),
+      pairs AS (SELECT nw.new_doc, cp.corpus_doc,
+                  CAST(count(*) AS BIGINT) AS n_shared
+                FROM cp JOIN nw USING (fp) GROUP BY 1, 2)
+      SELECT new_doc, corpus_doc, n_shared FROM pairs WHERE n_shared >= 3
+      ORDER BY new_doc, corpus_doc""",
+
+    // exact rational diversity: 1e6 − Σc(c−1)·1e6 // (n(n−1)), NULL
+    // when no token pair exists — the same integer chain as the engine
+    "ns_simpson_diversity" ->
+      s"""WITH tc AS (
+        SELECT doc_id, token, CAST(count(*) AS BIGINT) AS c FROM (
+          SELECT doc_id, unnest(${wsToks("text")}) AS token FROM documents)
+        GROUP BY 1, 2),
+      agg AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+                CAST(sum(c * (c - 1)) AS BIGINT) AS rep
+              FROM tc GROUP BY 1)
+      SELECT doc_id, n_tokens,
+        CASE WHEN n_tokens >= 2
+             THEN 1000000 - rep * 1000000 // (n_tokens * (n_tokens - 1))
+             ELSE NULL END AS diversity_m
+      FROM agg ORDER BY doc_id""",
+
     // weight chain: exact BIGINT token totals → floor(sqrt) back to
     // BIGINT (so the cross-group sum is associative integer math) →
     // integer proration → hash-ordered window prefix fill

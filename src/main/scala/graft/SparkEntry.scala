@@ -1327,6 +1327,22 @@ object SparkEntry {
     TextDedup.winnowingMatches(t(s, dir, "documents"), "text", "doc_id")
       .orderBy("id_a", "id_b")
 
+  /** Per-document Simpson diversity (exact rational entropy surrogate). */
+  private def nsSimpsonDiversity(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.simpsonDiversity(t(s, dir, "documents"), "text", "doc_id")
+      .select(col("doc").as("doc_id"), col("n_tokens"), col("diversity_m"))
+      .orderBy("doc_id")
+
+  /** Incremental winnowing: the newest fifth of the corpus probed
+    * against the earlier four-fifths for reused passages.
+    */
+  private def nsWinnowCross(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    TextDedup.winnowingCrossMatches(d.filter(col("doc_id") >= 400),
+      d.filter(col("doc_id") < 400), "text", "doc_id")
+      .orderBy("new_doc", "corpus_doc")
+  }
+
   /** Per-document lexical diversity (tokens/types/hapax/TTR). */
   private def nsTtr(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.typeTokenStats(t(s, dir, "documents"), "text", "doc_id")
@@ -2041,6 +2057,8 @@ object SparkEntry {
     "ns_token_mix" -> nsTokenMix,
     "ns_winnow_fingerprints" -> nsWinnowFingerprints,
     "ns_winnow_matches" -> nsWinnowMatches,
+    "ns_winnow_cross" -> nsWinnowCross,
+    "ns_simpson_diversity" -> nsSimpsonDiversity,
     "ns_ttr" -> nsTtr,
     "ns_embed_centroids" -> nsEmbedCentroids,
     "ns_embed_centroids_agg" -> nsEmbedCentroidsAgg,

@@ -275,6 +275,32 @@ object TextAnalysis {
         round(col("n_types").cast("double") / col("n_tokens"), 6))
   }
 
+  /** Per-document Simpson diversity index — the EXACT-arithmetic
+    * lexical-concentration signal (entropy's rational cousin: entropy
+    * needs log and can never hash-match; Simpson is pure integer
+    * algebra). diversity = 1 − Σ c_i(c_i−1) / (n(n−1)) = the
+    * probability two tokens drawn without replacement differ: 1e6
+    * micro-units for a fully diverse doc, → 0 for a one-token loop.
+    * A boilerplate/spam gate that, unlike [[repetitionRatio]]'s
+    * n-gram view, sees pure token-distribution concentration.
+    *
+    * Emitted as exact micro-units via integer division; docs with
+    * n < 2 tokens have no pair to draw and get NULL (pinned, mirrored
+    * by the oracle). Magnitude: Σc(c−1)·1e6 < 2^63 holds for docs up
+    * to ~3M tokens. Two partial-agg shuffles, both keyed on the doc
+    * (same shape as [[typeTokenStats]]).
+    */
+  def simpsonDiversity(df: DataFrame, text: String, id: String): DataFrame =
+    df.select(col(id).as("doc"), explode(Tok.tokens(col(text))).as("token"))
+      .groupBy("doc", "token").agg(count(lit(1)).as("c"))
+      .groupBy("doc").agg(
+        sum(col("c")).cast("long").as("n_tokens"),
+        sum(col("c") * (col("c") - 1)).cast("long").as("_rep"))
+      .select(col("doc"), col("n_tokens"),
+        expr("CASE WHEN n_tokens >= 2 THEN " +
+          "1000000L - _rep * 1000000L div (n_tokens * (n_tokens - 1)) " +
+          "ELSE NULL END").as("diversity_m"))
+
   /** Corpus token frequency: the global top-k tokens. Partial (map-side)
     * aggregation makes this a single light shuffle even at corpus scale.
     */

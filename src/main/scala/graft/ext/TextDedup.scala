@@ -586,6 +586,28 @@ object TextDedup {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** Incremental winnowing match: which docs of a NEW batch reuse
+    * passages from the EXISTING corpus — the ingest-time form of
+    * [[winnowingMatches]], mirroring [[crossNearDups]]' shape: the
+    * corpus is never paired with itself; the bounded new batch's
+    * fingerprint set BROADCASTS to the corpus fingerprint scan (one
+    * map-side join + one pair aggregation).
+    */
+  def winnowingCrossMatches(newBatch: DataFrame, corpus: DataFrame,
+                            text: String, id: String,
+                            k: Int = 3, w: Int = 4, minShared: Long = 3,
+                            portableHash: Boolean = true): DataFrame = {
+    require(minShared >= 1, "minShared must be >= 1")
+    val fpNew = winnowingFingerprints(newBatch, text, id, k, w, portableHash)
+      .select(col("doc").as("new_doc"), col("fp")).distinct()
+    val fpCorp = winnowingFingerprints(corpus, text, id, k, w, portableHash)
+      .select(col("doc").as("corpus_doc"), col("fp")).distinct()
+    fpCorp.join(broadcast(fpNew), Seq("fp"))
+      .groupBy("new_doc", "corpus_doc")
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   private def logPrunedShingles(counted: DataFrame, maxPostings: Long): Unit = {
     val d = counted.filter(col("_pf") > maxPostings)
       .agg(coalesce(count_distinct(col("sh")), lit(0L)), count(lit(1))).head()

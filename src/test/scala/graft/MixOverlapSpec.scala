@@ -265,6 +265,41 @@ class MixOverlapSpec extends SparkSpec {
     assert(strong === 3L)
   }
 
+  test("simpsonDiversity: exact micro-units, NULL below two tokens") {
+    val docs = Seq((1L, "a a b"), (2L, "x x x x"), (3L, "solo"),
+      (4L, "w1 w2 w3 w4")).toDF("doc_id", "text")
+    val out = TextAnalysis.simpsonDiversity(docs, "text", "doc_id")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(2)) None else Some(r.getLong(2)))).toMap
+    assert(out(1L) === Some(1000000L - 2000000L / 6L)) // 666667... floor: 2*1e6 div 6 = 333333 -> 666667
+    assert(out(2L) === Some(0L))       // one token repeated: zero diversity
+    assert(out(3L) === None)           // n=1: no pair to draw
+    assert(out(4L) === Some(1000000L)) // all distinct: full diversity
+  }
+
+  test("winnowingCrossMatches: new batch probes corpus, no corpus self-pairs") {
+    import graft.ext.TextDedup
+    val rnd = new scala.util.Random(23)
+    def noise(n: Int) = (1 to n).map(_ =>
+      ('a' + rnd.nextInt(26)).toChar.toString * (1 + rnd.nextInt(8)))
+      .mkString(" ")
+    val passage = noise(10)
+    val corpus = Seq(
+      (1L, s"${noise(4)} $passage ${noise(8)}"),
+      (2L, s"${noise(4)} $passage ${noise(8)}"), // corpus dup pair (1,2)
+      (3L, noise(30))).toDF("doc_id", "text")
+    val fresh = Seq(
+      (100L, s"${noise(15)} $passage"),
+      (101L, noise(25))).toDF("doc_id", "text")
+    val out = TextDedup.winnowingCrossMatches(fresh, corpus, "text",
+      "doc_id", minShared = 2)
+      .select("new_doc", "corpus_doc").as[(Long, Long)].collect().toSet
+    assert(out.contains((100L, 1L)) && out.contains((100L, 2L)))
+    // the corpus-internal dup (1,2) must NOT appear — never self-paired
+    assert(out.forall(p => p._1 >= 100L && p._2 < 100L))
+    assert(!out.exists(_._1 == 101L))
+  }
+
   test("sourceOverlap: disjoint sources produce no rows") {
     val docs = Seq((1L, "a b c", "A"), (2L, "d e f", "B"))
       .toDF("doc_id", "text", "source")
