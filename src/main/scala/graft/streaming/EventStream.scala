@@ -393,6 +393,26 @@ object EventStream {
         benchmark, benchText, shingleN, minOverlap))
     }
 
+  /** Streaming passage-reuse detection — the incremental twin of
+    * `TextDedup.winnowingCrossMatches`: each micro-batch of incoming
+    * documents is fingerprinted and probed against the FROZEN corpus
+    * side. Stateless per doc (fingerprints depend only on the doc's
+    * own tokens; the corpus side is static), so each micro-batch runs
+    * the exact batch kernel and stream output is bit-equal to the
+    * batch operator under any split. Corpus refresh = query restart
+    * (the [[bm25RouteStream]] staleness contract).
+    */
+  def winnowCrossStream(docs: DataFrame, corpus: DataFrame,
+                        text: String, id: String,
+                        k: Int = 3, w: Int = 4, minShared: Long = 3,
+                        portableHash: Boolean = true)
+                       (sink: DataFrame => Unit)
+  : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      sink(graft.ext.TextDedup.winnowingCrossMatches(batch, corpus,
+        text, id, k, w, minShared, portableHash))
+    }
+
   /** Run a streaming query to completion over currently-available data
     * (the daily-batch trigger), writing to an in-memory sink — used by
     * tests; production swaps the sink for parquet/kafka.

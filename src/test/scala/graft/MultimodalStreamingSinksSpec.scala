@@ -492,6 +492,39 @@ class StreamingSpec extends SparkSpec {
       "only the doc leaking a full benchmark trigram is dropped")
   }
 
+  test("streaming winnow probe equals the batch kernel across micro-batches") {
+    import graft.ext.TextDedup
+    val rnd = new scala.util.Random(31)
+    def noise(n: Int) = (1 to n).map(_ =>
+      ('a' + rnd.nextInt(26)).toChar.toString * (1 + rnd.nextInt(8)))
+      .mkString(" ")
+    val passage = noise(10)
+    val corpus = Seq((1L, s"${noise(5)} $passage ${noise(6)}"),
+      (2L, noise(30))).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("wstream").toString
+    val f1 = Seq((100L, s"$passage ${noise(12)}"))
+    val f2 = Seq((101L, noise(20)), (102L, s"${noise(9)} $passage"))
+    f1.toDF("doc_id", "text").coalesce(1).write.parquet(s"$dir/f1")
+    Thread.sleep(1100)
+    f2.toDF("doc_id", "text").coalesce(1).write.parquet(s"$dir/f2")
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add("doc_id", "long").add("text", "string")
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir + "/*")
+    val buf = collection.mutable.ArrayBuffer[(Long, Long, Long)]()
+    val q = EventStream.winnowCrossStream(stream, corpus, "text", "doc_id",
+      minShared = 2) { out =>
+      buf.synchronized { buf ++= out.as[(Long, Long, Long)].collect() }
+    }.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val batch = TextDedup.winnowingCrossMatches(
+      (f1 ++ f2).toDF("doc_id", "text"), corpus, "text", "doc_id",
+      minShared = 2).as[(Long, Long, Long)].collect()
+    assert(buf.sortBy(r => (r._1, r._2)).toSeq ==
+      batch.sortBy(r => (r._1, r._2)).toSeq)
+    assert(buf.map(_._1).toSet == Set(100L, 102L), "both leakers found")
+  }
+
   test("streaming quota caps each group at k across micro-batches") {
     val dir = java.nio.file.Files.createTempDirectory("quota").toString
     // s1 arrives 3 then 2 (quota 4 -> batch2 admits only the smallest
