@@ -1321,10 +1321,11 @@ object SparkEntry {
       .orderBy("doc_id", "pos")
 
   /** Doc pairs sharing ≥ 3 winnowing fingerprints — the matching half
-    * (position-independent passage reuse detection).
+    * (position-independent passage reuse detection). Probes the
+    * [[winnowFps]] artifact; the fingerprint query prices the build.
     */
   private def nsWinnowMatches(s: SparkSession, dir: String): DataFrame =
-    TextDedup.winnowingMatches(t(s, dir, "documents"), "text", "doc_id")
+    TextDedup.winnowingMatchesFromFps(winnowFps(s, dir))
       .orderBy("id_a", "id_b")
 
   /** Per-document Simpson diversity (exact rational entropy surrogate). */
@@ -1334,12 +1335,14 @@ object SparkEntry {
       .orderBy("doc_id")
 
   /** Incremental winnowing: the newest fifth of the corpus probed
-    * against the earlier four-fifths for reused passages.
+    * against the earlier four-fifths for reused passages. Both sides
+    * filter the [[winnowFps]] artifact (fingerprinting is per-doc, so
+    * the split commutes with the build).
     */
   private def nsWinnowCross(s: SparkSession, dir: String): DataFrame = {
-    val d = t(s, dir, "documents")
-    TextDedup.winnowingCrossMatches(d.filter(col("doc_id") >= 400),
-      d.filter(col("doc_id") < 400), "text", "doc_id")
+    val fps = winnowFps(s, dir)
+    TextDedup.winnowingCrossFromFps(fps.filter(col("doc") >= 400),
+      fps.filter(col("doc") < 400))
       .orderBy("new_doc", "corpus_doc")
   }
 
@@ -1652,6 +1655,24 @@ object SparkEntry {
       TextDedup.candidatePairCounts(t(s, dir, "documents"), "text", "doc_id",
         shingleN = 3).localCheckpoint(true))
 
+  /** The distinct (doc, fp) winnowing fingerprint table — the third
+    * amortized corpus artifact next to [[pairGraph]] and
+    * [[clusterLabels]]: a real pipeline fingerprints the corpus once
+    * and every match policy probes the table.
+    * `ns_winnow_fingerprints` still recomputes from scratch (the bench
+    * prices the build); the matches and cross-probe consumers read
+    * the artifact.
+    */
+  private val winnowCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]
+
+  private def winnowFps(s: SparkSession, dir: String): DataFrame =
+    winnowCache.computeIfAbsent((s, dir), _ =>
+      TextDedup.winnowingFingerprints(t(s, dir, "documents"), "text",
+        "doc_id")
+        .select(col("doc"), col("fp")).distinct()
+        .localCheckpoint(true))
+
   /** Train/val/test leakage audit: near-dup pairs whose members landed
     * in DIFFERENT splits — the eval-integrity check every training
     * pipeline needs (a val/test doc that near-duplicates a train doc
@@ -1894,6 +1915,7 @@ object SparkEntry {
     Option(pqIndexCache.remove((s, dir))).foreach(_.close())
     Option(clusterCache.remove((s, dir))).foreach(_.unpersist())
     Option(pairCache.remove((s, dir))).foreach(_.unpersist())
+    Option(winnowCache.remove((s, dir))).foreach(_.unpersist())
   }
 
   private def nsTopkSimilarity(s: SparkSession, dir: String): DataFrame = {

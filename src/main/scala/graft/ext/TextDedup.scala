@@ -573,9 +573,19 @@ object TextDedup {
     require(minShared >= 1, "minShared must be >= 1")
     require(maxPostings >= 2 && maxPostings <= 10000,
       "maxPostings in [2, 10000] (array_pairs bound)")
-    val fp = winnowingFingerprints(df, text, id, k, w, portableHash)
-      .select(col("doc"), col("fp")).distinct()
-    val counted = fp.withColumn("_pf",
+    winnowingMatchesFromFps(
+      winnowingFingerprints(df, text, id, k, w, portableHash)
+        .select(col("doc"), col("fp")).distinct(),
+      minShared, maxPostings)
+  }
+
+  /** Matching over a PRECOMPUTED distinct (doc, fp) fingerprint table —
+    * the probe half, for pipelines that maintain the fingerprint table
+    * as a corpus artifact and run many match policies against it.
+    */
+  def winnowingMatchesFromFps(fps: DataFrame, minShared: Long = 3,
+                              maxPostings: Long = 1000): DataFrame = {
+    val counted = fps.withColumn("_pf",
       count(lit(1)).over(Window.partitionBy("fp")))
     counted.filter(col("_pf") >= 2 && col("_pf") <= maxPostings)
       .groupBy("fp").agg(collect_list(col("doc")).as("docs"))
@@ -598,11 +608,24 @@ object TextDedup {
                             k: Int = 3, w: Int = 4, minShared: Long = 3,
                             portableHash: Boolean = true): DataFrame = {
     require(minShared >= 1, "minShared must be >= 1")
-    val fpNew = winnowingFingerprints(newBatch, text, id, k, w, portableHash)
-      .select(col("doc").as("new_doc"), col("fp")).distinct()
-    val fpCorp = winnowingFingerprints(corpus, text, id, k, w, portableHash)
-      .select(col("doc").as("corpus_doc"), col("fp")).distinct()
-    fpCorp.join(broadcast(fpNew), Seq("fp"))
+    winnowingCrossFromFps(
+      winnowingFingerprints(newBatch, text, id, k, w, portableHash)
+        .select(col("doc"), col("fp")).distinct(),
+      winnowingFingerprints(corpus, text, id, k, w, portableHash)
+        .select(col("doc"), col("fp")).distinct(),
+      minShared)
+  }
+
+  /** Cross-matching over precomputed distinct (doc, fp) tables — the
+    * probe half of [[winnowingCrossMatches]] for artifact-maintaining
+    * pipelines. The new side broadcasts (bounded-batch contract).
+    */
+  def winnowingCrossFromFps(fpNew: DataFrame, fpCorpus: DataFrame,
+                            minShared: Long = 3): DataFrame = {
+    require(minShared >= 1, "minShared must be >= 1")
+    fpCorpus.select(col("doc").as("corpus_doc"), col("fp"))
+      .join(broadcast(fpNew.select(col("doc").as("new_doc"), col("fp"))),
+        Seq("fp"))
       .groupBy("new_doc", "corpus_doc")
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
