@@ -109,6 +109,22 @@ object ScaleStress {
       Map("dropped_buckets" -> db.getLong(0), "max_bucket" -> db.getLong(1))
     }
 
+    step("audit_overcap_fingerprints") { s =>
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val fps = graft.ext.TextDedup.winnowingFingerprints(
+        docs, "text", "doc_id")
+        .select(org.apache.spark.sql.functions.col("doc"),
+          org.apache.spark.sql.functions.col("fp")).distinct()
+      val oc = graft.ext.TextDedup.overCapFingerprints(fps)
+        .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)),
+          org.apache.spark.sql.functions.coalesce(
+            org.apache.spark.sql.functions.max("doc_freq"),
+            org.apache.spark.sql.functions.lit(0L))).head()
+      Map("overcap_fingerprints" -> oc.getLong(0),
+        "max_fp_df" -> oc.getLong(1))
+    }
+
     // the graded queries, in artifact-reuse order: the pair-graph build
     // is priced by the first consumer, the probes show the amortized cost
     val names = Seq("ns_dedup_ngram_jaccard", "ns_containment",
@@ -121,7 +137,16 @@ object ScaleStress {
       // routing prices the token explode at scale, and the PQ tiers
       // price code-scan ANN on the densified embedding clones
       "ns_split_leakage", "ns_source_cap", "ns_bm25_route",
-      "ns_pq_topk", "ns_ivfpq_topk")
+      "ns_pq_topk", "ns_ivfpq_topk",
+      // continued-session additions: winnowing prices the fingerprint
+      // artifact then its two probes amortize; source-overlap stresses
+      // the per-shingle collect_set under the clone-heavy sources;
+      // quality/mix/collocations price the map-side + dimension-
+      // broadcast family at scale
+      "ns_winnow_fingerprints", "ns_winnow_matches", "ns_winnow_cross",
+      "ns_source_overlap", "ns_quality_model", "ns_quality_by_source",
+      "ns_collocations", "ns_temperature_mix", "ns_token_mix",
+      "ns_simpson_diversity")
     names.foreach { q =>
       step(q)(s => Map("rows" -> SparkEntry.queries(q)(s, dir).count()))
     }

@@ -563,8 +563,16 @@ object TextDedup {
     * Scale shape: the same posting-list discipline as
     * [[candidatePairCounts]] — one shuffle on the fingerprint,
     * per-fingerprint posting lists capped at `maxPostings` (a
-    * fingerprint shared by everything is boilerplate, not signal) and
-    * pair-expanded natively, then one aggregation on the pair.
+    * fingerprint shared by everything is boilerplate, not signal;
+    * audit the drops with [[overCapFingerprints]]) and pair-expanded
+    * natively, then one aggregation on the pair.
+    *
+    * Hash choice at scale (measured, TUNING.md): the portable hash's
+    * non-uniform code space makes CHANCE fingerprint collisions
+    * dominate the pair volume beyond ~10⁴ docs (x5 stress corpus:
+    * 4.2M pairs vs 143k with xxhash64, 3.4× slower) — use
+    * `portableHash = false` in production; the portable form is the
+    * oracle-checkable verification surface.
     */
   def winnowingMatches(df: DataFrame, text: String, id: String,
                        k: Int = 3, w: Int = 4, minShared: Long = 3,
@@ -595,6 +603,18 @@ object TextDedup {
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
   }
+
+  /** Fingerprints [[winnowingMatchesFromFps]] would drop at the given
+    * posting cap, as (fp, doc_freq) — the audit twin of `maxPostings`
+    * (same contract as [[overCapShingles]]): what the matcher skips at
+    * scale is observable, never silent. A fingerprint shared by more
+    * docs than the cap is boilerplate by definition — audit it, decide
+    * deliberately.
+    */
+  def overCapFingerprints(fps: DataFrame,
+                          maxPostings: Long = 1000): DataFrame =
+    fps.groupBy("fp").agg(count(lit(1)).as("doc_freq"))
+      .filter(col("doc_freq") > maxPostings)
 
   /** Incremental winnowing match: which docs of a NEW batch reuse
     * passages from the EXISTING corpus — the ingest-time form of

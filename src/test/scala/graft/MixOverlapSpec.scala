@@ -300,6 +300,32 @@ class MixOverlapSpec extends SparkSpec {
     assert(!out.exists(_._1 == 101L))
   }
 
+  test("overCapFingerprints audits what the matcher would drop") {
+    import graft.ext.TextDedup
+    // one boilerplate passage shared by 5 docs, one pair-only passage
+    val rnd = new scala.util.Random(41)
+    def noise(n: Int) = (1 to n).map(_ =>
+      ('a' + rnd.nextInt(26)).toChar.toString * (1 + rnd.nextInt(8)))
+      .mkString(" ")
+    val boiler = noise(10)
+    val pairP = noise(10)
+    val docs = ((1L to 5L).map(i => (i, s"${noise(3)} $boiler ${noise(3)}")) ++
+      Seq((10L, s"$pairP ${noise(5)}"), (11L, s"${noise(5)} $pairP")))
+      .toDF("doc_id", "text")
+    val fps = TextDedup.winnowingFingerprints(docs, "text", "doc_id")
+      .select(col("doc"), col("fp")).distinct()
+    val over = TextDedup.overCapFingerprints(fps, maxPostings = 4)
+      .collect()
+    assert(over.nonEmpty, "5-doc boilerplate fp must be audited at cap 4")
+    assert(over.forall(_.getLong(1) == 5L))
+    // and the matcher at the same cap finds the pair but not the clique
+    val pairs = TextDedup.winnowingMatchesFromFps(fps, minShared = 2,
+      maxPostings = 4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((10L, 11L)))
+    assert(pairs.forall(p => p._1 >= 10L))
+  }
+
   test("sourceOverlap: disjoint sources produce no rows") {
     val docs = Seq((1L, "a b c", "A"), (2L, "d e f", "B"))
       .toDF("doc_id", "text", "source")
