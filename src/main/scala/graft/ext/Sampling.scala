@@ -182,6 +182,15 @@ object Sampling {
     * the corpus — the dimension-table contract: group cardinality must
     * be dimension-sized (languages, sources, domains up to ~millions),
     * never row-unique. Keys non-negative integral ([[bucket1000]]).
+    *
+    * NULL-group contract (the [[weightedSample]] discipline): rows
+    * with a NULL group never match the equi-join back onto the cut
+    * table (SQL NULL ≠ NULL) and are DROPPED — identical semantics on
+    * any engine. Callers who want unlabeled rows kept should coalesce
+    * the group to a sentinel first; the sentinel then competes as its
+    * own group, which is usually what "unknown source" should mean.
+    * (A NULL group does still count toward n_min — a tiny unlabeled
+    * group would raise every rate; coalesce first if that matters.)
     */
   def temperatureSample(df: DataFrame, group: String,
                         key: String): DataFrame = {

@@ -31,6 +31,14 @@ class MixOverlapSpec extends SparkSpec {
     assert(out.count(_._2 == "small") === 2)
   }
 
+  test("temperatureSample: NULL-group rows drop (documented contract)") {
+    val df = Seq((1L, Some("a")), (2L, Some("a")), (3L, None), (4L, None))
+      .toDF("id", "grp")
+    val out = Sampling.temperatureSample(df, "grp", "id")
+      .select("id").as[Long].collect().toSet
+    assert(out === Set(1L, 2L), "null-group rows never rejoin the cuts")
+  }
+
   test("temperatureSample is idempotent on an already-balanced corpus") {
     val df = (0L to 9L).map(i => (i, s"g${i % 2}")).toDF("id", "grp")
     // both groups size 5 -> every rate 1000 -> nothing dropped
