@@ -433,6 +433,15 @@ object TextAnalysis {
     * per micro-batch, so stream/batch bit-equality is structural, not
     * coincidental). Documents matching no route term emit nothing.
     *
+    * Tokens are filtered against the ROUTE-TERM UNION, not the model's
+    * observed-df vocabulary: a route term the snapshot corpus never
+    * contained (dfq = 0) still scores on new/streamed documents, at the
+    * maximum idf `(n+0.5)/0.5` — the natural BM25 limit for an unseen
+    * term. (Filtering on `termDf.keys` instead silently dropped exactly
+    * the highest-idf terms in the frozen-model deployment; on the
+    * registered query the two filters coincide because the snapshot
+    * corpus IS the scored corpus, so a df=0 term matches no token.)
+    *
     * Scale shape: the model joins in as a broadcast (route, term, dfq)
     * dimension table; the token filter runs map-side before any
     * shuffle; per-(doc, route) sums partial-aggregate; the best-route
@@ -452,7 +461,7 @@ object TextAnalysis {
       .withColumn("dl", size(col("_toks")).cast("long"))
     val tf = base.select(col("doc"), col("dl"),
       explode(col("_toks")).as("term"))
-      .filter(col("term").isin(model.termDf.keys.toSeq: _*))
+      .filter(col("term").isin(model.routes.values.flatten.toSeq.distinct: _*))
       .groupBy("doc", "dl", "term").agg(count(lit(1)).as("tf"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("doc").orderBy(col("score_pts").desc, col("route"))
