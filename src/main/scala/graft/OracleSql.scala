@@ -15,8 +15,10 @@ package graft
   * fields, so `split(t, " ")` = `string_split(t, ' ')` on any input).
   *
   * Dialect notes (parity decisions, validated against DuckDB 1.0):
-  *  - events.ts is ns-precision parquet; DuckDB truncates to µs, which
-  *    matches Spark's floor(ns/1000) via Tables.events.
+  *  - events.ts has shipped as both ns- and µs-precision parquet;
+  *    Tables.events adapts to either and always exposes µs-truncated
+  *    `ts_us` + long-nanos `ts`, matching DuckDB's native µs read
+  *    (for ns files DuckDB truncates to µs = Spark's floor(ns/1000)).
   *  - float sums are avoided or exact (integer-valued doubles, int
   *    ratios); cosine uses CAST(... AS DOUBLE[]) which is bit-identical
   *    to Spark's double fold, plus round(.,6) on output.

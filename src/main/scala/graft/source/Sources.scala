@@ -21,21 +21,45 @@ object Tables {
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
-  /** `events` carries a nanosecond-precision parquet timestamp, which
-    * Spark will not read natively ([PARQUET_TYPE_ILLEGAL]). We read it
-    * via the legacy nanos-as-long mode and expose both the raw nanos
-    * (`ts`, long — total order with full precision) and a
-    * microsecond-truncated proper timestamp (`ts_us`) that matches what
-    * DuckDB / other engines see for the same file.
+  /** `events` exposes a stable two-column time contract regardless of how
+    * the file on disk encodes its timestamp:
     *
-    * The conf is set at runtime so any session (including the driver's)
-    * can call this; it only affects parquet schema conversion.
+    *  - `ts`    — long, nanoseconds since epoch: a total order with full
+    *              precision (the engine's internal ordering key).
+    *  - `ts_us` — a proper `TIMESTAMP` truncated to microseconds: what
+    *              DuckDB / other engines see for the same file.
+    *
+    * The loader is schema-adaptive because the upstream generator has
+    * shipped BOTH encodings over time:
+    *
+    *  - parquet `timestamp[ns]`: Spark refuses it natively
+    *    ([PARQUET_TYPE_ILLEGAL]); we read it via the legacy
+    *    nanos-as-long mode, so `ts` arrives as the raw long and `ts_us`
+    *    is derived (integer `div 1000`, NOT `/`: double division loses
+    *    ulps at 1e18-scale nanos).
+    *  - parquet `timestamp[us]`: read natively (as TIMESTAMP_NTZ under
+    *    Spark's NTZ inference for non-UTC-adjusted files); `ts_us` is
+    *    the value cast to TIMESTAMP (identity wall-clock under the
+    *    project's pinned-UTC sessions) and the long `ts` is derived as
+    *    `unix_micros * 1000`.
+    *
+    * Either way every downstream consumer sees identical `ts`/`ts_us`
+    * semantics. The nanos-as-long conf is set unconditionally: it only
+    * affects parquet schema conversion of int64-nanos columns and is a
+    * no-op for a timestamp[us] file.
     */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampType}
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    // integer div, NOT /: double division loses ulps at 1e18-scale nanos
-    table(spark, sfDir, "events")
-      .withColumn("ts_us", timestamp_micros(expr("ts div 1000")))
+    val raw = table(spark, sfDir, "events")
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts_us", timestamp_micros(expr("ts div 1000")))
+      case _ => // TimestampType or TimestampNTZType (micros on disk)
+        val tsUs = col("ts").cast(TimestampType)
+        raw.withColumn("ts_us", tsUs)
+          .withColumn("ts", unix_micros(tsUs) * lit(1000L))
+    }
   }
 
   /** Evolution-tolerant parquet read: `mergeSchema` unions the files'
