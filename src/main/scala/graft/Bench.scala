@@ -96,6 +96,11 @@ object Bench {
     // the per-run evidence behind the probe-depth defaults (TUNING.md
     // sweeps). Untimed; failures degrade to an absent entry, never a
     // broken bench.
+    // NonFatal only (a fatal JVM error must crash loudly, not surface
+    // as a silently-absent sidecar), and NO clearCache between sidecar
+    // queries — the warmed IVF/PQ index frames stay persisted, so the
+    // three sidecar probes don't each re-pay the assignment scan the
+    // timed loop already priced honestly.
     val recall: Seq[(String, Double)] =
       try {
         val exact = SparkEntry.queries("ns_topk_similarity")(spark, sfDir)
@@ -111,10 +116,9 @@ object Bench {
               Some(n -> math.round(approx.intersect(exact).size.toDouble
                 / exact.size * 10000) / 10000.0)
             }
-          } catch { case _: Throwable => None }
-          finally spark.catalog.clearCache()
+          } catch { case scala.util.control.NonFatal(_) => None }
         }
-      } catch { case _: Throwable => Seq.empty }
+      } catch { case scala.util.control.NonFatal(_) => Seq.empty }
     val qMin = names.flatMap(n => minOf(n).map(n -> _))
     val qMed = names.flatMap(n => medOf(n).map(n -> _))
     def jmap(m: Seq[(String, Double)]): String =

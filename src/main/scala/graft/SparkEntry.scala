@@ -1836,11 +1836,17 @@ object SparkEntry {
   private val ivfIndexCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), VectorSearch.IvfIndex]
 
+  /** nprobe = 4 of 8 lists per the RecallSweep sf0.1 measurement
+    * (recall 0.78 vs 0.56 at nprobe=2 — this corpus's embeddings are
+    * near-uniform, so the KMeans lists separate weakly and a real
+    * deployment on clustered embeddings would probe a smaller
+    * fraction; see TUNING.md ANN recall table).
+    */
   private def nsIvfTopk(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
     val idx = ivfIndexCache.computeIfAbsent((s, dir), _ =>
       VectorSearch.ivfBuild(emb, "vec_id", "embedding", nLists = 8))
-    VectorSearch.ivfTopK(idx, emb.filter(col("vec_id") < 5), k = 10, nprobe = 2)
+    VectorSearch.ivfTopK(idx, emb.filter(col("vec_id") < 5), k = 10, nprobe = 4)
       .orderBy("query_id", "rank")
   }
 
@@ -1852,13 +1858,20 @@ object SparkEntry {
     * scan, exact re-rank of the bounded candidate set. m=8/kCent=16
     * on the 64-dim corpus; index amortized per (session, dir) like
     * the IVF index.
+    *
+    * shortlist = 16 (candidates = 16·k of the corpus) per the
+    * RecallSweep sf0.1 measurement: recall 0.82 vs 0.38 at the old
+    * shortlist=4 — 16 ADC codes per subspace quantize this random
+    * corpus coarsely, so the ADC ranking needs a wide shortlist for
+    * the exact re-rank to recover the true top-k. The re-rank join
+    * stays bounded at queries·160 rows.
     */
   private def nsPqTopk(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
     val idx = pqIndexCache.computeIfAbsent((s, dir), _ =>
       VectorSearch.pqBuild(emb, "vec_id", "embedding", m = 8, kCent = 16))
     VectorSearch.pqTopKRefined(idx, emb, emb.filter(col("vec_id") < 5),
-      k = 10, shortlist = 4)
+      k = 10, shortlist = 16)
       .orderBy("query_id", "rank")
   }
 
@@ -1873,7 +1886,7 @@ object SparkEntry {
     val pq = pqIndexCache.computeIfAbsent((s, dir), _ =>
       VectorSearch.pqBuild(emb, "vec_id", "embedding", m = 8, kCent = 16))
     VectorSearch.ivfPqTopK(ivf, pq, emb, emb.filter(col("vec_id") < 5),
-      k = 10, nprobe = 4, shortlist = 4)
+      k = 10, nprobe = 6, shortlist = 16)
       .orderBy("query_id", "rank")
   }
 
@@ -1942,14 +1955,19 @@ object SparkEntry {
       .orderBy("query_id", "pos")
   }
 
-  /** probeNeighbors = 2 per the TUNING.md sweep: on this corpus depth 2
-    * roughly doubles recall over depth 1 at the same wall time (the
-    * probe fan-out is still a bounded bucket fraction of the corpus).
+  /** bits = 4 / probeNeighbors = 2 per the RecallSweep sf0.1 sweep:
+    * recall 0.76 vs 0.54 at the old bits=6. On this corpus the
+    * embeddings are near-uniform (no cluster structure), so hyperplane
+    * sign bits correlate weakly with the true top-k and recall demands
+    * a wide probed fraction; clustered production embeddings support
+    * higher bits at the same recall (full table in TUNING.md, including
+    * the multi-table variant [[VectorSearch.annTopKMultiTable]], which
+    * wins exactly when the corpus HAS cluster structure).
     */
   private def nsAnnLsh(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
     VectorSearch.annTopK(emb, emb.filter(col("vec_id") < 5),
-      "vec_id", "embedding", k = 10, bits = 6, probeNeighbors = 2)
+      "vec_id", "embedding", k = 10, bits = 4, probeNeighbors = 2)
       .orderBy("query_id", "rank")
   }
 

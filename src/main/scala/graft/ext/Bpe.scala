@@ -36,14 +36,42 @@ object Bpe {
     * on pair frequency break toward the lexicographically smallest
     * (left, right) pair; training stops early when the best pair
     * occurs fewer than `minPairCount` times.
+    *
+    * SCALE CONTRACT — the driver collect is the word-TYPE table, which
+    * is vocabulary-bounded, not corpus-bounded; but at 100 TB of noisy
+    * web text the raw type table (hapax typos, boilerplate ids) can
+    * still outgrow driver memory. The three bounding knobs, applied in
+    * order, keep the collect a true dimension table:
+    *  - `sampleFraction` — fit on a corpus sample (pair statistics
+    *    converge long before full coverage; same contract as
+    *    `VectorSearch.ivfBuild(fitSampleFraction)`).
+    *  - `minWordCount` — drop types rarer than this BEFORE collecting
+    *    (a type with n < minPairCount can never drive a merge on its
+    *    own, so pruning the long tail is near-lossless).
+    *  - `maxTypes` — hard cap: keep only the most frequent `maxTypes`
+    *    types (ties toward the lexicographically smaller word), as a
+    *    distributed TakeOrdered — the guarantee that the collect is
+    *    O(maxTypes) regardless of corpus pathology.
     */
   def train(df: DataFrame, text: String, numMerges: Int,
-            minPairCount: Long = 2): Seq[(String, String)] = {
+            minPairCount: Long = 2, sampleFraction: Double = 1.0,
+            minWordCount: Long = 1, maxTypes: Int = Int.MaxValue,
+            seed: Long = 42L): Seq[(String, String)] = {
     require(numMerges >= 1, "numMerges must be >= 1")
-    val wordCounts = df
+    require(sampleFraction > 0 && sampleFraction <= 1.0,
+      "sampleFraction in (0, 1]")
+    require(minWordCount >= 1, "minWordCount must be >= 1")
+    require(maxTypes >= 1, "maxTypes must be >= 1")
+    val base = if (sampleFraction < 1.0) df.sample(sampleFraction, seed) else df
+    val counts = base
       .select(explode(Tok.tokens(col(text))).as("w"))
       .filter(col("w") =!= "")
       .groupBy("w").agg(count(lit(1)).as("n"))
+      .filter(col("n") >= minWordCount)
+    val capped =
+      if (maxTypes == Int.MaxValue) counts
+      else counts.orderBy(col("n").desc, col("w")).limit(maxTypes)
+    val wordCounts = capped
       .collect().map(r => (r.getString(0), r.getLong(1)))
     trainFromCounts(wordCounts, numMerges, minPairCount)
   }

@@ -335,6 +335,66 @@ object VectorSearch {
       .select(col("query_id"), col("rank"), col("vec_id"), col("sim"))
   }
 
+  /** Multi-table LSH top-k — the standard recall-amplification shape
+    * (L independent hash tables, candidates unioned) that single-table
+    * multi-probe can't reach: a true neighbor is missed only if it
+    * collides in NONE of the L tables, so miss probability decays
+    * geometrically with `tables` while the scan stays a bounded bucket
+    * fraction (≈ tables · (1 + probed neighbors) / 2^bits of the corpus,
+    * before overlap dedup).
+    *
+    * The L tables cost nothing extra to store or compute: one
+    * `lsh_bucket(vec, tables·bits)` call yields `tables·bits` sign bits
+    * from independent hyperplanes, and table `t` is the bit-slice
+    * `[t·bits, (t+1)·bits)` — so the "index" is still a single long
+    * column, map-side, with no trained model. Join keys are offset by
+    * `t · 2^bits` so tables never cross-match in the one equi-join.
+    * Candidates are deduped on (query, vector) BEFORE scoring, so each
+    * pair pays the cosine kernel once no matter how many tables it
+    * collides in. `probeNeighbors ∈ {0, 1}`: depth-1 probing flips each
+    * of the low `bits` within a table (multi-table already supplies the
+    * diversity depth-2 probing buys in the single-table form).
+    */
+  def annTopKMultiTable(corpus: DataFrame, queries: DataFrame, id: String,
+                        vec: String, k: Int, bits: Int = 6, tables: Int = 4,
+                        probeNeighbors: Int = 1): DataFrame = {
+    require(bits >= 2, "bits must be >= 2")
+    require(tables >= 1 && tables * bits <= 63,
+      "tables >= 1 and tables*bits <= 63 (one long of sign bits)")
+    require(probeNeighbors >= 0 && probeNeighbors <= 1,
+      "probeNeighbors must be 0 or 1 for the multi-table form")
+    val width = 1L << bits
+    val mask = width - 1L
+    // per-table join keys, offset so table t only matches table t
+    val subkeys = s"transform(sequence(0, ${tables - 1}), " +
+      s"t -> cast(t as long) * ${width}L + " +
+      s"(shiftright(_bf, t * $bits) & ${mask}L))"
+    val c = corpus.withColumn("_bf", lshBucketExpr(tables * bits, vec))
+      .select(col(id).as("vec_id"), col(vec).as("cv"),
+        explode(expr(subkeys)).as("key"))
+    val qkeys =
+      if (probeNeighbors == 0) subkeys
+      else
+        // self + the `bits` Hamming-1 flips of the low bits — stays
+        // inside the table's key block by construction
+        s"array_distinct(flatten(transform($subkeys, base -> " +
+          s"array_union(array(base), transform(sequence(0, ${bits - 1}), " +
+          "b -> base ^ shiftleft(1L, b))))))"
+    val q = queries.withColumn("_bf", lshBucketExpr(tables * bits, vec))
+      .select(col(id).as("query_id"), col(vec).as("qv"),
+        explode(expr(qkeys)).as("key"))
+    // union of per-table matches, deduped before the cosine kernel
+    val cand = c.join(broadcast(q), Seq("key"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .dropDuplicates("query_id", "vec_id")
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("vec_id"))
+    cand.withColumn("sim", round(cosine(col("cv"), col("qv")), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id"), col("sim"))
+  }
+
   /** A prebuilt product-quantization index: every corpus vector
     * compressed to `m` sub-codebook indices (the persisted `codes`
     * frame, `m` small ints ≈ `m` bytes per vector vs `4·dim` float

@@ -27,6 +27,36 @@ class BpeSpec extends SparkSpec {
     }
   }
 
+  test("scale knobs: maxTypes cap is the TakeOrdered of the type table") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    // the capped train must equal trainFromCounts over exactly the
+    // top-maxTypes types by (n desc, w) — proving the cap is a
+    // deterministic frequency truncation, not a sample
+    val cap = 20 // the sf0.001 vocabulary is 31 types, so this cap binds
+    val top = docs.select(explode(Tok.tokens(col("text"))).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy("w").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("w")).limit(cap)
+      .as[(String, Long)].collect().toSeq
+    assert(top.size == cap)
+    assert(Bpe.train(docs, "text", 6, maxTypes = cap) ==
+      Bpe.trainFromCounts(top, 6))
+    // minWordCount prunes the tail the same way a HAVING would
+    val withMin = Bpe.train(docs, "text", 6, minWordCount = 3)
+    val manual = docs.select(explode(Tok.tokens(col("text"))).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy("w").agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 3).as[(String, Long)].collect().toSeq
+    assert(withMin == Bpe.trainFromCounts(manual, 6))
+    // knob contracts reject nonsense
+    intercept[IllegalArgumentException] {
+      Bpe.train(docs, "text", 2, sampleFraction = 0.0)
+    }
+    intercept[IllegalArgumentException] {
+      Bpe.train(docs, "text", 2, maxTypes = 0)
+    }
+  }
+
   test("pinned merge table IS what training on the sf0.001 corpus produces") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     assert(Bpe.train(docs, "text", 24) == PinnedBpe.merges)

@@ -298,6 +298,39 @@ class ExtSpec extends SparkSpec {
     assert(r(0) <= r(1) && r(1) <= r(2), r.toString)
   }
 
+  test("multi-table LSH: more tables never lose recall; pairs dedup") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val q = emb.filter($"vec_id" < 10)
+    val exact = VectorSearch.bruteForceTopK(emb, q, "vec_id", "embedding", 10)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    def recallAt(tables: Int): Double = {
+      val out = VectorSearch.annTopKMultiTable(emb, q, "vec_id", "embedding",
+        10, bits = 6, tables = tables, probeNeighbors = 1)
+      val rows = out.select("query_id", "vec_id").as[(Long, Long)].collect()
+      // union-of-tables candidates are deduped before scoring: no pair twice
+      assert(rows.length == rows.toSet.size)
+      (exact & rows.toSet).size.toDouble / exact.size
+    }
+    // table t is the bit-slice [t·bits, (t+1)·bits) of one wider bucket,
+    // so L tables' candidate set contains L-1 tables' — recall monotone
+    val r = Seq(1, 2, 4).map(recallAt)
+    assert(r(0) <= r(1) + 1e-9 && r(1) <= r(2) + 1e-9, r.toString)
+    assert(r(2) > 0.3, s"multi-table recall ${r(2)} too low (sweep $r)")
+    // one table at depth 0 must equal the single-table annTopK — same
+    // planes, same bucket, same scoring
+    val one = VectorSearch.annTopKMultiTable(emb, q, "vec_id", "embedding",
+      10, bits = 6, tables = 1, probeNeighbors = 0)
+      .orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+    val single = VectorSearch.annTopK(emb, q, "vec_id", "embedding",
+      10, bits = 6, probeNeighbors = 0)
+      .orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+    assert(one == single)
+    intercept[IllegalArgumentException] {
+      VectorSearch.annTopKMultiTable(emb, q, "vec_id", "embedding", 10,
+        bits = 8, tables = 8) // 64 bits > 63
+    }
+  }
+
   test("PQ: codes are m small ints; ADC top-k recalls well vs brute force") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     val q = emb.filter($"vec_id" < 10)

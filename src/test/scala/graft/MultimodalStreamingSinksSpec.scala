@@ -567,6 +567,30 @@ class StreamingSpec extends SparkSpec {
         Map("r" -> Seq("alpha")))
     }
   }
+
+  test("bm25 route scores snapshot-unseen terms at the max-idf limit") {
+    import graft.ext.TextAnalysis
+    // snapshot corpus never contains "zeta" -> dfq = 0 in the frozen
+    // model; a streamed/new document carrying it must still score (at
+    // idf (n+0.5)/0.5), NOT be silently dropped — the df=0 hole would
+    // lose exactly the highest-idf route terms
+    val corpus = Seq((1L, "alpha beta"), (2L, "alpha gamma"))
+      .toDF("doc_id", "text")
+    val model = TextAnalysis.bm25Snapshot(corpus, "text", "doc_id",
+      Map("seen" -> Seq("alpha"), "unseen" -> Seq("zeta")))
+    assert(model.termDf.get("zeta").isEmpty) // truly absent from snapshot
+    val out = TextAnalysis.bm25Route(
+      Seq((9L, "zeta zeta zeta")).toDF("doc_id", "text"),
+      "text", "doc_id", model)
+      .as[(Long, String, Long, Long)].collect()
+    // expected micro-points via the same IEEE double op chain as
+    // Bm25.pointsSql with n_docs=2, sum_dl=4, dl=3, tf=3, dfq=0
+    val idf = ((2.0 - 0.0) + 0.5) / (0.0 + 0.5) // max-idf limit: 5.0
+    val tfp = 3.0 * (1.2 + 1.0) /
+      (3.0 + 1.2 * ((1.0 - 0.75) + 0.75 * 3.0 / 2.0))
+    val expected = math.round(idf * tfp * 1e6)
+    assert(out.toSeq == Seq((9L, "unseen", expected, 1L)))
+  }
 }
 
 class SinksSpec extends SparkSpec {

@@ -182,4 +182,29 @@ class RetrievalSpec extends SparkSpec {
       .select("pts").as[Long].head()
     assert(one == math.round(1e9 / 63))
   }
+
+  // ---- ANN recall floors ----
+
+  test("registered ANN tiers hold the 0.7 recall floor (sidecar contract)") {
+    // Locks the REGISTERED queries' parameters (bits/nprobe/shortlist as
+    // shipped in SparkEntry), not a re-specified config: the bench recall
+    // sidecar reports these tiers against exact top-k and the contract is
+    // >= 0.7 — a parameter "tuning" that silently degrades recall must
+    // fail here. Deterministic: fixed seeds, fixed corpus. Floor values
+    // measured by graft.RecallSweep (TUNING.md ANN recall table):
+    // sf0.001 lsh 0.86 / ivf 0.92 / pq 0.96 / sf0.1 0.76 / 0.78 / 0.82.
+    val exact = SparkEntry.queries("ns_topk_similarity")(spark, sf)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty)
+    val recalls =
+      Seq("ns_ann_lsh", "ns_ivf_topk", "ns_pq_topk", "ns_ivfpq_topk").map { n =>
+        val approx = SparkEntry.queries(n)(spark, sf)
+          .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+        n -> (exact & approx).size.toDouble / exact.size
+      }
+    recalls.foreach { case (n, r) =>
+      assert(r >= 0.7, s"$n recall $r below the 0.7 sidecar floor ($recalls)")
+    }
+    SparkEntry.releaseArtifacts(spark, sf)
+  }
 }
