@@ -80,8 +80,10 @@ object Bench {
       } catch {
         case e: Throwable =>
           val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
-          errors.getOrElseUpdate(name,
-            msg.replaceAll("[\"\\n\\r\\\\]", " ").take(160))
+          // truncate raw, then escape — a quote/tab near the cut must
+          // still emit valid JSON (Json.escape covers ALL control chars,
+          // which the old replaceAll missed for \t etc.)
+          errors.getOrElseUpdate(name, graft.util.Json.escape(msg.take(160)))
       } finally spark.catalog.clearCache() // release per-query persists
     }
 

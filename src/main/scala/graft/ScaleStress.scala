@@ -68,22 +68,13 @@ object ScaleStress {
         // design, so probe steps still amortize.
         finally { try spark.catalog.clearCache() catch { case _: Throwable => () } }
       val sec = (System.nanoTime() - t0) / 1e9
-      // full JSON string escaping (same rules as Verify's writer):
-      // error chains carry backslashes, newlines, and tabs that a
-      // quote-only replace would emit as invalid JSON
-      def jstr(s: String): String = s.flatMap {
-        case '"'  => "\\\""
-        case '\\' => "\\\\"
-        case '\n' => "\\n"
-        case '\r' => "\\r"
-        case '\t' => "\\t"
-        case c if c < ' ' => f"\\u${c.toInt}%04x"
-        case c => c.toString
-      }
+      // full JSON string escaping (graft.util.Json, shared with
+      // Verify/Bench): error chains carry backslashes, newlines, and
+      // tabs that a quote-only replace would emit as invalid JSON
       val kv = (Map[String, Any]("step" -> name,
         "sec" -> math.round(sec * 1000) / 1000.0) ++ extra)
         .map {
-          case (k, v: String) => s""""$k":"${jstr(v)}""""
+          case (k, v: String) => s""""$k":${graft.util.Json.quote(v)}"""
           case (k, v) => s""""$k":$v"""
         }.mkString("{", ",", "}")
       println(s"STRESS $kv")
