@@ -17,7 +17,14 @@ import java.nio.file.{Files, Paths}
   * candidate-pair counts staying bounded, and wall times for the
   * scaling curve recorded in TUNING.md.
   *
-  * Usage: SPARK_GRAFT_CPUS=32 sbt "runMain graft.ScaleStress <dir> <outJson>"
+  * Usage:
+  *   SPARK_GRAFT_CPUS=32 SPARK_GRAFT_SHUFFLE=64 SPARK_DRIVER_MEM=24g \
+  *     sbt "runMain graft.ScaleStress <dir> <outJson>"
+  *
+  * SPARK_DRIVER_MEM sizes the FORKED run JVM (build.sbt javaOptions;
+  * default 8g — enough for x1, while the x5/x15 copies-fold corpora
+  * need 24g; SBT_OPTS only sizes the sbt launcher and does NOT reach
+  * the forked JVM).
   */
 object ScaleStress {
   def main(args: Array[String]): Unit = {
