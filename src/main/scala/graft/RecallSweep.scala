@@ -23,7 +23,7 @@ object RecallSweep {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val emb = graft.source.Tables.embeddings(spark, dir)
     val queries = emb.filter(col("vec_id") < 5)
     val k = 10
     val exact = VectorSearch.bruteForceTopK(emb, queries, "vec_id", "embedding", k)

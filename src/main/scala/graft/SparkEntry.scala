@@ -18,7 +18,14 @@ import graft.source.{JsonIngest, Tables}
 object SparkEntry {
 
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
-    Tables.table(s, dir, name)
+    name match {
+      // schema-drift insurance: these tables' on-disk encodings are
+      // owned by the upstream generator and have changed under the
+      // engine before (see Tables.events/embeddings/documents scaladoc)
+      case "embeddings" => Tables.embeddings(s, dir)
+      case "documents"  => Tables.documents(s, dir)
+      case _            => Tables.table(s, dir, name)
+    }
 
   /** Flagship: the §3.1 collection pipeline composite on sf0.001. */
   def entry(spark: SparkSession): DataFrame =

@@ -62,6 +62,62 @@ object Tables {
     }
   }
 
+  /** `embeddings` with the same insurance policy as `events` (above):
+    * the upstream generator owns the file encoding and has changed it
+    * under the engine once already (round 8: events ns→us). The vector
+    * kernels (`functions.VectorExpressions`) require `array<float>`
+    * inputs exactly, so an `embedding` column regenerated as
+    * `list<double>` — or integer ids regenerated at a different width —
+    * would fail analysis across every embedding query. Pin the contract
+    * here instead:
+    *
+    *  - `vec_id`    long
+    *  - `embedding` array<float>  (today's on-disk encoding; a double
+    *                 re-encoding is narrowed back to float, keeping
+    *                 kernel semantics identical)
+    *  - `label`     int
+    *
+    * Columns already at the contract type pass through untouched (no
+    * extra Project in today's plans); only a drifted column is cast.
+    * Extra columns the generator may add later are preserved as-is.
+    */
+  def embeddings(spark: SparkSession, sfDir: String): DataFrame =
+    withContract(table(spark, sfDir, "embeddings"),
+      Seq("vec_id" -> "bigint", "embedding" -> "array<float>",
+        "label" -> "int"))
+
+  /** `documents` with the pinned contract schema (see `embeddings`):
+    * `doc_id` long, `text`/`lang`/`source` string, `n_chars` long.
+    * Identity on today's files; a regenerated int32 `doc_id`/`n_chars`
+    * is widened back so join keys and verified output schemas hold.
+    */
+  def documents(spark: SparkSession, sfDir: String): DataFrame =
+    withContract(table(spark, sfDir, "documents"),
+      Seq("doc_id" -> "bigint", "text" -> "string", "lang" -> "string",
+        "source" -> "string", "n_chars" -> "bigint"))
+
+  /** Cast each named column to its contract type IF the read schema
+    * drifted; a frame already at contract passes through unchanged (so
+    * plan-shape assertions and today's behavior are exactly preserved).
+    * Missing columns fail loudly here — at the read, with the table
+    * name in hand — rather than deep inside an operator's analysis.
+    */
+  private def withContract(df: DataFrame,
+                           contract: Seq[(String, String)]): DataFrame = {
+    import org.apache.spark.sql.types.DataType
+    val present = df.schema.fieldNames.toSet
+    val missing = contract.collect { case (c, _) if !present(c) => c }
+    require(missing.isEmpty,
+      s"table missing contract columns: ${missing.mkString(", ")} " +
+        s"(have: ${present.mkString(", ")})")
+    val drifted = contract.filter { case (c, ddl) =>
+      df.schema(c).dataType != DataType.fromDDL(ddl)
+    }
+    drifted.foldLeft(df) { case (acc, (c, ddl)) =>
+      acc.withColumn(c, col(c).cast(ddl))
+    }
+  }
+
   /** Evolution-tolerant parquet read: `mergeSchema` unions the files'
     * footer schemas, and files written before a column existed
     * null-fill it — the read-side contract that lets a long-lived
