@@ -80,6 +80,14 @@ object Tables {
     * Columns already at the contract type pass through untouched (no
     * extra Project in today's plans); only a drifted column is cast.
     * Extra columns the generator may add later are preserved as-is.
+    *
+    * Trade-off, chosen deliberately: if a future file carries doubles
+    * that are NOT float-representable, this narrowing keeps the engine
+    * at today's float-kernel semantics while an oracle reading the raw
+    * file computes on the full doubles — the cosine-verified queries
+    * would then hash-mismatch (loudly, per query) instead of the whole
+    * embedding family dying at analysis (silently, en masse, as in the
+    * round-8 events break).
     */
   def embeddings(spark: SparkSession, sfDir: String): DataFrame =
     withContract(table(spark, sfDir, "embeddings"),
