@@ -1596,6 +1596,34 @@ object OracleSql {
       FROM supplier CROSS JOIN ft CROSS JOIN d
       ORDER BY location_id, fuel_type, date""",
 
+    // Twin of TextDedup.simhashPairsPortable: recompute the portable
+    // 32-bit simhash bit-by-bit from the same token-code arithmetic,
+    // then ALL pairwise hammings (the engine's pigeonhole enumeration
+    // is exact w.r.t. the bound, so the direct O(n²·32) form here —
+    // fine at oracle scale — yields the identical pair set).
+    "ns_dedup_simhash_portable" ->
+      s"""WITH toksa AS (
+        SELECT doc_id, ${wsToks("text")} AS toka FROM documents),
+      tok AS (SELECT doc_id, unnest(toka) AS t FROM toksa),
+      codes AS (
+        SELECT doc_id,
+               CAST(ascii(substring(t, 1, 1)) * 131 + length(t) AS BIGINT) AS c
+        FROM tok),
+      bits AS (
+        SELECT doc_id, j,
+               CASE WHEN SUM(CASE WHEN (c * ((2 * j + 3) * 65537)) % 1000003 % 2 = 1
+                                  THEN 1 ELSE -1 END) > 0
+                    THEN 1 ELSE 0 END AS bit
+        FROM codes CROSS JOIN (SELECT CAST(range AS BIGINT) AS j FROM range(0, 32)) js
+        GROUP BY doc_id, j),
+      ham AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               SUM(CASE WHEN a.bit <> b.bit THEN 1 ELSE 0 END) AS hamming
+        FROM bits a JOIN bits b ON a.j = b.j AND a.doc_id < b.doc_id
+        GROUP BY 1, 2)
+      SELECT id_a, id_b, CAST(hamming AS BIGINT) AS hamming
+      FROM ham WHERE hamming <= 3 ORDER BY id_a, id_b""",
+
     "ns_dedup_exact" ->
       """WITH doubled AS (
         SELECT doc_id, text FROM documents

@@ -1800,6 +1800,17 @@ object SparkEntry {
       maxHamming = 7)
       .orderBy("id_a", "id_b")
 
+  /** Oracle-checkable twin of ns_dedup_simhash: same exact pigeonhole
+    * pair enumeration over the engine-portable 32-bit signature, so the
+    * DuckDB twin recomputes the identical signature bits from the same
+    * token-code arithmetic (the xxhash64 64-bit form has no SQL twin).
+    */
+  private def nsDedupSimhashPortable(s: SparkSession, dir: String): DataFrame =
+    TextDedup.simhashPairsPortable(t(s, dir, "documents"), "text", "doc_id",
+      maxHamming = 3)
+      .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))
+      .orderBy("id_a", "id_b")
+
   /** Exact near-dup verify kernel in its 100 TB shape: a bounded probe
     * set (vec_id < 200) broadcast against the full corpus — one
     * map-side pass, no CartesianProduct (the full cross-join form of
@@ -2147,6 +2158,7 @@ object SparkEntry {
     "ns_split_leakage" -> nsSplitLeakage,
     "ns_pct_rank" -> nsPctRank,
     "ns_dedup_simhash" -> nsDedupSimhash,
+    "ns_dedup_simhash_portable" -> nsDedupSimhashPortable,
     "ns_decontaminate" -> nsDecontaminate,
     "ns_decontaminate_xl" -> nsDecontaminateXl,
     "ns_token_budget" -> nsTokenBudget,
@@ -2184,7 +2196,8 @@ object SparkEntry {
     * ns_ivfpq_topk (hash- or
     * training-seeded approximations — recall < 1 by design, each
     * bounded against its exact twin in specs; minhash additionally has
-    * the oracle-checked `ns_dedup_minhash_verified` form),
+    * the oracle-checked `ns_dedup_minhash_verified` form, simhash the
+    * oracle-checked `ns_dedup_simhash_portable` form),
     * ns_sketches (approximate aggregates), ns_multimodal_features
     * (stubbed binary decode) → rows-only checks.
     */

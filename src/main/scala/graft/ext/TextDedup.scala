@@ -675,13 +675,25 @@ object TextDedup {
   def simhashPairs(df: DataFrame, text: String, id: String,
                    maxHamming: Int = 3): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 64, "maxHamming in [0, 64)")
-    val chunks = maxHamming + 1
-    val width = 64 / chunks
-    // width = 64 (exact-match case): (1L << 64) wraps, spell the mask out
-    val mask = if (width == 64) -1L else (1L << width) - 1
     val sigs = df.select(col(id).as("doc"), tokens(col(text)).as("toks"))
       .select(col("doc"), simhashOfTokens.as("sim"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    pigeonholePairs(sigs, sigBits = 64, maxHamming)
+  }
+
+  /** The exact hamming-≤-bound pair enumeration shared by the simhash
+    * variants: cut the signature into (maxHamming+1) chunks, equi-join
+    * per chunk (any pair within the bound agrees on ≥ 1 chunk), then
+    * filter on the true bit_count hamming. Exact for any chunk layout
+    * with chunks = maxHamming+1: bits past chunks*width are keyed by no
+    * chunk, so differences there never break chunk agreement.
+    */
+  private def pigeonholePairs(sigs: DataFrame, sigBits: Int,
+                              maxHamming: Int): DataFrame = {
+    val chunks = maxHamming + 1
+    val width = sigBits / chunks
+    // width = 64 (exact-match case): (1L << 64) wraps, spell the mask out
+    val mask = if (width == 64) -1L else (1L << width) - 1
     val keyed = sigs.select(col("doc"), col("sim"),
       posexplode(expr(
         s"transform(sequence(0, ${chunks - 1}), c -> (shiftrightunsigned(sim, c * $width) & ${mask}L))")))
@@ -692,6 +704,47 @@ object TextDedup {
       .select(col("id_a"), col("id_b"),
         expr("bit_count(sim_a ^ sim_b)").as("hamming")).distinct()
       .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Engine-portable 32-bit SimHash over a tokens array column: bit j
+    * (j in 0..31) is the sign of Σ_tokens ±1, where the ± is the parity
+    * of `(code(t) * ((2j+3) * 65537)) % 1000003` and `code(t)` is the
+    * same `(ascii(first char) * 131 + length)` token-code chain as
+    * [[TextAnalysis.portableFingerprint]] — every operation exists with
+    * identical semantics in DuckDB, so the signature (unlike the
+    * xxhash64 one above) can be recomputed by the SQL oracle. The large
+    * odd multiplier forces the product past the modulus so parities
+    * decorrelate across j (with a small multiplier, c*m < p for most
+    * tokens and every bit would collapse to parity(c)).
+    *
+    * Verification form, same contract as the winnowing portable hash:
+    * the weak 8-bit-per-chunk code space means chance bucket collisions
+    * grow with corpus size — production near-dup at ≳10⁴ docs should
+    * use [[simhashPairs]] (64-bit xxhash64, 16-bit chunks).
+    */
+  def portableSimhashSig(toksCol: String): Column =
+    expr(s"""aggregate(
+      transform(sequence(0, 31), j ->
+        CASE WHEN aggregate($toksCol, 0L, (acc, t) -> acc +
+          (CASE WHEN (CAST(ascii(substring(t, 1, 1)) * 131 + length(t) AS BIGINT)
+                      * ((2 * j + 3) * 65537)) % 1000003 % 2 = 1
+            THEN 1 ELSE -1 END)) > 0
+        THEN shiftleft(1L, j) ELSE 0L END),
+      0L, (acc, v) -> acc + v)""")
+
+  /** SimHash near-dup pairs over the portable 32-bit signature — the
+    * oracle-checkable twin of [[simhashPairs]]: identical pigeonhole
+    * enumeration (exact w.r.t. the hamming bound), signature computable
+    * by both engines. maxHamming defaults to 3 (chunks of 8 bits),
+    * scaling the 64-bit default proportionally.
+    */
+  def simhashPairsPortable(df: DataFrame, text: String, id: String,
+                           maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 32, "maxHamming in [0, 32)")
+    val sigs = df.select(col(id).as("doc"), tokens(col(text)).as("toks"))
+      .select(col("doc"), portableSimhashSig("toks").as("sim"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    pigeonholePairs(sigs, sigBits = 32, maxHamming)
   }
 
   /** Connected components over an undirected near-dup pair list

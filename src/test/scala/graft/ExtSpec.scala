@@ -161,6 +161,34 @@ class ExtSpec extends SparkSpec {
     assert(pairs.get((1L, 2L)).exists(_ <= 16))
   }
 
+  test("portable simhash: identical docs at hamming 0; sig is 32-bit") {
+    val sigs = docs
+      .select($"doc_id", TextDedup.tokens($"text").as("toks"))
+      .select($"doc_id", TextDedup.portableSimhashSig("toks").as("sim"))
+      .as[(Long, Long)].collect().toMap
+    assert(sigs(1L) == sigs(4L))                  // exact dup: identical sig
+    assert(sigs.values.forall(s => s >= 0L && s < (1L << 32)))
+    // the bits must not collapse to one value (the weak-multiplier
+    // failure mode documented in the scaladoc)
+    assert(sigs.values.exists(s => s != 0L && s != (1L << 32) - 1))
+  }
+
+  test("portable simhash pigeonhole pairs equal the brute-force pair set") {
+    val maxH = 3
+    val viaChunks = TextDedup.simhashPairsPortable(docs, "text", "doc_id", maxH)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val sigs = docs
+      .select($"doc_id", TextDedup.tokens($"text").as("toks"))
+      .select($"doc_id", TextDedup.portableSimhashSig("toks").as("sim"))
+      .as[(Long, Long)].collect()
+    val brute = (for {
+      (ia, sa) <- sigs; (ib, sb) <- sigs if ia < ib
+      if java.lang.Long.bitCount(sa ^ sb) <= maxH
+    } yield (ia, ib)).toSet
+    assert(viaChunks == brute)
+    assert(brute.contains((1L, 4L)))
+  }
+
   test("cosine codegen path is exercised and bit-identical to interpreted eval") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
