@@ -156,8 +156,17 @@ object ScaleStress {
       "ns_winnow_fingerprints", "ns_winnow_matches", "ns_winnow_cross",
       "ns_source_overlap", "ns_quality_model", "ns_quality_by_source",
       "ns_collocations", "ns_temperature_mix", "ns_token_mix",
-      "ns_simpson_diversity")
-    names.foreach { q =>
+      "ns_simpson_diversity",
+      // round-9: both simhash forms, so the portable 32-bit twin's
+      // weak-hash pair growth is measured against the 64-bit xxhash64
+      // production form on the same clone-planted corpus (the winnow
+      // portable-vs-xxhash lesson, TUNING.md)
+      "ns_dedup_simhash", "ns_dedup_simhash_portable")
+    // dev iteration: SPARK_GRAFT_STRESS_ONLY=name1,name2 runs just
+    // those query steps (audits and corpus stats always run)
+    val only = sys.env.get("SPARK_GRAFT_STRESS_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    names.filter(q => only.forall(_.contains(q))).foreach { q =>
       step(q)(s => Map("rows" -> SparkEntry.queries(q)(s, dir).count()))
     }
     step("release_artifacts") { s =>
