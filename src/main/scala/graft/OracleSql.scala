@@ -1624,6 +1624,33 @@ object OracleSql {
       SELECT id_a, id_b, CAST(hamming AS BIGINT) AS hamming
       FROM ham WHERE hamming <= 3 ORDER BY id_a, id_b""",
 
+    // Twin of TextDedup.simhashCrossPortable (the streaming guard's
+    // batch form): same signature bits, asymmetric probe-vs-corpus
+    // pairing on doc_id % 5.
+    "ns_simhash_guard" ->
+      s"""WITH toksa AS (
+        SELECT doc_id, ${wsToks("text")} AS toka FROM documents),
+      tok AS (SELECT doc_id, unnest(toka) AS t FROM toksa),
+      codes AS (
+        SELECT doc_id,
+               CAST(ascii(substring(t, 1, 1)) * 131 + length(t) AS BIGINT) AS c
+        FROM tok),
+      bits AS (
+        SELECT doc_id, j,
+               CASE WHEN SUM(CASE WHEN (c * ((2 * j + 3) * 65537)) % 1000003 % 2 = 1
+                                  THEN 1 ELSE -1 END) > 0
+                    THEN 1 ELSE 0 END AS bit
+        FROM codes CROSS JOIN (SELECT CAST(range AS BIGINT) AS j FROM range(0, 32)) js
+        GROUP BY doc_id, j),
+      ham AS (
+        SELECT a.doc_id AS doc_id, b.doc_id AS corpus_id,
+               SUM(CASE WHEN a.bit <> b.bit THEN 1 ELSE 0 END) AS hamming
+        FROM bits a JOIN bits b
+          ON a.j = b.j AND a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0
+        GROUP BY 1, 2)
+      SELECT doc_id, corpus_id, CAST(hamming AS BIGINT) AS hamming
+      FROM ham WHERE hamming <= 3 ORDER BY doc_id, corpus_id""",
+
     "ns_dedup_exact" ->
       """WITH doubled AS (
         SELECT doc_id, text FROM documents

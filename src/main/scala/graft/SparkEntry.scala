@@ -1811,6 +1811,19 @@ object SparkEntry {
       .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))
       .orderBy("id_a", "id_b")
 
+  /** The asymmetric guard form (and the batch twin of
+    * `EventStream.simhashGuardStream`): every fifth document probed
+    * against the rest of the corpus for simhash near-dups.
+    */
+  private def nsSimhashGuard(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    TextDedup.simhashCrossPortable(
+      docs.filter(col("doc_id") % 5 === 0),
+      docs.filter(col("doc_id") % 5 =!= 0),
+      "text", "doc_id", maxHamming = 3)
+      .orderBy("doc_id", "corpus_id")
+  }
+
   /** Exact near-dup verify kernel in its 100 TB shape: a bounded probe
     * set (vec_id < 200) broadcast against the full corpus — one
     * map-side pass, no CartesianProduct (the full cross-join form of
@@ -2159,6 +2172,7 @@ object SparkEntry {
     "ns_pct_rank" -> nsPctRank,
     "ns_dedup_simhash" -> nsDedupSimhash,
     "ns_dedup_simhash_portable" -> nsDedupSimhashPortable,
+    "ns_simhash_guard" -> nsSimhashGuard,
     "ns_decontaminate" -> nsDecontaminate,
     "ns_decontaminate_xl" -> nsDecontaminateXl,
     "ns_token_budget" -> nsTokenBudget,

@@ -687,22 +687,43 @@ object TextDedup {
     * filter on the true bit_count hamming. Exact for any chunk layout
     * with chunks = maxHamming+1: bits past chunks*width are keyed by no
     * chunk, so differences there never break chunk agreement.
+    *
+    * A pair agreeing on several chunks would surface once per agreeing
+    * chunk; instead of a distinct() (an extra shuffle over the full
+    * candidate volume — the dominant exchange at corpus scale) each
+    * pair is kept only at its FIRST agreeing chunk, a stateless
+    * map-side filter on the two signatures already in hand. Same output
+    * set, one less shuffle — and it keeps the kernel usable under
+    * Structured Streaming append mode, where distinct() would need a
+    * state store.
     */
+  private def firstAgreeingChunkOnly(width: Int, mask: Long): Column =
+    // the chunk = 0 guard matters: sequence(0, -1) is Spark's DESCENDING
+    // sequence [0, -1], not an empty array
+    expr(s"""chunk = 0 OR NOT exists(sequence(0, chunk - 1), c ->
+      (shiftrightunsigned(sim_a, c * $width) & ${mask}L) =
+      (shiftrightunsigned(sim_b, c * $width) & ${mask}L))""")
+
+  private def chunkKeyed(sigs: DataFrame, chunks: Int, width: Int,
+                         mask: Long): DataFrame =
+    sigs.select(col("doc"), col("sim"),
+      posexplode(expr(
+        s"transform(sequence(0, ${chunks - 1}), c -> (shiftrightunsigned(sim, c * $width) & ${mask}L))")))
+      .withColumnRenamed("pos", "chunk").withColumnRenamed("col", "piece")
+
   private def pigeonholePairs(sigs: DataFrame, sigBits: Int,
                               maxHamming: Int): DataFrame = {
     val chunks = maxHamming + 1
     val width = sigBits / chunks
     // width = 64 (exact-match case): (1L << 64) wraps, spell the mask out
     val mask = if (width == 64) -1L else (1L << width) - 1
-    val keyed = sigs.select(col("doc"), col("sim"),
-      posexplode(expr(
-        s"transform(sequence(0, ${chunks - 1}), c -> (shiftrightunsigned(sim, c * $width) & ${mask}L))")))
-      .withColumnRenamed("pos", "chunk").withColumnRenamed("col", "piece")
+    val keyed = chunkKeyed(sigs, chunks, width, mask)
     val a = keyed.select(col("chunk"), col("piece"), col("doc").as("id_a"), col("sim").as("sim_a"))
     val b = keyed.select(col("chunk"), col("piece"), col("doc").as("id_b"), col("sim").as("sim_b"))
     a.join(b, Seq("chunk", "piece")).filter(col("id_a") < col("id_b"))
+      .filter(firstAgreeingChunkOnly(width, mask))
       .select(col("id_a"), col("id_b"),
-        expr("bit_count(sim_a ^ sim_b)").as("hamming")).distinct()
+        expr("bit_count(sim_a ^ sim_b)").as("hamming"))
       .filter(col("hamming") <= maxHamming)
   }
 
@@ -745,6 +766,43 @@ object TextDedup {
       .select(col("doc"), portableSimhashSig("toks").as("sim"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     pigeonholePairs(sigs, sigBits = 32, maxHamming)
+  }
+
+  /** Near-dup matches of `docs` against a reference `corpus` by
+    * portable-simhash hamming distance ≤ maxHamming — the asymmetric
+    * (guard) form of [[simhashPairsPortable]]: (doc_id, corpus_id,
+    * hamming), each qualifying pair exactly once.
+    *
+    * Every operation is stateless (map-side signature + chunk explode,
+    * equi-join on chunk pieces, first-agreeing-chunk + hamming
+    * filters), so `docs` MAY be a Structured Streaming frame: the plan
+    * becomes an append-mode stream-static join with no state store —
+    * see [[graft.streaming.EventStream.simhashGuardStream]]. The corpus
+    * side is keyed once and persisted (static by contract); at cluster
+    * scale a small reference corpus broadcasts, a large one hash-joins
+    * on the chunk key.
+    */
+  def simhashCrossPortable(docs: DataFrame, corpus: DataFrame,
+                           text: String, id: String,
+                           maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 32, "maxHamming in [0, 32)")
+    val chunks = maxHamming + 1
+    val width = 32 / chunks
+    val mask = (1L << width) - 1
+    def keyed(df: DataFrame): DataFrame = chunkKeyed(
+      df.select(col(id).as("doc"), tokens(col(text)).as("toks"))
+        .select(col("doc"), portableSimhashSig("toks").as("sim")),
+      chunks, width, mask)
+    val a = keyed(docs).select(
+      col("chunk"), col("piece"), col("doc").as("doc_id"), col("sim").as("sim_a"))
+    val b = keyed(corpus).select(
+      col("chunk"), col("piece"), col("doc").as("corpus_id"), col("sim").as("sim_b"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    a.join(b, Seq("chunk", "piece"))
+      .filter(firstAgreeingChunkOnly(width, mask))
+      .select(col("doc_id"), col("corpus_id"),
+        expr("cast(bit_count(sim_a ^ sim_b) as bigint)").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
   }
 
   /** Connected components over an undirected near-dup pair list

@@ -413,6 +413,24 @@ object EventStream {
         text, id, k, w, minShared, portableHash))
     }
 
+  /** Streaming near-dup guard: flag incoming documents whose portable
+    * 32-bit simhash is within `maxHamming` of any reference-corpus
+    * document — (doc_id, corpus_id, hamming), append mode.
+    *
+    * Unlike the foreachBatch twins above, this is a PURE streaming
+    * transformation: the signature is a map-side expression, the chunk
+    * explode is stateless, the corpus join is a stream-static equi-join
+    * on chunk pieces, and pair-dedup is the first-agreeing-chunk filter
+    * instead of a distinct() — so there is NO state store, no
+    * watermark, and the micro-batch output is independent of batch
+    * boundaries. The corpus's keyed signature table persists across
+    * micro-batches (static-side cache).
+    */
+  def simhashGuardStream(docs: DataFrame, corpus: DataFrame,
+                         text: String, id: String,
+                         maxHamming: Int = 3): DataFrame =
+    graft.ext.TextDedup.simhashCrossPortable(docs, corpus, text, id, maxHamming)
+
   /** Run a streaming query to completion over currently-available data
     * (the daily-batch trigger), writing to an in-memory sink — used by
     * tests; production swaps the sink for parquet/kafka.

@@ -189,6 +189,26 @@ class ExtSpec extends SparkSpec {
     assert(brute.contains((1L, 4L)))
   }
 
+  test("portable simhash cross guard: brute-force parity, one row per pair") {
+    val maxH = 3
+    val probe = docs.filter($"doc_id" <= 2)   // 1 (clone of 4), 2 (near-dup)
+    val corpus = docs.filter($"doc_id" >= 3)  // 3 (far), 4
+    val got = TextDedup.simhashCrossPortable(probe, corpus, "text", "doc_id", maxH)
+      .as[(Long, Long, Long)].collect()
+    // exactly once per qualifying pair (the first-agreeing-chunk dedup)
+    assert(got.map(r => (r._1, r._2)).distinct.length == got.length)
+    def sig(df: org.apache.spark.sql.DataFrame) = df
+      .select($"doc_id", TextDedup.tokens($"text").as("toks"))
+      .select($"doc_id", TextDedup.portableSimhashSig("toks").as("sim"))
+      .as[(Long, Long)].collect()
+    val brute = (for {
+      (ia, sa) <- sig(probe); (ib, sb) <- sig(corpus)
+      h = java.lang.Long.bitCount(sa ^ sb) if h <= maxH
+    } yield (ia, ib, h.toLong)).toSet
+    assert(got.toSet == brute)
+    assert(got.exists(r => r._1 == 1L && r._2 == 4L && r._3 == 0L))
+  }
+
   test("cosine codegen path is exercised and bit-identical to interpreted eval") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")

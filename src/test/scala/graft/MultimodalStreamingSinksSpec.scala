@@ -525,6 +525,42 @@ class StreamingSpec extends SparkSpec {
     assert(buf.map(_._1).toSet == Set(100L, 102L), "both leakers found")
   }
 
+  test("streaming simhash guard equals batch kernel; stateless append plan") {
+    import graft.ext.TextDedup
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank"),
+      (2L, "completely different content about spark query engines and planning"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("shstream").toString
+    val f1 = Seq((100L, "the quick brown fox jumps over the lazy dog near the river bank"))
+    val f2 = Seq((101L, "unrelated words entirely outside either reference document family"),
+      (102L, "the quick brown fox jumps over the lazy dog near the river bend"))
+    f1.toDF("doc_id", "text").coalesce(1).write.parquet(s"$dir/f1")
+    Thread.sleep(1100) // distinct mtimes => deterministic batch order
+    f2.toDF("doc_id", "text").coalesce(1).write.parquet(s"$dir/f2")
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add("doc_id", "long").add("text", "string")
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir + "/*")
+    val out = EventStream.simhashGuardStream(stream, corpus, "text", "doc_id",
+      maxHamming = 8)
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("shguard")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    // stateless by design: append mode with NO state store operators
+    assert(Option(q.lastProgress).forall(_.stateOperators.isEmpty))
+    val got = spark.sql("select doc_id, corpus_id, hamming from shguard")
+      .as[(Long, Long, Long)].collect()
+    val batch = TextDedup.simhashCrossPortable(
+      (f1 ++ f2).toDF("doc_id", "text"), corpus, "text", "doc_id",
+      maxHamming = 8).as[(Long, Long, Long)].collect()
+    assert(got.sortBy(r => (r._1, r._2)).toSeq ==
+      batch.sortBy(r => (r._1, r._2)).toSeq)
+    assert(got.exists(r => r._1 == 100L && r._2 == 1L && r._3 == 0L),
+      "exact clone flagged at hamming 0")
+  }
+
   test("streaming quota caps each group at k across micro-batches") {
     val dir = java.nio.file.Files.createTempDirectory("quota").toString
     // s1 arrives 3 then 2 (quota 4 -> batch2 admits only the smallest
