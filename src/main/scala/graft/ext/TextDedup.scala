@@ -697,12 +697,23 @@ object TextDedup {
     * Structured Streaming append mode, where distinct() would need a
     * state store.
     */
-  private def firstAgreeingChunkOnly(width: Int, mask: Long): Column =
-    // the chunk = 0 guard matters: sequence(0, -1) is Spark's DESCENDING
-    // sequence [0, -1], not an empty array
-    expr(s"""chunk = 0 OR NOT exists(sequence(0, chunk - 1), c ->
-      (shiftrightunsigned(sim_a, c * $width) & ${mask}L) =
-      (shiftrightunsigned(sim_b, c * $width) & ${mask}L))""")
+  private def firstAgreeingChunkOnly(chunks: Int, width: Int,
+                                     mask: Long): Column = {
+    // UNROLLED over the (static, ≤ 8) chunk count into plain bitwise
+    // conjunctions — chunk c' agrees exactly when the c'-th width-bit
+    // slice of sim_a ^ sim_b is all zeros, so "no earlier chunk
+    // agrees" is an AND over static mask literals. An exists() over
+    // sequence(0, chunk-1) computes the same thing but higher-order
+    // functions evaluate INTERPRETED per joined row — measured 10x
+    // slower than the distinct() this filter replaces at the x5 stress
+    // corpus, while this form stays inside whole-stage codegen.
+    val terms = (0 until chunks).map { k =>
+      val noEarlierAgree = (0 until k).map(i =>
+        s"((sim_a ^ sim_b) & ${mask << (i * width)}L) != 0")
+      (s"chunk = $k" +: noEarlierAgree).mkString("(", " AND ", ")")
+    }
+    expr(terms.mkString(" OR "))
+  }
 
   private def chunkKeyed(sigs: DataFrame, chunks: Int, width: Int,
                          mask: Long): DataFrame =
@@ -721,7 +732,7 @@ object TextDedup {
     val a = keyed.select(col("chunk"), col("piece"), col("doc").as("id_a"), col("sim").as("sim_a"))
     val b = keyed.select(col("chunk"), col("piece"), col("doc").as("id_b"), col("sim").as("sim_b"))
     a.join(b, Seq("chunk", "piece")).filter(col("id_a") < col("id_b"))
-      .filter(firstAgreeingChunkOnly(width, mask))
+      .filter(firstAgreeingChunkOnly(chunks, width, mask))
       .select(col("id_a"), col("id_b"),
         expr("bit_count(sim_a ^ sim_b)").as("hamming"))
       .filter(col("hamming") <= maxHamming)
@@ -799,7 +810,7 @@ object TextDedup {
       col("chunk"), col("piece"), col("doc").as("corpus_id"), col("sim").as("sim_b"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     a.join(b, Seq("chunk", "piece"))
-      .filter(firstAgreeingChunkOnly(width, mask))
+      .filter(firstAgreeingChunkOnly(chunks, width, mask))
       .select(col("doc_id"), col("corpus_id"),
         expr("cast(bit_count(sim_a ^ sim_b) as bigint)").as("hamming"))
       .filter(col("hamming") <= maxHamming)
