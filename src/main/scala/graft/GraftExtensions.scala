@@ -32,6 +32,8 @@ object GraftExtensions {
       "cosine_sim(a, b) - cosine similarity of two float/double arrays, computed in double; NULL if lengths differ."
     case "simhash64" =>
       "simhash64(tokens) - 64-bit SimHash of a string array (xxhash64 token hashes, sign counters)."
+    case "portable_simhash32" =>
+      "portable_simhash32(tokens) - engine-portable 32-bit SimHash of a string array (ascii/length token codes, mod-parity bits; ASCII contract)."
     case "minhash_sig" =>
       "minhash_sig(shingles, k) - MinHash signature (array<bigint> of k permutation minima) over a string array; k must be a literal."
     case "word_shingles" =>
@@ -65,6 +67,7 @@ object GraftExtensions {
   val definitions: Seq[(String, Int, Seq[Expression] => Expression)] = Seq(
     ("cosine_sim", 2, es => CosineSim(arg(es, 0), arg(es, 1))),
     ("simhash64", 1, es => SimHash64(arg(es, 0))),
+    ("portable_simhash32", 1, es => PortableSimHash32(arg(es, 0))),
     ("minhash_sig", 2, es => MinHashSig(arg(es, 0), intArg(es, 1))),
     ("word_shingles", 2, es => WordShingles(arg(es, 0), intArg(es, 1))),
     ("lsh_bucket", 2, es => LshBucket(arg(es, 0), intArg(es, 1))),

@@ -755,6 +755,17 @@ object TextDedup {
     * use [[simhashPairs]] (64-bit xxhash64, 16-bit chunks).
     */
   def portableSimhashSig(toksCol: String): Column =
+    graft.functions.VectorExpressions.portable_simhash32(col(toksCol))
+
+  /** The signature as a plain SQL higher-order-function expression —
+    * the form the DuckDB twin mirrors term-for-term. NOT used on any
+    * hot path (nested HOF lambdas evaluate interpreted, per token ×
+    * bit — measured as the top bench cost before the native kernel
+    * replaced it); it exists so the parity unit can pin
+    * kernel == SQL-arithmetic, which is what ties the compiled
+    * expression to the oracle's reimplementation.
+    */
+  def portableSimhashSigSql(toksCol: String): Column =
     expr(s"""aggregate(
       transform(sequence(0, 31), j ->
         CASE WHEN aggregate($toksCol, 0L, (acc, t) -> acc +

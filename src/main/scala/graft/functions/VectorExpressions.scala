@@ -109,6 +109,23 @@ object VectorExpressions {
     override protected def withNewChildInternal(c: Expression): SimHash64 = copy(c)
   }
 
+  /** Engine-portable 32-bit SimHash of a string-array column — the
+    * compiled form of the SQL expression the DuckDB oracle mirrors
+    * (token-code chain + odd-multiplier mod-parity bits; value parity
+    * with the HOF form pinned in ExtSpec).
+    * Kernel: [[VectorKernels.portableSimhash32]].
+    */
+  case class PortableSimHash32(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override def prettyName: String = "portable_simhash32"
+    override def nullSafeEval(v: Any): Any =
+      VectorKernels.portableSimhash32(v.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c =>
+        s"graft.functions.VectorKernels.portableSimhash32($c)")
+    override protected def withNewChildInternal(c: Expression): PortableSimHash32 = copy(c)
+  }
+
   /** MinHash signature of a string-array (shingle set) column: numPerms
     * permutations via the standard two-hash combination
     * h_i(s) = h1(s) + i·h2(s), one pass over the shingles. Returns
@@ -226,6 +243,9 @@ object VectorExpressions {
 
   def simhash64(tokens: Column): Column =
     GraftColumnBridge.column(SimHash64(GraftColumnBridge.expression(tokens)))
+
+  def portable_simhash32(tokens: Column): Column =
+    GraftColumnBridge.column(PortableSimHash32(GraftColumnBridge.expression(tokens)))
 
   def minhash_sig(shingles: Column, numPerms: Int): Column =
     GraftColumnBridge.column(MinHashSig(GraftColumnBridge.expression(shingles), numPerms))

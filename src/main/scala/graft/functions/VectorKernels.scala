@@ -46,6 +46,47 @@ object VectorKernels {
     sig
   }
 
+  /** Engine-portable 32-bit SimHash — value-identical to the SQL
+    * higher-order-function form (`TextDedup.portableSimhashSigSql`,
+    * pinned by an ExtSpec parity test) that the DuckDB oracle mirrors,
+    * but compiled: the HOF form evaluates its nested lambdas
+    * interpreted per (token × bit), which showed up as the top bench
+    * cost at sf0.1. Token code = (first codepoint) * 131 + numChars —
+    * exactly Spark's `ascii()`/`length()` semantics: ascii returns the
+    * FULL first codepoint (256 for "Āx" — don't probe this with
+    * chr(n), whose mod-256 wrap makes it look byte-truncated), which
+    * is also DuckDB's unicode ascii(), so the code chain stays
+    * cross-engine beyond ASCII; parity pinned in ExtSpec on >255 and
+    * empty tokens.
+    */
+  private val PORTABLE_MULT: Array[Long] =
+    Array.tabulate(32)(j => (2L * j + 3L) * 65537L)
+
+  def portableSimhash32(arr: ArrayData): Long = {
+    val n = arr.numElements()
+    val counts = new Array[Int](32)
+    var i = 0
+    while (i < n) {
+      val t = arr.getUTF8String(i)
+      if (t != null) {
+        val s = t.toString
+        val cp = if (s.isEmpty) 0 else s.codePointAt(0)
+        val c = cp.toLong * 131L + t.numChars().toLong
+        var j = 0
+        while (j < 32) {
+          if ((c * PORTABLE_MULT(j)) % 1000003L % 2L == 1L) counts(j) += 1
+          else counts(j) -= 1
+          j += 1
+        }
+      }
+      i += 1
+    }
+    var sig = 0L
+    var j = 0
+    while (j < 32) { if (counts(j) > 0) sig |= (1L << j); j += 1 }
+    sig
+  }
+
   /** MinHash signature: per-permutation minima of h1(s) + i·h2(s). */
   def minhashSig(arr: ArrayData, numPerms: Int): ArrayData = {
     val n = arr.numElements()

@@ -189,6 +189,27 @@ class ExtSpec extends SparkSpec {
     assert(brute.contains((1L, 4L)))
   }
 
+  test("portable simhash kernel == SQL higher-order form, token edges included") {
+    // the native kernel must reproduce the SQL arithmetic the DuckDB
+    // twin mirrors — including the ascii()-truncates-to-a-byte edge
+    // (chr(233) -> 233, chr(256) -> 0) and the empty token (code 0)
+    val fixtures = Seq(
+      (1L, "the quick brown fox"),
+      (2L, ""),                                  // empty text -> one empty token
+      (3L, "a bb ccc dddd eeeee"),
+      (4L, "caf" + 233.toChar + " " + 256.toChar + "x tail"),
+      (5L, "x " + 233.toChar))
+      .toDF("doc_id", "text")
+      .select($"doc_id", TextDedup.tokens($"text").as("toks"))
+    val native = fixtures
+      .select($"doc_id", TextDedup.portableSimhashSig("toks").as("sim"))
+      .as[(Long, Long)].collect().sortBy(_._1).toSeq
+    val sql = fixtures
+      .select($"doc_id", TextDedup.portableSimhashSigSql("toks").as("sim"))
+      .as[(Long, Long)].collect().sortBy(_._1).toSeq
+    assert(native == sql)
+  }
+
   test("portable simhash cross guard: brute-force parity, one row per pair") {
     val maxH = 3
     val probe = docs.filter($"doc_id" <= 2)   // 1 (clone of 4), 2 (near-dup)
