@@ -353,4 +353,25 @@ class PlanSpec extends SparkSpec {
     // cardinality side), not a corpus shuffle
     assert(p.contains("BroadcastHashJoin"), p)
   }
+
+  test("simhash pairs: pair dedup is a filter, not an aggregate shuffle") {
+    // the first-agreeing-chunk filter replaced distinct(): the ONLY
+    // aggregates allowed in the plan are none at all — a HashAggregate
+    // over (id_a, id_b, hamming) would mean the candidate volume pays
+    // a dedup exchange again
+    for (q <- Seq("ns_dedup_simhash", "ns_dedup_simhash_portable")) {
+      val p = planOf(q)
+      val body = p.split("TakeOrderedAndProject|Sort ").head // output sort is fine
+      assert(!body.contains("HashAggregate"), s"$q:\n$p")
+      assert(!body.contains("ObjectHashAggregate"), s"$q:\n$p")
+    }
+  }
+
+  test("simhash guard: stream-safe shape — no aggregate, join on chunk key") {
+    val p = planOf("ns_simhash_guard")
+    assert(!p.split("TakeOrderedAndProject|Sort ").head.contains("HashAggregate"), p)
+    // candidate join is an equi-join on (chunk, piece) — never a
+    // cartesian / broadcast nested loop
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
 }
