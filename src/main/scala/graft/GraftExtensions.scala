@@ -34,6 +34,8 @@ object GraftExtensions {
       "simhash64(tokens) - 64-bit SimHash of a string array (xxhash64 token hashes, sign counters)."
     case "portable_simhash32" =>
       "portable_simhash32(tokens) - engine-portable 32-bit SimHash of a string array (ascii/length token codes, mod-parity bits; ASCII contract)."
+    case "eq_count" =>
+      "eq_count(a, b) - count of positions where two bigint arrays agree (minhash signature agreement); runs over the shorter length."
     case "minhash_sig" =>
       "minhash_sig(shingles, k) - MinHash signature (array<bigint> of k permutation minima) over a string array; k must be a literal."
     case "word_shingles" =>
@@ -68,6 +70,7 @@ object GraftExtensions {
     ("cosine_sim", 2, es => CosineSim(arg(es, 0), arg(es, 1))),
     ("simhash64", 1, es => SimHash64(arg(es, 0))),
     ("portable_simhash32", 1, es => PortableSimHash32(arg(es, 0))),
+    ("eq_count", 2, es => EqCount(arg(es, 0), arg(es, 1))),
     ("minhash_sig", 2, es => MinHashSig(arg(es, 0), intArg(es, 1))),
     ("word_shingles", 2, es => WordShingles(arg(es, 0), intArg(es, 1))),
     ("lsh_bucket", 2, es => LshBucket(arg(es, 0), intArg(es, 1))),

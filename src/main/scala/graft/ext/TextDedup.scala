@@ -228,9 +228,12 @@ object TextDedup {
         .hint("shuffle_hash"), Seq("id_a"))
       .join(sigs.select(col("doc").as("id_b"), col("sig").as("sig_b"))
         .hint("shuffle_hash"), Seq("id_b"))
+      // native eq_count kernel, not the zip_with/filter HOF: this line
+      // runs once per LSH candidate pair (post-join hot path), where
+      // interpreted lambdas are the measured scale killer (TUNING.md)
       .withColumn("est_jaccard",
-        expr("size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), v -> v))") /
-          lit(numPerms.toDouble))
+        graft.functions.VectorExpressions.eq_count(col("sig_a"), col("sig_b"))
+          .cast("double") / lit(numPerms.toDouble))
       .filter(col("est_jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("est_jaccard"))
   }

@@ -126,6 +126,22 @@ object VectorExpressions {
     override protected def withNewChildInternal(c: Expression): PortableSimHash32 = copy(c)
   }
 
+  /** Count of positions where two bigint arrays agree (minhash
+    * signature agreement). Kernel: [[VectorKernels.eqCount]].
+    */
+  case class EqCount(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = IntegerType
+    override def prettyName: String = "eq_count"
+    override def nullSafeEval(a: Any, b: Any): Any =
+      VectorKernels.eqCount(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (a, b) =>
+        s"graft.functions.VectorKernels.eqCount($a, $b)")
+    override protected def withNewChildrenInternal(
+        l: Expression, r: Expression): EqCount = copy(l, r)
+  }
+
   /** MinHash signature of a string-array (shingle set) column: numPerms
     * permutations via the standard two-hash combination
     * h_i(s) = h1(s) + i·h2(s), one pass over the shingles. Returns
@@ -246,6 +262,10 @@ object VectorExpressions {
 
   def portable_simhash32(tokens: Column): Column =
     GraftColumnBridge.column(PortableSimHash32(GraftColumnBridge.expression(tokens)))
+
+  def eq_count(a: Column, b: Column): Column =
+    GraftColumnBridge.column(EqCount(
+      GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
 
   def minhash_sig(shingles: Column, numPerms: Int): Column =
     GraftColumnBridge.column(MinHashSig(GraftColumnBridge.expression(shingles), numPerms))

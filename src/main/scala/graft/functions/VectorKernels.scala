@@ -87,6 +87,27 @@ object VectorKernels {
     sig
   }
 
+  /** Positions where two bigint arrays agree — the minhash
+    * signature-agreement count. Semantics match the SQL
+    * `size(filter(zip_with(a, b, (x, y) -> x = y), v -> v))` it
+    * replaces (parity-pinned in ExtSpec): zip_with null-pads the
+    * shorter array and the padded comparisons drop, so the count runs
+    * over the shorter length; null elements never compare equal. The
+    * HOF form evaluates interpreted per candidate pair row — this is
+    * the compiled form for the post-LSH-join hot path.
+    */
+  def eqCount(a: ArrayData, b: ArrayData): Int = {
+    val n = math.min(a.numElements(), b.numElements())
+    var c = 0
+    var i = 0
+    while (i < n) {
+      if (!a.isNullAt(i) && !b.isNullAt(i) && a.getLong(i) == b.getLong(i))
+        c += 1
+      i += 1
+    }
+    c
+  }
+
   /** MinHash signature: per-permutation minima of h1(s) + i·h2(s). */
   def minhashSig(arr: ArrayData, numPerms: Int): ArrayData = {
     val n = arr.numElements()

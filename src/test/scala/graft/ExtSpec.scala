@@ -210,6 +210,23 @@ class ExtSpec extends SparkSpec {
     assert(native == sql)
   }
 
+  test("eq_count kernel == zip_with SQL form, length/null edges included") {
+    val rows = Seq(
+      (1L, Seq[java.lang.Long](1L, 2L, 3L), Seq[java.lang.Long](1L, 9L, 3L)),
+      (2L, Seq[java.lang.Long](1L, 2L), Seq[java.lang.Long](1L, 2L, 3L, 4L)),
+      (3L, Seq[java.lang.Long](), Seq[java.lang.Long](5L)),
+      (4L, Seq[java.lang.Long](7L, null, 8L), Seq[java.lang.Long](7L, null, 8L)))
+      .toDF("id", "a", "b")
+    val native = rows.select($"id",
+      graft.functions.VectorExpressions.eq_count($"a", $"b").as("c"))
+      .as[(Long, Int)].collect().sortBy(_._1).toSeq
+    val sql = rows.select($"id",
+      expr("size(filter(zip_with(a, b, (x, y) -> x = y), v -> v))").as("c"))
+      .as[(Long, Int)].collect().sortBy(_._1).toSeq
+    assert(native == sql)
+    assert(native == Seq((1L, 2), (2L, 2), (3L, 0), (4L, 2)))
+  }
+
   test("portable simhash cross guard: brute-force parity, one row per pair") {
     val maxH = 3
     val probe = docs.filter($"doc_id" <= 2)   // 1 (clone of 4), 2 (near-dup)
