@@ -133,4 +133,31 @@ object PropertySpec extends Properties("graft") {
         .select("est_jaccard").as[Double].collect().headOption.getOrElse(0.0)
       math.abs(est - exact) < 0.45 // 64 perms, small sets: ~6σ bound
     }
+
+  private val tokGen = Gen.listOfN(10,
+    Gen.oneOf(Gen.alphaLowerStr.map(_.take(6)), Gen.const(""))).map(_.take(10))
+
+  property("portable simhash is token-order invariant and 32-bit") =
+    Prop.forAll(tokGen) { toks =>
+      toks.nonEmpty ==> {
+        val perm = scala.util.Random.shuffle(toks)
+        val sigs = Seq((1L, toks), (2L, perm)).toDF("id", "toks")
+          .select($"id", graft.ext.TextDedup.portableSimhashSig("toks").as("s"))
+          .as[(Long, Long)].collect().toMap
+        sigs(1L) == sigs(2L) && sigs.values.forall(s => s >= 0 && s < (1L << 32))
+      }
+    }
+
+  private val sigGen = Gen.listOfN(8, Gen.choose(-100L, 100L))
+
+  property("eq_count: symmetric, bounded, reflexive on its own length") =
+    Prop.forAll(sigGen, sigGen) { (a, b) =>
+      val df = Seq((a, b)).toDF("a", "b")
+      import graft.functions.VectorExpressions.eq_count
+      val Array(ab, ba, aa) = df.select(
+        eq_count($"a", $"b"), eq_count($"b", $"a"), eq_count($"a", $"a"))
+        .as[(Int, Int, Int)].collect().map(t => Array(t._1, t._2, t._3)).head
+      ab == ba && ab <= math.min(a.length, b.length) && aa == a.length &&
+        ab == a.zip(b).count { case (x, y) => x == y }
+    }
 }
