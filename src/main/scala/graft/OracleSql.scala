@@ -1676,6 +1676,24 @@ object OracleSql {
         SELECT doc_id, text_hash, row_number() OVER (PARTITION BY text_hash ORDER BY doc_id) AS rn
         FROM hashed) WHERE rn = 1 ORDER BY doc_id""",
 
+    // the bloom sketch is pure routing — the admitted set is exactly
+    // the normalized anti-join, so the twin carries no bloom at all
+    "ns_bloom_dedup" ->
+      """WITH normed AS (
+        SELECT doc_id,
+          trim(regexp_replace(regexp_replace(lower(text), '[^\p{L}\p{N} \t\n\f\r\x0B]', '', 'g'), '[ \t\n\f\r\x0B]+', ' ', 'g')) AS norm
+        FROM documents),
+      corpus AS (SELECT norm FROM normed WHERE doc_id % 5 <> 0 AND norm <> '' AND norm IS NOT NULL),
+      newb AS (
+        SELECT doc_id, norm FROM normed WHERE doc_id % 5 = 0
+        UNION ALL
+        SELECT doc_id + 1000000000000 AS doc_id, norm FROM normed
+        WHERE doc_id % 5 <> 0 AND doc_id % 3 = 0)
+      SELECT doc_id FROM newb n
+      WHERE n.norm IS NULL OR n.norm = ''
+         OR NOT EXISTS (SELECT 1 FROM corpus c WHERE c.norm = n.norm)
+      ORDER BY doc_id""",
+
     "ns_split_leakage" ->
       s"""WITH ${jaccardCtes("documents", pruned = true)},
       spl AS (

@@ -1495,6 +1495,25 @@ object SparkEntry {
       .select("doc_id", "text_hash").orderBy("doc_id")
   }
 
+  /** Incremental admission dedup at ingest: a "new crawl" (every fifth
+    * doc, plus re-cased COPIES of every third corpus doc that must be
+    * rejected) is admitted against the accumulated corpus through the
+    * bloom-sketch prefilter + exact-verify pipeline — the 100 TB shape
+    * where sketch misses never touch the anti-join. The output is
+    * provably the plain normalized anti-join (no false negatives), so
+    * the oracle twin is ordinary SQL with no bloom at all.
+    */
+  private def nsBloomDedup(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").select("doc_id", "text")
+    val corpus = d.filter(col("doc_id") % 5 =!= 0)
+    val copies = corpus.filter(col("doc_id") % 3 === 0)
+      .select((col("doc_id") + VariantOffset).as("doc_id"),
+        upper(col("text")).as("text"))
+    val newBatch = d.filter(col("doc_id") % 5 === 0).unionByName(copies)
+    graft.ext.BloomGuard.newDocs(newBatch, corpus, "text")
+      .select("doc_id").orderBy("doc_id")
+  }
+
   private def nsSketches(s: SparkSession, dir: String): DataFrame =
     graft.ext.Sketches.corpusProfile(t(s, dir, "documents"))
 
@@ -2155,6 +2174,7 @@ object SparkEntry {
     "pipeline_backfill" -> pipelineBackfill,
     "ns_dedup_exact" -> nsDedupExact,
     "ns_dedup_exact_norm" -> nsDedupExactNorm,
+    "ns_bloom_dedup" -> nsBloomDedup,
     "ns_sketches" -> nsSketches,
     "ns_dedup_ngram_jaccard" -> nsDedupNgramJaccard,
     "ns_containment" -> nsContainment,

@@ -431,6 +431,26 @@ object EventStream {
                          maxHamming: Int = 3): DataFrame =
     graft.ext.TextDedup.simhashCrossPortable(docs, corpus, text, id, maxHamming)
 
+  /** Streaming admission guard: pass through only documents whose
+    * normalized text is NOT already in the reference corpus — the
+    * streaming twin of [[graft.ext.BloomGuard.newDocs]], delegated to
+    * the batch kernel so stream and batch semantics are one code path.
+    *
+    * PURE streaming transformation: the corpus sketch is built ONCE
+    * from the static side at plan time (the [[bm25RouteStream]]
+    * frozen-model contract — corpus refresh = query restart) and rides
+    * the plan as a codegen'd map-side probe; sketch misses bypass the
+    * join entirely, and only candidate rows pay the stream-static
+    * anti-join. No state store, no watermark: the admission decision is
+    * per-row, so micro-batch boundaries cannot change the output.
+    * Rows admitted here and appended to the corpus become visible to
+    * the guard at the NEXT restart, not the next micro-batch — the
+    * intra-stream first-occurrence dedup is [[streamingDedup]]'s job.
+    */
+  def bloomGuardStream(docs: DataFrame, corpus: DataFrame, text: String,
+                       fpp: Double = 0.01): DataFrame =
+    graft.ext.BloomGuard.newDocs(docs, corpus, text, fpp)
+
   /** Run a streaming query to completion over currently-available data
     * (the daily-batch trigger), writing to an in-memory sink — used by
     * tests; production swaps the sink for parquet/kafka.
