@@ -1989,6 +1989,27 @@ object OracleSql {
         AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) > 0.45
       ORDER BY id_a, id_b""",
 
+    // sign-cell quantizer + within-cell dominance drop: both engines
+    // compute the identical cells and the bit-identical double cosine,
+    // so the survivor set is exact (the Spark side's maxCell guard
+    // never engages at test scales)
+    "ns_semdedup" ->
+      """WITH b AS (
+        SELECT vec_id,
+          CAST((CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END)
+             + (CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END)
+             + (CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END)
+             + (CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END) AS BIGINT) AS cell,
+          CAST(embedding AS DOUBLE[]) AS v
+        FROM embeddings),
+      dropped AS (
+        SELECT DISTINCT a.vec_id FROM b a JOIN b c
+          ON a.cell = c.cell AND c.vec_id < a.vec_id
+        WHERE list_cosine_similarity(a.v, c.v) > 0.45)
+      SELECT vec_id, cell FROM b
+      WHERE vec_id NOT IN (SELECT vec_id FROM dropped)
+      ORDER BY vec_id""",
+
     "ns_mmr_rerank" -> mmrSql(5),
 
     "ns_topk_similarity" ->

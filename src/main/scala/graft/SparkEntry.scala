@@ -1866,6 +1866,15 @@ object SparkEntry {
       .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine_r"))
       .orderBy("id_a", "id_b")
 
+  /** Semantic dedup survivors (SemDeDup cluster-then-prune) in the
+    * engine-portable sign-cell form — the oracle-checkable twin of the
+    * trained-quantizer production path; see VectorSearch.semDedup.
+    */
+  private def nsSemDedup(s: SparkSession, dir: String): DataFrame =
+    VectorSearch.semDedup(t(s, dir, "embeddings"), "vec_id", "embedding",
+      signBits = 4, threshold = 0.45)
+      .orderBy("vec_id")
+
   /** The full curation composite: quality gate → normalized dedup →
     * near-dup removal, as one plan.
     */
@@ -2207,6 +2216,7 @@ object SparkEntry {
     "ns_scrub" -> nsScrub,
     "ns_embed_neardup" -> nsEmbedNearDup,
     "ns_embed_neardup_lsh" -> nsEmbedNearDupLsh,
+    "ns_semdedup" -> nsSemDedup,
     "ns_topk_similarity" -> nsTopkSimilarity,
     "ns_mmr_rerank" -> nsMmrRerank,
     "ns_ann_lsh" -> nsAnnLsh,

@@ -733,4 +733,54 @@ object VectorSearch {
       out.iterator
     }.toDF("query_id", "pos", "vec_id", "mmr")
   }
+
+  /** SemDeDup-style semantic deduplication, in its oracle-checkable
+    * form: embeddings are partitioned into sign-pattern cells (the sign
+    * of the first `signBits` components — an engine-portable coarse
+    * quantizer DuckDB recomputes exactly, standing in for the seeded
+    * KMeans clusters of the production path), and within each cell a
+    * vector is dropped when a LOWER-ID cell-mate lies above the cosine
+    * threshold. The drop rule is pairwise dominance (∃ y < x in the
+    * cell with cos(x,y) > τ), not greedy-sequential: deterministic,
+    * order-independent, and one self-join in both engines.
+    *
+    * Scale shape: pairing is within-cell only — never all pairs — and
+    * cells larger than `maxCell` are excluded from pairing entirely
+    * (their members all survive: a cell that size means the quantizer,
+    * not the data, failed) with an optional audit, the minhashLsh cap
+    * discipline. The registered query's cap never engages at test
+    * scales, so the uncapped oracle twin stays exact. Production
+    * variants: [[ivfBuild]] cells + this kernel, or the LSH-bucketed
+    * pair listing in [[graft.ext.TextDedup.embeddingNearDupsBucketed]].
+    */
+  def semDedup(emb: DataFrame, id: String, vec: String, signBits: Int = 4,
+               threshold: Double = 0.45, maxCell: Long = 100000L,
+               verbose: Boolean = false): DataFrame = {
+    require(signBits >= 1 && signBits <= 62, s"signBits in [1,62], got $signBits")
+    val cellCol = (0 until signBits).map(j =>
+      when(element_at(col("_v"), j + 1) > lit(0f), lit(1L << j))
+        .otherwise(lit(0L))).reduce(_ + _)
+    val cells = emb.select(col(id).as("_vid"), col(vec).as("_v"))
+      .withColumn("cell", cellCol)
+      .withColumn("_csize", count(lit(1)).over(Window.partitionBy("cell")))
+    if (verbose) {
+      val over = cells.filter(col("_csize") > maxCell)
+        .agg(countDistinct(col("cell")).as("cells"), count(lit(1)).as("rows"))
+        .collect()(0)
+      if (over.getLong(1) > 0)
+        println(s"semDedup: ${over.getLong(0)} cells over maxCell=$maxCell " +
+          s"excluded from pairing (${over.getLong(1)} rows survive unpaired)")
+    }
+    val paired = cells.filter(col("_csize") <= maxCell)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val a = paired.select(col("cell"), col("_vid").as("id_a"), col("_v").as("va"))
+    val b = paired.select(col("cell"), col("_vid").as("id_b"), col("_v").as("vb"))
+    // shuffle_hash: both sides are corpus-cardinality (never broadcast)
+    val dropped = a.join(b.hint("shuffle_hash"), Seq("cell"))
+      .filter(col("id_b") < col("id_a") &&
+        cosine(col("va"), col("vb")) > threshold)
+      .select(col("id_a").as("_vid")).distinct()
+    cells.join(dropped.hint("shuffle_hash"), Seq("_vid"), "left_anti")
+      .select(col("_vid").as(id), col("cell"))
+  }
 }
