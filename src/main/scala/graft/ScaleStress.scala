@@ -161,7 +161,12 @@ object ScaleStress {
       // weak-hash pair growth is measured against the 64-bit xxhash64
       // production form on the same clone-planted corpus (the winnow
       // portable-vs-xxhash lesson, TUNING.md)
-      "ns_dedup_simhash", "ns_dedup_simhash_portable")
+      "ns_dedup_simhash", "ns_dedup_simhash_portable",
+      // round-9 continued: the bloom admission guard prices the sketch
+      // build + verify join under a clone-heavy (dup-majority) batch;
+      // semdedup prices the within-cell dominance join when every
+      // vector has 4 exact clones in its cell
+      "ns_bloom_dedup", "ns_semdedup")
     // dev iteration: SPARK_GRAFT_STRESS_ONLY=name1,name2 runs just
     // those query steps (audits and corpus stats always run)
     val only = sys.env.get("SPARK_GRAFT_STRESS_ONLY")

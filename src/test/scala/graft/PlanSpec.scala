@@ -374,4 +374,23 @@ class PlanSpec extends SparkSpec {
     // cartesian / broadcast nested loop
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
+
+  test("bloom dedup: map-side might_contain prefilter ahead of the verify join") {
+    val p = planOf("ns_bloom_dedup")
+    // the sketch probe must survive into the physical plan (a miss
+    // bypasses the anti-join entirely) and the verify join must be the
+    // shuffled anti-join on the normalized key — the corpus-keys side
+    // is the 100 TB side and may never be planner-broadcast
+    assert(p.contains("might_contain"), p)
+    assert(p.contains("ShuffledHashJoin") && p.contains("LeftAnti"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("semdedup: within-cell equi-join, both sides shuffled, no cartesian") {
+    val p = planOf("ns_semdedup")
+    // the dominance pairing is an equi-join on the sign cell — a
+    // cartesian here would mean the quantizer fell out of the plan
+    assert(p.contains("ShuffledHashJoin"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
 }

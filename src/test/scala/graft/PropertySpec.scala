@@ -160,4 +160,59 @@ object PropertySpec extends Properties("graft") {
       ab == ba && ab <= math.min(a.length, b.length) && aa == a.length &&
         ab == a.zip(b).count { case (x, y) => x == y }
     }
+
+  // texts chosen to collide after normalization (case/punct/whitespace
+  // variants), plus empty-norm and unicode shapes
+  private val noisyText = Gen.oneOf(
+    "the fox", "The  FOX!", "spark, shuffle", "spark shuffle", ";;;", "",
+    "data at scale", "DATA at scale?", "ünïcode tëxt", "one  two\tthree",
+    "one two three")
+
+  property("bloom admission == normalized set difference (no false negatives)") =
+    Prop.forAll(Gen.listOfN(8, noisyText), Gen.listOfN(8, noisyText)) { (batch, corpus) =>
+      batch.nonEmpty ==> {
+        val b = batch.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+          .toDF("doc_id", "text")
+        val c = corpus.zipWithIndex.map { case (t, i) => (100L + i, t) }
+          .toDF("doc_id", "text")
+        val got = graft.ext.BloomGuard.newDocs(b, c, "text")
+          .select("doc_id").as[Long].collect().toSet
+        def norm(s: String) = s.toLowerCase
+          .replaceAll("[^\\p{L}\\p{N} \\t\\n\\f\\r\\x0B]", "")
+          .replaceAll("[ \\t\\n\\f\\r\\x0B]+", " ").trim
+        val corpusNorms = corpus.map(norm).filter(_.nonEmpty).toSet
+        val want = batch.zipWithIndex.collect {
+          case (t, i) if norm(t).isEmpty || !corpusNorms.contains(norm(t)) =>
+            i.toLong
+        }.toSet
+        got == want
+      }
+    }
+
+  // dyadic components: nonzero (no NaN cosine), exact in float AND
+  // double, and the reference below shares cosineFold so boundary
+  // comparisons agree bit-for-bit by construction
+  private val vecGen: Gen[Array[Float]] =
+    Gen.listOfN(5, Gen.oneOf(-2f, -1f, -0.5f, 0.25f, 0.5f, 1f, 2f))
+      .map(_.toArray)
+
+  property("semDedup == within-cell dominance set difference") =
+    Prop.forAll(Gen.listOfN(8, vecGen)) { vecs =>
+      vecs.nonEmpty ==> {
+        val df = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+          .toDF("vec_id", "embedding")
+        val got = graft.ext.VectorSearch.semDedup(df, "vec_id", "embedding",
+          signBits = 3, threshold = 0.7)
+          .select("vec_id").as[Long].collect().toSet
+        def cell(v: Array[Float]): Long =
+          (0 until 3).map(j => if (v(j) > 0f) 1L << j else 0L).sum
+        val dropped = (for {
+          (x, i) <- vecs.zipWithIndex
+          (y, j) <- vecs.zipWithIndex
+          if j < i && cell(x) == cell(y) &&
+            graft.ext.VectorSearch.cosineFold(x, y) > 0.7
+        } yield i.toLong).toSet
+        got == (vecs.indices.map(_.toLong).toSet -- dropped)
+      }
+    }
 }
