@@ -1911,6 +1911,40 @@ object OracleSql {
           '[0-9]{7,}', '<NUM>', 'g') AS clean
       FROM documents ORDER BY doc_id""",
 
+    // the page shell wrapped around every fourth doc must extract back
+    // to the prose; the regex chain is the identical RE2-subset pattern
+    // text the Spark kernel runs (TextAnalysis.htmlToText)
+    "ns_html_clean" ->
+      """WITH wrapped AS (
+        SELECT doc_id,
+          CASE WHEN doc_id % 4 = 0 THEN
+            '<html><head><title>t</title><style>body { color: red }</style><script type="text/javascript">var x = 1 < 2;</script></head><body><h1>Header</h1><p>'
+            || text ||
+            '</p><!-- navigation' || chr(10) || 'footer --><div>links &amp;&amp; more&nbsp;here &lt;tags&gt; stay &quot;quoted&#39;</div></body></html>'
+          ELSE text END AS text
+        FROM documents),
+      untagged AS (
+        SELECT doc_id,
+          regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
+            '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+            '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+            '(?s)<!--.*?-->', ' ', 'g'),
+            '<[^>]+>', ' ', 'g') AS t
+        FROM wrapped),
+      decoded AS (
+        SELECT doc_id,
+          regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(t,
+            '&nbsp;', ' ', 'g'),
+            '&lt;', '<', 'g'),
+            '&gt;', '>', 'g'),
+            '&quot;', '"', 'g'),
+            '&#39;', chr(39), 'g'),
+            '&amp;', '&', 'g') AS t
+        FROM untagged)
+      SELECT doc_id,
+        trim(regexp_replace(t, '[ \t\n\f\r\x0B]+', ' ', 'g')) AS clean
+      FROM decoded ORDER BY doc_id""",
+
     "ns_repetition" ->
       s"""WITH ${shingleCtes("documents")},
       nd AS (SELECT doc_id, count(*) AS n_distinct FROM sh GROUP BY 1),

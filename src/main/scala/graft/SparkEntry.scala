@@ -1808,6 +1808,27 @@ object SparkEntry {
         lit(" ref 900"), (col("doc_id") + 1000000).cast("string"))).as("clean"))
       .orderBy("doc_id")
 
+  /** The synthetic corpus is plain text, so every fourth doc is wrapped
+    * in a realistic page shell (head/style/script, entities, a comment)
+    * — extraction must recover the prose exactly and pass the rest
+    * through untouched (modulo whitespace squeeze, which the contract
+    * applies to every doc).
+    */
+  private def nsHtmlClean(s: SparkSession, dir: String): DataFrame = {
+    val wrapped = when(col("doc_id") % 4 === 0, concat(
+      lit("<html><head><title>t</title><style>body { color: red }</style>" +
+        "<script type=\"text/javascript\">var x = 1 < 2;</script></head>" +
+        "<body><h1>Header</h1><p>"),
+      col("text"),
+      lit("</p><!-- navigation\nfooter --><div>links &amp;&amp; more" +
+        "&nbsp;here &lt;tags&gt; stay &quot;quoted&#39;</div></body></html>")))
+      .otherwise(col("text"))
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        TextAnalysis.htmlToText(wrapped).as("clean"))
+      .orderBy("doc_id")
+  }
+
   private def nsRepetition(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.repetitionRatio(t(s, dir, "documents"), "text", "doc_id")
       .select(col("doc").as("doc_id"), col("n_ngrams"), col("n_distinct"),
@@ -2214,6 +2235,7 @@ object SparkEntry {
     "ns_dup_ngram_fraction" -> nsDupNgramFraction,
     "ns_repetition" -> nsRepetition,
     "ns_scrub" -> nsScrub,
+    "ns_html_clean" -> nsHtmlClean,
     "ns_embed_neardup" -> nsEmbedNearDup,
     "ns_embed_neardup_lsh" -> nsEmbedNearDupLsh,
     "ns_semdedup" -> nsSemDedup,

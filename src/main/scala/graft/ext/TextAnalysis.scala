@@ -132,6 +132,41 @@ object TextAnalysis {
         "https?://[^ \\t\\n]+", "<URL>"),
       "[0-9]{7,}", "<NUM>")
 
+  /** HTML/markup → text extraction — the step upstream of every other
+    * text operator when the corpus arrives as crawled pages. Pure
+    * codegen'd `regexp_replace` chain (map-side, no shuffle) in the
+    * RE2-compatible subset, so the oracle runs the identical pattern
+    * text. Script/style bodies and comments are dropped WHOLE (their
+    * content is code, not text); remaining tags become word boundaries
+    * (block elements must not glue adjacent words); the entities
+    * crawled pages actually carry are decoded — `&amp;` LAST, so
+    * double-encoded text single-decodes and decoded entities are never
+    * re-interpreted as markup; whitespace then squeezes to single
+    * spaces. NULL text passes through as NULL.
+    *
+    * Contract note: like every regex-based extractor, any
+    * `<`…`>`-delimited span is treated as markup — prose that uses
+    * bare angle brackets ("a < b and c > d") loses the bracketed span.
+    * Feed it crawled pages, not math notes; the behavior is pinned by
+    * unit so it is a documented contract, not an accident.
+    */
+  def htmlToText(text: Column): Column = {
+    def re(c: Column, pat: String, rep: String): Column =
+      regexp_replace(c, pat, rep)
+    val noBlocks = re(re(text,
+      "(?is)<script[^>]*>.*?</script>", " "),
+      "(?is)<style[^>]*>.*?</style>", " ")
+    val noTags = re(re(noBlocks, "(?s)<!--.*?-->", " "), "<[^>]+>", " ")
+    val decoded = re(re(re(re(re(re(noTags,
+      "&nbsp;", " "),
+      "&lt;", "<"),
+      "&gt;", ">"),
+      "&quot;", "\""),
+      "&#39;", "'"),
+      "&amp;", "&")
+    trim(re(decoded, "[ \\t\\n\\f\\r\\x0B]+", " "))
+  }
+
   /** Intra-document repetition ratio — the Gopher-style quality signal
     * for boilerplate/spam: the fraction of a doc's word n-gram
     * occurrences that are repeats of an earlier n-gram in the same doc
