@@ -1945,6 +1945,79 @@ object OracleSql {
         trim(regexp_replace(t, '[ \t\n\f\r\x0B]+', ' ', 'g')) AS clean
       FROM decoded ORDER BY doc_id""",
 
+    // blocked-levenshtein entity resolution: distinct names, first-token
+    // blocks (rank-capped at 1000 to mirror the engine's maxBlock
+    // contract), length-difference prefilter, classic Levenshtein ≤ 3
+    "ns_fuzzy_join" ->
+      """WITH n AS (
+        SELECT p_name AS name, CAST(count(*) AS BIGINT) AS n_rows,
+               string_split(p_name, ' ')[1] AS blk
+        FROM part GROUP BY p_name),
+      c AS (SELECT n.*, row_number() OVER (PARTITION BY blk ORDER BY name) AS rk FROM n)
+      SELECT a.name AS name_a, b.name AS name_b,
+        CAST(levenshtein(a.name, b.name) AS BIGINT) AS dist,
+        a.n_rows AS n_a, b.n_rows AS n_b
+      FROM c a JOIN c b ON a.blk = b.blk AND a.name < b.name
+      WHERE a.rk <= 1000 AND b.rk <= 1000
+        AND abs(length(a.name) - length(b.name)) <= 3
+        AND levenshtein(a.name, b.name) <= 3
+      ORDER BY name_a, name_b""",
+
+    // fuzzy canonicalization: components of the ≤3-distance pair graph
+    // by recursive transitive closure (the independent twin of the
+    // engine's star contraction), representative = argmax(n_rows, ties:
+    // min name), singletons canonicalize to themselves
+    "ns_fuzzy_canon" ->
+      """WITH RECURSIVE n AS (
+        SELECT p_name AS name, CAST(count(*) AS BIGINT) AS n_rows,
+               string_split(p_name, ' ')[1] AS blk
+        FROM part GROUP BY p_name),
+      c AS (SELECT n.*, row_number() OVER (PARTITION BY blk ORDER BY name) AS rk FROM n),
+      prs AS (
+        SELECT a.name AS na, b.name AS nb
+        FROM c a JOIN c b ON a.blk = b.blk AND a.name < b.name
+        WHERE a.rk <= 1000 AND b.rk <= 1000
+          AND abs(length(a.name) - length(b.name)) <= 3
+          AND levenshtein(a.name, b.name) <= 3),
+      edges AS (SELECT na AS a, nb AS b FROM prs UNION SELECT nb, na FROM prs),
+      reach AS (
+        SELECT a AS node, b AS r FROM edges
+        UNION
+        SELECT reach.node, edges.b FROM reach JOIN edges ON reach.r = edges.a),
+      lbl AS (SELECT node, least(node, min(r)) AS label FROM reach GROUP BY node),
+      alln AS (
+        SELECT n.name, n.n_rows, coalesce(lbl.label, n.name) AS label
+        FROM n LEFT JOIN lbl ON lbl.node = n.name),
+      reps AS (
+        SELECT label, name AS canonical FROM (
+          SELECT label, name, row_number() OVER (
+            PARTITION BY label ORDER BY n_rows DESC, name) AS rn
+          FROM alln) WHERE rn = 1)
+      SELECT alln.name, reps.canonical, alln.n_rows
+      FROM alln JOIN reps ON reps.label = alln.label
+      ORDER BY name""",
+
+    // market-basket triangles: co-ordered part pairs at support ≥ 2,
+    // closed by triple join on the a<b orientation (the engine closes
+    // the identical triangle set via degree orientation), each triangle
+    // credited to all three corners
+    "t_triangles" ->
+      """WITH e0 AS (
+        SELECT a.l_partkey AS x, b.l_partkey AS y
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+      e AS (SELECT x, y FROM e0 GROUP BY x, y HAVING count(*) >= 2),
+      tri AS (
+        SELECT e1.x AS a, e1.y AS b, e2.y AS c
+        FROM e e1 JOIN e e2 ON e1.y = e2.x
+        JOIN e e3 ON e3.x = e1.x AND e3.y = e2.y),
+      corners AS (
+        SELECT a AS node FROM tri
+        UNION ALL SELECT b FROM tri
+        UNION ALL SELECT c FROM tri)
+      SELECT node AS part, CAST(count(*) AS BIGINT) AS n_triangles
+      FROM corners GROUP BY node ORDER BY part""",
+
     "ns_repetition" ->
       s"""WITH ${shingleCtes("documents")},
       nd AS (SELECT doc_id, count(*) AS n_distinct FROM sh GROUP BY 1),

@@ -1829,6 +1829,49 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** Blocked-levenshtein entity resolution over the part-name catalog
+    * (op.Fuzzy): distinct names first (the shuffle is catalog-sized,
+    * not row-sized), first-token blocking with the capped-block audit
+    * discipline, length-difference prefilter before the O(len²) kernel.
+    * Both engines compute classic Levenshtein, so pairs hash-match.
+    */
+  private def nsFuzzyJoin(s: SparkSession, dir: String): DataFrame =
+    graft.op.Fuzzy.blockedSelfJoin(t(s, dir, "part"), "p_name", maxDist = 3)
+      .select(col("name_a"), col("name_b"),
+        col("dist").cast("long").as("dist"), col("n_a"), col("n_b"))
+      .orderBy("name_a", "name_b")
+
+  /** Canonicalization on top of the fuzzy pair graph: each distinct
+    * name maps to its fuzzy-family representative (highest row count,
+    * ties: smallest name) via the same star-contraction CC that powers
+    * ns_dedup_clusters; the oracle recomputes components by recursive
+    * transitive closure.
+    */
+  private def nsFuzzyCanon(s: SparkSession, dir: String): DataFrame =
+    graft.op.Fuzzy.canonicalize(t(s, dir, "part"), "p_name", maxDist = 3)
+      .orderBy("name")
+
+  /** Per-part triangle counts on the market-basket graph (parts
+    * co-ordered in the same order, support ≥ 2) — the degree-oriented
+    * node-iterator (Graph.triangleCounts), so wedge volume is bounded
+    * by Σ C(outdeg, 2) with outdeg ≤ O(√m) and a power-law hub can
+    * never fan out. Pair generation is bounded by per-order group size
+    * (≤ ~17 lines), the support filter is one partial-aggregated
+    * shuffle, and the oracle closes the same triangles by triple join.
+    */
+  private def tTriangles(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem").select("l_orderkey", "l_partkey")
+    val pairs = li.as("a")
+      .join(li.as("b"), col("a.l_orderkey") === col("b.l_orderkey") &&
+        col("a.l_partkey") < col("b.l_partkey"))
+      .groupBy(col("a.l_partkey").as("x"), col("b.l_partkey").as("y"))
+      .agg(count(lit(1)).as("sup"))
+      .filter(col("sup") >= 2)
+    graft.op.Graph.triangleCounts(pairs, "x", "y")
+      .select(col("node").as("part"), col("n_triangles"))
+      .orderBy("part")
+  }
+
   private def nsRepetition(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.repetitionRatio(t(s, dir, "documents"), "text", "doc_id")
       .select(col("doc").as("doc_id"), col("n_ngrams"), col("n_distinct"),
@@ -2139,6 +2182,7 @@ object SparkEntry {
     "t_topk_per_group" -> tTopkPerGroup,
     "t_pagerank" -> tPagerank,
     "t_pagerank_events" -> tPagerankEvents,
+    "t_triangles" -> tTriangles,
     "t_corr_stats" -> tCorrStats,
     "t_moving_avg" -> tMovingAvg,
     "t_ntile" -> tNtile,
@@ -2236,6 +2280,8 @@ object SparkEntry {
     "ns_repetition" -> nsRepetition,
     "ns_scrub" -> nsScrub,
     "ns_html_clean" -> nsHtmlClean,
+    "ns_fuzzy_join" -> nsFuzzyJoin,
+    "ns_fuzzy_canon" -> nsFuzzyCanon,
     "ns_embed_neardup" -> nsEmbedNearDup,
     "ns_embed_neardup_lsh" -> nsEmbedNearDupLsh,
     "ns_semdedup" -> nsSemDedup,
