@@ -1945,6 +1945,30 @@ object OracleSql {
         trim(regexp_replace(t, '[ \t\n\f\r\x0B]+', ' ', 'g')) AS clean
       FROM decoded ORDER BY doc_id""",
 
+    // last-click attribution: purchases joined to same-user clicks in a
+    // 24h band (nanos arithmetic via epoch_us*1000 = the engine's long
+    // ts), winner = latest click ts with largest-id tiebreak
+    "t_attribution" ->
+      """WITH c AS (
+        SELECT user_id, event_id, epoch_us(ts)*1000 AS tns
+        FROM events WHERE event_type = 'click'),
+      p AS (
+        SELECT user_id, event_id, epoch_us(ts)*1000 AS tns
+        FROM events WHERE event_type = 'purchase'),
+      j AS (
+        SELECT p.user_id, p.event_id AS conv_event_id, p.tns AS conv_ts,
+               c.event_id AS touch_event_id, c.tns AS touch_ts
+        FROM p JOIN c ON c.user_id = p.user_id AND c.tns <= p.tns
+          AND p.tns - c.tns <= 86400000000000)
+      SELECT user_id, conv_event_id, conv_ts, touch_event_id, touch_ts,
+             n_touches
+      FROM (
+        SELECT j.*, CAST(count(*) OVER (PARTITION BY conv_event_id) AS BIGINT) AS n_touches,
+          row_number() OVER (PARTITION BY conv_event_id
+                             ORDER BY touch_ts DESC, touch_event_id DESC) AS rn
+        FROM j)
+      WHERE rn = 1 ORDER BY conv_event_id""",
+
     // blocked-levenshtein entity resolution: distinct names, first-token
     // blocks (rank-capped at 1000 to mirror the engine's maxBlock
     // contract), length-difference prefilter, classic Levenshtein ≤ 3

@@ -1872,6 +1872,21 @@ object SparkEntry {
       .orderBy("part")
   }
 
+  /** Last-click attribution over the events table (op.Attribution):
+    * each purchase credited to the user's most recent click within 24
+    * hours. One user-keyed equi-join with the band as a post-filter,
+    * argmax as an order-independent max(struct) aggregate. The
+    * stream-stream twin is `EventStream.attributionCandidatesStream`.
+    */
+  private def tAttribution(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    graft.op.Attribution.lastTouch(
+      ev.filter(col("event_type") === "click"),
+      ev.filter(col("event_type") === "purchase"),
+      "user_id", "ts", "event_id", horizonNs = 86400L * 1000000000L)
+      .orderBy("conv_event_id")
+  }
+
   private def nsRepetition(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.repetitionRatio(t(s, dir, "documents"), "text", "doc_id")
       .select(col("doc").as("doc_id"), col("n_ngrams"), col("n_distinct"),
@@ -2183,6 +2198,7 @@ object SparkEntry {
     "t_pagerank" -> tPagerank,
     "t_pagerank_events" -> tPagerankEvents,
     "t_triangles" -> tTriangles,
+    "t_attribution" -> tAttribution,
     "t_corr_stats" -> tCorrStats,
     "t_moving_avg" -> tMovingAvg,
     "t_ntile" -> tNtile,

@@ -451,6 +451,41 @@ object EventStream {
                        fpp: Double = 0.01): DataFrame =
     graft.ext.BloomGuard.newDocs(docs, corpus, text, fpp)
 
+  /** TRUE stream-stream interval join — the one Structured Streaming
+    * join shape with state on BOTH sides, and the streaming twin of
+    * [[graft.op.Attribution.lastTouch]]. Conversions are joined to
+    * every qualifying touch of the same user inside the horizon
+    * (`touch_ts <= conv_ts <= touch_ts + horizon`). Both inputs carry a
+    * watermark and the join condition bounds each side's event time by
+    * the other's, which is exactly what lets Spark expire BOTH state
+    * stores: a touch older than `watermark + horizon` can never match a
+    * future conversion and is dropped, symmetrically for conversions.
+    * Without the band, stream-stream inner join state grows forever.
+    *
+    * Emits CANDIDATE pairs in append mode. The last-touch argmax is
+    * deliberately left to the batch operator: chaining a stateful
+    * aggregation behind a stream-stream join would stack two state
+    * stores, and a late touch could never retract an already-emitted
+    * "winner" — candidates + batch replay is the honest contract
+    * (same late-data stance as [[streamingAsof]]).
+    */
+  def attributionCandidatesStream(touches: DataFrame, conversions: DataFrame,
+                                  user: String, tsCol: String, idCol: String,
+                                  horizon: String = "30 minutes",
+                                  watermark: String = "10 minutes"): DataFrame = {
+    val t = touches.select(col(user).as("t_user"),
+      col(tsCol).as("touch_ts"), col(idCol).as("touch_id"))
+      .withWatermark("touch_ts", watermark)
+    val c = conversions.select(col(user).as("c_user"),
+      col(tsCol).as("conv_ts"), col(idCol).as("conv_id"))
+      .withWatermark("conv_ts", watermark)
+    c.join(t, expr(
+      s"t_user = c_user AND touch_ts <= conv_ts AND " +
+        s"conv_ts <= touch_ts + interval $horizon"))
+      .select(col("c_user").as(user), col("conv_id"), col("conv_ts"),
+        col("touch_id"), col("touch_ts"))
+  }
+
   /** Run a streaming query to completion over currently-available data
     * (the daily-batch trigger), writing to an in-memory sink — used by
     * tests; production swaps the sink for parquet/kafka.
