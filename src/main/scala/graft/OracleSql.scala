@@ -430,7 +430,24 @@ object OracleSql {
     ORDER BY total_qty DESC, o_orderkey
     LIMIT 100"""
 
+  /** TPC-H-Q4 shape: priority counts of orders in a quarter having at
+    * least one line shipped after the order date — the correlated
+    * EXISTS both planners decorrelate into a left semi-join that scans
+    * lineitem once. Same SQL text on both engines.
+    */
+  def waitingOrdersSql(orders: String, lineitem: String): String =
+    s"""SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM $orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM $lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate)
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority"""
+
   val all: Map[String, String] = Map(
+    "sql_waiting_orders" -> waitingOrdersSql("orders", "lineitem"),
     "sql_pricing_summary" -> pricingSummarySql("lineitem"),
     "sql_local_volume" -> localVolumeSql("customer", "orders", "lineitem",
       "supplier", "nation", "region"),
@@ -2026,9 +2043,11 @@ object OracleSql {
     // the identical triangle set via degree orientation), each triangle
     // credited to all three corners
     "t_triangles" ->
-      """WITH e0 AS (
+      """WITH op AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      e0 AS (
         SELECT a.l_partkey AS x, b.l_partkey AS y
-        FROM lineitem a JOIN lineitem b
+        FROM op a JOIN op b
           ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
       e AS (SELECT x, y FROM e0 GROUP BY x, y HAVING count(*) >= 2),
       tri AS (

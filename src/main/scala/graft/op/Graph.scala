@@ -95,10 +95,26 @@ object Graph {
     * Output: (node, n_triangles), only nodes in ≥1 triangle.
     */
   def triangleCounts(edges: DataFrame, src: String, dst: String): DataFrame = {
-    val e = edges
+    val e0 = edges
       .select(least(col(src), col(dst)).as("x"),
         greatest(col(src), col(dst)).as("y"))
       .filter(col("x") =!= col("y")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // the canonical edge set is referenced 3× (both degree scans + the
+    // orientation join) and the oriented set 3× more (both wedge sides
+    // + the closing probe) — without materialization the upstream edge
+    // derivation (often an expensive pair aggregation) re-executes for
+    // EVERY reference. Persist the edges, checkpoint the oriented set,
+    // and size the downstream partitioning to the GRAPH, not the
+    // session default (the pageRank discipline).
+    val m = e0.count()
+    if (m == 0L) {
+      e0.unpersist()
+      return e0.select(col("x").as("node"), lit(0L).as("n_triangles")).limit(0)
+    }
+    val p = math.max(1, math.min((m / 2000000L + 1).toInt, 200))
+    val e = e0.repartition(p, col("x")).localCheckpoint(true)
+    e0.unpersist()
     val deg = e.select(col("x").as("node"))
       .union(e.select(col("y").as("node")))
       .groupBy("node").agg(count(lit(1)).as("deg"))
@@ -112,9 +128,10 @@ object Graph {
         when(col("kx") < col("ky"), col("x")).otherwise(col("y")).as("a"),
         when(col("kx") < col("ky"), col("ky")).otherwise(col("kx")).as("kb"))
       .select(col("a"), col("kb"), col("kb.i").as("b"))
-    val w1 = oriented.select(col("a"), col("kb").as("k1"), col("b").as("n1"))
-    val w2 = oriented.select(col("a"), col("kb").as("k2"), col("b").as("n2"))
-    val closing = oriented.select(col("a").as("n1"), col("b").as("n2"))
+    val or2 = oriented.repartition(p, col("a")).localCheckpoint(true)
+    val w1 = or2.select(col("a"), col("kb").as("k1"), col("b").as("n1"))
+    val w2 = or2.select(col("a"), col("kb").as("k2"), col("b").as("n2"))
+    val closing = or2.select(col("a").as("n1"), col("b").as("n2"))
     val tris = w1.join(w2, Seq("a")).filter(col("k1") < col("k2"))
       .join(closing, Seq("n1", "n2"))
       .select(col("a"), col("n1").as("b"), col("n2").as("c"))

@@ -472,16 +472,22 @@ object EventStream {
   def attributionCandidatesStream(touches: DataFrame, conversions: DataFrame,
                                   user: String, tsCol: String, idCol: String,
                                   horizon: String = "30 minutes",
-                                  watermark: String = "10 minutes"): DataFrame = {
+                                  watermark: String = "10 minutes",
+                                  joinType: String = "inner"): DataFrame = {
+    require(joinType == "inner" || joinType == "left_outer")
     val t = touches.select(col(user).as("t_user"),
       col(tsCol).as("touch_ts"), col(idCol).as("touch_id"))
       .withWatermark("touch_ts", watermark)
     val c = conversions.select(col(user).as("c_user"),
       col(tsCol).as("conv_ts"), col(idCol).as("conv_id"))
       .withWatermark("conv_ts", watermark)
+    // left_outer = conversions side preserved: an UNATTRIBUTED
+    // conversion is emitted with null touch columns once the watermark
+    // proves no in-horizon touch can still arrive (so outer rows are
+    // late by one watermark delay — the price of correctness)
     c.join(t, expr(
       s"t_user = c_user AND touch_ts <= conv_ts AND " +
-        s"conv_ts <= touch_ts + interval $horizon"))
+        s"conv_ts <= touch_ts + interval $horizon"), joinType)
       .select(col("c_user").as(user), col("conv_id"), col("conv_ts"),
         col("touch_id"), col("touch_ts"))
   }

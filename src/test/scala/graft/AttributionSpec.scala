@@ -56,6 +56,42 @@ class AttributionSpec extends SparkSpec {
     assert(got == Set((200L, 100L), (200L, 101L)))
   }
 
+  test("left_outer stream-stream join emits unattributed conversions once watermark passes") {
+    val dirT = java.nio.file.Files.createTempDirectory("attTo").toString
+    val dirC = java.nio.file.Files.createTempDirectory("attCo").toString
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    Seq((1L, ts("2024-01-01 10:00:00"), 100L))
+      .toDF("user_id", "ts", "event_id").coalesce(1).write.parquet(dirT + "/f1")
+    // conv 200 matches; conv 201 (user 2) has no touch ever
+    Seq((1L, ts("2024-01-01 10:20:00"), 200L),
+      (2L, ts("2024-01-01 10:20:00"), 201L))
+      .toDF("user_id", "ts", "event_id").coalesce(1).write.parquet(dirC + "/f1")
+    Thread.sleep(1100)
+    // watermark-advancing sentinel far in the future on BOTH sides, in a
+    // LATER micro-batch (maxFilesPerTrigger=1): outer rows only emit
+    // once the watermark proves no matching touch can still arrive
+    Seq((9L, ts("2024-01-02 10:00:00"), 900L))
+      .toDF("user_id", "ts", "event_id").coalesce(1).write.parquet(dirT + "/f2")
+    Seq((9L, ts("2024-01-02 10:00:00"), 901L))
+      .toDF("user_id", "ts", "event_id").coalesce(1).write.parquet(dirC + "/f2")
+    val tStream = spark.readStream
+      .schema("user_id bigint, ts timestamp, event_id bigint")
+      .option("maxFilesPerTrigger", "1").parquet(dirT + "/*")
+    val cStream = spark.readStream
+      .schema("user_id bigint, ts timestamp, event_id bigint")
+      .option("maxFilesPerTrigger", "1").parquet(dirC + "/*")
+    val joined = EventStream.attributionCandidatesStream(
+      tStream, cStream, "user_id", "ts", "event_id",
+      horizon = "30 minutes", watermark = "5 minutes", joinType = "left_outer")
+    EventStream.runAvailableNow(joined, "att_outer")
+    val got = spark.sql("select conv_id, touch_id from att_outer")
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(got(200L).contains(100L)) // attributed
+    assert(got.contains(201L) && got(201L).isEmpty,
+      s"unattributed conversion missing or wrongly matched: $got")
+  }
+
   test("t_attribution query is non-empty and every winner is within horizon") {
     val df = SparkEntry.queries("t_attribution")(spark, sf)
     val rows = df.collect()
