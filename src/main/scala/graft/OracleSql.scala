@@ -1986,6 +1986,57 @@ object OracleSql {
         FROM j)
       WHERE rn = 1 ORDER BY conv_event_id""",
 
+    // data-quality audit: row rules as conditional sums, referential
+    // orphans as NOT EXISTS, duplicate keys as sum(n-1)
+    "t_dq_audit" ->
+      """WITH rows_r AS (
+        SELECT 'null_priority' AS rule,
+          CAST(count(*) FILTER (WHERE o_orderpriority IS NULL) AS BIGINT) AS n_violations
+        FROM orders
+        UNION ALL
+        SELECT 'nonpositive_price',
+          CAST(count(*) FILTER (WHERE o_totalprice <= 0) AS BIGINT) FROM orders
+        UNION ALL
+        SELECT 'date_out_of_range',
+          CAST(count(*) FILTER (WHERE o_orderdate < TIMESTAMP '1990-01-01'
+            OR o_orderdate >= TIMESTAMP '2030-01-01') AS BIGINT) FROM orders
+        UNION ALL
+        SELECT 'unknown_status',
+          CAST(count(*) FILTER (WHERE o_orderstatus NOT IN ('O','F','P')) AS BIGINT)
+        FROM orders
+        UNION ALL
+        SELECT 'orphan_custkey',
+          CAST(count(*) AS BIGINT) FROM orders o
+        WHERE NOT EXISTS (SELECT 1 FROM customer c
+                          WHERE c.c_custkey = o.o_custkey)
+        UNION ALL
+        SELECT 'dup_orderkey',
+          CAST(coalesce(sum(n - 1), 0) AS BIGINT)
+        FROM (SELECT o_orderkey, count(*) AS n FROM orders GROUP BY 1))
+      SELECT rule, n_violations FROM rows_r ORDER BY rule""",
+
+    // per-user time-weighted average: cents-exact values, ms-truncated
+    // inter-event durations, DECIMAL-exact product sum, one double
+    // division at the end
+    "t_twap" ->
+      """WITH e AS (
+        SELECT user_id, event_id, epoch_us(ts)*1000 AS tns,
+          CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        FROM events),
+      w AS (
+        SELECT user_id, cents, tns,
+          lead(tns) OVER (PARTITION BY user_id ORDER BY tns, event_id) AS nxt
+        FROM e),
+      a AS (
+        SELECT user_id,
+          CAST(count(*) + 1 AS BIGINT) AS n_events,
+          CAST(sum((nxt - tns) // 1000000) AS BIGINT) AS span_ms,
+          sum(cents * ((nxt - tns) // 1000000)) AS num
+        FROM w WHERE nxt IS NOT NULL GROUP BY user_id)
+      SELECT user_id, n_events, span_ms,
+        round(CAST(num AS DOUBLE) / CAST(span_ms AS DOUBLE), 6) AS twap_cents
+      FROM a WHERE span_ms > 0 ORDER BY user_id""",
+
     // blocked-levenshtein entity resolution: distinct names, first-token
     // blocks (rank-capped at 1000 to mirror the engine's maxBlock
     // contract), length-difference prefilter, classic Levenshtein ≤ 3

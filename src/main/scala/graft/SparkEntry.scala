@@ -1910,6 +1910,60 @@ object SparkEntry {
       .orderBy("conv_event_id")
   }
 
+  /** Declarative data-quality audit over the orders feed
+    * (op.DataQuality): five row-level rules priced as ONE aggregation
+    * pass (conditional sums — ten rules cost the same shuffle as one),
+    * plus a referential-integrity anti-join against customer and a
+    * duplicate-key check. Long-form (rule, n_violations) output so a
+    * pipeline can threshold per rule. Most counts are zero on the
+    * generated data BY DESIGN — the audit proves cleanliness; the spec
+    * plants violations to prove detection.
+    */
+  private def tDqAudit(s: SparkSession, dir: String): DataFrame = {
+    import graft.op.DataQuality
+    val orders = t(s, dir, "orders")
+    val rowRules = DataQuality.audit(orders, Seq(
+      "null_priority" -> col("o_orderpriority").isNull,
+      "nonpositive_price" -> (col("o_totalprice") <= 0),
+      "date_out_of_range" ->
+        (col("o_orderdate") < lit("1990-01-01").cast("timestamp") ||
+          col("o_orderdate") >= lit("2030-01-01").cast("timestamp")),
+      "unknown_status" -> !col("o_orderstatus").isin("O", "F", "P")))
+    rowRules
+      .unionByName(DataQuality.orphanCount(orders, "o_custkey",
+        t(s, dir, "customer"), "c_custkey", "orphan_custkey"))
+      .unionByName(DataQuality.duplicateKeyCount(orders, "o_orderkey",
+        "dup_orderkey"))
+      .orderBy("rule")
+  }
+
+  /** Time-weighted average of `value` per user (op-style TWAP): each
+    * event's cents-exact value weighted by the ms-truncated duration to
+    * the user's next event. Products accumulate in DECIMAL(38,0) (sum
+    * of long products can overflow at 100 TB event densities), the
+    * ratio is one double division at the end. The window is partitioned
+    * by user — never a global order.
+    */
+  private def tTwap(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts", "event_id")
+    Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        (col("value").cast("decimal(18,2)") * 100).cast("long").as("cents"))
+      .withColumn("nxt", lead(col("ts"), 1).over(w))
+      .filter(col("nxt").isNotNull)
+      .withColumn("w_ms", expr("(nxt - ts) div 1000000"))
+      .groupBy("user_id")
+      .agg((count(lit(1)) + 1).as("n_events"),
+        sum(col("w_ms")).as("span_ms"),
+        sum((col("cents") * col("w_ms")).cast("decimal(38,0)")).as("_num"))
+      .filter(col("span_ms") > 0)
+      .select(col("user_id"), col("n_events"), col("span_ms"),
+        round(col("_num").cast("double") / col("span_ms").cast("double"), 6)
+          .as("twap_cents"))
+      .orderBy("user_id")
+  }
+
   private def nsRepetition(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.repetitionRatio(t(s, dir, "documents"), "text", "doc_id")
       .select(col("doc").as("doc_id"), col("n_ngrams"), col("n_distinct"),
@@ -2223,6 +2277,8 @@ object SparkEntry {
     "t_pagerank_events" -> tPagerankEvents,
     "t_triangles" -> tTriangles,
     "t_attribution" -> tAttribution,
+    "t_dq_audit" -> tDqAudit,
+    "t_twap" -> tTwap,
     "t_corr_stats" -> tCorrStats,
     "t_moving_avg" -> tMovingAvg,
     "t_ntile" -> tNtile,
