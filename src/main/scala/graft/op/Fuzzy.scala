@@ -56,8 +56,12 @@ object Fuzzy {
     a.join(b, Seq("blk"))
       .filter(col("name_a") < col("name_b"))
       .filter(abs(length(col("name_a")) - length(col("name_b"))) <= maxDist)
-      .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
-      .filter(col("dist") <= maxDist)
+      // threshold form: banded DP, O(maxDist·len) per pair instead of
+      // O(len²), returning -1 past the bound — the filter is the same
+      // predicate the full distance would give, just cheaper
+      .withColumn("dist",
+        levenshtein(col("name_a"), col("name_b"), maxDist))
+      .filter(col("dist") >= 0)
       .select("name_a", "name_b", "dist", "n_a", "n_b")
   }
 
