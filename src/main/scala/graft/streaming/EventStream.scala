@@ -492,6 +492,27 @@ object EventStream {
         col("touch_id"), col("touch_ts"))
   }
 
+  /** File-sink streaming with a durable checkpoint — the exactly-once
+    * production shape. The checkpoint (source offsets + sink commit
+    * log) is what makes restarts INCREMENTAL: a re-run against the same
+    * checkpoint processes only files that arrived since the last
+    * commit, and a crash between write and commit replays into the
+    * same epoch id, so the parquet sink's commit protocol discards the
+    * partial output (no duplicates, no loss). AvailableNow = the
+    * daily-batch trigger: drain everything pending, then stop —
+    * cron-driven batch cadence with streaming-grade bookkeeping
+    * (SURVEY §2.3 O2).
+    */
+  def runToParquet(df: DataFrame, outPath: String,
+                   checkpointPath: String): Unit = {
+    val q = df.writeStream.format("parquet")
+      .option("path", outPath)
+      .option("checkpointLocation", checkpointPath)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+  }
+
   /** Run a streaming query to completion over currently-available data
     * (the daily-batch trigger), writing to an in-memory sink — used by
     * tests; production swaps the sink for parquet/kafka.
