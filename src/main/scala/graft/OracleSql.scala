@@ -2015,6 +2015,32 @@ object OracleSql {
         FROM (SELECT o_orderkey, count(*) AS n FROM orders GROUP BY 1))
       SELECT rule, n_violations FROM rows_r ORDER BY rule""",
 
+    // hourly resample + forward fill: latest cents-exact observation per
+    // (user, hour) via rn=1 (engine: max(struct)), per-user hour grid via
+    // generate_series, ffill via IGNORE NULLS window
+    "t_resample_ffill" ->
+      """WITH e AS (
+        SELECT user_id, epoch_us(ts)*1000 AS tns, event_id,
+          (epoch_us(ts)*1000) // 3600000000000 AS hr,
+          CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        FROM events),
+      ph AS (
+        SELECT user_id, hr, cents AS obs_cents FROM (
+          SELECT e.*, row_number() OVER (PARTITION BY user_id, hr
+            ORDER BY tns DESC, event_id DESC) AS rn FROM e)
+        WHERE rn = 1),
+      grid AS (
+        SELECT user_id, unnest(generate_series(min(hr), max(hr))) AS hr
+        FROM e GROUP BY user_id)
+      SELECT g.user_id,
+        make_timestamp(g.hr * 3600000000) AS hour_ts,
+        CAST(last_value(ph.obs_cents IGNORE NULLS) OVER (
+          PARTITION BY g.user_id ORDER BY g.hr
+          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cents,
+        CASE WHEN ph.obs_cents IS NOT NULL THEN 'obs' ELSE 'ffill' END AS src
+      FROM grid g LEFT JOIN ph ON ph.user_id = g.user_id AND ph.hr = g.hr
+      ORDER BY g.user_id, hour_ts""",
+
     // per-user time-weighted average: cents-exact values, ms-truncated
     // inter-event durations, DECIMAL-exact product sum, one double
     // division at the end

@@ -1964,6 +1964,43 @@ object SparkEntry {
       .orderBy("user_id")
   }
 
+  /** Regular-grid resampling with forward fill — the reference's
+    * "carry the last known price forward" semantic
+    * (dag_daily_fuel_price_generation) generalized: each user's event
+    * stream is downsampled to an hourly grid (latest observation per
+    * hour, cents-exact) and gaps carry the last value forward. The grid
+    * is generated per user from its own span (`sequence` + explode —
+    * grid size is span-bounded, never a cross join), the fill is one
+    * user-partitioned `last(ignoreNulls)` window. At 100 TB the grid
+    * explode is the scale risk — a silent year-long span × millions of
+    * keys multiplies rows 8760× — so span is an explicit, documented
+    * input here, not an inferred surprise.
+    */
+  private def tResampleFfill(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("hr")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val e = Tables.events(s, dir).select(col("user_id"),
+      expr("ts div 3600000000000").as("hr"), col("ts"), col("event_id"),
+      (col("value").cast("decimal(18,2)") * 100).cast("long").as("cents"))
+    // latest observation per (user, hour): order-independent argmax
+    val perHour = e.groupBy("user_id", "hr")
+      .agg(max(struct(col("ts"), col("event_id"), col("cents"))).as("_last"))
+      .select(col("user_id"), col("hr"), col("_last.cents").as("obs_cents"))
+    val grid = e.groupBy("user_id")
+      .agg(min(col("hr")).as("h0"), max(col("hr")).as("h1"))
+      .select(col("user_id"), explode(expr("sequence(h0, h1)")).as("hr"))
+    grid.join(perHour, Seq("user_id", "hr"), "left")
+      .select(col("user_id"), col("hr"),
+        last(col("obs_cents"), ignoreNulls = true).over(w).as("cents"),
+        when(col("obs_cents").isNotNull, lit("obs")).otherwise(lit("ffill"))
+          .as("src"))
+      .withColumn("hour_ts",
+        timestamp_micros(col("hr") * 3600000000L).cast("timestamp_ntz"))
+      .select("user_id", "hour_ts", "cents", "src")
+      .orderBy("user_id", "hour_ts")
+  }
+
   private def nsRepetition(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.repetitionRatio(t(s, dir, "documents"), "text", "doc_id")
       .select(col("doc").as("doc_id"), col("n_ngrams"), col("n_distinct"),
@@ -2279,6 +2316,7 @@ object SparkEntry {
     "t_attribution" -> tAttribution,
     "t_dq_audit" -> tDqAudit,
     "t_twap" -> tTwap,
+    "t_resample_ffill" -> tResampleFfill,
     "t_corr_stats" -> tCorrStats,
     "t_moving_avg" -> tMovingAvg,
     "t_ntile" -> tNtile,

@@ -46,6 +46,22 @@ class DataQualityTwapSpec extends SparkSpec {
     assert(none.getLong(1) == 0L)
   }
 
+  test("t_resample_ffill fills interior gaps with the last observation") {
+    val dir = java.nio.file.Files.createTempDirectory("rsmp").toString
+    def ts(ms: Long) = new java.sql.Timestamp(ms)
+    val H = 3600L * 1000 // one hour in ms
+    Seq(
+      (1L, ts(0L * H + 5), 7L, "click", 10.00, "{}"),      // hour 0
+      (2L, ts(0L * H + 99), 7L, "click", 12.00, "{}"),     // hour 0, later → wins
+      (3L, ts(3L * H + 1), 7L, "click", 30.00, "{}")       // hour 3; 1,2 gap
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.parquet(dir + "/events.parquet")
+    val got = SparkEntry.queries("t_resample_ffill")(spark, dir)
+      .collect().map(r => (r.getLong(2), r.getString(3)))
+    assert(got.toSeq == Seq((1200L, "obs"), (1200L, "ffill"),
+      (1200L, "ffill"), (3000L, "obs")))
+  }
+
   test("t_twap matches a hand computation on a tiny user") {
     // fabricate an events dir with one user, 3 events, ms-aligned gaps
     val dir = java.nio.file.Files.createTempDirectory("twap").toString
