@@ -2251,6 +2251,26 @@ object OracleSql {
         FROM scored)
       SELECT query_id, rank, vec_id, sim FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""",
 
+    // hard negatives: ns_topk_similarity's shape with the wrong-label
+    // filter before ranking
+    "ns_hard_negatives" ->
+      """WITH q AS (
+        SELECT vec_id AS query_id, label AS query_label,
+               CAST(embedding AS DOUBLE[]) AS qv
+        FROM embeddings WHERE vec_id < 5),
+      scored AS (
+        SELECT q.query_id, q.query_label, e.vec_id, e.label AS neg_label,
+               round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv), 6) AS sim
+        FROM embeddings e CROSS JOIN q
+        WHERE e.label <> q.query_label),
+      ranked AS (
+        SELECT query_id, query_label, vec_id, neg_label, sim,
+               CAST(row_number() OVER (PARTITION BY query_id
+                 ORDER BY sim DESC, vec_id) AS INT) AS rank
+        FROM scored)
+      SELECT query_id, query_label, rank, vec_id, neg_label, sim
+      FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""",
+
     "ns_text_tokens" ->
       s"""SELECT token, count(*) AS n FROM (
         SELECT unnest(${wsToks("text")}) AS token FROM documents

@@ -2190,6 +2190,17 @@ object SparkEntry {
       .orderBy("query_id", "rank")
   }
 
+  /** Hard-negative mining (VectorSearch.hardNegatives): nearest
+    * WRONG-label neighbors per probe — the contrastive-training
+    * negatives that actually sit at the decision boundary.
+    */
+  private def nsHardNegatives(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    VectorSearch.hardNegatives(emb, emb.filter(col("vec_id") < 5),
+      "vec_id", "embedding", "label", k = 5)
+      .orderBy("query_id", "rank")
+  }
+
   /** MMR diversity re-rank over the brute-force shortlist: 12
     * candidates per probe query, 5 picked greedily at λ = 0.5. The
     * shortlist stage bounds the sequential kernel's input
@@ -2420,6 +2431,7 @@ object SparkEntry {
     "ns_embed_neardup_lsh" -> nsEmbedNearDupLsh,
     "ns_semdedup" -> nsSemDedup,
     "ns_topk_similarity" -> nsTopkSimilarity,
+    "ns_hard_negatives" -> nsHardNegatives,
     "ns_mmr_rerank" -> nsMmrRerank,
     "ns_ann_lsh" -> nsAnnLsh,
     "ns_ivf_topk" -> nsIvfTopk,

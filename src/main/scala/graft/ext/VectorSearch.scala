@@ -167,6 +167,35 @@ object VectorSearch {
       .select(col("query_id"), col("rank"), col("vec_id"), col("sim"))
   }
 
+  /** Hard-negative mining for contrastive training: for each query,
+    * the k most-similar corpus vectors with a DIFFERENT label — the
+    * negatives that sit closest to the decision boundary, which is
+    * what a contrastive objective actually needs (random negatives are
+    * trivially easy; in-batch negatives are a lottery). Same scale
+    * shape as [[bruteForceTopK]]: the query side broadcasts, the
+    * corpus never shuffles for the join, the label inequality filters
+    * before scoring output, and the per-query top-k is the only
+    * exchange. Swap the corpus scan for an IVF/LSH candidate set when
+    * the corpus outgrows brute force — the contract downstream is
+    * unchanged.
+    */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame, id: String,
+                    vec: String, label: String, k: Int): DataFrame = {
+    val c = corpus.select(col(id).as("vec_id"), col(vec).as("cv"),
+      col(label).as("neg_label"))
+    val q = queries.select(col(id).as("query_id"), col(vec).as("qv"),
+      col(label).as("query_label"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("neg_label") =!= col("query_label"))
+      .withColumn("sim", round(cosine(col("cv"), col("qv")), 6))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("query_label"), col("rank"),
+        col("vec_id"), col("neg_label"), col("sim"))
+  }
+
   /** Sign-pattern LSH bucket id (`bits` hyperplanes → long in
     * [0, 2^bits)) for the vector array column. Native expression; the
     * hyperplanes are splitmix64-derived from a fixed seed, so every

@@ -207,4 +207,20 @@ class RetrievalSpec extends SparkSpec {
     }
     SparkEntry.releaseArtifacts(spark, sf)
   }
+
+  test("hardNegatives excludes same-label rows and ranks the boundary negative first") {
+    import graft.ext.VectorSearch
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f), 0),  // query, label 0
+      (1L, Array(0.99f, 0.1f), 0), // same label — must never appear
+      (2L, Array(0.9f, 0.2f), 1),  // nearest wrong label
+      (3L, Array(0.0f, 1.0f), 1),  // orthogonal wrong label
+      (4L, Array(-1.0f, 0.0f), 2)  // opposite wrong label
+    ).toDF("vec_id", "embedding", "label")
+    val got = VectorSearch.hardNegatives(emb, emb.filter($"vec_id" === 0L),
+      "vec_id", "embedding", "label", k = 3)
+      .orderBy("rank")
+      .select("vec_id", "neg_label").as[(Long, Int)].collect().toSeq
+    assert(got == Seq((2L, 1), (3L, 1), (4L, 2)), got)
+  }
 }
