@@ -2282,6 +2282,22 @@ object OracleSql {
         CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 \\t\\n\\x0B\\f\\r]')) AS BIGINT) AS n_subwords
       FROM documents ORDER BY doc_id""",
 
+    // power-of-two length buckets via exact bit arithmetic (binary
+    // string length of n-1 — never double log2, whose rounding at exact
+    // powers is engine-dependent)
+    "ns_length_buckets" ->
+      s"""WITH t AS (
+        SELECT CAST(len(${wsToksCased("text")}) AS BIGINT) AS n FROM documents),
+      b AS (
+        SELECT n, CASE WHEN n <= 1 THEN 1
+          ELSE CAST(1 AS BIGINT) << length(printf('%b', n - 1)) END AS bucket_len
+        FROM t)
+      SELECT bucket_len, CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(sum(n) AS BIGINT) AS total_tokens,
+        CAST(sum(bucket_len - n) AS BIGINT) AS total_padding,
+        CAST((sum(bucket_len - n) * 1000000) // (sum(bucket_len - n) + sum(n)) AS BIGINT) AS waste_ratio
+      FROM b GROUP BY bucket_len ORDER BY bucket_len""",
+
     "ns_text_quality" ->
       s"""WITH $qualityCtes
       SELECT doc_id, CAST(n_words AS BIGINT) AS n_words, avg_word_len,

@@ -2243,6 +2243,28 @@ object SparkEntry {
       TextAnalysis.subwordTokenCount(col("text")).cast("long").as("n_subwords"))
       .orderBy("doc_id")
 
+  /** Padding-efficiency report: docs assigned to power-of-two token-
+    * length buckets (the serving/training batcher's shape), with the
+    * padding a naive pad-to-bucket scheme wastes per bucket. Bucket =
+    * smallest 2^k ≥ n_tokens via exact INTEGER bit arithmetic
+    * (length(bin(n-1)) — never a double log2, whose rounding at exact
+    * powers is engine-dependent). Pure map-side + one bucket-count
+    * aggregation; waste_ratio is an exact integer micro-ratio.
+    */
+  private def nsLengthBuckets(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(TextAnalysis.tokenCount(col("text")).cast("long").as("n"))
+      .withColumn("bucket_len",
+        when(col("n") <= 1, lit(1L))
+          .otherwise(expr("shiftleft(1L, length(bin(n - 1)))")))
+      .groupBy("bucket_len")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n")).as("total_tokens"),
+        sum(col("bucket_len") - col("n")).as("total_padding"))
+      .withColumn("waste_ratio",
+        expr("(total_padding * 1000000L) div (total_padding + total_tokens)"))
+      .orderBy("bucket_len")
+
   private def nsTextQuality(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.qualityScore(t(s, dir, "documents"), "text")
       .select(col("doc_id"), col("n_words").cast("long").as("n_words"),
@@ -2432,6 +2454,7 @@ object SparkEntry {
     "ns_semdedup" -> nsSemDedup,
     "ns_topk_similarity" -> nsTopkSimilarity,
     "ns_hard_negatives" -> nsHardNegatives,
+    "ns_length_buckets" -> nsLengthBuckets,
     "ns_mmr_rerank" -> nsMmrRerank,
     "ns_ann_lsh" -> nsAnnLsh,
     "ns_ivf_topk" -> nsIvfTopk,

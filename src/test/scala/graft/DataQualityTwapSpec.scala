@@ -62,6 +62,17 @@ class DataQualityTwapSpec extends SparkSpec {
       (1200L, "ffill"), (3000L, "obs")))
   }
 
+  test("ns_length_buckets: exact power-of-two bucketing at the boundaries") {
+    // the formula under test: bucket = smallest 2^k >= n via bin-length
+    val df = Seq(1L, 2L, 3L, 4L, 5L, 8L, 9L, 1024L, 1025L).toDF("n")
+      .withColumn("bucket_len",
+        when(col("n") <= 1, lit(1L))
+          .otherwise(expr("shiftleft(1L, length(bin(n - 1)))")))
+    val got = df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 2L, 3L -> 4L, 4L -> 4L, 5L -> 8L,
+      8L -> 8L, 9L -> 16L, 1024L -> 1024L, 1025L -> 2048L))
+  }
+
   test("t_twap matches a hand computation on a tiny user") {
     // fabricate an events dir with one user, 3 events, ms-aligned gaps
     val dir = java.nio.file.Files.createTempDirectory("twap").toString
