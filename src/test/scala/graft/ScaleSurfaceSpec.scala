@@ -58,6 +58,29 @@ class ScaleSurfaceSpec extends SparkSpec {
     }
   }
 
+  test("triangleCounts (degree-oriented) equals the naive a<b<c triple join") {
+    // the support>=2 market-basket graph at this sf, closed both ways
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select("l_orderkey", "l_partkey").distinct()
+    val e = li.as("a").join(li.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+      .groupBy(col("a.l_partkey").as("x"), col("b.l_partkey").as("y"))
+      .agg(count(lit(1)).as("sup")).filter(col("sup") >= 2)
+      .select("x", "y").cache()
+    val naive = e.as("e1")
+      .join(e.as("e2"), col("e1.y") === col("e2.x"))
+      .join(e.as("e3"), col("e3.x") === col("e1.x") && col("e3.y") === col("e2.y"))
+      .select(explode(array(col("e1.x"), col("e1.y"), col("e2.y"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("n_triangles"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val oriented = graft.op.Graph.triangleCounts(e, "x", "y")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    e.unpersist()
+    assert(naive.nonEmpty && oriented == naive,
+      s"oriented=${oriented.size} naive=${naive.size}")
+  }
+
   test("t_reaggregate: merging daily partials equals aggregating raw") {
     val got = SparkEntry.queries("t_reaggregate")(spark, sf).collect().toSeq
     val direct = graft.source.Tables.events(spark, sf)
