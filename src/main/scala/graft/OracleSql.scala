@@ -300,6 +300,46 @@ object OracleSql {
     head + steps + s"\n      SELECT node, pr FROM r$iters ORDER BY node"
   }
 
+  /** Unrolled synchronous-peeling twin of `Graph.kCore` over the
+    * co-order pair graph (the t_triangles edge CTE). Like pagerankSql
+    * the iteration is UNROLLED to a fixed depth: `rounds` must be ≥
+    * the peel's rounds-to-convergence (observed ≤ 5 at every SF for
+    * k=2; 8 leaves margin) — extra rounds are fixed-point no-ops, so
+    * both engines land on the same unique k-core. `converged` is the
+    * literal TRUE: if the engine ever exits unconverged its FALSE flag
+    * mismatches loudly instead of shipping a silent superset.
+    */
+  private def kcoreSql(k: Int, rounds: Int): String = {
+    val head =
+      s"""WITH op AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      ep AS (
+        SELECT a.l_partkey AS x, b.l_partkey AS y
+        FROM op a JOIN op b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+      r0 AS MATERIALIZED (SELECT x, y FROM ep GROUP BY x, y HAVING count(*) >= 2)"""
+    // each round references the previous THREE times (degree scan ×2 +
+    // the filter base) — without MATERIALIZED DuckDB inlines CTEs and
+    // the plan grows 3^rounds
+    val steps = (1 to rounds).map { i =>
+      s""",
+      d$i AS (SELECT node, count(*) AS deg FROM (
+                SELECT x AS node FROM r${i - 1}
+                UNION ALL SELECT y FROM r${i - 1}) GROUP BY 1),
+      k$i AS MATERIALIZED (SELECT node FROM d$i WHERE deg >= $k),
+      r$i AS MATERIALIZED (SELECT x, y FROM r${i - 1}
+              WHERE x IN (SELECT node FROM k$i)
+                AND y IN (SELECT node FROM k$i))"""
+    }.mkString
+    head + steps +
+      s"""
+      SELECT node AS part, CAST(count(*) AS BIGINT) AS core_deg,
+             TRUE AS converged
+      FROM (SELECT x AS node FROM r$rounds
+            UNION ALL SELECT y FROM r$rounds)
+      GROUP BY node ORDER BY part"""
+  }
+
   /** TPC-H-Q1 pricing-summary text, shared VERBATIM between the Spark
     * SQL surface (`sql_pricing_summary` runs it over a temp view) and
     * the DuckDB oracle (over the parquet table) — the same parse tree
@@ -1962,6 +2002,64 @@ object OracleSql {
         trim(regexp_replace(t, '[ \t\n\f\r\x0B]+', ' ', 'g')) AS clean
       FROM decoded ORDER BY doc_id""",
 
+    // C4 boilerplate-line strip: same synthetic page shell as the
+    // engine (masthead / cookie banner / subscribe plea / unique ref),
+    // df counted over DISTINCT (doc, line), the integer permille
+    // threshold rule, reassembly by position — string_agg skips the
+    // NULLed boilerplate lines exactly as collect_list does
+    "ns_boilerplate_lines" ->
+      """WITH pages AS (
+        SELECT doc_id,
+          'SOURCE ' || source || ' NETWORK DAILY' || chr(10) || text ||
+          CASE WHEN doc_id % 3 = 0
+            THEN chr(10) || 'We use cookies to improve your experience.'
+            ELSE '' END ||
+          CASE WHEN doc_id % 2 = 0
+            THEN chr(10) || 'Subscribe to our newsletter today!'
+            ELSE '' END ||
+          chr(10) || 'ref ' || CAST(doc_id AS VARCHAR) AS page
+        FROM documents),
+      ls AS (SELECT doc_id, string_split(page, chr(10)) AS arr FROM pages),
+      lines AS (
+        SELECT doc_id, unnest(arr) AS line,
+               generate_subscripts(arr, 1) AS pos FROM ls),
+      n AS (SELECT count(*) AS n_docs FROM documents),
+      dfl AS (
+        SELECT line, count(*) AS n_line_docs
+        FROM (SELECT DISTINCT doc_id, line FROM lines) GROUP BY line),
+      freq AS (
+        SELECT dfl.line FROM dfl, n
+        WHERE dfl.n_line_docs * 1000 >= n.n_docs * 30),
+      flagged AS (
+        SELECT li.doc_id, li.pos, li.line, f.line IS NOT NULL AS bp
+        FROM lines li LEFT JOIN freq f ON li.line = f.line)
+      SELECT doc_id,
+        coalesce(string_agg(CASE WHEN NOT bp THEN line END, chr(10)
+                            ORDER BY pos), '') AS clean,
+        CAST(sum(CASE WHEN bp THEN 1 ELSE 0 END) AS BIGINT) AS n_removed
+      FROM flagged GROUP BY doc_id ORDER BY doc_id""",
+
+    // positional phrase search: postings of the three phrase terms
+    // tagged with slot offsets; an occurrence = a (doc, start) cell
+    // covering all three distinct slots (1-based positions here vs the
+    // engine's 0-based — a constant shift that cancels in the counts)
+    "ns_phrase_search" ->
+      s"""WITH t AS (SELECT doc_id, ${wsToks("text")} AS toks FROM documents),
+      p AS (
+        SELECT doc_id, unnest(toks) AS tok,
+               generate_subscripts(toks, 1) AS pos FROM t),
+      sl AS (
+        SELECT doc_id, pos - 0 AS start, 0 AS slot FROM p WHERE tok = 'slow'
+        UNION ALL
+        SELECT doc_id, pos - 1, 1 FROM p WHERE tok = 'hash'
+        UNION ALL
+        SELECT doc_id, pos - 2, 2 FROM p WHERE tok = 'batch'),
+      occ AS (
+        SELECT doc_id, start FROM sl
+        GROUP BY doc_id, start HAVING count(DISTINCT slot) = 3)
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_matches
+      FROM occ GROUP BY doc_id ORDER BY doc_id""",
+
     // last-click attribution: purchases joined to same-user clicks in a
     // 24h band (nanos arithmetic via epoch_us*1000 = the engine's long
     // ts), winner = latest click ts with largest-id tiebreak
@@ -2137,6 +2235,8 @@ object OracleSql {
         UNION ALL SELECT c FROM tri)
       SELECT node AS part, CAST(count(*) AS BIGINT) AS n_triangles
       FROM corners GROUP BY node ORDER BY part""",
+
+    "t_kcore" -> kcoreSql(k = 2, rounds = 8),
 
     "ns_repetition" ->
       s"""WITH ${shingleCtes("documents")},

@@ -1841,6 +1841,49 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** Corpus-frequent boilerplate-line removal (the C4 filter,
+    * TextDedup.stripFrequentLines). The generated corpus is
+    * single-line prose, so each doc is wrapped as a realistic page:
+    * a per-source masthead (5% of the corpus each), a cookie banner on
+    * every 3rd doc, a subscribe plea on every 2nd, and a unique ref
+    * line. At the 3% threshold the masthead/banner/plea lines are
+    * frequent and stripped everywhere; the prose and ref lines (max
+    * clone family = 2 docs ≈ 0.04%) survive verbatim. The threshold is
+    * the integer permille rule, so classification is identical across
+    * engines and scale factors (source shares are constant at 5%).
+    */
+  private def nsBoilerplateLines(s: SparkSession, dir: String): DataFrame = {
+    val nl = lit("\n")
+    val page = concat(
+      lit("SOURCE "), col("source"), lit(" NETWORK DAILY"), nl,
+      col("text"),
+      when(col("doc_id") % 3 === 0,
+        concat(nl, lit("We use cookies to improve your experience.")))
+        .otherwise(lit("")),
+      when(col("doc_id") % 2 === 0,
+        concat(nl, lit("Subscribe to our newsletter today!")))
+        .otherwise(lit("")),
+      nl, lit("ref "), col("doc_id").cast("string"))
+    TextDedup.stripFrequentLines(
+      t(s, dir, "documents").select(col("doc_id"), page.as("page")),
+      "page", "doc_id", minDocPermille = 30)
+      .select(col("doc").as("doc_id"), col("clean"), col("n_removed"))
+      .orderBy("doc_id")
+  }
+
+  /** Exact-phrase search by positional posting join
+    * (TextAnalysis.phraseMatches): the inverted-index idiom — postings
+    * filtered to the phrase terms MAP-SIDE, one (doc, start) slot
+    * aggregation, so shuffle volume is the query terms' postings, not
+    * the corpus. The phrase is a naturally-occurring corpus trigram
+    * (one doc carries multiple occurrences, exercising n_matches > 1).
+    */
+  private def nsPhraseSearch(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.phraseMatches(t(s, dir, "documents"), "text", "doc_id",
+      Seq("slow", "hash", "batch"))
+      .select(col("doc").as("doc_id"), col("n_matches"))
+      .orderBy("doc_id")
+
   /** Blocked-levenshtein entity resolution over the part-name catalog
     * (op.Fuzzy): distinct names first (the shuffle is catalog-sized,
     * not row-sized), first-token blocking with the capped-block audit
@@ -1892,6 +1935,34 @@ object SparkEntry {
       .filter(col("sup") >= 2)
     graft.op.Graph.triangleCounts(pairs, "x", "y")
       .select(col("node").as("part"), col("n_triangles"))
+      .orderBy("part")
+  }
+
+  /** 2-core of the market-basket co-order graph (Graph.kCore):
+    * synchronous peeling to the unique fixed point — each round one
+    * degree aggregation + one two-sided semi-join, partitioning sized
+    * to the graph and reused, lineage checkpoint-cut per round. k = 2
+    * (prune pendant chains/trees off the co-purchase backbone) because
+    * the generated graph thins with SF — the 3-core is empty at sf0.1
+    * while the 2-core is non-empty at every gate scale. The oracle
+    * unrolls 8 peel rounds (observed convergence ≤ 5 at every SF);
+    * extra rounds are fixed-point no-ops on both engines, and the
+    * engine's `converged` flag (oracle: literal TRUE) turns a
+    * truncated peel into a loud mismatch instead of a silent superset.
+    */
+  private def tKcore(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem").select("l_orderkey", "l_partkey")
+    val pairs = li.groupBy("l_orderkey")
+      .agg(array_sort(collect_set("l_partkey")).as("ps"))
+      .select(explode(expr(
+        "flatten(transform(ps, (x, i) -> " +
+          "transform(slice(ps, i + 2, size(ps) - i - 1), " +
+          "y -> struct(x AS a, y AS b))))")).as("p"))
+      .groupBy(col("p.a").as("x"), col("p.b").as("y"))
+      .agg(count(lit(1)).as("sup"))
+      .filter(col("sup") >= 2)
+    graft.op.Graph.kCore(pairs, "x", "y", k = 2)
+      .select(col("node").as("part"), col("core_deg"), col("converged"))
       .orderBy("part")
   }
 
@@ -2346,6 +2417,7 @@ object SparkEntry {
     "t_pagerank" -> tPagerank,
     "t_pagerank_events" -> tPagerankEvents,
     "t_triangles" -> tTriangles,
+    "t_kcore" -> tKcore,
     "t_attribution" -> tAttribution,
     "t_dq_audit" -> tDqAudit,
     "t_twap" -> tTwap,
@@ -2449,6 +2521,8 @@ object SparkEntry {
     "ns_html_clean" -> nsHtmlClean,
     "ns_fuzzy_join" -> nsFuzzyJoin,
     "ns_fuzzy_canon" -> nsFuzzyCanon,
+    "ns_boilerplate_lines" -> nsBoilerplateLines,
+    "ns_phrase_search" -> nsPhraseSearch,
     "ns_embed_neardup" -> nsEmbedNearDup,
     "ns_embed_neardup_lsh" -> nsEmbedNearDupLsh,
     "ns_semdedup" -> nsSemDedup,

@@ -344,6 +344,43 @@ object TextAnalysis {
       .groupBy("token").agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("token")).limit(k)
 
+  /** Exact-phrase occurrence counts via a positional posting join — the
+    * inverted-index idiom, not a substring scan. Tokens come from the
+    * pinned analysis tokenizer ([[Tok.tokens]]), so "phrase" means a
+    * run of consecutive WORDS (case-folded, whitespace-normalized), and
+    * overlapping occurrences each count.
+    *
+    * Scale shape — why this beats `contains()` at 100 TB: the token
+    * stream is filtered to the phrase's terms MAP-SIDE, before any
+    * exchange, so the one shuffle carries only postings of the handful
+    * of query terms (each tagged with its slot offset), not the corpus.
+    * Phrase hits are then a single aggregation: slot s of the phrase at
+    * token position p proposes start `p - s`, and a (doc, start) cell
+    * covering all `phrase.length` distinct slots is an occurrence —
+    * which handles repeated words in the phrase (each slot is counted
+    * distinctly) with no per-slot self-joins. A second tiny aggregation
+    * rolls occurrences up per document. Cost is linear in the phrase
+    * terms' posting lists; a `contains()` scan re-reads every byte of
+    * the corpus per query and can't batch multiple phrases.
+    *
+    * Output: (doc, n_matches) for documents with ≥ 1 occurrence.
+    */
+  def phraseMatches(df: DataFrame, text: String, id: String,
+                    phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty, "phrase must have at least one word")
+    val toks = df.select(col(id).as("doc"),
+      posexplode(Tok.tokens(col(text))).as(Seq("pos", "tok")))
+    val slots = phrase.zipWithIndex.map { case (w, s) =>
+      toks.filter(col("tok") === lit(w))
+        .select(col("doc"), (col("pos") - lit(s)).as("start"), lit(s).as("slot"))
+    }
+    slots.reduce(_ unionAll _)
+      .groupBy("doc", "start")
+      .agg(count_distinct(col("slot")).as("_hits"))
+      .filter(col("_hits") === lit(phrase.length.toLong))
+      .groupBy("doc").agg(count(lit(1)).as("n_matches"))
+  }
+
   /** Per-(doc, term) TF-IDF over whitespace tokens: tf = in-document
     * term count, df = number of documents containing the term,
     * tfidf = tf · (ln((N+1)/(df+1)) + 1) (smoothed). Two partial-agg

@@ -133,6 +133,66 @@ object TextDedup {
         col("n_blocks"), coalesce(col("n_kept"), lit(0L)).as("n_kept"))
   }
 
+  /** Corpus-frequent line removal — the C4 boilerplate-line filter
+    * (Raffel et al., JMLR 2020, §2.2): a line occurring verbatim in at
+    * least `minDocPermille`‰ of documents is boilerplate (cookie
+    * banners, navigation footers, per-source mastheads) and is stripped
+    * from EVERY document it appears in; all other lines pass through
+    * and surviving text is reassembled verbatim.
+    *
+    * Contrast with [[blockDedup]]: there the FIRST occurrence survives
+    * (duplication is the defect), here no occurrence survives
+    * (the line itself is the defect — no copy is content).
+    *
+    * Determinism: the threshold is the pure integer rule
+    * `line_doc_freq * 1000 >= minDocPermille * n_docs` — no float
+    * division, so any engine classifies identically. Frequency counts
+    * distinct DOCUMENTS (a line repeated inside one doc counts once —
+    * in-document repetition is [[graft.ext.TextAnalysis.repetitionRatio]]'s
+    * signal, not corpus boilerplate). An empty line can qualify like
+    * any other: if >`minDocPermille`‰ of docs contain blank lines, the
+    * blanks are stripped (the C4 behavior).
+    *
+    * Scale shape: lines are exact-split map-side; one distinct+count
+    * shuffle keyed on the line text computes document frequencies; the
+    * frequent set — bounded by `total_lines / (minDocPermille·N/1000)`,
+    * i.e. small by construction since each member must cover a corpus
+    * fraction — broadcasts back against the line stream (no driver
+    * collect); one per-document regroup reassembles. Two shuffles
+    * total, both on bounded-width rows, no pairwise stage.
+    */
+  def stripFrequentLines(df: DataFrame, text: String, id: String,
+                         minDocPermille: Int = 10): DataFrame = {
+    require(minDocPermille >= 1 && minDocPermille <= 1000,
+      "minDocPermille must be in [1, 1000]")
+    // exact '\n' split (content family, like blockDedup): case and
+    // spacing are content; reassembly must reproduce kept lines
+    // verbatim. Spark split() keeps trailing empty fields like DuckDB
+    // string_split, so a trailing newline yields a (strippable) empty
+    // final line in both engines.
+    val lines = df
+      .select(col(id).as("doc"),
+        posexplode(split(col(text), "\n")).as(Seq("pos", "line")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // 1-row corpus total, cross-joined broadcast so the threshold rule
+    // stays inside one declarative plan (no driver-side count round trip)
+    val total = df.agg(count(lit(1)).as("_n"))
+    val frequent = lines.select(col("doc"), col("line")).distinct()
+      .groupBy("line").agg(count(lit(1)).as("_df"))
+      .crossJoin(broadcast(total))
+      .filter(col("_df") * lit(1000L) >= col("_n") * lit(minDocPermille.toLong))
+      .select(col("line"), lit(true).as("_bp"))
+    lines.join(broadcast(frequent), Seq("line"), "left")
+      .groupBy("doc").agg(
+        // collect_list skips NULLs: only non-boilerplate lines are
+        // collected, ordered by their original position
+        concat_ws("\n", expr(
+          "transform(array_sort(collect_list(" +
+            "CASE WHEN _bp IS NULL THEN struct(pos, line) END)), x -> x.line)"))
+          .as("clean"),
+        sum(when(col("_bp"), lit(1L)).otherwise(lit(0L))).as("n_removed"))
+  }
+
   /** Inter-document duplication profile (the corpus-level signal behind
     * "deduplicate before training"): for each document, how many of its
     * distinct word n-gram shingles also occur in at least one OTHER

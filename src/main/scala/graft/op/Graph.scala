@@ -138,4 +138,76 @@ object Graph {
     tris.select(explode(array(col("a"), col("b"), col("c"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("n_triangles"))
   }
+
+  /** k-core decomposition membership: the maximal subgraph in which
+    * every node has degree ≥ k, computed by synchronous peeling —
+    * repeatedly delete all nodes of degree < k until none remain
+    * (Batagelj–Zaveršnik semantics; the fixed point is unique, so the
+    * synchronous rounds are deterministic under any partitioning).
+    *
+    * Convergence: each round either removes ≥ 1 node or is the fixed
+    * point, so rounds ≤ |V|; in practice a handful. The loop stops at
+    * the fixed point (edge count unchanged — one O(1) driver scalar
+    * per round, the pageRank discipline) or at `maxRounds`, and an
+    * unconverged exit is AUDITED loudly (log + the `converged=false`
+    * flag on every row) — a truncated peel is a k-core SUPERSET, which
+    * a silent exit would misrepresent. Cross-engine note: an oracle
+    * unrolling R ≥ rounds-to-convergence iterations reaches the same
+    * fixed point — extra rounds are no-ops on both sides.
+    *
+    * Scale shape, per round: one degree aggregation keyed on the node
+    * and one semi-join of edges against surviving nodes (both ends) —
+    * all on the node key, partitioning sized to the graph and reused.
+    * Lineage is cut per round with an eager localCheckpoint (iterative
+    * plans otherwise grow multiplicatively). Input edges may carry
+    * duplicates / self-loops / either orientation — canonicalized here.
+    *
+    * Output: (node, core_deg) for members of the k-core, where
+    * core_deg = the node's degree WITHIN the core subgraph (≥ k).
+    */
+  def kCore(edges: DataFrame, src: String, dst: String, k: Int,
+            maxRounds: Int = 30): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    require(maxRounds >= 1, "maxRounds must be >= 1")
+    val e0 = edges
+      .select(least(col(src), col(dst)).as("x"),
+        greatest(col(src), col(dst)).as("y"))
+      .filter(col("x") =!= col("y")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val m0 = e0.count()
+    if (m0 == 0L) {
+      e0.unpersist()
+      return e0.select(col("x").as("node"), lit(0L).as("core_deg"),
+        lit(true).as("converged")).limit(0)
+    }
+    val p = math.max(1, math.min((m0 / 2000000L + 1).toInt, 200))
+    var e = e0.repartition(p, col("x")).localCheckpoint(true)
+    e0.unpersist()
+    var m = m0
+    var converged = false
+    var round = 0
+    while (!converged && round < maxRounds && m > 0L) {
+      round += 1
+      val deg = e.select(col("x").as("node"))
+        .union(e.select(col("y").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("deg"))
+      val keep = deg.filter(col("deg") >= k).select("node")
+      val next = e
+        .join(keep.withColumnRenamed("node", "x"), Seq("x"), "left_semi")
+        .join(keep.withColumnRenamed("node", "y"), Seq("y"), "left_semi")
+        .select("x", "y")
+        .repartition(p, col("x")).localCheckpoint(true)
+      val mNext = next.count()
+      converged = mNext == m
+      m = mNext
+      e = next
+    }
+    if (!converged && m > 0L)
+      org.apache.log4j.Logger.getLogger(getClass)
+        .warn(s"kCore: stopped at maxRounds=$maxRounds without " +
+          s"converging ($m edges remain) — result is a k-core SUPERSET")
+    e.select(col("x").as("node")).union(e.select(col("y").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("core_deg"))
+      .withColumn("converged", lit(converged || m == 0L))
+  }
 }
