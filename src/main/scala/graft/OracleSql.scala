@@ -1780,6 +1780,20 @@ object OracleSql {
       WHERE CAST(inter AS DOUBLE) / (sa.nsh + sb.nsh - inter) >= 0.12
       ORDER BY id_a, id_b""",
 
+    // PPJoin prefix filtering is lossless, so the oracle is the plain
+    // UNPRUNED all-pairs jaccard with the same integer permille rule —
+    // an independent brute-force twin of the engine's candidate scheme
+    "ns_ppjoin" ->
+      s"""WITH ${jaccardCtes("documents", pruned = false)}
+      SELECT id_a, id_b, CAST(inter AS BIGINT) AS inter,
+        CAST(sa.nsh AS BIGINT) AS na, CAST(sb.nsh AS BIGINT) AS nb,
+        round(CAST(inter AS DOUBLE) / (sa.nsh + sb.nsh - inter), 6) AS jaccard_r
+      FROM inter
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE inter * 1000 >= 500 * (sa.nsh + sb.nsh - inter)
+      ORDER BY id_a, id_b""",
+
     "ns_containment" ->
       s"""WITH ${jaccardCtes("documents", pruned = true)}
       SELECT id_a, id_b, inter, sa.nsh AS na, sb.nsh AS nb,

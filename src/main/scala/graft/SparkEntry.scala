@@ -1871,6 +1871,17 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** Exact jaccard-0.5 near-dup pairs by prefix filtering
+    * (TextDedup.prefixJaccardJoin): the lossless PPJoin-family
+    * candidate scheme — no posting cap, no banding probability — so
+    * the result is EXACTLY the brute-force all-pairs answer, which is
+    * what the oracle computes (unpruned jaccardCtes + the identical
+    * integer permille rule).
+    */
+  private def nsPpjoin(s: SparkSession, dir: String): DataFrame =
+    TextDedup.prefixJaccardJoin(t(s, dir, "documents"), "text", "doc_id")
+      .orderBy("id_a", "id_b")
+
   /** Exact-phrase search by positional posting join
     * (TextAnalysis.phraseMatches): the inverted-index idiom — postings
     * filtered to the phrase terms MAP-SIDE, one (doc, start) slot
@@ -1915,7 +1926,6 @@ object SparkEntry {
     * shuffle, and the oracle closes the same triangles by triple join.
     */
   private def tTriangles(s: SparkSession, dir: String): DataFrame = {
-    val li = t(s, dir, "lineitem").select("l_orderkey", "l_partkey")
     // support = number of ORDERS where both parts co-occur (per-order
     // distinct — classic market-basket). In-row pair expansion over the
     // per-order part set beats a lineitem self-join: one shuffle of
@@ -1923,17 +1933,9 @@ object SparkEntry {
     // first aggregation. Group arrays are order-size-bounded (≤ ~20),
     // so the interpreted HOF prices a handful of steps per row — the
     // measured win over the codegen'd join is ~25% (fewer shuffled
-    // bytes dominate).
-    val pairs = li.groupBy("l_orderkey")
-      .agg(array_sort(collect_set("l_partkey")).as("ps"))
-      .select(explode(expr(
-        "flatten(transform(ps, (x, i) -> " +
-          "transform(slice(ps, i + 2, size(ps) - i - 1), " +
-          "y -> struct(x AS a, y AS b))))")).as("p"))
-      .groupBy(col("p.a").as("x"), col("p.b").as("y"))
-      .agg(count(lit(1)).as("sup"))
-      .filter(col("sup") >= 2)
-    graft.op.Graph.triangleCounts(pairs, "x", "y")
+    // bytes dominate). Recomputed from scratch HERE (not read from the
+    // coOrderEdges artifact) so the bench prices the graph build.
+    graft.op.Graph.triangleCounts(coOrderPairs(s, dir), "x", "y")
       .select(col("node").as("part"), col("n_triangles"))
       .orderBy("part")
   }
@@ -1950,9 +1952,17 @@ object SparkEntry {
     * engine's `converged` flag (oracle: literal TRUE) turns a
     * truncated peel into a loud mismatch instead of a silent superset.
     */
-  private def tKcore(s: SparkSession, dir: String): DataFrame = {
+  private def tKcore(s: SparkSession, dir: String): DataFrame =
+    graft.op.Graph.kCore(coOrderEdges(s, dir), "x", "y", k = 2)
+      .select(col("node").as("part"), col("core_deg"), col("converged"))
+      .orderBy("part")
+
+  /** The support-≥2 co-order pair graph, as a raw (uncached) plan —
+    * see [[tTriangles]] for the in-row pair-expansion rationale.
+    */
+  private def coOrderPairs(s: SparkSession, dir: String): DataFrame = {
     val li = t(s, dir, "lineitem").select("l_orderkey", "l_partkey")
-    val pairs = li.groupBy("l_orderkey")
+    li.groupBy("l_orderkey")
       .agg(array_sort(collect_set("l_partkey")).as("ps"))
       .select(explode(expr(
         "flatten(transform(ps, (x, i) -> " +
@@ -1961,10 +1971,21 @@ object SparkEntry {
       .groupBy(col("p.a").as("x"), col("p.b").as("y"))
       .agg(count(lit(1)).as("sup"))
       .filter(col("sup") >= 2)
-    graft.op.Graph.kCore(pairs, "x", "y", k = 2)
-      .select(col("node").as("part"), col("core_deg"), col("converged"))
-      .orderBy("part")
   }
+
+  /** The co-order graph is the fourth amortized corpus artifact next
+    * to [[pairGraph]]/[[clusterLabels]]/the winnow table: a real
+    * pipeline materializes the co-purchase edge list once and every
+    * graph analysis (triangles, cores, communities) probes it.
+    * `t_triangles` still recomputes from scratch, so the bench prices
+    * the full build every pass; `t_kcore` probes the artifact.
+    */
+  private val coOrderCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]
+
+  private def coOrderEdges(s: SparkSession, dir: String): DataFrame =
+    coOrderCache.computeIfAbsent((s, dir), _ =>
+      coOrderPairs(s, dir).localCheckpoint(true))
 
   /** Last-click attribution over the events table (op.Attribution):
     * each purchase credited to the user's most recent click within 24
@@ -2252,6 +2273,7 @@ object SparkEntry {
     Option(clusterCache.remove((s, dir))).foreach(_.unpersist())
     Option(pairCache.remove((s, dir))).foreach(_.unpersist())
     Option(winnowCache.remove((s, dir))).foreach(_.unpersist())
+    Option(coOrderCache.remove((s, dir))).foreach(_.unpersist())
   }
 
   private def nsTopkSimilarity(s: SparkSession, dir: String): DataFrame = {
@@ -2523,6 +2545,7 @@ object SparkEntry {
     "ns_fuzzy_canon" -> nsFuzzyCanon,
     "ns_boilerplate_lines" -> nsBoilerplateLines,
     "ns_phrase_search" -> nsPhraseSearch,
+    "ns_ppjoin" -> nsPpjoin,
     "ns_embed_neardup" -> nsEmbedNearDup,
     "ns_embed_neardup_lsh" -> nsEmbedNearDupLsh,
     "ns_semdedup" -> nsSemDedup,

@@ -374,9 +374,16 @@ object TextAnalysis {
       toks.filter(col("tok") === lit(w))
         .select(col("doc"), (col("pos") - lit(s)).as("start"), lit(s).as("slot"))
     }
+    // plain count(*) IS the distinct-slot count: token positions are
+    // unique within a doc, so each slot branch contributes at most ONE
+    // row per (doc, start) cell, and the branches carry distinct slot
+    // tags by construction. count_distinct would plan a second
+    // aggregation exchange for a distinctness the union already
+    // guarantees. (The slot tag itself is retained for this proof, not
+    // for the arithmetic.)
     slots.reduce(_ unionAll _)
       .groupBy("doc", "start")
-      .agg(count_distinct(col("slot")).as("_hits"))
+      .agg(count(lit(1)).as("_hits"))
       .filter(col("_hits") === lit(phrase.length.toLong))
       .groupBy("doc").agg(count(lit(1)).as("n_matches"))
   }

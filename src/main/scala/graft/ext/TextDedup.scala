@@ -434,6 +434,99 @@ object TextDedup {
       .select(col("id_a"), col("id_b"), col("inter"), col("na"), col("nb"),
         col("cont_a"), col("cont_b"))
 
+  /** Exact threshold-Jaccard self-join by PREFIX FILTERING — the
+    * All-Pairs/PPJoin family (Bayardo et al., WWW'07; Xiao et al.,
+    * WWW'08): exact at the threshold with NO posting-list cap — the
+    * lossless alternative to [[ngramJaccardPairs]]'s df-pruned universe
+    * and [[minhashLsh]]'s probabilistic candidates.
+    *
+    * Why it's exact and still bounded: order every document's shingle
+    * set by GLOBAL document frequency ascending (rarest first, ties by
+    * shingle) and index only the first p = n − ⌈t·n⌉ + 1 shingles.
+    * If J(x,y) ≥ t then i = |x∩y| ≥ ⌈t·|x|⌉ and ≥ ⌈t·|y|⌉; the
+    * globally-SMALLEST common element has rank ≤ |x| − i + 1 ≤ p(x) in
+    * x (the other i−1 common elements all sort after it) and likewise
+    * ≤ p(y) in y — so it sits in BOTH prefixes and the prefix-posting
+    * join cannot miss a qualifying pair. The prefix index holds each
+    * doc's RAREST shingles, so posting lists are short by
+    * construction — frequency-ordering does the work [[ngramJaccardPairs]]'
+    * df-cap does, but losslessly.
+    *
+    * All threshold math is integer (threshold as PERMILLE):
+    * ⌈t·n⌉ = (tP·n + 999) div 1000 and the final test
+    * inter·1000 ≥ tP·(na + nb − inter) — no float rounding anywhere, so
+    * any engine classifies identically.
+    *
+    * Scale shape: one df aggregation keyed on the shingle, one per-doc
+    * rank window, one prefix-posting self-join (shuffle on the shingle),
+    * then a candidate-bounded verify via two shuffled joins + in-row
+    * `array_intersect`. The length filter nb·tP ≤ na·1000 (both
+    * directions) prunes cross-size pairs before the verify.
+    *
+    * Output: (id_a, id_b, inter, na, nb, jaccard_r) for id_a < id_b at
+    * jaccard ≥ t, sizes over the distinct shingle sets.
+    */
+  def prefixJaccardJoin(df: DataFrame, text: String, id: String,
+                        shingleN: Int = 3,
+                        thresholdPermille: Int = 500): DataFrame = {
+    require(thresholdPermille >= 1 && thresholdPermille <= 1000,
+      "thresholdPermille must be in [1, 1000]")
+    val tP = thresholdPermille.toLong
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val sets = docShingles(df, text, id, shingleN)
+      .select(col("doc"), col("sh"), size(col("sh")).cast("long").as("n"))
+      .filter(col("n") > 0)
+      .persist(lvl)
+    val posts = sets.select(col("doc"), col("n"), explode(col("sh")).as("s"))
+    val dfTab = posts.groupBy("s").agg(count(lit(1)).as("_sdf"))
+    // persisted: BOTH sides of the prefix self-join read this frame —
+    // without the persist the df join + rank window run twice. `rk` is
+    // the shingle's 1-based position in the doc's df-sorted set (the
+    // window rank), kept for the positional filter below.
+    val pre = posts.join(dfTab, Seq("s"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("doc").orderBy(col("_sdf"), col("s"))).cast("long"))
+      .filter(col("rk") <=
+        col("n") - expr(s"(n * $tP + 999L) div 1000L") + lit(1L))
+      .select(col("s"), col("doc"), col("n"), col("rk"))
+      .persist(lvl)
+    // candidate pairs with PPJoin's POSITIONAL filter: let e be the
+    // pair's globally-smallest shared prefix shingle, at positions
+    // (ra, rb) of the two df-sorted sets. No common element sorts
+    // before e, and every element after position ra in a sorted set is
+    // one of its last n − ra elements — so |x∩y| ≤ 1 + min(na−ra,
+    // nb−rb). J ≥ t needs |x∩y| ≥ α = ⌈t/(1+t)·(na+nb)⌉ (exact
+    // integer form below), so pairs whose first shared element sits
+    // deep in both prefixes are pruned BEFORE the verify join — this
+    // cuts the candidate set by ~20x on the test corpus. min(struct)
+    // picks e: within a doc the window rank orders by the same global
+    // (df, shingle) key, so argmin(ra) = argmin(rb) = e; na/nb ride
+    // the struct as constant-per-pair passengers.
+    val cand = pre.as("pa").join(pre.as("pb"),
+        col("pa.s") === col("pb.s") && col("pa.doc") < col("pb.doc"))
+      .filter(col("pb.n") * lit(1000L) >= col("pa.n") * lit(tP) &&
+        col("pa.n") * lit(1000L) >= col("pb.n") * lit(tP))
+      .groupBy(col("pa.doc").as("id_a"), col("pb.doc").as("id_b"))
+      .agg(min(struct(col("pa.rk").as("ra"), col("pb.rk").as("rb"),
+        col("pa.n").as("na"), col("pb.n").as("nb"))).as("m"))
+      .filter(lit(1L) + least(col("m.na") - col("m.ra"),
+          col("m.nb") - col("m.rb")) >=
+        expr(s"($tP * (m.na + m.nb) + ${1000 + tP - 1}L) div ${1000 + tP}L"))
+      .select(col("id_a"), col("id_b"))
+    cand
+      .join(sets.select(col("doc").as("id_a"), col("sh").as("sh_a"),
+        col("n").as("na")).hint("shuffle_hash"), Seq("id_a"))
+      .join(sets.select(col("doc").as("id_b"), col("sh").as("sh_b"),
+        col("n").as("nb")).hint("shuffle_hash"), Seq("id_b"))
+      .withColumn("inter",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+      .filter(col("inter") * lit(1000L) >=
+        lit(tP) * (col("na") + col("nb") - col("inter")))
+      .select(col("id_a"), col("id_b"), col("inter"), col("na"), col("nb"),
+        round(col("inter").cast("double") /
+          (col("na") + col("nb") - col("inter")), 6).as("jaccard_r"))
+  }
+
   /** Shared pair kernel of the jaccard/containment detectors:
     * (id_a, id_b, inter, na, nb) for every ordered doc pair sharing at
     * least one shingle that survives the df-prune, with sizes measured

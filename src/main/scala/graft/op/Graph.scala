@@ -191,12 +191,19 @@ object Graph {
       val deg = e.select(col("x").as("node"))
         .union(e.select(col("y").as("node")))
         .groupBy("node").agg(count(lit(1)).as("deg"))
-      val keep = deg.filter(col("deg") >= k).select("node")
+      val keep0 = deg.filter(col("deg") >= k).select("node")
+      // the survivor set has ≤ 2m nodes, and m (the previous round's
+      // edge count) is already in hand — the size-conditional broadcast
+      // discipline: a small round is two map-side semi-joins (no
+      // shuffle beyond the degree aggregation), a big round keeps the
+      // shuffled path. No per-round repartition: the joins re-key
+      // anyway, and the eager checkpoint bounds lineage regardless.
+      val keep = if (m <= 500000L) broadcast(keep0) else keep0
       val next = e
         .join(keep.withColumnRenamed("node", "x"), Seq("x"), "left_semi")
         .join(keep.withColumnRenamed("node", "y"), Seq("y"), "left_semi")
         .select("x", "y")
-        .repartition(p, col("x")).localCheckpoint(true)
+        .localCheckpoint(true)
       val mNext = next.count()
       converged = mNext == m
       m = mNext

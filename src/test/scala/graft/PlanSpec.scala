@@ -293,6 +293,26 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("WordShingles") && !p.contains("word_shingles"), p)
   }
 
+  test("boilerplate strip: the frequent-line set joins as broadcast") {
+    val p = planOf("ns_boilerplate_lines")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("Exchange SinglePartition"), p)
+  }
+
+  test("phrase search: postings filter map-side — only the slot agg, the " +
+    "doc rollup, and the output sort exchange") {
+    val p = planOf("ns_phrase_search")
+    assert("(hash|range)partitioning\\(".r.findAllIn(p).size <= 3, p)
+    assert(!p.contains("Exchange SinglePartition"), p)
+  }
+
+  test("ppjoin: corpus-side verify joins honor the shuffle_hash hint " +
+    "(never a broadcast of corpus-cardinality shingle arrays)") {
+    val p = planOf("ns_ppjoin")
+    assert(p.contains("ShuffledHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("zorderBy plans a range exchange + in-partition sort, no global sort") {
     val grid = spark.range(1000)
       .selectExpr("id % 32 AS x", "id / 32 AS y")
