@@ -166,7 +166,13 @@ object ScaleStress {
       // build + verify join under a clone-heavy (dup-majority) batch;
       // semdedup prices the within-cell dominance join when every
       // vector has 4 exact clones in its cell
-      "ns_bloom_dedup", "ns_semdedup")
+      "ns_bloom_dedup", "ns_semdedup",
+      // round-9 third continued session: ppjoin prices the LOSSLESS
+      // prefix join on the clone-heavy corpus (every clone family is a
+      // guaranteed-output clique, so cost tracks the true answer, not
+      // a cap); the boilerplate strip prices the line-df shuffle + the
+      // per-doc positional regroup
+      "ns_ppjoin", "ns_boilerplate_lines")
     // dev iteration: SPARK_GRAFT_STRESS_ONLY=name1,name2 runs just
     // those query steps (audits and corpus stats always run)
     val only = sys.env.get("SPARK_GRAFT_STRESS_ONLY")

@@ -215,4 +215,90 @@ object PropertySpec extends Properties("graft") {
         got == (vecs.indices.map(_.toLong).toSet -- dropped)
       }
     }
+
+  // small vocab so random docs actually share shingles — the prefix
+  // and positional filters must prove they never LOSE a pair
+  private val docGen: Gen[String] =
+    Gen.choose(1, 10).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("alpha", "beta", "gamma", "delta", "eps"))
+        .map(_.mkString(" ")))
+
+  // word_shingles semantics: distinct 3-gram strings; <3 tokens → the
+  // whole text as one shingle
+  private def shingleModel(text: String): Set[String] = {
+    val t = text.split(" ").toSeq
+    if (t.size < 3) Set(t.mkString(" "))
+    else t.sliding(3).map(_.mkString(" ")).toSet
+  }
+
+  property("ppjoin == brute-force jaccard pairs (lossless candidates)") =
+    Prop.forAll(Gen.listOfN(7, docGen), Gen.oneOf(300, 500, 700)) { (docs, tP) =>
+      docs.nonEmpty ==> {
+        val df = docs.zipWithIndex.map { case (d, i) => (i.toLong, d) }
+          .toDF("id", "txt")
+        val got = graft.ext.TextDedup.prefixJaccardJoin(df, "txt", "id",
+          thresholdPermille = tP)
+          .select("id_a", "id_b", "inter").as[(Long, Long, Long)]
+          .collect().toSet
+        val sets = docs.map(shingleModel)
+        val want = (for {
+          a <- docs.indices; b <- docs.indices if a < b
+          inter = (sets(a) & sets(b)).size.toLong
+          if inter * 1000 >= tP * (sets(a).size + sets(b).size - inter)
+        } yield (a.toLong, b.toLong, inter)).toSet
+        got == want
+      }
+    }
+
+  private val edgeGen: Gen[(Long, Long)] =
+    Gen.zip(Gen.choose(0L, 7L), Gen.choose(0L, 7L))
+
+  property("kCore == sequential-peel fixed point, always converged") =
+    Prop.forAll(Gen.listOfN(10, edgeGen), Gen.oneOf(2, 3)) { (edges, k) =>
+      edges.nonEmpty ==> {
+        val got = graft.op.Graph.kCore(edges.toDF("s", "d"), "s", "d", k)
+          .select("node", "core_deg", "converged")
+          .as[(Long, Long, Boolean)].collect()
+        // model: canonical undirected simple graph, peel to fixed point
+        var adj = edges.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+          .filter { case (a, b) => a != b }.distinct
+          .groupBy(_._1).map { case (n, es) => n -> es.map(_._2).toSet }
+        var stable = false
+        while (!stable) {
+          val drop = adj.collect { case (n, ns) if ns.size < k => n }.toSet
+          stable = drop.isEmpty
+          adj = (adj -- drop).map { case (n, ns) => n -> (ns -- drop) }
+            .filter(_._2.nonEmpty)
+        }
+        got.forall(_._3) &&
+          got.map(r => r._1 -> r._2).toMap ==
+            adj.map { case (n, ns) => n -> ns.size.toLong }
+      }
+    }
+
+  private val lineGen: Gen[String] =
+    Gen.choose(1, 4).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("header", "footer", "cookie", "body one",
+        "body two", "tail")).map(_.mkString("\n")))
+
+  property("stripFrequentLines == per-line df model; reassembly verbatim") =
+    Prop.forAll(Gen.listOfN(6, lineGen)) { docs =>
+      docs.nonEmpty ==> {
+        val df = docs.zipWithIndex.map { case (d, i) => (i.toLong, d) }
+          .toDF("id", "txt")
+        val got = graft.ext.TextDedup
+          .stripFrequentLines(df, "txt", "id", minDocPermille = 500)
+          .select("doc", "clean", "n_removed").as[(Long, String, Long)]
+          .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+        val n = docs.size
+        val lineDf = docs.flatMap(_.split("\n", -1).distinct)
+          .groupBy(identity).map { case (l, o) => l -> o.size }
+        val want = docs.zipWithIndex.map { case (d, i) =>
+          val ls = d.split("\n", -1).toSeq
+          val (bp, keep) = ls.partition(l => lineDf(l) * 1000 >= n * 500)
+          i.toLong -> ((keep.mkString("\n"), bp.size.toLong))
+        }.toMap
+        got == want
+      }
+    }
 }
