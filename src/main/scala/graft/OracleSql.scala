@@ -486,8 +486,54 @@ object OracleSql {
     GROUP BY o_orderpriority
     ORDER BY o_orderpriority"""
 
+  /** TPC-H-Q21 shape (suppliers who kept multi-supplier orders
+    * waiting), adapted to this schema: "late" = shipped > 60 days
+    * after the order date (no receipt/commit dates here). The nested
+    * EXISTS + NOT EXISTS over the same lineitem is the decorrelation
+    * workout: Catalyst rewrites them into a semi- and an anti-join on
+    * the order key. Same text both engines; `INTERVAL 60 DAY` parses
+    * identically in Spark and DuckDB.
+    */
+  def lateSuppliersSql(orders: String, lineitem: String,
+                       supplier: String): String =
+    s"""SELECT s_name, COUNT(*) AS numwait
+    FROM $supplier s
+    JOIN $lineitem l1 ON l1.l_suppkey = s.s_suppkey
+    JOIN $orders o ON o.o_orderkey = l1.l_orderkey
+    WHERE o.o_orderstatus = 'F'
+      AND l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+      AND EXISTS (SELECT 1 FROM $lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM $lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 20"""
+
+  /** TPC-H-Q16 shape: distinct-supplier counts per (brand, size) with
+    * a NOT IN anti-subquery excluding negative-balance suppliers —
+    * the null-aware anti-join path (s_suppkey is non-null here, so
+    * both engines agree; the shape still exercises the rewrite).
+    */
+  def brandSuppliersSql(part: String, lineitem: String,
+                        supplier: String): String =
+    s"""SELECT p_brand, p_size,
+      CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM $part p
+    JOIN $lineitem l ON l.l_partkey = p.p_partkey
+    WHERE p.p_size IN (1, 5, 9, 13)
+      AND l.l_suppkey NOT IN
+        (SELECT s_suppkey FROM $supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_size"""
+
   val all: Map[String, String] = Map(
     "sql_waiting_orders" -> waitingOrdersSql("orders", "lineitem"),
+    "sql_late_suppliers" -> lateSuppliersSql("orders", "lineitem", "supplier"),
+    "sql_brand_suppliers" -> brandSuppliersSql("part", "lineitem", "supplier"),
     "sql_pricing_summary" -> pricingSummarySql("lineitem"),
     "sql_local_volume" -> localVolumeSql("customer", "orders", "lineitem",
       "supplier", "nation", "region"),
@@ -2191,6 +2237,26 @@ object OracleSql {
       WHERE a.rk <= 1000 AND b.rk <= 1000
         AND abs(length(a.name) - length(b.name)) <= 3
         AND levenshtein(a.name, b.name) <= 3
+      ORDER BY name_a, name_b""",
+
+    // sorted-neighborhood linkage: the window-8 rank band over the
+    // global name order (row_number + band join — DuckDB plans an
+    // IEJoin), then the same length prefilter + Levenshtein ≤ 3
+    "ns_snm_pairs" ->
+      """WITH names AS (
+        SELECT p_name AS name, CAST(count(*) AS BIGINT) AS n_rows
+        FROM part GROUP BY 1),
+      r AS (SELECT name, n_rows, row_number() OVER (ORDER BY name) AS rn
+            FROM names),
+      cand AS (
+        SELECT a.name AS name_a, b.name AS name_b,
+               a.n_rows AS n_a, b.n_rows AS n_b
+        FROM r a JOIN r b ON b.rn > a.rn AND b.rn - a.rn < 8)
+      SELECT name_a, name_b,
+        CAST(levenshtein(name_a, name_b) AS BIGINT) AS dist, n_a, n_b
+      FROM cand
+      WHERE abs(length(name_a) - length(name_b)) <= 3
+        AND levenshtein(name_a, name_b) <= 3
       ORDER BY name_a, name_b""",
 
     // fuzzy canonicalization: components of the ≤3-distance pair graph

@@ -232,6 +232,28 @@ object SparkEntry {
     s.sql(OracleSql.waitingOrdersSql("v_orders", "v_lineitem"))
   }
 
+  /** SQL-surface: the TPC-H-Q21 kept-waiting shape — EXISTS + NOT
+    * EXISTS over the same lineitem inside one statement, which
+    * Catalyst decorrelates into a semi- AND an anti-join on the order
+    * key. Same SQL text on both engines via
+    * [[OracleSql.lateSuppliersSql]].
+    */
+  private def sqlLateSuppliers(s: SparkSession, dir: String): DataFrame = {
+    for (n <- Seq("orders", "lineitem", "supplier"))
+      t(s, dir, n).createOrReplaceTempView(s"v_$n")
+    s.sql(OracleSql.lateSuppliersSql("v_orders", "v_lineitem", "v_supplier"))
+  }
+
+  /** SQL-surface: the TPC-H-Q16 shape — COUNT(DISTINCT) per group
+    * behind a NOT IN anti-subquery (the null-aware anti-join rewrite).
+    * Same SQL text on both engines via [[OracleSql.brandSuppliersSql]].
+    */
+  private def sqlBrandSuppliers(s: SparkSession, dir: String): DataFrame = {
+    for (n <- Seq("part", "lineitem", "supplier"))
+      t(s, dir, n).createOrReplaceTempView(s"v_$n")
+    s.sql(OracleSql.brandSuppliersSql("v_part", "v_lineitem", "v_supplier"))
+  }
+
   /** SQL-surface: correlated EXISTS + correlated scalar subquery in one
     * statement — the decorrelation machinery (Catalyst rewrites both
     * into joins) a SQL user depends on. Nations that have suppliers,
@@ -1907,6 +1929,18 @@ object SparkEntry {
         col("dist").cast("long").as("dist"), col("n_a"), col("n_b"))
       .orderBy("name_a", "name_b")
 
+  /** Sorted-neighborhood record linkage over the part-name catalog
+    * (op.Fuzzy.sortedNeighborhood): window 8 in the global name order,
+    * edit distance ≤ 3 — the blocking-free complement to ns_fuzzy_join
+    * (a multi-pass linkage runs both and unions the pair graphs). The
+    * oracle reproduces the window semantics independently with
+    * row_number + a rank-band join.
+    */
+  private def nsSnmPairs(s: SparkSession, dir: String): DataFrame =
+    graft.op.Fuzzy.sortedNeighborhood(t(s, dir, "part"), "p_name",
+      window = 8, maxDist = 3)
+      .orderBy("name_a", "name_b")
+
   /** Canonicalization on top of the fuzzy pair graph: each distinct
     * name maps to its fuzzy-family representative (highest row count,
     * ties: smallest name) via the same star-contraction CC that powers
@@ -2423,6 +2457,8 @@ object SparkEntry {
     "sql_pricing_summary" -> sqlPricingSummary,
     "sql_local_volume" -> sqlLocalVolume,
     "sql_waiting_orders" -> sqlWaitingOrders,
+    "sql_late_suppliers" -> sqlLateSuppliers,
+    "sql_brand_suppliers" -> sqlBrandSuppliers,
     "sql_large_orders" -> sqlLargeOrders,
     "sql_correlated" -> sqlCorrelated,
     "t_set_ops" -> tSetOps,
@@ -2543,6 +2579,7 @@ object SparkEntry {
     "ns_html_clean" -> nsHtmlClean,
     "ns_fuzzy_join" -> nsFuzzyJoin,
     "ns_fuzzy_canon" -> nsFuzzyCanon,
+    "ns_snm_pairs" -> nsSnmPairs,
     "ns_boilerplate_lines" -> nsBoilerplateLines,
     "ns_phrase_search" -> nsPhraseSearch,
     "ns_ppjoin" -> nsPpjoin,

@@ -75,6 +75,55 @@ object Fuzzy {
       .groupBy("blk").agg(count(lit(1)).as("n_names"))
       .filter(col("n_names") > maxBlock)
 
+  /** Sorted-neighborhood method (SNM — Hernández & Stolfo, SIGMOD'95):
+    * sort the distinct catalog by the value and compare each entry only
+    * with its `window − 1` successors in the GLOBAL order. The classic
+    * record-linkage complement to [[blockedSelfJoin]]: blocking misses
+    * every cross-block pair (a first-token typo escapes its block
+    * entirely), SNM misses only pairs that sort > window apart — the
+    * two run as passes of a multi-pass linkage in practice.
+    *
+    * Scale shape: the global order comes from
+    * [[graft.op.Scale.globalRowNumbers]] (range partition + local
+    * window + O(partitions) driver offsets — never a single-partition
+    * ORDER BY window). The sliding window becomes an EQUI-join on the
+    * rank bucket of size `window`: any pair with rank distance <
+    * window lies in the same or adjacent buckets, so the a-side is
+    * exploded to its own and the next bucket key and the join builds
+    * groups of exactly window entries — fan-out bounded by
+    * construction, skew impossible regardless of value distribution.
+    * Each same/adjacent-bucket pair is generated exactly once (the
+    * bucket-k copy matches same-bucket partners, the k+1 copy the next
+    * bucket), so no distinct() is needed. The threshold levenshtein
+    * (banded DP, −1 past the bound) prices O(maxDist·len) per
+    * candidate, after the length-difference prefilter.
+    *
+    * Output: (name_a, name_b, dist, n_a, n_b), name_a < name_b by the
+    * sort itself, one row per unordered pair within the neighborhood.
+    */
+  def sortedNeighborhood(df: DataFrame, value: String, window: Int = 8,
+                         maxDist: Int = 3): DataFrame = {
+    require(window >= 2 && maxDist >= 0)
+    val names = graft.op.Scale.globalRowNumbers(
+      distinctNames(df, value).drop("blk"), Seq("name"), idCol = "r")
+    val withB = names.withColumn("b", expr(s"r div $window"))
+    val aSide = withB.select(
+      explode(array(col("b"), col("b") + 1)).as("bj"),
+      col("r").as("r_a"), col("name").as("name_a"),
+      col("n_rows").as("n_a"))
+    val bSide = withB.select(col("b").as("bj"), col("r").as("r_b"),
+      col("name").as("name_b"), col("n_rows").as("n_b"))
+    aSide.join(bSide, Seq("bj"))
+      .filter(col("r_b") > col("r_a") &&
+        col("r_b") - col("r_a") < window)
+      .filter(abs(length(col("name_a")) - length(col("name_b"))) <= maxDist)
+      .withColumn("dist",
+        levenshtein(col("name_a"), col("name_b"), maxDist))
+      .filter(col("dist") >= 0)
+      .select(col("name_a"), col("name_b"),
+        col("dist").cast("long").as("dist"), col("n_a"), col("n_b"))
+  }
+
   /** Canonicalization on top of the pair graph: every distinct value is
     * mapped to the representative of its fuzzy-connected family — the
     * member with the highest row count (ties: smallest name), i.e. the

@@ -49,6 +49,48 @@ class FuzzyGraphSpec extends SparkSpec {
     assert(got == Set(("aa b", "aa b"), ("aa c", "aa b")))
   }
 
+  private def lev(a: String, b: String): Int = {
+    val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+      if (i == 0) j else if (j == 0) i else 0
+    }
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+        d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+    d(a.length)(b.length)
+  }
+
+  test("sortedNeighborhood equals the naive sorted-window model") {
+    val raw = Seq("mango", "mangoo", "mango", "apple", "apples", "zebra",
+      "zebraa", "apricot", "banana", "bananna")
+    val df = raw.toDF("nm")
+    val catalog = raw.groupBy(identity).map { case (n, o) => n -> o.size }
+    val sorted = catalog.keys.toSeq.sorted
+    for (w <- Seq(2, 3, 8)) {
+      val want = (for {
+        i <- sorted.indices; j <- sorted.indices
+        if j > i && j - i < w && lev(sorted(i), sorted(j)) <= 2
+      } yield (sorted(i), sorted(j), lev(sorted(i), sorted(j)).toLong,
+        catalog(sorted(i)).toLong, catalog(sorted(j)).toLong)).toSet
+      val got = Fuzzy.sortedNeighborhood(df, "nm", window = w, maxDist = 2)
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).toSet
+      assert(got == want, s"window $w")
+    }
+  }
+
+  test("sortedNeighborhood: each pair once; a near-dup separated by more " +
+    "than the window in sort order is the documented miss") {
+    // sort order: aa, aaa, aab, ab, abb, ac — aa/aaa are adjacent →
+    // found; aa/ac (lev 1, so WOULD match) are rank distance 5 apart,
+    // beyond window 3 → the documented single-pass miss
+    val df = Seq("aa", "aaa", "aab", "ab", "abb", "ac").toDF("nm")
+    val got = Fuzzy.sortedNeighborhood(df, "nm", window = 3, maxDist = 1)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(got.size == got.distinct.size)
+    assert(got.contains(("aa", "aaa")))
+    assert(!got.exists { case (a, b) => a == "aa" && b == "ac" })
+  }
+
   test("triangleCounts: K4 gives every node 3 triangles; path gives none") {
     val k4 = (for { a <- 1 to 4; b <- 1 to 4 if a < b } yield (a.toLong, b.toLong))
       .toDF("s", "d")
