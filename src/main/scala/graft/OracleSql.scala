@@ -530,8 +530,51 @@ object OracleSql {
     GROUP BY p_brand, p_size
     ORDER BY supplier_cnt DESC, p_brand, p_size"""
 
+  /** TPC-H-Q13 shape: how many customers placed 0, 1, 2, … orders —
+    * the LEFT-join-with-join-condition-predicate workout (the priority
+    * filter must live IN the join condition, not the WHERE, or
+    * zero-order customers vanish), followed by an aggregation over an
+    * aggregation. Same SQL text on both engines.
+    */
+  def orderDistSql(customer: String, orders: String): String =
+    s"""SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+    FROM (SELECT c.c_custkey, CAST(count(o.o_orderkey) AS BIGINT) AS c_count
+          FROM $customer c LEFT JOIN $orders o
+            ON c.c_custkey = o.o_custkey
+            AND o.o_orderpriority <> '1-URGENT'
+          GROUP BY c.c_custkey) t
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC"""
+
+  /** TPC-H-Q22 shape: customers above the average balance with no
+    * URGENT order (the literal never-ordered predicate is empty at
+    * the small test SFs — this keeps the identical scalar-subquery +
+    * NOT-EXISTS + aggregate shape with rows at every scale),
+    * aggregated by a country-code surrogate. The
+    * above-average threshold is the EXACT cross-multiplied form
+    * `bal · n > Σbal` in DECIMAL — `avg(double)` is reduction-order
+    * dependent, and a one-ulp threshold drift flips row membership
+    * between engines. Same SQL text on both engines.
+    */
+  def idleCustomersSql(customer: String, orders: String): String =
+    s"""SELECT cntry, CAST(count(*) AS BIGINT) AS numcust,
+      CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+    FROM (SELECT CAST(c_custkey % 7 AS INT) AS cntry, c_acctbal, c_custkey
+          FROM $customer
+          WHERE CAST(c_acctbal AS DECIMAL(18,2)) *
+                (SELECT count(*) FROM $customer WHERE c_acctbal > 0.0) >
+                (SELECT sum(CAST(c_acctbal AS DECIMAL(18,2)))
+                 FROM $customer WHERE c_acctbal > 0.0)) c
+    WHERE NOT EXISTS (SELECT 1 FROM $orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority = '1-URGENT')
+    GROUP BY cntry
+    ORDER BY cntry"""
+
   val all: Map[String, String] = Map(
     "sql_waiting_orders" -> waitingOrdersSql("orders", "lineitem"),
+    "sql_order_dist" -> orderDistSql("customer", "orders"),
+    "sql_idle_customers" -> idleCustomersSql("customer", "orders"),
     "sql_late_suppliers" -> lateSuppliersSql("orders", "lineitem", "supplier"),
     "sql_brand_suppliers" -> brandSuppliersSql("part", "lineitem", "supplier"),
     "sql_pricing_summary" -> pricingSummarySql("lineitem"),
@@ -2317,6 +2360,83 @@ object OracleSql {
       FROM corners GROUP BY node ORDER BY part""",
 
     "t_kcore" -> kcoreSql(k = 2, rounds = 8),
+
+    // multi-source BFS over the co-order graph: the recursive closure
+    // carries (node, depth) pairs out to the depth bound and min(d)
+    // over them IS the hop distance — an independent formulation of
+    // the same canonical BFS layers the engine's frontier loop emits.
+    // The edge CTEs are MATERIALIZED per the kCore lesson (sym is
+    // referenced from inside the recursion).
+    "t_reachability" ->
+      """WITH RECURSIVE op AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      ep AS (
+        SELECT a.l_partkey AS x, b.l_partkey AS y
+        FROM op a JOIN op b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+      e AS MATERIALIZED (SELECT x, y FROM ep GROUP BY x, y HAVING count(*) >= 2),
+      sym AS MATERIALIZED (
+        SELECT x AS a, y AS b FROM e UNION ALL SELECT y, x FROM e),
+      seeds AS (SELECT DISTINCT a AS node FROM sym WHERE a % 25 = 0),
+      walk AS (
+        SELECT node, 0 AS d FROM seeds
+        UNION
+        SELECT s.b, w.d + 1 FROM walk w JOIN sym s ON s.a = w.node
+        WHERE w.d < 4)
+      SELECT node AS part, CAST(min(d) AS INT) AS dist
+      FROM walk GROUP BY node ORDER BY part""",
+
+    // first-order Markov transitions: adjacent pairs under the same
+    // (ts, event_id) per-user total order; floor-division ppm on both
+    // engines (// on positive BIGINTs ≡ Spark's div)
+    "t_event_transitions" ->
+      """WITH s AS (
+        SELECT user_id, event_type,
+          lead(event_type) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS to_type
+        FROM events),
+      c AS (
+        SELECT event_type AS from_type, to_type,
+          CAST(count(*) AS BIGINT) AS n
+        FROM s WHERE to_type IS NOT NULL GROUP BY 1, 2)
+      SELECT from_type, to_type, n,
+        CAST(n * 1000000 //
+             CAST(sum(n) OVER (PARTITION BY from_type) AS BIGINT)
+             AS BIGINT) AS p_ppm
+      FROM c ORDER BY from_type, to_type""",
+
+    // integer-exact 3σ outliers: the divisions-cleared test
+    // (v·n − S)² > 9·(n·Q − S²) — DuckDB's BIGINT sums promote to
+    // HUGEINT, so both sides of the comparison are exact here just as
+    // the engine's DECIMAL(38,0) chain is
+    "t_outlier_events" ->
+      """WITH e AS (
+        SELECT user_id, event_id,
+          CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        FROM events WHERE value IS NOT NULL),
+      st AS (
+        SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+          sum(cents) AS s, sum(cents * cents) AS q
+        FROM e GROUP BY user_id)
+      SELECT e.user_id, e.event_id, e.cents, st.n
+      FROM e JOIN st ON st.user_id = e.user_id
+      WHERE st.n >= 2
+        AND (e.cents * st.n - st.s) * (e.cents * st.n - st.s)
+            > 9 * (st.n * st.q - st.s * st.s)
+      ORDER BY e.user_id, e.event_id""",
+
+    // first-5-event-type paths per user, counted across users
+    "t_top_paths" ->
+      """WITH r AS (
+        SELECT user_id, event_type,
+          row_number() OVER (PARTITION BY user_id
+                             ORDER BY ts, event_id) AS rn
+        FROM events),
+      p AS (
+        SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path
+        FROM r WHERE rn <= 5 GROUP BY user_id)
+      SELECT path, CAST(count(*) AS BIGINT) AS n_users
+      FROM p GROUP BY path ORDER BY n_users DESC, path""",
 
     "ns_repetition" ->
       s"""WITH ${shingleCtes("documents")},

@@ -232,6 +232,34 @@ object SparkEntry {
     s.sql(OracleSql.waitingOrdersSql("v_orders", "v_lineitem"))
   }
 
+  /** SQL-surface: the TPC-H-Q13 customer-order-distribution shape — a
+    * LEFT join with a predicate INSIDE the join condition (so
+    * zero-order customers survive with count 0), then a second
+    * aggregation over the first's result. Same SQL text on both
+    * engines via [[OracleSql.orderDistSql]]. The 100 TB plan: one
+    * shuffle keyed on the customer for the outer join + count, then a
+    * tiny distribution aggregation over |distinct counts| rows.
+    */
+  private def sqlOrderDist(s: SparkSession, dir: String): DataFrame = {
+    for (n <- Seq("customer", "orders"))
+      t(s, dir, n).createOrReplaceTempView(s"v_$n")
+    s.sql(OracleSql.orderDistSql("v_customer", "v_orders"))
+  }
+
+  /** SQL-surface: the TPC-H-Q22 global-sales-opportunity shape — a
+    * scalar subquery threshold + NOT EXISTS anti-join + final
+    * aggregation. The threshold is the classic above-average-balance
+    * test, but compared EXACTLY: `bal · n > Σbal` in DECIMAL (an
+    * `avg(double)` scalar is reduction-order dependent and could flip
+    * a row's membership between engines by one ulp). Same SQL text on
+    * both engines via [[OracleSql.idleCustomersSql]].
+    */
+  private def sqlIdleCustomers(s: SparkSession, dir: String): DataFrame = {
+    for (n <- Seq("customer", "orders"))
+      t(s, dir, n).createOrReplaceTempView(s"v_$n")
+    s.sql(OracleSql.idleCustomersSql("v_customer", "v_orders"))
+  }
+
   /** SQL-surface: the TPC-H-Q21 kept-waiting shape — EXISTS + NOT
     * EXISTS over the same lineitem inside one statement, which
     * Catalyst decorrelates into a semi- AND an anti-join on the order
@@ -2021,6 +2049,98 @@ object SparkEntry {
     coOrderCache.computeIfAbsent((s, dir), _ =>
       coOrderPairs(s, dir).localCheckpoint(true))
 
+  /** Multi-source BFS over the co-order graph (Graph.bfsDistances):
+    * hop distance from the seed set {parts ≡ 0 mod 25 present in the
+    * graph} out to 4 hops — the "blast radius" query (every part
+    * within k co-purchase hops of a recall set). Probes the amortized
+    * coOrderEdges artifact like t_kcore; the oracle recomputes the
+    * same layers by a depth-bounded recursive closure, and min(d)
+    * over the closure IS the BFS distance.
+    */
+  private def tReachability(s: SparkSession, dir: String): DataFrame = {
+    val e = coOrderEdges(s, dir)
+    val seeds = e.select(col("x").as("node"))
+      .union(e.select(col("y").as("node")))
+      .filter(col("node") % 25 === 0).distinct()
+    graft.op.Graph.bfsDistances(e, "x", "y", seeds, "node", maxDepth = 4)
+      .select(col("node").as("part"), col("dist"))
+      .orderBy("part")
+  }
+
+  /** First-order Markov transition matrix over per-user event streams:
+    * count of each (from_type → to_type) adjacent pair under the
+    * (ts, event_id) total order, with the row-conditional probability
+    * as exact integer ppm (n·1e6 div row total — floor division on
+    * both engines; n ≤ 1e12 transitions stays overflow-safe). One
+    * user-keyed window pass for the lead, one pair aggregation, one
+    * |types|²-row window for the totals.
+    */
+  private def tEventTransitions(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val pairs = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"),
+        lead(col("event_type"), 1).over(w).as("to_type"))
+      .filter(col("to_type").isNotNull)
+    pairs.groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("total", sum(col("n")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("from_type")))
+      .withColumn("p_ppm", expr("n * 1000000 div total"))
+      .select("from_type", "to_type", "n", "p_ppm")
+      .orderBy("from_type", "to_type")
+  }
+
+  /** Integer-exact 3σ outlier detection per user: an event is an
+    * outlier iff (v·n − S)² > 9·(n·Q − S²) over cents-scaled values —
+    * the |v − μ| > 3σ test cleared of BOTH divisions, so membership is
+    * a pure integer comparison no engine can disagree on by an ulp
+    * (DuckDB runs the same test in HUGEINT). Sums ride DECIMAL(38,0):
+    * the squares reach ~1e36 at 100 TB event densities, past BIGINT
+    * but inside 38 digits. One partial-agg shuffle for the per-user
+    * moments + one user-keyed join back (the moments side is |users|
+    * rows — broadcast-eligible).
+    */
+  private def tOutlierEvents(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir).filter(col("value").isNotNull)
+      .select(col("user_id"), col("event_id"),
+        expr("cast(cast(value as decimal(18,2)) * 100 as bigint)").as("cents"))
+    val st = e.groupBy("user_id").agg(
+      count(lit(1)).as("n"),
+      sum(col("cents").cast("decimal(38,0)")).as("s"),
+      sum((col("cents") * col("cents")).cast("decimal(38,0)")).as("q"))
+    e.join(st, Seq("user_id"))
+      .filter(col("n") >= 2)
+      .withColumn("dev", col("cents").cast("decimal(38,0)") * col("n") - col("s"))
+      .filter(col("dev") * col("dev") >
+        lit(9) * (col("q") * col("n") - col("s") * col("s")))
+      .select("user_id", "event_id", "cents", "n")
+      .orderBy("user_id", "event_id")
+  }
+
+  /** Common-path mining: each user's first 5 event types (by the
+    * (ts, event_id) total order) joined into a '>' path, counted
+    * across users — the "how do sessions start" funnel-discovery
+    * query. The per-user window filter rn ≤ 5 is a rank limit Spark
+    * pushes into the sort (WindowGroupLimit), so the collect step
+    * aggregates at most 5 rows per user; distinct paths are bounded
+    * by |types|⁵, making the final aggregation tiny.
+    */
+  private def tTopPaths(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"),
+        row_number().over(w).as("rn"))
+      .filter(col("rn") <= 5)
+      .groupBy("user_id")
+      .agg(expr("array_join(transform(array_sort(" +
+        "collect_list(struct(rn, event_type))), x -> x.event_type), '>')")
+        .as("path"))
+      .groupBy("path").agg(count(lit(1)).as("n_users"))
+      .orderBy(desc("n_users"), col("path"))
+  }
+
   /** Last-click attribution over the events table (op.Attribution):
     * each purchase credited to the user's most recent click within 24
     * hours. One user-keyed equi-join with the band as a post-filter,
@@ -2457,6 +2577,8 @@ object SparkEntry {
     "sql_pricing_summary" -> sqlPricingSummary,
     "sql_local_volume" -> sqlLocalVolume,
     "sql_waiting_orders" -> sqlWaitingOrders,
+    "sql_order_dist" -> sqlOrderDist,
+    "sql_idle_customers" -> sqlIdleCustomers,
     "sql_late_suppliers" -> sqlLateSuppliers,
     "sql_brand_suppliers" -> sqlBrandSuppliers,
     "sql_large_orders" -> sqlLargeOrders,
@@ -2476,6 +2598,10 @@ object SparkEntry {
     "t_pagerank_events" -> tPagerankEvents,
     "t_triangles" -> tTriangles,
     "t_kcore" -> tKcore,
+    "t_reachability" -> tReachability,
+    "t_event_transitions" -> tEventTransitions,
+    "t_outlier_events" -> tOutlierEvents,
+    "t_top_paths" -> tTopPaths,
     "t_attribution" -> tAttribution,
     "t_dq_audit" -> tDqAudit,
     "t_twap" -> tTwap,

@@ -139,6 +139,72 @@ object Graph {
       .groupBy("node").agg(count(lit(1)).as("n_triangles"))
   }
 
+  /** Multi-source BFS hop distances, bounded depth — the reachability /
+    * "blast radius" primitive (which parts are within k co-purchase hops
+    * of a recalled part; which docs sit within k links of a seed set).
+    *
+    * Frontier-driven: round d joins the current frontier against the
+    * symmetrized edge list, anti-joins the visited set, and labels the
+    * survivors dist = d. BFS layers are canonical — every node's hop
+    * distance is independent of partitioning or visit order — so the
+    * result is deterministic and an oracle can recompute it by
+    * recursive closure.
+    *
+    * Scale shape, per round: one semi-join of edges against the
+    * frontier (size-conditionally BROADCAST — BFS frontiers on sparse
+    * graphs are far smaller than the edge list) + one distinct + one
+    * anti-join against visited, all keyed on the node id with the
+    * partitioning sized to the graph and reused. Lineage is cut per
+    * round with an eager localCheckpoint, and the loop stops as soon
+    * as a frontier is empty (one O(1) driver scalar per round — the
+    * kCore discipline). Rounds are bounded by `maxDepth`, so unlike an
+    * unbounded transitive closure this cannot run away on a
+    * small-diameter giant component.
+    *
+    * Input edges are undirected (canonicalized + symmetrized here; may
+    * carry duplicates / self-loops / either orientation). Seeds not in
+    * the edge list still appear with dist = 0. Output: (node, dist) for
+    * every node within `maxDepth` hops of any seed; dist = min hops.
+    */
+  def bfsDistances(edges: DataFrame, src: String, dst: String,
+                   seeds: DataFrame, seedCol: String,
+                   maxDepth: Int): DataFrame = {
+    require(maxDepth >= 0, "maxDepth must be >= 0")
+    val e0 = edges
+      .select(least(col(src), col(dst)).as("x"),
+        greatest(col(src), col(dst)).as("y"))
+      .filter(col("x") =!= col("y")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val m = e0.count()
+    val p = math.max(1, math.min((m / 2000000L + 1).toInt, 200))
+    val sym = e0.select(col("x").as("a"), col("y").as("b"))
+      .union(e0.select(col("y").as("a"), col("x").as("b")))
+      .repartition(p, col("a")).localCheckpoint(true)
+    e0.unpersist()
+    var visited = seeds.select(col(seedCol).as("node")).distinct()
+      .withColumn("dist", lit(0))
+      .repartition(p, col("node")).localCheckpoint(true)
+    var frontier = visited.select("node")
+    var fN = frontier.count()
+    var d = 0
+    while (fN > 0L && d < maxDepth && m > 0L) {
+      d += 1
+      val f = if (fN <= 500000L) broadcast(frontier) else frontier
+      val next = sym
+        .join(f.withColumnRenamed("node", "a"), Seq("a"), "left_semi")
+        .select(col("b").as("node")).distinct()
+        .join(visited.select("node"), Seq("node"), "left_anti")
+        .withColumn("dist", lit(d))
+        .repartition(p, col("node")).localCheckpoint(true)
+      fN = next.count()
+      if (fN > 0L) {
+        visited = visited.union(next).localCheckpoint(true)
+        frontier = next.select("node")
+      }
+    }
+    visited
+  }
+
   /** k-core decomposition membership: the maximal subgraph in which
     * every node has degree ≥ k, computed by synchronous peeling —
     * repeatedly delete all nodes of degree < k until none remain

@@ -1,0 +1,119 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.op.Graph
+
+/** Graph.bfsDistances + the round-9 event-analytics query kernels
+  * (transitions / integer-exact outliers / top paths) on hand-checked
+  * inputs. The registered queries themselves are oracle-gated; these
+  * units pin the algorithmic edges the oracle can't isolate.
+  */
+class EventAnalyticsBfsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def bfs(edges: Seq[(Long, Long)], seeds: Seq[Long],
+                  depth: Int): Map[Long, Int] =
+    Graph.bfsDistances(edges.toDF("s", "d"), "s", "d",
+      seeds.toDF("node"), "node", depth)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+
+  test("bfsDistances: path graph layers from a single seed") {
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L))
+    assert(bfs(path, Seq(1L), 4) ==
+      Map(1L -> 0, 2L -> 1, 3L -> 2, 4L -> 3, 5L -> 4))
+    // depth bound truncates the frontier, not the found layers
+    assert(bfs(path, Seq(1L), 2) == Map(1L -> 0, 2L -> 1, 3L -> 2))
+    assert(bfs(path, Seq(1L), 0) == Map(1L -> 0))
+  }
+
+  test("bfsDistances: multi-source takes the MIN distance; edges are undirected") {
+    // 1-2-3-4-5 seeded at both ends: 3 is 2 hops from either
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+    assert(bfs(path, Seq(1L, 5L), 4) ==
+      Map(1L -> 0, 5L -> 0, 2L -> 1, 4L -> 1, 3L -> 2))
+    // direction of the input tuples is irrelevant after symmetrization
+    assert(bfs(path.map(p => (p._2, p._1)), Seq(5L), 2) ==
+      Map(5L -> 0, 4L -> 1, 3L -> 2))
+  }
+
+  test("bfsDistances: disconnected components stay unreached; isolated seeds emit dist 0") {
+    val g = Seq((1L, 2L), (10L, 11L), (3L, 3L)) // self-loop dropped
+    val got = bfs(g, Seq(1L, 99L), 4)
+    assert(got == Map(1L -> 0, 99L -> 0, 2L -> 1)) // 10/11/3 unreached
+  }
+
+  test("bfsDistances: cycle converges (no infinite frontier), dup edges canonicalized") {
+    val cyc = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 2L), (2L, 1L))
+    assert(bfs(cyc, Seq(1L), 10) == Map(1L -> 0, 2L -> 1, 3L -> 1))
+  }
+
+  test("transition kernel: lead pairs + floor ppm matches hand count") {
+    val ev = Seq(
+      (1L, 10L, "a"), (1L, 20L, "b"), (1L, 30L, "a"),
+      (2L, 10L, "a"), (2L, 20L, "b")
+    ).toDF("user_id", "ts", "event_type")
+      .withColumn("event_id", col("ts"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val got = ev.select(col("event_type"),
+        lead(col("event_type"), 1).over(w).as("to_type"))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("total", sum(col("n")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("from_type")))
+      .withColumn("p_ppm", expr("n * 1000000 div total"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(4))).toSet
+    // from a: a→b twice (both users); from b: b→a once
+    assert(got == Set(("a", "b", 2L, 1000000L), ("b", "a", 1L, 1000000L)))
+  }
+
+  test("integer 3-sigma test: (vn-S)^2 > 9(nQ-S^2) flags exactly the planted spike") {
+    // user 1: a hundred 100s and one 10000 — the spike is ~10σ out; the
+    // 100s are not. (n must be largish: a single point in a sample of n
+    // is at most √(n−1)·σ from the mean, so a 10-point sample can NEVER
+    // strictly exceed 3σ — the first draft of this test planted exactly
+    // 3.00σ and proved it.)
+    val vals = Seq.fill(100)(100L) :+ 10000L
+    val df = vals.zipWithIndex
+      .map { case (c, i) => (1L, i.toLong, c) }
+      .toDF("user_id", "event_id", "cents")
+    val st = df.groupBy("user_id").agg(
+      count(lit(1)).as("n"),
+      sum(col("cents").cast("decimal(38,0)")).as("s"),
+      sum((col("cents") * col("cents")).cast("decimal(38,0)")).as("q"))
+    val out = df.join(st, Seq("user_id"))
+      .filter(col("n") >= 2)
+      .withColumn("dev",
+        col("cents").cast("decimal(38,0)") * col("n") - col("s"))
+      .filter(col("dev") * col("dev") >
+        lit(9) * (col("q") * col("n") - col("s") * col("s")))
+      .select("event_id").as[Long].collect().toSeq
+    assert(out == Seq(100L))
+    // cross-check against the double formulation on this exact data
+    val n = vals.size.toDouble
+    val mean = vals.sum / n
+    val sd = math.sqrt(vals.map(v => (v - mean) * (v - mean)).sum / n)
+    assert(vals.count(v => math.abs(v - mean) > 3 * sd) == 1)
+  }
+
+  test("top-paths kernel: first-5 path per user in (ts,event_id) order") {
+    val ev = Seq(
+      (1L, 1L, 1L, "a"), (1L, 2L, 2L, "b"), (1L, 2L, 3L, "c"), // ts tie → id order
+      (2L, 5L, 1L, "a"), (2L, 6L, 2L, "b"), (2L, 7L, 3L, "c"),
+      (2L, 8L, 4L, "d"), (2L, 9L, 5L, "e"), (2L, 10L, 6L, "f") // 6th trimmed
+    ).toDF("user_id", "ts", "event_id", "event_type")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val got = ev.select(col("user_id"), col("event_type"),
+        row_number().over(w).as("rn"))
+      .filter(col("rn") <= 5)
+      .groupBy("user_id")
+      .agg(expr("array_join(transform(array_sort(" +
+        "collect_list(struct(rn, event_type))), x -> x.event_type), '>')")
+        .as("path"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "a>b>c", 2L -> "a>b>c>d>e"))
+  }
+}
