@@ -300,6 +300,53 @@ object OracleSql {
     head + steps + s"\n      SELECT node, pr FROM r$iters ORDER BY node"
   }
 
+  /** Unrolled personalized-PageRank twin of
+    * `Graph.personalizedPageRank` over the co-order pair graph: the
+    * pagerankSql recurrence with the teleport term restricted to the
+    * mod-25 seed set (seed rows get `(scale // ns) * 15 // 100`,
+    * non-seeds 0 — the exact integer-division order of the engine's
+    * `(init * (100 - d)) / 100`). Graph CTEs are MATERIALIZED — `e` is
+    * referenced from every unrolled step and DuckDB would otherwise
+    * re-derive the lineitem pair self-join per reference.
+    */
+  private def pprSql(iters: Int): String = {
+    val head =
+      s"""WITH op AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      ep AS (
+        SELECT a.l_partkey AS x, b.l_partkey AS y
+        FROM op a JOIN op b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+      e0 AS MATERIALIZED (SELECT x, y FROM ep GROUP BY x, y HAVING count(*) >= 2),
+      e AS MATERIALIZED (
+        SELECT x AS a, y AS b FROM e0 UNION ALL SELECT y, x FROM e0),
+      nodes AS MATERIALIZED (SELECT DISTINCT a AS node FROM e),
+      seeds AS MATERIALIZED (SELECT node FROM nodes WHERE node % 25 = 0),
+      ps AS (SELECT count(*) AS ns FROM seeds),
+      deg AS MATERIALIZED (SELECT a, count(*) AS deg FROM e GROUP BY 1),
+      r0 AS (SELECT nd.node,
+               CASE WHEN sd.node IS NOT NULL
+                    THEN 1000000000000 // ns ELSE 0 END AS pr
+             FROM nodes nd CROSS JOIN ps
+             LEFT JOIN seeds sd ON sd.node = nd.node)"""
+    val steps = (1 to iters).map { i =>
+      s""",
+      c$i AS (SELECT e.b AS node, SUM(r.pr // d.deg) AS s
+              FROM e JOIN deg d ON e.a = d.a
+              JOIN r${i - 1} r ON r.node = e.a GROUP BY 1),
+      r$i AS (SELECT nd.node,
+                CAST(CASE WHEN sd.node IS NOT NULL
+                          THEN (1000000000000 // ns) * 15 // 100
+                          ELSE 0 END
+                     + coalesce(c.s, 0) * 85 // 100 AS BIGINT) AS pr
+              FROM nodes nd CROSS JOIN ps
+              LEFT JOIN seeds sd ON sd.node = nd.node
+              LEFT JOIN c$i c ON c.node = nd.node)"""
+    }.mkString
+    head + steps +
+      s"\n      SELECT node AS part, pr AS ppr FROM r$iters ORDER BY part"
+  }
+
   /** Unrolled synchronous-peeling twin of `Graph.kCore` over the
     * co-order pair graph (the t_triangles edge CTE). Like pagerankSql
     * the iteration is UNROLLED to a fixed depth: `rounds` must be ≥
@@ -2360,6 +2407,7 @@ object OracleSql {
       FROM corners GROUP BY node ORDER BY part""",
 
     "t_kcore" -> kcoreSql(k = 2, rounds = 8),
+    "t_ppr" -> pprSql(3),
 
     // multi-source BFS over the co-order graph: the recursive closure
     // carries (node, depth) pairs out to the depth bound and min(d)
@@ -2424,6 +2472,37 @@ object OracleSql {
         AND (e.cents * st.n - st.s) * (e.cents * st.n - st.s)
             > 9 * (st.n * st.q - st.s * st.s)
       ORDER BY e.user_id, e.event_id""",
+
+    // RFM segmentation: rank-quartile scores over the per-user
+    // recency/frequency/monetary profile; the cut rule 4−((rk−1)·4÷n)
+    // is pinned integer math (ntile's remainder distribution differs
+    // across engines), ranks tiebreak on user_id
+    "t_rfm" ->
+      """WITH e AS (
+        SELECT user_id, epoch_us(ts)*1000 AS tns,
+          CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        FROM events WHERE value IS NOT NULL),
+      per AS (
+        SELECT user_id, max(tns) AS last_ts, CAST(count(*) AS BIGINT) AS f,
+          CAST(sum(cents) AS BIGINT) AS m_cents
+        FROM e GROUP BY user_id),
+      g AS (SELECT max(last_ts) AS g_ts, CAST(count(*) AS BIGINT) AS n
+            FROM per),
+      b AS (SELECT p.*, g.g_ts - p.last_ts AS rec_ns, g.n
+            FROM per p CROSS JOIN g),
+      r AS (SELECT b.*,
+        row_number() OVER (ORDER BY rec_ns, user_id) AS rk_r,
+        row_number() OVER (ORDER BY f DESC, user_id) AS rk_f,
+        row_number() OVER (ORDER BY m_cents DESC, user_id) AS rk_m
+        FROM b)
+      SELECT user_id, rec_ns, f, m_cents,
+        CAST(4 - (rk_r - 1) * 4 // n AS INT) AS r_score,
+        CAST(4 - (rk_f - 1) * 4 // n AS INT) AS f_score,
+        CAST(4 - (rk_m - 1) * 4 // n AS INT) AS m_score,
+        concat(CAST(4 - (rk_r - 1) * 4 // n AS VARCHAR),
+               CAST(4 - (rk_f - 1) * 4 // n AS VARCHAR),
+               CAST(4 - (rk_m - 1) * 4 // n AS VARCHAR)) AS segment
+      FROM r ORDER BY user_id""",
 
     // first-5-event-type paths per user, counted across users
     "t_top_paths" ->

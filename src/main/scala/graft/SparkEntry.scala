@@ -2067,6 +2067,27 @@ object SparkEntry {
       .orderBy("part")
   }
 
+  /** Personalized PageRank from the mod-25 seed set over the co-order
+    * graph (Graph.personalizedPageRank, 3 iterations): seeded-relevance
+    * scores — "parts related to this recall set by co-purchase volume",
+    * the diffusion complement of t_reachability's hop distances. Probes
+    * the amortized coOrderEdges artifact; the oracle unrolls the same
+    * integer fixed-point recurrence with the teleport restricted to the
+    * seeds.
+    */
+  private def tPpr(s: SparkSession, dir: String): DataFrame = {
+    val e = coOrderEdges(s, dir)
+    val sym = e.select(col("x").as("a"), col("y").as("b"))
+      .union(e.select(col("y").as("a"), col("x").as("b")))
+    val seeds = e.select(col("x").as("node"))
+      .union(e.select(col("y").as("node")))
+      .filter(col("node") % 25 === 0).distinct()
+    graft.op.Graph.personalizedPageRank(sym, "a", "b", seeds, "node",
+      iterations = 3)
+      .select(col("node").as("part"), col("rank").as("ppr"))
+      .orderBy("part")
+  }
+
   /** First-order Markov transition matrix over per-user event streams:
     * count of each (from_type → to_type) adjacent pair under the
     * (ts, event_id) total order, with the row-conditional probability
@@ -2116,6 +2137,49 @@ object SparkEntry {
         lit(9) * (col("q") * col("n") - col("s") * col("s")))
       .select("user_id", "event_id", "cents", "n")
       .orderBy("user_id", "event_id")
+  }
+
+  /** RFM segmentation over the events table: per user recency
+    * (ns behind the corpus max ts), frequency, monetary (cents-exact),
+    * each scored into exact rank-quartiles 1–4 — score = 4 for the
+    * best quartile, with the rank computed by
+    * [[graft.op.Scale.globalRowNumbers]]' two-pass range numbering
+    * (NEVER a single-partition global window; three |users|-sized
+    * passes after one events-sized aggregation). Ranks tiebreak on
+    * user_id, so the quartile cut is a total order both engines
+    * reproduce exactly — the usual `ntile` is rank-stable too, but its
+    * remainder distribution differs across engines, so the cut rule is
+    * pinned here as `4 − ((rank−1)·4 div n)`.
+    */
+  private def tRfm(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).filter(col("value").isNotNull)
+      .select(col("user_id"), col("ts"),
+        expr("cast(cast(value as decimal(18,2)) * 100 as bigint)").as("cents"))
+    val per = ev.groupBy("user_id").agg(
+      max(col("ts")).as("last_ts"),
+      count(lit(1)).as("f"),
+      sum(col("cents").cast("decimal(38,0)")).cast("long").as("m_cents"))
+    val glob = ev.agg(max(col("ts")).as("g_ts"),
+      count_distinct(col("user_id")).as("n_users"))
+    val base = per.crossJoin(broadcast(glob))
+      .withColumn("rec_ns", col("g_ts") - col("last_ts"))
+      .withColumn("neg_f", -col("f"))
+      .withColumn("neg_m", -col("m_cents"))
+    def scored(df: DataFrame, sortCols: Seq[String], score: String) =
+      graft.op.Scale.globalRowNumbers(df, sortCols, idCol = "_rk")
+        .withColumn(score, lit(4) - expr("(_rk - 1) * 4 div n_users"))
+        .drop("_rk")
+    val s3 = scored(scored(scored(base,
+      Seq("rec_ns", "user_id"), "r_score"),
+      Seq("neg_f", "user_id"), "f_score"),
+      Seq("neg_m", "user_id"), "m_score")
+    s3.select(col("user_id"), col("rec_ns"), col("f"), col("m_cents"),
+      col("r_score").cast("int").as("r_score"),
+      col("f_score").cast("int").as("f_score"),
+      col("m_score").cast("int").as("m_score"),
+      concat(col("r_score").cast("string"), col("f_score").cast("string"),
+        col("m_score").cast("string")).as("segment"))
+      .orderBy("user_id")
   }
 
   /** Common-path mining: each user's first 5 event types (by the
@@ -2599,8 +2663,10 @@ object SparkEntry {
     "t_triangles" -> tTriangles,
     "t_kcore" -> tKcore,
     "t_reachability" -> tReachability,
+    "t_ppr" -> tPpr,
     "t_event_transitions" -> tEventTransitions,
     "t_outlier_events" -> tOutlierEvents,
+    "t_rfm" -> tRfm,
     "t_top_paths" -> tTopPaths,
     "t_attribution" -> tAttribution,
     "t_dq_audit" -> tDqAudit,

@@ -77,6 +77,70 @@ object Graph {
     ranks
   }
 
+  /** Personalized PageRank: same fixed-point INTEGER iteration as
+    * [[pageRank]], but the teleport term is restricted to `seeds` —
+    * rank mass repeatedly re-injects at the seed set and diffuses
+    * outward, so scores measure proximity TO THE SEEDS rather than
+    * global centrality (the standard seeded-relevance / related-items
+    * primitive; complements [[bfsDistances]], which measures pure hop
+    * distance with no volume weighting).
+    *
+    * Arithmetic contract and scale shape are pageRank's exactly: long
+    * ranks (associative sums — bit-identical under any partitioning),
+    * one edge-keyed join + one aggregation per iteration on a
+    * graph-sized partitioning established once, lineage cut every
+    * other round. The seed flag rides the nodes frame, so the base
+    * term costs nothing extra per iteration. Like pageRank, `edges`
+    * is directed — pass both directions for an undirected graph.
+    * Nodes never reached by seed mass keep rank 0 (they still appear
+    * in the output).
+    */
+  def personalizedPageRank(edges: DataFrame, src: String, dst: String,
+                           seeds: DataFrame, seedCol: String,
+                           iterations: Int = 4, dampingNum: Long = 85,
+                           scale: Long = 1000000000000L): DataFrame = {
+    require(iterations >= 1 && dampingNum >= 0 && dampingNum <= 100)
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val e0 = edges.select(col(src).as("a"), col(dst).as("b")).persist(lvl)
+    val nodes0 = e0.select(col("a").as("node"))
+      .union(e0.select(col("b").as("node"))).distinct()
+    val sd = seeds.select(col(seedCol).as("node")).distinct()
+    val nSeeds = sd.count()
+    require(nSeeds > 0, "personalizedPageRank needs a non-empty seed set")
+    val n = nodes0.count()
+    require(n > 0, "personalizedPageRank needs a non-empty edge list")
+    val p = math.max(1, math.min((n / 500000L + 1).toInt, 200))
+    val e = e0.repartition(p, col("a")).localCheckpoint(true)
+    val init = scale / nSeeds
+    val base = (init * (100 - dampingNum)) / 100
+    // the seed flag joins once, up front; every iteration reads it as a
+    // plain column (seed sets are small — broadcast — but correctness
+    // does not depend on that)
+    val nodes = nodes0
+      .join(broadcast(sd.withColumn("is_seed", lit(true))), Seq("node"), "left")
+      .select(col("node"),
+        when(col("is_seed"), lit(base)).otherwise(lit(0L)).as("base"),
+        when(col("is_seed"), lit(init)).otherwise(lit(0L)).as("init"))
+      .repartition(p, col("node")).localCheckpoint(true)
+    e0.unpersist()
+    val outDeg = e.groupBy("a").agg(count(lit(1)).as("deg"))
+    var ranks = nodes.select(col("node"), col("init").as("rank"))
+    for (i <- 1 to iterations) {
+      val contrib = e.join(outDeg, Seq("a"))
+        .join(ranks.withColumnRenamed("node", "a"), Seq("a"))
+        .select(col("b").as("node"), expr("rank div deg").as("c"))
+        .groupBy("node").agg(sum(col("c")).as("in_sum"))
+      val next = nodes.join(contrib, Seq("node"), "left")
+        .select(col("node"),
+          (col("base") + expr(s"coalesce(in_sum, 0L) * $dampingNum div 100"))
+            .as("rank"))
+      ranks = if (i % 2 == 0 || i == iterations)
+        next.repartition(p, col("node")).localCheckpoint(true)
+      else next
+    }
+    ranks
+  }
+
   /** Per-node triangle counts via the degree-oriented node-iterator
     * (Cohen, "Graph Twiddling in a MapReduce World", CiSE'09; the
     * standard distributed triangle algorithm). Each undirected edge is

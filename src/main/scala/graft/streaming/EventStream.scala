@@ -517,6 +517,63 @@ object EventStream {
     * (the daily-batch trigger), writing to an in-memory sink — used by
     * tests; production swaps the sink for parquet/kafka.
     */
+  final case class TransState(t: Long, id: Long, tpe: String)
+  final case class TransPair(user_id: Long, from_type: String, to_type: String,
+                             from_event_id: Long, to_event_id: Long)
+
+  /** Stateful per-user transition pairing — the incremental twin of
+    * `t_event_transitions`' lead kernel: each user's adjacent
+    * (from_type → to_type) event pairs, emitted as they become known
+    * across micro-batches. State is O(1) per key — only the last seen
+    * (ts, event_id, event_type) is carried, the monotone-state pattern
+    * shared with `streamingAsof`: the carried row is the head of the
+    * next batch's pair chain, so a session split across any number of
+    * micro-batches yields exactly the batch operator's pairs.
+    *
+    * Ordering contract: within a micro-batch rows are sorted by
+    * (ts, event_id), so in-order streams reproduce the batch lead
+    * kernel bit-for-bit. A row arriving LATE — behind the carried
+    * state's event time — is paired in arrival order (it extends the
+    * chain rather than splicing into history); replaying true order
+    * over late data is the batch operator over the historical table,
+    * not streaming state. Downstream aggregation to the transition
+    * matrix is a plain streaming groupBy over this output.
+    *
+    * State retention: event-time timeout `stateTTLMs` past the key's
+    * own latest event time (never behind the watermark — the
+    * lastWriteWinsStream timer discipline); an expired key emits
+    * nothing and the next event starts a fresh chain.
+    */
+  def transitionPairsStream(spark: SparkSession, events: DataFrame,
+                            watermark: String = "10 minutes",
+                            stateTTLMs: Long = 30L * 24 * 3600 * 1000) = {
+    import spark.implicits._
+    events.withWatermark("ts", watermark)
+      .selectExpr("user_id", "ts", "event_id", "event_type")
+      .as[(Long, java.sql.Timestamp, Long, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[TransState, TransPair](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (user, rows, state: GroupState[TransState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val batch = rows.toSeq.sortBy(r => (r._2.getTime, r._3))
+              .map(r => (r._2.getTime, r._3, r._4))
+            val chain = state.getOption.map(s => (s.t, s.id, s.tpe)).toList ++ batch
+            val pairs = chain.sliding(2).collect {
+              case Seq(a, b) => TransPair(user, a._3, b._3, a._2, b._2)
+            }.toList
+            val last = chain.last
+            state.update(TransState(last._1, last._2, last._3))
+            state.setTimeoutTimestamp(
+              math.max(last._1, state.getCurrentWatermarkMs()) + stateTTLMs)
+            pairs.iterator
+          }
+      }
+  }
+
   def runAvailableNow(df: DataFrame, queryName: String,
                       outputMode: OutputMode = OutputMode.Append): Unit = {
     val q = df.writeStream.outputMode(outputMode)

@@ -98,6 +98,67 @@ class EventAnalyticsBfsSpec extends SparkSpec {
     assert(vals.count(v => math.abs(v - mean) > 3 * sd) == 1)
   }
 
+  test("personalizedPageRank: mass stays near the seed; unreached components score 0") {
+    // star 1-{2,3,4,5} plus a disconnected pair {10,11}, seeded at 1
+    val star = Seq((1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L), (10L, 11L))
+    val sym = star ++ star.map(e => (e._2, e._1))
+    val got = Graph.personalizedPageRank(sym.toDF("a", "b"), "a", "b",
+      Seq(1L).toDF("node"), "node", iterations = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(1L) > got(2L)) // the seed keeps the teleport mass
+    assert(got(2L) > 0L && Seq(3L, 4L, 5L).forall(l => got(l) == got(2L)))
+    assert(got(10L) == 0L && got(11L) == 0L) // no seed mass ever arrives
+  }
+
+  test("personalizedPageRank: exact hand-unrolled recurrence on a path; diffusion is depth-bounded") {
+    // Path 1-2-3-4-5 seeded at 1, 3 iterations, hand-unrolled with the
+    // exact integer divisions (init 1e12, base 150e9, damping 85/100).
+    // Note the mass SLOSHES on a bipartite path — rank(3) < rank(4)
+    // after an odd iteration count is correct, not a proximity bug:
+    // node 3 just forwarded its mass outward while 4 just received.
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+    val sym = path ++ path.map(e => (e._2, e._1))
+    val got = Graph.personalizedPageRank(sym.toDF("a", "b"), "a", "b",
+      Seq(1L).toDF("node"), "node", iterations = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(
+      1L -> 204187500000L, 2L -> 588093750000L, 3L -> 54187500000L,
+      4L -> 153531250000L, 5L -> 0L)) // 4 hops out, 3 iters: unreached
+  }
+
+  test("transitionPairsStream: state carries the chain head across micro-batches = batch lead kernel") {
+    import graft.streaming.EventStream
+    val dir = java.nio.file.Files.createTempDirectory("trans").toString
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val b1 = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L, "a", 0.0, ""),
+      (1L, ts("2024-01-01 10:05:00"), 2L, "b", 0.0, ""),
+      (2L, ts("2024-01-01 10:00:00"), 3L, "x", 0.0, ""))
+    val b2 = Seq( // user 1 continues in a LATER micro-batch; user 3 is new
+      (1L, ts("2024-01-01 10:10:00"), 4L, "c", 0.0, ""),
+      (2L, ts("2024-01-01 10:20:00"), 5L, "y", 0.0, ""),
+      (3L, ts("2024-01-01 10:00:00"), 6L, "a", 0.0, ""))
+    val cols = Seq("user_id", "ts", "event_id", "event_type", "value", "props")
+    b1.toDF(cols: _*).coalesce(1).write.parquet(dir + "/f1")
+    b2.toDF(cols: _*).coalesce(1).write.parquet(dir + "/f2")
+    val stream = spark.readStream
+      .schema("user_id bigint, ts timestamp, event_id bigint, " +
+        "event_type string, value double, props string")
+      .option("maxFilesPerTrigger", "1").parquet(dir + "/*")
+    val out = EventStream.transitionPairsStream(spark, stream).toDF()
+    EventStream.runAvailableNow(out, "trans_pairs")
+    val got = spark.sql(
+      "select user_id, from_type, to_type, from_event_id, to_event_id " +
+        "from trans_pairs")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getLong(4))).toSet
+    // the a→b pair lands in batch 1; b→c and x→y REQUIRE the carried
+    // state (their from-rows arrived a micro-batch earlier); user 3's
+    // single event emits nothing
+    assert(got == Set(
+      (1L, "a", "b", 1L, 2L), (1L, "b", "c", 2L, 4L), (2L, "x", "y", 3L, 5L)))
+  }
+
   test("top-paths kernel: first-5 path per user in (ts,event_id) order") {
     val ev = Seq(
       (1L, 1L, 1L, "a"), (1L, 2L, 2L, "b"), (1L, 2L, 3L, "c"), // ts tie → id order
