@@ -2029,6 +2029,51 @@ object OracleSql {
         round(CAST(lm_pts AS DOUBLE) / n_bigrams, 6) AS avg_p_micro
       FROM d ORDER BY doc_id""",
 
+    // sparse tf-idf cosine pairs: identical mille-point weights, the
+    // same integer threshold test in HUGEINT (dot²·10⁴ ≥ 30²·na²·nb²),
+    // and the same one-cast-per-operand double for the reported cosine
+    "ns_sparse_cosine" ->
+      s"""WITH toksa AS (
+        SELECT doc_id, ${wsToks("text")} AS toka FROM documents),
+      toks AS (
+        SELECT doc_id, unnest(toka) AS w,
+               generate_subscripts(toka, 1) AS pos
+        FROM toksa),
+      sh0 AS (
+        SELECT doc_id, w || ' ' || lead(w) OVER (PARTITION BY doc_id ORDER BY pos)
+               || ' ' || lead(w, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS term
+        FROM toks),
+      shortd AS ( -- the kernel's whole-doc shingle for docs < 3 tokens
+        SELECT doc_id, array_to_string(toka, ' ') AS term
+        FROM toksa WHERE len(toka) < 3),
+      terms AS (SELECT DISTINCT doc_id, term FROM (
+        SELECT doc_id, term FROM sh0 WHERE term IS NOT NULL
+        UNION ALL SELECT doc_id, term FROM shortd)),
+      dfreq AS (SELECT term, count(*) AS df FROM terms GROUP BY 1
+                HAVING count(*) <= 100),
+      nd AS (SELECT count(*) AS n_docs FROM documents),
+      w AS MATERIALIZED (
+        SELECT terms.doc_id AS doc, terms.term, dfreq.df,
+          ${graft.ext.Bm25.idfMillePtsSql} AS w
+        FROM terms JOIN dfreq USING (term) CROSS JOIN nd),
+      n2 AS (SELECT doc, sum(CAST(w AS HUGEINT) * w) AS n2
+             FROM w GROUP BY 1),
+      dots AS (
+        SELECT a.doc AS doc_a, b.doc AS doc_b,
+          sum(CAST(a.w AS HUGEINT) * b.w) AS dot
+        FROM (SELECT * FROM w WHERE df >= 2) a
+        JOIN (SELECT * FROM w WHERE df >= 2) b
+          ON a.term = b.term AND a.doc < b.doc
+        GROUP BY 1, 2)
+      SELECT doc_a, doc_b,
+        round(CAST(dot AS DOUBLE) /
+              sqrt(CAST(na.n2 * nb.n2 AS DOUBLE)), 6) AS cos_r
+      FROM dots
+      JOIN n2 na ON na.doc = dots.doc_a
+      JOIN n2 nb ON nb.doc = dots.doc_b
+      WHERE dot * dot * 10000 >= 900 * na.n2 * nb.n2
+      ORDER BY doc_a, doc_b""",
+
     "ns_keywords" ->
       s"""WITH ktf AS (
         SELECT doc_id AS doc, term, count(*) AS tf FROM (

@@ -1657,6 +1657,17 @@ object SparkEntry {
         col("avg_p_micro"))
       .orderBy("doc_id")
 
+  /** Sparse TF-IDF cosine pairs at cos ≥ 0.30 over the df ≤ 100
+    * vocabulary (TextAnalysis.sparseCosinePairs): lexical topical
+    * similarity through the inverted index, pair membership decided by
+    * an exact integer test. The oracle recomputes the identical
+    * mille-point weights and threshold in HUGEINT.
+    */
+  private def nsSparseCosine(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.sparseCosinePairs(t(s, dir, "documents"), "text", "doc_id",
+      minCosCenti = 30, maxDf = 100L)
+      .orderBy("doc_a", "doc_b")
+
   private def nsKeywords(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.keywords(t(s, dir, "documents"), "text", "doc_id", k = 3)
       .select(col("doc").as("doc_id"), col("rk"), col("term"), col("tf"),
@@ -2745,6 +2756,7 @@ object SparkEntry {
     "ns_bm25_route" -> nsBm25Route,
     "ns_hybrid_rrf" -> nsHybridRrf,
     "ns_keywords" -> nsKeywords,
+    "ns_sparse_cosine" -> nsSparseCosine,
     "ns_lm_score" -> nsLmScore,
     "ns_cross_dedup" -> nsCrossDedup,
     "ns_dedup_minhash" -> nsDedupMinhash,

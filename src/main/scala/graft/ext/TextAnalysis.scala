@@ -410,6 +410,81 @@ object TextAnalysis {
       .select(col("doc"), col("term"), col("tf"), col("df"), col("tfidf"))
   }
 
+  /** Sparse TF-IDF cosine document similarity through the inverted
+    * index — the classic term-at-a-time sparse dot product: documents
+    * become integer idf-weighted shingle-set vectors, the posting
+    * self-join generates
+    * exactly the pairs sharing ≥ 1 term, and Σ w_a·w_b over shared
+    * terms IS the dot product (terms unique to one doc contribute 0).
+    * Complements the embedding-cosine family: this is LEXICAL
+    * similarity with no model, the "same words, any order" signal used
+    * for topical near-dup triage and weak supervision.
+    *
+    * Exactness contract: weights are integer mille-points
+    * ([[Bm25.idfMillePtsSql]]); dot and norms accumulate in
+    * DECIMAL(38,0) (DuckDB: HUGEINT — both exact), and the threshold
+    * decision is the divisions-and-sqrt-cleared integer test
+    * `dot² · 10⁴ ≥ t_centi² · ‖a‖²·‖b‖²`, so pair membership cannot
+    * drift by an ulp. Only the REPORTED cosine is double (one cast of
+    * each exact integer, then correctly-rounded · / sqrt — identical
+    * chains both engines).
+    *
+    * Scale shape: terms with df > `maxDf` are stop-listed — that is
+    * part of the operator's semantics (standard stop-wording), and it
+    * is what bounds the posting join: pair volume is Σ_term C(df,2) ≤
+    * maxDf · Σ df. df=1 terms are pruned from the join (a term in one
+    * doc can't pair — lossless) but still count toward norms. One
+    * token shuffle, one term-keyed posting self-join behind
+    * shuffle_hash hints (posting frames are corpus-sized — the
+    * TextDedup discipline), one pair aggregation, two |docs|-row
+    * norm joins.
+    */
+  def sparseCosinePairs(df: DataFrame, text: String, id: String,
+                        minCosCenti: Int = 30,
+                        maxDf: Long = 100L, shingleN: Int = 3): DataFrame = {
+    require(minCosCenti >= 0 && minCosCenti <= 100, "minCosCenti in [0,100]")
+    require(maxDf >= 2, "maxDf must be >= 2")
+    require(shingleN >= 1, "shingleN must be >= 1")
+    // terms are word n-SHINGLES, not words: a natural-language corpus
+    // has a hub-free shingle df distribution where single words are
+    // nearly all stopword-frequent (the jaccard family's term space —
+    // same codegen'd kernel, same parity rules). The kernel dedups
+    // shingles WITHIN a doc and gives a doc shorter than shingleN
+    // tokens its whole text as one shingle, so this is SET cosine:
+    // every present term weighs idf once (tf ≡ 1 by construction).
+    val terms = df.select(col(id).as("doc"),
+      explode(graft.functions.VectorExpressions.word_shingles(
+        Tok.tokens(col(text)), shingleN)).as("term"))
+    val dfreq = terms.groupBy("term").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf)
+    val nDocs = df.agg(count(lit(1)).as("n_docs"))
+    val w = terms.join(dfreq, Seq("term")) // inner join = the stop list
+      .crossJoin(broadcast(nDocs))
+      .withColumn("w", expr(Bm25.idfMillePtsSql))
+      .select("doc", "term", "df", "w")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val norm2 = w.groupBy("doc")
+      .agg(sum(col("w").cast("decimal(38,0)") * col("w")).as("n2"))
+    val post = w.filter(col("df") >= 2)
+      .select(col("term"), col("doc"), col("w"))
+    val dots = post.as("a").hint("shuffle_hash")
+      .join(post.as("b").hint("shuffle_hash"),
+        col("a.term") === col("b.term") && col("a.doc") < col("b.doc"))
+      .groupBy(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
+      .agg(sum(col("a.w").cast("decimal(38,0)") * col("b.w")).as("dot"))
+    val tC = lit(minCosCenti.toLong)
+    dots
+      .join(norm2.select(col("doc").as("doc_a"), col("n2").as("na2")),
+        Seq("doc_a"))
+      .join(norm2.select(col("doc").as("doc_b"), col("n2").as("nb2")),
+        Seq("doc_b"))
+      .filter(col("dot") * col("dot") * lit(10000L) >=
+        tC * tC * col("na2") * col("nb2"))
+      .select(col("doc_a"), col("doc_b"),
+        round(col("dot").cast("double") /
+          sqrt((col("na2") * col("nb2")).cast("double")), 6).as("cos_r"))
+  }
+
   /** BM25 document scoring for a fixed query-term set — the retrieval
     * scorer a training-data pipeline uses for topic mining, hard-negative
     * selection, and retrieval-augmented filtering.
@@ -727,6 +802,15 @@ object Bm25 {
   /** Rational-idf micro-points for keyword extraction: round(1e6·(N+1)/(df+1)). */
   val keywordIdfPtsSql: String =
     "CAST(round(CAST(1000000.0 AS DOUBLE) * CAST(n_docs + 1 AS DOUBLE) / " +
+      "CAST(df + 1 AS DOUBLE)) AS BIGINT)"
+
+  /** Mille-point rational idf: round(1e3·(N+1)/(df+1)). The coarser
+    * scale is deliberate — [[TextAnalysis.sparseCosinePairs]] squares
+    * and cross-multiplies these weights, and micro-points would push
+    * the exact integer threshold test past 38 decimal digits.
+    */
+  val idfMillePtsSql: String =
+    "CAST(round(CAST(1000.0 AS DOUBLE) * CAST(n_docs + 1 AS DOUBLE) / " +
       "CAST(df + 1 AS DOUBLE)) AS BIGINT)"
 
   /** Reciprocal-rank-fusion contribution in integer nano-points:

@@ -413,4 +413,35 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("ShuffledHashJoin"), p)
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
+
+  test("sparse cosine: posting self-join is term-keyed shuffle-hash, no cartesian") {
+    val p = planOf("ns_sparse_cosine")
+    // posting frames are corpus-sized: the pair join must be the hinted
+    // shuffled hash join on the term, never a planner broadcast of a
+    // corpus-cardinality side and never a cartesian. (The one
+    // BroadcastNestedLoopJoin Cross in the plan is the 1-row n_docs
+    // broadcast — the tfidf/keywords pattern — so only CartesianProduct
+    // is banned outright.)
+    assert(p.contains("ShuffledHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("rfm: quartile ranks ride range exchanges; windows are _pid-partitioned") {
+    val p = planOf("t_rfm")
+    // the globalRowNumbers two-pass numbering shows up as range
+    // partitioning feeding _pid-partitioned windows — a global-ORDER
+    // window over one partition would be the 100 TB anti-pattern. (The
+    // plan's SinglePartition exchange is the 1-row global max/count
+    // aggregate, which is legitimate.)
+    assert(p.toLowerCase.contains("rangepartitioning"), p)
+    assert(p.contains("_pid"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("event transitions / outliers: user-keyed exchanges only, no cartesian") {
+    for (q <- Seq("t_event_transitions", "t_outlier_events")) {
+      val p = planOf(q)
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), s"$q\n$p")
+    }
+  }
 }
