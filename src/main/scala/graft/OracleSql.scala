@@ -618,8 +618,58 @@ object OracleSql {
     GROUP BY cntry
     ORDER BY cntry"""
 
+  /** TPC-H-Q7 shape: bilateral trade volume between two nations by
+    * ship year — the two-role nation join (supplier's nation vs
+    * customer's nation) with the symmetric pair predicate, revenue
+    * decimal-exact. Same SQL text on both engines.
+    */
+  def nationTradeSql(supplier: String, lineitem: String, orders: String,
+                     customer: String, nation: String): String =
+    s"""SELECT supp_nation, cust_nation, l_year,
+      CAST(sum(CAST(round(volume, 4) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+      CAST(count(*) AS BIGINT) AS n_lines
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        CAST(year(l.l_shipdate) AS INT) AS l_year,
+        l.l_extendedprice * (1 - l.l_discount) AS volume
+      FROM $supplier s
+      JOIN $lineitem l ON s.s_suppkey = l.l_suppkey
+      JOIN $orders o ON o.o_orderkey = l.l_orderkey
+      JOIN $customer c ON c.c_custkey = o.o_custkey
+      JOIN $nation n1 ON n1.n_nationkey = s.s_nationkey
+      JOIN $nation n2 ON n2.n_nationkey = c.c_nationkey
+      WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+          OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+    ) shipping
+    GROUP BY supp_nation, cust_nation, l_year
+    ORDER BY supp_nation, cust_nation, l_year"""
+
+  /** TPC-H-Q10 shape: returned-item revenue per customer, top 20 —
+    * the classic 4-way star join + decimal-exact revenue ranking with
+    * a pinned c_custkey tiebreak so the LIMIT cut is deterministic.
+    * Same SQL text on both engines.
+    */
+  def returnedRevenueSql(customer: String, orders: String,
+                         lineitem: String, nation: String): String =
+    s"""SELECT c.c_custkey, c.c_name,
+      CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount), 4)
+                    AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+      c.c_acctbal, n.n_name
+    FROM $customer c
+    JOIN $orders o ON o.o_custkey = c.c_custkey
+    JOIN $lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN $nation n ON n.n_nationkey = c.c_nationkey
+    WHERE l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+    ORDER BY revenue DESC, c.c_custkey
+    LIMIT 20"""
+
   val all: Map[String, String] = Map(
     "sql_waiting_orders" -> waitingOrdersSql("orders", "lineitem"),
+    "sql_nation_trade" -> nationTradeSql("supplier", "lineitem", "orders",
+      "customer", "nation"),
+    "sql_returned_revenue" -> returnedRevenueSql("customer", "orders",
+      "lineitem", "nation"),
     "sql_order_dist" -> orderDistSql("customer", "orders"),
     "sql_idle_customers" -> idleCustomersSql("customer", "orders"),
     "sql_late_suppliers" -> lateSuppliersSql("orders", "lineitem", "supplier"),
@@ -2478,6 +2528,18 @@ object OracleSql {
         WHERE w.d < 4)
       SELECT node AS part, CAST(min(d) AS INT) AS dist
       FROM walk GROUP BY node ORDER BY part""",
+
+    // hour-of-day seasonality: exact ppm share within each event type
+    "t_seasonality" ->
+      """WITH c AS (
+        SELECT CAST(hour(ts) AS INT) AS hr, event_type,
+          CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2)
+      SELECT event_type, hr, n,
+        CAST(n * 1000000 //
+             CAST(sum(n) OVER (PARTITION BY event_type) AS BIGINT)
+             AS BIGINT) AS share_ppm
+      FROM c ORDER BY event_type, hr""",
 
     // first-order Markov transitions: adjacent pairs under the same
     // (ts, event_id) per-user total order; floor-division ppm on both

@@ -260,6 +260,33 @@ object SparkEntry {
     s.sql(OracleSql.idleCustomersSql("v_customer", "v_orders"))
   }
 
+  /** SQL-surface: the TPC-H-Q7 bilateral-trade shape — the two-role
+    * nation dimension (supplier's nation AND customer's nation join
+    * the same table under different aliases) with a symmetric pair
+    * predicate. Same SQL text on both engines via
+    * [[OracleSql.nationTradeSql]]. The 100 TB plan: nation broadcasts
+    * twice, supplier/customer broadcast or shuffle by size, one fact
+    * pipeline lineitem→orders with the year extraction map-side.
+    */
+  private def sqlNationTrade(s: SparkSession, dir: String): DataFrame = {
+    for (n <- Seq("supplier", "lineitem", "orders", "customer", "nation"))
+      t(s, dir, n).createOrReplaceTempView(s"v_$n")
+    s.sql(OracleSql.nationTradeSql("v_supplier", "v_lineitem", "v_orders",
+      "v_customer", "v_nation"))
+  }
+
+  /** SQL-surface: the TPC-H-Q10 returned-revenue shape — 4-way star
+    * join, decimal-exact revenue, deterministic top-20 (revenue DESC
+    * with a pinned key tiebreak). Same SQL text on both engines via
+    * [[OracleSql.returnedRevenueSql]].
+    */
+  private def sqlReturnedRevenue(s: SparkSession, dir: String): DataFrame = {
+    for (n <- Seq("customer", "orders", "lineitem", "nation"))
+      t(s, dir, n).createOrReplaceTempView(s"v_$n")
+    s.sql(OracleSql.returnedRevenueSql("v_customer", "v_orders",
+      "v_lineitem", "v_nation"))
+  }
+
   /** SQL-surface: the TPC-H-Q21 kept-waiting shape — EXISTS + NOT
     * EXISTS over the same lineitem inside one statement, which
     * Catalyst decorrelates into a semi- AND an anti-join on the order
@@ -2150,6 +2177,20 @@ object SparkEntry {
       .orderBy("user_id", "event_id")
   }
 
+  /** Hour-of-day seasonality profile per event type with the exact
+    * integer-ppm within-type share — one aggregation (the hour
+    * extraction is map-side) + one |types·24|-row window.
+    */
+  private def tSeasonality(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(hour(col("ts_us")).as("hr"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("total", sum(col("n")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("event_type")))
+      .withColumn("share_ppm", expr("n * 1000000 div total"))
+      .select("event_type", "hr", "n", "share_ppm")
+      .orderBy("event_type", "hr")
+
   /** RFM segmentation over the events table: per user recency
     * (ns behind the corpus max ts), frequency, monetary (cents-exact),
     * each scored into exact rank-quartiles 1–4 — score = 4 for the
@@ -2654,6 +2695,8 @@ object SparkEntry {
     "sql_waiting_orders" -> sqlWaitingOrders,
     "sql_order_dist" -> sqlOrderDist,
     "sql_idle_customers" -> sqlIdleCustomers,
+    "sql_nation_trade" -> sqlNationTrade,
+    "sql_returned_revenue" -> sqlReturnedRevenue,
     "sql_late_suppliers" -> sqlLateSuppliers,
     "sql_brand_suppliers" -> sqlBrandSuppliers,
     "sql_large_orders" -> sqlLargeOrders,
@@ -2678,6 +2721,7 @@ object SparkEntry {
     "t_event_transitions" -> tEventTransitions,
     "t_outlier_events" -> tOutlierEvents,
     "t_rfm" -> tRfm,
+    "t_seasonality" -> tSeasonality,
     "t_top_paths" -> tTopPaths,
     "t_attribution" -> tAttribution,
     "t_dq_audit" -> tDqAudit,

@@ -574,6 +574,63 @@ object EventStream {
       }
   }
 
+  final case class MomState(n: Long, s: Long, q: Long)
+  final case class OutlierFlag(user_id: Long, event_id: Long, cents: Long,
+                               n_prior: Long, is_outlier: Boolean)
+
+  /** Streaming 3σ anomaly flags — the incremental cousin of the batch
+    * `t_outlier_events` query with STREAMING semantics: each event is
+    * tested against the user's history SO FAR (the prior-state
+    * moments, excluding the event itself), then folded into the state.
+    * That is the online monitoring contract — the batch operator's
+    * whole-corpus moments are a different (retrospective) question.
+    *
+    * The test is the same divisions-cleared integer comparison,
+    * (v·n − S)² > 9·(n·Q − S²), evaluated in BigInt so no magnitude
+    * can overflow; the STORED moments are longs, which bounds a key's
+    * history to Σcents² < 2⁶³ (~9e6 events at 10⁶ cents each) — past
+    * the event-time TTL horizon that always holds. Prior n ≥ 2 is
+    * required to flag (σ of one point is undefined). Within a
+    * micro-batch rows fold in (ts, event_id) order, so in-order
+    * streams are deterministic under any batch split.
+    */
+  def runningOutlierStream(spark: SparkSession, events: DataFrame,
+                           watermark: String = "10 minutes",
+                           stateTTLMs: Long = 30L * 24 * 3600 * 1000) = {
+    import spark.implicits._
+    events.withWatermark("ts", watermark)
+      .filter(col("value").isNotNull)
+      .selectExpr("user_id", "ts", "event_id",
+        "cast(cast(value as decimal(18,2)) * 100 as bigint) as cents")
+      .as[(Long, java.sql.Timestamp, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[MomState, OutlierFlag](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (user, rows, state: GroupState[MomState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val batch = rows.toSeq.sortBy(r => (r._2.getTime, r._3))
+            var st = state.getOption.getOrElse(MomState(0L, 0L, 0L))
+            val out = batch.map { case (_, _, id, v) =>
+              val flag = st.n >= 2 && {
+                val n = BigInt(st.n); val s = BigInt(st.s); val q = BigInt(st.q)
+                val dev = BigInt(v) * n - s
+                dev * dev > 9 * (n * q - s * s)
+              }
+              st = MomState(st.n + 1, st.s + v, st.q + v * v)
+              OutlierFlag(user, id, v, st.n - 1, flag)
+            }
+            state.update(st)
+            val maxEventMs = batch.map(_._2.getTime).max
+            state.setTimeoutTimestamp(
+              math.max(maxEventMs, state.getCurrentWatermarkMs()) + stateTTLMs)
+            out.iterator
+          }
+      }
+  }
+
   def runAvailableNow(df: DataFrame, queryName: String,
                       outputMode: OutputMode = OutputMode.Append): Unit = {
     val q = df.writeStream.outputMode(outputMode)

@@ -159,6 +159,40 @@ class EventAnalyticsBfsSpec extends SparkSpec {
       (1L, "a", "b", 1L, 2L), (1L, "b", "c", 2L, 4L), (2L, "x", "y", 3L, 5L)))
   }
 
+  test("runningOutlierStream: spike flagged against carried prior-state moments") {
+    import graft.streaming.EventStream
+    val dir = java.nio.file.Files.createTempDirectory("rout").toString
+    val base = java.sql.Timestamp.valueOf("2024-01-01 10:00:00").getTime
+    def ts(offS: Int) = new java.sql.Timestamp(base + offS * 1000L)
+    val cols = Seq("user_id", "ts", "event_id", "event_type", "value", "props")
+    // batch 1: a hundred 1.00-value events for user 1 (the history)
+    (1 to 100).map(i => (1L, ts(i), i.toLong, "e", 1.0, ""))
+      .toDF(cols: _*).coalesce(1).write.parquet(dir + "/f1")
+    // batch 2: the 100.00 spike, a post-spike normal, and a fresh user
+    Seq((1L, ts(200), 200L, "e", 100.0, ""),
+      (1L, ts(201), 201L, "e", 1.0, ""),
+      (2L, ts(200), 300L, "e", 50.0, ""))
+      .toDF(cols: _*).coalesce(1).write.parquet(dir + "/f2")
+    val stream = spark.readStream
+      .schema("user_id bigint, ts timestamp, event_id bigint, " +
+        "event_type string, value double, props string")
+      .option("maxFilesPerTrigger", "1").parquet(dir + "/*")
+    val out = EventStream.runningOutlierStream(spark, stream).toDF()
+    EventStream.runAvailableNow(out, "run_outliers")
+    val got = spark.sql(
+      "select event_id, n_prior, is_outlier from run_outliers")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    // the spike tests against the CARRIED 100-event state (zero
+    // variance → any deviation flags); the post-spike normal tests
+    // against moments that now absorb the spike (σ ≈ 9.9 → 1.00 is
+    // within 3σ of the ≈1.99 mean); user 2's first event has no prior
+    assert(got(200L) == (100L, true))
+    assert(got(201L) == (101L, false))
+    assert(got(300L) == (0L, false))
+    assert(got.size == 103) // the history rows all emitted, unflagged
+    assert((1L to 100L).forall(i => !got(i)._2))
+  }
+
   test("top-paths kernel: first-5 path per user in (ts,event_id) order") {
     val ev = Seq(
       (1L, 1L, 1L, "a"), (1L, 2L, 2L, "b"), (1L, 2L, 3L, "c"), // ts tie → id order
