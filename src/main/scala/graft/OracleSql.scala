@@ -644,6 +644,44 @@ object OracleSql {
     GROUP BY supp_nation, cust_nation, l_year
     ORDER BY supp_nation, cust_nation, l_year"""
 
+  /** TPC-H-Q3 shape: shipping-priority revenue — segment-filtered
+    * customer × date-banded orders × post-cutoff lineitem, top-10
+    * orders by decimal-exact revenue with pinned tiebreaks. Same SQL
+    * text on both engines.
+    */
+  def shippingPrioritySql(customer: String, orders: String,
+                          lineitem: String): String =
+    s"""SELECT l.l_orderkey,
+      CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount), 4)
+                    AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+      o.o_orderdate, o.o_orderpriority
+    FROM $customer c
+    JOIN $orders o ON c.c_custkey = o.o_custkey
+    JOIN $lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+      AND l.l_shipdate > TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, o.o_orderdate, l.l_orderkey
+    LIMIT 10"""
+
+  /** TPC-H-Q12 shape (adapted: this schema has no l_shipmode, so the
+    * dimension is the priority class and the measure is lateness):
+    * per class, line counts and late-line counts via FILTER-clause
+    * conditional aggregation — one pass, no self-join. Same SQL text
+    * on both engines.
+    */
+  def latenessByPrioritySql(orders: String, lineitem: String): String =
+    s"""SELECT prio_class,
+      CAST(count(*) AS BIGINT) AS n_lines,
+      CAST(count(*) FILTER (WHERE late) AS BIGINT) AS n_late
+    FROM (SELECT CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                      THEN 'high' ELSE 'low' END AS prio_class,
+            l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY AS late
+          FROM $orders o JOIN $lineitem l ON l.l_orderkey = o.o_orderkey) t
+    GROUP BY prio_class
+    ORDER BY prio_class"""
+
   /** TPC-H-Q10 shape: returned-item revenue per customer, top 20 —
     * the classic 4-way star join + decimal-exact revenue ranking with
     * a pinned c_custkey tiebreak so the LIMIT cut is deterministic.
@@ -668,6 +706,9 @@ object OracleSql {
     "sql_waiting_orders" -> waitingOrdersSql("orders", "lineitem"),
     "sql_nation_trade" -> nationTradeSql("supplier", "lineitem", "orders",
       "customer", "nation"),
+    "sql_shipping_priority" -> shippingPrioritySql("customer", "orders",
+      "lineitem"),
+    "sql_lateness_by_priority" -> latenessByPrioritySql("orders", "lineitem"),
     "sql_returned_revenue" -> returnedRevenueSql("customer", "orders",
       "lineitem", "nation"),
     "sql_order_dist" -> orderDistSql("customer", "orders"),
@@ -2528,6 +2569,38 @@ object OracleSql {
         WHERE w.d < 4)
       SELECT node AS part, CAST(min(d) AS INT) AS dist
       FROM walk GROUP BY node ORDER BY part""",
+
+    // CDC apply: the engine's max(struct(ver, op, cents, event_id))
+    // argmax expressed as the identical DESC-chain row_number — 'U' >
+    // 'D' at equal version in both engines' binary string order
+    "t_cdc_apply" ->
+      """WITH e AS (
+        SELECT user_id, event_id, epoch_us(ts)*1000 AS tns,
+          CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        FROM events WHERE value IS NOT NULL),
+      snap AS (
+        SELECT user_id, cents, event_id FROM (
+          SELECT e.*, row_number() OVER (PARTITION BY user_id
+            ORDER BY tns DESC, event_id DESC) AS rn
+          FROM e WHERE event_id % 2 = 0) WHERE rn = 1),
+      ch AS (
+        SELECT user_id, tns AS ver,
+          CASE WHEN event_id % 7 = 0 THEN 'D' ELSE 'U' END AS op,
+          cents, event_id
+        FROM e WHERE event_id % 2 = 1),
+      win AS (
+        SELECT user_id, op, cents, event_id FROM (
+          SELECT ch.*, row_number() OVER (PARTITION BY user_id
+            ORDER BY ver DESC, op DESC, cents DESC, event_id DESC) AS rn
+          FROM ch) WHERE rn = 1)
+      SELECT coalesce(win.user_id, snap.user_id) AS user_id,
+        CASE WHEN win.user_id IS NOT NULL THEN win.cents
+             ELSE snap.cents END AS cents,
+        CASE WHEN win.user_id IS NOT NULL THEN win.event_id
+             ELSE snap.event_id END AS event_id
+      FROM snap FULL JOIN win ON win.user_id = snap.user_id
+      WHERE win.op IS NULL OR win.op <> 'D'
+      ORDER BY user_id""",
 
     // hour-of-day seasonality: exact ppm share within each event type
     "t_seasonality" ->

@@ -287,6 +287,29 @@ object SparkEntry {
       "v_lineitem", "v_nation"))
   }
 
+  /** SQL-surface: the TPC-H-Q3 shipping-priority shape — top-10 orders
+    * by decimal-exact revenue after a segment + date-band triple join.
+    * Same SQL text on both engines via
+    * [[OracleSql.shippingPrioritySql]].
+    */
+  private def sqlShippingPriority(s: SparkSession, dir: String): DataFrame = {
+    for (n <- Seq("customer", "orders", "lineitem"))
+      t(s, dir, n).createOrReplaceTempView(s"v_$n")
+    s.sql(OracleSql.shippingPrioritySql("v_customer", "v_orders",
+      "v_lineitem"))
+  }
+
+  /** SQL-surface: the TPC-H-Q12 shape adapted to this schema —
+    * FILTER-clause conditional aggregation of lateness per priority
+    * class, one fact pass. Same SQL text on both engines via
+    * [[OracleSql.latenessByPrioritySql]].
+    */
+  private def sqlLatenessByPriority(s: SparkSession, dir: String): DataFrame = {
+    for (n <- Seq("orders", "lineitem"))
+      t(s, dir, n).createOrReplaceTempView(s"v_$n")
+    s.sql(OracleSql.latenessByPrioritySql("v_orders", "v_lineitem"))
+  }
+
   /** SQL-surface: the TPC-H-Q21 kept-waiting shape — EXISTS + NOT
     * EXISTS over the same lineitem inside one statement, which
     * Catalyst decorrelates into a semi- AND an anti-join on the order
@@ -2177,6 +2200,30 @@ object SparkEntry {
       .orderBy("user_id", "event_id")
   }
 
+  /** CDC application (op.Cdc.applyChanges): the even-event LWW state
+    * per user is the snapshot; odd events replay as a change log with
+    * every multiple-of-7 id a DELETE. One max(struct) fold of the log
+    * + one full-outer merge — the lakehouse MERGE semantics the
+    * reference's upsert cannot express (deletes). The oracle replays
+    * the same argmax with an identical tiebreak chain.
+    */
+  private def tCdcApply(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir).filter(col("value").isNotNull)
+      .select(col("user_id"), col("event_id"), col("ts"),
+        expr("cast(cast(value as decimal(18,2)) * 100 as bigint)").as("cents"))
+    val snap = e.filter(col("event_id") % 2 === 0)
+      .groupBy("user_id")
+      .agg(max(struct(col("ts"), col("event_id"), col("cents"))).as("m"))
+      .select(col("user_id"), col("m.cents").as("cents"),
+        col("m.event_id").as("event_id"))
+    val ch = e.filter(col("event_id") % 2 === 1)
+      .select(col("user_id"), col("ts").as("ver"),
+        when(col("event_id") % 7 === 0, "D").otherwise("U").as("op"),
+        col("cents"), col("event_id"))
+    graft.op.Cdc.applyChanges(snap, ch, "user_id", "ver", "op")
+      .orderBy("user_id")
+  }
+
   /** Hour-of-day seasonality profile per event type with the exact
     * integer-ppm within-type share — one aggregation (the hour
     * extraction is map-side) + one |types·24|-row window.
@@ -2697,6 +2744,8 @@ object SparkEntry {
     "sql_idle_customers" -> sqlIdleCustomers,
     "sql_nation_trade" -> sqlNationTrade,
     "sql_returned_revenue" -> sqlReturnedRevenue,
+    "sql_shipping_priority" -> sqlShippingPriority,
+    "sql_lateness_by_priority" -> sqlLatenessByPriority,
     "sql_late_suppliers" -> sqlLateSuppliers,
     "sql_brand_suppliers" -> sqlBrandSuppliers,
     "sql_large_orders" -> sqlLargeOrders,
@@ -2722,6 +2771,7 @@ object SparkEntry {
     "t_outlier_events" -> tOutlierEvents,
     "t_rfm" -> tRfm,
     "t_seasonality" -> tSeasonality,
+    "t_cdc_apply" -> tCdcApply,
     "t_top_paths" -> tTopPaths,
     "t_attribution" -> tAttribution,
     "t_dq_audit" -> tDqAudit,
