@@ -2120,6 +2120,44 @@ object OracleSql {
         round(CAST(lm_pts AS DOUBLE) / n_bigrams, 6) AS avg_p_micro
       FROM d ORDER BY doc_id""",
 
+    // explicit-cell CMS: the same portable token-code + multiplier
+    // family arithmetic, cells and mins recomputed exactly
+    "ns_cms_counts" ->
+      s"""WITH toks AS (
+        SELECT unnest(${wsToks("text")}) AS t FROM documents),
+      codes AS (
+        SELECT t, CAST(ascii(substring(t, 1, 1)) * 131 + length(t) AS BIGINT) AS c
+        FROM toks),
+      ds AS (SELECT CAST(range AS BIGINT) AS d FROM range(0, 4)),
+      cells AS (
+        SELECT d, (c * ((2 * d + 3) * 65537)) % 1000003 % 64 AS b,
+          CAST(count(*) AS BIGINT) AS cell_n
+        FROM codes CROSS JOIN ds GROUP BY 1, 2),
+      top AS (
+        SELECT t AS term, CAST(count(*) AS BIGINT) AS true_n, min(c) AS c
+        FROM codes GROUP BY t ORDER BY true_n DESC, term LIMIT 50),
+      est AS (
+        SELECT term, true_n, min(cell_n) AS est_n
+        FROM top CROSS JOIN ds
+        JOIN cells ON cells.d = ds.d
+          AND cells.b = (top.c * ((2 * ds.d + 3) * 65537)) % 1000003 % 64
+        GROUP BY 1, 2)
+      SELECT term, true_n, CAST(est_n AS BIGINT) AS est_n,
+        CAST(est_n - true_n AS BIGINT) AS over_n
+      FROM est ORDER BY term""",
+
+    // feature hashing: same portable code, same Knuth-multiplier mix
+    "ns_feature_hash" ->
+      s"""WITH toks AS (
+        SELECT doc_id, unnest(${wsToks("text")}) AS t FROM documents),
+      codes AS (
+        SELECT doc_id,
+          CAST(ascii(substring(t, 1, 1)) * 131 + length(t) AS BIGINT) AS c
+        FROM toks)
+      SELECT doc_id, (c * 2654435761) % 1000003 % 64 AS bucket,
+        CAST(count(*) AS BIGINT) AS n
+      FROM codes GROUP BY 1, 2 ORDER BY doc_id, bucket""",
+
     // sparse tf-idf cosine pairs: identical mille-point weights, the
     // same integer threshold test in HUGEINT (dot²·10⁴ ≥ 30²·na²·nb²),
     // and the same one-cast-per-operand double for the reported cosine

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.ext.{Multimodal, TextAnalysis, TextDedup, VectorSearch}
+import graft.ext.{Multimodal, Sketches, TextAnalysis, TextDedup, VectorSearch}
 import graft.op.{Dedup, Normalize, PriceGen, Scale}
 import graft.pipeline.Pipeline
 import graft.source.{JsonIngest, Tables}
@@ -1718,6 +1718,27 @@ object SparkEntry {
       minCosCenti = 30, maxDf = 100L)
       .orderBy("doc_a", "doc_b")
 
+  /** Explicit-cell count-min sketch with an exact oracle
+    * (Sketches.cmsTermCounts, depth 4 × width 64): estimated vs true
+    * term frequencies with the overestimate audited per term — the
+    * verifiable form of the sketch family (the binary
+    * count_min_sketch aggregate stays for production).
+    */
+  private def nsCmsCounts(s: SparkSession, dir: String): DataFrame =
+    Sketches.cmsTermCounts(t(s, dir, "documents"), "text",
+      depth = 4, width = 64, topK = 50)
+      .orderBy("term")
+
+  /** Feature hashing (Sketches.featureHash, 64 buckets): the
+    * vocabulary-free sparse featurization, portable-hash bucketed so
+    * the oracle recomputes features bit-for-bit.
+    */
+  private def nsFeatureHash(s: SparkSession, dir: String): DataFrame =
+    Sketches.featureHash(t(s, dir, "documents"), "text", "doc_id",
+      width = 64)
+      .select(col("doc").as("doc_id"), col("bucket"), col("n"))
+      .orderBy("doc_id", "bucket")
+
   private def nsKeywords(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.keywords(t(s, dir, "documents"), "text", "doc_id", k = 3)
       .select(col("doc").as("doc_id"), col("rk"), col("term"), col("tf"),
@@ -2851,6 +2872,8 @@ object SparkEntry {
     "ns_hybrid_rrf" -> nsHybridRrf,
     "ns_keywords" -> nsKeywords,
     "ns_sparse_cosine" -> nsSparseCosine,
+    "ns_cms_counts" -> nsCmsCounts,
+    "ns_feature_hash" -> nsFeatureHash,
     "ns_lm_score" -> nsLmScore,
     "ns_cross_dedup" -> nsCrossDedup,
     "ns_dedup_minhash" -> nsDedupMinhash,

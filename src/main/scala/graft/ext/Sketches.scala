@@ -36,6 +36,76 @@ object Sketches {
     df.agg(count_min_sketch(col(c), lit(eps), lit(confidence), lit(seed))
       .as(s"${c}_cms"))
 
+  /** The engine-portable token code shared with the portable simhash
+    * family (`ascii(first char) · 131 + length` — every operation has
+    * identical semantics in DuckDB), as a SQL fragment over token
+    * column `t`. Weak by design: a VERIFICATION hash that an
+    * independent engine can recompute; production sketches use the
+    * built-in xxhash64/CMS forms above.
+    */
+  val tokCodeSql: String =
+    "CAST(ascii(substring(t, 1, 1)) * 131 + length(t) AS BIGINT)"
+
+  /** Row-d CMS bucket for token code `c`: the simhash multiplier
+    * family `(c · ((2d+3)·65537)) % 1000003 % width`. */
+  def cmsBucketSql(d: String, width: Int): String =
+    s"(c * ((2 * $d + 3) * 65537)) % 1000003 % $width"
+
+  /** Explicit-cell count-min sketch with an EXACT oracle: token
+    * frequencies estimated from a depth × width integer cell matrix
+    * built with the portable hash family, reported next to the exact
+    * counts for the top-k terms. est ≥ true always (CMS never
+    * underestimates); the overestimate column makes hash collisions
+    * visible instead of silently absorbed — the audit discipline the
+    * binary `count_min_sketch` aggregate can't offer an oracle for.
+    *
+    * Scale shape: one map-side explode to (d, bucket) cells (depth
+    * rows per token), one aggregation to depth·width cells — O(1)
+    * output — then the probe side joins the broadcast cell matrix.
+    * Everything is associative integer arithmetic: any partitioning
+    * yields identical cells.
+    */
+  def cmsTermCounts(docs: DataFrame, text: String, depth: Int = 4,
+                    width: Int = 64, topK: Int = 50): DataFrame = {
+    require(depth >= 1 && width >= 1 && topK >= 1)
+    val toks = docs.select(explode(Tok.tokens(col(text))).as("t"))
+      .withColumn("c", expr(tokCodeSql))
+    val cells = toks
+      .select(explode(expr(s"transform(sequence(0, ${depth - 1}), d -> " +
+        s"struct(d AS d, ${cmsBucketSql("d", width)} AS b))")).as("db"))
+      .groupBy(col("db.d").as("d"), col("db.b").as("b"))
+      .agg(count(lit(1)).as("cell_n"))
+    val top = toks.groupBy("t").agg(count(lit(1)).as("true_n"))
+      .orderBy(desc("true_n"), col("t")).limit(topK)
+      .withColumn("c", expr(tokCodeSql))
+    top
+      .select(col("t").as("term"), col("true_n"),
+        explode(expr(s"transform(sequence(0, ${depth - 1}), d -> " +
+          s"struct(d AS d, ${cmsBucketSql("d", width)} AS b))")).as("db"))
+      .join(broadcast(cells),
+        col("db.d") === col("d") && col("db.b") === col("b"))
+      .groupBy("term", "true_n")
+      .agg(min(col("cell_n")).as("est_n"))
+      .withColumn("over_n", col("est_n") - col("true_n"))
+  }
+
+  /** Feature hashing (the hashing trick): each document becomes a
+    * sparse integer vector of `width` buckets — the fixed-dimension,
+    * vocabulary-free text featurization linear models train on. The
+    * bucket map rides the same portable code (mixed by the Knuth
+    * multiplier so adjacent codes spread), so the oracle recomputes
+    * features bit-for-bit. Pure map-side + one (doc, bucket)
+    * aggregation.
+    */
+  def featureHash(docs: DataFrame, text: String, id: String,
+                  width: Int = 64): DataFrame = {
+    require(width >= 1)
+    docs.select(col(id).as("doc"), explode(Tok.tokens(col(text))).as("t"))
+      .withColumn("c", expr(tokCodeSql))
+      .withColumn("bucket", expr(s"(c * 2654435761) % 1000003 % $width"))
+      .groupBy("doc", "bucket").agg(count(lit(1)).as("n"))
+  }
+
   /** One-call corpus profile: row count, distinct docs/langs/sources,
     * char-length quantiles — the summary a curation run logs per shard.
     * Quantiles come back as scalar columns (p50/p95), not an array, so
