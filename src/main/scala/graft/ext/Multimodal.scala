@@ -153,6 +153,67 @@ object Multimodal {
         length(col("media")).cast(LongType).as("n_bytes"),
         md5(col("media")).as("checksum")))
 
+  /** REAL single-image resize: full `javax.imageio` pixel decode,
+    * DETERMINISTIC nearest-neighbor resample (pure integer source
+    * indexing — no platform-dependent filtering kernels), PNG
+    * re-encode. None when no registered reader accepts the bytes —
+    * the caller falls back to the byte-budget stub, mirroring
+    * [[decode]]'s dispatch.
+    */
+  def resizeImage(bytes: Array[Byte], w: Int, h: Int): Option[Array[Byte]] = {
+    if (bytes == null || bytes.length < 8) return None
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      if (img == null || img.getWidth < 1 || img.getHeight < 1) None
+      else {
+        val out = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val sx = (x.toLong * img.getWidth / w).toInt
+            val sy = (y.toLong * img.getHeight / h).toInt
+            out.setRGB(x, y, img.getRGB(sx, sy))
+            x += 1
+          }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(out, "png", bos)
+        Some(bos.toByteArray)
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Column-level real resize: every registry-readable image in the
+    * `media` column is pixel-resampled to (targetW, targetH) and
+    * re-encoded PNG; unreadable blobs keep the [[resizeStub]]
+    * byte-budget semantics so the column contract never breaks on a
+    * mixed-modality corpus. Per-partition row streaming like
+    * [[extractFeatures]] — codec state is JVM-local, memory bounded
+    * by one image at a time.
+    */
+  def resizeImages(df: DataFrame, targetW: Int, targetH: Int,
+                   stubBytes: Int = 4096): DataFrame = {
+    require(targetW >= 1 && targetH >= 1 && stubBytes >= 1)
+    val spark = df.sparkSession
+    val inSchema = df.schema
+    val mediaIdx = inSchema.fieldIndex("media")
+    val rdd = df.rdd.map { r =>
+      val bytes = r.get(mediaIdx).asInstanceOf[Array[Byte]]
+      val resized = resizeImage(bytes, targetW, targetH).getOrElse(
+        if (bytes == null) Array.empty[Byte] else bytes.take(stubBytes))
+      org.apache.spark.sql.Row.fromSeq(
+        r.toSeq.updated(mediaIdx, resized))
+    }
+    spark.createDataFrame(rdd, inSchema)
+      .withColumn("media_meta", struct(
+        col("media_meta.media_type"),
+        length(col("media")).cast(LongType).as("n_bytes"),
+        md5(col("media")).as("checksum")))
+  }
+
   /** STUB media embedder ??? — derives a deterministic unit-norm float
     * vector from the blob bytes (chunked polynomial hashes), standing in
     * for a real image/audio encoder. Output plugs directly into

@@ -631,6 +631,27 @@ object EventStream {
       }
   }
 
+  /** Streaming lakehouse ingest: fold a change stream into a
+    * partitioned parquet table, one [[graft.sink.ParquetMerge]]
+    * partition-level merge per micro-batch. The merge is last-write-
+    * wins by `ver`, which makes the sink IDEMPOTENT — a micro-batch
+    * replayed after a crash (foreachBatch's at-least-once contract)
+    * re-merges to the identical table, so checkpoint + LWW = effective
+    * exactly-once without a transaction log. Only partitions present
+    * in each batch are read or rewritten.
+    */
+  def mergeStream(changes: DataFrame, dir: String, partCol: String,
+                  key: String, ver: String, checkpoint: String)
+  : org.apache.spark.sql.streaming.StreamingQuery =
+    changes.writeStream
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.sink.ParquetMerge.upsertPartitions(
+          b.sparkSession, dir, b.toDF(), partCol, key, ver)
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
   def runAvailableNow(df: DataFrame, queryName: String,
                       outputMode: OutputMode = OutputMode.Append): Unit = {
     val q = df.writeStream.outputMode(outputMode)

@@ -64,6 +64,63 @@ class CdcMergeSpec extends SparkSpec {
     assert(spark.read.parquet(dir).count() == 4)
   }
 
+  test("mergeStream: per-micro-batch LWW merge; checkpoint restart re-merges idempotently") {
+    import graft.streaming.EventStream
+    val src = java.nio.file.Files.createTempDirectory("msrc").toString
+    val tbl = java.nio.file.Files.createTempDirectory("mtbl").toString + "/t"
+    val ckp = java.nio.file.Files.createTempDirectory("mckp").toString
+    val cols = Seq("day", "k", "ver", "v")
+    Seq(("d1", 1L, 1L, 100L), ("d2", 2L, 1L, 200L))
+      .toDF(cols: _*).coalesce(1).write.parquet(src + "/f1")
+    Seq(("d1", 1L, 2L, 111L), ("d1", 3L, 1L, 300L))
+      .toDF(cols: _*).coalesce(1).write.parquet(src + "/f2")
+    def run() = {
+      val st = spark.readStream
+        .schema("day string, k bigint, ver bigint, v bigint")
+        .option("maxFilesPerTrigger", "1").parquet(src + "/*")
+      EventStream.mergeStream(st, tbl, "day", "k", "ver", ckp)
+        .awaitTermination(120000)
+    }
+    run()
+    def state() = spark.read.parquet(tbl).orderBy("k")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val expect = Seq((1L, 2L, 111L), (2L, 1L, 200L), (3L, 1L, 300L))
+    assert(state() == expect)
+    // same-checkpoint restart with no new files: nothing replays, the
+    // table is unchanged — and a NEW file merges incrementally
+    run()
+    assert(state() == expect)
+    Seq(("d2", 2L, 5L, 222L)).toDF(cols: _*).coalesce(1)
+      .write.parquet(src + "/f3")
+    run()
+    assert(state() == Seq((1L, 2L, 111L), (2L, 5L, 222L), (3L, 1L, 300L)))
+  }
+
+  test("resizeImages: real pixel resample for readable images, stub truncation otherwise") {
+    import graft.ext.Multimodal
+    def imageBytes(w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      img.setRGB(0, 0, 0xFF0000)
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, "png", bos))
+      bos.toByteArray
+    }
+    val png = imageBytes(8, 6)
+    val junk = Array.fill[Byte](10000)(42)
+    val df = Seq((1L, png), (2L, junk)).toDF("doc_id", "media")
+      .withColumn("media_meta", struct(
+        lit("image").as("media_type"),
+        length(col("media")).cast("long").as("n_bytes"),
+        md5(col("media")).as("checksum")))
+    val out = Multimodal.resizeImages(df, 4, 3, stubBytes = 100)
+      .collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]]("media")).toMap
+    // the real path: decoded dims of the resized blob are the target
+    assert(Multimodal.decodeImage(out(1L)).exists(f => f.width == 4 && f.height == 3))
+    // the fallback path: unreadable bytes truncate to the stub budget
+    assert(out(2L).length == 100)
+  }
+
   test("upsertPartitions: missing table degrades to a plain partitioned write") {
     val dir = java.nio.file.Files.createTempDirectory("pmergeF").toString + "/t2"
     val delta = Seq(("d1", 1L, 1L, 10L)).toDF("day", "k", "ver", "v")
