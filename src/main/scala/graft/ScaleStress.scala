@@ -172,7 +172,15 @@ object ScaleStress {
       // guaranteed-output clique, so cost tracks the true answer, not
       // a cap); the boilerplate strip prices the line-df shuffle + the
       // per-doc positional regroup
-      "ns_ppjoin", "ns_boilerplate_lines")
+      "ns_ppjoin", "ns_boilerplate_lines",
+      // round-9 fourth continued session: sparse cosine prices the
+      // idf-weighted posting self-join on the clone-heavy corpus
+      // (clone families are guaranteed high-cosine cliques — cost
+      // tracks the true answer); cms/feature-hash price the portable-
+      // hash map-side family (the stress corpus carries documents +
+      // embeddings only, so the event-family additions stay at the
+      // bench scale)
+      "ns_sparse_cosine", "ns_cms_counts", "ns_feature_hash")
     // dev iteration: SPARK_GRAFT_STRESS_ONLY=name1,name2 runs just
     // those query steps (audits and corpus stats always run)
     val only = sys.env.get("SPARK_GRAFT_STRESS_ONLY")
