@@ -301,4 +301,75 @@ object PropertySpec extends Properties("graft") {
         got == want
       }
     }
+
+  // sparse cosine: operator pair membership == the BigInt brute-force
+  // model over the same shingle-set / idf-mille / integer-threshold
+  // semantics (incl. the short-doc whole-text shingle rule)
+  private val scDocGen: Gen[Seq[String]] =
+    Gen.choose(3, 6).flatMap(nd => Gen.listOfN(nd,
+      Gen.choose(0, 7).flatMap(nw => Gen.listOfN(nw,
+        Gen.oneOf("aa", "bb", "cc", "dd", "ee", "ff"))
+        .map(_.mkString(" ")))))
+
+  property("sparseCosinePairs == BigInt brute-force membership") =
+    Prop.forAll(scDocGen, Gen.oneOf(10, 30, 60)) { (docs, centi) =>
+      docs.exists(_.nonEmpty) ==> {
+        val maxDf = docs.size - 1 // force at least the corpus-wide terms out
+        val df = docs.zipWithIndex.map { case (d, i) => (i.toLong, d) }
+          .toDF("doc_id", "text")
+        val got = graft.ext.TextAnalysis
+          .sparseCosinePairs(df, "text", "doc_id",
+            minCosCenti = centi, maxDf = maxDf.toLong)
+          .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+        // model
+        def shingles(t: String): Set[String] = {
+          val toks = t.trim.toLowerCase.split("[ \\t\\n\\u000B\\f\\r]+").toSeq
+          if (toks.length < 3) Set(toks.mkString(" "))
+          else toks.sliding(3).map(_.mkString(" ")).toSet
+        }
+        val sets = docs.zipWithIndex.map { case (d, i) => i.toLong -> shingles(d) }
+        val n = docs.size
+        val dfm = sets.flatMap(_._2).groupBy(identity).map { case (t, o) => t -> o.size }
+          .filter(_._2 <= maxDf)
+        def w(t: String): BigInt =
+          BigInt(math.round(1000.0 * (n + 1) / (dfm(t) + 1)))
+        val weighted = sets.map { case (id, s) => id -> s.filter(dfm.contains) }
+        val want = (for {
+          (a, sa) <- weighted; (b, sb) <- weighted if a < b
+          if sa.nonEmpty && sb.nonEmpty
+        } yield {
+          val dot = (sa & sb).toSeq.map(t => w(t) * w(t)).sum
+          val na2 = sa.toSeq.map(t => w(t) * w(t)).sum
+          val nb2 = sb.toSeq.map(t => w(t) * w(t)).sum
+          ((a, b), dot * dot * 10000 >= BigInt(centi) * centi * na2 * nb2)
+        }).filter(_._2).map(_._1).toSet
+        got == want
+      }
+    }
+
+  // CDC apply == the sequential fold model (argmax by the pinned
+  // (ver, op, payload) chain, delete drops, snapshot pass-through)
+  private val cdcChangeGen =
+    Gen.listOfN(10, Gen.zip(Gen.choose(0L, 7L), Gen.choose(0L, 4L),
+      Gen.oneOf("U", "D"), Gen.choose(0L, 9L)))
+
+  property("Cdc.applyChanges == sequential-fold model") =
+    Prop.forAll(cdcChangeGen) { changes =>
+      val snapshot = Seq((0L, 100L), (1L, 101L), (2L, 102L), (3L, 103L))
+      val snapDf = snapshot.toDF("k", "v")
+      val chDf = changes.toDF("k", "ver", "op", "v")
+      val got = graft.op.Cdc.applyChanges(snapDf, chDf, "k", "ver", "op")
+        .as[(Long, Long)].collect().toSet
+      val winning = changes.groupBy(_._1).map { case (k, cs) =>
+        k -> cs.maxBy(c => (c._2, c._3, c._4))
+      }
+      val want = ((snapshot.map(_._1) ++ changes.map(_._1)).distinct.flatMap { k =>
+        winning.get(k) match {
+          case Some((_, _, "D", _)) => None
+          case Some((_, _, _, v))   => Some(k -> v)
+          case None => snapshot.find(_._1 == k).map(s => s._1 -> s._2)
+        }
+      }).toSet
+      got == want
+    }
 }
