@@ -2640,6 +2640,58 @@ object OracleSql {
       WHERE win.op IS NULL OR win.op <> 'D'
       ORDER BY user_id""",
 
+    // Benford first-digit audit: arithmetic digit extraction (integer
+    // string length as the portable log10), exact ppm shares
+    "t_benford" ->
+      """WITH c AS (
+        SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders WHERE o_totalprice > 0),
+      d AS (
+        SELECT cents // CAST(power(10, length(CAST(cents AS VARCHAR)) - 1)
+                           AS BIGINT) AS digit
+        FROM c)
+      SELECT digit, CAST(count(*) AS BIGINT) AS n,
+        CAST(count(*) * 1000000 // (SELECT count(*) FROM c) AS BIGINT) AS ppm
+      FROM d GROUP BY digit ORDER BY digit""",
+
+    // interval-union coverage: the same sweep expressed with the same
+    // window frames (hwm = ROWS ... 1 PRECEDING; island cumsum = the
+    // default RANGE frame both engines share)
+    "t_interval_coverage" ->
+      """WITH e AS (
+        SELECT user_id, epoch_us(ts)*1000 AS s,
+               epoch_us(ts)*1000 + 600000000000 AS f
+        FROM events),
+      m AS (
+        SELECT user_id, s, f,
+          max(f) OVER (PARTITION BY user_id ORDER BY s, f
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+            AS hwm
+        FROM e),
+      fl AS (
+        SELECT user_id, s, f,
+          CASE WHEN hwm IS NULL OR s > hwm THEN 1 ELSE 0 END AS nw
+        FROM m),
+      isl0 AS (
+        SELECT user_id, s, f,
+          sum(nw) OVER (PARTITION BY user_id ORDER BY s, f) AS island
+        FROM fl),
+      isl AS (
+        SELECT user_id, island, min(s) AS i_start, max(f) AS i_end,
+          count(*) AS n_spans
+        FROM isl0 GROUP BY 1, 2),
+      g AS (
+        SELECT user_id, i_start, i_end, n_spans,
+          i_start - lag(i_end) OVER (PARTITION BY user_id
+                                     ORDER BY i_start) AS gap
+        FROM isl)
+      SELECT user_id,
+        CAST(sum(i_end - i_start) AS BIGINT) AS covered,
+        CAST(count(*) AS BIGINT) AS n_islands,
+        CAST(sum(n_spans) AS BIGINT) AS n_spans,
+        CAST(coalesce(max(gap), 0) AS BIGINT) AS max_gap
+      FROM g GROUP BY user_id ORDER BY user_id""",
+
     // hour-of-day seasonality: exact ppm share within each event type
     "t_seasonality" ->
       """WITH c AS (

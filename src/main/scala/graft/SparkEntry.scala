@@ -2245,6 +2245,43 @@ object SparkEntry {
       .orderBy("user_id")
   }
 
+  /** Benford first-digit audit over order totals — the forensic DQ
+    * screen for fabricated monetary data. The first significant digit
+    * is extracted ARITHMETICALLY from the cents integer (`cents div
+    * 10^(len−1)`, the integer's string LENGTH being the portable
+    * log10 — double→string formatting differs across engines and can
+    * never appear in a verified column), with the observed share in
+    * exact ppm.
+    */
+  private def tBenford(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "orders").filter(col("o_totalprice") > 0)
+      .select(expr("cast(round(o_totalprice * 100) as bigint)").as("cents"))
+    val total = c.agg(count(lit(1)).as("total"))
+    c.withColumn("digit", expr(
+        "cents div cast(power(10, length(cast(cents as string)) - 1) as bigint)"))
+      .groupBy("digit").agg(count(lit(1)).as("n"))
+      .crossJoin(broadcast(total))
+      .withColumn("ppm", expr("n * 1000000 div total"))
+      .select("digit", "n", "ppm")
+      .orderBy("digit")
+  }
+
+  /** Interval-union coverage (op.Intervals): each event opens a
+    * 10-minute activity span; overlapping/adjacent spans merge into
+    * islands per user and the report carries covered time, island and
+    * span counts, and the largest inter-island gap — pure integer
+    * sweep expressed as keyed window passes, one hash partitioning
+    * serving all of them.
+    */
+  private def tIntervalCoverage(s: SparkSession, dir: String): DataFrame = {
+    val spans = Tables.events(s, dir).select(col("user_id"),
+      col("ts").as("s"), (col("ts") + lit(600000000000L)).as("f"))
+    graft.op.Intervals.coverage(spans, "user_id", "s", "f")
+      .select(col("user_id"), col("covered"), col("n_islands"),
+        col("n_spans"), col("max_gap"))
+      .orderBy("user_id")
+  }
+
   /** Hour-of-day seasonality profile per event type with the exact
     * integer-ppm within-type share — one aggregation (the hour
     * extraction is map-side) + one |types·24|-row window.
@@ -2793,6 +2830,8 @@ object SparkEntry {
     "t_rfm" -> tRfm,
     "t_seasonality" -> tSeasonality,
     "t_cdc_apply" -> tCdcApply,
+    "t_interval_coverage" -> tIntervalCoverage,
+    "t_benford" -> tBenford,
     "t_top_paths" -> tTopPaths,
     "t_attribution" -> tAttribution,
     "t_dq_audit" -> tDqAudit,
