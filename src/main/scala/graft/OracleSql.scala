@@ -2640,6 +2640,24 @@ object OracleSql {
       WHERE win.op IS NULL OR win.op <> 'D'
       ORDER BY user_id""",
 
+    // exact weighted median: cents-ordered cumulative weights; the
+    // default RANGE frame folds ties identically in both engines
+    "t_weighted_median" ->
+      """WITH li AS (
+        SELECT l_returnflag AS flag,
+          CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+          CAST(round(l_quantity * 100) AS BIGINT) AS w
+        FROM lineitem),
+      c AS (
+        SELECT flag, cents, w,
+          sum(w) OVER (PARTITION BY flag ORDER BY cents) AS cum,
+          sum(w) OVER (PARTITION BY flag) AS total
+        FROM li)
+      SELECT flag, CAST(min(cents) AS BIGINT) AS wmedian_cents,
+        CAST(max(total) AS BIGINT) AS total_w
+      FROM c WHERE cum * 2 >= total
+      GROUP BY flag ORDER BY flag""",
+
     // Benford first-digit audit: arithmetic digit extraction (integer
     // string length as the portable log10), exact ppm shares
     "t_benford" ->

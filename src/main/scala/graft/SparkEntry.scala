@@ -2245,6 +2245,31 @@ object SparkEntry {
       .orderBy("user_id")
   }
 
+  /** Exact weighted median: per return flag, the quantity-weighted
+    * median of line prices — the order statistic percentile_approx
+    * can only approximate. One cents-ordered cumulative-weight window
+    * per group (the default RANGE frame folds ties all-or-nothing, so
+    * the boundary value is permutation-invariant — no unique ordering
+    * column needed), then min(cents) over the rows where
+    * 2·cum ≥ total. All integer arithmetic.
+    */
+  private def tWeightedMedian(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+      .select(col("l_returnflag").as("flag"),
+        expr("cast(round(l_extendedprice * 100) as bigint)").as("cents"),
+        expr("cast(round(l_quantity * 100) as bigint)").as("w"))
+    val wOrd = org.apache.spark.sql.expressions.Window
+      .partitionBy("flag").orderBy("cents")
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy("flag")
+    li.withColumn("cum", sum(col("w")).over(wOrd))
+      .withColumn("total", sum(col("w")).over(wAll))
+      .filter(col("cum") * 2 >= col("total"))
+      .groupBy("flag")
+      .agg(min(col("cents")).as("wmedian_cents"),
+        max(col("total")).as("total_w"))
+      .orderBy("flag")
+  }
+
   /** Benford first-digit audit over order totals — the forensic DQ
     * screen for fabricated monetary data. The first significant digit
     * is extracted ARITHMETICALLY from the cents integer (`cents div
@@ -2832,6 +2857,7 @@ object SparkEntry {
     "t_cdc_apply" -> tCdcApply,
     "t_interval_coverage" -> tIntervalCoverage,
     "t_benford" -> tBenford,
+    "t_weighted_median" -> tWeightedMedian,
     "t_top_paths" -> tTopPaths,
     "t_attribution" -> tAttribution,
     "t_dq_audit" -> tDqAudit,
