@@ -2141,13 +2141,20 @@ object SparkEntry {
     */
   private def tReachability(s: SparkSession, dir: String): DataFrame = {
     val e = coOrderEdges(s, dir)
-    val seeds = e.select(col("x").as("node"))
-      .union(e.select(col("y").as("node")))
-      .filter(col("node") % 25 === 0).distinct()
-    graft.op.Graph.bfsDistances(e, "x", "y", seeds, "node", maxDepth = 4)
+    graft.op.Graph.bfsDistances(e, "x", "y", coOrderSeeds(e), "node",
+      maxDepth = 4)
       .select(col("node").as("part"), col("dist"))
       .orderBy("part")
   }
+
+  /** The mod-25 seed set over a co-order edge frame — shared by
+    * t_reachability and t_ppr so the twin queries cannot drift apart
+    * on the seed definition (both oracles derive the identical set).
+    */
+  private def coOrderSeeds(e: DataFrame): DataFrame =
+    e.select(col("x").as("node"))
+      .union(e.select(col("y").as("node")))
+      .filter(col("node") % 25 === 0).distinct()
 
   /** Personalized PageRank from the mod-25 seed set over the co-order
     * graph (Graph.personalizedPageRank, 3 iterations): seeded-relevance
@@ -2161,11 +2168,8 @@ object SparkEntry {
     val e = coOrderEdges(s, dir)
     val sym = e.select(col("x").as("a"), col("y").as("b"))
       .union(e.select(col("y").as("a"), col("x").as("b")))
-    val seeds = e.select(col("x").as("node"))
-      .union(e.select(col("y").as("node")))
-      .filter(col("node") % 25 === 0).distinct()
-    graft.op.Graph.personalizedPageRank(sym, "a", "b", seeds, "node",
-      iterations = 3)
+    graft.op.Graph.personalizedPageRank(sym, "a", "b", coOrderSeeds(e),
+      "node", iterations = 3)
       .select(col("node").as("part"), col("rank").as("ppr"))
       .orderBy("part")
   }
@@ -2211,7 +2215,9 @@ object SparkEntry {
     val st = e.groupBy("user_id").agg(
       count(lit(1)).as("n"),
       sum(col("cents").cast("decimal(38,0)")).as("s"),
-      sum((col("cents") * col("cents")).cast("decimal(38,0)")).as("q"))
+      // cast BEFORE squaring: a long×long square wraps past ~3e9 cents
+      // (~$30M values) where the decimal product stays exact
+      sum(col("cents").cast("decimal(38,0)") * col("cents")).as("q"))
     e.join(st, Seq("user_id"))
       .filter(col("n") >= 2)
       .withColumn("dev", col("cents").cast("decimal(38,0)") * col("n") - col("s"))

@@ -68,8 +68,12 @@ object Sketches {
   def cmsTermCounts(docs: DataFrame, text: String, depth: Int = 4,
                     width: Int = 64, topK: Int = 50): DataFrame = {
     require(depth >= 1 && width >= 1 && topK >= 1)
+    // toks feeds BOTH the cell matrix and the true-count top-k —
+    // persist or the corpus tokenizes twice (the sparseCosinePairs
+    // shared-frame discipline)
     val toks = docs.select(explode(Tok.tokens(col(text))).as("t"))
       .withColumn("c", expr(tokCodeSql))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cells = toks
       .select(explode(expr(s"transform(sequence(0, ${depth - 1}), d -> " +
         s"struct(d AS d, ${cmsBucketSql("d", width)} AS b))")).as("db"))

@@ -15,40 +15,54 @@ object ParquetMerge {
 
   /** Upsert `updates` into the partitioned parquet table at `dir`.
     *
-    * Semantics per key within a touched partition: last-write-wins by
-    * `ver` (ties: the max over the full row struct — deterministic,
-    * order-independent). Rows in untouched partitions are NOT read,
-    * NOT rewritten, and their files stay byte-identical on disk.
+    * Semantics per (partition, key) within a touched partition:
+    * last-write-wins by `ver` (ties: the max over the full row
+    * struct — deterministic, order-independent). Rows in untouched
+    * partitions are NOT read, NOT rewritten, and their files stay
+    * byte-identical on disk.
+    *
+    * THE MERGE SCOPE IS THE PARTITION — deliberately, because that is
+    * all a partition-local rewrite can guarantee: a key living in an
+    * untouched partition is invisible to this call, so a key that
+    * MIGRATES partitions (same k, new day) yields one row per
+    * partition until the old partition receives a delete/compaction
+    * delta. Keys that are functions of their partition value (the
+    * normal fact-table layout: the partition column is part of the
+    * key) never hit this. An earlier draft deduped by key GLOBALLY,
+    * which silently dropped the losing partition's row whenever both
+    * partitions were touched — worse than the documented scope.
     *
     * Mechanics: the touched partition values (a delta is small by
     * contract — O(days), not O(rows)) are collected, the current table
     * is read WITH a partition-pruning isin filter (only touched
-    * partitions' files are scanned), merged with the delta by
-    * [[graft.op.Dedup.lastWriteWins]] semantics, and written back in
+    * partitions' files are scanned), merged, and written back in
     * `partitionOverwriteMode=dynamic` overwrite — which replaces
-    * exactly the partitions present in the merged frame. A missing
-    * table directory degrades to a plain partitioned write.
+    * exactly the partitions present in the merged frame. Existence is
+    * checked through the Hadoop FileSystem of the path (java.io.File
+    * is ALWAYS false on hdfs:///s3a:// — it would have turned merge
+    * into partition replace); a missing table is simply an empty
+    * current side, so the first batch still collapses to one row per
+    * (partition, key).
     */
   def upsertPartitions(spark: SparkSession, dir: String, updates: DataFrame,
                        partCol: String, key: String, ver: String): Unit = {
     val touched = updates.select(partCol).distinct().collect().map(_.get(0))
     if (touched.isEmpty) return
-    val exists = new java.io.File(dir).exists()
-    val merged =
-      if (!exists) updates
-      else {
-        val cur = spark.read.parquet(dir)
-          .filter(col(partCol).isin(touched: _*))
-          .select(updates.columns.map(col): _*) // align column order
-        val all = cur.union(updates)
-        // LWW: one partial-aggregated max(struct) per key — ver leads,
-        // the remaining payload breaks exact-version ties
-        val rest = updates.columns.filterNot(Set(key).contains).toSeq
-        all.groupBy(col(key))
-          .agg(max(struct((Seq(ver) ++ rest.filterNot(_ == ver)).map(col): _*)).as("m"))
-          .select(col(key) +: rest.map(c => col(s"m.$c").as(c)): _*)
-          .select(updates.columns.map(col): _*)
-      }
+    val hPath = new org.apache.hadoop.fs.Path(dir)
+    val fs = hPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val cur =
+      if (!fs.exists(hPath)) updates.limit(0)
+      else spark.read.parquet(dir)
+        .filter(col(partCol).isin(touched: _*))
+        .select(updates.columns.map(col): _*) // align column order
+    val all = cur.union(updates)
+    // LWW: one partial-aggregated max(struct) per (partition, key) —
+    // ver leads, the remaining payload breaks exact-version ties
+    val rest = updates.columns.filterNot(c => c == key || c == partCol).toSeq
+    val merged = all.groupBy(col(partCol), col(key))
+      .agg(max(struct((Seq(ver) ++ rest.filterNot(_ == ver)).map(col): _*)).as("m"))
+      .select(col(partCol) +: col(key) +: rest.map(c => col(s"m.$c").as(c)): _*)
+      .select(updates.columns.map(col): _*)
     val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try merged.write.mode("overwrite").partitionBy(partCol).parquet(dir)

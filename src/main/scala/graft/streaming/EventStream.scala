@@ -517,6 +517,17 @@ object EventStream {
     * (the daily-batch trigger), writing to an in-memory sink — used by
     * tests; production swaps the sink for parquet/kafka.
     */
+  /** Full-precision event-time nanos from a java.sql.Timestamp —
+    * `getTime` alone truncates to MILLIS, which would let two
+    * same-millisecond events sort by id instead of their true
+    * sub-ms order and diverge from the batch (ts, event_id) kernels
+    * (the test events carry sub-ms components). getNanos holds the
+    * entire sub-SECOND fraction, so seconds must come from a floor
+    * division of getTime (negative-epoch safe).
+    */
+  private def tsNanos(t: java.sql.Timestamp): Long =
+    Math.floorDiv(t.getTime, 1000L) * 1000000000L + t.getNanos
+
   final case class TransState(t: Long, id: Long, tpe: String)
   final case class TransPair(user_id: Long, from_type: String, to_type: String,
                              from_event_id: Long, to_event_id: Long)
@@ -559,8 +570,10 @@ object EventStream {
             state.remove()
             Iterator.empty
           } else {
-            val batch = rows.toSeq.sortBy(r => (r._2.getTime, r._3))
-              .map(r => (r._2.getTime, r._3, r._4))
+            // state.t carries full-precision NANOS; the timeout clock
+            // below needs millis
+            val batch = rows.toSeq.map(r => (tsNanos(r._2), r._3, r._4))
+              .sortBy(r => (r._1, r._2))
             val chain = state.getOption.map(s => (s.t, s.id, s.tpe)).toList ++ batch
             val pairs = chain.sliding(2).collect {
               case Seq(a, b) => TransPair(user, a._3, b._3, a._2, b._2)
@@ -568,7 +581,7 @@ object EventStream {
             val last = chain.last
             state.update(TransState(last._1, last._2, last._3))
             state.setTimeoutTimestamp(
-              math.max(last._1, state.getCurrentWatermarkMs()) + stateTTLMs)
+              math.max(last._1 / 1000000L, state.getCurrentWatermarkMs()) + stateTTLMs)
             pairs.iterator
           }
       }
@@ -611,7 +624,9 @@ object EventStream {
             state.remove()
             Iterator.empty
           } else {
-            val batch = rows.toSeq.sortBy(r => (r._2.getTime, r._3))
+            // full-precision nanos order — getTime truncates to ms and
+            // can reverse same-millisecond folds vs the batch kernel
+            val batch = rows.toSeq.sortBy(r => (tsNanos(r._2), r._3))
             var st = state.getOption.getOrElse(MomState(0L, 0L, 0L))
             val out = batch.map { case (_, _, id, v) =>
               val flag = st.n >= 2 && {

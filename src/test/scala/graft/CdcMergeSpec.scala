@@ -121,10 +121,39 @@ class CdcMergeSpec extends SparkSpec {
     assert(out(2L).length == 100)
   }
 
-  test("upsertPartitions: missing table degrades to a plain partitioned write") {
+  test("upsertPartitions: a fresh table still collapses the first batch to one row per (partition, key)") {
     val dir = java.nio.file.Files.createTempDirectory("pmergeF").toString + "/t2"
-    val delta = Seq(("d1", 1L, 1L, 10L)).toDF("day", "k", "ver", "v")
+    // two versions of k=1 arrive in the very first batch: the LWW fold
+    // must apply even when there is no current table to merge against
+    val delta = Seq(("d1", 1L, 1L, 10L), ("d1", 1L, 2L, 11L))
+      .toDF("day", "k", "ver", "v")
     ParquetMerge.upsertPartitions(spark, dir, delta, "day", "k", "ver")
-    assert(spark.read.parquet(dir).count() == 1)
+    val got = spark.read.parquet(dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq((1L, 2L, 11L)))
+  }
+
+  test("upsertPartitions: merge scope is the PARTITION — a migrating key keeps one row per partition") {
+    // the documented contract: partition-local rewrites cannot see a
+    // key's rows in untouched partitions; LWW dedup is per (day, k)
+    val dir = java.nio.file.Files.createTempDirectory("pmergeS").toString + "/t3"
+    Seq(("d1", 1L, 1L, 100L)).toDF("day", "k", "ver", "v")
+      .write.partitionBy("day").parquet(dir)
+    // k=1 "migrates" to d2: d1 is untouched and must keep its row
+    ParquetMerge.upsertPartitions(spark, dir,
+      Seq(("d2", 1L, 2L, 200L)).toDF("day", "k", "ver", "v"),
+      "day", "k", "ver")
+    val got = spark.read.parquet(dir).orderBy("ver")
+      .collect().map(r => (r.getString(3), r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq(("d1", 1L, 1L, 100L), ("d2", 1L, 2L, 200L)))
+    // and when BOTH partitions are touched, each keeps its own winner —
+    // the earlier global-key fold would have dropped d1's row entirely
+    ParquetMerge.upsertPartitions(spark, dir,
+      Seq(("d1", 1L, 3L, 101L), ("d2", 1L, 3L, 201L))
+        .toDF("day", "k", "ver", "v"),
+      "day", "k", "ver")
+    val got2 = spark.read.parquet(dir).orderBy("v")
+      .collect().map(r => (r.getString(3), r.getLong(2))).toSeq
+    assert(got2 == Seq(("d1", 101L), ("d2", 201L)))
   }
 }
