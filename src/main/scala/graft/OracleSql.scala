@@ -2640,6 +2640,19 @@ object OracleSql {
       WHERE win.op IS NULL OR win.op <> 'D'
       ORDER BY user_id""",
 
+    // exact grouped mode: (n DESC, cents ASC) argmax ≡ the engine's
+    // max(struct(n, −cents))
+    "t_mode" ->
+      """WITH c AS (
+        SELECT event_type,
+          CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+          CAST(count(*) AS BIGINT) AS n
+        FROM events WHERE value IS NOT NULL GROUP BY 1, 2)
+      SELECT event_type, cents AS mode_cents, n FROM (
+        SELECT c.*, row_number() OVER (PARTITION BY event_type
+          ORDER BY n DESC, cents ASC) AS rn FROM c)
+      WHERE rn = 1 ORDER BY event_type""",
+
     // exact weighted median: cents-ordered cumulative weights; the
     // default RANGE frame folds ties identically in both engines
     "t_weighted_median" ->

@@ -2251,6 +2251,22 @@ object SparkEntry {
       .orderBy("user_id")
   }
 
+  /** Exact grouped mode: the most frequent cents value per event type
+    * (ties → smallest value), as one count aggregation + one
+    * order-independent max(struct(n, −cents)) argmax — never a window
+    * over the whole value distribution.
+    */
+  private def tMode(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir).filter(col("value").isNotNull)
+      .select(col("event_type"),
+        expr("cast(cast(value as decimal(18,2)) * 100 as bigint)").as("cents"))
+      .groupBy("event_type", "cents").agg(count(lit(1)).as("n"))
+      .groupBy("event_type")
+      .agg(max(struct(col("n"), (-col("cents")).as("nc"))).as("m"))
+      .select(col("event_type"), (-col("m.nc")).as("mode_cents"),
+        col("m.n").as("n"))
+      .orderBy("event_type")
+
   /** Exact weighted median: per return flag, the quantity-weighted
     * median of line prices — the order statistic percentile_approx
     * can only approximate. One cents-ordered cumulative-weight window
@@ -2864,6 +2880,7 @@ object SparkEntry {
     "t_interval_coverage" -> tIntervalCoverage,
     "t_benford" -> tBenford,
     "t_weighted_median" -> tWeightedMedian,
+    "t_mode" -> tMode,
     "t_top_paths" -> tTopPaths,
     "t_attribution" -> tAttribution,
     "t_dq_audit" -> tDqAudit,

@@ -646,6 +646,70 @@ object EventStream {
       }
   }
 
+  final case class IslandState(s: Long, f: Long, n: Long)
+  final case class Island(user_id: Long, i_start: Long, i_end: Long,
+                          n_spans: Long)
+
+  /** Streaming interval-union islands — the incremental twin of
+    * `op.Intervals.mergeIntervals` for activity/uptime monitoring:
+    * each event opens a `spanNs` window; overlapping/adjacent windows
+    * merge into islands per user, and an island is EMITTED exactly
+    * once — the moment a later span proves it closed (starts past its
+    * end), or at state expiry for the final open island. State is
+    * O(1) per key: only the open island.
+    *
+    * In-order streams reproduce the batch operator's islands exactly
+    * (within a micro-batch spans fold in full-precision time order).
+    * A late span behind the open island's start extends/merges into
+    * it rather than reopening history — replaying true order over
+    * late data is the batch operator, the streamingAsof contract.
+    */
+  def activityIslandsStream(spark: SparkSession, events: DataFrame,
+                            spanNs: Long = 600000000000L,
+                            watermark: String = "10 minutes",
+                            stateTTLMs: Long = 30L * 24 * 3600 * 1000) = {
+    import spark.implicits._
+    require(spanNs > 0)
+    events.withWatermark("ts", watermark)
+      .selectExpr("user_id", "ts")
+      .as[(Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[IslandState, Island](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (user, rows, state: GroupState[IslandState]) =>
+          if (state.hasTimedOut) {
+            val last = state.getOption.map(st =>
+              Island(user, st.s, st.f, st.n))
+            state.remove()
+            last.iterator
+          } else {
+            val spans = rows.toSeq.map(r => tsNanos(r._2)).sorted
+              .map(s0 => (s0, s0 + spanNs))
+            var cur = state.getOption
+            val closed = scala.collection.mutable.ListBuffer[Island]()
+            spans.foreach { case (s0, f0) =>
+              cur match {
+                case Some(st) if s0 > st.f =>
+                  closed += Island(user, st.s, st.f, st.n)
+                  cur = Some(IslandState(s0, f0, 1L))
+                case Some(st) =>
+                  cur = Some(IslandState(math.min(st.s, s0),
+                    math.max(st.f, f0), st.n + 1L))
+                case None =>
+                  cur = Some(IslandState(s0, f0, 1L))
+              }
+            }
+            cur.foreach { st =>
+              state.update(st)
+              state.setTimeoutTimestamp(
+                math.max(st.f / 1000000L, state.getCurrentWatermarkMs())
+                  + stateTTLMs)
+            }
+            closed.iterator
+          }
+      }
+  }
+
   /** Streaming lakehouse ingest: fold a change stream into a
     * partitioned parquet table, one [[graft.sink.ParquetMerge]]
     * partition-level merge per micro-batch. The merge is last-write-
