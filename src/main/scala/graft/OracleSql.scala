@@ -2640,6 +2640,28 @@ object OracleSql {
       WHERE win.op IS NULL OR win.op <> 'D'
       ORDER BY user_id""",
 
+    // lag-1 autocorrelation: lead pairs per user + the t_corr_stats
+    // moment/expression tree verbatim
+    "t_autocorr" ->
+      """WITH p AS (
+        SELECT event_type, value AS x,
+          lead(value) OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS y
+        FROM events WHERE value IS NOT NULL),
+      m AS (
+        SELECT event_type, count(*) AS n,
+          CAST(sum(CAST(x AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+          CAST(sum(CAST(y AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+          CAST(sum(CAST(x AS DECIMAL(18,2)) * CAST(y AS DECIMAL(18,2))) AS DOUBLE) AS sxy,
+          CAST(sum(CAST(x AS DECIMAL(18,2)) * CAST(x AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+          CAST(sum(CAST(y AS DECIMAL(18,2)) * CAST(y AS DECIMAL(18,2))) AS DOUBLE) AS syy
+        FROM p WHERE y IS NOT NULL GROUP BY 1)
+      SELECT event_type, n,
+        round((n * sxy - sx * sy) / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS corr,
+        round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+        round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6) AS intercept
+      FROM m ORDER BY event_type""",
+
     // exact grouped mode: (n DESC, cents ASC) argmax ≡ the engine's
     // max(struct(n, −cents))
     "t_mode" ->

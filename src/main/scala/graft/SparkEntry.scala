@@ -2251,6 +2251,24 @@ object SparkEntry {
       .orderBy("user_id")
   }
 
+  /** Lag-1 autocorrelation of event values per type — is a user's next
+    * observation predictable from the current one? Composes the lead
+    * window with op.Stats.corrStats' DECIMAL-exact moment kernel
+    * (the built-in corr() is reduction-order dependent and can never
+    * hash-match): consecutive non-null observation pairs per user,
+    * moments in one aggregation shuffle, the identical double
+    * expression tree on both engines.
+    */
+  private def tAutocorr(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val pairs = Tables.events(s, dir).filter(col("value").isNotNull)
+      .withColumn("next_value", lead(col("value"), 1).over(w))
+      .filter(col("next_value").isNotNull)
+    graft.op.Stats.corrStats(pairs, "event_type", "value", "next_value")
+      .orderBy("event_type")
+  }
+
   /** Exact grouped mode: the most frequent cents value per event type
     * (ties → smallest value), as one count aggregation + one
     * order-independent max(struct(n, −cents)) argmax — never a window
@@ -2881,6 +2899,7 @@ object SparkEntry {
     "t_benford" -> tBenford,
     "t_weighted_median" -> tWeightedMedian,
     "t_mode" -> tMode,
+    "t_autocorr" -> tAutocorr,
     "t_top_paths" -> tTopPaths,
     "t_attribution" -> tAttribution,
     "t_dq_audit" -> tDqAudit,
