@@ -74,14 +74,23 @@ object Sketches {
     val toks = docs.select(explode(Tok.tokens(col(text))).as("t"))
       .withColumn("c", expr(tokCodeSql))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Both consumers are tiny (depth·width cells; topK rows) —
+    // materialize them eagerly into their own (clearCache-evictable)
+    // persists and release the corpus-sized token cache HERE, so a
+    // long-lived session/bench loop doesn't leak it. persist, NOT
+    // localCheckpoint: clearCache() cannot evict checkpoint blocks.
     val cells = toks
       .select(explode(expr(s"transform(sequence(0, ${depth - 1}), d -> " +
         s"struct(d AS d, ${cmsBucketSql("d", width)} AS b))")).as("db"))
       .groupBy(col("db.d").as("d"), col("db.b").as("b"))
       .agg(count(lit(1)).as("cell_n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val top = toks.groupBy("t").agg(count(lit(1)).as("true_n"))
       .orderBy(desc("true_n"), col("t")).limit(topK)
       .withColumn("c", expr(tokCodeSql))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    cells.count(); top.count()
+    toks.unpersist()
     top
       .select(col("t").as("term"), col("true_n"),
         explode(expr(s"transform(sequence(0, ${depth - 1}), d -> " +

@@ -441,10 +441,15 @@ object TextAnalysis {
     */
   def sparseCosinePairs(df: DataFrame, text: String, id: String,
                         minCosCenti: Int = 30,
-                        maxDf: Long = 100L, shingleN: Int = 3): DataFrame = {
+                        maxDf: Long = 100L, shingleN: Int = 3,
+                        normSqBound: java.math.BigDecimal =
+                          new java.math.BigDecimal("1000000000000000")): DataFrame = {
     require(minCosCenti >= 0 && minCosCenti <= 100, "minCosCenti in [0,100]")
     require(maxDf >= 2, "maxDf must be >= 2")
     require(shingleN >= 1, "shingleN must be >= 1")
+    require(normSqBound.compareTo(
+      new java.math.BigDecimal("1000000000000000")) <= 0,
+      "normSqBound above 1e15 would let the exact test overflow DECIMAL(38,0)")
     // terms are word n-SHINGLES, not words: a natural-language corpus
     // has a hub-free shingle df distribution where single words are
     // nearly all stopword-frequent (the jaccard family's term space —
@@ -463,8 +468,16 @@ object TextAnalysis {
       .withColumn("w", expr(Bm25.idfMillePtsSql))
       .select("doc", "term", "df", "w")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // norm2 (|docs| rows) and dots (posting-bounded pairs) are the
+    // only consumers of the cached token-weight frame — materialize
+    // them eagerly into their own (much smaller, clearCache-evictable)
+    // persists and release the corpus-sized w cache HERE, so a
+    // long-lived session/bench loop doesn't leak it. Deliberately
+    // persist, NOT localCheckpoint: clearCache() cannot evict
+    // localCheckpoint blocks, which would be the worse leak.
     val norm2 = w.groupBy("doc")
       .agg(sum(col("w").cast("decimal(38,0)") * col("w")).as("n2"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val post = w.filter(col("df") >= 2)
       .select(col("term"), col("doc"), col("w"))
     val dots = post.as("a").hint("shuffle_hash")
@@ -472,12 +485,32 @@ object TextAnalysis {
         col("a.term") === col("b.term") && col("a.doc") < col("b.doc"))
       .groupBy(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
       .agg(sum(col("a.w").cast("decimal(38,0)") * col("b.w")).as("dot"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    norm2.count(); dots.count()
+    w.unpersist()
     val tC = lit(minCosCenti.toLong)
+    // Overflow guard — LOUD, not silent. Under Spark's default
+    // (non-ANSI) decimal ops a DECIMAL(38,0) product past 38 digits
+    // yields NULL, so the threshold filter would silently DROP the
+    // pair while the DuckDB HUGEINT oracle keeps it ("membership
+    // cannot drift" would break exactly at scale). Bounding both
+    // norms < 1e15 bounds every product below within 38 digits:
+    // t² · na² · nb² ≤ 10⁴·10¹⁵·10¹⁵ = 10³⁴, and by Cauchy-Schwarz
+    // dot ≤ √(na²·nb²) ≤ 10¹⁵ so dot²·10⁴ ≤ 10³⁴ (all w ≥ 0, so the
+    // partial aggregation sums are bounded by their totals too). A
+    // norm past the bound — or NULLed by its own aggregation overflow
+    // — raises here instead of corrupting membership. assert_true
+    // lives in a FILTER: projected-column checks get pruned away.
+    val n2Bound = lit(normSqBound)
     dots
       .join(norm2.select(col("doc").as("doc_a"), col("n2").as("na2")),
         Seq("doc_a"))
       .join(norm2.select(col("doc").as("doc_b"), col("n2").as("nb2")),
         Seq("doc_b"))
+      .filter(assert_true(col("na2") < n2Bound && col("nb2") < n2Bound,
+        lit("sparseCosinePairs: norm² >= 1e15 leaves the exact " +
+          "DECIMAL(38,0) regime (overflow would NULL-drop pairs); " +
+          "raise weight scaling down or shrink idf magnitude")).isNull)
       .filter(col("dot") * col("dot") * lit(10000L) >=
         tC * tC * col("na2") * col("nb2"))
       .select(col("doc_a"), col("doc_b"),

@@ -42,6 +42,16 @@ object Cdc {
     require(snapshot.columns.filterNot(_ == key).toSeq == payload,
       s"snapshot payload ${snapshot.columns.toSeq} must match changes payload $payload")
     require(payload.nonEmpty, "changes must carry at least one payload column")
+    // The merge reserves internal names `_op` and `_c_<payload>`; an
+    // input column occupying one of them would pass the equality check
+    // above and then resolve ambiguously in the merge select — reject
+    // loudly instead of mis-merging.
+    val reserved = Set("_op") ++ payload.map(c => s"_c_$c")
+    val clash = (snapshot.columns ++ changes.columns).toSeq.distinct
+      .filter(reserved)
+    require(clash.isEmpty,
+      s"column name(s) $clash collide with Cdc's reserved internals " +
+        "(`_op`, `_c_<payload>`); rename them before applyChanges")
     val winning = changes
       .groupBy(col(key))
       .agg(max(struct((Seq(ver, opCol) ++ payload).map(col): _*)).as("w"))

@@ -46,15 +46,38 @@ object ParquetMerge {
     */
   def upsertPartitions(spark: SparkSession, dir: String, updates: DataFrame,
                        partCol: String, key: String, ver: String): Unit = {
-    val touched = updates.select(partCol).distinct().collect().map(_.get(0))
+    // Touched values are collected through Spark's OWN string cast —
+    // the same rendering the partition directories were written with —
+    // so the prune below is a string-to-string match.
+    val touched = updates.select(col(partCol).cast("string"))
+      .distinct().collect().map(_.getString(0))
     if (touched.isEmpty) return
     val hPath = new org.apache.hadoop.fs.Path(dir)
     val fs = hPath.getFileSystem(spark.sessionState.newHadoopConf())
+    // Read-back partition-column TYPE INFERENCE is disabled for this
+    // load: directory values that merely look like dates/ints would
+    // otherwise come back DATE/INT while updates' partCol is (say)
+    // STRING — the isin prune then matches nothing, cur is empty, and
+    // the "merge" silently degrades to partition REPLACE, dropping
+    // every existing row in the touched partitions. With inference
+    // off the column is STRING on disk-read, pruned by the string
+    // values above, then cast back to updates' declared type so the
+    // union lines up.
+    val inferKey = "spark.sql.sources.partitionColumnTypeInference.enabled"
+    val prevInfer = spark.conf.getOption(inferKey)
+    spark.conf.set(inferKey, "false")
     val cur =
-      if (!fs.exists(hPath)) updates.limit(0)
-      else spark.read.parquet(dir)
-        .filter(col(partCol).isin(touched: _*))
-        .select(updates.columns.map(col): _*) // align column order
+      try {
+        if (!fs.exists(hPath)) updates.limit(0)
+        else spark.read.parquet(dir)
+          .filter(col(partCol).isin(touched: _*))
+          .withColumn(partCol,
+            col(partCol).cast(updates.schema(partCol).dataType))
+          .select(updates.columns.map(col): _*) // align column order
+      } finally prevInfer match {
+        case Some(v) => spark.conf.set(inferKey, v)
+        case None => spark.conf.unset(inferKey)
+      }
     val all = cur.union(updates)
     // LWW: one partial-aggregated max(struct) per (partition, key) —
     // ver leads, the remaining payload breaks exact-version ties

@@ -587,7 +587,11 @@ object EventStream {
       }
   }
 
-  final case class MomState(n: Long, s: Long, q: Long)
+  // s/q are string-encoded BigInt: Long moments wrap on q += v*v at
+  // v >= ~3.04e9 cents (~$30M — well inside decimal(18,2)), silently
+  // corrupting Q. The batch twin (t_outlier_events) runs DECIMAL(38,0)
+  // for the same reason; this state mirrors that exactness.
+  final case class MomState(n: Long, s: String, q: String)
   final case class OutlierFlag(user_id: Long, event_id: Long, cents: Long,
                                n_prior: Long, is_outlier: Boolean)
 
@@ -599,10 +603,11 @@ object EventStream {
     * whole-corpus moments are a different (retrospective) question.
     *
     * The test is the same divisions-cleared integer comparison,
-    * (v·n − S)² > 9·(n·Q − S²), evaluated in BigInt so no magnitude
-    * can overflow; the STORED moments are longs, which bounds a key's
-    * history to Σcents² < 2⁶³ (~9e6 events at 10⁶ cents each) — past
-    * the event-time TTL horizon that always holds. Prior n ≥ 2 is
+    * (v·n − S)² > 9·(n·Q − S²), evaluated in BigInt, and the STORED
+    * moments are BigInt too (string-encoded in state) — Long storage
+    * would wrap Q at a single cents value ≥ ~3.04e9 with no error,
+    * the exact overflow the batch twin's DECIMAL(38,0) move fixed.
+    * Prior n ≥ 2 is
     * required to flag (σ of one point is undefined). Within a
     * micro-batch rows fold in (ts, event_id) order, so in-order
     * streams are deterministic under any batch split.
@@ -627,17 +632,21 @@ object EventStream {
             // full-precision nanos order — getTime truncates to ms and
             // can reverse same-millisecond folds vs the batch kernel
             val batch = rows.toSeq.sortBy(r => (tsNanos(r._2), r._3))
-            var st = state.getOption.getOrElse(MomState(0L, 0L, 0L))
+            val st0 = state.getOption.getOrElse(MomState(0L, "0", "0"))
+            var nAcc = st0.n
+            var sAcc = BigInt(st0.s)
+            var qAcc = BigInt(st0.q)
             val out = batch.map { case (_, _, id, v) =>
-              val flag = st.n >= 2 && {
-                val n = BigInt(st.n); val s = BigInt(st.s); val q = BigInt(st.q)
-                val dev = BigInt(v) * n - s
-                dev * dev > 9 * (n * q - s * s)
+              val flag = nAcc >= 2 && {
+                val n = BigInt(nAcc)
+                val dev = BigInt(v) * n - sAcc
+                dev * dev > 9 * (n * qAcc - sAcc * sAcc)
               }
-              st = MomState(st.n + 1, st.s + v, st.q + v * v)
-              OutlierFlag(user, id, v, st.n - 1, flag)
+              val bv = BigInt(v)
+              nAcc += 1; sAcc += bv; qAcc += bv * bv
+              OutlierFlag(user, id, v, nAcc - 1, flag)
             }
-            state.update(st)
+            state.update(MomState(nAcc, sAcc.toString, qAcc.toString))
             val maxEventMs = batch.map(_._2.getTime).max
             state.setTimeoutTimestamp(
               math.max(maxEventMs, state.getCurrentWatermarkMs()) + stateTTLMs)

@@ -133,6 +133,43 @@ class CdcMergeSpec extends SparkSpec {
     assert(got == Seq((1L, 2L, 11L)))
   }
 
+  test("upsertPartitions: date-LOOKING string partitions still merge (inference regression)") {
+    // day values that parse as dates used to come back DATE on the
+    // read-back (partition type inference) while updates' day was
+    // STRING — the isin prune matched nothing, cur was empty, and the
+    // merge silently became a partition REPLACE dropping k=1's row.
+    val dir = java.nio.file.Files.createTempDirectory("pmergeD").toString + "/t4"
+    Seq(("2024-01-01", 1L, 1L, 100L), ("2024-01-02", 2L, 1L, 200L))
+      .toDF("day", "k", "ver", "v")
+      .write.partitionBy("day").parquet(dir)
+    ParquetMerge.upsertPartitions(spark, dir,
+      Seq(("2024-01-01", 9L, 1L, 900L)).toDF("day", "k", "ver", "v"),
+      "day", "k", "ver")
+    val got = spark.read.option("inferSchema", "false").parquet(dir)
+      .select(col("day").cast("string"), col("k"), col("v"))
+      .orderBy("k")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    // k=1 SURVIVES next to the inserted k=9; the untouched day keeps k=2
+    assert(got == Seq(("2024-01-01", 1L, 100L), ("2024-01-02", 2L, 200L),
+      ("2024-01-01", 9L, 900L)))
+  }
+
+  test("applyChanges: reserved internal column names are rejected loudly") {
+    // a payload column literally named _op (or a _c_ alias) would pass
+    // the payload-equality require and then mis-resolve in the merge
+    val snap2 = Seq((1L, 10L)).toDF("k", "_op")
+    val ch2 = Seq((1L, 1L, "U", 11L)).toDF("k", "ver", "op", "_op")
+    val e = intercept[IllegalArgumentException] {
+      Cdc.applyChanges(snap2, ch2, "k", "ver", "op")
+    }
+    assert(e.getMessage.contains("_op"))
+    val snap3 = Seq((1L, 10L, 5L)).toDF("k", "v", "_c_v")
+    val ch3 = Seq((1L, 1L, "U", 11L, 6L)).toDF("k", "ver", "op", "v", "_c_v")
+    intercept[IllegalArgumentException] {
+      Cdc.applyChanges(snap3, ch3, "k", "ver", "op")
+    }
+  }
+
   test("upsertPartitions: merge scope is the PARTITION — a migrating key keeps one row per partition") {
     // the documented contract: partition-local rewrites cannot see a
     // key's rows in untouched partitions; LWW dedup is per (day, k)

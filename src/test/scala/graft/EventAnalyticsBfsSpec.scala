@@ -193,6 +193,37 @@ class EventAnalyticsBfsSpec extends SparkSpec {
     assert((1L to 100L).forall(i => !got(i)._2))
   }
 
+  test("runningOutlierStream: $30M+ values don't wrap the moment state (BigInt regression)") {
+    import graft.streaming.EventStream
+    // cents = 3.1e9 → cents² ≈ 9.6e18 > Long.MaxValue: the old Long
+    // state wrapped Q negative, making 9·(nQ−S²) negative and flagging
+    // an IDENTICAL third value as an outlier. BigInt state: three equal
+    // values → zero variance → equal is never an outlier; a genuinely
+    // deviant fourth IS.
+    val dir = java.nio.file.Files.createTempDirectory("routBig").toString
+    val base = java.sql.Timestamp.valueOf("2024-01-01 10:00:00").getTime
+    def ts(offS: Int) = new java.sql.Timestamp(base + offS * 1000L)
+    val cols = Seq("user_id", "ts", "event_id", "event_type", "value", "props")
+    Seq((1L, ts(1), 1L, "e", 31000000.0, ""),
+      (1L, ts(2), 2L, "e", 31000000.0, ""),
+      (1L, ts(3), 3L, "e", 31000000.0, ""),
+      (1L, ts(4), 4L, "e", 32000000.0, ""))
+      .toDF(cols: _*).coalesce(1).write.parquet(dir + "/f1")
+    val stream = spark.readStream
+      .schema("user_id bigint, ts timestamp, event_id bigint, " +
+        "event_type string, value double, props string")
+      .parquet(dir + "/*")
+    val out = EventStream.runningOutlierStream(spark, stream).toDF()
+    EventStream.runAvailableNow(out, "run_outliers_big")
+    val got = spark.sql(
+      "select event_id, n_prior, is_outlier from run_outliers_big")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(got(1L) == (0L, false))
+    assert(got(2L) == (1L, false))
+    assert(got(3L) == (2L, false)) // Long-wrapped state flagged this true
+    assert(got(4L) == (3L, true))  // dev² = 9e16 > 9·0 on zero variance
+  }
+
   test("top-paths kernel: first-5 path per user in (ts,event_id) order") {
     val ev = Seq(
       (1L, 1L, 1L, "a"), (1L, 2L, 2L, "b"), (1L, 2L, 3L, "c"), // ts tie → id order

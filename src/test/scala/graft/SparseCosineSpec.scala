@@ -48,6 +48,26 @@ class SparseCosineSpec extends SparkSpec {
     assert(admitted.size == 10 && admitted.values.forall(_ == 0.052632))
   }
 
+  test("overflow guard is LOUD: a norm² past the exact regime raises, never NULL-drops") {
+    // past normSqBound the DECIMAL(38,0) products could overflow to
+    // NULL and silently drop pair membership vs the HUGEINT oracle —
+    // the guard must raise instead. Tripped here with a tiny bound so
+    // the test doesn't need an astronomically weighted corpus; the
+    // production default (1e15) is the Cauchy-Schwarz-derived regime.
+    val df = Seq((1L, "a b c d"), (2L, "a b c e")).toDF("doc_id", "text")
+    val e = intercept[Exception] {
+      TextAnalysis.sparseCosinePairs(df, "text", "doc_id",
+        normSqBound = new java.math.BigDecimal("1000")).collect()
+    }
+    assert(e.getMessage.contains("DECIMAL(38,0)") ||
+      Option(e.getCause).exists(_.getMessage.contains("DECIMAL(38,0)")))
+    // and a bound that would itself re-open the overflow is rejected
+    intercept[IllegalArgumentException] {
+      TextAnalysis.sparseCosinePairs(df, "text", "doc_id",
+        normSqBound = new java.math.BigDecimal("10000000000000000"))
+    }
+  }
+
   test("short docs (< shingleN tokens) carry their whole text as one shingle") {
     // the kernel's short-doc rule: "a b" IS a term, so the two short
     // clones pair at cos 1.0 — and never cross-pair with the long docs
