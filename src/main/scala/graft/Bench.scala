@@ -24,6 +24,22 @@ object Bench {
     if (s.contains("E") || s.contains("e")) f"$v%.6f" else s
   }
 
+  /** The guard query behind BASELINE.md's "trust only runs where
+    * t1 ≲ 1.4 s" rule: a trivial projection whose idle floor is flat
+    * across rounds, so exceeding it means external machine load was
+    * inflating this run's numbers.
+    */
+  val LoadGuardQuery = "t1_project_rename"
+
+  /** True when the trivial-query floor was exceeded — the automated
+    * form of BASELINE.md's manual load rule, emitted as
+    * `"load_suspect"` so a loaded-machine bench can't be misread as a
+    * regression. None (query failed every pass) is NOT suspect here:
+    * that run is already marked broken by total = -1 / err_count.
+    */
+  def loadSuspect(minT1: Option[Double], floor: Double): Boolean =
+    minT1.exists(_ > floor)
+
   /** Millisecond precision for the PRIMARY line's per-query map: the
     * upstream driver stores only the TAIL of stdout (~3 kB), and round-4
     * proved that full-precision doubles × 64 queries push the primary
@@ -108,7 +124,8 @@ object Bench {
         val exact = SparkEntry.queries("ns_topk_similarity")(spark, sfDir)
           .select("query_id", "vec_id").collect()
           .map(r => (r.getLong(0), r.getLong(1))).toSet
-        Seq("ns_ann_lsh", "ns_ivf_topk", "ns_pq_topk").flatMap { n =>
+        Seq("ns_ann_lsh", "ns_ivf_topk", "ns_pq_topk",
+          "ns_ivfpq_topk").flatMap { n =>
           try {
             if (exact.isEmpty) None
             else {
@@ -130,8 +147,11 @@ object Bench {
     val errJson = errors
       .map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }.mkString("{", ",", "}")
     val total = if (deadQueries.nonEmpty) -1.0 else qMin.map(_._2).sum
+    val loadFloor =
+      sys.env.getOrElse("SPARK_GRAFT_LOAD_FLOOR", "1.4").toDouble
+    val suspect = loadSuspect(minOf(LoadGuardQuery), loadFloor)
     val detail =
-      s"""{"metric":"bench_detail","n_passes":$nPasses,"queries_min_full":${jmap(qMin)},"queries_median":${jmap(qMed)},"errors":$errJson,"recall":${jmap(recall)},"failed_all_passes":${deadQueries.map("\"" + _ + "\"").mkString("[", ",", "]")}}"""
+      s"""{"metric":"bench_detail","n_passes":$nPasses,"queries_min_full":${jmap(qMin)},"queries_median":${jmap(qMed)},"errors":$errJson,"recall":${jmap(recall)},"load_suspect":$suspect,"failed_all_passes":${deadQueries.map("\"" + _ + "\"").mkString("[", ",", "]")}}"""
     // keep this line SHORT (well under the driver's ~3 kB stdout tail
     // buffer; see jnum3): the full per-query map crossed 2.8 kB at 117
     // queries, so when it outgrows the budget the primary carries only
@@ -151,7 +171,7 @@ object Bench {
     val omittedJson =
       if (omitted > 0) s""","queries_omitted":$omitted""" else ""
     val primary =
-      s"""{"metric":"total","value":${jnum3(total)},"unit":"sec","queries":$qJson$omittedJson,"sf":"$sfDir","n_passes":$nPasses,"err_count":${errors.size},"recall":${jmap(recall)},"note":"min/q, idle; -1=fail"}"""
+      s"""{"metric":"total","value":${jnum3(total)},"unit":"sec","queries":$qJson$omittedJson,"sf":"$sfDir","n_passes":$nPasses,"err_count":${errors.size},"recall":${jmap(recall)},"load_suspect":$suspect,"note":"min/q, idle; -1=fail"}"""
     // stdout for the driver AND a file, so a log-prefix-polluted stdout
     // can never lose the round's numbers; primary line LAST (upstream
     // keeps only the tail of stdout)

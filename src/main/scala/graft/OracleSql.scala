@@ -2146,6 +2146,41 @@ object OracleSql {
         CAST(est_n - true_n AS BIGINT) AS over_n
       FROM est ORDER BY term""",
 
+    // real-image decode round-trip: the Spark side ENCODES a genuine
+    // PNG per doc at formula dims and header-DECODES it back through
+    // javax.imageio; the oracle predicts the dims from the formula
+    // alone — a decode bug (or the stub sneaking back onto the path)
+    // hash-mismatches immediately. RGB PNG → 3 channels, still image
+    // → duration 0.
+    "ns_multimodal_features" ->
+      """SELECT doc_id,
+        CAST(((doc_id % 16) + 16) % 16 + 1 AS INT) AS width,
+        CAST(((doc_id % 9) + 9) % 9 + 1 AS INT) AS height,
+        3 AS channels, CAST(0 AS BIGINT) AS duration_ms
+      FROM documents ORDER BY doc_id""",
+
+    // fixed-grid exact quantiles: same floor-division cells (DuckDB's
+    // % follows the dividend sign, so pmod is spelled out), the same
+    // integer coverage test 100·cum >= n·q — HUGEINT window sums cast
+    // back to BIGINT
+    "ns_quantile_grid" ->
+      s"""WITH cells AS (
+        SELECT source,
+          (CAST(n_chars AS BIGINT) - (((n_chars % 64) + 64) % 64)) // 64 AS cell,
+          CAST(count(*) AS BIGINT) AS cell_n
+        FROM documents GROUP BY 1, 2),
+      cum AS (
+        SELECT source, cell, cell_n,
+          sum(cell_n) OVER (PARTITION BY source ORDER BY cell) AS cum,
+          sum(cell_n) OVER (PARTITION BY source) AS n
+        FROM cells)
+      SELECT source, CAST(max(n) AS BIGINT) AS n,
+        CAST(min(CASE WHEN cum * 100 >= n * 50 THEN cell * 64 END) AS BIGINT) AS p50_lo,
+        CAST(min(CASE WHEN cum * 100 >= n * 90 THEN cell * 64 END) AS BIGINT) AS p90_lo,
+        CAST(min(CASE WHEN cum * 100 >= n * 95 THEN cell * 64 END) AS BIGINT) AS p95_lo,
+        CAST(min(CASE WHEN cum * 100 >= n * 99 THEN cell * 64 END) AS BIGINT) AS p99_lo
+      FROM cum GROUP BY source ORDER BY source""",
+
     // feature hashing: same portable code, same Knuth-multiplier mix
     "ns_feature_hash" ->
       s"""WITH toks AS (

@@ -59,7 +59,15 @@ object RecallSweep {
           kCent = kc)
         VectorSearch.pqTopKRefined(idx, emb, queries, k, sl)
       }
-    for ((np, sl, kc) <- Seq((4, 4, 16), (4, 8, 16), (6, 8, 64), (4, 8, 64)))
+    // The ivfpq grid is joint on purpose: recall losses COMPOSE — IVF
+    // pruning (true neighbor in an unprobed list) × ADC shortlist
+    // misses — so neither axis alone reveals the ≥0.9 frontier.
+    for ((np, sl, kc) <- Seq((4, 4, 16), (4, 8, 16), (6, 8, 64), (4, 8, 64),
+      (6, 16, 16), (6, 24, 16), (6, 32, 16), (7, 16, 16), (7, 24, 16),
+      (7, 32, 16), (6, 16, 64), (6, 24, 64), (7, 16, 64), (7, 24, 64),
+      (8, 24, 16), (8, 16, 64),
+      (7, 32, 64), (8, 24, 64), (8, 32, 64), (7, 24, 128), (8, 24, 128),
+      (7, 32, 128)))
       run(s"ivfpq nprobe=$np shortlist=$sl kCent=$kc") {
         val ivf = VectorSearch.ivfBuild(emb, "vec_id", "embedding", nLists = 8)
         val pq = VectorSearch.pqBuild(emb, "vec_id", "embedding", m = 8,

@@ -1629,6 +1629,17 @@ object SparkEntry {
   private def nsSketches(s: SparkSession, dir: String): DataFrame =
     graft.ext.Sketches.corpusProfile(t(s, dir, "documents"))
 
+  /** Fixed-grid EXACT per-source char-length quantiles
+    * (Sketches.gridQuantiles, grid 64): the oracle-verified sibling of
+    * ns_sketches' approximate p50/p95 — same profile question, but
+    * every cell count and the ⌈n·q/100⌉ coverage test are associative
+    * BIGINT arithmetic DuckDB recomputes bit-identically.
+    */
+  private def nsQuantileGrid(s: SparkSession, dir: String): DataFrame =
+    graft.ext.Sketches.gridQuantiles(t(s, dir, "documents"),
+      "n_chars", "source", grid = 64L)
+      .orderBy("source")
+
   private def nsDedupNgramJaccard(s: SparkSession, dir: String): DataFrame =
     TextDedup.ngramJaccardPairs(t(s, dir, "documents"), "text", "doc_id",
       shingleN = 3, threshold = 0.12)
@@ -2643,17 +2654,18 @@ object SparkEntry {
     * on the 64-dim corpus; index amortized per (session, dir) like
     * the IVF index.
     *
-    * shortlist = 16 (candidates = 16·k of the corpus) per the
-    * RecallSweep sf0.1 measurement: recall 0.82 vs 0.38 at the old
-    * shortlist=4 — 16 ADC codes per subspace quantize this random
-    * corpus coarsely, so the ADC ranking needs a wide shortlist for
-    * the exact re-rank to recover the true top-k. The re-rank join
-    * stays bounded at queries·160 rows.
+    * kCent = 64 / shortlist = 16 per the round-10 RecallSweep sf0.1
+    * joint grid: 64 ADC codes per subspace quantize this corpus much
+    * more sharply than the old 16 (recall ≈0.84 vs 0.82 at equal
+    * shortlist, and the finer codebook is what unlocks the ≥0.9
+    * ivfpq tier below, which shares this index). The re-rank join
+    * stays bounded at queries·160 rows; the codebook build is
+    * amortized per (session, dir) like the IVF index.
     */
   private def nsPqTopk(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
     val idx = pqIndexCache.computeIfAbsent((s, dir), _ =>
-      VectorSearch.pqBuild(emb, "vec_id", "embedding", m = 8, kCent = 16))
+      VectorSearch.pqBuild(emb, "vec_id", "embedding", m = 8, kCent = 64))
     VectorSearch.pqTopKRefined(idx, emb, emb.filter(col("vec_id") < 5),
       k = 10, shortlist = 16)
       .orderBy("query_id", "rank")
@@ -2662,15 +2674,26 @@ object SparkEntry {
   /** IVF-PQ composition — both amortized indexes together: nprobe
     * lists scanned as ADC code lookups, exact re-rank of the bounded
     * shortlist. The billion-scale recipe (see VectorSearch.ivfPqTopK).
+    *
+    * nprobe = 7 / shortlist = 32 / kCent = 64 per the round-10
+    * RecallSweep JOINT grid (recall losses compose: IVF pruning ×
+    * ADC shortlist misses, so neither axis alone finds the frontier):
+    * recall 0.92 at sf0.1 vs 0.82 for the old (6, 16, 16) — this is
+    * the production-retrieval tier and holds the ≥0.9 floor pinned in
+    * RetrievalSpec. The widened shortlist only grows the bounded
+    * re-rank join (queries·320 rows); candidate volume is still set
+    * by nprobe/nLists. kCent=128 buys 0.96 at ~25% more probe time —
+    * the recorded next step if the floor ever moves to 0.95
+    * (TUNING.md round-10 table).
     */
   private def nsIvfPqTopk(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
     val ivf = ivfIndexCache.computeIfAbsent((s, dir), _ =>
       VectorSearch.ivfBuild(emb, "vec_id", "embedding", nLists = 8))
     val pq = pqIndexCache.computeIfAbsent((s, dir), _ =>
-      VectorSearch.pqBuild(emb, "vec_id", "embedding", m = 8, kCent = 16))
+      VectorSearch.pqBuild(emb, "vec_id", "embedding", m = 8, kCent = 64))
     VectorSearch.ivfPqTopK(ivf, pq, emb, emb.filter(col("vec_id") < 5),
-      k = 10, nprobe = 6, shortlist = 16)
+      k = 10, nprobe = 7, shortlist = 32)
       .orderBy("query_id", "rank")
   }
 
@@ -2684,7 +2707,7 @@ object SparkEntry {
         nLists = 8))
     pqIndexCache.computeIfAbsent((s, dir), _ =>
       VectorSearch.pqBuild(t(s, dir, "embeddings"), "vec_id", "embedding",
-        m = 8, kCent = 16))
+        m = 8, kCent = 64))
     ()
   }
 
@@ -2829,14 +2852,31 @@ object SparkEntry {
         col("label"), size(col("embedding")).as("dim"))
       .orderBy("doc_id")
 
+  /** REAL image decode under an exact oracle: each doc carries a tiny
+    * genuine PNG (JVM ImageIO encoder) whose dimensions are a pinned
+    * formula of doc_id — (id mod 16 + 1) × (id mod 9 + 1) — so the
+    * full encode → partition-streamed header-decode
+    * (Multimodal.extractFeatures → decodeImage) round-trip is
+    * hash-checked against a DuckDB twin that recomputes the formula.
+    * Every blob is registry-readable, so the A/V decodeStub is NOT on
+    * this (or any registered) path — the stub stays library-only.
+    */
   private def nsMultimodalFeatures(s: SparkSession, dir: String): DataFrame = {
-    val docs = t(s, dir, "documents")
-      .withColumn("raw", col("text").cast("binary"))
-    val media = Multimodal.withMedia(docs, "raw", "image")
+    import org.apache.spark.sql.types._
+    val ids = t(s, dir, "documents").select("doc_id")
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("png", BinaryType)))
+    val rdd = ids.rdd.map { r =>
+      val id = r.getLong(0)
+      org.apache.spark.sql.Row(id, Multimodal.pngFixture(
+        (java.lang.Math.floorMod(id, 16L) + 1).toInt,
+        (java.lang.Math.floorMod(id, 9L) + 1).toInt))
+    }
+    val media = Multimodal.withMedia(s.createDataFrame(rdd, schema),
+      "png", "image")
     Multimodal.extractFeatures(media)
-      .select(col("doc_id"), col("media_meta.n_bytes").as("n_bytes"),
-        col("media_meta.checksum").as("checksum"),
-        col("width"), col("height"), col("channels"))
+      .select(col("doc_id"), col("width"), col("height"), col("channels"),
+        col("duration_ms"))
       .orderBy("doc_id")
   }
 
@@ -2972,6 +3012,7 @@ object SparkEntry {
     "ns_dedup_exact_norm" -> nsDedupExactNorm,
     "ns_bloom_dedup" -> nsBloomDedup,
     "ns_sketches" -> nsSketches,
+    "ns_quantile_grid" -> nsQuantileGrid,
     "ns_dedup_ngram_jaccard" -> nsDedupNgramJaccard,
     "ns_containment" -> nsContainment,
     "ns_bm25_topk" -> nsBm25Topk,
@@ -3041,8 +3082,10 @@ object SparkEntry {
     * bounded against its exact twin in specs; minhash additionally has
     * the oracle-checked `ns_dedup_minhash_verified` form, simhash the
     * oracle-checked `ns_dedup_simhash_portable` form),
-    * ns_sketches (approximate aggregates), ns_multimodal_features
-    * (stubbed binary decode) → rows-only checks.
+    * ns_sketches (approximate aggregates) → rows-only checks.
+    * (ns_multimodal_features graduated to an exact oracle in round 10:
+    * real PNG fixtures drive the real header-decode path; the A/V
+    * decodeStub is no longer on any registered path.)
     */
   def oracleSql: Map[String, String] = OracleSql.all
 }

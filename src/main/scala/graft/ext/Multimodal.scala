@@ -89,6 +89,28 @@ object Multimodal {
     finally iis.close()
   }
 
+  /** Deterministic solid-color PNG fixture — REAL codec bytes (JVM
+    * ImageIO PNG encoder), used to drive the real [[decodeImage]] path
+    * under an exact oracle: a verifier that knows only (w, h) can
+    * predict the decoded dimensions, so encode→header-decode round-
+    * trips become hash-checkable end-to-end. Tiny by construction
+    * (fixture dims, not production media).
+    */
+  def pngFixture(w: Int, h: Int, rgb: Int = 0x336699): Array[Byte] = {
+    require(w >= 1 && h >= 1, "fixture dims must be >= 1")
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { img.setRGB(x, y, rgb); x += 1 }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
   /** Decode dispatch: real image decode when the bytes ARE a readable
     * image (sniffed by the ImageIO registry, independent of the declared
     * media_type — declared metadata lies at corpus scale), stub

@@ -119,6 +119,52 @@ object Sketches {
       .groupBy("doc", "bucket").agg(count(lit(1)).as("n"))
   }
 
+  /** Fixed-grid EXACT quantiles — the oracle-verifiable sibling of the
+    * approximate percentile profile (the CMS move applied to
+    * quantiles): values quantize to `grid`-sized cells, one bounded
+    * cell-count aggregation + a per-group cumulative pass, and the
+    * q-quantile is the first cell whose cumulative count covers
+    * ⌈n·q/100⌉ — reported as the cell's lower bound. Grid-rounded by
+    * construction (resolution = `grid`), but every arithmetic step is
+    * associative integer math an independent engine recomputes
+    * bit-identically, which the GK/percentile_approx sketches can
+    * never offer.
+    *
+    * Scale shape: the heavy pass is ONE partial-aggregated groupBy to
+    * O(groups · cells) rows — map-side combine does the compression,
+    * nothing corpus-sized shuffles; the window runs over the tiny cell
+    * frame. The coverage test `100·cum ≥ n·q` stays in BIGINT (no
+    * ceil, no division), exact for any n up to 2⁶³/100.
+    */
+  def gridQuantiles(docs: DataFrame, valueCol: String, groupCol: String,
+                    grid: Long = 64L,
+                    qs: Seq[Int] = Seq(50, 90, 95, 99)): DataFrame = {
+    require(grid >= 1, "grid must be >= 1")
+    require(qs.nonEmpty && qs.forall(q => q >= 1 && q <= 100),
+      "quantiles are integer percents in [1,100]")
+    // FLOOR division in exact integer arithmetic (DIV truncates toward
+    // zero; subtracting the non-negative pmod first makes it floor —
+    // never `/`, which is double division and corrupts large longs)
+    val cells = docs
+      .select(col(groupCol).as("grp"),
+        expr(s"(CAST($valueCol AS BIGINT) - " +
+          s"pmod(CAST($valueCol AS BIGINT), ${grid}L)) DIV ${grid}L")
+          .as("cell"))
+      .groupBy("grp", "cell").agg(count(lit(1)).as("cell_n"))
+    val cum = cells.withColumn("cum",
+      sum(col("cell_n")).over(org.apache.spark.sql.expressions.Window
+        .partitionBy("grp").orderBy("cell")))
+      .withColumn("n",
+        sum(col("cell_n")).over(org.apache.spark.sql.expressions.Window
+          .partitionBy("grp")))
+    cum.groupBy("grp")
+      .agg(max(col("n")).as("n"),
+        qs.map(q => min(when(col("cum") * 100 >= col("n") * q,
+          col("cell") * grid)).as(s"p${q}_lo")): _*)
+      .select(col("grp").as(groupCol) +: col("n") +:
+        qs.map(q => col(s"p${q}_lo")): _*)
+  }
+
   /** One-call corpus profile: row count, distinct docs/langs/sources,
     * char-length quantiles — the summary a curation run logs per shard.
     * Quantiles come back as scalar columns (p50/p95), not an array, so

@@ -34,6 +34,18 @@ class JsonUtilSpec extends AnyFunSuite {
     assert(roundTrip(hostile) == hostile)
   }
 
+  test("bench load guard: floor exceeded => suspect; at/under floor or dead query => not") {
+    // the automated form of BASELINE.md's "trust only runs where
+    // t1_project_rename <= 1.4 s" rule
+    assert(Bench.loadSuspect(Some(1.41), 1.4))
+    assert(!Bench.loadSuspect(Some(1.4), 1.4))   // at the floor: clean
+    assert(!Bench.loadSuspect(Some(0.9), 1.4))
+    // a guard query that failed every pass is a BROKEN bench (total=-1
+    // already marks it), not a loaded one
+    assert(!Bench.loadSuspect(None, 1.4))
+    assert(Bench.LoadGuardQuery == "t1_project_rename")
+  }
+
   test("a map of quoted pairs parses as a JSON object (Verify's shape)") {
     val m = Map("q1\ttab" -> "SELECT \"x\"\nFROM t", "q2" -> "plain")
     val json = m.map { case (k, v) => s"${Json.quote(k)}: ${Json.quote(v)}" }

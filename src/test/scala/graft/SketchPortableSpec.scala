@@ -27,6 +27,24 @@ class SketchPortableSpec extends SparkSpec {
     assert(got.forall(r => r._3 >= r._2)) // CMS never underestimates
   }
 
+  test("gridQuantiles: hand-checked coverage cells on 0..9, grid 4") {
+    // cells: {0..3}→cell 0 (4 rows), {4..7}→cell 1 (4), {8,9}→cell 2 (2)
+    // p50: first cum ≥ 5 is cell 1 → 4; p90/p95/p99 land in cell 2 → 8
+    val docs = (0L to 9L).map(v => ("s", v)).toDF("source", "n_chars")
+    val r = Sketches.gridQuantiles(docs, "n_chars", "source", grid = 4L).head()
+    assert((r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4), r.getLong(5)) == ("s", 10L, 4L, 8L, 8L, 8L))
+  }
+
+  test("gridQuantiles: FLOOR cells for negative values; per-group independence") {
+    // -5 floors to cell -2 (lower bound -8), not DIV's toward-zero -1
+    val docs = Seq(("a", -5L), ("a", 3L), ("b", 100L)).toDF("source", "n_chars")
+    val got = Sketches.gridQuantiles(docs, "n_chars", "source", grid = 4L)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got("a") == (2L, -8L)) // p50 covers at the first (negative) cell
+    assert(got("b") == (1L, 100L)) // 100 DIV 4 = cell 25 → lower bound 100
+  }
+
   test("featureHash: pinned portable buckets and counts") {
     // code(aa) = 97·131+2 = 12709 → bucket 31; code(bb) = 12840 → 60
     val got = Sketches.featureHash(Seq((7L, "aa bb aa")).toDF("doc_id", "text"),
