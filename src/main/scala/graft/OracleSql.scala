@@ -702,6 +702,49 @@ object OracleSql {
     ORDER BY revenue DESC, c.c_custkey
     LIMIT 20"""
 
+  /** The from-scratch one-shot curation twin — shared VERBATIM by
+    * ns_curation_pipeline and ns_incremental_curation (the incremental
+    * fold's convergence contract makes them the same question).
+    */
+  private lazy val curationOneShotSql: String =
+    s"""WITH f AS (
+        SELECT doc_id, text,
+          len(${wsToks("text")}) AS n_words,
+          CAST(length(text) - (len(${wsToks("text")}) - 1) AS DOUBLE)
+            / len(${wsToks("text")}) AS avg_word_len,
+          CAST(len(regexp_extract_all(text, '[\\.,;:!\\?]')) AS DOUBLE) / length(text) AS punct_ratio,
+          CAST(len(list_filter(${wsToks("text")}, w -> w IN $stopwordsIn)) AS DOUBLE)
+            / len(${wsToks("text")}) AS stopword_ratio
+        FROM documents),
+      scored AS (
+        SELECT doc_id, text, n_words,
+          (CASE WHEN n_words BETWEEN 10 AND 10000 THEN 4 ELSE 0 END
+           + CASE WHEN stopword_ratio > 0.05 THEN 3 ELSE 0 END
+           + CASE WHEN punct_ratio < 0.2 THEN 2 ELSE 0 END
+           + CASE WHEN avg_word_len BETWEEN 2.0 AND 12.0 THEN 1 ELSE 0 END) / 10.0 AS quality_score
+        FROM f),
+      kept AS (SELECT * FROM scored WHERE quality_score >= 0.7),
+      hashed AS (
+        SELECT *,
+          CASE WHEN text IS NULL OR trim(regexp_replace(regexp_replace(lower(text), '[^\\p{L}\\p{N} \\t\\n\\f\\r\\x0B]', '', 'g'), '[ \\t\\n\\f\\r\\x0B]+', ' ', 'g')) = ''
+               THEN 'empty-' || CAST(doc_id AS VARCHAR)
+               ELSE md5(trim(regexp_replace(regexp_replace(lower(text), '[^\\p{L}\\p{N} \\t\\n\\f\\r\\x0B]', '', 'g'), '[ \\t\\n\\f\\r\\x0B]+', ' ', 'g')))
+          END AS th
+        FROM kept),
+      deduped AS (
+        SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY th ORDER BY doc_id) AS rn FROM hashed)
+        WHERE rn = 1),
+      ${jaccardCtes("deduped", pruned = true)},
+      losers AS (
+        SELECT DISTINCT id_b FROM inter
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE CAST(inter AS DOUBLE) / (sa.nsh + sb.nsh - inter) >= 0.3)
+      SELECT doc_id, CAST(n_words AS BIGINT) AS n_words, quality_score
+      FROM deduped d
+      WHERE NOT EXISTS (SELECT 1 FROM losers l WHERE l.id_b = d.doc_id)
+      ORDER BY doc_id"""
+
   val all: Map[String, String] = Map(
     "sql_waiting_orders" -> waitingOrdersSql("orders", "lineitem"),
     "sql_nation_trade" -> nationTradeSql("supplier", "lineitem", "orders",
@@ -3054,44 +3097,13 @@ object OracleSql {
             FROM documents)
       GROUP BY doc_id ORDER BY doc_id""",
 
-    "ns_curation_pipeline" ->
-      s"""WITH f AS (
-        SELECT doc_id, text,
-          len(${wsToks("text")}) AS n_words,
-          CAST(length(text) - (len(${wsToks("text")}) - 1) AS DOUBLE)
-            / len(${wsToks("text")}) AS avg_word_len,
-          CAST(len(regexp_extract_all(text, '[\\.,;:!\\?]')) AS DOUBLE) / length(text) AS punct_ratio,
-          CAST(len(list_filter(${wsToks("text")}, w -> w IN $stopwordsIn)) AS DOUBLE)
-            / len(${wsToks("text")}) AS stopword_ratio
-        FROM documents),
-      scored AS (
-        SELECT doc_id, text, n_words,
-          (CASE WHEN n_words BETWEEN 10 AND 10000 THEN 4 ELSE 0 END
-           + CASE WHEN stopword_ratio > 0.05 THEN 3 ELSE 0 END
-           + CASE WHEN punct_ratio < 0.2 THEN 2 ELSE 0 END
-           + CASE WHEN avg_word_len BETWEEN 2.0 AND 12.0 THEN 1 ELSE 0 END) / 10.0 AS quality_score
-        FROM f),
-      kept AS (SELECT * FROM scored WHERE quality_score >= 0.7),
-      hashed AS (
-        SELECT *,
-          CASE WHEN text IS NULL OR trim(regexp_replace(regexp_replace(lower(text), '[^\\p{L}\\p{N} \\t\\n\\f\\r\\x0B]', '', 'g'), '[ \\t\\n\\f\\r\\x0B]+', ' ', 'g')) = ''
-               THEN 'empty-' || CAST(doc_id AS VARCHAR)
-               ELSE md5(trim(regexp_replace(regexp_replace(lower(text), '[^\\p{L}\\p{N} \\t\\n\\f\\r\\x0B]', '', 'g'), '[ \\t\\n\\f\\r\\x0B]+', ' ', 'g')))
-          END AS th
-        FROM kept),
-      deduped AS (
-        SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY th ORDER BY doc_id) AS rn FROM hashed)
-        WHERE rn = 1),
-      ${jaccardCtes("deduped", pruned = true)},
-      losers AS (
-        SELECT DISTINCT id_b FROM inter
-        JOIN sizes sa ON sa.doc_id = id_a
-        JOIN sizes sb ON sb.doc_id = id_b
-        WHERE CAST(inter AS DOUBLE) / (sa.nsh + sb.nsh - inter) >= 0.3)
-      SELECT doc_id, CAST(n_words AS BIGINT) AS n_words, quality_score
-      FROM deduped d
-      WHERE NOT EXISTS (SELECT 1 FROM losers l WHERE l.id_b = d.doc_id)
-      ORDER BY doc_id""",
+    "ns_curation_pipeline" -> curationOneShotSql,
+
+    // the incremental fold's convergence contract: after the last
+    // batch, survivors == the from-scratch one-shot curation — so the
+    // oracle IS the one-shot SQL, shared verbatim
+    "ns_incremental_curation" -> curationOneShotSql,
+
 
     // argmax over per-language marker-hit ratios; tie semantics mirror
     // Spark's greatest(struct(score, lang)): highest score, then highest

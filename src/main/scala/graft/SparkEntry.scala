@@ -2619,6 +2619,27 @@ object SparkEntry {
       minQuality = 0.7, jaccardThreshold = 0.3)
       .orderBy("doc_id")
 
+  /** The incremental daily-crawl-update path END TO END
+    * (pipeline.IncrementalCuration): the corpus folds in as two
+    * ascending-id batches — quality gate → bloom-guarded cross-batch
+    * exact dedup → cross+intra-batch near-dup with loser tombstones →
+    * partition-scoped LWW parquet merge — and the merged table's
+    * survivors are read back. The ORACLE is the from-scratch one-shot
+    * curation SQL (shared verbatim with ns_curation_pipeline): the
+    * hash gate IS the convergence proof that incremental == rebuild.
+    */
+  private def nsIncrementalCuration(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select("doc_id", "text")
+    val mid = docs.agg(max("doc_id")).head().getLong(0) / 2
+    val tmp = java.nio.file.Files.createTempDirectory("inc_cur").toString +
+      "/state"
+    graft.pipeline.IncrementalCuration.curateBatch(s, tmp,
+      docs.filter(col("doc_id") <= mid), "text", "doc_id", batchNo = 1L)
+    graft.pipeline.IncrementalCuration.curateBatch(s, tmp,
+      docs.filter(col("doc_id") > mid), "text", "doc_id", batchNo = 2L)
+    graft.pipeline.IncrementalCuration.survivors(s, tmp).orderBy("doc_id")
+  }
+
   /** IVF (KMeans coarse-quantizer) approximate top-k — the trained-index
     * counterpart of the hyperplane LSH. Approximate → rows-only; ExtSpec
     * checks recall against brute force.
@@ -3064,6 +3085,7 @@ object SparkEntry {
     "ns_pq_topk" -> nsPqTopk,
     "ns_ivfpq_topk" -> nsIvfPqTopk,
     "ns_curation_pipeline" -> nsCurationPipeline,
+    "ns_incremental_curation" -> nsIncrementalCuration,
     "ns_text_tokens" -> nsTextTokens,
     "ns_token_stats" -> nsTokenStats,
     "ns_text_quality" -> nsTextQuality,

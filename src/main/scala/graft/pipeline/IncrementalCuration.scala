@@ -1,0 +1,120 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ext.{BloomGuard, TextAnalysis, TextDedup}
+import graft.sink.ParquetMerge
+
+/** The daily-crawl-update path END TO END: fold document batches into a
+  * persistent curated-corpus table — quality gate → cross-batch exact
+  * dedup (bloom-guarded) → cross-batch + intra-batch near-dup → LWW
+  * partition merge — such that after every batch the table's survivors
+  * EQUAL the from-scratch [[Curation.curate]] over everything ingested
+  * so far. That equality is the whole point: it makes the incremental
+  * pipeline verifiable against the one-shot oracle, and it is what a
+  * production corpus wants (no drift between the nightly incremental
+  * and a quarterly rebuild).
+  *
+  * Convergence contract and why it holds:
+  *
+  *  - Batches arrive in ASCENDING id order (batch N's smallest id
+  *    exceeds batch N−1's largest — the natural crawl layout). The
+  *    from-scratch near-dup rule removes the HIGHER id of a pair, so
+  *    under ascending arrival an already-settled row's fate can never
+  *    be changed by later data: new rows always lose to old rows,
+  *    never the reverse.
+  *  - The state table keeps near-dup LOSERS as tombstones
+  *    (`is_survivor = false`) instead of deleting them. From-scratch
+  *    curation compares each doc against every exact-deduped
+  *    quality-passing doc — including ones that lost their own
+  *    near-dup pairing — so an incremental fold that compared against
+  *    survivors only would KEEP docs the rebuild removes. Tombstones
+  *    are exactly the rows that close that gap.
+  *  - Exact dedup keeps the smallest id per normalized text; state
+  *    rows (smaller ids) always predate the batch, so dropping batch
+  *    rows whose text already occurs in state — plus first-id-wins
+  *    within the batch — reproduces the global rule.
+  *  - Shingle df-pruning (`maxPostings`) is computed per side here but
+  *    globally in the rebuild; the folds agree whenever no shingle
+  *    crosses the cap in the combined corpus (the cap exists for
+  *    pathological boilerplate; engagement is audited, not silent).
+  *
+  * Scale shape: each batch pays quality scoring + hashing on the BATCH
+  * only; the corpus-sized state is touched by one bloom-prefiltered
+  * key anti-join ([[BloomGuard.newDocs]]) and one broadcast-batch
+  * shingle probe ([[TextDedup.crossNearDups]] — the batch side
+  * broadcasts, the corpus never self-joins), and the write rewrites
+  * only the partitions the batch lands in
+  * ([[ParquetMerge.upsertPartitions]]).
+  */
+object IncrementalCuration {
+
+  /** Number of hash partitions the state table is laid out in. The
+    * partition value is a pure function of the key, so the
+    * partition-scoped LWW merge can never see a migrating key.
+    */
+  val StateParts = 8
+
+  /** Fold one batch into the state table at `stateDir` (created on
+    * first use). `batchNo` becomes the merge version — replaying a
+    * batch re-merges idempotently.
+    */
+  def curateBatch(spark: SparkSession, stateDir: String, batch: DataFrame,
+                  text: String, id: String, batchNo: Long,
+                  minQuality: Double = 0.7,
+                  jaccardThreshold: Double = 0.3,
+                  maxPostings: Long = 5000): Unit = {
+    val hPath = new org.apache.hadoop.fs.Path(stateDir)
+    val fs = hPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val state: Option[DataFrame] =
+      if (fs.exists(hPath)) Some(spark.read.parquet(stateDir)) else None
+    val qualified = TextAnalysis.qualityScore(batch, text)
+      .filter(col("quality_score") >= minQuality)
+      .select(col(id), col(text),
+        col("n_words").cast("long").as("n_words"), col("quality_score"))
+    // cross-batch exact dedup: a batch text already present in state
+    // (survivor OR tombstone — both predate the batch and hold the
+    // smaller id) is dropped; first-id-wins settles intra-batch copies
+    val newb = state match {
+      case None => qualified
+      case Some(st) => BloomGuard.newDocs(qualified,
+        st.select(col(text)), text)
+    }
+    val dedupedB = TextDedup.exactNormalized(newb, text, id)
+      .drop("text_hash")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // near-dup losers: new vs ALL state rows (tombstones included —
+    // the convergence clause), plus pairs within the batch itself
+    val crossLosers = state match {
+      case None => None
+      case Some(st) => Some(TextDedup.crossNearDups(dedupedB, st, text, id,
+        shingleN = 3, threshold = jaccardThreshold,
+        maxPostings = maxPostings)
+        .select(col("id_new").as(id)))
+    }
+    val intraLosers = TextDedup.ngramJaccardPairs(dedupedB, text, id,
+      shingleN = 3, threshold = jaccardThreshold, maxPostings = maxPostings)
+      .select(col("id_b").as(id))
+    val losers = crossLosers.fold(intraLosers)(_.unionByName(intraLosers))
+      .distinct()
+    val rows = dedupedB
+      .join(losers.withColumn("_lost", lit(true)), Seq(id), "left")
+      .withColumn("is_survivor", coalesce(col("_lost"), lit(false)) === false)
+      .drop("_lost")
+      .withColumn("part", pmod(col(id), lit(StateParts.toLong)))
+      .withColumn("ver", lit(batchNo))
+      .select(col("part"), col(id), col("ver"), col(text), col("n_words"),
+        col("quality_score"), col("is_survivor"))
+    ParquetMerge.upsertPartitions(spark, stateDir, rows, "part", id, "ver")
+    dedupedB.unpersist()
+  }
+
+  /** The curated corpus as of the last folded batch: survivors only,
+    * in the from-scratch output contract (id, n_words, quality_score).
+    */
+  def survivors(spark: SparkSession, stateDir: String,
+                id: String = "doc_id"): DataFrame =
+    spark.read.parquet(stateDir)
+      .filter(col("is_survivor"))
+      .select(col(id), col("n_words"), col("quality_score"))
+}

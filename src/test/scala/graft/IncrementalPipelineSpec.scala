@@ -83,4 +83,54 @@ class IncrementalPipelineSpec extends SparkSpec {
     assert(incremental == batchBackfill)
     assert(incremental.size == 3 * 4 * 2) // 3 stations x 4 fuels x 2 days
   }
+
+  test("incremental curation converges to the from-scratch rebuild; tombstones close the loser gap; replay idempotent") {
+    import graft.pipeline.{Curation, IncrementalCuration}
+    // 20-word docs sharing a fixed 12-word middle; prefix/suffix edits
+    // tune pairwise jaccard precisely (18 3-shingles each):
+    //   d1~d2 (suffix edit)  = 14/22 ≈ 0.64  -> pair, d2 loses
+    //   d2~d4 (prefix edit)  = 14/22 ≈ 0.64  -> pair, d4 loses
+    //   d1~d4 (both edits)   = 10/26 ≈ 0.38  -> NO pair
+    // d4 is killed ONLY by tombstone d2 — the case a survivors-only
+    // incremental fold gets wrong.
+    val mid = "delta the foxtrot golf hotel the juliet kilo lima mike november oscar"
+    val d1t = s"alpha bravo charlie dingo $mid papa quebec romeo sierra"
+    val d2t = s"alpha bravo charlie dingo $mid tango uniform victor whiskey"
+    val d4t = s"yankee zulu aardvark badger $mid tango uniform victor whiskey"
+    val d3t = "one two three four " + mid + " five six seven eight"
+    val d7t = "red blue green cyan " + mid + " pink gray black white"
+    val docs = Seq(
+      (1L, d1t), (2L, d2t), (3L, d3t),          // batch 1
+      (4L, d4t), (5L, d3t),                     // d5: exact dup of d3
+      (6L, "tiny doc"),                         // fails the quality gate
+      (7L, d7t)                                 // clean survivor
+    ).toDF("doc_id", "text")
+    val b1 = docs.filter(col("doc_id") <= 3)
+    val b2 = docs.filter(col("doc_id") > 3)
+    val dir = java.nio.file.Files.createTempDirectory("inccur").toString + "/st"
+    IncrementalCuration.curateBatch(spark, dir, b1, "text", "doc_id",
+      batchNo = 1L, jaccardThreshold = 0.5)
+    IncrementalCuration.curateBatch(spark, dir, b2, "text", "doc_id",
+      batchNo = 2L, jaccardThreshold = 0.5)
+    def surv() = IncrementalCuration.survivors(spark, dir)
+      .select("doc_id").as[Long].collect().toSet
+    assert(surv() == Set(1L, 3L, 7L))
+    // state keeps the losers as tombstones, flagged
+    val state = spark.read.parquet(dir)
+    assert(state.filter(!col("is_survivor"))
+      .select("doc_id").as[Long].collect().toSet == Set(2L, 4L))
+    assert(state.count() == 5) // d5 exact-dropped, d6 quality-dropped
+    // converges to the one-shot rebuild, full row contract included
+    val fromScratch = Curation.curate(docs, "text", "doc_id",
+      minQuality = 0.7, jaccardThreshold = 0.5)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val got = IncrementalCuration.survivors(spark, dir)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(got == fromScratch)
+    // batch-2 replay (at-least-once delivery) re-merges to the same table
+    IncrementalCuration.curateBatch(spark, dir, b2, "text", "doc_id",
+      batchNo = 2L, jaccardThreshold = 0.5)
+    assert(surv() == Set(1L, 3L, 7L))
+    assert(spark.read.parquet(dir).count() == 5)
+  }
 }
