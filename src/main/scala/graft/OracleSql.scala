@@ -2258,11 +2258,10 @@ object OracleSql {
         UNION ALL SELECT doc_id, term FROM shortd)),
       dfreq AS (SELECT term, count(*) AS df FROM terms GROUP BY 1
                 HAVING count(*) <= 100),
-      nd AS (SELECT count(*) AS n_docs FROM documents),
       w AS MATERIALIZED (
         SELECT terms.doc_id AS doc, terms.term, dfreq.df,
           ${graft.ext.Bm25.idfMillePtsSql} AS w
-        FROM terms JOIN dfreq USING (term) CROSS JOIN nd),
+        FROM terms JOIN dfreq USING (term)),
       n2 AS (SELECT doc, sum(CAST(w AS HUGEINT) * w) AS n2
              FROM w GROUP BY 1),
       dots AS (

@@ -180,7 +180,12 @@ object ScaleStress {
       // hash map-side family (the stress corpus carries documents +
       // embeddings only, so the event-family additions stay at the
       // bench scale)
-      "ns_sparse_cosine", "ns_cms_counts", "ns_feature_hash")
+      "ns_sparse_cosine", "ns_cms_counts", "ns_feature_hash",
+      // round-10: the iterative-graph heavy — the stress corpus now
+      // clones events with remapped user/event ids, so PageRank runs
+      // on a copies-fold bipartite graph (per-round localCheckpoint
+      // lineage cuts are what this step proves at depth)
+      "t_pagerank_events")
     // dev iteration: SPARK_GRAFT_STRESS_ONLY=name1,name2 runs just
     // those query steps (audits and corpus stats always run)
     val only = sys.env.get("SPARK_GRAFT_STRESS_ONLY")

@@ -76,6 +76,67 @@ object Bpe {
     trainFromCounts(wordCounts, numMerges, minPairCount)
   }
 
+  /** Fully distributed trainer — the fallback for corpora whose word-
+    * TYPE table exceeds what [[train]]'s `maxTypes` collect should
+    * hold. The type table never leaves the cluster: each round is ONE
+    * partial-aggregated pair-count shuffle over the persisted type
+    * frequencies (words re-segmented executor-side through the
+    * canonical greedy kernel with the merges learned so far), and the
+    * driver sees exactly ONE row per round — the argmax pair. Driver
+    * memory is O(numMerges), full stop.
+    *
+    * Same semantics as [[train]]/[[trainFromCounts]]: max pair count,
+    * ties to the lexicographically smallest (l, r), early stop below
+    * `minPairCount` ([[BpeSpec]] pins path parity on a real corpus).
+    * The trade is compute for memory: round k re-encodes every type
+    * through k−1 merges (O(types·numMerges²) total symbol work) where
+    * the driver loop applies each merge incrementally — the standard
+    * price of keeping the table distributed, amortized by
+    * `minWordCount`/`sampleFraction` exactly as in [[train]].
+    */
+  def trainDistributed(df: DataFrame, text: String, numMerges: Int,
+                       minPairCount: Long = 2, sampleFraction: Double = 1.0,
+                       minWordCount: Long = 1,
+                       seed: Long = 42L): Seq[(String, String)] = {
+    require(numMerges >= 1, "numMerges must be >= 1")
+    require(sampleFraction > 0 && sampleFraction <= 1.0,
+      "sampleFraction in (0, 1]")
+    require(minWordCount >= 1, "minWordCount must be >= 1")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val base = if (sampleFraction < 1.0) df.sample(sampleFraction, seed) else df
+    val counts = base
+      .select(explode(Tok.tokens(col(text))).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy("w").agg(count(lit(1)).as("n"))
+      .filter(col("n") >= minWordCount)
+      .as[(String, Long)]
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var continue = true
+    while (continue && merges.size < numMerges) {
+      // greedy re-encode == sequential in-training application: a
+      // merge's output symbol post-dates every earlier rank, so
+      // lowest-rank-first replays training order (BpeKernels doc)
+      val ranks = graft.functions.BpeKernels.ranksOf(merges.toSeq)
+      val best = counts.mapPartitions { it =>
+        it.flatMap { case (w, n) =>
+          val parts = graft.functions.BpeKernels.encode(w, ranks)
+          (0 until parts.length - 1).iterator
+            .map(i => (parts(i), parts(i + 1), n))
+        }
+      }.toDF("l", "r", "n")
+        .groupBy("l", "r").agg(sum("n").as("cnt"))
+        .orderBy(col("cnt").desc, col("l"), col("r"))
+        .limit(1).collect()
+      if (best.isEmpty || best.head.getLong(2) < minPairCount)
+        continue = false
+      else merges += ((best.head.getString(0), best.head.getString(1)))
+    }
+    counts.unpersist()
+    merges.toSeq
+  }
+
   /** Driver-side merge loop over the word-type frequency table. */
   def trainFromCounts(wordCounts: Seq[(String, Long)], numMerges: Int,
                       minPairCount: Long = 2): Seq[(String, String)] = {

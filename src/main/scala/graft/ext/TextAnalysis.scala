@@ -420,8 +420,12 @@ object TextAnalysis {
     * similarity with no model, the "same words, any order" signal used
     * for topical near-dup triage and weak supervision.
     *
-    * Exactness contract: weights are integer mille-points
-    * ([[Bm25.idfMillePtsSql]]); dot and norms accumulate in
+    * Exactness contract: weights are N-INDEPENDENT integer rarity
+    * points ([[Bm25.idfMillePtsSql]], round(1e5/(df+1)) — bounded by
+    * 50,000 at any corpus size, which is what keeps the exact test
+    * inside DECIMAL(38,0) at 100 TB; the x25 stress proved the
+    * N-carrying form leaves the regime at 125k docs); dot and norms
+    * accumulate in
     * DECIMAL(38,0) (DuckDB: HUGEINT — both exact), and the threshold
     * decision is the divisions-and-sqrt-cleared integer test
     * `dot² · 10⁴ ≥ t_centi² · ‖a‖²·‖b‖²`, so pair membership cannot
@@ -462,9 +466,7 @@ object TextAnalysis {
         Tok.tokens(col(text)), shingleN)).as("term"))
     val dfreq = terms.groupBy("term").agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf)
-    val nDocs = df.agg(count(lit(1)).as("n_docs"))
     val w = terms.join(dfreq, Seq("term")) // inner join = the stop list
-      .crossJoin(broadcast(nDocs))
       .withColumn("w", expr(Bm25.idfMillePtsSql))
       .select("doc", "term", "df", "w")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -837,13 +839,22 @@ object Bm25 {
     "CAST(round(CAST(1000000.0 AS DOUBLE) * CAST(n_docs + 1 AS DOUBLE) / " +
       "CAST(df + 1 AS DOUBLE)) AS BIGINT)"
 
-  /** Mille-point rational idf: round(1e3·(N+1)/(df+1)). The coarser
-    * scale is deliberate — [[TextAnalysis.sparseCosinePairs]] squares
-    * and cross-multiplies these weights, and micro-points would push
-    * the exact integer threshold test past 38 decimal digits.
+  /** Sparse-cosine term weight: round(1e5 / (df+1)) — the rarity
+    * weighting with the corpus size DIVIDED OUT. Cosine is scale-
+    * invariant, so (N+1)/(df+1) and 1/(df+1) weightings are the same
+    * similarity up to rounding — but the N-carrying form grows
+    * linearly with corpus size and left the exact DECIMAL(38,0)
+    * regime at 125k docs (the x25 stress fired sparseCosinePairs'
+    * overflow guard: a single df=1 term weighed 1e8 mille-points,
+    * w² ≈ 7e15 > the norm bound on its own). This form is
+    * N-INDEPENDENT: w ≤ 50,000 at any corpus size, so norm² ≤
+    * 2.5e9 · shingles-per-doc and the exact test holds to ~400k
+    * shingles per document at 100 TB as at 100 MB. The 1e5 scale
+    * keeps full resolution across the df ≤ maxDf stop-listed range
+    * (df=100 → 990 points). idfMillePtsSql until round 10.
     */
   val idfMillePtsSql: String =
-    "CAST(round(CAST(1000.0 AS DOUBLE) * CAST(n_docs + 1 AS DOUBLE) / " +
+    "CAST(round(CAST(100000.0 AS DOUBLE) / " +
       "CAST(df + 1 AS DOUBLE)) AS BIGINT)"
 
   /** Reciprocal-rank-fusion contribution in integer nano-points:

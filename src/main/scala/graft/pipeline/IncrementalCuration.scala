@@ -109,6 +109,34 @@ object IncrementalCuration {
     dedupedB.unpersist()
   }
 
+  /** The streaming face of the same fold: each micro-batch of crawled
+    * docs runs [[curateBatch]] via foreachBatch (batchId becomes the
+    * merge version, so a replayed micro-batch — foreachBatch's
+    * at-least-once contract — re-merges idempotently: checkpoint + the
+    * LWW merge = effective exactly-once, the [[graft.streaming.EventStream.mergeStream]]
+    * pattern). The convergence contract is inherited unchanged: after
+    * any prefix of micro-batches, survivors == the from-scratch
+    * rebuild over the documents ingested so far, provided micro-batch
+    * arrival follows the ascending-id contract.
+    */
+  def curateStream(docs: DataFrame, stateDir: String, text: String,
+                   id: String, checkpoint: String,
+                   minQuality: Double = 0.7,
+                   jaccardThreshold: Double = 0.3,
+                   maxPostings: Long = 5000)
+  : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .foreachBatch {
+        (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+         batchId: Long) =>
+          curateBatch(b.sparkSession, stateDir, b.toDF(), text, id,
+            batchNo = batchId, minQuality = minQuality,
+            jaccardThreshold = jaccardThreshold, maxPostings = maxPostings)
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
   /** The curated corpus as of the last folded batch: survivors only,
     * in the from-scratch output contract (id, n_words, quality_score).
     */

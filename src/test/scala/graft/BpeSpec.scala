@@ -62,6 +62,24 @@ class BpeSpec extends SparkSpec {
     assert(Bpe.train(docs, "text", 24) == PinnedBpe.merges)
   }
 
+  test("distributed trainer == driver trainer on a real corpus (path parity)") {
+    // the scale fallback for type tables that outgrow maxTypes: the
+    // pair counting rides a per-round aggregation shuffle and the
+    // driver sees one argmax row per merge — the learned table must be
+    // IDENTICAL to the collect-and-loop path, toy corpus and real
+    // corpus both
+    val toy = (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest"))
+      .map(w => Tuple1(w)).toDF("text")
+    assert(Bpe.trainDistributed(toy, "text", 6, minPairCount = 2) ==
+      Bpe.train(toy, "text", 6, minPairCount = 2))
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val driver = Bpe.train(docs, "text", 24)
+    val dist = Bpe.trainDistributed(docs, "text", 24)
+    assert(dist == driver)
+    assert(dist == PinnedBpe.merges) // and both ARE the pinned table
+  }
+
   test("kernel greedy encode: worked example through the pinned table") {
     val ranks = BpeKernels.ranksOf(PinnedBpe.merges)
     // sort: (o,r) -> s or t; (or,t) -> s ort; (s,ort) -> sort

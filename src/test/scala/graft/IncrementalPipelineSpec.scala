@@ -132,5 +132,28 @@ class IncrementalPipelineSpec extends SparkSpec {
       batchNo = 2L, jaccardThreshold = 0.5)
     assert(surv() == Set(1L, 3L, 7L))
     assert(spark.read.parquet(dir).count() == 5)
+
+    // the STREAMING face: the same two batches as a file stream (one
+    // micro-batch per file) must converge to the identical table, and
+    // a checkpointed restart with no new files must replay nothing
+    val sdir = java.nio.file.Files.createTempDirectory("inccurS").toString
+    val stDir = sdir + "/state"
+    val ckp = sdir + "/ckp"
+    b1.coalesce(1).write.parquet(sdir + "/f1")
+    Thread.sleep(1100) // distinct mod times -> deterministic batch order
+    b2.coalesce(1).write.parquet(sdir + "/f2")
+    def runStream(): Unit = {
+      val st = spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", "1").parquet(sdir + "/f*")
+      IncrementalCuration.curateStream(st, stDir, "text", "doc_id", ckp,
+        jaccardThreshold = 0.5).awaitTermination(180000)
+    }
+    runStream()
+    def sSurv() = IncrementalCuration.survivors(spark, stDir)
+      .select("doc_id").as[Long].collect().toSet
+    assert(sSurv() == Set(1L, 3L, 7L))
+    assert(spark.read.parquet(stDir).count() == 5)
+    runStream() // checkpointed restart: no new files, no replay, no drift
+    assert(sSurv() == Set(1L, 3L, 7L))
   }
 }

@@ -332,7 +332,7 @@ object PropertySpec extends Properties("graft") {
         val dfm = sets.flatMap(_._2).groupBy(identity).map { case (t, o) => t -> o.size }
           .filter(_._2 <= maxDf)
         def w(t: String): BigInt =
-          BigInt(math.round(1000.0 * (n + 1) / (dfm(t) + 1)))
+          BigInt(math.round(100000.0 / (dfm(t) + 1)))
         val weighted = sets.map { case (id, s) => id -> s.filter(dfm.contains) }
         val want = (for {
           (a, sa) <- weighted; (b, sb) <- weighted if a < b

@@ -18,6 +18,95 @@ class ScaleSpec extends SparkSpec {
       plain.orderBy("k", "v").collect().toSeq)
   }
 
+  test("planted skew: salting bounds the max/median task share the plain join concentrates") {
+    // 80k rows, 64k of them on ONE hot key. A plain hash join puts the
+    // whole hot key in one shuffle task; salting (factor 8) must fan it
+    // out so no task carries more than a bounded multiple of the
+    // median. AQE off so the partition layout is the raw hash layout
+    // (its skew splitter is plan B, proven separately below).
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    val prevBcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.shuffle.partitions", "16")
+    // force a SHUFFLE join: a broadcast join has no shuffle to skew,
+    // which is itself the first line of defense — this test is about
+    // the layout when the dim does NOT fit a broadcast
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val left = spark.range(80000).selectExpr(
+        "if(id % 5 < 4, 'hot', concat('k', id % 997)) as k", "id as v")
+      val right = (Seq("hot") ++ (0 until 997).map(i => s"k$i")).toDF("k")
+        .withColumn("w", length(col("k")))
+      def sizes(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+        df.rdd.mapPartitions(it => Iterator(it.size.toLong))
+          .collect().toSeq.sorted
+      val ps = sizes(left.join(right, "k"))
+      val ss = sizes(Scale.saltedJoin(left, right, "k", saltFactor = 8))
+      def ratio(s: Seq[Long]): Double = {
+        val nz = s.filter(_ > 0)
+        nz.max.toDouble / nz(nz.size / 2)
+      }
+      // plain: the 64k-row hot key rides ONE task — max/median explodes
+      assert(ps.max >= 64000L, s"plain layout $ps")
+      assert(ratio(ps) > 20.0, s"plain ratio ${ratio(ps)} ($ps)")
+      // salted: the hot key fans out 8 ways; even with sub-key hash
+      // collisions no task may hold more than 3 sub-keys' worth, and
+      // the max/median ratio must collapse by at least 3× vs plain
+      // (measured: 64→16 here; the residual 16 is two sub-keys
+      // colliding on one of 16 partitions over a ~1k background
+      // median, not hot-key concentration)
+      assert(ss.max <= 3 * (64000 / 8) + 2000, s"salted layout $ss")
+      assert(ratio(ss) * 3 <= ratio(ps),
+        s"salted ratio ${ratio(ss)} vs plain ${ratio(ps)} ($ss)")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBcast)
+    }
+  }
+
+  test("planted skew: AQE skew-join splits the hot partition when thresholds are crossed") {
+    // the automatic half of the skew story: with the skew thresholds
+    // scaled down to unit-test data volume, AQE must re-plan the sort
+    // merge join with the hot partition split (skew=true in the final
+    // plan) — at production scale the default 256 MB thresholds play
+    // the same role
+    val restore = Seq(
+      "spark.sql.adaptive.enabled",
+      "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.shuffle.partitions").map(k =>
+      k -> spark.conf.getOption(k)).toMap
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+    spark.conf.set(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16KB")
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+    spark.conf.set("spark.sql.shuffle.partitions", "16")
+    try {
+      val left = spark.range(80000).selectExpr(
+        "if(id % 5 < 4, 'hot', concat('k', id % 997)) as k", "id as v")
+      val right = (Seq("hot") ++ (0 until 997).map(i => s"k$i")).toDF("k")
+        .withColumn("w", length(col("k")))
+      val joined = left.join(right, "k")
+      // materialize THIS frame's own execution (count() would spawn a
+      // separate QueryExecution and leave joined's AQE plan unfinalized)
+      assert(joined.collect().length == 80000)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"AQE did not split the skewed partition:\n$plan")
+    } finally restore.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("skew report surfaces the hot key with its ratio") {
     val df = (Seq.fill(90)("hot") ++ (1 to 10).map(i => s"k$i")).toDF("k")
     val top = Scale.skewReport(df, "k", topN = 3).head()

@@ -24,16 +24,18 @@ class SparseCosineSpec extends SparkSpec {
     assert(got((1L, 2L)) == 1.0)
   }
 
-  test("hand-computed weights: one shared + one unique shingle each = 4/13") {
+  test("hand-computed weights: one shared + one unique shingle each ≈ 0.3077") {
     // d1 = "a b c d" → shingles {"a b c", "b c d"}; d2 = "a b c e" →
-    // {"a b c", "b c e"}. idf_mille: shared = round(1000·3/3) = 1000,
-    // unique = round(1000·3/2) = 1500; norms = 1000² + 1500² = 3.25e6
-    // each; dot = 1000² → cos = 1/3.25 = 0.30769…; the df=1 shingles
+    // {"a b c", "b c e"}. N-independent rarity points (round 10):
+    // shared (df=2) = round(1e5/3) = 33333, unique (df=1) = 50000;
+    // norms = 33333² + 50000² = 3,611,088,889 each; dot = 33333² →
+    // cos = 0.30768805… (the pre-r10 N-carrying weights gave exactly
+    // 4/13 — same similarity, different rounding); the df=1 shingles
     // never join but their weight must reach the norms
     val got = pairs(Seq((1L, "a b c d"), (2L, "a b c e")))
     assert(got.keySet == Set((1L, 2L)))
-    assert(got((1L, 2L)) == 0.307692)
-    // the exact integer threshold: 4/13 < 0.31 → centi=31 excludes it
+    assert(got((1L, 2L)) == 0.307688)
+    // the exact integer threshold: 0.3077 < 0.31 → centi=31 excludes it
     assert(pairs(Seq((1L, "a b c d"), (2L, "a b c e")), centi = 31).isEmpty)
   }
 
@@ -41,11 +43,11 @@ class SparseCosineSpec extends SparkSpec {
     // each doc: the shared prefix shingle "hub one two" (df=5) + two
     // unique suffix shingles (df=1). maxDf=4 stop-lists the hub → no
     // pairs at any threshold; admitted (maxDf=5), every pair scores
-    // cos = 1000²/(1000² + 2·3000²) = 1/19 = 0.052632
+    // cos = 16667²/(16667² + 2·50000²) = 0.05263357…
     val hub = (1L to 5L).map(i => (i, s"hub one two uniqa$i uniqb$i"))
     assert(pairs(hub, centi = 5, maxDf = 4).isEmpty)
     val admitted = pairs(hub, centi = 5, maxDf = 5)
-    assert(admitted.size == 10 && admitted.values.forall(_ == 0.052632))
+    assert(admitted.size == 10 && admitted.values.forall(_ == 0.052634))
   }
 
   test("overflow guard is LOUD: a norm² past the exact regime raises, never NULL-drops") {

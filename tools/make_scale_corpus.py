@@ -82,9 +82,22 @@ def main(src, dst, copies=15):
     con.execute(f"COPY ({emb_union} ORDER BY vec_id) TO "
                 f"'{dst}/embeddings.parquet' (FORMAT PARQUET)")
 
+    # events clone with remapped ids (round-10: lets t_pagerank_events
+    # stress a copies-fold user<->active-day graph); ts passes through
+    # unchanged so the loader's schema-adaptive path sees the source
+    # encoding verbatim
+    ev_union = " UNION ALL ".join(
+        f"SELECT event_id + {c * ID_STRIDE} AS event_id, ts, "
+        f"user_id + {c * ID_STRIDE} AS user_id, event_type, value, props "
+        f"FROM '{src}/events.parquet'" for c in range(copies))
+    con.execute(f"COPY ({ev_union} ORDER BY event_id) TO "
+                f"'{dst}/events.parquet' (FORMAT PARQUET)")
+
     n = con.sql(f"SELECT count(*) FROM '{dst}/documents.parquet'").fetchone()[0]
     ne = con.sql(f"SELECT count(*) FROM '{dst}/embeddings.parquet'").fetchone()[0]
-    print(f"scale corpus: {n} docs, {ne} embeddings ({copies} copies) -> {dst}")
+    nv = con.sql(f"SELECT count(*) FROM '{dst}/events.parquet'").fetchone()[0]
+    print(f"scale corpus: {n} docs, {ne} embeddings, {nv} events "
+          f"({copies} copies) -> {dst}")
 
 
 if __name__ == "__main__":
