@@ -16,6 +16,13 @@ run / fork := true
 // JSON line and breaks that parse (r3 BENCH artifact: parsed=null).
 Global / showSuccess := false
 Global / excludeLintKeys += showSuccess
+// Forked run output must reach stdout RAW: the default LoggedOutput
+// strategy prefixes every line with "[info] ", which made the bench's
+// primary JSON line unparseable to the driver in EVERY round so far
+// (BENCH_r01..r10 all have parsed=null — the tail's last line was
+// `[info] {...}`). StdoutOutput pipes the child's stdout through
+// unprefixed, so the last line of a bench run is bare JSON again.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -124,7 +124,7 @@ object Bench {
         val exact = SparkEntry.queries("ns_topk_similarity")(spark, sfDir)
           .select("query_id", "vec_id").collect()
           .map(r => (r.getLong(0), r.getLong(1))).toSet
-        Seq("ns_ann_lsh", "ns_ivf_topk", "ns_pq_topk",
+        Seq("ns_ann_lsh", "ns_ann_multitable", "ns_ivf_topk", "ns_pq_topk",
           "ns_ivfpq_topk").flatMap { n =>
           try {
             if (exact.isEmpty) None
@@ -147,8 +147,10 @@ object Bench {
     val errJson = errors
       .map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }.mkString("{", ",", "}")
     val total = if (deadQueries.nonEmpty) -1.0 else qMin.map(_._2).sum
-    val loadFloor =
-      sys.env.getOrElse("SPARK_GRAFT_LOAD_FLOOR", "1.4").toDouble
+    // parsed defensively: a malformed env var at this point would throw
+    // AFTER all passes ran and discard the whole run's output lines
+    val loadFloor = sys.env.get("SPARK_GRAFT_LOAD_FLOOR")
+      .flatMap(_.toDoubleOption).getOrElse(1.4)
     val suspect = loadSuspect(minOf(LoadGuardQuery), loadFloor)
     val detail =
       s"""{"metric":"bench_detail","n_passes":$nPasses,"queries_min_full":${jmap(qMin)},"queries_median":${jmap(qMed)},"errors":$errJson,"recall":${jmap(recall)},"load_suspect":$suspect,"failed_all_passes":${deadQueries.map("\"" + _ + "\"").mkString("[", ",", "]")}}"""

@@ -2224,6 +2224,17 @@ object OracleSql {
         CAST(min(CASE WHEN cum * 100 >= n * 99 THEN cell * 64 END) AS BIGINT) AS p99_lo
       FROM cum GROUP BY source ORDER BY source""",
 
+    // HLL error-bound audit: the oracle recomputes the EXACT distinct
+    // count and asserts the engine-side verdict is uniformly TRUE — a
+    // Spark HLL estimate straying past the 3·rsd envelope flips
+    // within_bound and fails the hash, pinning sketch drift without
+    // demanding sketch bit-parity across engines
+    "ns_sketch_error" ->
+      """SELECT event_type,
+        CAST(COUNT(DISTINCT event_id) AS BIGINT) AS exact_distinct,
+        TRUE AS within_bound
+      FROM events GROUP BY event_type ORDER BY event_type""",
+
     // feature hashing: same portable code, same Knuth-multiplier mix
     "ns_feature_hash" ->
       s"""WITH toks AS (
@@ -3102,6 +3113,10 @@ object OracleSql {
     // batch, survivors == the from-scratch one-shot curation — so the
     // oracle IS the one-shot SQL, shared verbatim
     "ns_incremental_curation" -> curationOneShotSql,
+
+    // the probe form folds the SAME final batch into a pre-built
+    // batch-1 state, so its survivors answer the identical question
+    "ns_incremental_probe" -> curationOneShotSql,
 
 
     // argmax over per-language marker-hit ratios; tie semantics mirror

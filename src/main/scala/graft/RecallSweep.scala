@@ -31,7 +31,11 @@ object RecallSweep {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     println(s"""{"corpus":"$dir","n":${emb.count()},"exact_pairs":${exact.size}}""")
 
+    // substring filter, e.g. SPARK_GRAFT_SWEEP=lsh_multi to sweep one
+    // family without paying the full ivfpq grid
+    val filt = sys.env.get("SPARK_GRAFT_SWEEP")
     def run(name: String)(mk: => DataFrame): Unit = {
+      if (filt.exists(f => !name.contains(f))) return
       val t0 = System.nanoTime()
       val got = mk.select("query_id", "vec_id").collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet
@@ -42,17 +46,20 @@ object RecallSweep {
       spark.catalog.clearCache()
     }
 
-    for (bits <- Seq(4, 5, 6); d <- Seq(1, 2))
+    for (bits <- Seq(3, 4, 5, 6); d <- Seq(1, 2))
       run(s"lsh_single b=$bits d=$d")(
         VectorSearch.annTopK(emb, queries, "vec_id", "embedding", k, bits, d))
-    for ((b, l, d) <- Seq((6, 3, 0), (6, 3, 1), (6, 4, 1), (7, 4, 1), (8, 4, 1), (8, 6, 1)))
+    for ((b, l, d) <- Seq((6, 3, 0), (6, 3, 1), (6, 4, 1), (7, 4, 1), (8, 4, 1), (8, 6, 1),
+      (4, 4, 1), (4, 6, 1), (5, 6, 1), (4, 8, 0), (5, 8, 1), (4, 8, 1),
+      (5, 10, 1), (4, 12, 1)))
       run(s"lsh_multi b=$b L=$l d=$d")(
         VectorSearch.annTopKMultiTable(emb, queries, "vec_id", "embedding",
           k, b, l, d))
-    for (np <- Seq(2, 3, 4)) run(s"ivf nLists=8 nprobe=$np") {
-      val idx = VectorSearch.ivfBuild(emb, "vec_id", "embedding", nLists = 8)
-      try VectorSearch.ivfTopK(idx, queries, k, np) finally ()
-    }
+    for (np <- Seq(2, 3, 4, 5, 6); nl <- Seq(8, 16))
+      run(s"ivf nLists=$nl nprobe=$np") {
+        val idx = VectorSearch.ivfBuild(emb, "vec_id", "embedding", nLists = nl)
+        try VectorSearch.ivfTopK(idx, queries, k, np) finally ()
+      }
     for ((kc, sl) <- Seq((16, 4), (16, 8), (16, 16), (64, 4), (64, 8)))
       run(s"pq_refined kCent=$kc shortlist=$sl") {
         val idx = VectorSearch.pqBuild(emb, "vec_id", "embedding", m = 8,

@@ -1640,6 +1640,18 @@ object SparkEntry {
       "n_chars", "source", grid = 64L)
       .orderBy("source")
 
+  /** HLL error-bound audit (Sketches.distinctErrorAudit): per event
+    * type, approx_count_distinct(event_id) vs the exact distinct count
+    * with a 3·rsd envelope verdict. The oracle recomputes the exact
+    * side and asserts within_bound ≡ TRUE — the sketch's error
+    * envelope becomes hash-checkable without demanding sketch
+    * bit-parity (which no two engines share).
+    */
+  private def nsSketchError(s: SparkSession, dir: String): DataFrame =
+    graft.ext.Sketches.distinctErrorAudit(Tables.events(s, dir),
+      "event_id", "event_type")
+      .orderBy("event_type")
+
   private def nsDedupNgramJaccard(s: SparkSession, dir: String): DataFrame =
     TextDedup.ngramJaccardPairs(t(s, dir, "documents"), "text", "doc_id",
       shingleN = 3, threshold = 0.12)
@@ -2631,13 +2643,81 @@ object SparkEntry {
   private def nsIncrementalCuration(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents").select("doc_id", "text")
     val mid = docs.agg(max("doc_id")).head().getLong(0) / 2
-    val tmp = java.nio.file.Files.createTempDirectory("inc_cur").toString +
-      "/state"
+    val root = java.nio.file.Files.createTempDirectory("inc_cur")
+    val tmp = root.toString + "/state"
     graft.pipeline.IncrementalCuration.curateBatch(s, tmp,
       docs.filter(col("doc_id") <= mid), "text", "doc_id", batchNo = 1L)
     graft.pipeline.IncrementalCuration.curateBatch(s, tmp,
       docs.filter(col("doc_id") > mid), "text", "doc_id", batchNo = 2L)
-    graft.pipeline.IncrementalCuration.survivors(s, tmp).orderBy("doc_id")
+    // survivors are small (curated ids + two scalars) — materialize
+    // eagerly (localCheckpoint) so the on-disk state can be deleted
+    // NOW instead of leaking one temp dir per invocation (the 3-pass
+    // bench re-runs this fold every pass; r10 left the dirs behind)
+    val out = graft.pipeline.IncrementalCuration.survivors(s, tmp)
+      .orderBy("doc_id").localCheckpoint()
+    deleteLocalDir(root)
+    out
+  }
+
+  /** The PROBE cost of the incremental fold, priced separately from the
+    * end-to-end query above (which folds every batch from an empty
+    * state each run — honest end-to-end pricing, but 11+ s in one bench
+    * line masks drift elsewhere): fold ONE new batch into a PRE-BUILT
+    * state table. The batch-1 state is built once per (session, dir) —
+    * the amortization contract of the IVF/PQ index caches — and each
+    * probe folds batch 2 into a throwaway copy (state tables mutate in
+    * place; the driver-side dir copy is a test-harness seam, a cluster
+    * folds in place — its cost at these SFs is a few ms of local FS
+    * copy, negligible next to the fold). Same oracle as the end-to-end
+    * form: after batch 2 the state IS the full corpus fold, so
+    * survivors must equal the from-scratch curation SQL.
+    */
+  private def nsIncrementalProbe(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select("doc_id", "text")
+    val mid = docs.agg(max("doc_id")).head().getLong(0) / 2
+    val base = incStateCache.computeIfAbsent((s, dir), _ => {
+      val p = java.nio.file.Files.createTempDirectory("inc_base")
+        .toString + "/state"
+      graft.pipeline.IncrementalCuration.curateBatch(s, p,
+        docs.filter(col("doc_id") <= mid), "text", "doc_id", batchNo = 1L)
+      p
+    })
+    val root = java.nio.file.Files.createTempDirectory("inc_probe")
+    val tmp = root.toString + "/state"
+    copyLocalDir(java.nio.file.Paths.get(base), java.nio.file.Paths.get(tmp))
+    graft.pipeline.IncrementalCuration.curateBatch(s, tmp,
+      docs.filter(col("doc_id") > mid), "text", "doc_id", batchNo = 2L)
+    val out = graft.pipeline.IncrementalCuration.survivors(s, tmp)
+      .orderBy("doc_id").localCheckpoint()
+    deleteLocalDir(root)
+    out
+  }
+
+  /** Per-(session, dir) pre-built batch-1 curation state backing the
+    * probe query — released (dir deleted) by [[releaseArtifacts]].
+    */
+  private val incStateCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]
+
+  private def deleteLocalDir(root: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(root).iterator().asScala.toSeq
+      .sortBy(-_.getNameCount)
+      .foreach(p => java.nio.file.Files.deleteIfExists(p))
+  }
+
+  private def copyLocalDir(src: java.nio.file.Path,
+                           dst: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(src).iterator().asScala.foreach { p =>
+      val target = dst.resolve(src.relativize(p))
+      if (java.nio.file.Files.isDirectory(p))
+        java.nio.file.Files.createDirectories(target)
+      else {
+        java.nio.file.Files.createDirectories(target.getParent)
+        java.nio.file.Files.copy(p, target)
+      }
+    }
   }
 
   /** IVF (KMeans coarse-quantizer) approximate top-k — the trained-index
@@ -2758,6 +2838,8 @@ object SparkEntry {
     Option(pairCache.remove((s, dir))).foreach(_.unpersist())
     Option(winnowCache.remove((s, dir))).foreach(_.unpersist())
     Option(coOrderCache.remove((s, dir))).foreach(_.unpersist())
+    Option(incStateCache.remove((s, dir))).foreach(p =>
+      deleteLocalDir(java.nio.file.Paths.get(p).getParent))
   }
 
   private def nsTopkSimilarity(s: SparkSession, dir: String): DataFrame = {
@@ -2808,6 +2890,22 @@ object SparkEntry {
     val emb = t(s, dir, "embeddings")
     VectorSearch.annTopK(emb, emb.filter(col("vec_id") < 5),
       "vec_id", "embedding", k = 10, bits = 4, probeNeighbors = 2)
+      .orderBy("query_id", "rank")
+  }
+
+  /** The multi-table LSH tier registered as a first-class query (was
+    * library surface only), so its recall/latency sit in the bench
+    * sidecar next to the single-table deep-probe form. Params from the
+    * round-11 RecallSweep (TUNING.md): L bit-slice tables of one wider
+    * lsh_bucket, candidates unioned + deduped before the cosine
+    * kernel. Approximate (seeded hyperplanes) → rows-only; ExtSpec
+    * bounds it against the exact twin.
+    */
+  private def nsAnnMultitable(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    VectorSearch.annTopKMultiTable(emb, emb.filter(col("vec_id") < 5),
+      "vec_id", "embedding", k = 10, bits = 4, tables = 4,
+      probeNeighbors = 1)
       .orderBy("query_id", "rank")
   }
 
@@ -3034,6 +3132,7 @@ object SparkEntry {
     "ns_bloom_dedup" -> nsBloomDedup,
     "ns_sketches" -> nsSketches,
     "ns_quantile_grid" -> nsQuantileGrid,
+    "ns_sketch_error" -> nsSketchError,
     "ns_dedup_ngram_jaccard" -> nsDedupNgramJaccard,
     "ns_containment" -> nsContainment,
     "ns_bm25_topk" -> nsBm25Topk,
@@ -3081,11 +3180,13 @@ object SparkEntry {
     "ns_length_buckets" -> nsLengthBuckets,
     "ns_mmr_rerank" -> nsMmrRerank,
     "ns_ann_lsh" -> nsAnnLsh,
+    "ns_ann_multitable" -> nsAnnMultitable,
     "ns_ivf_topk" -> nsIvfTopk,
     "ns_pq_topk" -> nsPqTopk,
     "ns_ivfpq_topk" -> nsIvfPqTopk,
     "ns_curation_pipeline" -> nsCurationPipeline,
     "ns_incremental_curation" -> nsIncrementalCuration,
+    "ns_incremental_probe" -> nsIncrementalProbe,
     "ns_text_tokens" -> nsTextTokens,
     "ns_token_stats" -> nsTokenStats,
     "ns_text_quality" -> nsTextQuality,
@@ -3098,7 +3199,8 @@ object SparkEntry {
     "ns_multimodal_features" -> nsMultimodalFeatures)
 
   /** DuckDB twins. Omitted: ns_dedup_minhash / ns_dedup_simhash /
-    * ns_ann_lsh / ns_embed_neardup_lsh / ns_ivf_topk / ns_pq_topk /
+    * ns_ann_lsh / ns_ann_multitable / ns_embed_neardup_lsh /
+    * ns_ivf_topk / ns_pq_topk /
     * ns_ivfpq_topk (hash- or
     * training-seeded approximations — recall < 1 by design, each
     * bounded against its exact twin in specs; minhash additionally has

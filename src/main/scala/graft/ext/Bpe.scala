@@ -158,8 +158,14 @@ object Bpe {
       }
       if (pairCounts.isEmpty) continue = false
       else {
-        // max count, ties -> lexicographically smallest pair
-        val best = pairCounts.toSeq.minBy { case ((l, r), n) => (-n, l, r) }
+        // max count, ties -> lexicographically smallest pair BY CODE
+        // POINT — the same collation as trainDistributed's Spark
+        // orderBy (UTF8String binary order == code-point order).
+        // Plain String compareTo orders by UTF-16 code unit, which
+        // sorts supplementary-plane symbols (surrogates 0xD800+)
+        // BEFORE U+E000..U+FFFF and would let the two trainers pick
+        // different merges on tied non-BMP pairs.
+        val best = pairCounts.toSeq.min(pairOrdering)
         if (best._2 < minPairCount) continue = false
         else {
           val (l, r) = best._1
@@ -172,6 +178,36 @@ object Bpe {
     }
     merges.toSeq
   }
+
+  /** Lexicographic comparison by Unicode CODE POINT — identical to
+    * UTF-8 byte order and to Spark's UTF8String binary collation, and
+    * therefore to what [[trainDistributed]]'s `orderBy(l, r)` computes.
+    */
+  private[graft] def codePointCompare(a: String, b: String): Int = {
+    var i = 0
+    var j = 0
+    while (i < a.length && j < b.length) {
+      val ca = a.codePointAt(i)
+      val cb = b.codePointAt(j)
+      if (ca != cb) return Integer.compare(ca, cb)
+      i += Character.charCount(ca)
+      j += Character.charCount(cb)
+    }
+    Integer.compare(a.length - i, b.length - j)
+  }
+
+  /** Shared tie-break for the driver-side trainer: count desc, then
+    * (l, r) ascending under [[codePointCompare]].
+    */
+  private val pairOrdering: Ordering[((String, String), Long)] =
+    (x: ((String, String), Long), y: ((String, String), Long)) => {
+      val (((l1, r1), n1), ((l2, r2), n2)) = (x, y)
+      if (n1 != n2) java.lang.Long.compare(n2, n1)
+      else {
+        val cl = codePointCompare(l1, l2)
+        if (cl != 0) cl else codePointCompare(r1, r2)
+      }
+    }
 
   /** One merge applied left-to-right non-overlapping (the canonical
     * in-training application).

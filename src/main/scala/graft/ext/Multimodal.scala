@@ -111,13 +111,89 @@ object Multimodal {
     bos.toByteArray
   }
 
+  /** REAL audio decode for RIFF/WAVE (PCM WAV) — a pure-JVM header
+    * parse, no codec library needed: walk the RIFF chunk list, read
+    * channels/sample-rate/byte-rate from the `fmt ` chunk and the
+    * payload size from the `data` chunk header, and report
+    * duration_ms = dataBytes·1000 / byteRate. Header-only like
+    * [[decodeImage]] — cost per blob is a few dozen bytes of parse,
+    * never a sample decode, the shape that survives a 100 TB audio
+    * column. None when the bytes are not a parseable WAV (caller
+    * falls back to the stub). Width/height are 0 (not meaningful for
+    * audio); channels is the real channel count.
+    */
+  def decodeWav(bytes: Array[Byte]): Option[MediaFeatures] = {
+    if (bytes == null || bytes.length < 44) return None
+    def ascii(off: Int, n: Int) = new String(bytes, off, n, "US-ASCII")
+    def u32(off: Int): Long =
+      (bytes(off) & 0xffL) | (bytes(off + 1) & 0xffL) << 8 |
+        (bytes(off + 2) & 0xffL) << 16 | (bytes(off + 3) & 0xffL) << 24
+    def u16(off: Int): Int =
+      (bytes(off) & 0xff) | (bytes(off + 1) & 0xff) << 8
+    if (ascii(0, 4) != "RIFF" || ascii(8, 4) != "WAVE") return None
+    var off = 12
+    var channels = 0
+    var byteRate = 0L
+    var dataBytes = -1L
+    while (off + 8 <= bytes.length && (channels == 0 || dataBytes < 0)) {
+      val ckId = ascii(off, 4)
+      val ckSize = u32(off + 4)
+      if (ckId == "fmt " && off + 8 + 16 <= bytes.length) {
+        channels = u16(off + 10)
+        byteRate = u32(off + 16)
+      } else if (ckId == "data") {
+        // size from the header — a truncated blob still reports the
+        // declared payload; a streaming writer's 0xFFFFFFFF
+        // placeholder falls back to the bytes actually present
+        dataBytes =
+          if (ckSize == 0xffffffffL) (bytes.length - off - 8).toLong
+          else ckSize
+      }
+      if (channels == 0 || dataBytes < 0) {
+        // a declared chunk size that can't fit an Int would wrap the
+        // offset (negative step = infinite loop) — bail before advancing
+        if (ckSize > Int.MaxValue - 16) return None
+        off += 8 + ckSize.toInt + (ckSize.toInt & 1) // word-aligned chunks
+      }
+    }
+    if (channels <= 0 || byteRate <= 0 || dataBytes < 0) None
+    else Some(MediaFeatures(width = 0, height = 0, channels = channels,
+      durationMs = dataBytes * 1000L / byteRate))
+  }
+
+  /** Deterministic PCM WAV fixture — REAL RIFF/WAVE bytes (16-bit
+    * silence) with exactly `nSamples` frames, so a verifier that knows
+    * only (nSamples, sampleRate) predicts the decoded duration:
+    * encode→header-decode round-trips become checkable end-to-end,
+    * mirroring [[pngFixture]].
+    */
+  def wavFixture(nSamples: Int, sampleRate: Int = 8000,
+                 channels: Int = 1): Array[Byte] = {
+    require(nSamples >= 0 && sampleRate >= 1 && channels >= 1)
+    val dataBytes = nSamples * channels * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataBytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataBytes)
+      .put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1.toShort) // PCM
+      .putShort(channels.toShort).putInt(sampleRate)
+      .putInt(sampleRate * channels * 2) // byte rate
+      .putShort((channels * 2).toShort).putShort(16.toShort)
+    bb.put("data".getBytes("US-ASCII")).putInt(dataBytes)
+    bb.array()
+  }
+
   /** Decode dispatch: real image decode when the bytes ARE a readable
     * image (sniffed by the ImageIO registry, independent of the declared
-    * media_type — declared metadata lies at corpus scale), stub
-    * otherwise.
+    * media_type — declared metadata lies at corpus scale), real WAV
+    * header decode when they are RIFF/WAVE audio, stub otherwise
+    * (remaining A/V containers).
     */
   def decode(bytes: Array[Byte], mediaType: String): MediaFeatures =
-    decodeImage(bytes).getOrElse(decodeStub(bytes, mediaType))
+    decodeImage(bytes)
+      .orElse(decodeWav(bytes))
+      .getOrElse(decodeStub(bytes, mediaType))
 
   /** Decode/feature-extract stage: batch-wise over partitions (the
     * `mapInPandas` shape — bounded memory, codec initialized once per

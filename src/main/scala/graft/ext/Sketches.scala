@@ -181,4 +181,28 @@ object Sketches {
       qs.getItem(0).as("n_chars_p50"),
       qs.getItem(1).as("n_chars_p95"))
   }
+
+  /** Sketch-drift audit: per group, the HLL++ estimate of
+    * `COUNT(DISTINCT valueCol)` is checked against the exact count in
+    * ONE pass (both aggregates partial — no second scan), and the
+    * verdict `within_bound` = |approx − exact| ≤ boundRsd·exact is
+    * emitted next to the exact count. The estimate itself is engine-
+    * specific and deliberately NOT in the output: an oracle recomputes
+    * the exact count and asserts the verdict is uniformly TRUE, which
+    * pins the sketch's error envelope without demanding bit-parity of
+    * the sketch. HLL++ is deterministic for fixed input (hash-based,
+    * no RNG), so the verdict is stable run-to-run; `boundRsd` defaults
+    * to 3× the requested rsd — a ≥3σ envelope a healthy implementation
+    * never leaves.
+    */
+  def distinctErrorAudit(df: DataFrame, valueCol: String, groupCol: String,
+                         rsd: Double = 0.05,
+                         boundRsd: Double = 0.15): DataFrame =
+    df.groupBy(col(groupCol))
+      .agg(count_distinct(col(valueCol)).as("exact_distinct"),
+        approx_count_distinct(col(valueCol), rsd).as("_approx"))
+      .select(col(groupCol),
+        col("exact_distinct"),
+        (abs(col("_approx") - col("exact_distinct"))
+          <= lit(boundRsd) * col("exact_distinct")).as("within_bound"))
 }

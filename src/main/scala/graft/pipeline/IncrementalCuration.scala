@@ -68,6 +68,35 @@ object IncrementalCuration {
     val fs = hPath.getFileSystem(spark.sessionState.newHadoopConf())
     val state: Option[DataFrame] =
       if (fs.exists(hPath)) Some(spark.read.parquet(stateDir)) else None
+    // ENFORCE the ascending-id arrival contract the convergence proof
+    // rests on (class doc, first bullet): a batch whose smallest id
+    // does not exceed everything already in state would fold with the
+    // near-dup "remove the higher id" rule pointing the WRONG way and
+    // silently diverge from the one-shot rebuild. The one legitimate
+    // violation is a REPLAY (foreachBatch at-least-once re-delivery):
+    // recognized by batchNo <= the state's max merge version, and safe
+    // because the LWW merge makes the re-fold idempotent. The check
+    // costs one column-pruned (id, ver) scan of state per batch —
+    // state is already read for the bloom prefilter, and a silent
+    // wrong corpus costs more.
+    state.foreach { st =>
+      val head = st.agg(max(col(id)), max(col("ver"))).head()
+      // nulls = state dir exists but holds zero rows → nothing to
+      // order against
+      if (!head.isNullAt(0) && batchNo > head.getLong(1)) {
+        val maxStateId = head.getLong(0)
+        val minBatch = batch.agg(min(col(id))).head()
+        if (!minBatch.isNullAt(0))
+          require(minBatch.getLong(0) > maxStateId,
+            s"out-of-order batch: batchNo=$batchNo carries id " +
+              s"${minBatch.getLong(0)} <= state max id $maxStateId — " +
+              "the ascending-id convergence contract is violated and " +
+              "the incremental fold would silently diverge from the " +
+              "from-scratch rebuild; re-deliver batches in id order " +
+              "(a REPLAY of an already-folded batchNo is allowed and " +
+              "idempotent)")
+      }
+    }
     val qualified = TextAnalysis.qualityScore(batch, text)
       .filter(col("quality_score") >= minQuality)
       .select(col(id), col(text),
@@ -117,7 +146,12 @@ object IncrementalCuration {
     * pattern). The convergence contract is inherited unchanged: after
     * any prefix of micro-batches, survivors == the from-scratch
     * rebuild over the documents ingested so far, provided micro-batch
-    * arrival follows the ascending-id contract.
+    * arrival follows the ascending-id contract — which the fold now
+    * ENFORCES: a micro-batch with a smaller id than the folded state
+    * (other than an at-least-once replay of an already-folded batchId,
+    * which re-merges idempotently) fails the stream loudly rather than
+    * silently drifting from the rebuild. Sources that cannot guarantee
+    * id-ordered delivery must buffer/sort upstream of this sink.
     */
   def curateStream(docs: DataFrame, stateDir: String, text: String,
                    id: String, checkpoint: String,

@@ -591,6 +591,15 @@ object EventStream {
   // v >= ~3.04e9 cents (~$30M — well inside decimal(18,2)), silently
   // corrupting Q. The batch twin (t_outlier_events) runs DECIMAL(38,0)
   // for the same reason; this state mirrors that exactness.
+  //
+  // CHECKPOINT COMPATIBILITY: the round-10 Long→String change ALTERED
+  // the flatMapGroupsWithState state encoder schema. A
+  // runningOutlierStream restarted on a checkpoint written by the old
+  // (Long s/q) build fails state-schema validation at start — there is
+  // no in-place migration; restart such a stream from a NEW checkpoint
+  // location (the source replays from its own offsets; prior per-user
+  // moments re-accumulate). Version any future state change the same
+  // way: new checkpoint, or a read-time upgrade shim.
   final case class MomState(n: Long, s: String, q: String)
   final case class OutlierFlag(user_id: Long, event_id: Long, cents: Long,
                                n_prior: Long, is_outlier: Boolean)

@@ -80,6 +80,26 @@ class BpeSpec extends SparkSpec {
     assert(dist == PinnedBpe.merges) // and both ARE the pinned table
   }
 
+  test("tie-break collation parity on non-BMP symbols (code-point order, both trainers)") {
+    // U+E000 (private use, one UTF-16 unit 0xE000) vs U+1F600 (emoji,
+    // surrogate pair starting 0xD83D): Java String order puts the
+    // SURROGATE first, code-point/UTF8-binary order puts U+E000 first.
+    // Spark's orderBy is UTF8-binary, so a driver-side minBy on raw
+    // Strings would let the two trainers diverge on exactly this tie.
+    val pua = "\uE000"
+    val emoji = new String(Character.toChars(0x1F600))
+    assert(emoji < pua) // UTF-16 order: the trap this test pins
+    assert(Bpe.codePointCompare(pua, emoji) < 0) // code-point order
+    val words = Seq(s"${pua}x" -> 3L, s"${emoji}x" -> 3L)
+    // tied pair counts -> the code-point-smaller left symbol must win
+    assert(Bpe.trainFromCounts(words, 1, minPairCount = 2) ==
+      Seq((pua, "x")))
+    val df = words.flatMap { case (w, n) => Seq.fill(n.toInt)(w) }
+      .map(Tuple1(_)).toDF("text")
+    assert(Bpe.trainDistributed(df, "text", 1, minPairCount = 2) ==
+      Bpe.train(df, "text", 1, minPairCount = 2))
+  }
+
   test("kernel greedy encode: worked example through the pinned table") {
     val ranks = BpeKernels.ranksOf(PinnedBpe.merges)
     // sort: (o,r) -> s or t; (or,t) -> s ort; (s,ort) -> sort

@@ -156,4 +156,38 @@ class IncrementalPipelineSpec extends SparkSpec {
     runStream() // checkpointed restart: no new files, no replay, no drift
     assert(sSurv() == Set(1L, 3L, 7L))
   }
+
+  test("out-of-order batch fails the ascending-id guard loudly; replays of a folded batchNo stay exempt") {
+    import graft.pipeline.IncrementalCuration
+    val mid = "delta the foxtrot golf hotel the juliet kilo lima mike november oscar"
+    val docs = Seq(
+      (1L, s"alpha bravo charlie dingo $mid papa quebec romeo sierra"),
+      (5L, "one two three four " + mid + " five six seven eight"),
+      (9L, "red blue green cyan " + mid + " pink gray black white")
+    ).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("incguard").toString +
+      "/st"
+    IncrementalCuration.curateBatch(spark, dir,
+      docs.filter(col("doc_id") >= 5), "text", "doc_id", batchNo = 1L,
+      jaccardThreshold = 0.5)
+    // a NEW batch number carrying an id below the folded state violates
+    // the convergence contract -> loud failure, not silent drift
+    val e = intercept[IllegalArgumentException] {
+      IncrementalCuration.curateBatch(spark, dir,
+        docs.filter(col("doc_id") === 1), "text", "doc_id", batchNo = 2L,
+        jaccardThreshold = 0.5)
+    }
+    assert(e.getMessage.contains("out-of-order batch"))
+    // state is untouched by the rejected fold
+    assert(IncrementalCuration.survivors(spark, dir)
+      .select("doc_id").as[Long].collect().toSet == Set(5L, 9L))
+    // a REPLAY (batchNo <= folded max version) is exempt even though its
+    // ids precede nothing new — at-least-once redelivery must not kill
+    // the stream
+    IncrementalCuration.curateBatch(spark, dir,
+      docs.filter(col("doc_id") >= 5), "text", "doc_id", batchNo = 1L,
+      jaccardThreshold = 0.5)
+    assert(IncrementalCuration.survivors(spark, dir)
+      .select("doc_id").as[Long].collect().toSet == Set(5L, 9L))
+  }
 }

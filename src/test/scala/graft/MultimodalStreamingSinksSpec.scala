@@ -82,6 +82,36 @@ class MultimodalSpec extends SparkSpec {
     assert(out(2) == ((3L, stub.width, stub.height, stub.channels)))
   }
 
+  test("real WAV bytes decode true duration via the RIFF header parse; non-WAV falls back") {
+    // 8000 samples at 8 kHz mono = exactly 1000 ms; 12000 at 16 kHz
+    // stereo = 750 ms — durations PREDICTED from (nSamples, rate), so
+    // encode→decode round-trips are checked against ground truth, not
+    // against the implementation
+    val mono = Multimodal.wavFixture(8000, sampleRate = 8000, channels = 1)
+    val stereo = Multimodal.wavFixture(12000, sampleRate = 16000, channels = 2)
+    assert(Multimodal.decodeWav(mono)
+      .contains(Multimodal.MediaFeatures(0, 0, 1, 1000L)))
+    assert(Multimodal.decodeWav(stereo)
+      .contains(Multimodal.MediaFeatures(0, 0, 2, 750L)))
+    // malformed shapes: not RIFF, truncated header, null
+    assert(Multimodal.decodeWav("RIFFxxxxJUNK".getBytes).isEmpty)
+    assert(Multimodal.decodeWav("tiny".getBytes).isEmpty)
+    assert(Multimodal.decodeWav(null).isEmpty)
+    // a truncated-but-headed blob still reports the DECLARED duration
+    assert(Multimodal.decodeWav(mono.take(100))
+      .contains(Multimodal.MediaFeatures(0, 0, 1, 1000L)))
+    // dispatch: the pipeline gives WAV rows real durations, garbage the
+    // stub's
+    val df = Seq((1L, mono), (2L, "garbage bytes".getBytes))
+      .toDF("doc_id", "raw")
+    val out = Multimodal.extractFeatures(Multimodal.withMedia(df, "raw", "audio"))
+      .select("doc_id", "channels", "duration_ms")
+      .as[(Long, Int, Long)].collect().sortBy(_._1)
+    assert(out(0) == ((1L, 1, 1000L)))
+    val stub = Multimodal.decodeStub("garbage bytes".getBytes, "audio")
+    assert(out(1) == ((2L, stub.channels, stub.durationMs)))
+  }
+
   test("typed FuelPrice dataset carries the reference DECIMAL(5,2) price") {
     val prices = graft.op.PriceGen.generateTyped(
       spark.read.parquet(s"$sf/supplier.parquet"), "s_suppkey",

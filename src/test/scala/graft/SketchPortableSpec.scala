@@ -45,6 +45,24 @@ class SketchPortableSpec extends SparkSpec {
     assert(got("b") == (1L, 100L)) // 100 DIV 4 = cell 25 → lower bound 100
   }
 
+  test("distinctErrorAudit: exact counts carried, HLL verdict inside the 3-sigma envelope") {
+    // two groups with known exact cardinalities; HLL at rsd=0.05 must
+    // sit well inside the 0.15 envelope on thousands of distinct longs
+    val df = ((1L to 3000L).map(i => ("a", i)) ++
+      (1L to 500L).map(i => ("b", i * 7))).toDF("grp", "v")
+    val got = Sketches.distinctErrorAudit(df, "v", "grp")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getBoolean(2)))
+      .sortBy(_._1)
+    assert(got.map(x => (x._1, x._2)).toSeq == Seq(("a", 3000L), ("b", 500L)))
+    assert(got.forall(_._3), s"HLL strayed past 3·rsd: ${got.toSeq}")
+    // a zero-tolerance bound flips the verdict when the estimate is off
+    // at all — proving within_bound really compares approx vs exact
+    // (exact small-cardinality mode would pass even at bound 0)
+    val tight = Sketches.distinctErrorAudit(df, "v", "grp", boundRsd = 0.0)
+      .collect().map(r => (r.getString(0), r.getBoolean(2))).toMap
+    assert(!tight("a")) // 3000 distinct is far past HLL's exact regime
+  }
+
   test("featureHash: pinned portable buckets and counts") {
     // code(aa) = 97·131+2 = 12709 → bucket 31; code(bb) = 12840 → 60
     val got = Sketches.featureHash(Seq((7L, "aa bb aa")).toDF("doc_id", "text"),
