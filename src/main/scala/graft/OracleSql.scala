@@ -2202,6 +2202,19 @@ object OracleSql {
         3 AS channels, CAST(0 AS BIGINT) AS duration_ms
       FROM documents ORDER BY doc_id""",
 
+    // the audio face of the same round-trip: a REAL RIFF/WAVE blob per
+    // doc at formula sample count / channels, header-decoded back; the
+    // oracle predicts duration_ms = floor(nSamples·1000 / 8000) from
+    // the formula alone (byte rate cancels the channel count). Audio →
+    // width/height 0.
+    "ns_multimodal_audio" ->
+      """SELECT doc_id,
+        0 AS width, 0 AS height,
+        CAST(((doc_id % 2) + 2) % 2 + 1 AS INT) AS channels,
+        CAST(((((doc_id % 5000) + 5000) % 5000 + 1000) * 1000) // 8000
+             AS BIGINT) AS duration_ms
+      FROM documents ORDER BY doc_id""",
+
     // fixed-grid exact quantiles: same floor-division cells (DuckDB's
     // % follows the dividend sign, so pmod is spelled out), the same
     // integer coverage test 100·cum >= n·q — HUGEINT window sums cast

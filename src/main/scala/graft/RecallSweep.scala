@@ -60,7 +60,8 @@ object RecallSweep {
         val idx = VectorSearch.ivfBuild(emb, "vec_id", "embedding", nLists = nl)
         try VectorSearch.ivfTopK(idx, queries, k, np) finally ()
       }
-    for ((kc, sl) <- Seq((16, 4), (16, 8), (16, 16), (64, 4), (64, 8)))
+    for ((kc, sl) <- Seq((16, 4), (16, 8), (16, 16), (64, 4), (64, 8),
+      (64, 16), (64, 24), (64, 32), (128, 16)))
       run(s"pq_refined kCent=$kc shortlist=$sl") {
         val idx = VectorSearch.pqBuild(emb, "vec_id", "embedding", m = 8,
           kCent = kc)
