@@ -53,7 +53,8 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench.json")
-    val nPasses = sys.env.getOrElse("SPARK_GRAFT_BENCH_N", "3").toInt.max(1)
+    val nPasses = sys.env.get("SPARK_GRAFT_BENCH_N")
+      .flatMap(_.toIntOption).getOrElse(3).max(1)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
