@@ -2215,6 +2215,14 @@ object OracleSql {
              AS BIGINT) AS duration_ms
       FROM documents ORDER BY doc_id""",
 
+    // the spectral embedder's peak bin under a planted pure sine:
+    // physics says the Goertzel argmax IS the planted bin — the
+    // oracle predicts it from the id formula alone
+    "ns_multimodal_audio_embed" ->
+      """SELECT doc_id,
+        CAST(((doc_id % 16) + 16) % 16 AS INT) AS peak_bin
+      FROM documents ORDER BY doc_id""",
+
     // fixed-grid exact quantiles: same floor-division cells (DuckDB's
     // % follows the dividend sign, so pmod is spelled out), the same
     // integer coverage test 100·cum >= n·q — HUGEINT window sums cast

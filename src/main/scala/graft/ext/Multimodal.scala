@@ -122,7 +122,19 @@ object Multimodal {
     * falls back to the stub). Width/height are 0 (not meaningful for
     * audio); channels is the real channel count.
     */
-  def decodeWav(bytes: Array[Byte]): Option[MediaFeatures] = {
+  /** Parsed RIFF/WAVE layout: everything the fmt/data chunk headers
+    * declare, plus where the PCM payload starts. `dataBytes` is the
+    * DECLARED size (a truncated blob keeps its declared duration);
+    * [[embedWavSpectral]] clamps to the bytes actually present.
+    */
+  final case class WavHeader(channels: Int, sampleRate: Long,
+                             byteRate: Long, bitsPerSample: Int,
+                             dataOff: Int, dataBytes: Long)
+
+  /** The RIFF chunk walk shared by [[decodeWav]] (header features) and
+    * [[embedWavSpectral]] (needs the PCM payload location too).
+    */
+  def parseWav(bytes: Array[Byte]): Option[WavHeader] = {
     if (bytes == null || bytes.length < 44) return None
     def ascii(off: Int, n: Int) = new String(bytes, off, n, "US-ASCII")
     def u32(off: Int): Long =
@@ -133,18 +145,24 @@ object Multimodal {
     if (ascii(0, 4) != "RIFF" || ascii(8, 4) != "WAVE") return None
     var off = 12
     var channels = 0
+    var sampleRate = 0L
     var byteRate = 0L
+    var bits = 0
+    var dataOff = -1
     var dataBytes = -1L
     while (off + 8 <= bytes.length && (channels == 0 || dataBytes < 0)) {
       val ckId = ascii(off, 4)
       val ckSize = u32(off + 4)
       if (ckId == "fmt " && off + 8 + 16 <= bytes.length) {
         channels = u16(off + 10)
+        sampleRate = u32(off + 12)
         byteRate = u32(off + 16)
+        bits = u16(off + 22)
       } else if (ckId == "data") {
         // size from the header — a truncated blob still reports the
         // declared payload; a streaming writer's 0xFFFFFFFF
         // placeholder falls back to the bytes actually present
+        dataOff = off + 8
         dataBytes =
           if (ckSize == 0xffffffffL) (bytes.length - off - 8).toLong
           else ckSize
@@ -157,9 +175,13 @@ object Multimodal {
       }
     }
     if (channels <= 0 || byteRate <= 0 || dataBytes < 0) None
-    else Some(MediaFeatures(width = 0, height = 0, channels = channels,
-      durationMs = dataBytes * 1000L / byteRate))
+    else Some(WavHeader(channels, sampleRate, byteRate, bits, dataOff,
+      dataBytes))
   }
+
+  def decodeWav(bytes: Array[Byte]): Option[MediaFeatures] =
+    parseWav(bytes).map(h => MediaFeatures(width = 0, height = 0,
+      channels = h.channels, durationMs = h.dataBytes * 1000L / h.byteRate))
 
   /** Deterministic PCM WAV fixture — REAL RIFF/WAVE bytes (16-bit
     * silence) with exactly `nSamples` frames, so a verifier that knows
@@ -184,15 +206,258 @@ object Multimodal {
     bb.array()
   }
 
+  /** REAL video decode for MP4/ISO-BMFF — a pure-JVM box walk, no
+    * codec library: top-level boxes are `[size:u32 BE][type:4cc]`
+    * (size==1 → 64-bit largesize), the `moov` box holds `mvhd`
+    * (movie timescale + duration → duration_ms) and the first
+    * `trak/tkhd` (presentation width/height as 16.16 fixed point).
+    * Header-only like the image/WAV paths — the mdat payload is never
+    * touched, so cost per blob is the moov walk, not a frame decode.
+    * Sniffed by the leading `ftyp` box; None otherwise (caller falls
+    * through to the stub). Channels report 0: audio layout lives in
+    * the sample description, which is codec territory, not container
+    * header territory.
+    */
+  def decodeMp4(bytes: Array[Byte]): Option[MediaFeatures] = {
+    if (bytes == null || bytes.length < 16) return None
+    def u32(off: Int): Long =
+      (bytes(off) & 0xffL) << 24 | (bytes(off + 1) & 0xffL) << 16 |
+        (bytes(off + 2) & 0xffL) << 8 | (bytes(off + 3) & 0xffL)
+    def u64(off: Int): Long =
+      (0 until 8).foldLeft(0L)((a, i) => (a << 8) | (bytes(off + i) & 0xffL))
+    def fourcc(off: Int): String =
+      new String(bytes, off + 4, 4, "US-ASCII")
+    // (start, end) exclusive payload bounds of each child box of the
+    // region, with its type — shared by the top-level and moov walks
+    def children(start: Int, end: Int): Iterator[(String, Int, Int)] =
+      new Iterator[(String, Int, Int)] {
+        private var off = start
+        def hasNext: Boolean = off + 8 <= end
+        def next(): (String, Int, Int) = {
+          val size = u32(off)
+          val tpe = fourcc(off)
+          val (hdr, boxSize): (Int, Long) =
+            if (size == 1L && off + 16 <= end) (16, u64(off + 8))
+            else (8, size)
+          if (boxSize < hdr || boxSize > end - off) {
+            // malformed size: stop the walk (consume the rest)
+            off = end
+            ("", end, end)
+          } else {
+            val r = (tpe, off + hdr, off + boxSize.toInt)
+            off += boxSize.toInt
+            r
+          }
+        }
+      }
+    if (fourcc(0) != "ftyp") return None
+    val moov = children(0, bytes.length).collectFirst {
+      case ("moov", s, e) => (s, e)
+    }.getOrElse(return None)
+    var durationMs = -1L
+    var w = 0
+    var h = 0
+    children(moov._1, moov._2).foreach {
+      case ("mvhd", s, e) if e - s >= 20 =>
+        val v = bytes(s) & 0xff
+        val (ts, dur) =
+          if (v == 1 && e - s >= 28) (u32(s + 20), u64(s + 24))
+          else (u32(s + 12), u32(s + 16))
+        if (ts > 0) durationMs = dur * 1000L / ts
+      case ("trak", s, e) if w == 0 =>
+        children(s, e).foreach {
+          case ("tkhd", ts, te) =>
+            val v = bytes(ts) & 0xff
+            val (wo, need) = if (v == 1) (88, 96) else (76, 84)
+            if (te - ts >= need && w == 0) {
+              // 16.16 fixed point → integer pixels
+              w = (u32(ts + wo) >> 16).toInt
+              h = (u32(ts + wo + 4) >> 16).toInt
+            }
+          case _ => ()
+        }
+      case _ => ()
+    }
+    if (durationMs < 0) None
+    else Some(MediaFeatures(width = w, height = h, channels = 0,
+      durationMs = durationMs))
+  }
+
+  /** Deterministic minimal MP4 fixture — REAL ISO-BMFF bytes
+    * (ftyp + moov{mvhd v0 + trak{tkhd v0}}), with the movie duration
+    * and track presentation size set from the arguments, so a
+    * verifier that knows only (durationMs, w, h) predicts the decode:
+    * the video analog of [[pngFixture]]/[[wavFixture]].
+    */
+  def mp4Fixture(durationMs: Long, w: Int, h: Int): Array[Byte] = {
+    require(durationMs >= 0 && w >= 0 && h >= 0)
+    def box(tpe: String, payload: Array[Byte]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(8 + payload.length)
+      bb.putInt(8 + payload.length).put(tpe.getBytes("US-ASCII"))
+        .put(payload)
+      bb.array()
+    }
+    val ftyp = box("ftyp", "isomiso2".getBytes("US-ASCII"))
+    // mvhd v0: ver/flags, creation, modification, timescale=1000,
+    // duration(ms), rate 1.0, volume 1.0, reserved(10), unity
+    // matrix(36), predefined(24), nextTrackId
+    val mvhd = {
+      val bb = java.nio.ByteBuffer.allocate(100)
+      bb.putInt(0).putInt(0).putInt(0).putInt(1000)
+        .putInt(durationMs.toInt)
+        .putInt(0x00010000).putShort(0x0100.toShort).putShort(0.toShort)
+        .putInt(0).putInt(0)
+      bb.putInt(0x00010000).putInt(0).putInt(0)
+      bb.putInt(0).putInt(0x00010000).putInt(0)
+      bb.putInt(0).putInt(0).putInt(0x40000000)
+      (0 until 6).foreach(_ => bb.putInt(0))
+      bb.putInt(2)
+      bb.array()
+    }
+    // tkhd v0: ver/flags(enabled), creation, modification, trackId,
+    // reserved, duration, reserved(8), layer/altgroup/volume/reserved,
+    // matrix(36), width/height 16.16
+    val tkhd = {
+      val bb = java.nio.ByteBuffer.allocate(84)
+      bb.putInt(0x00000007).putInt(0).putInt(0).putInt(1).putInt(0)
+        .putInt(durationMs.toInt).putInt(0).putInt(0)
+        .putShort(0.toShort).putShort(0.toShort)
+        .putShort(0.toShort).putShort(0.toShort)
+      bb.putInt(0x00010000).putInt(0).putInt(0)
+      bb.putInt(0).putInt(0x00010000).putInt(0)
+      bb.putInt(0).putInt(0).putInt(0x40000000)
+      bb.putInt(w << 16).putInt(h << 16)
+      bb.array()
+    }
+    val moov = box("moov",
+      box("mvhd", mvhd) ++ box("trak", box("tkhd", tkhd)))
+    ftyp ++ moov
+  }
+
+  /** REAL audio embedding for 16-bit PCM WAV: Goertzel spectral power
+    * at `dim` evenly spaced frequencies up to Nyquist over the
+    * mono-mixed signal, log-compressed and L2-normalized — an actual
+    * DSP feature vector (a pure sine lands its energy in the nearest
+    * bin; see the spec's property test), not a byte hash. Pure JVM,
+    * deterministic, O(samples·dim) per blob — the per-partition
+    * streaming cost model of the other codec seams. None for
+    * non-WAV/non-16-bit bytes (caller falls back to the hash stub, so
+    * a mixed-modality column never breaks).
+    *
+    * Output plugs into VectorSearch's `array<float>` contract like the
+    * embeddings table: audio similarity search and near-dup run on the
+    * identical ANN paths.
+    */
+  def embedWavSpectral(bytes: Array[Byte], dim: Int = 16): Option[Array[Float]] = {
+    require(dim >= 1, "dim must be >= 1")
+    parseWav(bytes).filter(h => h.bitsPerSample == 16 && h.dataOff >= 0)
+      .flatMap { h =>
+        val avail = math.min(h.dataBytes,
+          (bytes.length - h.dataOff).toLong).toInt
+        val frame = h.channels * 2
+        val n = avail / frame
+        if (n < 2) None
+        else {
+          // mono mix, normalized to [-1, 1]
+          val x = new Array[Double](n)
+          var i = 0
+          while (i < n) {
+            var c = 0
+            var acc = 0.0
+            while (c < h.channels) {
+              val off = h.dataOff + i * frame + c * 2
+              val s = ((bytes(off) & 0xff) | (bytes(off + 1) << 8)).toShort
+              acc += s / 32768.0
+              c += 1
+            }
+            x(i) = acc / h.channels
+            i += 1
+          }
+          // Goertzel power per target frequency (exact DFT bin energy
+          // at arbitrary f without an FFT library)
+          val v = new Array[Float](dim)
+          var d = 0
+          var sq = 0.0
+          while (d < dim) {
+            val f = h.sampleRate.toDouble / 2 * (d + 1) / (dim + 1)
+            val w = 2 * math.Pi * f / h.sampleRate
+            val coeff = 2 * math.cos(w)
+            var s0 = 0.0
+            var s1 = 0.0
+            var s2 = 0.0
+            i = 0
+            while (i < n) {
+              s0 = x(i) + coeff * s1 - s2
+              s2 = s1
+              s1 = s0
+              i += 1
+            }
+            val power = (s1 * s1 + s2 * s2 - coeff * s1 * s2) / n
+            val e = math.log1p(power) // compress dynamic range
+            v(d) = e.toFloat
+            sq += e * e
+            d += 1
+          }
+          val norm = math.sqrt(sq)
+          if (norm > 0) { d = 0; while (d < dim) { v(d) = (v(d) / norm).toFloat; d += 1 } }
+          Some(v)
+        }
+      }
+  }
+
+  /** 16-bit PCM sine fixture — REAL audio content at a known
+    * frequency, so the spectral embedder is testable against physics
+    * (energy concentrates in the bin nearest `freqHz`), not against
+    * its own implementation.
+    */
+  def sineWavFixture(freqHz: Double, nSamples: Int,
+                     sampleRate: Int = 8000): Array[Byte] = {
+    val bytes = wavFixture(nSamples, sampleRate, channels = 1)
+    var i = 0
+    while (i < nSamples) {
+      val s = (math.sin(2 * math.Pi * freqHz * i / sampleRate) * 12000).toInt
+      bytes(44 + i * 2) = (s & 0xff).toByte
+      bytes(44 + i * 2 + 1) = ((s >> 8) & 0xff).toByte
+      i += 1
+    }
+    bytes
+  }
+
+  /** Column-level media embedder with REAL content dispatch: WAV blobs
+    * get the spectral embedding, everything else the deterministic
+    * hash-stub vector (same dim, same unit-norm `array<float>`
+    * contract) — so a mixed corpus embeds in one pass and the result
+    * feeds VectorSearch unchanged. Per-partition row streaming like
+    * [[extractFeatures]].
+    */
+  def embedMedia(df: DataFrame, dim: Int = 16): DataFrame = {
+    require(dim > 0)
+    val spark = df.sparkSession
+    val inSchema = df.schema
+    val outSchema = StructType(
+      inSchema.fields :+ StructField("media_embedding",
+        ArrayType(FloatType, containsNull = false), nullable = true))
+    val mediaIdx = inSchema.fieldIndex("media")
+    val rdd = df.rdd.map { r =>
+      val bytes = r.get(mediaIdx).asInstanceOf[Array[Byte]]
+      val v = embedWavSpectral(bytes, dim)
+        .getOrElse(stubEmbedding(bytes, dim))
+      Row.fromSeq(r.toSeq :+ v.toSeq)
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
   /** Decode dispatch: real image decode when the bytes ARE a readable
     * image (sniffed by the ImageIO registry, independent of the declared
     * media_type — declared metadata lies at corpus scale), real WAV
-    * header decode when they are RIFF/WAVE audio, stub otherwise
-    * (remaining A/V containers).
+    * header decode when they are RIFF/WAVE audio, real MP4 box walk
+    * when they are ISO-BMFF video, stub otherwise (remaining A/V
+    * containers).
     */
   def decode(bytes: Array[Byte], mediaType: String): MediaFeatures =
     decodeImage(bytes)
       .orElse(decodeWav(bytes))
+      .orElse(decodeMp4(bytes))
       .getOrElse(decodeStub(bytes, mediaType))
 
   /** Decode/feature-extract stage: batch-wise over partitions (the
@@ -328,33 +593,40 @@ object Multimodal {
     val mediaIdx = inSchema.fieldIndex("media")
     val rdd = df.rdd.map { r =>
       val bytes = r.get(mediaIdx).asInstanceOf[Array[Byte]]
-      val v = new Array[Float](dim)
-      if (bytes != null && bytes.nonEmpty) {
-        // modular Horner per dim — bounded for arbitrarily large blobs
-        // (naive float accumulation overflows past ~400 bytes), every
-        // byte influences the result, values centered around 0
-        val M = 1000003L
-        val acc = new Array[Long](dim)
-        var i = 0
-        while (i < bytes.length) {
-          val d = i % dim
-          acc(d) = (acc(d) * 31 + (bytes(i) & 0xff)) % M
-          i += 1
-        }
-        var j = 0
-        var sq = 0.0
-        while (j < dim) {
-          val x = (acc(j) - M / 2).toDouble / M
-          v(j) = x.toFloat
-          sq += x * x
-          j += 1
-        }
-        val norm = math.sqrt(sq)
-        if (norm > 0) { j = 0; while (j < dim) { v(j) = (v(j) / norm).toFloat; j += 1 } }
-      }
-      Row.fromSeq(r.toSeq :+ v.toSeq)
+      Row.fromSeq(r.toSeq :+ stubEmbedding(bytes, dim).toSeq)
     }
     spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** The stub's per-blob kernel, shared with [[embedMedia]]'s fallback
+    * arm: a deterministic unit-norm hash vector.
+    */
+  def stubEmbedding(bytes: Array[Byte], dim: Int): Array[Float] = {
+    val v = new Array[Float](dim)
+    if (bytes != null && bytes.nonEmpty) {
+      // modular Horner per dim — bounded for arbitrarily large blobs
+      // (naive float accumulation overflows past ~400 bytes), every
+      // byte influences the result, values centered around 0
+      val M = 1000003L
+      val acc = new Array[Long](dim)
+      var i = 0
+      while (i < bytes.length) {
+        val d = i % dim
+        acc(d) = (acc(d) * 31 + (bytes(i) & 0xff)) % M
+        i += 1
+      }
+      var j = 0
+      var sq = 0.0
+      while (j < dim) {
+        val x = (acc(j) - M / 2).toDouble / M
+        v(j) = x.toFloat
+        sq += x * x
+        j += 1
+      }
+      val norm = math.sqrt(sq)
+      if (norm > 0) { j = 0; while (j < dim) { v(j) = (v(j) / norm).toFloat; j += 1 } }
+    }
+    v
   }
 
   /** The multimodal join: text/metadata table ⋈ embedding table on the

@@ -112,6 +112,69 @@ class MultimodalSpec extends SparkSpec {
     assert(out(1) == ((2L, stub.channels, stub.durationMs)))
   }
 
+  test("real MP4 bytes decode duration + track dims via the ISO-BMFF box walk; non-MP4 falls back") {
+    val clip = Multimodal.mp4Fixture(durationMs = 90500L, w = 640, h = 360)
+    assert(Multimodal.decodeMp4(clip)
+      .contains(Multimodal.MediaFeatures(640, 360, 0, 90500L)))
+    // a zero-dim (audio-only style) track still reports the movie
+    // duration with dims 0
+    val noDims = Multimodal.mp4Fixture(1000L, 0, 0)
+    assert(Multimodal.decodeMp4(noDims)
+      .contains(Multimodal.MediaFeatures(0, 0, 0, 1000L)))
+    // malformed shapes: not ftyp-led, truncated, null
+    assert(Multimodal.decodeMp4("RIFF....WAVE....".getBytes).isEmpty)
+    assert(Multimodal.decodeMp4(clip.take(20)).isEmpty)
+    assert(Multimodal.decodeMp4(null).isEmpty)
+    // dispatch: video rows get real container features, garbage the stub
+    val df = Seq((1L, clip), (2L, "garbage bytes!".getBytes))
+      .toDF("doc_id", "raw")
+    val out = Multimodal.extractFeatures(Multimodal.withMedia(df, "raw", "video"))
+      .select("doc_id", "width", "height", "duration_ms")
+      .as[(Long, Int, Int, Long)].collect().sortBy(_._1)
+    assert(out(0) == ((1L, 640, 360, 90500L)))
+    val stub = Multimodal.decodeStub("garbage bytes!".getBytes, "video")
+    assert(out(1) == ((2L, stub.width, stub.height, stub.durationMs)))
+  }
+
+  test("spectral WAV embedding obeys physics: a pure sine peaks in its own frequency bin") {
+    // bins at Nyquist·(d+1)/(dim+1): dim=16, rate 8000 → bins every
+    // ~235 Hz starting 235. A 941 Hz sine sits on bin index 3; a
+    // 2824 Hz sine on bin index 11 — the embedder must put the argmax
+    // THERE, which no byte-hash stub can fake.
+    val dim = 16
+    def argmax(v: Array[Float]) = v.indexOf(v.max)
+    val low = Multimodal.embedWavSpectral(
+      Multimodal.sineWavFixture(941.0, 4000), dim).get
+    val high = Multimodal.embedWavSpectral(
+      Multimodal.sineWavFixture(2824.0, 4000), dim).get
+    assert(argmax(low) == 3, low.toSeq)
+    assert(argmax(high) == 11, high.toSeq)
+    // unit norm, deterministic
+    assert(math.abs(low.map(x => x * x).sum - 1.0) < 1e-4)
+    assert(low.toSeq == Multimodal.embedWavSpectral(
+      Multimodal.sineWavFixture(941.0, 4000), dim).get.toSeq)
+    // two nearby tones are more similar to each other than to a
+    // far tone (cosine in embedding space tracks spectral distance)
+    def cos(a: Array[Float], b: Array[Float]) =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    val mid = Multimodal.embedWavSpectral(
+      Multimodal.sineWavFixture(1100.0, 4000), dim).get
+    assert(cos(low, mid) > cos(low, high))
+    // non-WAV / 8-bit / empty payloads fall back (None)
+    assert(Multimodal.embedWavSpectral("not audio at all".getBytes, dim).isEmpty)
+    assert(Multimodal.embedWavSpectral(Multimodal.wavFixture(0), dim).isEmpty)
+    // column-level dispatch: WAV rows spectral, garbage rows stub
+    val df = Seq((1L, Multimodal.sineWavFixture(941.0, 4000)),
+      (2L, "garbage bytes".getBytes)).toDF("doc_id", "raw")
+    val out = Multimodal.embedMedia(
+      Multimodal.withMedia(df, "raw", "audio"), dim)
+      .select("doc_id", "media_embedding")
+      .as[(Long, Seq[Float])].collect().sortBy(_._1)
+    assert(out(0)._2 == low.toSeq)
+    assert(out(1)._2 ==
+      Multimodal.stubEmbedding("garbage bytes".getBytes, dim).toSeq)
+  }
+
   test("typed FuelPrice dataset carries the reference DECIMAL(5,2) price") {
     val prices = graft.op.PriceGen.generateTyped(
       spark.read.parquet(s"$sf/supplier.parquet"), "s_suppkey",
