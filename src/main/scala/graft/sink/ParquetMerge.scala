@@ -94,4 +94,85 @@ object ParquetMerge {
       case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
     }
   }
+
+  /** One partition's compaction decision, returned for auditability:
+    * how many files it had, how many it was rewritten to (0 = left
+    * untouched). */
+  final case class CompactionReport(partition: String, filesBefore: Int,
+                                    bytes: Long, filesAfter: Int)
+
+  /** Small-file compaction — the other half of the lakehouse
+    * maintenance story next to [[upsertPartitions]]: a daily
+    * incremental merge leaves each touched partition with one more
+    * file generation per day, and at 100 TB the accumulated small
+    * files dominate planning/open cost long before data size does.
+    * This rewrites each partition whose file count exceeds what its
+    * BYTES justify into `ceil(bytes / targetFileBytes)` files, and
+    * leaves well-laid-out partitions byte-identical on disk (no
+    * gratuitous rewrite, no mtime churn — readers' file-listing caches
+    * stay valid).
+    *
+    * Scope and scale shape: the partition list is O(partitions) driver
+    * work (the same "a lake table's partition count is a dimension,
+    * not a fact" contract as `upsertPartitions`'s touched collect);
+    * each rewrite reads ONE partition with partition-pruned input and
+    * writes it back `coalesce(n)` — no shuffle, map-side re-bucketing
+    * only. Rewrites go partition-by-partition through dynamic
+    * partition overwrite, so a crash mid-compaction leaves every
+    * partition either old-complete or new-complete, never mixed.
+    * Restrict to `onlyPartitions` to compact the partitions a merge
+    * just touched (the steady-state nightly call).
+    */
+  def compactPartitions(spark: SparkSession, dir: String, partCol: String,
+                        targetFileBytes: Long = 128L * 1024 * 1024,
+                        onlyPartitions: Option[Seq[String]] = None)
+  : Seq[CompactionReport] = {
+    require(targetFileBytes > 0, "targetFileBytes must be > 0")
+    val hPath = new org.apache.hadoop.fs.Path(dir)
+    val fs = hPath.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(hPath)) return Seq.empty
+    val prefix = partCol + "="
+    val parts = fs.listStatus(hPath).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith(prefix))
+      .map(_.getPath)
+      .filter(p => onlyPartitions.forall(
+        _.contains(p.getName.stripPrefix(prefix))))
+    val inferKey = "spark.sql.sources.partitionColumnTypeInference.enabled"
+    val owKey = "spark.sql.sources.partitionOverwriteMode"
+    parts.map { p =>
+      val value = p.getName.stripPrefix(prefix)
+      val files = fs.listStatus(p).toSeq
+        .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      val bytes = files.map(_.getLen).sum
+      val want = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes)
+        .toInt
+      if (files.size <= want)
+        CompactionReport(value, files.size, bytes, 0)
+      else {
+        // read THIS partition only (directory-scoped read keeps the
+        // partition column out of the frame; re-attach as string —
+        // compaction must not re-type what the layout already encodes)
+        val prevInfer = spark.conf.getOption(inferKey)
+        val prevOw = spark.conf.getOption(owKey)
+        spark.conf.set(inferKey, "false")
+        spark.conf.set(owKey, "dynamic")
+        try {
+          val cur = spark.read.parquet(p.toString)
+            .withColumn(partCol, org.apache.spark.sql.functions.lit(value))
+          cur.coalesce(want)
+            .write.mode("overwrite").partitionBy(partCol).parquet(dir)
+        } finally {
+          prevInfer match {
+            case Some(v) => spark.conf.set(inferKey, v)
+            case None => spark.conf.unset(inferKey)
+          }
+          prevOw match {
+            case Some(v) => spark.conf.set(owKey, v)
+            case None => spark.conf.unset(owKey)
+          }
+        }
+        CompactionReport(value, files.size, bytes, want)
+      }
+    }
+  }
 }

@@ -193,4 +193,53 @@ class CdcMergeSpec extends SparkSpec {
       .collect().map(r => (r.getString(3), r.getLong(2))).toSeq
     assert(got2 == Seq(("d1", 101L), ("d2", 201L)))
   }
+
+  test("compactPartitions: oversplit partitions collapse to the byte-justified file count; compact ones stay byte-identical") {
+    val dir = java.nio.file.Files.createTempDirectory("compact").toString + "/t"
+    // d1: 6 files of a few KB (the post-merge small-file pathology);
+    // d2: already 1 file
+    (1L to 600L).map(i => ("d1", i, i * 10))
+      .toDF("day", "k", "v").repartition(6)
+      .write.partitionBy("day").parquet(dir)
+    Seq(("d2", 1L, 7L)).toDF("day", "k", "v")
+      .coalesce(1).write.mode("append").partitionBy("day").parquet(dir)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    def files(p: String) = fs.listStatus(
+      new org.apache.hadoop.fs.Path(s"$dir/day=$p")).toSeq
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+    assert(files("d1").size == 6)
+    val d2Before = files("d2").map(s => (s.getPath.getName, s.getLen,
+      s.getModificationTime))
+    val before = spark.read.parquet(dir).orderBy("day", "k")
+      .collect().map(_.toSeq).toSeq
+
+    // huge target -> every oversplit partition should become ONE file
+    val report = ParquetMerge.compactPartitions(spark, dir, "day",
+      targetFileBytes = 1L << 30)
+      .sortBy(_.partition)
+    assert(report.map(r => (r.partition, r.filesBefore, r.filesAfter)) ==
+      Seq(("d1", 6, 1), ("d2", 1, 0)))
+    assert(files("d1").size == 1)
+    // the compact partition was NOT rewritten: same file, same mtime
+    assert(files("d2").map(s => (s.getPath.getName, s.getLen,
+      s.getModificationTime)) == d2Before)
+    // data identical after compaction
+    val after = spark.read.parquet(dir).orderBy("day", "k")
+      .collect().map(_.toSeq).toSeq
+    assert(after == before)
+
+    // scoped call: restricting to d2 touches nothing even at a tiny
+    // target (its single file already satisfies count <= want is
+    // false only when files > want)
+    val r2 = ParquetMerge.compactPartitions(spark, dir, "day",
+      targetFileBytes = 1L, onlyPartitions = Some(Seq("d2")))
+    assert(r2.map(_.partition) == Seq("d2") && r2.head.filesAfter == 0)
+    // a merge keeps working on the compacted table (the nightly cycle:
+    // upsert -> compact -> upsert)
+    ParquetMerge.upsertPartitions(spark, dir,
+      Seq(("d1", 1L, 999L)).toDF("day", "k", "v"), "day", "k", "v")
+    assert(spark.read.parquet(dir).filter(col("k") === 1 && col("day") === "d1")
+      .select("v").head().getLong(0) == 999L)
+  }
 }
