@@ -3139,6 +3139,11 @@ object OracleSql {
     // batch-1 state, so its survivors answer the identical question
     "ns_incremental_probe" -> curationOneShotSql,
 
+    // the indexed probe maintains a stored shingle-posting table and
+    // must STILL converge to the one-shot rebuild — stored-index
+    // drift from the text-derived shingles would hash-mismatch here
+    "ns_incremental_probe_indexed" -> curationOneShotSql,
+
 
     // argmax over per-language marker-hit ratios; tie semantics mirror
     // Spark's greatest(struct(score, lang)): highest score, then highest

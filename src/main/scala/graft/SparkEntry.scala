@@ -2698,10 +2698,54 @@ object SparkEntry {
     out
   }
 
+  /** The INDEXED face of the probe: identical split and oracle, but
+    * the fold maintains the stored shingle-posting table
+    * (IncrementalCuration.curateBatchIndexed) — the nightly delta
+    * probes pre-tokenized postings instead of re-shingling the corpus
+    * text. Its bench line next to `ns_incremental_probe` prices
+    * exactly what the stored index buys — and at sf0.1 that is
+    * HONESTLY a wash or slightly negative (~8 s plain vs ~10 s
+    * indexed, measured local[32]): this corpus's text is small enough
+    * that codegen re-shingling beats the posting-table parquet scan,
+    * and each indexed fold pays one extra LWW merge (the posting
+    * upsert, O(batch)). The crossover favors the index when corpus
+    * TEXT re-tokenization dominates — large documents, expensive
+    * tokenizers, text IO ≫ posting IO — which is the 100 TB regime;
+    * the df-prune window over postings stays O(corpus) in both forms
+    * (a maintained (sh, df) summary is the recorded next step,
+    * TUNING.md round-11 indexed-probe note).
+    */
+  private def nsIncrementalProbeIndexed(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select("doc_id", "text")
+    val cut = docs.agg(max("doc_id")).head().getLong(0) * 9L / 10L
+    val baseRoot = incIdxStateCache.computeIfAbsent((s, dir), _ => {
+      val root = java.nio.file.Files.createTempDirectory("inc_ibase")
+      graft.pipeline.IncrementalCuration.curateBatchIndexed(s,
+        root.toString + "/state",
+        docs.filter(col("doc_id") <= cut), "text", "doc_id", batchNo = 1L)
+      root.toString
+    })
+    val root = java.nio.file.Files.createTempDirectory("inc_iprobe")
+    // copy the whole root: state AND its posting table
+    copyLocalDir(java.nio.file.Paths.get(baseRoot), root)
+    val tmp = root.toString + "/state"
+    graft.pipeline.IncrementalCuration.curateBatchIndexed(s, tmp,
+      docs.filter(col("doc_id") > cut), "text", "doc_id", batchNo = 2L)
+    val out = graft.pipeline.IncrementalCuration.survivors(s, tmp)
+      .orderBy("doc_id").localCheckpoint()
+    deleteLocalDir(root)
+    out
+  }
+
   /** Per-(session, dir) pre-built batch-1 curation state backing the
     * probe query — released (dir deleted) by [[releaseArtifacts]].
     */
   private val incStateCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]
+
+  /** Root dir of the INDEXED batch-1 state (state + posting table)
+    * backing [[nsIncrementalProbeIndexed]]. */
+  private val incIdxStateCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]
 
   private def deleteLocalDir(root: java.nio.file.Path): Unit = {
@@ -2848,6 +2892,8 @@ object SparkEntry {
     Option(coOrderCache.remove((s, dir))).foreach(_.unpersist())
     Option(incStateCache.remove((s, dir))).foreach(p =>
       deleteLocalDir(java.nio.file.Paths.get(p).getParent))
+    Option(incIdxStateCache.remove((s, dir))).foreach(p =>
+      deleteLocalDir(java.nio.file.Paths.get(p)))
   }
 
   private def nsTopkSimilarity(s: SparkSession, dir: String): DataFrame = {
@@ -3253,6 +3299,7 @@ object SparkEntry {
     "ns_curation_pipeline" -> nsCurationPipeline,
     "ns_incremental_curation" -> nsIncrementalCuration,
     "ns_incremental_probe" -> nsIncrementalProbe,
+    "ns_incremental_probe_indexed" -> nsIncrementalProbeIndexed,
     "ns_text_tokens" -> nsTextTokens,
     "ns_token_stats" -> nsTokenStats,
     "ns_text_quality" -> nsTextQuality,

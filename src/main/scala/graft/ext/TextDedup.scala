@@ -1270,6 +1270,47 @@ object TextDedup {
       .select(col("id_new"), col("id_old"), col("jaccard"))
   }
 
+  /** [[crossNearDups]] against a STORED posting table instead of
+    * corpus text — the amortized form: `postings` carries (doc, sh)
+    * rows previously produced by the identical shingle kernel
+    * ([[docShingles]] + explode), so the corpus side of the probe
+    * never re-tokenizes, never re-shingles, and scans a pre-tokenized
+    * columnar table instead of raw text. Semantics are IDENTICAL to
+    * crossNearDups by construction (same df-prune rule against
+    * `maxPostings`, same over-cap anti-join on the batch side, same
+    * post-prune sizes, same jaccard test) — the incremental-index
+    * convergence proof rests on that equality, and
+    * IncrementalPipelineSpec pins it state-for-state.
+    */
+  def crossNearDupsFromPostings(newBatch: DataFrame, postings: DataFrame,
+                                text: String, id: String, shingleN: Int = 3,
+                                threshold: Double = 0.5,
+                                maxPostings: Long = 5000): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val shNew = docShingles(newBatch, text, id, shingleN)
+      .select(col("doc").as("id_new"), explode(col("sh")).as("sh"))
+    val counted = postings
+      .select(col("doc").as("id_old"), col("sh"))
+      .withColumn("_pf", count(lit(1)).over(Window.partitionBy("sh")))
+      .persist(lvl)
+    val shOld = counted.filter(col("_pf") <= maxPostings).drop("_pf")
+      .persist(lvl)
+    val overCap = counted.filter(col("_pf") > maxPostings)
+      .select("sh").distinct()
+    val shNewP = shNew.join(broadcast(overCap), Seq("sh"), "left_anti")
+      .persist(lvl)
+    val sizesNew = shNewP.groupBy("id_new").agg(count(lit(1)).as("na"))
+    val sizesOld = shOld.groupBy("id_old").agg(count(lit(1)).as("nb"))
+    shOld.join(broadcast(shNewP), Seq("sh"))
+      .groupBy("id_new", "id_old").agg(count(lit(1)).as("inter"))
+      .join(broadcast(sizesNew), Seq("id_new"))
+      .join(sizesOld.hint("shuffle_hash"), Seq("id_old"))
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_new"), col("id_old"), col("jaccard"))
+  }
+
   /** Embedding-cosine near-duplicates: exact pairs above a threshold,
     * as a full cross join — the per-candidate verification KERNEL and
     * test twin only, never a registered production query (PlanSpec

@@ -55,6 +55,10 @@ object IncrementalCuration {
     */
   val StateParts = 8
 
+  /** Suffix of the stored shingle-posting table maintained by
+    * [[curateBatchIndexed]] next to the state table. */
+  val PostingsSuffix = "_sh"
+
   /** Fold one batch into the state table at `stateDir` (created on
     * first use). `batchNo` becomes the merge version — replaying a
     * batch re-merges idempotently.
@@ -63,7 +67,41 @@ object IncrementalCuration {
                   text: String, id: String, batchNo: Long,
                   minQuality: Double = 0.7,
                   jaccardThreshold: Double = 0.3,
-                  maxPostings: Long = 5000): Unit = {
+                  maxPostings: Long = 5000): Unit =
+    fold(spark, stateDir, batch, text, id, batchNo, minQuality,
+      jaccardThreshold, maxPostings, indexed = false)
+
+  /** [[curateBatch]] with a MAINTAINED shingle posting index: the
+    * cross-batch near-dup probe reads a stored (doc, shingle) posting
+    * table instead of re-tokenizing and re-shingling the whole corpus
+    * text every fold, and each fold appends the batch's shingles into
+    * that table through the same idempotent partition-scoped LWW merge
+    * the state rows use (key = doc:shingle, version = batchNo — a
+    * replayed batch re-merges to the identical index). This is the
+    * amortized nightly shape: per batch, corpus-side work drops from
+    * O(corpus text re-shingled) to O(posting-table scan), the same
+    * state-vs-artifact trade the IVF/PQ index caches make for ANN.
+    * Semantics are IDENTICAL to [[curateBatch]] —
+    * [[graft.ext.TextDedup.crossNearDupsFromPostings]] applies the
+    * same df-prune/sizes/jaccard math to the stored postings, so
+    * survivors still converge to the from-scratch rebuild (the shared
+    * oracle), and the spec pins plain-vs-indexed state equality.
+    * The two fold flavors must not be mixed on one stateDir: the
+    * plain fold leaves the posting table stale.
+    */
+  def curateBatchIndexed(spark: SparkSession, stateDir: String,
+                         batch: DataFrame, text: String, id: String,
+                         batchNo: Long, minQuality: Double = 0.7,
+                         jaccardThreshold: Double = 0.3,
+                         maxPostings: Long = 5000): Unit =
+    fold(spark, stateDir, batch, text, id, batchNo, minQuality,
+      jaccardThreshold, maxPostings, indexed = true)
+
+  private def fold(spark: SparkSession, stateDir: String, batch: DataFrame,
+                   text: String, id: String, batchNo: Long,
+                   minQuality: Double,
+                   jaccardThreshold: Double,
+                   maxPostings: Long, indexed: Boolean): Unit = {
     val hPath = new org.apache.hadoop.fs.Path(stateDir)
     val fs = hPath.getFileSystem(spark.sessionState.newHadoopConf())
     val state: Option[DataFrame] =
@@ -113,9 +151,18 @@ object IncrementalCuration {
       .drop("text_hash")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // near-dup losers: new vs ALL state rows (tombstones included —
-    // the convergence clause), plus pairs within the batch itself
+    // the convergence clause), plus pairs within the batch itself.
+    // Indexed mode probes the stored posting table; plain mode
+    // re-shingles the state text.
     val crossLosers = state match {
       case None => None
+      case Some(st) if indexed =>
+        Some(TextDedup.crossNearDupsFromPostings(dedupedB,
+          spark.read.parquet(stateDir + PostingsSuffix)
+            .select(col("doc"), col("sh")),
+          text, id, shingleN = 3, threshold = jaccardThreshold,
+          maxPostings = maxPostings)
+          .select(col("id_new").as(id)))
       case Some(st) => Some(TextDedup.crossNearDups(dedupedB, st, text, id,
         shingleN = 3, threshold = jaccardThreshold,
         maxPostings = maxPostings)
@@ -135,6 +182,20 @@ object IncrementalCuration {
       .select(col("part"), col(id), col("ver"), col(text), col("n_words"),
         col("quality_score"), col("is_survivor"))
     ParquetMerge.upsertPartitions(spark, stateDir, rows, "part", id, "ver")
+    if (indexed) {
+      // fold the batch's shingles into the posting table through the
+      // same idempotent LWW partition merge; tombstoned docs' shingles
+      // are included on purpose — future batches must probe them, the
+      // same convergence clause the state tombstones serve
+      val shRows = TextDedup.docShingles(dedupedB, text, id, n = 3)
+        .select(col("doc"), explode(col("sh")).as("sh"))
+        .withColumn("part", pmod(col("doc"), lit(StateParts.toLong)))
+        .withColumn("pk", concat_ws(":", col("doc"), col("sh")))
+        .withColumn("ver", lit(batchNo))
+        .select(col("part"), col("pk"), col("ver"), col("doc"), col("sh"))
+      ParquetMerge.upsertPartitions(spark, stateDir + PostingsSuffix,
+        shRows, "part", "pk", "ver")
+    }
     dedupedB.unpersist()
   }
 
@@ -157,15 +218,17 @@ object IncrementalCuration {
                    id: String, checkpoint: String,
                    minQuality: Double = 0.7,
                    jaccardThreshold: Double = 0.3,
-                   maxPostings: Long = 5000)
+                   maxPostings: Long = 5000,
+                   indexed: Boolean = false)
   : org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .foreachBatch {
         (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
          batchId: Long) =>
-          curateBatch(b.sparkSession, stateDir, b.toDF(), text, id,
+          fold(b.sparkSession, stateDir, b.toDF(), text, id,
             batchNo = batchId, minQuality = minQuality,
-            jaccardThreshold = jaccardThreshold, maxPostings = maxPostings)
+            jaccardThreshold = jaccardThreshold, maxPostings = maxPostings,
+            indexed = indexed)
       }
       .option("checkpointLocation", checkpoint)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())

@@ -157,6 +157,60 @@ class IncrementalPipelineSpec extends SparkSpec {
     assert(sSurv() == Set(1L, 3L, 7L))
   }
 
+  test("indexed fold == plain fold state-for-state; posting table replays idempotently and carries tombstone shingles") {
+    import graft.pipeline.{Curation, IncrementalCuration}
+    // same fixture as the convergence test: d4 is killed ONLY via
+    // tombstone d2 — the indexed probe must see tombstone shingles
+    // from the POSTING table to reproduce it
+    val mid = "delta the foxtrot golf hotel the juliet kilo lima mike november oscar"
+    val docs = Seq(
+      (1L, s"alpha bravo charlie dingo $mid papa quebec romeo sierra"),
+      (2L, s"alpha bravo charlie dingo $mid tango uniform victor whiskey"),
+      (3L, "one two three four " + mid + " five six seven eight"),
+      (4L, s"yankee zulu aardvark badger $mid tango uniform victor whiskey"),
+      (5L, "one two three four " + mid + " five six seven eight"),
+      (6L, "tiny doc"),
+      (7L, "red blue green cyan " + mid + " pink gray black white")
+    ).toDF("doc_id", "text")
+    val b1 = docs.filter(col("doc_id") <= 3)
+    val b2 = docs.filter(col("doc_id") > 3)
+    val plainDir = java.nio.file.Files.createTempDirectory("incP").toString + "/st"
+    val idxDir = java.nio.file.Files.createTempDirectory("incI").toString + "/st"
+    for ((d, indexed) <- Seq((plainDir, false), (idxDir, true))) {
+      def foldB(b: org.apache.spark.sql.DataFrame, n: Long) =
+        if (indexed) IncrementalCuration.curateBatchIndexed(spark, d, b,
+          "text", "doc_id", n, jaccardThreshold = 0.5)
+        else IncrementalCuration.curateBatch(spark, d, b,
+          "text", "doc_id", n, jaccardThreshold = 0.5)
+      foldB(b1, 1L); foldB(b2, 2L)
+    }
+    def stateOf(d: String) = spark.read.parquet(d)
+      .select("doc_id", "ver", "n_words", "quality_score", "is_survivor")
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(stateOf(idxDir) == stateOf(plainDir)) // full state equality
+    // …and both equal the from-scratch rebuild on the survivor contract
+    assert(IncrementalCuration.survivors(spark, idxDir).orderBy("doc_id")
+      .collect().map(_.toSeq).toSeq ==
+      Curation.curate(docs, "text", "doc_id", minQuality = 0.7,
+        jaccardThreshold = 0.5).orderBy("doc_id")
+        .collect().map(_.toSeq).toSeq)
+    // the posting table holds shingles for every state row — tombstone
+    // d2 and d4 included (the convergence clause), quality-dropped d6
+    // and exact-dup d5 excluded
+    val postDocs = spark.read
+      .parquet(idxDir + IncrementalCuration.PostingsSuffix)
+      .select("doc").distinct().as[Long].collect().toSet
+    assert(postDocs == Set(1L, 2L, 3L, 4L, 7L))
+    // replaying batch 2 re-merges BOTH tables idempotently
+    val before = spark.read
+      .parquet(idxDir + IncrementalCuration.PostingsSuffix).count()
+    IncrementalCuration.curateBatchIndexed(spark, idxDir, b2,
+      "text", "doc_id", 2L, jaccardThreshold = 0.5)
+    assert(spark.read
+      .parquet(idxDir + IncrementalCuration.PostingsSuffix).count() == before)
+    assert(stateOf(idxDir) == stateOf(plainDir))
+  }
+
   test("out-of-order batch fails the ascending-id guard loudly; replays of a folded batchNo stay exempt") {
     import graft.pipeline.IncrementalCuration
     val mid = "delta the foxtrot golf hotel the juliet kilo lima mike november oscar"
