@@ -1311,6 +1311,46 @@ object TextDedup {
       .select(col("id_new"), col("id_old"), col("jaccard"))
   }
 
+  /** [[crossNearDupsFromPostings]] with the document-frequency prune
+    * driven by a MAINTAINED (sh, df) summary instead of a window count
+    * over the posting table — the shape that removes the last
+    * O(corpus) shuffle from the incremental probe: `dfCounts` carries
+    * one (sh, df) row per distinct corpus shingle (df = posting-list
+    * length, exactly what the window computed), so the prune becomes a
+    * filter on the summary plus a broadcast anti-join of the over-cap
+    * minority against both sides. Per-doc sizes are still counted from
+    * the PRUNED postings (one partial-aggregated groupBy — cheap and
+    * exact), and the jaccard math is unchanged, so results are
+    * IDENTICAL to [[crossNearDups]] whenever `dfCounts` is the true
+    * posting-frequency table. The over-cap set is the boilerplate
+    * minority by the maxPostings contract — bounded, broadcastable.
+    */
+  def crossNearDupsWithDf(newBatch: DataFrame, postings: DataFrame,
+                          dfCounts: DataFrame, text: String, id: String,
+                          shingleN: Int = 3, threshold: Double = 0.5,
+                          maxPostings: Long = 5000): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val shNew = docShingles(newBatch, text, id, shingleN)
+      .select(col("doc").as("id_new"), explode(col("sh")).as("sh"))
+    val overCap = dfCounts.filter(col("df") > maxPostings)
+      .select("sh")
+    val shOld = postings.select(col("doc").as("id_old"), col("sh"))
+      .join(broadcast(overCap), Seq("sh"), "left_anti")
+      .persist(lvl)
+    val shNewP = shNew.join(broadcast(overCap), Seq("sh"), "left_anti")
+      .persist(lvl)
+    val sizesNew = shNewP.groupBy("id_new").agg(count(lit(1)).as("na"))
+    val sizesOld = shOld.groupBy("id_old").agg(count(lit(1)).as("nb"))
+    shOld.join(broadcast(shNewP), Seq("sh"))
+      .groupBy("id_new", "id_old").agg(count(lit(1)).as("inter"))
+      .join(broadcast(sizesNew), Seq("id_new"))
+      .join(sizesOld.hint("shuffle_hash"), Seq("id_old"))
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_new"), col("id_old"), col("jaccard"))
+  }
+
   /** Embedding-cosine near-duplicates: exact pairs above a threshold,
     * as a full cross join — the per-candidate verification KERNEL and
     * test twin only, never a registered production query (PlanSpec

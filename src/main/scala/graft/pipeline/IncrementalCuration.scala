@@ -59,6 +59,18 @@ object IncrementalCuration {
     * [[curateBatchIndexed]] next to the state table. */
   val PostingsSuffix = "_sh"
 
+  /** Suffix of the stored per-shingle document-frequency SUMMARY
+    * maintained next to the posting table: one (sh, ver, df_delta) row
+    * per (batch, distinct shingle), keyed sh:ver so a replayed batch
+    * LWW-overwrites its own deltas (idempotent — an additive table
+    * would double-count on at-least-once redelivery). The true df of a
+    * shingle is `sum(df_delta)` over its rows, recomputed at probe
+    * time from a table whose size is O(distinct shingles), not
+    * O(postings) — this is what removes the per-probe O(corpus)
+    * posting-frequency window.
+    */
+  val DfSuffix = "_df"
+
   /** Fold one batch into the state table at `stateDir` (created on
     * first use). `batchNo` becomes the merge version — replaying a
     * batch re-merges idempotently.
@@ -77,17 +89,19 @@ object IncrementalCuration {
     * text every fold, and each fold appends the batch's shingles into
     * that table through the same idempotent partition-scoped LWW merge
     * the state rows use (key = doc:shingle, version = batchNo — a
-    * replayed batch re-merges to the identical index). This is the
-    * amortized nightly shape: per batch, corpus-side work drops from
-    * O(corpus text re-shingled) to O(posting-table scan), the same
+    * replayed batch re-merges to the identical index). A per-shingle
+    * df SUMMARY ([[DfSuffix]]) is maintained alongside, so the
+    * maxPostings prune reads O(distinct shingles) summary rows instead
+    * of window-counting the posting table — no O(corpus) shuffle per
+    * probe. This is the amortized nightly shape: the same
     * state-vs-artifact trade the IVF/PQ index caches make for ANN.
     * Semantics are IDENTICAL to [[curateBatch]] —
-    * [[graft.ext.TextDedup.crossNearDupsFromPostings]] applies the
-    * same df-prune/sizes/jaccard math to the stored postings, so
-    * survivors still converge to the from-scratch rebuild (the shared
-    * oracle), and the spec pins plain-vs-indexed state equality.
+    * [[graft.ext.TextDedup.crossNearDupsWithDf]] applies the same
+    * df-prune/sizes/jaccard math, so survivors still converge to the
+    * from-scratch rebuild (the shared oracle), and the spec pins
+    * plain-vs-indexed state equality plus df-summary truth.
     * The two fold flavors must not be mixed on one stateDir: the
-    * plain fold leaves the posting table stale.
+    * plain fold leaves the posting/summary tables stale.
     */
   def curateBatchIndexed(spark: SparkSession, stateDir: String,
                          batch: DataFrame, text: String, id: String,
@@ -157,9 +171,11 @@ object IncrementalCuration {
     val crossLosers = state match {
       case None => None
       case Some(st) if indexed =>
-        Some(TextDedup.crossNearDupsFromPostings(dedupedB,
+        Some(TextDedup.crossNearDupsWithDf(dedupedB,
           spark.read.parquet(stateDir + PostingsSuffix)
             .select(col("doc"), col("sh")),
+          spark.read.parquet(stateDir + DfSuffix)
+            .groupBy("sh").agg(sum("df_delta").as("df")),
           text, id, shingleN = 3, threshold = jaccardThreshold,
           maxPostings = maxPostings)
           .select(col("id_new").as(id)))
@@ -187,14 +203,27 @@ object IncrementalCuration {
       // same idempotent LWW partition merge; tombstoned docs' shingles
       // are included on purpose — future batches must probe them, the
       // same convergence clause the state tombstones serve
-      val shRows = TextDedup.docShingles(dedupedB, text, id, n = 3)
+      val shBatch = TextDedup.docShingles(dedupedB, text, id, n = 3)
         .select(col("doc"), explode(col("sh")).as("sh"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val shRows = shBatch
         .withColumn("part", pmod(col("doc"), lit(StateParts.toLong)))
         .withColumn("pk", concat_ws(":", col("doc"), col("sh")))
         .withColumn("ver", lit(batchNo))
         .select(col("part"), col("pk"), col("ver"), col("doc"), col("sh"))
       ParquetMerge.upsertPartitions(spark, stateDir + PostingsSuffix,
         shRows, "part", "pk", "ver")
+      // this batch's df contribution, keyed sh:ver → replay rewrites
+      // its own rows instead of double-counting
+      val dfRows = shBatch.groupBy("sh").agg(count(lit(1)).as("df_delta"))
+        .withColumn("part", pmod(xxhash64(col("sh")), lit(StateParts.toLong)))
+        .withColumn("pk", concat_ws(":", col("sh"), lit(batchNo)))
+        .withColumn("ver", lit(batchNo))
+        .select(col("part"), col("pk"), col("ver"), col("sh"),
+          col("df_delta"))
+      ParquetMerge.upsertPartitions(spark, stateDir + DfSuffix,
+        dfRows, "part", "pk", "ver")
+      shBatch.unpersist()
     }
     dedupedB.unpersist()
   }

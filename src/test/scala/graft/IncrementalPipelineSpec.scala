@@ -201,13 +201,26 @@ class IncrementalPipelineSpec extends SparkSpec {
       .parquet(idxDir + IncrementalCuration.PostingsSuffix)
       .select("doc").distinct().as[Long].collect().toSet
     assert(postDocs == Set(1L, 2L, 3L, 4L, 7L))
-    // replaying batch 2 re-merges BOTH tables idempotently
+    // the df summary is TRUE: sum(df_delta) per shingle equals the
+    // posting-list length the plain path's window would count
+    def dfSums() = spark.read
+      .parquet(idxDir + IncrementalCuration.DfSuffix)
+      .groupBy("sh").agg(sum("df_delta").as("df"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val postingDf = spark.read
+      .parquet(idxDir + IncrementalCuration.PostingsSuffix)
+      .groupBy("sh").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(dfSums() == postingDf)
+    // replaying batch 2 re-merges ALL THREE tables idempotently (an
+    // additive df table would double-count exactly here)
     val before = spark.read
       .parquet(idxDir + IncrementalCuration.PostingsSuffix).count()
     IncrementalCuration.curateBatchIndexed(spark, idxDir, b2,
       "text", "doc_id", 2L, jaccardThreshold = 0.5)
     assert(spark.read
       .parquet(idxDir + IncrementalCuration.PostingsSuffix).count() == before)
+    assert(dfSums() == postingDf)
     assert(stateOf(idxDir) == stateOf(plainDir))
   }
 
