@@ -353,6 +353,29 @@ object VectorSearch {
   def annTopK(corpus: DataFrame, queries: DataFrame, id: String,
               vec: String, k: Int, bits: Int = 8,
               probeNeighbors: Int = 0): DataFrame = {
+    val scored = annCandidates(corpus, queries, id, vec, bits,
+      probeNeighbors)
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id"), col("sim"))
+  }
+
+  /** The candidate-generation half of [[annTopK]]: every
+    * bucket-colliding (query, vector) pair with its exact cosine —
+    * no window, no rank. This is the part that is a PURE map-side /
+    * stream-static shape (bucket expr + equi-join + scalar score), so
+    * it doubles as the streaming twin's kernel
+    * ([[graft.streaming.EventStream.annCandidatesStream]]): window
+    * functions are not available on append-mode streams, so the
+    * k-selection stays with the consumer — the
+    * candidates-plus-batch-argmax contract the attribution stream
+    * already set.
+    */
+  def annCandidates(corpus: DataFrame, queries: DataFrame, id: String,
+                    vec: String, bits: Int = 8,
+                    probeNeighbors: Int = 0): DataFrame = {
     require(probeNeighbors >= 0 && probeNeighbors <= 2,
       "probeNeighbors (max probe Hamming distance) must be 0, 1, or 2")
     require(bits >= 2, "bits must be >= 2")
@@ -364,14 +387,9 @@ object VectorSearch {
       q0.select(col("query_id"), col("qv"),
         explode(expr(probeNeighborhoodSql(bits, probeNeighbors))).as("bucket"))
     }
-    val scored = c.join(broadcast(q), Seq("bucket"))
+    c.join(broadcast(q), Seq("bucket"))
       .filter(col("query_id") =!= col("vec_id"))
       .withColumn("sim", round(cosine(col("cv"), col("qv")), 6))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("sim").desc, col("vec_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("vec_id"), col("sim"))
   }
 
   /** Multi-table LSH top-k — the standard recall-amplification shape

@@ -451,6 +451,29 @@ object EventStream {
                        fpp: Double = 0.01): DataFrame =
     graft.ext.BloomGuard.newDocs(docs, corpus, text, fpp)
 
+  /** Online retrieval: a STREAM of query vectors probed against the
+    * static embedding corpus — the streaming twin of
+    * [[graft.ext.VectorSearch.annCandidates]], delegated to the batch
+    * kernel so stream and batch semantics are one code path. PURE
+    * stream-static shape: the corpus is bucketed at plan time (the
+    * frozen-model contract — corpus refresh = query restart), each
+    * query row map-side expands to its probed buckets and equi-joins
+    * the static side; no state store, no watermark — per-row
+    * candidates, so micro-batch boundaries cannot change the output.
+    * Emits (query_id, vec_id, sim) CANDIDATES in append mode; the
+    * top-k argmax stays with the consumer (window functions are not
+    * available on append streams, and a stateful per-query top-k
+    * could never retract an emitted winner) — the same
+    * candidates-plus-batch-selection contract as
+    * [[attributionCandidatesStream]].
+    */
+  def annCandidatesStream(queries: DataFrame, corpus: DataFrame,
+                          id: String, vec: String, bits: Int = 8,
+                          probeNeighbors: Int = 0): DataFrame =
+    graft.ext.VectorSearch.annCandidates(corpus, queries, id, vec, bits,
+      probeNeighbors)
+      .select(col("query_id"), col("vec_id"), col("sim"))
+
   /** TRUE stream-stream interval join — the one Structured Streaming
     * join shape with state on BOTH sides, and the streaming twin of
     * [[graft.op.Attribution.lastTouch]]. Conversions are joined to

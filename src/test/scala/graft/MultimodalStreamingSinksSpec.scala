@@ -235,6 +235,42 @@ class StreamingSpec extends SparkSpec {
       .toSeq == Seq(7L, 8L))
   }
 
+  test("streaming ANN candidates == batch candidates (stream-static bucket probe, no state)") {
+    import graft.ext.VectorSearch
+    // small synthetic corpus + a 2-query stream; batch kernel is the
+    // oracle (one code path, so this pins the STREAMING planability of
+    // the bucket-probe shape, not new math)
+    val dim = 8
+    def v(seed: Int) = Array.tabulate(dim)(i =>
+      math.sin(seed * 31 + i).toFloat)
+    val corpus = (1L to 40L).map(i => (i, v(i.toInt)))
+      .toDF("vec_id", "embedding")
+    val qdir = java.nio.file.Files.createTempDirectory("annq").toString
+    Seq((101L, v(3)), (102L, v(17))).toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(qdir)
+    val schema = spark.read.parquet(qdir).schema
+    EventStream.runAvailableNow(
+      EventStream.annCandidatesStream(
+        spark.readStream.schema(schema).parquet(qdir), corpus,
+        "vec_id", "embedding", bits = 3, probeNeighbors = 1),
+      "stream_ann")
+    val streamed = spark.sql("select * from stream_ann")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val batch = VectorSearch.annCandidates(corpus,
+      spark.read.parquet(qdir), "vec_id", "embedding",
+      bits = 3, probeNeighbors = 1)
+      .select("query_id", "vec_id", "sim")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(streamed == batch && batch.nonEmpty)
+    // and the batch top-k over the same candidates is the annTopK
+    // the registered query computes — the consumer-side selection
+    val topk = VectorSearch.annTopK(corpus, spark.read.parquet(qdir),
+      "vec_id", "embedding", k = 5, bits = 3, probeNeighbors = 1)
+      .select("query_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(topk.subsetOf(batch.map(t => (t._1, t._2))))
+  }
+
   test("map-side curation ops run unchanged on a document stream") {
     // scrub + quality scoring + weighted sampling are pure column
     // expressions — the same code must work on readStream without a
