@@ -2215,6 +2215,18 @@ object OracleSql {
              AS BIGINT) AS duration_ms
       FROM documents ORDER BY doc_id""",
 
+    // the video face: real ISO-BMFF boxes at formula duration/dims,
+    // box-walk decoded back; container headers carry no channel
+    // layout -> channels 0 by contract
+    "ns_multimodal_video" ->
+      """SELECT doc_id,
+        CAST(((doc_id % 1920) + 1920) % 1920 + 1 AS INT) AS width,
+        CAST(((doc_id % 1080) + 1080) % 1080 + 1 AS INT) AS height,
+        0 AS channels,
+        CAST((((doc_id * 37) % 600000) + 600000) % 600000 AS BIGINT)
+          AS duration_ms
+      FROM documents ORDER BY doc_id""",
+
     // the spectral embedder's peak bin under a planted pure sine:
     // physics says the Goertzel argmax IS the planted bin — the
     // oracle predicts it from the id formula alone

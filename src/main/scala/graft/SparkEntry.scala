@@ -3085,6 +3085,33 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** The video face of the decode contract — real ISO-BMFF boxes per
+    * doc at formula duration/dimensions, decoded through the real
+    * box walk (Multimodal.extractFeatures → decodeMp4); the oracle
+    * predicts all four features from the id alone. Completes the
+    * oracle-checked media triple: PNG (`ns_multimodal_features`),
+    * WAV (`ns_multimodal_audio`), MP4 (this).
+    */
+  private def nsMultimodalVideo(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val ids = t(s, dir, "documents").select("doc_id")
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("mp4", BinaryType)))
+    val rdd = ids.rdd.map { r =>
+      val id = r.getLong(0)
+      org.apache.spark.sql.Row(id, Multimodal.mp4Fixture(
+        durationMs = java.lang.Math.floorMod(id * 37L, 600000L),
+        w = (java.lang.Math.floorMod(id, 1920L) + 1).toInt,
+        h = (java.lang.Math.floorMod(id, 1080L) + 1).toInt))
+    }
+    val media = Multimodal.withMedia(s.createDataFrame(rdd, schema),
+      "mp4", "video")
+    Multimodal.extractFeatures(media)
+      .select(col("doc_id"), col("width"), col("height"), col("channels"),
+        col("duration_ms"))
+      .orderBy("doc_id")
+  }
+
   /** The media EMBEDDER under an exact oracle: every doc carries a
     * real 16-bit PCM sine at the center frequency of bin
     * (doc_id mod 16) of the 16-bin spectral embedder
@@ -3311,7 +3338,8 @@ object SparkEntry {
     "ns_multimodal_join" -> nsMultimodalJoin,
     "ns_multimodal_features" -> nsMultimodalFeatures,
     "ns_multimodal_audio" -> nsMultimodalAudio,
-    "ns_multimodal_audio_embed" -> nsMultimodalAudioEmbed)
+    "ns_multimodal_audio_embed" -> nsMultimodalAudioEmbed,
+    "ns_multimodal_video" -> nsMultimodalVideo)
 
   /** DuckDB twins. Omitted: ns_dedup_minhash / ns_dedup_simhash /
     * ns_ann_lsh / ns_ann_multitable / ns_embed_neardup_lsh /
