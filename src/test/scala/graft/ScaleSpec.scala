@@ -137,6 +137,47 @@ class ScaleSpec extends SparkSpec {
     assert(dropped.length == 1 && dropped.head.getLong(1) == 41L, dropped.toSeq)
   }
 
+  test("cross-probe prune parity under an ENGAGED cap: text, postings, and df-summary forms agree") {
+    import graft.ext.TextDedup
+    // corpus of 20 docs sharing a boilerplate header (df=20 > cap 10);
+    // the batch doc overlaps doc 20 genuinely and every other doc only
+    // via the boilerplate — all three probe forms must report exactly
+    // the genuine pair, and the summary's SUMMED deltas (two folds'
+    // worth) must drive the same prune as the window count
+    val corpus = (1 to 20).map { i =>
+      (i.toLong, s"copyright header footer unique$i body$i text$i")
+    }.toDF("doc_id", "text")
+    val batch = Seq(
+      (100L, "copyright header footer unique20 body20 text20 extra"))
+      .toDF("doc_id", "text")
+    val viaText = TextDedup.crossNearDups(batch, corpus, "text", "doc_id",
+      shingleN = 3, threshold = 0.3, maxPostings = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val postings = TextDedup.docShingles(corpus, "text", "doc_id", 3)
+      .select(col("doc"), explode(col("sh")).as("sh"))
+    val viaPostings = TextDedup.crossNearDupsFromPostings(batch, postings,
+      "text", "doc_id", shingleN = 3, threshold = 0.3, maxPostings = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // df summary as TWO per-fold delta sets (docs 1-10 then 11-20) —
+    // only the SUM crosses the cap, which is exactly what a
+    // multi-batch incremental index stores
+    val dfCounts = postings
+      .withColumn("fold", (col("doc") <= 10).cast("int"))
+      .groupBy("sh", "fold").agg(count(lit(1)).as("df_delta"))
+      .groupBy("sh").agg(sum("df_delta").as("df"))
+    val viaDf = TextDedup.crossNearDupsWithDf(batch, postings, dfCounts,
+      "text", "doc_id", shingleN = 3, threshold = 0.3, maxPostings = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaText == Set((100L, 20L)), viaText)
+    assert(viaPostings == viaText)
+    assert(viaDf == viaText)
+    // sanity: without the cap the boilerplate would pair everything
+    val uncapped = TextDedup.crossNearDupsWithDf(batch, postings, dfCounts,
+      "text", "doc_id", shingleN = 3, threshold = 0.01, maxPostings = 5000)
+      .count()
+    assert(uncapped == 20L)
+  }
+
   test("minhash dropped-bucket audit reports over-cap buckets") {
     // 30 identical docs all collide into the same buckets in every band
     val df = ((1 to 30).map(i => (i.toLong, "same text in every document here"))
