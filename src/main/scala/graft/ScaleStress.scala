@@ -185,7 +185,14 @@ object ScaleStress {
       // clones events with remapped user/event ids, so PageRank runs
       // on a copies-fold bipartite graph (per-round localCheckpoint
       // lineage cuts are what this step proves at depth)
-      "t_pagerank_events")
+      "t_pagerank_events",
+      // round-11: the incremental fold family on the clone-heavy
+      // corpus — the bloom guard faces a dup-majority batch, the
+      // cross probe faces engaged maxPostings caps (22 over-cap
+      // shingles at x5), and the indexed form's stored postings +
+      // df summary must prune identically to the text-derived path
+      "ns_incremental_curation", "ns_incremental_probe",
+      "ns_incremental_probe_indexed")
     // dev iteration: SPARK_GRAFT_STRESS_ONLY=name1,name2 runs just
     // those query steps (audits and corpus stats always run)
     val only = sys.env.get("SPARK_GRAFT_STRESS_ONLY")
