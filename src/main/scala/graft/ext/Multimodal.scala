@@ -260,8 +260,12 @@ object Multimodal {
     children(moov._1, moov._2).foreach {
       case ("mvhd", s, e) if e - s >= 20 =>
         val v = bytes(s) & 0xff
+        // v1 layout: ver/flags 4 + creation 8 + modification 8 +
+        // timescale 4 + duration 8 = 32 bytes minimum — reading the
+        // u64 duration at +24 needs ALL of them present
         val (ts, dur) =
-          if (v == 1 && e - s >= 28) (u32(s + 20), u64(s + 24))
+          if (v == 1 && e - s >= 32) (u32(s + 20), u64(s + 24))
+          else if (v == 1) (0L, 0L) // truncated v1: unparseable, skip
           else (u32(s + 12), u32(s + 16))
         if (ts > 0) durationMs = dur * 1000L / ts
       case ("trak", s, e) if w == 0 =>

@@ -132,15 +132,21 @@ object ParquetMerge {
     val fs = hPath.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(hPath)) return Seq.empty
     val prefix = partCol + "="
+    // directory names carry Hive-ESCAPED partition values (space →
+    // %20, colon → %3A, …); compare and write back the UNESCAPED
+    // value, or a rewrite would double-escape into a new directory
+    def unescape(v: String): String =
+      org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+        .unescapePathName(v)
     val parts = fs.listStatus(hPath).toSeq
       .filter(s => s.isDirectory && s.getPath.getName.startsWith(prefix))
       .map(_.getPath)
       .filter(p => onlyPartitions.forall(
-        _.contains(p.getName.stripPrefix(prefix))))
+        _.contains(unescape(p.getName.stripPrefix(prefix)))))
     val inferKey = "spark.sql.sources.partitionColumnTypeInference.enabled"
     val owKey = "spark.sql.sources.partitionOverwriteMode"
     parts.map { p =>
-      val value = p.getName.stripPrefix(prefix)
+      val value = unescape(p.getName.stripPrefix(prefix))
       val files = fs.listStatus(p).toSeq
         .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
       val bytes = files.map(_.getLen).sum

@@ -242,4 +242,27 @@ class CdcMergeSpec extends SparkSpec {
     assert(spark.read.parquet(dir).filter(col("k") === 1 && col("day") === "d1")
       .select("v").head().getLong(0) == 999L)
   }
+
+  test("compactPartitions: Hive-escaped partition values round-trip (no double-escape, scoped match on the real value)") {
+    // a partition value with a colon lives on disk as "day=a%3Ab";
+    // compaction must write BACK to the same directory, not to a
+    // doubly-escaped "day=a%253Ab", and onlyPartitions must match the
+    // REAL value
+    val dir = java.nio.file.Files.createTempDirectory("compesc").toString + "/t"
+    (1L to 40L).map(i => ("a:b", i, i)).toDF("day", "k", "v")
+      .repartition(4).write.partitionBy("day").parquet(dir)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    def dirs() = fs.listStatus(new org.apache.hadoop.fs.Path(dir)).toSeq
+      .filter(_.isDirectory).map(_.getPath.getName).sorted
+    assert(dirs() == Seq("day=a%3Ab"))
+    val r = ParquetMerge.compactPartitions(spark, dir, "day",
+      targetFileBytes = 1L << 30, onlyPartitions = Some(Seq("a:b")))
+    assert(r.map(x => (x.partition, x.filesBefore, x.filesAfter)) ==
+      Seq(("a:b", 4, 1)))
+    assert(dirs() == Seq("day=a%3Ab")) // same dir, no a%253Ab twin
+    val got = spark.read.parquet(dir)
+    assert(got.count() == 40 &&
+      got.select("day").distinct().head().getString(0) == "a:b")
+  }
 }

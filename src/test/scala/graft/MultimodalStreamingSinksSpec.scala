@@ -125,6 +125,19 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.decodeMp4("RIFF....WAVE....".getBytes).isEmpty)
     assert(Multimodal.decodeMp4(clip.take(20)).isEmpty)
     assert(Multimodal.decodeMp4(null).isEmpty)
+    // a TRUNCATED v1 mvhd (28-byte payload — too short for its u64
+    // duration at +24) must be skipped cleanly, not throw
+    val v1Trunc = {
+      val mvhd = new Array[Byte](28)
+      mvhd(0) = 1 // version 1
+      def box(t: String, p: Array[Byte]) = {
+        val bb = java.nio.ByteBuffer.allocate(8 + p.length)
+        bb.putInt(8 + p.length).put(t.getBytes("US-ASCII")).put(p).array()
+      }
+      box("ftyp", "isomiso2".getBytes("US-ASCII")) ++
+        box("moov", box("mvhd", mvhd))
+    }
+    assert(Multimodal.decodeMp4(v1Trunc).isEmpty)
     // dispatch: video rows get real container features, garbage the stub
     val df = Seq((1L, clip), (2L, "garbage bytes!".getBytes))
       .toDF("doc_id", "raw")
