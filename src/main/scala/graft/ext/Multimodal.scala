@@ -129,7 +129,8 @@ object Multimodal {
     */
   final case class WavHeader(channels: Int, sampleRate: Long,
                              byteRate: Long, bitsPerSample: Int,
-                             dataOff: Int, dataBytes: Long)
+                             dataOff: Int, dataBytes: Long,
+                             audioFormat: Int)
 
   /** The RIFF chunk walk shared by [[decodeWav]] (header features) and
     * [[embedWavSpectral]] (needs the PCM payload location too).
@@ -148,12 +149,22 @@ object Multimodal {
     var sampleRate = 0L
     var byteRate = 0L
     var bits = 0
+    var audioFormat = 0
     var dataOff = -1
     var dataBytes = -1L
     while (off + 8 <= bytes.length && (channels == 0 || dataBytes < 0)) {
       val ckId = ascii(off, 4)
       val ckSize = u32(off + 4)
       if (ckId == "fmt " && off + 8 + 16 <= bytes.length) {
+        // the format TAG decides whether the payload is raw PCM — a
+        // compressed codec that happens to declare 16 bits must not be
+        // decoded as samples. WAVE_FORMAT_EXTENSIBLE (0xFFFE) carries
+        // the real tag in the first two bytes of the SubFormat GUID at
+        // payload offset 24 (after cbSize/validBits/channelMask).
+        audioFormat = u16(off + 8)
+        if (audioFormat == 0xFFFE && ckSize >= 26 &&
+          off + 8 + 26 <= bytes.length)
+          audioFormat = u16(off + 8 + 24)
         channels = u16(off + 10)
         sampleRate = u32(off + 12)
         byteRate = u32(off + 16)
@@ -176,7 +187,7 @@ object Multimodal {
     }
     if (channels <= 0 || byteRate <= 0 || dataBytes < 0) None
     else Some(WavHeader(channels, sampleRate, byteRate, bits, dataOff,
-      dataBytes))
+      dataBytes, audioFormat))
   }
 
   def decodeWav(bytes: Array[Byte]): Option[MediaFeatures] =
@@ -354,7 +365,11 @@ object Multimodal {
     */
   def embedWavSpectral(bytes: Array[Byte], dim: Int = 16): Option[Array[Float]] = {
     require(dim >= 1, "dim must be >= 1")
-    parseWav(bytes).filter(h => h.bitsPerSample == 16 && h.dataOff >= 0)
+    // audioFormat 1 = integer PCM (0xFFFE extensible resolves to its
+    // PCM sub-format in parseWav): a non-PCM codec declaring 16 bits
+    // would otherwise be read as raw samples → garbage embedding
+    parseWav(bytes).filter(h =>
+      h.audioFormat == 1 && h.bitsPerSample == 16 && h.dataOff >= 0)
       .flatMap { h =>
         val avail = math.min(h.dataBytes,
           (bytes.length - h.dataOff).toLong).toInt

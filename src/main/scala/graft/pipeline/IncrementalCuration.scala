@@ -120,39 +120,54 @@ object IncrementalCuration {
     val fs = hPath.getFileSystem(spark.sessionState.newHadoopConf())
     val state: Option[DataFrame] =
       if (fs.exists(hPath)) Some(spark.read.parquet(stateDir)) else None
-    // ENFORCE the ascending-id arrival contract the convergence proof
-    // rests on (class doc, first bullet): a batch whose smallest id
-    // does not exceed everything already in state would fold with the
-    // near-dup "remove the higher id" rule pointing the WRONG way and
-    // silently diverge from the one-shot rebuild. The one legitimate
-    // violation is a REPLAY (foreachBatch at-least-once re-delivery):
-    // recognized by batchNo <= the state's max merge version, and safe
-    // because the LWW merge makes the re-fold idempotent. The check
-    // costs one column-pruned (id, ver) scan of state per batch —
-    // state is already read for the bloom prefilter, and a silent
-    // wrong corpus costs more.
-    state.foreach { st =>
-      val head = st.agg(max(col(id)), max(col("ver"))).head()
-      // nulls = state dir exists but holds zero rows → nothing to
-      // order against
-      if (!head.isNullAt(0) && batchNo > head.getLong(1)) {
-        val maxStateId = head.getLong(0)
-        val minBatch = batch.agg(min(col(id))).head()
-        if (!minBatch.isNullAt(0))
-          require(minBatch.getLong(0) > maxStateId,
-            s"out-of-order batch: batchNo=$batchNo carries id " +
-              s"${minBatch.getLong(0)} <= state max id $maxStateId — " +
-              "the ascending-id convergence contract is violated and " +
-              "the incremental fold would silently diverge from the " +
-              "from-scratch rebuild; re-deliver batches in id order " +
-              "(a REPLAY of an already-folded batchNo is allowed and " +
-              "idempotent)")
-      }
-    }
     val qualified = TextAnalysis.qualityScore(batch, text)
       .filter(col("quality_score") >= minQuality)
       .select(col(id), col(text),
         col("n_words").cast("long").as("n_words"), col("quality_score"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // ENFORCE the ascending-id arrival contract the convergence proof
+    // rests on (class doc, first bullet): a batch whose ids interleave
+    // with other batches' ids would fold with the near-dup "remove the
+    // higher id" rule pointing the WRONG way and silently diverge from
+    // the one-shot rebuild. The check is VERSION-SCOPED, so a genuine
+    // REPLAY (foreachBatch at-least-once re-delivery) passes while a
+    // reused batchNo carrying DIFFERENT ids — the fresh-checkpoint
+    // restart that re-numbers foreachBatch ids from 0 — fails loudly:
+    // the batch's qualified ids must sit strictly BETWEEN everything
+    // folded under smaller versions and everything folded under larger
+    // ones. (For a fresh batchNo > max ver this degenerates to the
+    // plain "above all of state" rule; for a replay, the batch lands
+    // back in its original id slot by construction.) Bounds are taken
+    // over the QUALIFIED rows, not the raw batch: a quality-dropped
+    // straggler never enters state in either the incremental or the
+    // one-shot path, so it cannot affect convergence and must not kill
+    // the stream. Cost: one column-pruned (id, ver) conditional-agg
+    // scan of state per batch — state is read for the bloom prefilter
+    // anyway, and a silently wrong corpus costs more.
+    state.foreach { st =>
+      val bounds = st.agg(
+        max(when(col("ver") < batchNo, col(id))),
+        min(when(col("ver") > batchNo, col(id)))).head()
+      val bRange = qualified.agg(min(col(id)), max(col(id))).head()
+      if (!bRange.isNullAt(0)) {
+        val (minB, maxB) = (bRange.getLong(0), bRange.getLong(1))
+        def fail(detail: String): Nothing =
+          throw new IllegalArgumentException(
+            s"out-of-order batch: batchNo=$batchNo $detail — the " +
+              "ascending-id convergence contract is violated and the " +
+              "incremental fold would silently diverge from the " +
+              "from-scratch rebuild; re-deliver batches in id order " +
+              "(a REPLAY of an already-folded batchNo with its " +
+              "original ids is allowed and idempotent)")
+        if (!bounds.isNullAt(0) && minB <= bounds.getLong(0))
+          fail(s"carries id $minB <= max id ${bounds.getLong(0)} of " +
+            "earlier-version state")
+        if (!bounds.isNullAt(1) && maxB >= bounds.getLong(1))
+          fail(s"carries id $maxB >= min id ${bounds.getLong(1)} of " +
+            "later-version state (a reused batchNo must carry its " +
+            "original ids, not new data)")
+      }
+    }
     // cross-batch exact dedup: a batch text already present in state
     // (survivor OR tombstone — both predate the batch and hold the
     // smaller id) is dropped; first-id-wins settles intra-batch copies
@@ -226,6 +241,7 @@ object IncrementalCuration {
       shBatch.unpersist()
     }
     dedupedB.unpersist()
+    qualified.unpersist()
   }
 
   /** The streaming face of the same fold: each micro-batch of crawled
@@ -240,8 +256,13 @@ object IncrementalCuration {
     * ENFORCES: a micro-batch with a smaller id than the folded state
     * (other than an at-least-once replay of an already-folded batchId,
     * which re-merges idempotently) fails the stream loudly rather than
-    * silently drifting from the rebuild. Sources that cannot guarantee
-    * id-ordered delivery must buffer/sort upstream of this sink.
+    * silently drifting from the rebuild. The replay exemption is
+    * VERSION-SCOPED: a stream restarted against a FRESH checkpoint
+    * renumbers foreachBatch ids from 0, and a reused batchId carrying
+    * NEW data (ids outside the slot that version folded originally)
+    * also fails loudly instead of folding out of order. Sources that
+    * cannot guarantee id-ordered delivery must buffer/sort upstream of
+    * this sink.
     */
   def curateStream(docs: DataFrame, stateDir: String, text: String,
                    id: String, checkpoint: String,

@@ -54,30 +54,30 @@ object ParquetMerge {
     if (touched.isEmpty) return
     val hPath = new org.apache.hadoop.fs.Path(dir)
     val fs = hPath.getFileSystem(spark.sessionState.newHadoopConf())
-    // Read-back partition-column TYPE INFERENCE is disabled for this
-    // load: directory values that merely look like dates/ints would
-    // otherwise come back DATE/INT while updates' partCol is (say)
-    // STRING — the isin prune then matches nothing, cur is empty, and
-    // the "merge" silently degrades to partition REPLACE, dropping
-    // every existing row in the touched partitions. With inference
-    // off the column is STRING on disk-read, pruned by the string
-    // values above, then cast back to updates' declared type so the
-    // union lines up.
-    val inferKey = "spark.sql.sources.partitionColumnTypeInference.enabled"
-    val prevInfer = spark.conf.getOption(inferKey)
-    spark.conf.set(inferKey, "false")
+    // Read-back partition-column TYPE INFERENCE is defeated with an
+    // EXPLICIT read schema that declares partCol as STRING: directory
+    // values that merely look like dates/ints would otherwise come
+    // back DATE/INT while updates' partCol is (say) STRING — the isin
+    // prune then matches nothing, cur is empty, and the "merge"
+    // silently degrades to partition REPLACE, dropping every existing
+    // row in the touched partitions. A user-specified schema pins the
+    // partition column to STRING for THIS read only (earlier drafts
+    // toggled the session-wide inference conf, which leaked string
+    // partition columns into any concurrent query on the session);
+    // the column is pruned by the string values above, then cast back
+    // to updates' declared type so the union lines up.
+    val readSchema = org.apache.spark.sql.types.StructType(
+      updates.schema.fields.map(f =>
+        if (f.name == partCol)
+          f.copy(dataType = org.apache.spark.sql.types.StringType)
+        else f))
     val cur =
-      try {
-        if (!fs.exists(hPath)) updates.limit(0)
-        else spark.read.parquet(dir)
-          .filter(col(partCol).isin(touched: _*))
-          .withColumn(partCol,
-            col(partCol).cast(updates.schema(partCol).dataType))
-          .select(updates.columns.map(col): _*) // align column order
-      } finally prevInfer match {
-        case Some(v) => spark.conf.set(inferKey, v)
-        case None => spark.conf.unset(inferKey)
-      }
+      if (!fs.exists(hPath)) updates.limit(0)
+      else spark.read.schema(readSchema).parquet(dir)
+        .filter(col(partCol).isin(touched: _*))
+        .withColumn(partCol,
+          col(partCol).cast(updates.schema(partCol).dataType))
+        .select(updates.columns.map(col): _*) // align column order
     val all = cur.union(updates)
     // LWW: one partial-aggregated max(struct) per (partition, key) —
     // ver leads, the remaining payload breaks exact-version ties
@@ -86,13 +86,13 @@ object ParquetMerge {
       .agg(max(struct((Seq(ver) ++ rest.filterNot(_ == ver)).map(col): _*)).as("m"))
       .select(col(partCol) +: col(key) +: rest.map(c => col(s"m.$c").as(c)): _*)
       .select(updates.columns.map(col): _*)
-    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try merged.write.mode("overwrite").partitionBy(partCol).parquet(dir)
-    finally prev match {
-      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
-      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
-    }
+    // dynamic partition-overwrite scoped to THIS write via the writer
+    // option (takes precedence over the session conf) — mutating the
+    // session conf opened a window where any concurrent writer on the
+    // SparkSession silently inherited dynamic-overwrite semantics
+    merged.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partCol).parquet(dir)
   }
 
   /** One partition's compaction decision, returned for auditability:
@@ -143,8 +143,6 @@ object ParquetMerge {
       .map(_.getPath)
       .filter(p => onlyPartitions.forall(
         _.contains(unescape(p.getName.stripPrefix(prefix)))))
-    val inferKey = "spark.sql.sources.partitionColumnTypeInference.enabled"
-    val owKey = "spark.sql.sources.partitionOverwriteMode"
     parts.map { p =>
       val value = unescape(p.getName.stripPrefix(prefix))
       val files = fs.listStatus(p).toSeq
@@ -155,28 +153,20 @@ object ParquetMerge {
       if (files.size <= want)
         CompactionReport(value, files.size, bytes, 0)
       else {
-        // read THIS partition only (directory-scoped read keeps the
-        // partition column out of the frame; re-attach as string —
-        // compaction must not re-type what the layout already encodes)
-        val prevInfer = spark.conf.getOption(inferKey)
-        val prevOw = spark.conf.getOption(owKey)
-        spark.conf.set(inferKey, "false")
-        spark.conf.set(owKey, "dynamic")
-        try {
-          val cur = spark.read.parquet(p.toString)
-            .withColumn(partCol, org.apache.spark.sql.functions.lit(value))
-          cur.coalesce(want)
-            .write.mode("overwrite").partitionBy(partCol).parquet(dir)
-        } finally {
-          prevInfer match {
-            case Some(v) => spark.conf.set(inferKey, v)
-            case None => spark.conf.unset(inferKey)
-          }
-          prevOw match {
-            case Some(v) => spark.conf.set(owKey, v)
-            case None => spark.conf.unset(owKey)
-          }
-        }
+        // read THIS partition only — a directory-scoped read below the
+        // partition level sees no `part=` directories, so partition
+        // discovery (and its type inference) never runs; the partition
+        // column is re-attached as a string literal (compaction must
+        // not re-type what the layout already encodes). The dynamic
+        // overwrite mode is scoped to THIS write via the writer option
+        // — no session-conf mutation, no window where a concurrent
+        // writer inherits dynamic-overwrite semantics.
+        val cur = spark.read.parquet(p.toString)
+          .withColumn(partCol, org.apache.spark.sql.functions.lit(value))
+        cur.coalesce(want)
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy(partCol).parquet(dir)
         CompactionReport(value, files.size, bytes, want)
       }
     }

@@ -257,4 +257,55 @@ class IncrementalPipelineSpec extends SparkSpec {
     assert(IncrementalCuration.survivors(spark, dir)
       .select("doc_id").as[Long].collect().toSet == Set(5L, 9L))
   }
+
+  test("replay exemption is version-scoped: a reused batchNo with new data fails; quality-dropped stragglers don't") {
+    import graft.pipeline.IncrementalCuration
+    val mid = "delta the foxtrot golf hotel the juliet kilo lima mike november oscar"
+    def doc(i: Long, pre: String, post: String) =
+      (i, s"$pre $mid $post")
+    val b1 = Seq(
+      doc(5L, "one two three four", "five six seven eight"),
+      doc(9L, "red blue green cyan", "pink gray black white"))
+      .toDF("doc_id", "text")
+    val b2 = Seq(
+      doc(20L, "alpha bravo charlie dingo", "papa quebec romeo sierra"),
+      doc(21L, "june july august sept", "octo novem decem jan"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("incguard2").toString +
+      "/st"
+    IncrementalCuration.curateBatch(spark, dir, b1, "text", "doc_id",
+      batchNo = 1L, jaccardThreshold = 0.5)
+    IncrementalCuration.curateBatch(spark, dir, b2, "text", "doc_id",
+      batchNo = 2L, jaccardThreshold = 0.5)
+    // fresh-checkpoint restart: foreachBatch renumbers from 1, but the
+    // "replayed" batchNo carries NEW ids above later versions' rows —
+    // the old batchNo-only exemption folded this silently; now loud
+    val fresh = Seq(
+      doc(30L, "kappa sigma theta zeta", "iota omega psi chi"))
+      .toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      IncrementalCuration.curateBatch(spark, dir, fresh, "text", "doc_id",
+        batchNo = 1L, jaccardThreshold = 0.5)
+    }
+    assert(e.getMessage.contains("out-of-order batch"))
+    assert(e.getMessage.contains("later-version"))
+    // a GENUINE replay of batch 1 (its original ids, sandwiched between
+    // no earlier versions and batch 2's ids) still passes idempotently
+    IncrementalCuration.curateBatch(spark, dir, b1, "text", "doc_id",
+      batchNo = 1L, jaccardThreshold = 0.5)
+    assert(IncrementalCuration.survivors(spark, dir)
+      .select("doc_id").as[Long].collect().toSet == Set(5L, 9L, 20L, 21L))
+    // a late low-id straggler that the QUALITY GATE drops anyway cannot
+    // affect convergence (it never enters state on either path) — the
+    // guard must ignore it instead of killing the stream
+    val straggler = Seq(
+      (2L, "tiny doc"), // below min quality — dropped pre-state
+      doc(25L, "lorem ipsum dolor sit", "amet consectetur adipiscing elit"))
+      .toDF("doc_id", "text")
+    IncrementalCuration.curateBatch(spark, dir, straggler, "text", "doc_id",
+      batchNo = 3L, jaccardThreshold = 0.5)
+    assert(IncrementalCuration.survivors(spark, dir)
+      .select("doc_id").as[Long].collect().toSet ==
+      Set(5L, 9L, 20L, 21L, 25L))
+  }
 }

@@ -176,6 +176,34 @@ class MultimodalSpec extends SparkSpec {
     // non-WAV / 8-bit / empty payloads fall back (None)
     assert(Multimodal.embedWavSpectral("not audio at all".getBytes, dim).isEmpty)
     assert(Multimodal.embedWavSpectral(Multimodal.wavFixture(0), dim).isEmpty)
+    // a NON-PCM codec declaring 16 bits must NOT be decoded as raw
+    // samples (format tag lives at byte 20 of the canonical layout)
+    val nonPcm = Multimodal.sineWavFixture(941.0, 4000)
+    nonPcm(20) = 3 // WAVE_FORMAT_IEEE_FLOAT
+    assert(Multimodal.parseWav(nonPcm).get.audioFormat == 3)
+    assert(Multimodal.embedWavSpectral(nonPcm, dim).isEmpty)
+    // WAVE_FORMAT_EXTENSIBLE resolves through the SubFormat GUID: a
+    // PCM sub-format embeds identically to the canonical fixture, a
+    // float sub-format falls back
+    def extensible(subTag: Int): Array[Byte] = {
+      val payload = Multimodal.sineWavFixture(941.0, 4000).drop(44)
+      val bb = java.nio.ByteBuffer.allocate(12 + 48 + 8 + payload.length)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII")).putInt(4 + 48 + 8 + payload.length)
+        .put("WAVE".getBytes("US-ASCII"))
+      bb.put("fmt ".getBytes("US-ASCII")).putInt(40)
+        .putShort(0xFFFE.toShort).putShort(1.toShort).putInt(8000)
+        .putInt(16000).putShort(2.toShort).putShort(16.toShort)
+        .putShort(22.toShort) // cbSize
+        .putShort(16.toShort) // valid bits
+        .putInt(0)            // channel mask
+        .putShort(subTag.toShort).put(new Array[Byte](14)) // SubFormat GUID
+      bb.put("data".getBytes("US-ASCII")).putInt(payload.length)
+        .put(payload)
+      bb.array()
+    }
+    assert(argmax(Multimodal.embedWavSpectral(extensible(1), dim).get) == 3)
+    assert(Multimodal.embedWavSpectral(extensible(3), dim).isEmpty)
     // column-level dispatch: WAV rows spectral, garbage rows stub
     val df = Seq((1L, Multimodal.sineWavFixture(941.0, 4000)),
       (2L, "garbage bytes".getBytes)).toDF("doc_id", "raw")
