@@ -80,12 +80,34 @@ object Bench {
     // exactly what a cluster probing a written index pays.
     SparkEntry.warmupIndexes(spark, sfDir)
 
-    val names = SparkEntry.queries.keys.toSeq
+    // Default-set accounting (round-11 verdict #4): the incremental
+    // fold family had THREE bench lines re-pricing the same kernel
+    // (~15% of total). The end-to-end `ns_incremental_curation` and
+    // the indexed probe (the line under active measurement) stay in
+    // the default set; the plain probe is opt-in via
+    // SPARK_GRAFT_BENCH_EXTRA ("all" or a comma list) so per-round
+    // totals track new capability, not re-priced kernels. Correctness
+    // registration is untouched — all three remain in
+    // SparkEntry.queries and the Verify gate.
+    val optIn = Set("ns_incremental_probe")
+    val extra = sys.env.get("SPARK_GRAFT_BENCH_EXTRA")
+      .map(v => if (v.trim == "all") optIn
+                else v.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .getOrElse(Set.empty[String])
+    // dev iteration: SPARK_GRAFT_BENCH_ONLY=name1,name2 times just
+    // those queries (overrides the opt-in gating entirely)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val names = only match {
+      case Some(f) => SparkEntry.queries.keys.toSeq.filter(f.contains)
+      case None => SparkEntry.queries.keys.toSeq
+        .filterNot(n => optIn(n) && !extra(n))
+    }
     // per query: successful pass times + first error message (if any)
     val times = scala.collection.mutable.Map[String, Vector[Double]]()
       .withDefaultValue(Vector.empty)
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
-    for (_ <- 1 to nPasses; name <- names) {
+    def runPass(): Unit = for (name <- names) {
       val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
       // noop write materializes EVERY output column (unlike count(),
@@ -103,11 +125,31 @@ object Bench {
           errors.getOrElseUpdate(name, graft.util.Json.escape(msg.take(160)))
       } finally spark.catalog.clearCache() // release per-query persists
     }
+    for (_ <- 1 to nPasses) runPass()
 
     def minOf(n: String): Option[Double] = times(n).minOption
     def medOf(n: String): Option[Double] = {
       val s = times(n).sorted
       if (s.isEmpty) None else Some(s(s.size / 2))
+    }
+    // Load-guard auto-retry (round-11 verdict #5): if the trivial-query
+    // floor is still exceeded after all passes, external machine load
+    // inflated this run — sleep and run bounded extra full passes
+    // (min-per-query absorbs them) instead of emitting a suspect
+    // artifact the idle re-runs will contradict. If load persists the
+    // run is still emitted, flagged suspect with retries recorded.
+    // parsed defensively: a malformed env var here would throw AFTER
+    // all passes ran and discard the whole run's output lines
+    val loadFloor = sys.env.get("SPARK_GRAFT_LOAD_FLOOR")
+      .flatMap(_.toDoubleOption).getOrElse(1.4)
+    val maxLoadRetries = sys.env.get("SPARK_GRAFT_LOAD_RETRIES")
+      .flatMap(_.toIntOption).getOrElse(2)
+    var loadRetries = 0
+    while (loadSuspect(minOf(LoadGuardQuery), loadFloor) &&
+        loadRetries < maxLoadRetries) {
+      Thread.sleep(30000)
+      runPass()
+      loadRetries += 1
     }
     val deadQueries = names.filter(times(_).isEmpty) // failed EVERY pass
     // recall sidecar: the approximate ANN queries scored against the
@@ -121,7 +163,8 @@ object Bench {
     // three sidecar probes don't each re-pay the assignment scan the
     // timed loop already priced honestly.
     val recall: Seq[(String, Double)] =
-      try {
+      if (only.isDefined) Seq.empty // dev-filtered run: skip the sidecar
+      else try {
         val exact = SparkEntry.queries("ns_topk_similarity")(spark, sfDir)
           .select("query_id", "vec_id").collect()
           .map(r => (r.getLong(0), r.getLong(1))).toSet
@@ -148,13 +191,9 @@ object Bench {
     val errJson = errors
       .map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }.mkString("{", ",", "}")
     val total = if (deadQueries.nonEmpty) -1.0 else qMin.map(_._2).sum
-    // parsed defensively: a malformed env var at this point would throw
-    // AFTER all passes ran and discard the whole run's output lines
-    val loadFloor = sys.env.get("SPARK_GRAFT_LOAD_FLOOR")
-      .flatMap(_.toDoubleOption).getOrElse(1.4)
     val suspect = loadSuspect(minOf(LoadGuardQuery), loadFloor)
     val detail =
-      s"""{"metric":"bench_detail","n_passes":$nPasses,"queries_min_full":${jmap(qMin)},"queries_median":${jmap(qMed)},"errors":$errJson,"recall":${jmap(recall)},"load_suspect":$suspect,"failed_all_passes":${deadQueries.map("\"" + _ + "\"").mkString("[", ",", "]")}}"""
+      s"""{"metric":"bench_detail","n_passes":$nPasses,"load_retries":$loadRetries,"queries_min_full":${jmap(qMin)},"queries_median":${jmap(qMed)},"errors":$errJson,"recall":${jmap(recall)},"load_suspect":$suspect,"failed_all_passes":${deadQueries.map("\"" + _ + "\"").mkString("[", ",", "]")}}"""
     // keep this line SHORT (well under the driver's ~3 kB stdout tail
     // buffer; see jnum3): the full per-query map crossed 2.8 kB at 117
     // queries, so when it outgrows the budget the primary carries only
@@ -173,8 +212,12 @@ object Bench {
       }
     val omittedJson =
       if (omitted > 0) s""","queries_omitted":$omitted""" else ""
+    // `load_retries` in the primary: a suspect=false artifact that
+    // needed retries is honest about having waited out load; a
+    // suspect=true one with retries>0 means retry-exhausted — load
+    // persisted through every extra pass
     val primary =
-      s"""{"metric":"total","value":${jnum3(total)},"unit":"sec","queries":$qJson$omittedJson,"sf":"$sfDir","n_passes":$nPasses,"err_count":${errors.size},"recall":${jmap(recall)},"load_suspect":$suspect,"note":"min/q, idle; -1=fail"}"""
+      s"""{"metric":"total","value":${jnum3(total)},"unit":"sec","queries":$qJson$omittedJson,"sf":"$sfDir","n_passes":$nPasses,"err_count":${errors.size},"recall":${jmap(recall)},"load_suspect":$suspect,"load_retries":$loadRetries,"note":"min/q, idle; -1=fail"}"""
     // stdout for the driver AND a file, so a log-prefix-polluted stdout
     // can never lose the round's numbers; primary line LAST (upstream
     // keeps only the tail of stdout)

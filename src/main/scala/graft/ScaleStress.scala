@@ -197,8 +197,17 @@ object ScaleStress {
     // those query steps (audits and corpus stats always run)
     val only = sys.env.get("SPARK_GRAFT_STRESS_ONLY")
       .map(_.split(",").map(_.trim).toSet)
+    // SPARK_GRAFT_STRESS_PASSES=N repeats each query step (suffixed
+    // _p2.._pN) — pass 1 prices cold artifact builds (probe base
+    // state, IVF/PQ indexes), later passes the warm amortized probe,
+    // the split the crossover tables in TUNING.md need
+    val passes = sys.env.get("SPARK_GRAFT_STRESS_PASSES")
+      .flatMap(_.toIntOption).getOrElse(1).max(1)
     names.filter(q => only.forall(_.contains(q))).foreach { q =>
-      step(q)(s => Map("rows" -> SparkEntry.queries(q)(s, dir).count()))
+      for (p <- 1 to passes) {
+        val nm = if (p == 1) q else s"${q}_p$p"
+        step(nm)(s => Map("rows" -> SparkEntry.queries(q)(s, dir).count()))
+      }
     }
     step("release_artifacts") { s =>
       SparkEntry.releaseArtifacts(s, dir)

@@ -2677,10 +2677,22 @@ object SparkEntry {
     * the full corpus fold, so survivors must equal the from-scratch
     * curation SQL.
     */
+  /** Base/delta split percentage for the two probe queries: 90/10 by
+    * default; `SPARK_GRAFT_INC_SPLIT` overrides for crossover
+    * measurement runs (e.g. 98 → a 98/2 nightly-delta shape — the
+    * corpus ≫ batch regime the stored index is for). The final state
+    * equals the full-corpus fold for ANY split, so the oracle is
+    * split-invariant; the knob only moves where the cost sits. The
+    * base caches key on the split so a mid-session change can't serve
+    * a stale base.
+    */
+  private def incSplitPct: Long =
+    sys.env.get("SPARK_GRAFT_INC_SPLIT").map(_.toLong).getOrElse(90L)
+
   private def nsIncrementalProbe(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents").select("doc_id", "text")
-    val cut = docs.agg(max("doc_id")).head().getLong(0) * 9L / 10L
-    val base = incStateCache.computeIfAbsent((s, dir), _ => {
+    val cut = docs.agg(max("doc_id")).head().getLong(0) * incSplitPct / 100L
+    val base = incStateCache.computeIfAbsent((s, dir + "@" + incSplitPct), _ => {
       val p = java.nio.file.Files.createTempDirectory("inc_base")
         .toString + "/state"
       graft.pipeline.IncrementalCuration.curateBatch(s, p,
@@ -2701,24 +2713,25 @@ object SparkEntry {
   /** The INDEXED face of the probe: identical split and oracle, but
     * the fold maintains the stored shingle-posting table
     * (IncrementalCuration.curateBatchIndexed) — the nightly delta
-    * probes pre-tokenized postings instead of re-shingling the corpus
-    * text. Its bench line next to `ns_incremental_probe` prices
-    * exactly what the stored index buys — and at sf0.1 that is
-    * HONESTLY a wash or slightly negative (~8 s plain vs ~10 s
-    * indexed, measured local[32]): this corpus's text is small enough
-    * that codegen re-shingling beats the posting-table parquet scan,
-    * and each indexed fold pays one extra LWW merge (the posting
-    * upsert, O(batch)). The crossover favors the index when corpus
-    * TEXT re-tokenization dominates — large documents, expensive
-    * tokenizers, text IO ≫ posting IO — which is the 100 TB regime;
-    * the df-prune window over postings stays O(corpus) in both forms
-    * (a maintained (sh, df) summary is the recorded next step,
-    * TUNING.md round-11 indexed-probe note).
+    * probes stored 8-byte shingle codes instead of re-shingling the
+    * corpus text, with the df prune driven by the maintained summary
+    * (no O(corpus) window) and code injectivity audited per probe.
+    * Its bench line next to `ns_incremental_probe` prices exactly
+    * what the stored index buys — and at sf0.1 that is HONESTLY a
+    * wash or slightly negative (measured local[32], TUNING.md
+    * indexed-probe crossover table): this corpus's text is small
+    * enough that codegen re-shingling beats the posting-table parquet
+    * scan, and each indexed fold pays two extra LWW merges (posting +
+    * df-summary upserts, both O(batch)). The crossover favors the
+    * index when corpus TEXT re-tokenization dominates — large
+    * documents, expensive tokenizers, text IO ≫ posting IO, corpus ≫
+    * batch (measure with SPARK_GRAFT_INC_SPLIT=98) — which is the
+    * 100 TB regime.
     */
   private def nsIncrementalProbeIndexed(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents").select("doc_id", "text")
-    val cut = docs.agg(max("doc_id")).head().getLong(0) * 9L / 10L
-    val baseRoot = incIdxStateCache.computeIfAbsent((s, dir), _ => {
+    val cut = docs.agg(max("doc_id")).head().getLong(0) * incSplitPct / 100L
+    val baseRoot = incIdxStateCache.computeIfAbsent((s, dir + "@" + incSplitPct), _ => {
       val root = java.nio.file.Files.createTempDirectory("inc_ibase")
       graft.pipeline.IncrementalCuration.curateBatchIndexed(s,
         root.toString + "/state",
@@ -2890,9 +2903,9 @@ object SparkEntry {
     Option(pairCache.remove((s, dir))).foreach(_.unpersist())
     Option(winnowCache.remove((s, dir))).foreach(_.unpersist())
     Option(coOrderCache.remove((s, dir))).foreach(_.unpersist())
-    Option(incStateCache.remove((s, dir))).foreach(p =>
+    Option(incStateCache.remove((s, dir + "@" + incSplitPct))).foreach(p =>
       deleteLocalDir(java.nio.file.Paths.get(p).getParent))
-    Option(incIdxStateCache.remove((s, dir))).foreach(p =>
+    Option(incIdxStateCache.remove((s, dir + "@" + incSplitPct))).foreach(p =>
       deleteLocalDir(java.nio.file.Paths.get(p)))
   }
 

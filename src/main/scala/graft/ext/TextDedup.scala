@@ -1351,6 +1351,77 @@ object TextDedup {
       .select(col("id_new"), col("id_old"), col("jaccard"))
   }
 
+  /** [[crossNearDupsWithDf]] over HASHED postings: the stored posting
+    * table carries 8-byte `xxhash64(sh)` codes (`shc`) instead of
+    * shingle strings — ~3× smaller posting IO for 3-word shingles,
+    * the dominant read of the amortized incremental probe. The
+    * jaccard arithmetic (df prune, per-doc sizes, intersection
+    * counts) is bit-identical on codes WHENEVER the code map is
+    * injective over corpus ∪ batch shingles, so injectivity is
+    * AUDITED, not assumed: the df summary keeps one string copy per
+    * distinct corpus shingle (O(distinct shingles) — the summary is
+    * already that size; only the O(postings) table drops strings),
+    * and the probe fails loudly before any pair math if (a) two
+    * corpus shingles share a code (min ≠ max string within a summary
+    * code group), (b) a batch shingle collides with a DIFFERENT
+    * corpus shingle (code matches, string differs), or (c) two batch
+    * shingles share a code. Expected collisions at 64 bits are
+    * ~n²/2⁶⁵ — about 3·10⁻⁸ at ten million distinct shingles, zero
+    * observed at any tested scale — so the audit is a tripwire for a
+    * regime (10¹⁰ distinct shingles) where the design would need
+    * 128-bit codes, not a cost center: it reads the summary (scanned
+    * anyway for the prune) plus one broadcast of the batch's distinct
+    * shingles.
+    *
+    * `postings` carries (doc, shc); `dfSummary` carries per-fold
+    * (shc, sh, df_delta) rows — df = sum(df_delta) per code, the
+    * [[graft.pipeline.IncrementalCuration]] maintained-summary
+    * contract.
+    */
+  def crossNearDupsHashed(newBatch: DataFrame, postings: DataFrame,
+                          dfSummary: DataFrame, text: String, id: String,
+                          shingleN: Int = 3, threshold: Double = 0.5,
+                          maxPostings: Long = 5000): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val shNew = docShingles(newBatch, text, id, shingleN)
+      .select(col("doc").as("id_new"), explode(col("sh")).as("sh"))
+      .withColumn("shc", xxhash64(col("sh")))
+      .persist(lvl)
+    val dfAgg = dfSummary.groupBy("shc").agg(sum("df_delta").as("df"),
+        min("sh").as("_s1"), max("sh").as("_s2"))
+      .persist(lvl)
+    val newDistinct = shNew.select("sh", "shc").distinct()
+    val corpusClash = dfAgg.filter(col("_s1") =!= col("_s2")).select("shc")
+    val crossClash = dfAgg.join(broadcast(newDistinct), Seq("shc"))
+      .filter(col("sh") =!= col("_s1")).select("shc")
+    val batchClash = newDistinct.groupBy("shc")
+      .agg(count(lit(1)).as("_n")).filter(col("_n") > 1).select("shc")
+    val clash = corpusClash.unionByName(crossClash).unionByName(batchClash)
+      .limit(1).collect()
+    require(clash.isEmpty,
+      s"xxhash64 shingle-code collision detected (code ${
+        if (clash.isEmpty) "" else clash.head.getLong(0)}): hashed-" +
+        "posting jaccard would miscount intersections — rebuild the " +
+        "index with wider codes (this regime needs 128-bit identities)")
+    val overCap = dfAgg.filter(col("df") > maxPostings).select("shc")
+    val shOld = postings.select(col("doc").as("id_old"), col("shc"))
+      .join(broadcast(overCap), Seq("shc"), "left_anti")
+      .persist(lvl)
+    val shNewP = shNew.select(col("id_new"), col("shc"))
+      .join(broadcast(overCap), Seq("shc"), "left_anti")
+      .persist(lvl)
+    val sizesNew = shNewP.groupBy("id_new").agg(count(lit(1)).as("na"))
+    val sizesOld = shOld.groupBy("id_old").agg(count(lit(1)).as("nb"))
+    shOld.join(broadcast(shNewP), Seq("shc"))
+      .groupBy("id_new", "id_old").agg(count(lit(1)).as("inter"))
+      .join(broadcast(sizesNew), Seq("id_new"))
+      .join(sizesOld.hint("shuffle_hash"), Seq("id_old"))
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_new"), col("id_old"), col("jaccard"))
+  }
+
   /** Embedding-cosine near-duplicates: exact pairs above a threshold,
     * as a full cross join — the per-candidate verification KERNEL and
     * test twin only, never a registered production query (PlanSpec

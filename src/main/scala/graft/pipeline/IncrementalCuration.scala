@@ -60,14 +60,16 @@ object IncrementalCuration {
   val PostingsSuffix = "_sh"
 
   /** Suffix of the stored per-shingle document-frequency SUMMARY
-    * maintained next to the posting table: one (sh, ver, df_delta) row
-    * per (batch, distinct shingle), keyed sh:ver so a replayed batch
-    * LWW-overwrites its own deltas (idempotent — an additive table
-    * would double-count on at-least-once redelivery). The true df of a
-    * shingle is `sum(df_delta)` over its rows, recomputed at probe
-    * time from a table whose size is O(distinct shingles), not
-    * O(postings) — this is what removes the per-probe O(corpus)
-    * posting-frequency window.
+    * maintained next to the posting table: one (shc, sh, ver,
+    * df_delta) row per (batch, distinct shingle), keyed shc:ver so a
+    * replayed batch LWW-overwrites its own deltas (idempotent — an
+    * additive table would double-count on at-least-once redelivery).
+    * The true df of a shingle is `sum(df_delta)` over its rows,
+    * recomputed at probe time from a table whose size is O(distinct
+    * shingles), not O(postings) — this is what removes the per-probe
+    * O(corpus) posting-frequency window. The summary is also the only
+    * place the shingle STRING survives (postings store 8-byte codes),
+    * which is what makes the probe's code-collision audit possible.
     */
   val DfSuffix = "_df"
 
@@ -84,19 +86,22 @@ object IncrementalCuration {
       jaccardThreshold, maxPostings, indexed = false)
 
   /** [[curateBatch]] with a MAINTAINED shingle posting index: the
-    * cross-batch near-dup probe reads a stored (doc, shingle) posting
-    * table instead of re-tokenizing and re-shingling the whole corpus
-    * text every fold, and each fold appends the batch's shingles into
-    * that table through the same idempotent partition-scoped LWW merge
-    * the state rows use (key = doc:shingle, version = batchNo — a
-    * replayed batch re-merges to the identical index). A per-shingle
-    * df SUMMARY ([[DfSuffix]]) is maintained alongside, so the
-    * maxPostings prune reads O(distinct shingles) summary rows instead
-    * of window-counting the posting table — no O(corpus) shuffle per
-    * probe. This is the amortized nightly shape: the same
+    * cross-batch near-dup probe reads a stored (doc, shingle-code)
+    * posting table instead of re-tokenizing and re-shingling the whole
+    * corpus text every fold, and each fold appends the batch's
+    * shingles into that table through the same idempotent
+    * partition-scoped LWW merge the state rows use (key = doc:code,
+    * version = batchNo — a replayed batch re-merges to the identical
+    * index). Postings carry 8-byte `xxhash64(sh)` codes, not strings
+    * (~3× smaller IO on the probe's dominant read); injectivity is
+    * audited per probe, loudly, against the string copies the df
+    * summary keeps. That per-shingle df SUMMARY ([[DfSuffix]]) also
+    * lets the maxPostings prune read O(distinct shingles) summary rows
+    * instead of window-counting the posting table — no O(corpus)
+    * shuffle per probe. This is the amortized nightly shape: the same
     * state-vs-artifact trade the IVF/PQ index caches make for ANN.
     * Semantics are IDENTICAL to [[curateBatch]] —
-    * [[graft.ext.TextDedup.crossNearDupsWithDf]] applies the same
+    * [[graft.ext.TextDedup.crossNearDupsHashed]] applies the same
     * df-prune/sizes/jaccard math, so survivors still converge to the
     * from-scratch rebuild (the shared oracle), and the spec pins
     * plain-vs-indexed state equality plus df-summary truth.
@@ -186,11 +191,11 @@ object IncrementalCuration {
     val crossLosers = state match {
       case None => None
       case Some(st) if indexed =>
-        Some(TextDedup.crossNearDupsWithDf(dedupedB,
+        Some(TextDedup.crossNearDupsHashed(dedupedB,
           spark.read.parquet(stateDir + PostingsSuffix)
-            .select(col("doc"), col("sh")),
+            .select(col("doc"), col("shc")),
           spark.read.parquet(stateDir + DfSuffix)
-            .groupBy("sh").agg(sum("df_delta").as("df")),
+            .select(col("shc"), col("sh"), col("df_delta")),
           text, id, shingleN = 3, threshold = jaccardThreshold,
           maxPostings = maxPostings)
           .select(col("id_new").as(id)))
@@ -218,23 +223,30 @@ object IncrementalCuration {
       // same idempotent LWW partition merge; tombstoned docs' shingles
       // are included on purpose — future batches must probe them, the
       // same convergence clause the state tombstones serve
+      // postings store the 8-byte xxhash64 code, NOT the shingle
+      // string (~3× smaller IO on the probe's dominant read); the df
+      // SUMMARY keeps one string per distinct shingle so the probe
+      // can audit code injectivity — see
+      // [[graft.ext.TextDedup.crossNearDupsHashed]]
       val shBatch = TextDedup.docShingles(dedupedB, text, id, n = 3)
         .select(col("doc"), explode(col("sh")).as("sh"))
+        .withColumn("shc", xxhash64(col("sh")))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val shRows = shBatch
         .withColumn("part", pmod(col("doc"), lit(StateParts.toLong)))
-        .withColumn("pk", concat_ws(":", col("doc"), col("sh")))
+        .withColumn("pk", concat_ws(":", col("doc"), col("shc")))
         .withColumn("ver", lit(batchNo))
-        .select(col("part"), col("pk"), col("ver"), col("doc"), col("sh"))
+        .select(col("part"), col("pk"), col("ver"), col("doc"), col("shc"))
       ParquetMerge.upsertPartitions(spark, stateDir + PostingsSuffix,
         shRows, "part", "pk", "ver")
-      // this batch's df contribution, keyed sh:ver → replay rewrites
+      // this batch's df contribution, keyed shc:ver → replay rewrites
       // its own rows instead of double-counting
-      val dfRows = shBatch.groupBy("sh").agg(count(lit(1)).as("df_delta"))
-        .withColumn("part", pmod(xxhash64(col("sh")), lit(StateParts.toLong)))
-        .withColumn("pk", concat_ws(":", col("sh"), lit(batchNo)))
+      val dfRows = shBatch.groupBy("sh", "shc")
+        .agg(count(lit(1)).as("df_delta"))
+        .withColumn("part", pmod(col("shc"), lit(StateParts.toLong)))
+        .withColumn("pk", concat_ws(":", col("shc"), lit(batchNo)))
         .withColumn("ver", lit(batchNo))
-        .select(col("part"), col("pk"), col("ver"), col("sh"),
+        .select(col("part"), col("pk"), col("ver"), col("shc"), col("sh"),
           col("df_delta"))
       ParquetMerge.upsertPartitions(spark, stateDir + DfSuffix,
         dfRows, "part", "pk", "ver")

@@ -201,17 +201,22 @@ class IncrementalPipelineSpec extends SparkSpec {
       .parquet(idxDir + IncrementalCuration.PostingsSuffix)
       .select("doc").distinct().as[Long].collect().toSet
     assert(postDocs == Set(1L, 2L, 3L, 4L, 7L))
-    // the df summary is TRUE: sum(df_delta) per shingle equals the
-    // posting-list length the plain path's window would count
+    // the df summary is TRUE: sum(df_delta) per shingle CODE equals
+    // the posting-list length the plain path's window would count —
+    // and the summary's string copy recomputes to exactly that code
+    // (the collision-audit contract: postings are 8-byte codes only,
+    // the summary holds the one string copy per distinct shingle)
     def dfSums() = spark.read
       .parquet(idxDir + IncrementalCuration.DfSuffix)
-      .groupBy("sh").agg(sum("df_delta").as("df"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      .groupBy("shc").agg(sum("df_delta").as("df"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val postingDf = spark.read
       .parquet(idxDir + IncrementalCuration.PostingsSuffix)
-      .groupBy("sh").agg(count(lit(1)).as("n"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      .groupBy("shc").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(dfSums() == postingDf)
+    assert(spark.read.parquet(idxDir + IncrementalCuration.DfSuffix)
+      .filter(xxhash64(col("sh")) =!= col("shc")).count() == 0)
     // replaying batch 2 re-merges ALL THREE tables idempotently (an
     // additive df table would double-count exactly here)
     val before = spark.read

@@ -168,9 +168,33 @@ class ScaleSpec extends SparkSpec {
     val viaDf = TextDedup.crossNearDupsWithDf(batch, postings, dfCounts,
       "text", "doc_id", shingleN = 3, threshold = 0.3, maxPostings = 10)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // hashed form: postings carry 8-byte codes, the summary keeps the
+    // per-fold string deltas — same answer through the code-space math
+    val hashedPostings = postings.select(col("doc"),
+      xxhash64(col("sh")).as("shc"))
+    val dfSummary = postings
+      .withColumn("fold", (col("doc") <= 10).cast("int"))
+      .groupBy("sh", "fold").agg(count(lit(1)).as("df_delta"))
+      .select(xxhash64(col("sh")).as("shc"), col("sh"), col("df_delta"))
+    val viaHashed = TextDedup.crossNearDupsHashed(batch, hashedPostings,
+      dfSummary, "text", "doc_id", shingleN = 3, threshold = 0.3,
+      maxPostings = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(viaText == Set((100L, 20L)), viaText)
     assert(viaPostings == viaText)
     assert(viaDf == viaText)
+    assert(viaHashed == viaText)
+    // the injectivity audit is LOUD: a corpus shingle whose summary
+    // rows disagree on the string (a planted 64-bit collision) kills
+    // the probe before any pair math
+    val collided = dfSummary.unionByName(dfSummary.limit(1)
+      .withColumn("sh", concat(col("sh"), lit(" forged-collision"))))
+    val e = intercept[IllegalArgumentException] {
+      TextDedup.crossNearDupsHashed(batch, hashedPostings, collided,
+        "text", "doc_id", shingleN = 3, threshold = 0.3, maxPostings = 10)
+        .count()
+    }
+    assert(e.getMessage.contains("collision"))
     // sanity: without the cap the boilerplate would pair everything
     val uncapped = TextDedup.crossNearDupsWithDf(batch, postings, dfCounts,
       "text", "doc_id", shingleN = 3, threshold = 0.01, maxPostings = 5000)
