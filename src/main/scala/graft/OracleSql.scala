@@ -2235,6 +2235,14 @@ object OracleSql {
         CAST(((doc_id % 16) + 16) % 16 AS INT) AS peak_bin
       FROM documents ORDER BY doc_id""",
 
+    // the image embedder's peak contrast block under a planted
+    // bright-block PNG: geometry says the centered-block-luma argmax
+    // IS the planted grid index — predicted from the id formula alone
+    "ns_multimodal_image_embed" ->
+      """SELECT doc_id,
+        CAST(((doc_id % 9) + 9) % 9 AS INT) AS peak_block
+      FROM documents ORDER BY doc_id""",
+
     // fixed-grid exact quantiles: same floor-division cells (DuckDB's
     // % follows the dividend sign, so pmod is spelled out), the same
     // integer coverage test 100·cum >= n·q — HUGEINT window sums cast

@@ -3151,6 +3151,35 @@ object SparkEntry {
     s.createDataFrame(rdd, schema).orderBy("doc_id")
   }
 
+  /** The image EMBEDDER under an exact oracle — the visual sibling of
+    * [[nsMultimodalAudioEmbed]]: every doc carries a REAL PNG with one
+    * bright block planted at grid index (doc_id mod 9) of the 3×3
+    * contrast grid of the 16-dim pixel-statistics embedder
+    * (Multimodal.embedImagePixels — mean-centered block lumas at dims
+    * 4..12), and the query reports the argmax over the block dims.
+    * A verifier that knows only the formula predicts the peak —
+    * geometry, not implementation echo: a broken block assignment,
+    * luma-weight bug, transposed grid, or the hash stub sneaking onto
+    * the image path all move the argmax and hash-mismatch.
+    */
+  private def nsMultimodalImageEmbed(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val ids = t(s, dir, "documents").select("doc_id")
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("peak_block", IntegerType)))
+    val rdd = ids.rdd.map { r =>
+      val id = r.getLong(0)
+      val blk = java.lang.Math.floorMod(id, 9L).toInt
+      val v = Multimodal.embedImagePixels(
+        Multimodal.blockPngFixture(3, blk), dim = 16).get
+      var best = 4
+      var d = 5
+      while (d < 13) { if (v(d) > v(best)) best = d; d += 1 }
+      org.apache.spark.sql.Row(id, best - 4)
+    }
+    s.createDataFrame(rdd, schema).orderBy("doc_id")
+  }
+
   /** One entry per implemented operator from SURVEY.md §2 + §7.4. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s1_ingest_dialects" -> s1IngestDialects,
@@ -3352,6 +3381,7 @@ object SparkEntry {
     "ns_multimodal_features" -> nsMultimodalFeatures,
     "ns_multimodal_audio" -> nsMultimodalAudio,
     "ns_multimodal_audio_embed" -> nsMultimodalAudioEmbed,
+    "ns_multimodal_image_embed" -> nsMultimodalImageEmbed,
     "ns_multimodal_video" -> nsMultimodalVideo)
 
   /** DuckDB twins. Omitted: ns_dedup_minhash / ns_dedup_simhash /

@@ -442,12 +442,128 @@ object Multimodal {
     bytes
   }
 
-  /** Column-level media embedder with REAL content dispatch: WAV blobs
-    * get the spectral embedding, everything else the deterministic
-    * hash-stub vector (same dim, same unit-norm `array<float>`
-    * contract) — so a mixed corpus embeds in one pass and the result
-    * feeds VectorSearch unchanged. Per-partition row streaming like
-    * [[extractFeatures]].
+  /** REAL image-content embedding: deterministic pixel statistics over
+    * a full `javax.imageio` decode — the image sibling of
+    * [[embedWavSpectral]], replacing the byte-hash stub for every
+    * registry-readable image. Layout for dimension `d` (d ≥ 8):
+    *
+    *  - `v[0..2]`: mean R, G, B over all pixels, each in [0, 1] —
+    *    solid-color images embed by hue alone;
+    *  - `v[3]`: luma population stddev (global contrast);
+    *  - `v[4 until 4+g²)`: MEAN-CENTERED per-block mean luma on a g×g
+    *    grid, g = floor(√(d−4)), row-major (block (bx, by) at index
+    *    4 + by·g + bx). Pixels land in block (x·g/w, y·g/h) — the
+    *    same integer source indexing [[resizeImage]] uses, so the
+    *    features are resolution-stable: an image and its
+    *    nearest-neighbor resize produce near-identical vectors.
+    *    Centering makes these the contrast PATTERN (a flat image is
+    *    all zeros here), so the dominant block is formula-predictable
+    *    for planted fixtures — the oracle hook;
+    *  - remaining dims zero; the whole vector unit-normalized
+    *    (VectorSearch `array<float>` cosine contract).
+    *
+    * Deterministic by construction: exact per-block means over integer
+    * block assignment, BT.601 luma weights, no platform filtering
+    * kernels. None when no registered reader accepts the bytes — the
+    * caller falls back to the WAV/stub dispatch. Unlike the
+    * header-only [[decodeImage]], an embedder NEEDS pixels, so this
+    * pays the full decode; the per-partition streaming in
+    * [[embedMedia]] bounds memory to one image at a time.
+    */
+  def embedImagePixels(bytes: Array[Byte], dim: Int = 16): Option[Array[Float]] = {
+    require(dim >= 8, "image embedding needs dim >= 8 (4 global + blocks)")
+    if (bytes == null || bytes.length < 8) return None
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      if (img == null || img.getWidth < 1 || img.getHeight < 1) None
+      else {
+        val w = img.getWidth
+        val h = img.getHeight
+        val g = math.sqrt((dim - 4).toDouble).toInt
+        var sumR = 0.0; var sumG = 0.0; var sumB = 0.0
+        var sumL = 0.0; var sumL2 = 0.0
+        val blockL = new Array[Double](g * g)
+        val blockN = new Array[Long](g * g)
+        var y = 0
+        while (y < h) {
+          val by = y.toLong * g / h
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            val r = ((rgb >> 16) & 0xff) / 255.0
+            val gg = ((rgb >> 8) & 0xff) / 255.0
+            val b = (rgb & 0xff) / 255.0
+            val luma = 0.299 * r + 0.587 * gg + 0.114 * b
+            sumR += r; sumG += gg; sumB += b
+            sumL += luma; sumL2 += luma * luma
+            val bi = (by * g + x.toLong * g / w).toInt
+            blockL(bi) += luma
+            blockN(bi) += 1
+            x += 1
+          }
+          y += 1
+        }
+        val n = (w.toLong * h).toDouble
+        val meanL = sumL / n
+        val v = new Array[Float](dim)
+        v(0) = (sumR / n).toFloat
+        v(1) = (sumG / n).toFloat
+        v(2) = (sumB / n).toFloat
+        v(3) = math.sqrt(math.max(0.0, sumL2 / n - meanL * meanL)).toFloat
+        var i = 0
+        while (i < g * g) {
+          // an image narrower than the grid leaves blocks empty → 0
+          if (blockN(i) > 0) v(4 + i) = (blockL(i) / blockN(i) - meanL).toFloat
+          i += 1
+        }
+        var sq = 0.0
+        i = 0
+        while (i < dim) { sq += v(i).toDouble * v(i); i += 1 }
+        val norm = math.sqrt(sq)
+        if (norm > 0) { i = 0; while (i < dim) { v(i) = (v(i) / norm).toFloat; i += 1 } }
+        Some(v)
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Deterministic bright-block PNG fixture: a dark canvas with one
+    * bright block of a g×g grid lit — REAL codec bytes whose dominant
+    * contrast block is known by FORMULA, so [[embedImagePixels]] is
+    * testable against geometry (the planted block's centered luma is
+    * the positive outlier → argmax over the block dims), not against
+    * implementation echo. The canvas is g·cell pixels square so blocks
+    * align exactly with the embedder's integer grid assignment.
+    */
+  def blockPngFixture(g: Int, blockIdx: Int, cell: Int = 8,
+                      baseRgb: Int = 0x202020, brightRgb: Int = 0xE6E6E6): Array[Byte] = {
+    require(g >= 1 && blockIdx >= 0 && blockIdx < g * g && cell >= 1)
+    val wh = g * cell
+    val img = new java.awt.image.BufferedImage(
+      wh, wh, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val bx = blockIdx % g
+    val by = blockIdx / g
+    var y = 0
+    while (y < wh) {
+      var x = 0
+      while (x < wh) {
+        val in = x / cell == bx && y / cell == by
+        img.setRGB(x, y, if (in) brightRgb else baseRgb)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Column-level media embedder with REAL content dispatch: registry-
+    * readable images get the pixel-statistics embedding
+    * ([[embedImagePixels]]), WAV blobs the spectral embedding, and
+    * only unrecognized bytes the deterministic hash-stub vector (same
+    * dim, same unit-norm `array<float>` contract) — so a mixed corpus
+    * embeds in one pass and the result feeds VectorSearch unchanged.
+    * Per-partition row streaming like [[extractFeatures]].
     */
   def embedMedia(df: DataFrame, dim: Int = 16): DataFrame = {
     require(dim > 0)
@@ -459,7 +575,8 @@ object Multimodal {
     val mediaIdx = inSchema.fieldIndex("media")
     val rdd = df.rdd.map { r =>
       val bytes = r.get(mediaIdx).asInstanceOf[Array[Byte]]
-      val v = embedWavSpectral(bytes, dim)
+      val v = (if (dim >= 8) embedImagePixels(bytes, dim) else None)
+        .orElse(embedWavSpectral(bytes, dim))
         .getOrElse(stubEmbedding(bytes, dim))
       Row.fromSeq(r.toSeq :+ v.toSeq)
     }
@@ -597,10 +714,14 @@ object Multimodal {
   }
 
   /** STUB media embedder ??? — derives a deterministic unit-norm float
-    * vector from the blob bytes (chunked polynomial hashes), standing in
-    * for a real image/audio encoder. Output plugs directly into
-    * VectorSearch (same array<float> contract as the embeddings table),
-    * so media similarity search / near-dup runs on the identical path.
+    * vector from the blob bytes (chunked polynomial hashes), standing
+    * in for codecs the JVM can't read (images and WAV audio now have
+    * REAL content embedders — [[embedImagePixels]] /
+    * [[embedWavSpectral]], dispatched by [[embedMedia]]; this stub is
+    * the fallback arm for the remaining containers only). Output plugs
+    * directly into VectorSearch (same array<float> contract as the
+    * embeddings table), so media similarity search / near-dup runs on
+    * the identical path.
     */
   def embedStub(df: DataFrame, dim: Int = 16): DataFrame = {
     require(dim > 0)

@@ -216,6 +216,72 @@ class MultimodalSpec extends SparkSpec {
       Multimodal.stubEmbedding("garbage bytes".getBytes, dim).toSeq)
   }
 
+  test("image embedding obeys geometry: the planted bright block is the contrast argmax") {
+    val dim = 16
+    // every grid position round-trips: plant block i → centered block
+    // lumas (dims 4..12) peak at dim 4+i — geometry, not echo
+    for (i <- 0 until 9) {
+      val v = Multimodal.embedImagePixels(
+        Multimodal.blockPngFixture(3, i), dim).get
+      val blocks = v.slice(4, 13)
+      assert(blocks.indexOf(blocks.max) == i, s"block $i")
+      val n2 = v.map(x => x.toDouble * x).sum
+      assert(math.abs(n2 - 1.0) < 1e-5) // unit norm
+    }
+    // solid colors embed by hue: red vs blue differ, red vs red agree
+    def solid(rgb: Int) = Multimodal.embedImagePixels(
+      Multimodal.pngFixture(12, 12, rgb), dim).get
+    def cos(a: Array[Float], b: Array[Float]) =
+      a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+    assert(cos(solid(0xFF0000), solid(0xFF0000)) > 0.9999)
+    assert(cos(solid(0xFF0000), solid(0x0000FF)) < 0.9)
+    // resolution stability: the same pattern at 2× resolution embeds
+    // near-identically (the integer block grid is scale-invariant)
+    val a = Multimodal.embedImagePixels(
+      Multimodal.blockPngFixture(3, 4, cell = 8), dim).get
+    val b = Multimodal.embedImagePixels(
+      Multimodal.blockPngFixture(3, 4, cell = 16), dim).get
+    assert(cos(a, b) > 0.999)
+    // non-image bytes fall back (None)
+    assert(Multimodal.embedImagePixels("not an image".getBytes, dim).isEmpty)
+    // column-level dispatch: PNG rows get PIXEL embeddings, WAV rows
+    // spectral, garbage rows the stub — one mixed pass
+    val df = Seq(
+      (1L, Multimodal.blockPngFixture(3, 7)),
+      (2L, Multimodal.sineWavFixture(941.0, 4000)),
+      (3L, "garbage bytes".getBytes)).toDF("doc_id", "raw")
+    val out = Multimodal.embedMedia(
+      Multimodal.withMedia(df, "raw", "image"), dim)
+      .select("doc_id", "media_embedding")
+      .as[(Long, Seq[Float])].collect().sortBy(_._1)
+    assert(out(0)._2 == Multimodal.embedImagePixels(
+      Multimodal.blockPngFixture(3, 7), dim).get.toSeq)
+    assert(out(1)._2 == Multimodal.embedWavSpectral(
+      Multimodal.sineWavFixture(941.0, 4000), dim).get.toSeq)
+    assert(out(2)._2 ==
+      Multimodal.stubEmbedding("garbage bytes".getBytes, dim).toSeq)
+  }
+
+  test("image near-dup via VectorSearch: the visual clone is found, the different pattern is not") {
+    import graft.ext.TextDedup
+    val dim = 16
+    // doc 1 and its 2×-resolution clone share the block pattern; doc 3
+    // is a different pattern; doc 4 is audio (stub-distant by design)
+    val df = Seq(
+      (1L, Multimodal.blockPngFixture(3, 2, cell = 8)),
+      (2L, Multimodal.blockPngFixture(3, 2, cell = 16)),
+      (3L, Multimodal.blockPngFixture(3, 6, cell = 8)),
+      (4L, Multimodal.sineWavFixture(500.0, 2000))).toDF("doc_id", "raw")
+    val emb = Multimodal.embedMedia(
+      Multimodal.withMedia(df, "raw", "image"), dim)
+      .select(col("doc_id"), col("media_embedding").as("embedding"))
+    val pairs = TextDedup.embeddingNearDupsProbe(emb,
+      emb.filter(col("doc_id") === 1L), "doc_id", "embedding",
+      threshold = 0.99)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L))) // the clone, nothing else
+  }
+
   test("typed FuelPrice dataset carries the reference DECIMAL(5,2) price") {
     val prices = graft.op.PriceGen.generateTyped(
       spark.read.parquet(s"$sf/supplier.parquet"), "s_suppkey",
