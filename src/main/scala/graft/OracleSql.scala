@@ -2227,6 +2227,19 @@ object OracleSql {
           AS duration_ms
       FROM documents ORDER BY doc_id""",
 
+    // the Matroska/webm face: real EBML elements at formula
+    // duration/dims (1 ms ticks × default TimestampScale, so
+    // duration_ms round-trips exactly), element-walk decoded back;
+    // container headers carry no channel layout -> channels 0
+    "ns_multimodal_webm" ->
+      """SELECT doc_id,
+        CAST(((doc_id % 1920) + 1920) % 1920 + 1 AS INT) AS width,
+        CAST(((doc_id % 1080) + 1080) % 1080 + 1 AS INT) AS height,
+        0 AS channels,
+        CAST((((doc_id * 53) % 600000) + 600000) % 600000 AS BIGINT)
+          AS duration_ms
+      FROM documents ORDER BY doc_id""",
+
     // the spectral embedder's peak bin under a planted pure sine:
     // physics says the Goertzel argmax IS the planted bin — the
     // oracle predicts it from the id formula alone

@@ -2750,6 +2750,59 @@ object SparkEntry {
     out
   }
 
+  /** Incremental ANN index maintenance end-to-end (ext.IncrementalAnn
+    * — the curation state-fold pattern applied to the IVF index): the
+    * persisted assignment table folds a 10% embedding delta against
+    * FROZEN base-trained centroids (one broadcast of the KB-sized
+    * centroid table + one O(batch) partition-scoped LWW merge — the
+    * corpus-sized table is never rewritten), appends the batch's
+    * drift-audit row (mean assignment distance vs build-time — the
+    * re-train trigger), and the probe runs VectorSearch.ivfTopK
+    * unchanged against the stored index. Rows-only checked
+    * (KMeans-seeded, like the other ANN tiers); the exact convergence
+    * claim — fold in any batch split ≡ one-shot fold, probe-for-probe
+    * and code-for-code, replay-idempotent — is pinned by
+    * IncrementalAnnSpec, and the base init amortizes per
+    * (session, dir) like the IVF/PQ index caches.
+    */
+  private def nsIvfIncremental(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val cut = emb.agg(max("vec_id")).head().getLong(0) * 9L / 10L
+    val baseRoot = incAnnStateCache.computeIfAbsent((s, dir), _ => {
+      val root = java.nio.file.Files.createTempDirectory("inc_ivf")
+      graft.ext.IncrementalAnn.ivfInit(s, root.toString + "/ivf",
+        emb.filter(col("vec_id") <= cut), "vec_id", "embedding",
+        nLists = 8)
+      root.toString
+    })
+    val root = java.nio.file.Files.createTempDirectory("inc_ivfp")
+    copyLocalDir(java.nio.file.Paths.get(baseRoot), root)
+    val st = root.toString + "/ivf"
+    graft.ext.IncrementalAnn.ivfFold(s, st,
+      emb.filter(col("vec_id") > cut), "vec_id", "embedding", batchNo = 1L)
+    val idx = graft.ext.IncrementalAnn.ivfIndex(s, st, "vec_id", "embedding")
+    val audit = graft.ext.IncrementalAnn.ivfAudit(s, st)
+      .filter(col("batch_no") === 1L)
+      .select(lit(true).as("_one"), round(col("drift_ratio"), 4)
+        .as("drift_ratio"))
+    val out = VectorSearch.ivfTopK(idx, emb.filter(col("vec_id") < 5),
+      k = 10, nprobe = 5)
+      // the fold's drift audit rides along as a constant column —
+      // one broadcast row, so the health signal is IN the checked
+      // result, not a side-channel
+      .withColumn("_one", lit(true))
+      .join(broadcast(audit), Seq("_one"), "left").drop("_one")
+      .orderBy("query_id", "rank").localCheckpoint()
+    deleteLocalDir(root)
+    out
+  }
+
+  /** Per-(session, dir) pre-built IVF incremental base state (frozen
+    * centroids + batch-0 fold) — released by [[releaseArtifacts]].
+    */
+  private val incAnnStateCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]
+
   /** Per-(session, dir) pre-built batch-1 curation state backing the
     * probe query — released (dir deleted) by [[releaseArtifacts]].
     */
@@ -2903,6 +2956,8 @@ object SparkEntry {
     Option(pairCache.remove((s, dir))).foreach(_.unpersist())
     Option(winnowCache.remove((s, dir))).foreach(_.unpersist())
     Option(coOrderCache.remove((s, dir))).foreach(_.unpersist())
+    Option(incAnnStateCache.remove((s, dir))).foreach(p =>
+      deleteLocalDir(java.nio.file.Paths.get(p)))
     Option(incStateCache.remove((s, dir + "@" + incSplitPct))).foreach(p =>
       deleteLocalDir(java.nio.file.Paths.get(p).getParent))
     Option(incIdxStateCache.remove((s, dir + "@" + incSplitPct))).foreach(p =>
@@ -3151,6 +3206,32 @@ object SparkEntry {
     s.createDataFrame(rdd, schema).orderBy("doc_id")
   }
 
+  /** The Matroska/webm face of the decode contract — real EBML
+    * elements per doc at formula duration/dimensions, decoded through
+    * the real element walk (Multimodal.extractFeatures → decodeWebm);
+    * the oracle predicts all four features from the id alone.
+    * Extends the oracle-checked media set: PNG, WAV, MP4, webm.
+    */
+  private def nsMultimodalWebm(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val ids = t(s, dir, "documents").select("doc_id")
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("webm", BinaryType)))
+    val rdd = ids.rdd.map { r =>
+      val id = r.getLong(0)
+      org.apache.spark.sql.Row(id, Multimodal.webmFixture(
+        durationMs = java.lang.Math.floorMod(id * 53L, 600000L),
+        w = (java.lang.Math.floorMod(id, 1920L) + 1).toInt,
+        h = (java.lang.Math.floorMod(id, 1080L) + 1).toInt))
+    }
+    val media = Multimodal.withMedia(s.createDataFrame(rdd, schema),
+      "webm", "video")
+    Multimodal.extractFeatures(media)
+      .select(col("doc_id"), col("width"), col("height"), col("channels"),
+        col("duration_ms"))
+      .orderBy("doc_id")
+  }
+
   /** The image EMBEDDER under an exact oracle — the visual sibling of
     * [[nsMultimodalAudioEmbed]]: every doc carries a REAL PNG with one
     * bright block planted at grid index (doc_id mod 9) of the 3×3
@@ -3363,6 +3444,7 @@ object SparkEntry {
     "ns_ann_lsh" -> nsAnnLsh,
     "ns_ann_multitable" -> nsAnnMultitable,
     "ns_ivf_topk" -> nsIvfTopk,
+    "ns_ivf_incremental" -> nsIvfIncremental,
     "ns_pq_topk" -> nsPqTopk,
     "ns_ivfpq_topk" -> nsIvfPqTopk,
     "ns_curation_pipeline" -> nsCurationPipeline,
@@ -3382,6 +3464,7 @@ object SparkEntry {
     "ns_multimodal_audio" -> nsMultimodalAudio,
     "ns_multimodal_audio_embed" -> nsMultimodalAudioEmbed,
     "ns_multimodal_image_embed" -> nsMultimodalImageEmbed,
+    "ns_multimodal_webm" -> nsMultimodalWebm,
     "ns_multimodal_video" -> nsMultimodalVideo)
 
   /** DuckDB twins. Omitted: ns_dedup_minhash / ns_dedup_simhash /

@@ -349,6 +349,187 @@ object Multimodal {
     ftyp ++ moov
   }
 
+  /** REAL Matroska/webm decode — a pure-JVM EBML element walk, the
+    * container sibling of [[decodeMp4]]'s box walk: verify the EBML
+    * magic (0x1A45DFA3) and an accepted DocType (`webm`/`matroska`;
+    * absent DocType defaults to matroska per the EBML spec), then
+    * read duration from Segment→Info (Duration float ticks ×
+    * TimestampScale ns/tick, default scale 1,000,000 = ms ticks) and
+    * the first video track's pixel dimensions from
+    * Segment→Tracks→TrackEntry→Video. Header-only: element SIZES are
+    * VINTs, so the walk skips Cluster payloads without touching them
+    * — cost per blob is the few-hundred-byte header region, never a
+    * frame decode, the 100 TB shape shared by every decoder here.
+    * Unknown-size elements (the streaming-webm Segment) extend to the
+    * enclosing bound, as the spec requires. None when the bytes are
+    * not parseable EBML (caller falls back to the stub); channels is
+    * 0 like MP4 (not meaningful for a video container header).
+    */
+  def decodeWebm(bytes: Array[Byte]): Option[MediaFeatures] = {
+    if (bytes == null || bytes.length < 8) return None
+    if ((bytes(0) & 0xff) != 0x1A || (bytes(1) & 0xff) != 0x45 ||
+      (bytes(2) & 0xff) != 0xDF || (bytes(3) & 0xff) != 0xA3) return None
+    try {
+      // EBML IDs are read WITH their marker bits (the on-disk class
+      // values, e.g. Segment = 0x18538067); sizes strip the marker
+      def vintLen(b0: Int): Int = {
+        var len = 1
+        var mask = 0x80
+        while (mask != 0 && (b0 & mask) == 0) { len += 1; mask >>= 1 }
+        if (mask == 0) 9 else len // 9 = invalid (0x00 first byte)
+      }
+      def readId(off: Int): Option[(Long, Int)] = {
+        if (off >= bytes.length) return None
+        val len = vintLen(bytes(off) & 0xff)
+        if (len > 4 || off + len > bytes.length) return None
+        var v = 0L
+        var i = 0
+        while (i < len) { v = (v << 8) | (bytes(off + i) & 0xffL); i += 1 }
+        Some((v, len))
+      }
+      // (value, encodedLen); value -1 = "unknown size" (all value
+      // bits set) — the element runs to the enclosing bound
+      def readSize(off: Int): Option[(Long, Int)] = {
+        if (off >= bytes.length) return None
+        val b0 = bytes(off) & 0xff
+        val len = vintLen(b0)
+        if (len > 8 || off + len > bytes.length) return None
+        var v = (b0 & (0xff >>> len)).toLong
+        var ones = v == (0xffL >>> len)
+        var i = 1
+        while (i < len) {
+          val b = bytes(off + i) & 0xff
+          v = (v << 8) | b
+          if (b != 0xff) ones = false
+          i += 1
+        }
+        Some((if (ones) -1L else v, len))
+      }
+      // (id, payloadStart, payloadEnd) for each child of [start, end)
+      def children(start: Int, end: Int): Iterator[(Long, Int, Int)] =
+        new Iterator[(Long, Int, Int)] {
+          private var off = start
+          private var dead = false
+          def hasNext: Boolean = !dead && off < end
+          def next(): (Long, Int, Int) = {
+            val parsed = for {
+              (id, idLen) <- readId(off)
+              (sz, szLen) <- readSize(off + idLen)
+            } yield {
+              val ps = off + idLen + szLen
+              val pe = if (sz < 0) end
+                else math.min(end.toLong, ps + sz).toInt
+              (id, ps, pe)
+            }
+            parsed match {
+              case Some((id, ps, pe)) if pe >= ps =>
+                off = if (pe <= off) end else pe
+                (id, ps, pe)
+              case _ => dead = true; (0L, end, end)
+            }
+          }
+        }
+      def uint(s: Int, e: Int): Long = {
+        var v = 0L
+        var i = s
+        while (i < e) { v = (v << 8) | (bytes(i) & 0xffL); i += 1 }
+        v
+      }
+      def float(s: Int, e: Int): Double = (e - s) match {
+        case 4 => java.lang.Float.intBitsToFloat(uint(s, e).toInt).toDouble
+        case 8 => java.lang.Double.longBitsToDouble(uint(s, e))
+        case _ => 0.0
+      }
+      var docType = "matroska" // EBML default when DocType is absent
+      var tsScale = 1000000L   // ns per tick; Matroska default
+      var durTicks = -1.0
+      var w = 0
+      var h = 0
+      children(0, bytes.length).foreach {
+        case (0x1A45DFA3L, s, e) => // EBML header
+          children(s, e).foreach {
+            case (0x4282L, ds, de) => // DocType
+              docType = new String(bytes, ds, de - ds, "US-ASCII")
+                .takeWhile(_ != ' ')
+            case _ => ()
+          }
+        case (0x18538067L, s, e) => // Segment
+          children(s, e).foreach {
+            case (0x1549A966L, is, ie) => // Info
+              children(is, ie).foreach {
+                case (0x2AD7B1L, vs, ve) => tsScale = uint(vs, ve)
+                case (0x4489L, vs, ve) => durTicks = float(vs, ve)
+                case _ => ()
+              }
+            case (0x1654AE6BL, ts, te) => // Tracks
+              children(ts, te).foreach {
+                case (0xAEL, es, ee) => // TrackEntry
+                  children(es, ee).foreach {
+                    case (0xE0L, vs, ve) if w == 0 => // Video
+                      children(vs, ve).foreach {
+                        case (0xB0L, ps, pe) => w = uint(ps, pe).toInt
+                        case (0xBAL, ps, pe) => h = uint(ps, pe).toInt
+                        case _ => ()
+                      }
+                    case _ => ()
+                  }
+                case _ => ()
+              }
+            case _ => ()
+          }
+        case _ => ()
+      }
+      if (docType != "webm" && docType != "matroska") None
+      else if (durTicks < 0 && w == 0 && h == 0) None // header said nothing
+      else Some(MediaFeatures(width = w, height = h, channels = 0,
+        durationMs =
+          if (durTicks < 0) 0L
+          else math.round(durTicks * tsScale / 1e6)))
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Deterministic minimal webm fixture — REAL EBML bytes
+    * (EBML{DocType=webm} + Segment{Info{TimestampScale, Duration} +
+    * Tracks{TrackEntry{Video{PixelWidth, PixelHeight}}}}), duration in
+    * 1 ms ticks so a verifier that knows only (durationMs, w, h)
+    * predicts the decode: the Matroska analog of [[mp4Fixture]].
+    */
+  def webmFixture(durationMs: Long, w: Int, h: Int): Array[Byte] = {
+    require(durationMs >= 0 && w >= 0 && h >= 0)
+    def sizeVint(n: Int): Array[Byte] = {
+      // minimal-length EBML size with the marker bit; payloads here
+      // are tiny, but the encoder is general up to 4 bytes
+      require(n >= 0)
+      if (n < 0x7f) Array(((1 << 7) | n).toByte)
+      else if (n < 0x3fff) Array(((1 << 6) | (n >> 8)).toByte, n.toByte)
+      else if (n < 0x1fffff)
+        Array(((1 << 5) | (n >> 16)).toByte, (n >> 8).toByte, n.toByte)
+      else Array(((1 << 4) | (n >> 24)).toByte, (n >> 16).toByte,
+        (n >> 8).toByte, n.toByte)
+    }
+    def idBytes(id: Long): Array[Byte] = {
+      val n = (64 - java.lang.Long.numberOfLeadingZeros(id) + 7) / 8
+      (0 until n).map(i => ((id >> (8 * (n - 1 - i))) & 0xff).toByte).toArray
+    }
+    def elem(id: Long, payload: Array[Byte]): Array[Byte] =
+      idBytes(id) ++ sizeVint(payload.length) ++ payload
+    def uintBytes(v: Long): Array[Byte] = {
+      val n = math.max(1, (64 - java.lang.Long.numberOfLeadingZeros(v) + 7) / 8)
+      (0 until n).map(i => ((v >> (8 * (n - 1 - i))) & 0xff).toByte).toArray
+    }
+    val header = elem(0x1A45DFA3L, elem(0x4282L, "webm".getBytes("US-ASCII")))
+    val info = elem(0x1549A966L,
+      elem(0x2AD7B1L, uintBytes(1000000L)) ++ // 1 ms ticks
+        elem(0x4489L, {
+          val bb = java.nio.ByteBuffer.allocate(8)
+          bb.putDouble(durationMs.toDouble)
+          bb.array()
+        }))
+    val tracks = elem(0x1654AE6BL, elem(0xAEL, elem(0xE0L,
+      elem(0xB0L, uintBytes(w.toLong)) ++ elem(0xBAL, uintBytes(h.toLong)))))
+    header ++ elem(0x18538067L, info ++ tracks)
+  }
+
   /** REAL audio embedding for 16-bit PCM WAV: Goertzel spectral power
     * at `dim` evenly spaced frequencies up to Nyquist over the
     * mono-mixed signal, log-compressed and L2-normalized — an actual
@@ -587,13 +768,14 @@ object Multimodal {
     * image (sniffed by the ImageIO registry, independent of the declared
     * media_type — declared metadata lies at corpus scale), real WAV
     * header decode when they are RIFF/WAVE audio, real MP4 box walk
-    * when they are ISO-BMFF video, stub otherwise (remaining A/V
-    * containers).
+    * when they are ISO-BMFF video, real EBML walk when they are
+    * Matroska/webm, stub otherwise (remaining containers, e.g. Ogg).
     */
   def decode(bytes: Array[Byte], mediaType: String): MediaFeatures =
     decodeImage(bytes)
       .orElse(decodeWav(bytes))
       .orElse(decodeMp4(bytes))
+      .orElse(decodeWebm(bytes))
       .getOrElse(decodeStub(bytes, mediaType))
 
   /** Decode/feature-extract stage: batch-wise over partitions (the

@@ -1,0 +1,109 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ext.{IncrementalAnn, VectorSearch}
+
+/** Incremental ANN index maintenance (round 12): frozen-quantizer
+  * folds must be batch-split invariant, replay-idempotent, and carry
+  * a drift audit that actually moves under distribution shift.
+  */
+class IncrementalAnnSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    .select("vec_id", "embedding")
+
+  private def tmp(prefix: String) =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  test("IVF fold is batch-split invariant: two-batch fold == one-shot fold, table- and probe-identical; replays idempotent") {
+    val all = emb.filter(col("vec_id") <= 360).persist()
+    val base = all.filter(col("vec_id") <= 300)
+    val d1 = all.filter(col("vec_id") > 300 && col("vec_id") <= 330)
+    val d2 = all.filter(col("vec_id") > 330)
+    val split = tmp("ivfsplit") + "/ivf"
+    val oneshot = tmp("ivfone") + "/ivf"
+    IncrementalAnn.ivfInit(spark, split, base, "vec_id", "embedding", nLists = 4)
+    IncrementalAnn.ivfInit(spark, oneshot, base, "vec_id", "embedding", nLists = 4)
+    IncrementalAnn.ivfFold(spark, split, d1, "vec_id", "embedding", batchNo = 1L)
+    IncrementalAnn.ivfFold(spark, split, d2, "vec_id", "embedding", batchNo = 2L)
+    IncrementalAnn.ivfFold(spark, oneshot, d1.unionByName(d2), "vec_id",
+      "embedding", batchNo = 1L)
+    def table(d: String) = spark.read.parquet(d)
+      .select("vec_id", "ivf_list", "adist")
+      .orderBy("vec_id").collect().map(_.toSeq).toSeq
+    // the same frozen centroids assign the same lists regardless of
+    // how the delta was batched (ver differs by construction — it
+    // records arrival, not content)
+    assert(table(split) == table(oneshot))
+    // probes against the folded index are the one-shot probes
+    def probe(d: String) = VectorSearch.ivfTopK(
+      IncrementalAnn.ivfIndex(spark, d, "vec_id", "embedding"),
+      all.filter(col("vec_id") < 5), k = 5, nprobe = 2)
+      .orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+    assert(probe(split) == probe(oneshot))
+    assert(probe(split).nonEmpty)
+    // replaying batch 2 re-merges idempotently — no row count change,
+    // no assignment change, audit row REWRITTEN not duplicated
+    val before = table(split)
+    IncrementalAnn.ivfFold(spark, split, d2, "vec_id", "embedding", batchNo = 2L)
+    assert(table(split) == before)
+    assert(IncrementalAnn.ivfAudit(spark, split)
+      .filter(col("batch_no") === 2L).count() == 1L)
+    // frozen contract: a second init on the same dir fails loudly
+    intercept[Exception] {
+      IncrementalAnn.ivfInit(spark, split, base, "vec_id", "embedding",
+        nLists = 4)
+    }
+    all.unpersist()
+  }
+
+  test("drift audit: an in-distribution batch sits near ratio 1, a shifted batch far above") {
+    val base = emb.filter(col("vec_id") <= 300)
+    val inDist = emb.filter(col("vec_id") > 300 && col("vec_id") <= 360)
+    val dir = tmp("ivfdrift") + "/ivf"
+    IncrementalAnn.ivfInit(spark, dir, base, "vec_id", "embedding", nLists = 4)
+    IncrementalAnn.ivfFold(spark, dir, inDist, "vec_id", "embedding", 1L)
+    // a shifted batch: the same vectors displaced far outside the
+    // training distribution (embedding + 10 per dim)
+    val shifted = inDist
+      .withColumn("vec_id", col("vec_id") + 10000L)
+      .withColumn("embedding",
+        expr("transform(embedding, x -> x + CAST(10.0 AS FLOAT))"))
+    IncrementalAnn.ivfFold(spark, dir, shifted, "vec_id", "embedding", 2L)
+    val audit = IncrementalAnn.ivfAudit(spark, dir)
+      .collect().map(r => r.getAs[Long]("batch_no") ->
+        r.getAs[Double]("drift_ratio")).toMap
+    assert(audit(1L) < 2.0, s"in-dist ratio ${audit(1L)}")
+    assert(audit(2L) > 10.0, s"shifted ratio ${audit(2L)}")
+  }
+
+  test("PQ fold is batch-split invariant code-for-code and probes equal the one-shot index") {
+    val all = emb.filter(col("vec_id") <= 360).persist()
+    val base = all.filter(col("vec_id") <= 300)
+    val d1 = all.filter(col("vec_id") > 300 && col("vec_id") <= 330)
+    val d2 = all.filter(col("vec_id") > 330)
+    val split = tmp("pqsplit") + "/pq"
+    val oneshot = tmp("pqone") + "/pq"
+    for (d <- Seq(split, oneshot))
+      IncrementalAnn.pqInit(spark, d, base, "vec_id", "embedding",
+        m = 8, kCent = 8)
+    IncrementalAnn.pqFold(spark, split, d1, "vec_id", "embedding", 1L)
+    IncrementalAnn.pqFold(spark, split, d2, "vec_id", "embedding", 2L)
+    IncrementalAnn.pqFold(spark, oneshot, d1.unionByName(d2), "vec_id",
+      "embedding", 1L)
+    def codes(d: String) = spark.read.parquet(d)
+      .select("vec_id", "codes")
+      .orderBy("vec_id").collect()
+      .map(r => (r.getLong(0), r.getSeq[Int](1))).toSeq
+    assert(codes(split) == codes(oneshot))
+    assert(codes(split).size == 361) // vec_id 0..360 inclusive
+    def probe(d: String) = VectorSearch.pqTopK(
+      IncrementalAnn.pqIndex(spark, d, "vec_id", "embedding"),
+      all.filter(col("vec_id") < 5), k = 5)
+      .orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+    assert(probe(split) == probe(oneshot))
+    assert(probe(split).nonEmpty)
+    all.unpersist()
+  }
+}

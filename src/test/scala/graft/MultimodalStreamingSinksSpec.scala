@@ -149,6 +149,58 @@ class MultimodalSpec extends SparkSpec {
     assert(out(1) == ((2L, stub.width, stub.height, stub.durationMs)))
   }
 
+  test("real webm bytes decode duration + video dims via the EBML walk; non-EBML falls back") {
+    val clip = Multimodal.webmFixture(durationMs = 90500L, w = 640, h = 360)
+    assert(Multimodal.decodeWebm(clip)
+      .contains(Multimodal.MediaFeatures(640, 360, 0, 90500L)))
+    // an audio-only style fixture (no dims) still reports duration
+    assert(Multimodal.decodeWebm(Multimodal.webmFixture(1000L, 0, 0))
+      .contains(Multimodal.MediaFeatures(0, 0, 0, 1000L)))
+    // a NON-DEFAULT TimestampScale rescales the same Duration ticks:
+    // rewrite the fixture's scale element (3-byte uint 1,000,000 →
+    // 500,000 = 0.5 ms ticks, halving the reported duration)
+    val rescaled = clip.clone()
+    val scaleIdx = {
+      // locate the 0x2AD7B1 id — unique in the fixture
+      val ix = rescaled.indices.find(i => i + 2 < rescaled.length &&
+        (rescaled(i) & 0xff) == 0x2A && (rescaled(i + 1) & 0xff) == 0xD7 &&
+        (rescaled(i + 2) & 0xff) == 0xB1).get
+      ix + 4 // id(3) + size(1) → payload
+    }
+    rescaled(scaleIdx) = ((500000 >> 16) & 0xff).toByte
+    rescaled(scaleIdx + 1) = ((500000 >> 8) & 0xff).toByte
+    rescaled(scaleIdx + 2) = (500000 & 0xff).toByte
+    assert(Multimodal.decodeWebm(rescaled).get.durationMs == 45250L)
+    // an UNKNOWN-SIZE Segment (streaming webm: size VINT 0xFF) still
+    // walks to the end of the buffer
+    val segIx = clip.indices.find(i => i + 3 < clip.length &&
+      (clip(i) & 0xff) == 0x18 && (clip(i + 1) & 0xff) == 0x53 &&
+      (clip(i + 2) & 0xff) == 0x80 && (clip(i + 3) & 0xff) == 0x67).get
+    val streaming = clip.take(segIx + 4) ++ Array(0xFF.toByte) ++
+      clip.drop(segIx + 5) // 1-byte size → 1-byte unknown marker
+    assert(Multimodal.decodeWebm(streaming)
+      .contains(Multimodal.MediaFeatures(640, 360, 0, 90500L)))
+    // a foreign DocType is not ours
+    val foreign = clip.clone()
+    val dt = foreign.indices.find(i => i + 1 < foreign.length &&
+      (foreign(i) & 0xff) == 0x42 && (foreign(i + 1) & 0xff) == 0x82).get
+    foreign(dt + 3) = 'x'.toByte // "webm" → "xebm"
+    assert(Multimodal.decodeWebm(foreign).isEmpty)
+    // malformed shapes: wrong magic, truncated, null
+    assert(Multimodal.decodeWebm("RIFF....WAVE....".getBytes).isEmpty)
+    assert(Multimodal.decodeWebm(clip.take(6)).isEmpty)
+    assert(Multimodal.decodeWebm(null).isEmpty)
+    // dispatch: webm rows get real container features, garbage the stub
+    val df = Seq((1L, clip), (2L, "garbage bytes!".getBytes))
+      .toDF("doc_id", "raw")
+    val out = Multimodal.extractFeatures(Multimodal.withMedia(df, "raw", "video"))
+      .select("doc_id", "width", "height", "duration_ms")
+      .as[(Long, Int, Int, Long)].collect().sortBy(_._1)
+    assert(out(0) == ((1L, 640, 360, 90500L)))
+    val stub = Multimodal.decodeStub("garbage bytes!".getBytes, "video")
+    assert(out(1) == ((2L, stub.width, stub.height, stub.durationMs)))
+  }
+
   test("spectral WAV embedding obeys physics: a pure sine peaks in its own frequency bin") {
     // bins at Nyquist·(d+1)/(dim+1): dim=16, rate 8000 → bins every
     // ~235 Hz starting 235. A 941 Hz sine sits on bin index 3; a
