@@ -2240,6 +2240,18 @@ object OracleSql {
           AS duration_ms
       FROM documents ORDER BY doc_id""",
 
+    // the Ogg face: real pages (Opus id header on even ids, Vorbis on
+    // odd), duration read back from the end-of-stream granule — both
+    // codec granule conventions round-trip exactly (Vorbis 8 kHz:
+    // ms*8 ticks; Opus 48 kHz + pre-skip: ms*48+312 ticks)
+    "ns_multimodal_ogg" ->
+      """SELECT doc_id,
+        0 AS width, 0 AS height,
+        CAST(((doc_id % 2) + 2) % 2 + 1 AS INT) AS channels,
+        CAST((((doc_id * 29) % 600000) + 600000) % 600000 AS BIGINT)
+          AS duration_ms
+      FROM documents ORDER BY doc_id""",
+
     // the spectral embedder's peak bin under a planted pure sine:
     // physics says the Goertzel argmax IS the planted bin — the
     // oracle predicts it from the id formula alone

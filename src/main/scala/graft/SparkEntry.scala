@@ -3232,6 +3232,34 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** The Ogg face of the decode contract — real Ogg pages per doc
+    * (even ids carry an Opus `OpusHead` id header, odd ids a Vorbis
+    * one — BOTH codec branches on the registered path), duration
+    * carried as the end-of-stream granule position the page walk
+    * reads back (Multimodal.extractFeatures → decodeOgg); the oracle
+    * predicts all four features from the id alone. Completes the
+    * container family: PNG, WAV, MP4, webm, Ogg.
+    */
+  private def nsMultimodalOgg(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val ids = t(s, dir, "documents").select("doc_id")
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("ogg", BinaryType)))
+    val rdd = ids.rdd.map { r =>
+      val id = r.getLong(0)
+      org.apache.spark.sql.Row(id, Multimodal.oggFixture(
+        durationMs = java.lang.Math.floorMod(id * 29L, 600000L),
+        channels = (java.lang.Math.floorMod(id, 2L) + 1).toInt,
+        opus = java.lang.Math.floorMod(id, 2L) == 0L))
+    }
+    val media = Multimodal.withMedia(s.createDataFrame(rdd, schema),
+      "ogg", "audio")
+    Multimodal.extractFeatures(media)
+      .select(col("doc_id"), col("width"), col("height"), col("channels"),
+        col("duration_ms"))
+      .orderBy("doc_id")
+  }
+
   /** The image EMBEDDER under an exact oracle — the visual sibling of
     * [[nsMultimodalAudioEmbed]]: every doc carries a REAL PNG with one
     * bright block planted at grid index (doc_id mod 9) of the 3×3
@@ -3465,6 +3493,7 @@ object SparkEntry {
     "ns_multimodal_audio_embed" -> nsMultimodalAudioEmbed,
     "ns_multimodal_image_embed" -> nsMultimodalImageEmbed,
     "ns_multimodal_webm" -> nsMultimodalWebm,
+    "ns_multimodal_ogg" -> nsMultimodalOgg,
     "ns_multimodal_video" -> nsMultimodalVideo)
 
   /** DuckDB twins. Omitted: ns_dedup_minhash / ns_dedup_simhash /

@@ -147,6 +147,70 @@ object IncrementalAnn {
     rows.unpersist()
   }
 
+  /** The streaming face of the IVF fold: each micro-batch of new
+    * embeddings folds against the frozen centroids via foreachBatch —
+    * batchId+1 becomes the merge version (0 is reserved for the init
+    * fold), so an at-least-once replayed micro-batch re-merges
+    * idempotently: checkpoint + the LWW merge = effective
+    * exactly-once, the same contract as
+    * [[graft.pipeline.IncrementalCuration.curateStream]]. The drift
+    * audit row per micro-batch makes the re-train trigger observable
+    * ON the stream (alert on drift_ratio from the audit table).
+    */
+  def ivfFoldStream(docs: DataFrame, dir: String, id: String, vec: String,
+                    checkpoint: String)
+  : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .foreachBatch {
+        (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+         batchId: Long) =>
+          ivfFold(b.sparkSession, dir, b.toDF(), id, vec,
+            batchNo = batchId + 1L)
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
+  /** The RE-TRAIN the drift audit triggers: fit fresh centroids on the
+    * CURRENT state vectors (base + every folded batch — the offline
+    * step, same KMeans settings as [[ivfInit]]), REPLACE the frozen
+    * centroid table, and re-assign every stored vector at version
+    * `batchNo` through the same LWW merge (rewrites all partitions —
+    * the full-rebuild cost, paid only when the audit says it is due;
+    * `batchNo` must exceed every folded version so the re-assignment
+    * wins LWW). Resets the drift baseline: the audit row this writes
+    * reads drift_ratio 1.0 by construction, and subsequent folds
+    * compare against the NEW build-time mean.
+    */
+  def ivfRetrain(spark: SparkSession, dir: String, id: String, vec: String,
+                 batchNo: Long, nLists: Int = 16, seed: Long = 42L): Unit = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    import spark.implicits._
+    val maxVer = spark.read.parquet(dir).agg(max(col("ver"))).head().getLong(0)
+    require(batchNo > maxVer,
+      s"retrain batchNo $batchNo must exceed every folded version " +
+        s"(state max ver $maxVer) so the re-assignment wins the LWW merge")
+    val cur = spark.read.parquet(dir).select(col(id), col(vec))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val feat = cur.withColumn("_fv",
+      array_to_vector(transform(col(vec), v => v.cast("double"))))
+    val model = new KMeans().setK(nLists).setSeed(seed).setMaxIter(5)
+      .setFeaturesCol("_fv").setPredictionCol("_list").fit(feat)
+    val centDf = model.clusterCenters.zipWithIndex.map { case (c, i) =>
+      (i, c.toArray)
+    }.toSeq.toDF("ivf_list", "centroid")
+    val assigned = assignIvf(cur, centDf, id, vec)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val buildMean = assigned.agg(avg(col("adist"))).head().getDouble(0)
+    centDf.withColumn("build_mean_dist", lit(buildMean))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(dir + CentroidsSuffix)
+    foldAssigned(spark, dir, assigned, id, vec, batchNo, buildMean)
+    assigned.unpersist()
+    cur.unpersist()
+  }
+
   /** The probe face: reconstruct a [[VectorSearch.IvfIndex]] from the
     * stored tables, so [[VectorSearch.ivfTopK]] runs unchanged against
     * the incrementally-maintained index (probes read stored blocks —

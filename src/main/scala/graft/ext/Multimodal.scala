@@ -530,6 +530,129 @@ object Multimodal {
     header ++ elem(0x18538067L, info ++ tracks)
   }
 
+  /** REAL Ogg container decode — the page walk that completes the
+    * container family (PNG/WAV/MP4/webm/Ogg): verify the `OggS`
+    * capture pattern, read the codec id header from the first
+    * beginning-of-stream page (Vorbis `\x01vorbis`: channels + sample
+    * rate; Opus `OpusHead`: channels + pre-skip, granules fixed at
+    * 48 kHz by spec), then hop page headers — each page's segment
+    * table says how many payload bytes to SKIP, so the walk reads
+    * ~27 bytes per page and never touches codec payload — taking the
+    * last granule position of that stream: duration_ms =
+    * granule·1000/rate (Vorbis) or (granule − preskip)·1000/48000
+    * (Opus). This is exactly how `ogginfo` reports duration without
+    * decoding. None when the bytes are not Ogg or the first stream's
+    * id header is neither codec (caller falls back to the stub);
+    * width/height 0, channels real.
+    */
+  def decodeOgg(bytes: Array[Byte]): Option[MediaFeatures] = {
+    if (bytes == null || bytes.length < 28) return None
+    if (bytes(0) != 'O' || bytes(1) != 'g' || bytes(2) != 'g' ||
+      bytes(3) != 'S') return None
+    try {
+      def ascii(off: Int, n: Int): String =
+        if (off + n <= bytes.length) new String(bytes, off, n, "US-ASCII")
+        else ""
+      def u16le(off: Int): Int =
+        (bytes(off) & 0xff) | ((bytes(off + 1) & 0xff) << 8)
+      def u32le(off: Int): Long =
+        (0 until 4).foldLeft(0L)((a, i) => a | (bytes(off + i) & 0xffL) << (8 * i))
+      def u64le(off: Int): Long =
+        (0 until 8).foldLeft(0L)((a, i) => a | (bytes(off + i) & 0xffL) << (8 * i))
+      var off = 0
+      var serial = -1L     // the stream we report (first recognized BOS)
+      var channels = 0
+      var rate = 0L        // granule rate; 48000 for Opus by spec
+      var preskip = 0L
+      var lastGranule = -1L
+      while (off + 27 <= bytes.length && bytes(off) == 'O' &&
+        bytes(off + 1) == 'g' && bytes(off + 2) == 'g' &&
+        bytes(off + 3) == 'S') {
+        val headerType = bytes(off + 5) & 0xff
+        val granule = u64le(off + 6)
+        val pageSerial = u32le(off + 14)
+        val nSegs = bytes(off + 26) & 0xff
+        if (off + 27 + nSegs > bytes.length) return None
+        var payloadLen = 0
+        var i = 0
+        while (i < nSegs) {
+          payloadLen += bytes(off + 27 + i) & 0xff
+          i += 1
+        }
+        val payload = off + 27 + nSegs
+        if ((headerType & 0x02) != 0 && serial < 0 &&
+          payload + payloadLen <= bytes.length) {
+          // beginning-of-stream page: sniff the codec id header
+          if (payloadLen >= 30 && bytes(payload) == 0x01 &&
+            ascii(payload + 1, 6) == "vorbis") {
+            serial = pageSerial
+            channels = bytes(payload + 11) & 0xff
+            rate = u32le(payload + 12)
+          } else if (payloadLen >= 19 && ascii(payload, 8) == "OpusHead") {
+            serial = pageSerial
+            channels = bytes(payload + 9) & 0xff
+            preskip = u16le(payload + 10).toLong
+            rate = 48000L // Opus granules are 48 kHz regardless of input
+          }
+        }
+        // granule −1 marks a continuation page with no packet end
+        if (pageSerial == serial && granule >= 0) lastGranule = granule
+        off = payload + payloadLen
+      }
+      if (serial < 0 || rate <= 0) None
+      else {
+        val samples = math.max(0L, lastGranule - preskip)
+        Some(MediaFeatures(width = 0, height = 0, channels = channels,
+          durationMs = if (lastGranule < 0) 0L else samples * 1000L / rate))
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Deterministic minimal Ogg fixture — REAL Ogg pages (BOS page
+    * carrying a genuine Vorbis or Opus id header, EOS page carrying
+    * the final granule position), so a verifier that knows only
+    * (durationMs, channels, codec) predicts the decode. Vorbis form
+    * uses an 8 kHz rate so durationMs·8 is the exact granule; Opus
+    * granules are 48 kHz + pre-skip per spec.
+    */
+  def oggFixture(durationMs: Long, channels: Int,
+                 opus: Boolean = false): Array[Byte] = {
+    require(durationMs >= 0 && channels >= 1)
+    val preskip = 312
+    def page(headerType: Int, granule: Long, serial: Long, seq: Long,
+             payload: Array[Byte]): Array[Byte] = {
+      require(payload.length < 255)
+      val bb = java.nio.ByteBuffer.allocate(27 + 1 + payload.length)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("OggS".getBytes("US-ASCII")).put(0.toByte)
+        .put(headerType.toByte).putLong(granule).putInt(serial.toInt)
+        .putInt(seq.toInt).putInt(0) // CRC 0: the header walk skips it
+        .put(1.toByte).put(payload.length.toByte).put(payload)
+      bb.array()
+    }
+    val idHeader: Array[Byte] =
+      if (opus) {
+        val bb = java.nio.ByteBuffer.allocate(19)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        bb.put("OpusHead".getBytes("US-ASCII")).put(1.toByte)
+          .put(channels.toByte).putShort(preskip.toShort)
+          .putInt(48000).putShort(0.toShort).put(0.toByte)
+        bb.array()
+      } else {
+        val bb = java.nio.ByteBuffer.allocate(30)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        bb.put(1.toByte).put("vorbis".getBytes("US-ASCII")).putInt(0)
+          .put(channels.toByte).putInt(8000)
+          .putInt(0).putInt(0).putInt(0)
+          .put((6 | (7 << 4)).toByte).put(1.toByte)
+        bb.array()
+      }
+    val lastGranule =
+      if (opus) durationMs * 48L + preskip else durationMs * 8L
+    page(0x02, 0L, serial = 7L, seq = 0L, idHeader) ++
+      page(0x04, lastGranule, serial = 7L, seq = 1L, Array[Byte](0))
+  }
+
   /** REAL audio embedding for 16-bit PCM WAV: Goertzel spectral power
     * at `dim` evenly spaced frequencies up to Nyquist over the
     * mono-mixed signal, log-compressed and L2-normalized — an actual
@@ -769,13 +892,15 @@ object Multimodal {
     * media_type — declared metadata lies at corpus scale), real WAV
     * header decode when they are RIFF/WAVE audio, real MP4 box walk
     * when they are ISO-BMFF video, real EBML walk when they are
-    * Matroska/webm, stub otherwise (remaining containers, e.g. Ogg).
+    * Matroska/webm, real page walk when they are Ogg Vorbis/Opus,
+    * stub otherwise (unrecognized containers).
     */
   def decode(bytes: Array[Byte], mediaType: String): MediaFeatures =
     decodeImage(bytes)
       .orElse(decodeWav(bytes))
       .orElse(decodeMp4(bytes))
       .orElse(decodeWebm(bytes))
+      .orElse(decodeOgg(bytes))
       .getOrElse(decodeStub(bytes, mediaType))
 
   /** Decode/feature-extract stage: batch-wise over partitions (the

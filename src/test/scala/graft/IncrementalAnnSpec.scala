@@ -78,6 +78,72 @@ class IncrementalAnnSpec extends SparkSpec {
     assert(audit(2L) > 10.0, s"shifted ratio ${audit(2L)}")
   }
 
+  test("retrain resets the drift baseline; the streaming fold converges to the batch fold") {
+    val base = emb.filter(col("vec_id") <= 300)
+    val shift = (d: org.apache.spark.sql.DataFrame, off: Long) => d
+      .withColumn("vec_id", col("vec_id") + off)
+      .withColumn("embedding",
+        expr("transform(embedding, x -> x + CAST(10.0 AS FLOAT))"))
+    val dir = tmp("ivfretrain") + "/ivf"
+    IncrementalAnn.ivfInit(spark, dir, base, "vec_id", "embedding", nLists = 4)
+    // a shifted-domain batch drifts hard...
+    val s1 = shift(emb.filter(col("vec_id") > 300 && col("vec_id") <= 330), 10000L)
+    IncrementalAnn.ivfFold(spark, dir, s1, "vec_id", "embedding", 1L)
+    def ratio(b: Long) = IncrementalAnn.ivfAudit(spark, dir)
+      .filter(col("batch_no") === b).head().getAs[Double]("drift_ratio")
+    assert(ratio(1L) > 10.0)
+    // ...retrain on the current (mixed) state resets the baseline:
+    // the retrain audit row is 1.0 by construction, and the NEXT
+    // shifted-domain batch now sits inside the new distribution
+    IncrementalAnn.ivfRetrain(spark, dir, "vec_id", "embedding",
+      batchNo = 10L, nLists = 4)
+    assert(math.abs(ratio(10L) - 1.0) < 1e-9)
+    val s2 = shift(emb.filter(col("vec_id") > 330 && col("vec_id") <= 360), 20000L)
+    IncrementalAnn.ivfFold(spark, dir, s2, "vec_id", "embedding", 11L)
+    assert(ratio(11L) < 2.0, s"post-retrain ratio ${ratio(11L)}")
+    // a retrain versioned at-or-below folded state is refused (it
+    // would LOSE the LWW merge and leave a half-reassigned table)
+    intercept[IllegalArgumentException] {
+      IncrementalAnn.ivfRetrain(spark, dir, "vec_id", "embedding",
+        batchNo = 5L, nLists = 4)
+    }
+    // probes still serve against the retrained index
+    assert(VectorSearch.ivfTopK(
+      IncrementalAnn.ivfIndex(spark, dir, "vec_id", "embedding"),
+      emb.filter(col("vec_id") < 5), k = 5, nprobe = 2).count() > 0)
+
+    // STREAMING face: the same two-delta fold as a file stream
+    // converges to the batch-fold table, and a checkpointed restart
+    // with no new files replays nothing
+    val d1 = emb.filter(col("vec_id") > 300 && col("vec_id") <= 330)
+    val d2 = emb.filter(col("vec_id") > 330 && col("vec_id") <= 360)
+    val bDir = tmp("ivfsb") + "/ivf"
+    IncrementalAnn.ivfInit(spark, bDir, base, "vec_id", "embedding", nLists = 4)
+    IncrementalAnn.ivfFold(spark, bDir, d1, "vec_id", "embedding", 1L)
+    IncrementalAnn.ivfFold(spark, bDir, d2, "vec_id", "embedding", 2L)
+    val sroot = tmp("ivfss")
+    val sDir = sroot + "/ivf"
+    val ckp = sroot + "/ckp"
+    IncrementalAnn.ivfInit(spark, sDir, base, "vec_id", "embedding", nLists = 4)
+    d1.coalesce(1).write.parquet(sroot + "/f1")
+    Thread.sleep(1100) // distinct mod times -> deterministic batch order
+    d2.coalesce(1).write.parquet(sroot + "/f2")
+    def runStream(): Unit = {
+      val st = spark.readStream
+        .schema("vec_id bigint, embedding array<float>")
+        .option("maxFilesPerTrigger", "1").parquet(sroot + "/f*")
+      IncrementalAnn.ivfFoldStream(st, sDir, "vec_id", "embedding", ckp)
+        .awaitTermination(180000)
+    }
+    runStream()
+    def table(d: String) = spark.read.parquet(d)
+      .select("vec_id", "ivf_list", "adist")
+      .orderBy("vec_id").collect().map(_.toSeq).toSeq
+    assert(table(sDir) == table(bDir))
+    runStream() // checkpointed restart: no new files, no replay
+    assert(table(sDir) == table(bDir))
+  }
+
   test("PQ fold is batch-split invariant code-for-code and probes equal the one-shot index") {
     val all = emb.filter(col("vec_id") <= 360).persist()
     val base = all.filter(col("vec_id") <= 300)

@@ -201,6 +201,46 @@ class MultimodalSpec extends SparkSpec {
     assert(out(1) == ((2L, stub.width, stub.height, stub.durationMs)))
   }
 
+  test("real Ogg pages decode duration via the granule walk for both Vorbis and Opus; non-Ogg falls back") {
+    // Vorbis: granule rate = the id header's sample rate (8 kHz fixture)
+    val vorbis = Multimodal.oggFixture(durationMs = 90500L, channels = 2)
+    assert(Multimodal.decodeOgg(vorbis)
+      .contains(Multimodal.MediaFeatures(0, 0, 2, 90500L)))
+    // Opus: granules fixed at 48 kHz and the pre-skip subtracts
+    val opus = Multimodal.oggFixture(durationMs = 90500L, channels = 1,
+      opus = true)
+    assert(Multimodal.decodeOgg(opus)
+      .contains(Multimodal.MediaFeatures(0, 0, 1, 90500L)))
+    // a continuation page with granule -1 must not clobber the last
+    // real granule: append one (granule := -1 encodes as all-ones)
+    val cont = {
+      val bb = java.nio.ByteBuffer.allocate(27 + 1 + 1)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("OggS".getBytes("US-ASCII")).put(0.toByte).put(1.toByte)
+        .putLong(-1L).putInt(7).putInt(2).putInt(0)
+        .put(1.toByte).put(1.toByte).put(0.toByte)
+      vorbis ++ bb.array()
+    }
+    assert(Multimodal.decodeOgg(cont).get.durationMs == 90500L)
+    // a foreign BOS codec (neither vorbis nor OpusHead) is not ours
+    val foreign = vorbis.clone()
+    foreign(28 + 1) = 'x'.toByte // inside the id header payload
+    assert(Multimodal.decodeOgg(foreign).isEmpty)
+    // malformed shapes: wrong magic, truncated segment table, null
+    assert(Multimodal.decodeOgg("RIFF....WAVE....".getBytes).isEmpty)
+    assert(Multimodal.decodeOgg(vorbis.take(30)).isEmpty)
+    assert(Multimodal.decodeOgg(null).isEmpty)
+    // dispatch: ogg rows get real container features, garbage the stub
+    val df = Seq((1L, opus), (2L, "garbage bytes!".getBytes))
+      .toDF("doc_id", "raw")
+    val out = Multimodal.extractFeatures(Multimodal.withMedia(df, "raw", "audio"))
+      .select("doc_id", "channels", "duration_ms")
+      .as[(Long, Int, Long)].collect().sortBy(_._1)
+    assert(out(0) == ((1L, 1, 90500L)))
+    val stub = Multimodal.decodeStub("garbage bytes!".getBytes, "audio")
+    assert(out(1) == ((2L, stub.channels, stub.durationMs)))
+  }
+
   test("spectral WAV embedding obeys physics: a pure sine peaks in its own frequency bin") {
     // bins at Nyquist·(d+1)/(dim+1): dim=16, rate 8000 → bins every
     // ~235 Hz starting 235. A 941 Hz sine sits on bin index 3; a
