@@ -2084,6 +2084,18 @@ object OracleSql {
             FROM bm)
       WHERE rank <= 20 ORDER BY rank""",
 
+    // the incrementally-folded index must converge to the one-shot
+    // retrieval: SAME oracle as ns_bm25_topk — the hash gate IS the
+    // convergence proof (the curation-fold contract, now on the
+    // retrieval artifact)
+    "ns_bm25_incremental" ->
+      s"""WITH ${bm25Ctes(bm25TermsIn)}
+      SELECT CAST(rank AS INT) AS rank, doc AS doc_id, score_pts, n_terms
+      FROM (SELECT doc, score_pts, n_terms,
+              row_number() OVER (ORDER BY score_pts DESC, doc) AS rank
+            FROM bm)
+      WHERE rank <= 20 ORDER BY rank""",
+
     "ns_bm25_route" ->
       s"""WITH rbase AS (
         SELECT doc_id AS doc,

@@ -1701,6 +1701,33 @@ object SparkEntry {
         col("n_terms"))
       .orderBy("rank")
 
+  /** The incrementally-maintained BM25 index end-to-end
+    * (ext.IncrementalBm25): the corpus folds into a term-hash-
+    * partitioned posting table in two batches, then the top-k probe
+    * reads ONLY its query terms' partitions — and must hash-match the
+    * SAME one-shot SQL twin as ns_bm25_topk: the first incremental
+    * fold whose probe is ORACLE-verified, because rational-idf BM25
+    * is exact integer arithmetic. The fold prices tokenize + tf-count
+    * on the batch plus a partition-scoped LWW merge; a replayed batch
+    * rewrites its own stats deltas instead of double-counting.
+    */
+  private def nsBm25Incremental(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select("doc_id", "text")
+    val mid = docs.agg(max("doc_id")).head().getLong(0) / 2
+    val root = java.nio.file.Files.createTempDirectory("inc_bm25")
+    val tmp = root.toString + "/idx"
+    graft.ext.IncrementalBm25.fold(s, tmp,
+      docs.filter(col("doc_id") <= mid), "text", "doc_id", batchNo = 1L)
+    graft.ext.IncrementalBm25.fold(s, tmp,
+      docs.filter(col("doc_id") > mid), "text", "doc_id", batchNo = 2L)
+    val out = graft.ext.IncrementalBm25.topK(s, tmp, bm25Query, k = 20)
+      .select(col("rank"), col("doc").as("doc_id"), col("score_pts"),
+        col("n_terms"))
+      .orderBy("rank").localCheckpoint()
+    deleteLocalDir(root)
+    out
+  }
+
   /** Hybrid retrieval: BM25 lexical ranks fused with brute-force cosine
     * ranks by reciprocal-rank fusion (k=60), both contributions as
     * exact integer nano-points. doc_id and vec_id are aligned in the
@@ -3426,6 +3453,7 @@ object SparkEntry {
     "ns_dedup_ngram_jaccard" -> nsDedupNgramJaccard,
     "ns_containment" -> nsContainment,
     "ns_bm25_topk" -> nsBm25Topk,
+    "ns_bm25_incremental" -> nsBm25Incremental,
     "ns_bm25_route" -> nsBm25Route,
     "ns_hybrid_rrf" -> nsHybridRrf,
     "ns_keywords" -> nsKeywords,

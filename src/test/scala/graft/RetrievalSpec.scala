@@ -52,6 +52,52 @@ class RetrievalSpec extends SparkSpec {
     assert(top.toSeq == Seq(1, 2))
   }
 
+  test("incremental BM25 fold converges to the one-shot retrieval; probe prunes to term partitions; replays idempotent") {
+    import graft.ext.IncrementalBm25
+    val dir = java.nio.file.Files.createTempDirectory("bm25inc")
+      .toString + "/idx"
+    val b1 = corpus.filter(col("doc_id") <= 2)
+    val b2 = corpus.filter(col("doc_id") > 2)
+    IncrementalBm25.fold(spark, dir, b1, "text", "doc_id", batchNo = 1L)
+    IncrementalBm25.fold(spark, dir, b2, "text", "doc_id", batchNo = 2L)
+    val terms = Seq("quick", "zebra")
+    def probe() = IncrementalBm25.topK(spark, dir, terms, k = 5)
+      .collect().map(_.toSeq).toSeq
+    val oneShot = TextAnalysis.bm25TopK(corpus, "text", "doc_id",
+      terms, k = 5).collect().map(_.toSeq).toSeq
+    // the folded index scores EXACTLY the one-shot retrieval — the
+    // convergence gate the registered query's shared oracle enforces
+    assert(probe() == oneShot)
+    assert(oneShot.nonEmpty)
+    // replaying batch 2 re-merges postings AND stats idempotently (an
+    // additive stats table would double n_docs exactly here)
+    IncrementalBm25.fold(spark, dir, b2, "text", "doc_id", batchNo = 2L)
+    assert(probe() == oneShot)
+    val st = spark.read.parquet(dir + IncrementalBm25.StatsSuffix)
+      .agg(sum("n_docs_delta")).head().getLong(0)
+    assert(st == 5L)
+    // partition pruning: the probe's posting read touches ONLY the
+    // query terms' hash partitions (directory-level prune on `part` —
+    // asserted from the EXECUTED scan's partition metric, since
+    // inputFiles reports the unpruned relation)
+    val parts = terms.toDF("term")
+      .select(pmod(xxhash64(col("term")),
+        lit(IncrementalBm25.StateParts.toLong)))
+      .collect().map(_.getLong(0)).distinct.toSeq
+    val prunedDf = spark.read.parquet(dir)
+      .filter(col("part").isin(parts: _*))
+    prunedDf.collect()
+    val scan = prunedDf.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.head
+    val partsRead = scan.metrics("numPartitions").value
+    val partsTotal = spark.read.parquet(dir).select("part")
+      .distinct().count()
+    assert(partsRead <= parts.size.toLong, s"read $partsRead partitions")
+    assert(partsTotal > parts.size.toLong,
+      s"table only spans $partsTotal partitions — prune untestable")
+  }
+
   // ---- keywords ----
 
   test("keywords: rare high-tf term wins over ubiquitous term") {
