@@ -192,7 +192,12 @@ object ScaleStress {
       // shingles at x5), and the indexed form's stored postings +
       // df summary must prune identically to the text-derived path
       "ns_incremental_curation", "ns_incremental_probe",
-      "ns_incremental_probe_indexed")
+      "ns_incremental_probe_indexed",
+      // round-12: the other two incremental folds — the BM25 index
+      // faces the clone-heavy vocabulary (boilerplate terms land in
+      // few hash partitions, pruning still holds), the IVF fold's
+      // drift audit faces a 90/10 split of the cloned embeddings
+      "ns_bm25_incremental", "ns_ivf_incremental")
     // dev iteration: SPARK_GRAFT_STRESS_ONLY=name1,name2 runs just
     // those query steps (audits and corpus stats always run)
     val only = sys.env.get("SPARK_GRAFT_STRESS_ONLY")

@@ -85,6 +85,29 @@ object IncrementalBm25 {
     base.unpersist()
   }
 
+  /** The streaming face: each micro-batch of crawled docs folds into
+    * the index via foreachBatch — batchId+1 is the merge version, so
+    * an at-least-once replayed micro-batch re-merges postings AND
+    * stats deltas idempotently (checkpoint + LWW = effective
+    * exactly-once, the [[IncrementalAnn.ivfFoldStream]] contract).
+    * The index is probe-consistent after every committed batch: a
+    * [[topK]] between micro-batches scores exactly the corpus folded
+    * so far.
+    */
+  def foldStream(docs: DataFrame, dir: String, text: String, id: String,
+                 checkpoint: String)
+  : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .foreachBatch {
+        (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+         batchId: Long) =>
+          fold(b.sparkSession, dir, b.toDF(), text, id,
+            batchNo = batchId + 1L)
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
   /** Top-k BM25 probe against the folded index: identical scoring
     * expression tree to [[TextAnalysis.bm25TopK]] (shared verbatim
     * via [[Bm25]]), so results hash-match the one-shot form whenever

@@ -96,6 +96,28 @@ class RetrievalSpec extends SparkSpec {
     assert(partsRead <= parts.size.toLong, s"read $partsRead partitions")
     assert(partsTotal > parts.size.toLong,
       s"table only spans $partsTotal partitions — prune untestable")
+
+    // STREAMING face: the same two batches as a file stream converge
+    // to the identical probe, and a checkpointed restart with no new
+    // files replays nothing
+    val sroot = java.nio.file.Files.createTempDirectory("bm25incS").toString
+    val sDir = sroot + "/idx"
+    val ckp = sroot + "/ckp"
+    b1.coalesce(1).write.parquet(sroot + "/f1")
+    Thread.sleep(1100) // distinct mod times -> deterministic batch order
+    b2.coalesce(1).write.parquet(sroot + "/f2")
+    def runStream(): Unit = {
+      val st = spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", "1").parquet(sroot + "/f*")
+      IncrementalBm25.foldStream(st, sDir, "text", "doc_id", ckp)
+        .awaitTermination(180000)
+    }
+    runStream()
+    def sProbe() = IncrementalBm25.topK(spark, sDir, terms, k = 5)
+      .collect().map(_.toSeq).toSeq
+    assert(sProbe() == oneShot)
+    runStream() // checkpointed restart: no new files, no replay
+    assert(sProbe() == oneShot)
   }
 
   // ---- keywords ----
