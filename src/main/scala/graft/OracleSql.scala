@@ -1313,6 +1313,24 @@ object OracleSql {
       SELECT id_a, id_b, n_shared FROM pairs WHERE n_shared >= 3
       ORDER BY id_a, id_b""",
 
+    // the incrementally-FOLDED fingerprint table must converge to the
+    // one-shot matcher: SAME oracle as ns_winnow_matches (the
+    // curation/bm25 convergence-by-hash contract — fingerprinting is
+    // per-doc, so fold-in-batches ≡ one-shot exactly)
+    "ns_winnow_incremental" ->
+      s"""WITH $winnowCtes,
+      fps AS (SELECT DISTINCT doc_id, h AS fp FROM sel WHERE rk = 1),
+      pf AS (SELECT fp FROM fps GROUP BY fp
+             HAVING count(*) BETWEEN 2 AND 1000),
+      pr AS (SELECT f.doc_id, f.fp FROM fps f JOIN pf USING (fp)),
+      pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                  CAST(count(*) AS BIGINT) AS n_shared
+                FROM pr a JOIN pr b
+                  ON a.fp = b.fp AND a.doc_id < b.doc_id
+                GROUP BY 1, 2)
+      SELECT id_a, id_b, n_shared FROM pairs WHERE n_shared >= 3
+      ORDER BY id_a, id_b""",
+
     // incremental half: fps split at doc_id 400, new side probes corpus
     "ns_winnow_cross" ->
       s"""WITH $winnowCtes,

@@ -197,7 +197,8 @@ object ScaleStress {
       // faces the clone-heavy vocabulary (boilerplate terms land in
       // few hash partitions, pruning still holds), the IVF fold's
       // drift audit faces a 90/10 split of the cloned embeddings
-      "ns_bm25_incremental", "ns_ivf_incremental")
+      "ns_bm25_incremental", "ns_ivf_incremental",
+      "ns_winnow_incremental")
     // dev iteration: SPARK_GRAFT_STRESS_ONLY=name1,name2 runs just
     // those query steps (audits and corpus stats always run)
     val only = sys.env.get("SPARK_GRAFT_STRESS_ONLY")

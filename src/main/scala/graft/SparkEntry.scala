@@ -1447,6 +1447,29 @@ object SparkEntry {
     TextDedup.winnowingMatchesFromFps(winnowFps(s, dir))
       .orderBy("id_a", "id_b")
 
+  /** The incrementally-maintained fingerprint table end-to-end
+    * (ext.IncrementalWinnow): the corpus's winnowing fingerprints
+    * fold in as two batches through the partition-scoped LWW merge,
+    * then the unchanged match kernel reads the stored table — and
+    * must hash-match the SAME one-shot SQL twin as ns_winnow_matches
+    * (fingerprinting is a pure per-doc function, so fold-in-batches ≡
+    * one-shot is exact, and the oracle enforces it).
+    */
+  private def nsWinnowIncremental(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select("doc_id", "text")
+    val mid = docs.agg(max("doc_id")).head().getLong(0) / 2
+    val root = java.nio.file.Files.createTempDirectory("inc_winnow")
+    val tmp = root.toString + "/fps"
+    graft.ext.IncrementalWinnow.fold(s, tmp,
+      docs.filter(col("doc_id") <= mid), "text", "doc_id", batchNo = 1L)
+    graft.ext.IncrementalWinnow.fold(s, tmp,
+      docs.filter(col("doc_id") > mid), "text", "doc_id", batchNo = 2L)
+    val out = graft.ext.IncrementalWinnow.matches(s, tmp)
+      .orderBy("id_a", "id_b").localCheckpoint()
+    deleteLocalDir(root)
+    out
+  }
+
   /** Per-document Simpson diversity (exact rational entropy surrogate). */
   private def nsSimpsonDiversity(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.simpsonDiversity(t(s, dir, "documents"), "text", "doc_id")
@@ -3419,6 +3442,7 @@ object SparkEntry {
     "ns_token_mix" -> nsTokenMix,
     "ns_winnow_fingerprints" -> nsWinnowFingerprints,
     "ns_winnow_matches" -> nsWinnowMatches,
+    "ns_winnow_incremental" -> nsWinnowIncremental,
     "ns_winnow_cross" -> nsWinnowCross,
     "ns_simpson_diversity" -> nsSimpsonDiversity,
     "ns_ttr" -> nsTtr,

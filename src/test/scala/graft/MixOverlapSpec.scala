@@ -248,6 +248,46 @@ class MixOverlapSpec extends SparkSpec {
     assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)))
   }
 
+  test("incremental winnow fold converges to the one-shot matcher; replays idempotent; cross probe sees the folded corpus") {
+    import graft.ext.{IncrementalWinnow, TextDedup}
+    val rnd = new scala.util.Random(13)
+    def noise(n: Int) = (1 to n).map(_ =>
+      ('a' + rnd.nextInt(26)).toChar.toString * (1 + rnd.nextInt(8)))
+      .mkString(" ")
+    val passage = noise(12)
+    val docs = Seq(
+      (1L, s"${noise(3)} $passage ${noise(20)}"),
+      (2L, s"${noise(25)} $passage ${noise(2)}"),
+      (3L, noise(40)),
+      (4L, s"${noise(8)} $passage ${noise(6)}")
+    ).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("winc")
+      .toString + "/fps"
+    val b1 = docs.filter(col("doc_id") <= 2)
+    val b2 = docs.filter(col("doc_id") > 2)
+    IncrementalWinnow.fold(spark, dir, b1, "text", "doc_id", batchNo = 1L)
+    IncrementalWinnow.fold(spark, dir, b2, "text", "doc_id", batchNo = 2L)
+    def folded() = IncrementalWinnow.matches(spark, dir, minShared = 2)
+      .orderBy("id_a", "id_b").collect().map(_.toSeq).toSeq
+    val oneShot = TextDedup.winnowingMatches(docs, "text", "doc_id",
+      minShared = 2).orderBy("id_a", "id_b").collect().map(_.toSeq).toSeq
+    assert(folded() == oneShot) // the convergence gate
+    assert(oneShot.map(_.take(2)).toSet.contains(Seq(1L, 2L)))
+    // replaying batch 2 re-merges idempotently
+    IncrementalWinnow.fold(spark, dir, b2, "text", "doc_id", batchNo = 2L)
+    assert(folded() == oneShot)
+    // ingest-time probe: a NEW doc carrying the passage matches the
+    // folded corpus without pairing corpus docs with each other
+    val probe = Seq((100L, s"${noise(5)} $passage ${noise(4)}"))
+      .toDF("doc_id", "text")
+    val cross = IncrementalWinnow.crossMatches(spark, dir, probe,
+      "text", "doc_id", minShared = 2)
+      .select("new_doc", "corpus_doc").as[(Long, Long)].collect().toSet
+    assert(cross.map(_._1) == Set(100L))
+    assert(cross.map(_._2).subsetOf(Set(1L, 2L, 4L)))
+    assert(cross.nonEmpty)
+  }
+
   test("winnowing xxhash64 variant: same guarantee, fewer collisions") {
     import graft.ext.TextDedup
     val rnd = new scala.util.Random(11)
