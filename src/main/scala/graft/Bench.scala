@@ -2,10 +2,13 @@ package graft
 import org.apache.spark.sql.SparkSession
 import java.nio.file.{Files, Paths}
 
-/** Benchmark main. Prints TWO JSON lines: a detail line (per-pass
-  * stats) first, then the compact primary line the driver's contract
-  * expects LAST — stdout may be tail-truncated upstream, so the
-  * primary must be nearest the end.
+/** Benchmark main. Prints TWO JSON lines to stdout: a detail line
+  * (per-pass stats) first, then the compact primary line the driver's
+  * contract expects LAST — stdout may be tail-truncated upstream, so
+  * the primary must be nearest the end. The SPARK_GRAFT_BENCH_OUT
+  * file, by contrast, is ONE json.load-able object carrying the union
+  * of both lines at full precision — it is the authoritative idle
+  * artifact (bench_idle_r*.json).
   *
   * Honesty rules (round-2 verdict):
   *  - A query that throws is RECORDED in `"errors"` (never a silent
@@ -223,7 +226,16 @@ object Bench {
     // keeps only the tail of stdout)
     println(detail)
     println(primary)
-    try Files.writeString(Paths.get(outFile), detail + "\n" + primary + "\n")
+    // The FILE artifact is ONE json.load-able object (round-11 verdict
+    // #7: the idle bench_idle_r*.json artifacts were two concatenated
+    // objects, forcing raw_decode gymnastics downstream). Everything
+    // from both stdout lines, full precision, no truncation. stdout
+    // stays two-line because the driver keeps only a ~3 kB tail — a
+    // single full-precision object would be truncated at its START and
+    // parse as null (the round-4 failure mode).
+    val merged =
+      s"""{"metric":"total","value":${jnum3(total)},"unit":"sec","queries":${jmap(qMin)},"queries_median":${jmap(qMed)},"errors":$errJson,"failed_all_passes":${deadQueries.map("\"" + _ + "\"").mkString("[", ",", "]")},"sf":"$sfDir","n_passes":$nPasses,"err_count":${errors.size},"recall":${jmap(recall)},"load_suspect":$suspect,"load_retries":$loadRetries,"note":"min/q, idle; -1=fail"}"""
+    try Files.writeString(Paths.get(outFile), merged + "\n")
     catch { case _: Throwable => () }
     spark.stop()
     if (deadQueries.nonEmpty) sys.exit(1)

@@ -244,6 +244,21 @@ object OracleSql {
     * rule TextDedup.crossNearDups applies (cap 5000 on the CORPUS side,
     * removed from both sides). Keep in lockstep with the Scala op.
     */
+  /** Exact all-pairs jaccard at the verified threshold — shared by
+    * `ns_dedup_minhash_verified` (one-shot LSH + exact verify) and
+    * `ns_minhash_incremental` (the same matcher over the folded band
+    * table), so incremental convergence is enforced by hash.
+    */
+  private def minhashVerifiedSql: String =
+    s"""WITH ${jaccardCtes("documents", pruned = false)}
+      SELECT id_a, id_b,
+        round(CAST(inter AS DOUBLE) / (sa.nsh + sb.nsh - inter), 6) AS jaccard_r
+      FROM inter
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE CAST(inter AS DOUBLE) / (sa.nsh + sb.nsh - inter) >= 0.5
+      ORDER BY id_a, id_b"""
+
   private def crossDedupSql: String =
     s"""WITH ${shingleCtes("documents")},
       sh_new AS (SELECT doc_id, sh FROM sh WHERE doc_id % 10 = 0),
@@ -3037,15 +3052,31 @@ object OracleSql {
     // reaches the same set through LSH candidates + exact verify (recall
     // ~0.9999 at j>=0.5 with r=2/b=32 banding; equality verified
     // empirically at the test scale factors)
-    "ns_dedup_minhash_verified" ->
-      s"""WITH ${jaccardCtes("documents", pruned = false)}
-      SELECT id_a, id_b,
-        round(CAST(inter AS DOUBLE) / (sa.nsh + sb.nsh - inter), 6) AS jaccard_r
-      FROM inter
-      JOIN sizes sa ON sa.doc_id = id_a
-      JOIN sizes sb ON sb.doc_id = id_b
-      WHERE CAST(inter AS DOUBLE) / (sa.nsh + sb.nsh - inter) >= 0.5
-      ORDER BY id_a, id_b""",
+    "ns_dedup_minhash_verified" -> minhashVerifiedSql,
+    // the incrementally-FOLDED band-bucket table must converge to the
+    // one-shot verified matcher: SAME oracle (the winnow/bm25
+    // convergence-by-hash contract — band ids are per-doc pure, so
+    // fold-in-batches ≡ one-shot exactly)
+    "ns_minhash_incremental" -> minhashVerifiedSql,
+    // ingest probe against the folded band index: exact full-universe
+    // cross jaccard between the batch (every 10th id) and the folded
+    // corpus at the verified threshold — same recall argument as the
+    // all-pairs form, restricted to cross pairs
+    "ns_minhash_inc_probe" ->
+      s"""WITH ${jaccardCtes("documents", pruned = false)},
+      prs AS (
+        SELECT id_a, id_b,
+          round(CAST(inter AS DOUBLE) / (sa.nsh + sb.nsh - inter), 6) AS jaccard_r
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE CAST(inter AS DOUBLE) / (sa.nsh + sb.nsh - inter) >= 0.5)
+      SELECT CASE WHEN id_a % 10 = 0 THEN id_a ELSE id_b END AS id_new,
+        CASE WHEN id_a % 10 = 0 THEN id_b ELSE id_a END AS id_old,
+        jaccard_r
+      FROM prs
+      WHERE (id_a % 10 = 0) <> (id_b % 10 = 0)
+      ORDER BY id_new, id_old""",
 
     // connected components by transitive closure (recursive CTE) — an
     // independent implementation of the Spark side's iterative min-label

@@ -198,7 +198,12 @@ object ScaleStress {
       // few hash partitions, pruning still holds), the IVF fold's
       // drift audit faces a 90/10 split of the cloned embeddings
       "ns_bm25_incremental", "ns_ivf_incremental",
-      "ns_winnow_incremental")
+      "ns_winnow_incremental",
+      // round-12 continued: the minhash band-index fold — the probe
+      // faces the signature-degenerate template family (its buckets
+      // exceed maxBucket across folds, so the match-time cap must
+      // drop them exactly as a one-shot build would)
+      "ns_minhash_incremental", "ns_minhash_inc_probe")
     // dev iteration: SPARK_GRAFT_STRESS_ONLY=name1,name2 runs just
     // those query steps (audits and corpus stats always run)
     val only = sys.env.get("SPARK_GRAFT_STRESS_ONLY")

@@ -1835,6 +1835,55 @@ object SparkEntry {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard_r"))
       .orderBy("id_a", "id_b")
 
+  /** Incrementally-folded MinHash-LSH band index: corpus folded in two
+    * batches into a stored band-bucket table, then the verified
+    * all-pairs matcher run over the STORED rows (no corpus re-sign).
+    * Shares ns_dedup_minhash_verified's SQL twin — fold ≡ one-shot
+    * enforced BY HASH (band ids are per-doc pure, so the split
+    * commutes with the build).
+    */
+  private def nsMinhashIncremental(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select("doc_id", "text")
+    val mid = docs.agg(max("doc_id")).head().getLong(0) / 2
+    val root = java.nio.file.Files.createTempDirectory("inc_minhash")
+    val tmp = root.toString + "/bands"
+    graft.ext.IncrementalMinhash.fold(s, tmp,
+      docs.filter(col("doc_id") <= mid), "text", "doc_id", batchNo = 1L)
+    graft.ext.IncrementalMinhash.fold(s, tmp,
+      docs.filter(col("doc_id") > mid), "text", "doc_id", batchNo = 2L)
+    val out = graft.ext.IncrementalMinhash
+      .matchesVerified(s, tmp, docs, "text", "doc_id")
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard_r"))
+      .orderBy("id_a", "id_b").localCheckpoint()
+    deleteLocalDir(root)
+    out
+  }
+
+  /** Ingest-time probe against the folded band index: every 10th doc
+    * plays the "new batch", the rest are folded as the corpus; the
+    * probe signs ONLY the batch and fetches corpus text only for
+    * bucket-collision candidates. Oracle = exact full-universe cross
+    * jaccard at the verified threshold (recall ≈ 0.9999 at j ≥ 0.5
+    * with r=2/b=32 banding — the ns_dedup_minhash_verified argument,
+    * cross-pair form).
+    */
+  private def nsMinhashIncProbe(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select("doc_id", "text")
+    val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+    val batch = docs.filter(col("doc_id") % 10 === 0)
+    val root = java.nio.file.Files.createTempDirectory("inc_minhash_probe")
+    val tmp = root.toString + "/bands"
+    graft.ext.IncrementalMinhash.fold(s, tmp, corpus, "text", "doc_id",
+      batchNo = 1L)
+    val out = graft.ext.IncrementalMinhash
+      .crossProbe(s, tmp, batch, corpus, "text", "doc_id")
+      .select(col("id_new"), col("id_old"),
+        round(col("jaccard"), 6).as("jaccard_r"))
+      .orderBy("id_new", "id_old").localCheckpoint()
+    deleteLocalDir(root)
+    out
+  }
+
   /** Incremental dedup: the docs arriving in a "new batch" (every 10th
     * doc id) near-dup-checked AGAINST the remaining corpus — the shape
     * a daily crawl-update runs instead of ever re-pairing the corpus
@@ -3488,6 +3537,8 @@ object SparkEntry {
     "ns_cross_dedup" -> nsCrossDedup,
     "ns_dedup_minhash" -> nsDedupMinhash,
     "ns_dedup_minhash_verified" -> nsDedupMinhashVerified,
+    "ns_minhash_incremental" -> nsMinhashIncremental,
+    "ns_minhash_inc_probe" -> nsMinhashIncProbe,
     "ns_dedup_clusters" -> nsDedupClusters,
     "ns_dedup_survivors" -> nsDedupSurvivors,
     "ns_split_leakage" -> nsSplitLeakage,

@@ -243,12 +243,51 @@ object TextDedup {
     s"transform(sequence(0, ${bands - 1}), b -> xxhash64(b, " +
       s"cast(slice(sig, b * $rowsPerBand + 1, $rowsPerBand) as string)))"
 
+  /** (doc, band, bucket) band rows for the corpus' minhash signatures —
+    * the map-side pass the one-shot LSH forms and the incremental band
+    * index ([[IncrementalMinhash]]) share. A pure per-document function
+    * of the text (fixed h1 + i·h2 permutation family), so it commutes
+    * with any batch split of the corpus — the property that makes the
+    * stored band table fold-invariant.
+    */
+  private[ext] def bandBuckets(shingles: DataFrame, numPerms: Int,
+                               bands: Int): DataFrame = {
+    require(numPerms % bands == 0, "bands must divide numPerms")
+    val r = numPerms / bands
+    shingles.select(col("doc"), minhashSignature(numPerms).as("sig"))
+      .select(col("doc"), posexplode(expr(bandSql(bands, r))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+  }
+
+  /** Candidate id pairs from a (doc, band, bucket) frame: self-join
+    * within equal (band, bucket) groups, over-cap buckets dropped
+    * FIRST (boilerplate, not near-duplication — they would go
+    * quadratic at scale). The cap is applied to the frame as given, so
+    * an incrementally-folded band table gets the cap evaluated over
+    * the MERGED corpus (a bucket that outgrows the cap across folds is
+    * dropped exactly as the one-shot build would drop it). Pairs are
+    * deduped while narrow; anything wide joins back per surviving pair.
+    */
+  private[ext] def bucketCandidates(buckets: DataFrame, maxBucket: Int,
+                                    verbose: Boolean = false): DataFrame = {
+    val counted = buckets.withColumn("_bsize",
+      count(lit(1)).over(Window.partitionBy("band", "bucket")))
+    // the verbose audit recomputes the (cheap) bucket pass; the hot
+    // path persists only the post-filter frame both join sides read
+    if (verbose) logDroppedBuckets(counted, maxBucket)
+    val guarded = counted.filter(col("_bsize") <= maxBucket).drop("_bsize")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val a = guarded.select(col("band"), col("bucket"), col("doc").as("id_a"))
+    val b = guarded.select(col("band"), col("bucket"), col("doc").as("id_b"))
+    a.join(b, Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+  }
+
   /** Shared LSH candidate generation: (doc, shingle-array) → persisted
     * narrow signatures + deduped candidate id pairs. The band-exploded
     * frame carries only (doc, band, bucket) — never the signature
-    * arrays; over-cap buckets are dropped (boilerplate, not
-    * near-duplication); candidate pairs are deduped while narrow, so
-    * anything wide joins back once per surviving pair.
+    * arrays.
     */
   private def lshCandidates(shingles: DataFrame, numPerms: Int, bands: Int,
                             maxBucket: Int, verbose: Boolean)
@@ -260,19 +299,38 @@ object TextDedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val buckets = sigs.select(col("doc"), posexplode(expr(bandSql(bands, r))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
-    val counted = buckets.withColumn("_bsize",
-      count(lit(1)).over(Window.partitionBy("band", "bucket")))
-    // the verbose audit recomputes the (cheap, sigs-cached) bucket pass;
-    // the hot path persists only the post-filter frame both join sides read
-    if (verbose) logDroppedBuckets(counted, maxBucket)
-    val guarded = counted.filter(col("_bsize") <= maxBucket).drop("_bsize")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val a = guarded.select(col("band"), col("bucket"), col("doc").as("id_a"))
-    val b = guarded.select(col("band"), col("bucket"), col("doc").as("id_b"))
-    val cand = a.join(b, Seq("band", "bucket"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
-    (sigs, cand)
+    (sigs, bucketCandidates(buckets, maxBucket, verbose))
+  }
+
+  /** Per-candidate exact n-gram Jaccard verify over xxhash64'd shingle
+    * arrays (array<long>) rather than the raw shingle strings: the
+    * join traffic per candidate drops ~3x (8 bytes vs ~25 per shingle)
+    * and long equality beats string comparison inside array_intersect,
+    * while keeping the minimal two-join / single-stage verify shape.
+    * Intersection counts are exact modulo 2^-64 hash collisions —
+    * measured A/B at sf0.1: equal results, equal-or-better time, and
+    * at 100x the byte savings is the difference that matters.
+    * `shingles` must cover every doc id appearing on either side of
+    * `cand`; it is corpus-cardinality, so both joins stay shuffled
+    * (see candidatePairCounts — a planner broadcast cannot survive
+    * scale).
+    */
+  private[ext] def verifyPairsExact(cand: DataFrame, shingles: DataFrame,
+                                    threshold: Double,
+                                    leftId: String = "id_a",
+                                    rightId: String = "id_b"): DataFrame = {
+    val hashed = shingles
+      .select(col("doc"), expr("transform(sh, s -> xxhash64(s))").as("sha"))
+    cand
+      .join(hashed.select(col("doc").as(leftId), col("sha").as("sh_a"))
+        .hint("shuffle_hash"), Seq(leftId))
+      .join(hashed.select(col("doc").as(rightId), col("sha").as("sh_b"))
+        .hint("shuffle_hash"), Seq(rightId))
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (size(col("sh_a")) + size(col("sh_b")) - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col(leftId), col(rightId), col("jaccard"))
   }
 
   def minhashLsh(df: DataFrame, text: String, id: String,
@@ -321,28 +379,7 @@ object TextDedup {
     val shingles = docShingles(df, text, id, shingleN).persist(lvl)
     val (_, cand) = lshCandidates(shingles, numPerms, bands, maxBucket,
       verbose = false)
-    // per-candidate exact verify over xxhash64'd shingle arrays
-    // (array<long>) rather than the raw shingle strings: the join
-    // traffic per candidate drops ~3x (8 bytes vs ~25 per shingle) and
-    // long equality beats string comparison inside array_intersect,
-    // while keeping the minimal two-join / single-stage verify shape.
-    // Intersection counts are exact modulo 2^-64 hash collisions —
-    // measured A/B at sf0.1: equal results, equal-or-better time, and
-    // at 100x the byte savings is the difference that matters.
-    val hashed = shingles
-      .select(col("doc"), expr("transform(sh, s -> xxhash64(s))").as("sha"))
-    // hashed is corpus-cardinality — shuffled joins only (see
-    // candidatePairCounts)
-    cand
-      .join(hashed.select(col("doc").as("id_a"), col("sha").as("sh_a"))
-        .hint("shuffle_hash"), Seq("id_a"))
-      .join(hashed.select(col("doc").as("id_b"), col("sha").as("sh_b"))
-        .hint("shuffle_hash"), Seq("id_b"))
-      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
-      .withColumn("jaccard", col("inter").cast("double") /
-        (size(col("sh_a")) + size(col("sh_b")) - col("inter")))
-      .filter(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), col("jaccard"))
+    verifyPairsExact(cand, shingles, threshold)
   }
 
   /** Buckets minhashLsh would drop at the given cap, as (band, bucket,

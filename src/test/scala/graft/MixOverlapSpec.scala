@@ -379,4 +379,57 @@ class MixOverlapSpec extends SparkSpec {
       .toDF("doc_id", "text", "source")
     assert(TextDedup.sourceOverlap(docs, "text", "source").count() === 0L)
   }
+
+  test("incremental minhash fold converges to the one-shot verified matcher; replays idempotent; cross probe is candidate-bounded") {
+    import graft.ext.IncrementalMinhash
+    val rnd = new scala.util.Random(29)
+    def noise(n: Int) = (1 to n).map(_ =>
+      ('a' + rnd.nextInt(26)).toChar.toString * (1 + rnd.nextInt(8)))
+      .mkString(" ")
+    val base = noise(40)
+    val docs = Seq(
+      (1L, base),                        // near-dup pair (1, 2): one
+      (2L, base + " zzz"),               //   appended token, j >> 0.5
+      (3L, noise(40)),                   // unrelated
+      (4L, noise(35)),                   // unrelated
+      (5L, base + " qq ww")              // second near-dup of 1/2
+    ).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("minc")
+      .toString + "/bands"
+    IncrementalMinhash.fold(spark, dir, docs.filter(col("doc_id") <= 2),
+      "text", "doc_id", batchNo = 1L)
+    IncrementalMinhash.fold(spark, dir, docs.filter(col("doc_id") > 2),
+      "text", "doc_id", batchNo = 2L)
+    def folded() = IncrementalMinhash
+      .matchesVerified(spark, dir, docs, "text", "doc_id")
+      .orderBy("id_a", "id_b").collect().map(_.toSeq).toSeq
+    val oneShot = TextDedup.minhashVerifiedPairs(docs, "text", "doc_id")
+      .orderBy("id_a", "id_b").collect().map(_.toSeq).toSeq
+    assert(folded() == oneShot) // the convergence gate
+    assert(oneShot.map(_.take(2)).toSet == Set(Seq(1L, 2L), Seq(1L, 5L),
+      Seq(2L, 5L)))
+    // replaying batch 2 re-merges idempotently
+    IncrementalMinhash.fold(spark, dir, docs.filter(col("doc_id") > 2),
+      "text", "doc_id", batchNo = 2L)
+    assert(folded() == oneShot)
+    // the stored table is batch-split invariant: a one-batch fold into
+    // a fresh dir stores the identical (doc, band, bucket) rows
+    val dir1 = java.nio.file.Files.createTempDirectory("minc1")
+      .toString + "/bands"
+    IncrementalMinhash.fold(spark, dir1, docs, "text", "doc_id",
+      batchNo = 1L)
+    def rows(d: String) = spark.read.parquet(d)
+      .select("doc", "band", "bucket")
+      .as[(Long, Int, Long)].collect().toSet
+    assert(rows(dir) == rows(dir1))
+    // ingest-time probe: a NEW near-dup of doc 1 matches the folded
+    // corpus; its output equals the one-shot cross restriction
+    val probe = Seq((100L, base + " rr"), (101L, noise(40)))
+      .toDF("doc_id", "text")
+    val cross = IncrementalMinhash.crossProbe(spark, dir, probe, docs,
+      "text", "doc_id")
+      .select("id_new", "id_old").as[(Long, Long)].collect().toSet
+    assert(cross.map(_._1) == Set(100L))
+    assert(cross.map(_._2) == Set(1L, 2L, 5L))
+  }
 }
