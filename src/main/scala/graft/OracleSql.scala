@@ -2297,6 +2297,19 @@ object OracleSql {
           AS duration_ms
       FROM documents ORDER BY doc_id""",
 
+    // FLAC STREAMINFO: duration = samples*1000 div rate, both sides
+    // recomputed from the planted id formulas (// is DuckDB integer
+    // division, matching the Spark side's long division)
+    "ns_multimodal_flac" ->
+      """SELECT doc_id,
+        0 AS width, 0 AS height,
+        CAST(((doc_id % 2) + 2) % 2 + 1 AS INT) AS channels,
+        CAST(((((doc_id * 997) % 10000000) + 10000000) % 10000000) * 1000
+          // (CASE ((doc_id % 4) + 4) % 4
+              WHEN 0 THEN 8000 WHEN 1 THEN 16000
+              WHEN 2 THEN 44100 ELSE 48000 END) AS BIGINT) AS duration_ms
+      FROM documents ORDER BY doc_id""",
+
     // the spectral embedder's peak bin under a planted pure sine:
     // physics says the Goertzel argmax IS the planted bin — the
     // oracle predicts it from the id formula alone

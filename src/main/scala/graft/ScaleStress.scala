@@ -147,7 +147,7 @@ object ScaleStress {
       // routing prices the token explode at scale, and the PQ tiers
       // price code-scan ANN on the densified embedding clones
       "ns_split_leakage", "ns_source_cap", "ns_bm25_route",
-      "ns_pq_topk", "ns_ivfpq_topk",
+      "ns_pq_topk", "ns_ivfpq_topk", "ns_ann_multitable",
       // continued-session additions: winnowing prices the fingerprint
       // artifact then its two probes amortize; source-overlap stresses
       // the per-shingle collect_set under the clone-heavy sources;

@@ -3359,6 +3359,40 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** FLAC STREAMINFO walk under a planted-header oracle: every doc
+    * carries a real minimal FLAC whose rate/channels/sample-count are
+    * id formulas, and the oracle recomputes duration = samples·1000
+    * div rate from the formulas alone (integer division on both
+    * sides). Mixed rates exercise the 20-bit rate unpack across byte
+    * boundaries; 16 vs 24 bps exercises the bps bit straddle.
+    */
+  private def nsMultimodalFlac(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val ids = t(s, dir, "documents").select("doc_id")
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("flac", BinaryType)))
+    val rdd = ids.rdd.map { r =>
+      val id = r.getLong(0)
+      val rate = java.lang.Math.floorMod(id, 4L) match {
+        case 0L => 8000
+        case 1L => 16000
+        case 2L => 44100
+        case _ => 48000
+      }
+      org.apache.spark.sql.Row(id, Multimodal.flacFixture(
+        sampleRate = rate,
+        channels = (java.lang.Math.floorMod(id, 2L) + 1).toInt,
+        bitsPerSample = if (java.lang.Math.floorMod(id, 3L) == 0L) 16 else 24,
+        totalSamples = java.lang.Math.floorMod(id * 997L, 10000000L)))
+    }
+    val media = Multimodal.withMedia(s.createDataFrame(rdd, schema),
+      "flac", "audio")
+    Multimodal.extractFeatures(media)
+      .select(col("doc_id"), col("width"), col("height"), col("channels"),
+        col("duration_ms"))
+      .orderBy("doc_id")
+  }
+
   /** The image EMBEDDER under an exact oracle — the visual sibling of
     * [[nsMultimodalAudioEmbed]]: every doc carries a REAL PNG with one
     * bright block planted at grid index (doc_id mod 9) of the 3×3
@@ -3597,6 +3631,7 @@ object SparkEntry {
     "ns_multimodal_image_embed" -> nsMultimodalImageEmbed,
     "ns_multimodal_webm" -> nsMultimodalWebm,
     "ns_multimodal_ogg" -> nsMultimodalOgg,
+    "ns_multimodal_flac" -> nsMultimodalFlac,
     "ns_multimodal_video" -> nsMultimodalVideo)
 
   /** DuckDB twins. Omitted: ns_dedup_minhash / ns_dedup_simhash /

@@ -63,6 +63,25 @@ object IncrementalMinhash {
     ParquetMerge.upsertPartitions(spark, dir, rows, "part", "pk", "ver")
   }
 
+  /** Streaming face of [[fold]]: each micro-batch folds through the
+    * same idempotent LWW merge, versioned by the streaming batchId
+    * (checkpoint + LWW = effective exactly-once, the
+    * [[IncrementalAnn.ivfFoldStream]] contract).
+    */
+  def foldStream(docs: DataFrame, dir: String, text: String, id: String,
+                 checkpoint: String)
+  : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .foreachBatch {
+        (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+         batchId: Long) =>
+          fold(b.sparkSession, dir, b.toDF(), text, id,
+            batchNo = batchId + 1L)
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
   /** Stored band rows, narrowed to the matcher's columns. */
   private def stored(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(dir).select(col("doc"), col("band"), col("bucket"))

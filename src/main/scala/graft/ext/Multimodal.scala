@@ -895,12 +895,77 @@ object Multimodal {
     * Matroska/webm, real page walk when they are Ogg Vorbis/Opus,
     * stub otherwise (unrecognized containers).
     */
+  /** FLAC STREAMINFO decode (the public FLAC format / RFC 9639):
+    * "fLaC" magic, then a walk of metadata block headers (1 byte
+    * last-flag+type, 24-bit big-endian length) to the mandatory
+    * STREAMINFO block (type 0, 34 bytes), whose bit-packed tail
+    * carries sample rate (20 bits), channels-1 (3), bits-per-sample-1
+    * (5) and total samples (36). duration = samples / rate.
+    * Header-only like the other container walks — audio frames are
+    * never touched, so cost is O(metadata), not O(blob).
+    */
+  def decodeFlac(bytes: Array[Byte]): Option[MediaFeatures] = {
+    if (bytes == null || bytes.length < 8) return None
+    if (bytes(0) != 'f' || bytes(1) != 'L' || bytes(2) != 'a' ||
+      bytes(3) != 'C') return None
+    try {
+      var off = 4
+      while (off + 4 <= bytes.length) {
+        val h = bytes(off) & 0xff
+        val len = ((bytes(off + 1) & 0xff) << 16) |
+          ((bytes(off + 2) & 0xff) << 8) | (bytes(off + 3) & 0xff)
+        val body = off + 4
+        if ((h & 0x7f) == 0) { // STREAMINFO
+          if (len < 34 || body + 34 > bytes.length) return None
+          def b(i: Int): Long = bytes(body + i) & 0xffL
+          val rate = (b(10) << 12) | (b(11) << 4) | (b(12) >> 4)
+          val channels = (((b(12) >> 1) & 0x7L) + 1L).toInt
+          val samples = ((b(13) & 0x0fL) << 32) | (b(14) << 24) |
+            (b(15) << 16) | (b(16) << 8) | b(17)
+          if (rate <= 0) return None // spec: 0 is invalid
+          return Some(MediaFeatures(0, 0, channels, samples * 1000L / rate))
+        }
+        if ((h & 0x80) != 0) return None // last block, STREAMINFO missing
+        off = body + len
+      }
+      None
+    } catch { case _: Exception => None }
+  }
+
+  /** Deterministic minimal FLAC fixture: magic + a single (last)
+    * STREAMINFO block with the given audio params bit-packed exactly
+    * as [[decodeFlac]] unpacks them — the planted-header oracle
+    * pattern of the WAV/MP4/webm/Ogg fixtures.
+    */
+  def flacFixture(sampleRate: Int, channels: Int, bitsPerSample: Int,
+                  totalSamples: Long): Array[Byte] = {
+    require(sampleRate > 0 && sampleRate < (1 << 20), "20-bit sample rate")
+    require(channels >= 1 && channels <= 8, "3-bit channels-1")
+    require(bitsPerSample >= 4 && bitsPerSample <= 32, "5-bit bps-1")
+    require(totalSamples >= 0 && totalSamples < (1L << 36), "36-bit samples")
+    val si = new Array[Byte](34)
+    si(0) = 0x10; si(2) = 0x10 // min/max blocksize 4096; frame sizes unknown
+    si(10) = ((sampleRate >> 12) & 0xff).toByte
+    si(11) = ((sampleRate >> 4) & 0xff).toByte
+    si(12) = (((sampleRate & 0xf) << 4) | (((channels - 1) & 0x7) << 1) |
+      (((bitsPerSample - 1) >> 4) & 0x1)).toByte
+    si(13) = ((((bitsPerSample - 1) & 0xf) << 4) |
+      ((totalSamples >> 32) & 0xfL)).toInt.toByte
+    si(14) = ((totalSamples >> 24) & 0xffL).toByte
+    si(15) = ((totalSamples >> 16) & 0xffL).toByte
+    si(16) = ((totalSamples >> 8) & 0xffL).toByte
+    si(17) = (totalSamples & 0xffL).toByte
+    "fLaC".getBytes("US-ASCII") ++
+      Array[Byte](0x80.toByte, 0, 0, 34) ++ si // last-flag | type 0, len 34
+  }
+
   def decode(bytes: Array[Byte], mediaType: String): MediaFeatures =
     decodeImage(bytes)
       .orElse(decodeWav(bytes))
       .orElse(decodeMp4(bytes))
       .orElse(decodeWebm(bytes))
       .orElse(decodeOgg(bytes))
+      .orElse(decodeFlac(bytes))
       .getOrElse(decodeStub(bytes, mediaType))
 
   /** Decode/feature-extract stage: batch-wise over partitions (the

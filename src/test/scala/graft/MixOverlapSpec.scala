@@ -431,5 +431,29 @@ class MixOverlapSpec extends SparkSpec {
       .select("id_new", "id_old").as[(Long, Long)].collect().toSet
     assert(cross.map(_._1) == Set(100L))
     assert(cross.map(_._2) == Set(1L, 2L, 5L))
+    // STREAMING face: the same two batches as a file stream converge
+    // to the identical matcher output, and a checkpointed restart
+    // with no new files replays nothing
+    val sroot = java.nio.file.Files.createTempDirectory("mincS").toString
+    val sDir = sroot + "/bands"
+    val ckp = sroot + "/ckp"
+    docs.filter(col("doc_id") <= 2).coalesce(1)
+      .write.parquet(sroot + "/f1")
+    Thread.sleep(1100) // distinct mod times -> deterministic batch order
+    docs.filter(col("doc_id") > 2).coalesce(1)
+      .write.parquet(sroot + "/f2")
+    def runStream(): Unit = {
+      val st = spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", "1").parquet(sroot + "/f*")
+      IncrementalMinhash.foldStream(st, sDir, "text", "doc_id", ckp)
+        .awaitTermination(180000)
+    }
+    runStream()
+    def sFolded() = IncrementalMinhash
+      .matchesVerified(spark, sDir, docs, "text", "doc_id")
+      .orderBy("id_a", "id_b").collect().map(_.toSeq).toSeq
+    assert(sFolded() == oneShot)
+    runStream() // checkpointed restart: no new files, no replay
+    assert(sFolded() == oneShot)
   }
 }

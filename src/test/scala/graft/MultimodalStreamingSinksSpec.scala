@@ -241,6 +241,45 @@ class MultimodalSpec extends SparkSpec {
     assert(out(1) == ((2L, stub.channels, stub.durationMs)))
   }
 
+  test("FLAC STREAMINFO walk: bit-packed rate/channels/samples unpack; skipped blocks; malformed shapes fall back") {
+    // 44100 Hz exercises the 20-bit rate straddling three bytes;
+    // 24 bps exercises the bps-1 bit split across bytes 12/13
+    val f = Multimodal.flacFixture(sampleRate = 44100, channels = 2,
+      bitsPerSample = 24, totalSamples = 44100L * 61 + 22050)
+    assert(Multimodal.decodeFlac(f)
+      .contains(Multimodal.MediaFeatures(0, 0, 2, 61500L)))
+    // a 36-bit sample count above 2^32 must not truncate
+    val big = Multimodal.flacFixture(8000, 1, 16, (1L << 33) + 8000L)
+    assert(Multimodal.decodeFlac(big).get.durationMs ==
+      ((1L << 33) + 8000L) * 1000L / 8000L)
+    // STREAMINFO found after a skipped foreign block (walk, not offset)
+    val padded = {
+      val inner = Multimodal.flacFixture(16000, 1, 16, 16000L)
+      val streaminfo = inner.drop(4) // header+34 bytes, last-flag set
+      "fLaC".getBytes("US-ASCII") ++
+        Array[Byte](4, 0, 0, 3, 1, 2, 3) ++ // VORBIS_COMMENT, len 3
+        streaminfo
+    }
+    assert(Multimodal.decodeFlac(padded).get.durationMs == 1000L)
+    // malformed: wrong magic, truncated STREAMINFO, rate 0, null
+    assert(Multimodal.decodeFlac("OggS....".getBytes).isEmpty)
+    assert(Multimodal.decodeFlac(f.take(20)).isEmpty)
+    val zeroRate = f.clone()
+    zeroRate(8 + 10) = 0; zeroRate(8 + 11) = 0
+    zeroRate(8 + 12) = (zeroRate(8 + 12) & 0x0f).toByte
+    assert(Multimodal.decodeFlac(zeroRate).isEmpty)
+    assert(Multimodal.decodeFlac(null).isEmpty)
+    // dispatch: flac rows get real features, garbage the stub
+    val df = Seq((1L, f), (2L, "garbage bytes!".getBytes))
+      .toDF("doc_id", "raw")
+    val out = Multimodal.extractFeatures(Multimodal.withMedia(df, "raw", "audio"))
+      .select("doc_id", "channels", "duration_ms")
+      .as[(Long, Int, Long)].collect().sortBy(_._1)
+    assert(out(0) == ((1L, 2, 61500L)))
+    val stub = Multimodal.decodeStub("garbage bytes!".getBytes, "audio")
+    assert(out(1) == ((2L, stub.channels, stub.durationMs)))
+  }
+
   test("spectral WAV embedding obeys physics: a pure sine peaks in its own frequency bin") {
     // bins at Nyquist·(d+1)/(dim+1): dim=16, rate 8000 → bins every
     // ~235 Hz starting 235. A 941 Hz sine sits on bin index 3; a
