@@ -259,6 +259,59 @@ object OracleSql {
       WHERE CAST(inter AS DOUBLE) / (sa.nsh + sb.nsh - inter) >= 0.5
       ORDER BY id_a, id_b"""
 
+  /** Shared portable-simhash CTE prefix: recompute the 32-bit
+    * signature bit-by-bit from the same token-code arithmetic as
+    * `TextDedup.portableSimhashSig` (every operation exists with
+    * identical semantics in DuckDB).
+    */
+  private def simhashBitsCte: String =
+    s"""toksa AS (
+        SELECT doc_id, ${wsToks("text")} AS toka FROM documents),
+      tok AS (SELECT doc_id, unnest(toka) AS t FROM toksa),
+      codes AS (
+        SELECT doc_id,
+               CAST(ascii(substring(t, 1, 1)) * 131 + length(t) AS BIGINT) AS c
+        FROM tok),
+      bits AS (
+        SELECT doc_id, j,
+               CASE WHEN SUM(CASE WHEN (c * ((2 * j + 3) * 65537)) % 1000003 % 2 = 1
+                                  THEN 1 ELSE -1 END) > 0
+                    THEN 1 ELSE 0 END AS bit
+        FROM codes CROSS JOIN (SELECT CAST(range AS BIGINT) AS j FROM range(0, 32)) js
+        GROUP BY doc_id, j)"""
+
+  /** Twin of TextDedup.simhashPairsPortable — ALL pairwise hammings
+    * (the engine's pigeonhole enumeration is exact w.r.t. the bound,
+    * so the direct O(n²·32) form here — fine at oracle scale — yields
+    * the identical pair set). Shared by `ns_dedup_simhash_portable`
+    * (one-shot) and `ns_simhash_incremental` (the same matcher over
+    * the folded signature table) — incremental convergence by hash.
+    */
+  private def simhashPortableSql: String =
+    s"""WITH $simhashBitsCte,
+      ham AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               SUM(CASE WHEN a.bit <> b.bit THEN 1 ELSE 0 END) AS hamming
+        FROM bits a JOIN bits b ON a.j = b.j AND a.doc_id < b.doc_id
+        GROUP BY 1, 2)
+      SELECT id_a, id_b, CAST(hamming AS BIGINT) AS hamming
+      FROM ham WHERE hamming <= 3 ORDER BY id_a, id_b"""
+
+  /** Asymmetric probe-vs-corpus form on doc_id % 5 — shared by
+    * `ns_simhash_guard` (batch sign both sides) and
+    * `ns_simhash_inc_probe` (corpus side from stored signatures).
+    */
+  private def simhashGuardSql: String =
+    s"""WITH $simhashBitsCte,
+      ham AS (
+        SELECT a.doc_id AS doc_id, b.doc_id AS corpus_id,
+               SUM(CASE WHEN a.bit <> b.bit THEN 1 ELSE 0 END) AS hamming
+        FROM bits a JOIN bits b
+          ON a.j = b.j AND a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0
+        GROUP BY 1, 2)
+      SELECT doc_id, corpus_id, CAST(hamming AS BIGINT) AS hamming
+      FROM ham WHERE hamming <= 3 ORDER BY doc_id, corpus_id"""
+
   private def crossDedupSql: String =
     s"""WITH ${shingleCtes("documents")},
       sh_new AS (SELECT doc_id, sh FROM sh WHERE doc_id % 10 = 0),
@@ -1961,55 +2014,22 @@ object OracleSql {
     // then ALL pairwise hammings (the engine's pigeonhole enumeration
     // is exact w.r.t. the bound, so the direct O(n²·32) form here —
     // fine at oracle scale — yields the identical pair set).
-    "ns_dedup_simhash_portable" ->
-      s"""WITH toksa AS (
-        SELECT doc_id, ${wsToks("text")} AS toka FROM documents),
-      tok AS (SELECT doc_id, unnest(toka) AS t FROM toksa),
-      codes AS (
-        SELECT doc_id,
-               CAST(ascii(substring(t, 1, 1)) * 131 + length(t) AS BIGINT) AS c
-        FROM tok),
-      bits AS (
-        SELECT doc_id, j,
-               CASE WHEN SUM(CASE WHEN (c * ((2 * j + 3) * 65537)) % 1000003 % 2 = 1
-                                  THEN 1 ELSE -1 END) > 0
-                    THEN 1 ELSE 0 END AS bit
-        FROM codes CROSS JOIN (SELECT CAST(range AS BIGINT) AS j FROM range(0, 32)) js
-        GROUP BY doc_id, j),
-      ham AS (
-        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-               SUM(CASE WHEN a.bit <> b.bit THEN 1 ELSE 0 END) AS hamming
-        FROM bits a JOIN bits b ON a.j = b.j AND a.doc_id < b.doc_id
-        GROUP BY 1, 2)
-      SELECT id_a, id_b, CAST(hamming AS BIGINT) AS hamming
-      FROM ham WHERE hamming <= 3 ORDER BY id_a, id_b""",
+    "ns_dedup_simhash_portable" -> simhashPortableSql,
+    // the incrementally-FOLDED signature table must converge to the
+    // one-shot pigeonhole matcher: SAME oracle (the minhash/winnow/bm25
+    // convergence-by-hash contract — signatures are per-doc pure, so
+    // fold-in-batches ≡ one-shot exactly)
+    "ns_simhash_incremental" -> simhashPortableSql,
 
     // Twin of TextDedup.simhashCrossPortable (the streaming guard's
     // batch form): same signature bits, asymmetric probe-vs-corpus
     // pairing on doc_id % 5.
-    "ns_simhash_guard" ->
-      s"""WITH toksa AS (
-        SELECT doc_id, ${wsToks("text")} AS toka FROM documents),
-      tok AS (SELECT doc_id, unnest(toka) AS t FROM toksa),
-      codes AS (
-        SELECT doc_id,
-               CAST(ascii(substring(t, 1, 1)) * 131 + length(t) AS BIGINT) AS c
-        FROM tok),
-      bits AS (
-        SELECT doc_id, j,
-               CASE WHEN SUM(CASE WHEN (c * ((2 * j + 3) * 65537)) % 1000003 % 2 = 1
-                                  THEN 1 ELSE -1 END) > 0
-                    THEN 1 ELSE 0 END AS bit
-        FROM codes CROSS JOIN (SELECT CAST(range AS BIGINT) AS j FROM range(0, 32)) js
-        GROUP BY doc_id, j),
-      ham AS (
-        SELECT a.doc_id AS doc_id, b.doc_id AS corpus_id,
-               SUM(CASE WHEN a.bit <> b.bit THEN 1 ELSE 0 END) AS hamming
-        FROM bits a JOIN bits b
-          ON a.j = b.j AND a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0
-        GROUP BY 1, 2)
-      SELECT doc_id, corpus_id, CAST(hamming AS BIGINT) AS hamming
-      FROM ham WHERE hamming <= 3 ORDER BY doc_id, corpus_id""",
+    "ns_simhash_guard" -> simhashGuardSql,
+    // ingest probe against the folded signature table: the corpus side
+    // is served from STORED signatures, which are per-doc pure — so the
+    // probe's pair set is the guard's pair set exactly, and the same
+    // SQL twin enforces it by hash
+    "ns_simhash_inc_probe" -> simhashGuardSql,
 
     "ns_dedup_exact" ->
       """WITH doubled AS (

@@ -203,7 +203,10 @@ object ScaleStress {
       // faces the signature-degenerate template family (its buckets
       // exceed maxBucket across folds, so the match-time cap must
       // drop them exactly as a one-shot build would)
-      "ns_minhash_incremental", "ns_minhash_inc_probe")
+      "ns_minhash_incremental", "ns_minhash_inc_probe",
+      // the signature fold faces the same degenerate template family;
+      // its probe must stay signature-only (no text fetch) at scale
+      "ns_simhash_incremental", "ns_simhash_inc_probe")
     // dev iteration: SPARK_GRAFT_STRESS_ONLY=name1,name2 runs just
     // those query steps (audits and corpus stats always run)
     val only = sys.env.get("SPARK_GRAFT_STRESS_ONLY")

@@ -1884,6 +1884,50 @@ object SparkEntry {
     out
   }
 
+  /** Incrementally-folded SimHash signature index: corpus folded in
+    * two batches into a stored (doc, sim) table, then the one-shot
+    * pigeonhole matcher run over the STORED signatures — no corpus
+    * re-sign, and no text read at match time at all. Shares
+    * ns_dedup_simhash_portable's SQL twin — fold ≡ one-shot enforced
+    * BY HASH (signatures are per-doc pure).
+    */
+  private def nsSimhashIncremental(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select("doc_id", "text")
+    val mid = docs.agg(max("doc_id")).head().getLong(0) / 2
+    val root = java.nio.file.Files.createTempDirectory("inc_simhash")
+    val tmp = root.toString + "/sigs"
+    graft.ext.IncrementalSimhash.fold(s, tmp,
+      docs.filter(col("doc_id") <= mid), "text", "doc_id", batchNo = 1L)
+    graft.ext.IncrementalSimhash.fold(s, tmp,
+      docs.filter(col("doc_id") > mid), "text", "doc_id", batchNo = 2L)
+    val out = graft.ext.IncrementalSimhash.matches(s, tmp, maxHamming = 3)
+      .select(col("id_a"), col("id_b"),
+        col("hamming").cast("long").as("hamming"))
+      .orderBy("id_a", "id_b").localCheckpoint()
+    deleteLocalDir(root)
+    out
+  }
+
+  /** Ingest-time probe against the folded signature index: every 5th
+    * doc plays the "new batch" (the ns_simhash_guard split, so the
+    * probe shares the guard's SQL twin), the rest are folded as the
+    * corpus; the probe signs ONLY the batch and reads NO corpus text —
+    * hamming needs just the stored signatures.
+    */
+  private def nsSimhashIncProbe(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select("doc_id", "text")
+    val root = java.nio.file.Files.createTempDirectory("inc_simhash_probe")
+    val tmp = root.toString + "/sigs"
+    graft.ext.IncrementalSimhash.fold(s, tmp,
+      docs.filter(col("doc_id") % 5 =!= 0), "text", "doc_id", batchNo = 1L)
+    val out = graft.ext.IncrementalSimhash
+      .crossProbe(s, tmp, docs.filter(col("doc_id") % 5 === 0),
+        "text", "doc_id", maxHamming = 3)
+      .orderBy("doc_id", "corpus_id").localCheckpoint()
+    deleteLocalDir(root)
+    out
+  }
+
   /** Incremental dedup: the docs arriving in a "new batch" (every 10th
     * doc id) near-dup-checked AGAINST the remaining corpus — the shape
     * a daily crawl-update runs instead of ever re-pairing the corpus
@@ -3573,6 +3617,8 @@ object SparkEntry {
     "ns_dedup_minhash_verified" -> nsDedupMinhashVerified,
     "ns_minhash_incremental" -> nsMinhashIncremental,
     "ns_minhash_inc_probe" -> nsMinhashIncProbe,
+    "ns_simhash_incremental" -> nsSimhashIncremental,
+    "ns_simhash_inc_probe" -> nsSimhashIncProbe,
     "ns_dedup_clusters" -> nsDedupClusters,
     "ns_dedup_survivors" -> nsDedupSurvivors,
     "ns_split_leakage" -> nsSplitLeakage,

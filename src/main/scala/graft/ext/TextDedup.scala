@@ -915,6 +915,20 @@ object TextDedup {
         s"transform(sequence(0, ${chunks - 1}), c -> (shiftrightunsigned(sim, c * $width) & ${mask}L))")))
       .withColumnRenamed("pos", "chunk").withColumnRenamed("col", "piece")
 
+  /** The pigeonhole pair enumeration over an ALREADY-SIGNED frame
+    * `(doc, sim)` — the entry point the incrementally-maintained
+    * signature index ([[IncrementalSimhash]]) probes through: signatures
+    * are per-doc pure, so a stored signature table is
+    * interchangeable with a freshly-signed one, and the matcher needs
+    * no document text at all (hamming is computed from the signatures).
+    */
+  def simhashPairsFromSigs(sigs: DataFrame, sigBits: Int,
+                           maxHamming: Int): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < sigBits,
+      "maxHamming in [0, sigBits)")
+    pigeonholePairs(sigs, sigBits, maxHamming)
+  }
+
   private def pigeonholePairs(sigs: DataFrame, sigBits: Int,
                               maxHamming: Int): DataFrame = {
     val chunks = maxHamming + 1
@@ -1001,16 +1015,32 @@ object TextDedup {
                            text: String, id: String,
                            maxHamming: Int = 3): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 32, "maxHamming in [0, 32)")
-    val chunks = maxHamming + 1
-    val width = 32 / chunks
-    val mask = (1L << width) - 1
-    def keyed(df: DataFrame): DataFrame = chunkKeyed(
+    def sign(df: DataFrame): DataFrame =
       df.select(col(id).as("doc"), tokens(col(text)).as("toks"))
-        .select(col("doc"), portableSimhashSig("toks").as("sim")),
-      chunks, width, mask)
-    val a = keyed(docs).select(
+        .select(col("doc"), portableSimhashSig("toks").as("sim"))
+    simhashCrossFromSigs(sign(docs), sign(corpus), maxHamming)
+  }
+
+  /** The asymmetric pigeonhole enumeration over ALREADY-SIGNED frames
+    * `(doc, sim)` — [[simhashCrossPortable]] after the signing step,
+    * split out so the incrementally-maintained signature index
+    * ([[IncrementalSimhash]]) can probe a batch against STORED corpus
+    * signatures: the corpus is neither re-tokenized nor re-signed, and
+    * no document text is read at all (hamming needs only the two
+    * signatures). The corpus side is chunk-keyed once and persisted; at
+    * cluster scale the join is a plain hash join on (chunk, piece).
+    */
+  def simhashCrossFromSigs(batchSigs: DataFrame, corpusSigs: DataFrame,
+                           maxHamming: Int = 3,
+                           sigBits: Int = 32): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < sigBits,
+      "maxHamming in [0, sigBits)")
+    val chunks = maxHamming + 1
+    val width = sigBits / chunks
+    val mask = if (width == 64) -1L else (1L << width) - 1
+    val a = chunkKeyed(batchSigs, chunks, width, mask).select(
       col("chunk"), col("piece"), col("doc").as("doc_id"), col("sim").as("sim_a"))
-    val b = keyed(corpus).select(
+    val b = chunkKeyed(corpusSigs, chunks, width, mask).select(
       col("chunk"), col("piece"), col("doc").as("corpus_id"), col("sim").as("sim_b"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     a.join(b, Seq("chunk", "piece"))

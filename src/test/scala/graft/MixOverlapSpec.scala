@@ -456,4 +456,96 @@ class MixOverlapSpec extends SparkSpec {
     runStream() // checkpointed restart: no new files, no replay
     assert(sFolded() == oneShot)
   }
+
+  test("incremental simhash fold converges to the one-shot pigeonhole matcher; probe reads no text; replays and LWW re-sign idempotent") {
+    import graft.ext.IncrementalSimhash
+    val rnd = new scala.util.Random(31)
+    def noise(n: Int) = (1 to n).map(_ =>
+      ('a' + rnd.nextInt(26)).toChar.toString * (1 + rnd.nextInt(8)))
+      .mkString(" ")
+    val base = noise(40)
+    val docs = Seq(
+      (1L, base),                        // near-dup pair (1, 2): one
+      (2L, base + " zzz"),               //   flipped-ish token
+      (3L, noise(40)),                   // unrelated
+      (4L, noise(35)),                   // unrelated
+      (5L, base + " qq")                 // second near-dup of 1
+    ).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("sinc")
+      .toString + "/sigs"
+    IncrementalSimhash.fold(spark, dir, docs.filter(col("doc_id") <= 2),
+      "text", "doc_id", batchNo = 1L)
+    IncrementalSimhash.fold(spark, dir, docs.filter(col("doc_id") > 2),
+      "text", "doc_id", batchNo = 2L)
+    def folded() = IncrementalSimhash.matches(spark, dir, maxHamming = 3)
+      .orderBy("id_a", "id_b").collect().map(_.toSeq).toSeq
+    val oneShot = TextDedup.simhashPairsPortable(docs, "text", "doc_id",
+      maxHamming = 3)
+      .orderBy("id_a", "id_b").collect().map(_.toSeq).toSeq
+    assert(folded() == oneShot) // the convergence gate
+    assert(oneShot.nonEmpty, "planted near-dups must pair")
+    // replaying batch 2 re-merges idempotently
+    IncrementalSimhash.fold(spark, dir, docs.filter(col("doc_id") > 2),
+      "text", "doc_id", batchNo = 2L)
+    assert(folded() == oneShot)
+    // batch-split invariance: a one-batch fold stores identical rows
+    val dir1 = java.nio.file.Files.createTempDirectory("sinc1")
+      .toString + "/sigs"
+    IncrementalSimhash.fold(spark, dir1, docs, "text", "doc_id",
+      batchNo = 1L)
+    def rows(d: String) = spark.read.parquet(d).select("doc", "sim")
+      .as[(Long, Long)].collect().toSet
+    assert(rows(dir) == rows(dir1))
+    // a re-crawled doc whose text CHANGED is superseded by LWW even
+    // though its new signature lands in a different part partition
+    val dir2 = java.nio.file.Files.createTempDirectory("sinc2")
+      .toString + "/sigs"
+    IncrementalSimhash.fold(spark, dir2, docs, "text", "doc_id",
+      batchNo = 1L)
+    val recrawl = Seq((3L, base + " rewritten")).toDF("doc_id", "text")
+    IncrementalSimhash.fold(spark, dir2, recrawl, "text", "doc_id",
+      batchNo = 2L)
+    val sig3 = spark.read.parquet(dir2).filter(col("doc") === 3L)
+      .select("sim").as[Long].collect().toSeq
+    val expect3 = recrawl
+      .select(TextDedup.tokens(col("text")).as("toks"))
+      .select(TextDedup.portableSimhashSig("toks").as("sim"))
+      .as[Long].collect().head
+    assert(sig3 == Seq(expect3), "stale signature must be superseded")
+    // ingest-time probe: a NEW near-dup of doc 1 matches the folded
+    // corpus from SIGNATURES ALONE, equal to the one-shot cross kernel
+    val probe = Seq((100L, base + " rr"), (101L, noise(40)))
+      .toDF("doc_id", "text")
+    def crossSet(df: org.apache.spark.sql.DataFrame) = df
+      .select("doc_id", "corpus_id", "hamming")
+      .as[(Long, Long, Long)].collect().toSet
+    val viaIndex = crossSet(IncrementalSimhash.crossProbe(spark, dir,
+      probe, "text", "doc_id", maxHamming = 3))
+    val viaKernel = crossSet(TextDedup.simhashCrossPortable(probe, docs,
+      "text", "doc_id", maxHamming = 3))
+    assert(viaIndex == viaKernel)
+    assert(viaIndex.map(_._1).contains(100L))
+    // streaming face: two file-batches fold to the same matcher output;
+    // checkpointed restart replays nothing
+    val sroot = java.nio.file.Files.createTempDirectory("sincS").toString
+    val sDir = sroot + "/sigs"
+    val ckp = sroot + "/ckp"
+    docs.filter(col("doc_id") <= 2).coalesce(1)
+      .write.parquet(sroot + "/f1")
+    Thread.sleep(1100) // distinct mod times -> deterministic batch order
+    docs.filter(col("doc_id") > 2).coalesce(1)
+      .write.parquet(sroot + "/f2")
+    def runStream(): Unit = {
+      val st = spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", "1").parquet(sroot + "/f*")
+      IncrementalSimhash.foldStream(st, sDir, "text", "doc_id", ckp)
+        .awaitTermination(180000)
+    }
+    runStream()
+    def sFolded() = IncrementalSimhash.matches(spark, sDir, maxHamming = 3)
+      .orderBy("id_a", "id_b").collect().map(_.toSeq).toSeq
+    assert(sFolded() == oneShot)
+    runStream() // checkpointed restart: no new files, no replay
+    assert(sFolded() == oneShot)
+  }
 }
