@@ -1428,17 +1428,26 @@ object TextDedup {
     * AUDITED, not assumed: the df summary keeps one string copy per
     * distinct corpus shingle (O(distinct shingles) — the summary is
     * already that size; only the O(postings) table drops strings),
-    * and the probe fails loudly before any pair math if (a) two
-    * corpus shingles share a code (min ≠ max string within a summary
-    * code group), (b) a batch shingle collides with a DIFFERENT
-    * corpus shingle (code matches, string differs), or (c) two batch
-    * shingles share a code. Expected collisions at 64 bits are
-    * ~n²/2⁶⁵ — about 3·10⁻⁸ at ten million distinct shingles, zero
-    * observed at any tested scale — so the audit is a tripwire for a
-    * regime (10¹⁰ distinct shingles) where the design would need
-    * 128-bit codes, not a cost center: it reads the summary (scanned
-    * anyway for the prune) plus one broadcast of the batch's distinct
-    * shingles.
+    * and the probe fails loudly before any pair math if (a) a batch
+    * shingle collides with a DIFFERENT corpus shingle (code matches,
+    * string differs) or (b) two batch shingles share a code. Both
+    * checks are O(batch distinct) — a broadcast of the batch's
+    * shingles map-side-joined into the summary scan, no
+    * corpus-string shuffle. CORPUS-internal injectivity (two corpus
+    * shingles sharing a code) is NOT re-proved per probe: it is an
+    * inductive invariant of the maintained summary — every
+    * [[graft.pipeline.IncrementalCuration.curateBatchIndexed]] fold
+    * runs exactly these two checks against the summary BEFORE
+    * appending its own (code, string) rows, so a summary built
+    * exclusively through the fold can never hold two strings for one
+    * code (x25 measurement: re-proving it per probe was an
+    * O(distinct-shingle-strings) groupBy shuffle, the probe's largest
+    * fixed cost). A hand-built or externally-mutated summary should
+    * be checked once with [[auditPostingCodes]]. Expected collisions
+    * at 64 bits are ~n²/2⁶⁵ — about 3·10⁻⁸ at ten million distinct
+    * shingles, zero observed at any tested scale — so the audit is a
+    * tripwire for a regime (10¹⁰ distinct shingles) where the design
+    * would need 128-bit codes, not a cost center.
     *
     * `postings` carries (doc, shc); `dfSummary` carries per-fold
     * (shc, sh, df_delta) rows — df = sum(df_delta) per code, the
@@ -1454,23 +1463,28 @@ object TextDedup {
       .select(col("doc").as("id_new"), explode(col("sh")).as("sh"))
       .withColumn("shc", xxhash64(col("sh")))
       .persist(lvl)
-    val dfAgg = dfSummary.groupBy("shc").agg(sum("df_delta").as("df"),
-        min("sh").as("_s1"), max("sh").as("_s2"))
-      .persist(lvl)
     val newDistinct = shNew.select("sh", "shc").distinct()
-    val corpusClash = dfAgg.filter(col("_s1") =!= col("_s2")).select("shc")
-    val crossClash = dfAgg.join(broadcast(newDistinct), Seq("shc"))
-      .filter(col("sh") =!= col("_s1")).select("shc")
+    // audit (batch-scoped — the corpus-internal invariant is
+    // maintained at fold time, see the class doc): the summary scan
+    // here is map-side after the batch broadcast, no string shuffle
+    val crossClash = dfSummary.select(col("shc"), col("sh").as("_cs"))
+      .join(broadcast(newDistinct), Seq("shc"))
+      .filter(col("_cs") =!= col("sh")).select("shc")
     val batchClash = newDistinct.groupBy("shc")
       .agg(count(lit(1)).as("_n")).filter(col("_n") > 1).select("shc")
-    val clash = corpusClash.unionByName(crossClash).unionByName(batchClash)
+    val clash = crossClash.unionByName(batchClash)
       .limit(1).collect()
     require(clash.isEmpty,
       s"xxhash64 shingle-code collision detected (code ${
         if (clash.isEmpty) "" else clash.head.getLong(0)}): hashed-" +
         "posting jaccard would miscount intersections — rebuild the " +
         "index with wider codes (this regime needs 128-bit identities)")
-    val overCap = dfAgg.filter(col("df") > maxPostings).select("shc")
+    // string-free prune: the df sum never touches the sh column, so
+    // the parquet scan of the summary here reads two long columns
+    val overCap = dfSummary.groupBy("shc")
+      .agg(sum("df_delta").as("df"))
+      .filter(col("df") > maxPostings).select("shc")
+      .persist(lvl)
     val shOld = postings.select(col("doc").as("id_old"), col("shc"))
       .join(broadcast(overCap), Seq("shc"), "left_anti")
       .persist(lvl)
@@ -1488,6 +1502,23 @@ object TextDedup {
       .filter(col("jaccard") >= threshold)
       .select(col("id_new"), col("id_old"), col("jaccard"))
   }
+
+  /** Full-table injectivity audit of a hashed-posting df summary: the
+    * codes that map to MORE than one distinct shingle string. Empty on
+    * any summary maintained exclusively through
+    * [[graft.pipeline.IncrementalCuration.curateBatchIndexed]] (the
+    * fold proves the invariant inductively before every append — class
+    * doc of [[crossNearDupsHashed]]); run this once over a hand-built
+    * or externally-mutated summary before probing it, or as a
+    * scheduled maintenance sweep. O(distinct shingles) with a string
+    * shuffle — the cost the per-probe audit deliberately no longer
+    * pays.
+    */
+  def auditPostingCodes(dfSummary: DataFrame): DataFrame =
+    dfSummary.groupBy("shc")
+      .agg(min("sh").as("_s1"), max("sh").as("_s2"))
+      .filter(col("_s1") =!= col("_s2"))
+      .select(col("shc"), col("_s1").as("sh_a"), col("_s2").as("sh_b"))
 
   /** Embedding-cosine near-duplicates: exact pairs above a threshold,
     * as a full cross join — the per-candidate verification KERNEL and

@@ -93,9 +93,12 @@ object IncrementalCuration {
     * partition-scoped LWW merge the state rows use (key = doc:code,
     * version = batchNo — a replayed batch re-merges to the identical
     * index). Postings carry 8-byte `xxhash64(sh)` codes, not strings
-    * (~3× smaller IO on the probe's dominant read); injectivity is
-    * audited per probe, loudly, against the string copies the df
-    * summary keeps. That per-shingle df SUMMARY ([[DfSuffix]]) also
+    * (the win is 8-byte JOIN keys — see TUNING.md's measured
+    * correction of the IO claim); code injectivity is an INVARIANT
+    * this fold maintains — batch-internal codes are checked before
+    * every append and batch-vs-corpus codes by the probe itself — so
+    * the per-probe audit is O(batch), never an O(distinct-shingles)
+    * string shuffle. That per-shingle df SUMMARY ([[DfSuffix]]) also
     * lets the maxPostings prune read O(distinct shingles) summary rows
     * instead of window-counting the posting table — no O(corpus)
     * shuffle per probe. This is the amortized nightly shape: the same
@@ -239,6 +242,24 @@ object IncrementalCuration {
         .select(col("part"), col("pk"), col("ver"), col("doc"), col("shc"))
       ParquetMerge.upsertPartitions(spark, stateDir + PostingsSuffix,
         shRows, "part", "pk", "ver")
+      // the fold-side half of the code-injectivity INVARIANT
+      // (crossNearDupsHashed class doc): the batch's distinct shingles
+      // must be internally injective before their (code, string) rows
+      // enter the summary. The batch-vs-CORPUS half is proved by the
+      // crossLosers probe above whenever state exists (it fails loudly
+      // on a cross clash before this append runs); on the very first
+      // fold there is no corpus to clash with. Together, by induction,
+      // a summary maintained only through this fold can never hold two
+      // strings for one code — which is what lets every subsequent
+      // probe skip the O(distinct-shingle-strings) corpus audit.
+      val dup = shBatch.select("sh", "shc").distinct()
+        .groupBy("shc").agg(count(lit(1)).as("_n"))
+        .filter(col("_n") > 1).limit(1).collect()
+      require(dup.isEmpty,
+        s"xxhash64 shingle-code collision within batch $batchNo (code " +
+          s"${if (dup.isEmpty) "" else dup.head.getLong(0)}): the " +
+          "hashed posting index would miscount intersections — this " +
+          "regime needs 128-bit codes")
       // this batch's df contribution, keyed shc:ver → replay rewrites
       // its own rows instead of double-counting
       val dfRows = shBatch.groupBy("sh", "shc")

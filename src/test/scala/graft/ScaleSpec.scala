@@ -184,10 +184,12 @@ class ScaleSpec extends SparkSpec {
     assert(viaPostings == viaText)
     assert(viaDf == viaText)
     assert(viaHashed == viaText)
-    // the injectivity audit is LOUD: a corpus shingle whose summary
-    // rows disagree on the string (a planted 64-bit collision) kills
-    // the probe before any pair math
-    val collided = dfSummary.unionByName(dfSummary.limit(1)
+    // the injectivity audit is LOUD: a stored summary string that
+    // disagrees with the batch's string for the same code (a planted
+    // 64-bit cross collision) kills the probe before any pair math —
+    // the shingle is one the batch provably shares with the corpus
+    val collided = dfSummary.unionByName(dfSummary
+      .filter(col("sh") === "copyright header footer").limit(1)
       .withColumn("sh", concat(col("sh"), lit(" forged-collision"))))
     val e = intercept[IllegalArgumentException] {
       TextDedup.crossNearDupsHashed(batch, hashedPostings, collided,
@@ -195,6 +197,13 @@ class ScaleSpec extends SparkSpec {
         .count()
     }
     assert(e.getMessage.contains("collision"))
+    // corpus-INTERNAL clashes are the fold-maintained invariant, no
+    // longer re-proved per probe (x25: that re-proof was the probe's
+    // largest fixed cost); the maintenance audit finds them instead
+    val audited = TextDedup.auditPostingCodes(collided).collect()
+    assert(audited.length == 1 &&
+      audited.head.getString(2).endsWith("forged-collision"), audited.toSeq)
+    assert(TextDedup.auditPostingCodes(dfSummary).isEmpty)
     // sanity: without the cap the boilerplate would pair everything
     val uncapped = TextDedup.crossNearDupsWithDf(batch, postings, dfCounts,
       "text", "doc_id", shingleN = 3, threshold = 0.01, maxPostings = 5000)
