@@ -2330,6 +2330,21 @@ object OracleSql {
               WHEN 2 THEN 44100 ELSE 48000 END) AS BIGINT) AS duration_ms
       FROM documents ORDER BY doc_id""",
 
+    // MP3: duration = frames*spf*1000 div rate, frames and rate both
+    // recomputed from the planted id formulas; spf is 1152 on the
+    // MPEG-1 rates and 576 on the MPEG-2 rate (id%4 = 3)
+    "ns_multimodal_mp3" ->
+      """SELECT doc_id,
+        0 AS width, 0 AS height,
+        CAST(((doc_id % 2) + 2) % 2 + 1 AS INT) AS channels,
+        CAST((((doc_id * 31) % 100000) + 100000) % 100000
+          * (CASE WHEN ((doc_id % 4) + 4) % 4 = 3 THEN 576 ELSE 1152 END)
+          * 1000
+          // (CASE ((doc_id % 4) + 4) % 4
+              WHEN 0 THEN 44100 WHEN 1 THEN 48000
+              WHEN 2 THEN 32000 ELSE 22050 END) AS BIGINT) AS duration_ms
+      FROM documents ORDER BY doc_id""",
+
     // the spectral embedder's peak bin under a planted pure sine:
     // physics says the Goertzel argmax IS the planted bin — the
     // oracle predicts it from the id formula alone

@@ -3437,6 +3437,43 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** MP3 header walk under a planted-header oracle, completing the
+    * audio container family (WAV, MP4, webm, Ogg, FLAC, MP3): every
+    * doc carries a real ID3v2-tagged (every third doc, varying tag
+    * size — exercising the syncsafe skip) MPEG Layer III frame whose
+    * Xing/Info block plants an id-formula frame count; the oracle
+    * recomputes duration = frames × samplesPerFrame × 1000 div rate.
+    * Rates span MPEG-1 (1152 samples/frame) AND MPEG-2 (576) so a
+    * version-table or samples-per-frame bug hash-mismatches.
+    */
+  private def nsMultimodalMp3(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val ids = t(s, dir, "documents").select("doc_id")
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("mp3", BinaryType)))
+    val rdd = ids.rdd.map { r =>
+      val id = r.getLong(0)
+      val rate = java.lang.Math.floorMod(id, 4L) match {
+        case 0L => 44100
+        case 1L => 48000
+        case 2L => 32000
+        case _ => 22050 // MPEG-2: the 576-samples/frame path
+      }
+      org.apache.spark.sql.Row(id, Multimodal.mp3Fixture(
+        sampleRate = rate,
+        channels = (java.lang.Math.floorMod(id, 2L) + 1).toInt,
+        frames = java.lang.Math.floorMod(id * 31L, 100000L),
+        tagBytes = if (java.lang.Math.floorMod(id, 3L) == 0L)
+          (64 + java.lang.Math.floorMod(id, 5L) * 7L).toInt else 0))
+    }
+    val media = Multimodal.withMedia(s.createDataFrame(rdd, schema),
+      "mp3", "audio")
+    Multimodal.extractFeatures(media)
+      .select(col("doc_id"), col("width"), col("height"), col("channels"),
+        col("duration_ms"))
+      .orderBy("doc_id")
+  }
+
   /** The image EMBEDDER under an exact oracle — the visual sibling of
     * [[nsMultimodalAudioEmbed]]: every doc carries a REAL PNG with one
     * bright block planted at grid index (doc_id mod 9) of the 3×3
@@ -3678,6 +3715,7 @@ object SparkEntry {
     "ns_multimodal_webm" -> nsMultimodalWebm,
     "ns_multimodal_ogg" -> nsMultimodalOgg,
     "ns_multimodal_flac" -> nsMultimodalFlac,
+    "ns_multimodal_mp3" -> nsMultimodalMp3,
     "ns_multimodal_video" -> nsMultimodalVideo)
 
   /** DuckDB twins. Omitted: ns_dedup_minhash / ns_dedup_simhash /

@@ -959,6 +959,145 @@ object Multimodal {
       Array[Byte](0x80.toByte, 0, 0, 34) ++ si // last-flag | type 0, len 34
   }
 
+  /** MPEG-1/2 Layer III sampling-rate tables (public MPEG audio
+    * spec, ISO/IEC 11172-3 / 13818-3): index 0-2 by version; the
+    * MPEG-2.5 extension halves the MPEG-2 rates again.
+    */
+  private val Mp3Rates: Map[Int, Array[Int]] = Map(
+    3 -> Array(44100, 48000, 32000), // MPEG-1
+    2 -> Array(22050, 24000, 16000), // MPEG-2
+    0 -> Array(11025, 12000, 8000)) // MPEG-2.5
+  /** Layer III bitrate tables (kbps), indexed 1-14 (0 = free, 15 =
+    * invalid); MPEG-2 and 2.5 share the low-rate table.
+    */
+  private val Mp3BitrateV1 = Array(0, 32, 40, 48, 56, 64, 80, 96,
+    112, 128, 160, 192, 224, 256, 320)
+  private val Mp3BitrateV2 = Array(0, 8, 16, 24, 32, 40, 48, 56,
+    64, 80, 96, 112, 128, 144, 160)
+
+  /** REAL MP3 decode — ID3v2 tag skip + MPEG audio frame header
+    * parse + Xing/Info frame-count read, completing the audio
+    * container family (WAV, MP4, webm, Ogg, FLAC, now MP3). All from
+    * the public specs: the ID3v2 header is "ID3" + version(2) +
+    * flags(1) + 4 SYNCSAFE size bytes (7 bits each — the tag length
+    * that must be skipped, +10 for a footer when flags bit 4 is
+    * set); the frame header is 11 sync bits then version(2),
+    * layer(2), protection(1), bitrate index(4), rate index(2),
+    * padding(1), private(1), channel mode(2, 3 = mono). Only Layer
+    * III is accepted (that is what makes the stream an mp3).
+    *
+    * Duration: when the first frame carries a Xing/"Info" VBR block
+    * (at the canonical offset past the side info — MPEG-1: 17 mono /
+    * 32 stereo bytes, MPEG-2/2.5: 9 / 17 — with flags bit 0 set),
+    * duration = frames × samplesPerFrame × 1000 / rate, EXACT
+    * integer math the planted-fixture oracle recomputes
+    * (samplesPerFrame: 1152 MPEG-1 Layer III, 576 MPEG-2/2.5).
+    * Otherwise the CBR estimate from the header bitrate:
+    * audioBytes × 8 / bitrate (unit-pinned, not on the oracle path —
+    * a real VBR stream without Xing has no header-only duration).
+    * Header-only like every other container walk: audio granules are
+    * never touched, cost is O(tag + one frame header), not O(blob).
+    */
+  def decodeMp3(bytes: Array[Byte]): Option[MediaFeatures] = {
+    if (bytes == null || bytes.length < 4) return None
+    try {
+      var off = 0
+      // ID3v2 tag: syncsafe 28-bit size EXCLUDES the 10-byte header
+      if (bytes.length >= 10 && bytes(0) == 'I' && bytes(1) == 'D' &&
+        bytes(2) == '3') {
+        if ((bytes(6) | bytes(7) | bytes(8) | bytes(9)) < 0) return None
+        val size = ((bytes(6) & 0x7f) << 21) | ((bytes(7) & 0x7f) << 14) |
+          ((bytes(8) & 0x7f) << 7) | (bytes(9) & 0x7f)
+        off = 10 + size + (if ((bytes(5) & 0x10) != 0) 10 else 0)
+      }
+      // bounded sync scan: tolerate padding junk between tag and frame
+      val scanEnd = math.min(bytes.length - 4, off + 4096)
+      while (off <= scanEnd && !((bytes(off) & 0xff) == 0xff &&
+        (bytes(off + 1) & 0xe0) == 0xe0)) off += 1
+      if (off > scanEnd) return None
+      val b1 = bytes(off + 1) & 0xff
+      val b2 = bytes(off + 2) & 0xff
+      val b3 = bytes(off + 3) & 0xff
+      val version = (b1 >> 3) & 0x3 // 3=MPEG1, 2=MPEG2, 0=MPEG2.5
+      val layer = (b1 >> 1) & 0x3 // 1 = Layer III
+      val brIdx = (b2 >> 4) & 0xf
+      val rateIdx = (b2 >> 2) & 0x3
+      val mode = (b3 >> 6) & 0x3 // 3 = mono
+      if (layer != 1 || version == 1 || rateIdx == 3 ||
+        brIdx == 0 || brIdx == 15) return None
+      val rate = Mp3Rates(version)(rateIdx)
+      val channels = if (mode == 3) 1 else 2
+      val spf = if (version == 3) 1152L else 576L
+      // Xing/Info block at the canonical post-side-info offset
+      val sideInfo =
+        if (version == 3) { if (mode == 3) 17 else 32 }
+        else { if (mode == 3) 9 else 17 }
+      // protection bit CLEAR means a 2-byte CRC precedes the side info
+      val crc = if ((b1 & 0x1) == 0) 2 else 0
+      val x = off + 4 + crc + sideInfo
+      if (x + 16 <= bytes.length &&
+        ((bytes(x) == 'X' && bytes(x + 1) == 'i' && bytes(x + 2) == 'n' &&
+          bytes(x + 3) == 'g') ||
+          (bytes(x) == 'I' && bytes(x + 1) == 'n' && bytes(x + 2) == 'f' &&
+            bytes(x + 3) == 'o')) && (bytes(x + 7) & 0x1) != 0) {
+        val frames = ((bytes(x + 8) & 0xffL) << 24) |
+          ((bytes(x + 9) & 0xffL) << 16) | ((bytes(x + 10) & 0xffL) << 8) |
+          (bytes(x + 11) & 0xffL)
+        return Some(MediaFeatures(0, 0, channels, frames * spf * 1000L / rate))
+      }
+      // CBR estimate from the header bitrate over the audio stream
+      val kbps = (if (version == 3) Mp3BitrateV1 else Mp3BitrateV2)(brIdx)
+      val audioBytes = (bytes.length - off).toLong
+      Some(MediaFeatures(0, 0, channels, audioBytes * 8L / kbps))
+    } catch { case _: Exception => None }
+  }
+
+  /** Deterministic minimal MP3 fixture — a REAL ID3v2 tag (when
+    * `tagBytes` > 0) followed by one REAL MPEG Layer III frame whose
+    * header encodes the given version/rate/mode and whose body
+    * carries a Xing "Info" block with the given frame count, packed
+    * exactly as [[decodeMp3]] unpacks them — the planted-header
+    * oracle pattern of the WAV/MP4/webm/Ogg/FLAC fixtures.
+    * `sampleRate` must be a Layer III rate from the MPEG-1 or MPEG-2
+    * tables (the version is inferred from it).
+    */
+  def mp3Fixture(sampleRate: Int, channels: Int, frames: Long,
+                 tagBytes: Int = 0): Array[Byte] = {
+    val (version, rateIdx) = Mp3Rates.collectFirst {
+      case (v, rates) if rates.indexOf(sampleRate) >= 0 =>
+        (v, rates.indexOf(sampleRate))
+    }.getOrElse(throw new IllegalArgumentException(
+      s"not a Layer III sample rate: $sampleRate"))
+    require(channels == 1 || channels == 2, "mono or stereo")
+    require(frames >= 0 && frames <= 0xffffffffL, "32-bit frame count")
+    require(tagBytes >= 0 && tagBytes < (1 << 28), "syncsafe tag size")
+    val tag: Array[Byte] = if (tagBytes == 0) Array.emptyByteArray
+    else "ID3".getBytes("US-ASCII") ++ Array[Byte](4, 0, 0,
+      ((tagBytes >> 21) & 0x7f).toByte, ((tagBytes >> 14) & 0x7f).toByte,
+      ((tagBytes >> 7) & 0x7f).toByte, (tagBytes & 0x7f).toByte) ++
+      new Array[Byte](tagBytes)
+    val mode = if (channels == 1) 3 else 0
+    val brIdx = 9 // 128 kbps MPEG-1 / 80 kbps MPEG-2 — any valid index
+    val kbps = (if (version == 3) Mp3BitrateV1 else Mp3BitrateV2)(brIdx)
+    val frameLen = (if (version == 3) 144 else 72) * kbps * 1000 / sampleRate
+    val frame = new Array[Byte](math.max(frameLen, 64))
+    frame(0) = 0xff.toByte
+    frame(1) = (0xe0 | (version << 3) | (1 << 1) | 1).toByte // Layer III
+    frame(2) = ((brIdx << 4) | (rateIdx << 2)).toByte
+    frame(3) = (mode << 6).toByte
+    val sideInfo =
+      if (version == 3) { if (mode == 3) 17 else 32 }
+      else { if (mode == 3) 9 else 17 }
+    val x = 4 + sideInfo
+    "Info".getBytes("US-ASCII").copyToArray(frame, x)
+    frame(x + 7) = 0x1 // flags: frames field present
+    frame(x + 8) = ((frames >> 24) & 0xffL).toByte
+    frame(x + 9) = ((frames >> 16) & 0xffL).toByte
+    frame(x + 10) = ((frames >> 8) & 0xffL).toByte
+    frame(x + 11) = (frames & 0xffL).toByte
+    tag ++ frame
+  }
+
   def decode(bytes: Array[Byte], mediaType: String): MediaFeatures =
     decodeImage(bytes)
       .orElse(decodeWav(bytes))
@@ -966,6 +1105,7 @@ object Multimodal {
       .orElse(decodeWebm(bytes))
       .orElse(decodeOgg(bytes))
       .orElse(decodeFlac(bytes))
+      .orElse(decodeMp3(bytes))
       .getOrElse(decodeStub(bytes, mediaType))
 
   /** Decode/feature-extract stage: batch-wise over partitions (the

@@ -280,6 +280,54 @@ class MultimodalSpec extends SparkSpec {
     assert(out(1) == ((2L, stub.channels, stub.durationMs)))
   }
 
+  test("MP3 header walk: ID3v2 syncsafe skip, Xing frame count, CRC shift, CBR estimate, malformed shapes fall back") {
+    // MPEG-1 stereo with an ID3v2 tag: 44100 Hz, 1152 samples/frame
+    val f1 = Multimodal.mp3Fixture(sampleRate = 44100, channels = 2,
+      frames = 38L * 44100 / 1152, tagBytes = 257) // syncsafe straddle
+    assert(Multimodal.decodeMp3(f1).contains(
+      Multimodal.MediaFeatures(0, 0, 2,
+        (38L * 44100 / 1152) * 1152L * 1000L / 44100L)))
+    // MPEG-2 mono, bare (no tag): 22050 Hz, 576 samples/frame
+    val f2 = Multimodal.mp3Fixture(22050, 1, frames = 1000L)
+    assert(Multimodal.decodeMp3(f2).contains(
+      Multimodal.MediaFeatures(0, 0, 1, 1000L * 576 * 1000 / 22050)))
+    // protection bit CLEAR: a 2-byte CRC precedes the side info and
+    // the Xing offset must shift with it
+    val crc = {
+      val b = Multimodal.mp3Fixture(48000, 1, frames = 4800L)
+      b.take(1) ++ Array((b(1) & 0xfe).toByte) ++ b.slice(2, 4) ++
+        Array[Byte](0, 0) ++ b.drop(4)
+    }
+    assert(Multimodal.decodeMp3(crc).get.durationMs ==
+      4800L * 1152 * 1000 / 48000)
+    // no Xing block -> CBR estimate from the header bitrate (index 9
+    // = 128 kbps MPEG-1): bytes*8/kbps milliseconds over the stream
+    val cbr = Multimodal.mp3Fixture(32000, 2, frames = 7L)
+    for (i <- 0 until 4) cbr(4 + 32 + i) = 0 // erase the Info magic
+    assert(Multimodal.decodeMp3(cbr).get.durationMs ==
+      cbr.length * 8L / 128L)
+    // malformed: no sync in window, truncated, reserved version,
+    // wrong layer, ASCII junk, null
+    assert(Multimodal.decodeMp3("garbage bytes!".getBytes).isEmpty)
+    assert(Multimodal.decodeMp3(f1.take(8)).isEmpty)
+    val badVer = f2.clone()
+    badVer(1) = ((badVer(1) & 0xe7) | 0x08).toByte // version = 01 reserved
+    assert(Multimodal.decodeMp3(badVer).isEmpty)
+    val badLayer = f2.clone()
+    badLayer(1) = (badLayer(1) & 0xf9).toByte // layer = 00 reserved
+    assert(Multimodal.decodeMp3(badLayer).isEmpty)
+    assert(Multimodal.decodeMp3(null).isEmpty)
+    // dispatch: mp3 rows get real features, garbage the stub
+    val df = Seq((1L, f1), (2L, "garbage bytes!".getBytes))
+      .toDF("doc_id", "raw")
+    val out = Multimodal.extractFeatures(Multimodal.withMedia(df, "raw", "audio"))
+      .select("doc_id", "channels", "duration_ms")
+      .as[(Long, Int, Long)].collect().sortBy(_._1)
+    assert(out(0) == ((1L, 2, (38L * 44100 / 1152) * 1152L * 1000L / 44100L)))
+    val stub = Multimodal.decodeStub("garbage bytes!".getBytes, "audio")
+    assert(out(1) == ((2L, stub.channels, stub.durationMs)))
+  }
+
   test("spectral WAV embedding obeys physics: a pure sine peaks in its own frequency bin") {
     // bins at Nyquist·(d+1)/(dim+1): dim=16, rate 8000 → bins every
     // ~235 Hz starting 235. A 941 Hz sine sits on bin index 3; a
