@@ -774,6 +774,26 @@ object OracleSql {
     * ns_curation_pipeline and ns_incremental_curation (the incremental
     * fold's convergence contract makes them the same question).
     */
+  /** One-shot SemDeDup dominance over sign cells — shared by the
+    * batch query and its incremental-fold twin (the convergence gate).
+    */
+  private lazy val semDedupOneShotSql: String =
+    """WITH b AS (
+        SELECT vec_id,
+          CAST((CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END)
+             + (CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END)
+             + (CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END)
+             + (CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END) AS BIGINT) AS cell,
+          CAST(embedding AS DOUBLE[]) AS v
+        FROM embeddings),
+      dropped AS (
+        SELECT DISTINCT a.vec_id FROM b a JOIN b c
+          ON a.cell = c.cell AND c.vec_id < a.vec_id
+        WHERE list_cosine_similarity(a.v, c.v) > 0.45)
+      SELECT vec_id, cell FROM b
+      WHERE vec_id NOT IN (SELECT vec_id FROM dropped)
+      ORDER BY vec_id"""
+
   private lazy val curationOneShotSql: String =
     s"""WITH f AS (
         SELECT doc_id, text,
@@ -3185,22 +3205,12 @@ object OracleSql {
     // compute the identical cells and the bit-identical double cosine,
     // so the survivor set is exact (the Spark side's maxCell guard
     // never engages at test scales)
-    "ns_semdedup" ->
-      """WITH b AS (
-        SELECT vec_id,
-          CAST((CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END)
-             + (CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END)
-             + (CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END)
-             + (CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END) AS BIGINT) AS cell,
-          CAST(embedding AS DOUBLE[]) AS v
-        FROM embeddings),
-      dropped AS (
-        SELECT DISTINCT a.vec_id FROM b a JOIN b c
-          ON a.cell = c.cell AND c.vec_id < a.vec_id
-        WHERE list_cosine_similarity(a.v, c.v) > 0.45)
-      SELECT vec_id, cell FROM b
-      WHERE vec_id NOT IN (SELECT vec_id FROM dropped)
-      ORDER BY vec_id""",
+    "ns_semdedup" -> semDedupOneShotSql,
+
+    // the incrementally-folded SemDeDup state shares the one-shot SQL
+    // VERBATIM — the hash gate IS the convergence proof (the
+    // ns_incremental_curation pattern at embedding level)
+    "ns_semdedup_incremental" -> semDedupOneShotSql,
 
     "ns_mmr_rerank" -> mmrSql(5),
 

@@ -2766,6 +2766,34 @@ object SparkEntry {
       signBits = 4, threshold = 0.45)
       .orderBy("vec_id")
 
+  /** The incrementally-FOLDED SemDeDup state, end-to-end: the
+    * embeddings corpus arrives as three ascending-id batches folded
+    * into an empty state (ext.IncrementalSemDedup — within-cell
+    * batch×state dominance joins, the corpus never self-joins), and
+    * the surviving (vec_id, cell) set must hash-match the one-shot
+    * [[nsSemDedup]] SQL twin over the whole corpus — the oracle gate
+    * IS the convergence proof, the ns_incremental_curation pattern
+    * applied to embedding-level dedup.
+    */
+  private def nsSemDedupIncremental(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
+    val hi = emb.agg(max("vec_id")).head().getLong(0)
+    val (c1, c2) = (hi / 3, 2 * hi / 3)
+    val root = java.nio.file.Files.createTempDirectory("inc_sem")
+    val tmp = root.toString + "/state"
+    graft.ext.IncrementalSemDedup.fold(s, tmp,
+      emb.filter(col("vec_id") <= c1), "vec_id", "embedding", batchNo = 1L)
+    graft.ext.IncrementalSemDedup.fold(s, tmp,
+      emb.filter(col("vec_id") > c1 && col("vec_id") <= c2),
+      "vec_id", "embedding", batchNo = 2L)
+    graft.ext.IncrementalSemDedup.fold(s, tmp,
+      emb.filter(col("vec_id") > c2), "vec_id", "embedding", batchNo = 3L)
+    val out = graft.ext.IncrementalSemDedup.survivors(s, tmp, "vec_id")
+      .orderBy("vec_id").localCheckpoint()
+    deleteLocalDir(root)
+    out
+  }
+
   /** The full curation composite: quality gate → normalized dedup →
     * near-dup removal, as one plan.
     */
@@ -3685,6 +3713,7 @@ object SparkEntry {
     "ns_embed_neardup" -> nsEmbedNearDup,
     "ns_embed_neardup_lsh" -> nsEmbedNearDupLsh,
     "ns_semdedup" -> nsSemDedup,
+    "ns_semdedup_incremental" -> nsSemDedupIncremental,
     "ns_topk_similarity" -> nsTopkSimilarity,
     "ns_hard_negatives" -> nsHardNegatives,
     "ns_length_buckets" -> nsLengthBuckets,

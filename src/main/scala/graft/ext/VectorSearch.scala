@@ -800,13 +800,22 @@ object VectorSearch {
     * variants: [[ivfBuild]] cells + this kernel, or the LSH-bucketed
     * pair listing in [[graft.ext.TextDedup.embeddingNearDupsBucketed]].
     */
+  /** Sign-pattern cell id of an embedding column: bit j set iff
+    * component j+1 is > 0 — the engine-portable coarse quantizer
+    * [[semDedup]] and [[IncrementalSemDedup]] share (one expression,
+    * so the two paths cannot bin differently).
+    */
+  def signCell(v: Column, signBits: Int): Column = {
+    require(signBits >= 1 && signBits <= 62, s"signBits in [1,62], got $signBits")
+    (0 until signBits).map(j =>
+      when(element_at(v, j + 1) > lit(0f), lit(1L << j))
+        .otherwise(lit(0L))).reduce(_ + _)
+  }
+
   def semDedup(emb: DataFrame, id: String, vec: String, signBits: Int = 4,
                threshold: Double = 0.45, maxCell: Long = 100000L,
                verbose: Boolean = false): DataFrame = {
-    require(signBits >= 1 && signBits <= 62, s"signBits in [1,62], got $signBits")
-    val cellCol = (0 until signBits).map(j =>
-      when(element_at(col("_v"), j + 1) > lit(0f), lit(1L << j))
-        .otherwise(lit(0L))).reduce(_ + _)
+    val cellCol = signCell(col("_v"), signBits)
     val cells = emb.select(col(id).as("_vid"), col(vec).as("_v"))
       .withColumn("cell", cellCol)
       .withColumn("_csize", count(lit(1)).over(Window.partitionBy("cell")))

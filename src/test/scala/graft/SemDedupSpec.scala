@@ -73,4 +73,90 @@ class SemDedupSpec extends SparkSpec {
     assert(got == want)
     assert(dropped.nonEmpty, "the planted near-dups must make this bite")
   }
+
+  private def foldAll(dir: String, batches: Seq[(Long, Seq[Long])],
+                      df: org.apache.spark.sql.DataFrame): Unit =
+    batches.foreach { case (no, ids) =>
+      graft.ext.IncrementalSemDedup.fold(spark, dir,
+        df.filter(col("vec_id").isin(ids: _*)), "vec_id", "embedding",
+        batchNo = no)
+    }
+
+  test("incremental fold converges to the one-shot on the real embeddings table; replay idempotent") {
+    val emb = graft.source.Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding")
+    val hi = emb.agg(max("vec_id")).head().getLong(0)
+    val dir = java.nio.file.Files.createTempDirectory("isem").toString + "/s"
+    graft.ext.IncrementalSemDedup.fold(spark, dir,
+      emb.filter(col("vec_id") <= hi / 2), "vec_id", "embedding", 1L)
+    graft.ext.IncrementalSemDedup.fold(spark, dir,
+      emb.filter(col("vec_id") > hi / 2), "vec_id", "embedding", 2L)
+    val folded = graft.ext.IncrementalSemDedup.survivors(spark, dir, "vec_id")
+      .select("vec_id", "cell").as[(Long, Long)].collect().toSeq.sorted
+    val oneShot = VectorSearch.semDedup(emb, "vec_id", "embedding",
+      signBits = 4, threshold = 0.45)
+      .select("vec_id", "cell").as[(Long, Long)].collect().toSeq.sorted
+    assert(folded == oneShot)
+    assert(folded.size < emb.count(), "the planted near-dups must bite")
+    // replay batch 2 with its original rows: state must not change
+    graft.ext.IncrementalSemDedup.fold(spark, dir,
+      emb.filter(col("vec_id") > hi / 2), "vec_id", "embedding", 2L)
+    val replayed = graft.ext.IncrementalSemDedup.survivors(spark, dir, "vec_id")
+      .select("vec_id", "cell").as[(Long, Long)].collect().toSeq.sorted
+    assert(replayed == folded)
+  }
+
+  test("incremental fold: cross-batch dominance by a DROPPED state row; out-of-order guard; cap contract") {
+    // ids 1..3 are a dup chain in cell 15: 2 and 3 die to 1 in batch 1;
+    // a batch-2 clone of 3 must STILL die (dropped rows dominate)
+    val later = Seq((7L, v(1f, 1f, 1f, 1f, 0.91f, 0.121f)))
+      .toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("isem2").toString + "/s"
+    foldAll(dir, Seq(1L -> Seq(1L, 2L, 3L, 4L, 5L, 6L)), planted)
+    graft.ext.IncrementalSemDedup.fold(spark, dir, later,
+      "vec_id", "embedding", batchNo = 2L)
+    val surv = graft.ext.IncrementalSemDedup.survivors(spark, dir, "vec_id")
+      .select("vec_id").as[Long].collect().toSet
+    assert(surv == Set(1L, 4L, 5L), s"got $surv")
+    // out-of-order: a NEW batchNo carrying an id below state must die
+    val e = intercept[IllegalArgumentException] {
+      graft.ext.IncrementalSemDedup.fold(spark, dir,
+        Seq((0L, v(1f, 1f, 1f, 1f, 2f, 2f))).toDF("vec_id", "embedding"),
+        "vec_id", "embedding", batchNo = 3L)
+    }
+    assert(e.getMessage.contains("out-of-order"))
+    // cap contract: a fold that would push a cell past maxCell fails
+    // loudly instead of silently diverging from the one-shot
+    val e2 = intercept[IllegalArgumentException] {
+      graft.ext.IncrementalSemDedup.fold(spark, dir,
+        Seq((8L, v(1f, 1f, 1f, 1f, 30f, -2f)),
+          (9L, v(1f, 1f, 1f, 1f, -30f, 40f))).toDF("vec_id", "embedding"),
+        "vec_id", "embedding", batchNo = 3L, maxCell = 5L)
+    }
+    assert(e2.getMessage.contains("maxCell"))
+  }
+
+  test("incremental fold: streaming face equals the batch fold") {
+    val emb = graft.source.Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding").filter(col("vec_id") < 400)
+    val root = java.nio.file.Files.createTempDirectory("isem3").toString
+    // two coalesced files so maxFilesPerTrigger=1 yields two ordered
+    // micro-batches (the rule 11 lesson: file assignment = batch order)
+    emb.filter(col("vec_id") < 200).coalesce(1)
+      .write.parquet(root + "/in/b1")
+    emb.filter(col("vec_id") >= 200).coalesce(1)
+      .write.parquet(root + "/in/b2")
+    val src = spark.readStream.schema(emb.schema)
+      .option("maxFilesPerTrigger", "1").parquet(root + "/in/b*")
+    val q = graft.ext.IncrementalSemDedup.foldStream(src, root + "/state",
+      "vec_id", "embedding", checkpoint = root + "/ck")
+    q.awaitTermination()
+    val streamed = graft.ext.IncrementalSemDedup
+      .survivors(spark, root + "/state", "vec_id")
+      .select("vec_id", "cell").as[(Long, Long)].collect().toSeq.sorted
+    val oneShot = VectorSearch.semDedup(emb, "vec_id", "embedding",
+      signBits = 4, threshold = 0.45)
+      .select("vec_id", "cell").as[(Long, Long)].collect().toSeq.sorted
+    assert(streamed == oneShot)
+  }
 }
