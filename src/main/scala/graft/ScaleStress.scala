@@ -206,7 +206,12 @@ object ScaleStress {
       "ns_minhash_incremental", "ns_minhash_inc_probe",
       // the signature fold faces the same degenerate template family;
       // its probe must stay signature-only (no text fetch) at scale
-      "ns_simhash_incremental", "ns_simhash_inc_probe")
+      "ns_simhash_incremental", "ns_simhash_inc_probe",
+      // third session: the SemDedup fold faces the densified embedding
+      // clones — every planted clone family shares a sign cell, so
+      // within-cell dominance does the full kill at fold time and the
+      // folded survivors must equal the one-shot's
+      "ns_semdedup_incremental")
     // dev iteration: SPARK_GRAFT_STRESS_ONLY=name1,name2 runs just
     // those query steps (audits and corpus stats always run)
     val only = sys.env.get("SPARK_GRAFT_STRESS_ONLY")
