@@ -777,6 +777,65 @@ object OracleSql {
   /** One-shot SemDeDup dominance over sign cells — shared by the
     * batch query and its incremental-fold twin (the convergence gate).
     */
+  /** Per-source corpus profile — shared by the one-shot
+    * `ns_source_stats` and the folded `ns_stats_incremental`
+    * (associative integer sums; avg derived from the sums).
+    */
+  private lazy val sourceStatsOneShotSql: String =
+    s"""SELECT source, count(*) AS n_docs,
+        CAST(sum(len(${wsToksCased("text")})) AS BIGINT) AS n_tokens,
+        CAST(sum(n_chars) AS BIGINT) AS n_chars_total,
+        round(CAST(sum(len(${wsToksCased("text")})) AS DOUBLE) / count(*), 6) AS avg_tokens
+      FROM documents GROUP BY 1 ORDER BY source"""
+
+  /** Explicit-cell CMS estimate-vs-true audit — shared by the one-shot
+    * `ns_cms_counts` and the folded `ns_cms_incremental` (cells are
+    * associative, so fold ≡ rebuild bit-for-bit).
+    */
+  private lazy val cmsOneShotSql: String =
+    s"""WITH toks AS (
+        SELECT unnest(${wsToks("text")}) AS t FROM documents),
+      codes AS (
+        SELECT t, CAST(ascii(substring(t, 1, 1)) * 131 + length(t) AS BIGINT) AS c
+        FROM toks),
+      ds AS (SELECT CAST(range AS BIGINT) AS d FROM range(0, 4)),
+      cells AS (
+        SELECT d, (c * ((2 * d + 3) * 65537)) % 1000003 % 64 AS b,
+          CAST(count(*) AS BIGINT) AS cell_n
+        FROM codes CROSS JOIN ds GROUP BY 1, 2),
+      top AS (
+        SELECT t AS term, CAST(count(*) AS BIGINT) AS true_n, min(c) AS c
+        FROM codes GROUP BY t ORDER BY true_n DESC, term LIMIT 50),
+      est AS (
+        SELECT term, true_n, min(cell_n) AS est_n
+        FROM top CROSS JOIN ds
+        JOIN cells ON cells.d = ds.d
+          AND cells.b = (top.c * ((2 * ds.d + 3) * 65537)) % 1000003 % 64
+        GROUP BY 1, 2)
+      SELECT term, true_n, CAST(est_n AS BIGINT) AS est_n,
+        CAST(est_n - true_n AS BIGINT) AS over_n
+      FROM est ORDER BY term"""
+
+  /** Transitive-closure component labeling over the exact-jaccard pair
+    * graph — shared by the one-shot `ns_dedup_clusters` and the folded
+    * `ns_cc_incremental` (convergence-by-hash, the fold-family
+    * contract).
+    */
+  private lazy val clustersOneShotSql: String =
+    s"""WITH RECURSIVE ${jaccardCtes("documents", pruned = true)},
+      pairs AS (
+        SELECT id_a, id_b FROM inter
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE CAST(inter AS DOUBLE) / (sa.nsh + sb.nsh - inter) >= 0.12),
+      edges AS (SELECT id_a AS a, id_b AS b FROM pairs UNION SELECT id_b, id_a FROM pairs),
+      reach AS (
+        SELECT a AS node, b AS r FROM edges
+        UNION
+        SELECT reach.node, edges.b FROM reach JOIN edges ON reach.r = edges.a),
+      lbl AS (SELECT node, least(node, min(r)) AS cluster FROM reach GROUP BY node)
+      SELECT node AS doc_id, cluster FROM lbl ORDER BY doc_id"""
+
   private lazy val semDedupOneShotSql: String =
     """WITH b AS (
         SELECT vec_id,
@@ -1248,12 +1307,13 @@ object OracleSql {
         round(maxabs / 127.0, 6) AS qscale
       FROM exploded ORDER BY vec_id, dim""",
 
-    "ns_source_stats" ->
-      s"""SELECT source, count(*) AS n_docs,
-        CAST(sum(len(${wsToksCased("text")})) AS BIGINT) AS n_tokens,
-        CAST(sum(n_chars) AS BIGINT) AS n_chars_total,
-        round(CAST(sum(len(${wsToksCased("text")})) AS DOUBLE) / count(*), 6) AS avg_tokens
-      FROM documents GROUP BY 1 ORDER BY source""",
+    "ns_source_stats" -> sourceStatsOneShotSql,
+
+    // the incrementally-folded profile shares the one-shot SQL
+    // VERBATIM: per-(batch, source) integer deltas re-sum to the
+    // exact corpus totals, and the avg derives from those sums at
+    // probe time — fold ≡ rebuild bit-for-bit
+    "ns_stats_incremental" -> sourceStatsOneShotSql,
 
     "ns_chunk_docs" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
@@ -2250,29 +2310,13 @@ object OracleSql {
 
     // explicit-cell CMS: the same portable token-code + multiplier
     // family arithmetic, cells and mins recomputed exactly
-    "ns_cms_counts" ->
-      s"""WITH toks AS (
-        SELECT unnest(${wsToks("text")}) AS t FROM documents),
-      codes AS (
-        SELECT t, CAST(ascii(substring(t, 1, 1)) * 131 + length(t) AS BIGINT) AS c
-        FROM toks),
-      ds AS (SELECT CAST(range AS BIGINT) AS d FROM range(0, 4)),
-      cells AS (
-        SELECT d, (c * ((2 * d + 3) * 65537)) % 1000003 % 64 AS b,
-          CAST(count(*) AS BIGINT) AS cell_n
-        FROM codes CROSS JOIN ds GROUP BY 1, 2),
-      top AS (
-        SELECT t AS term, CAST(count(*) AS BIGINT) AS true_n, min(c) AS c
-        FROM codes GROUP BY t ORDER BY true_n DESC, term LIMIT 50),
-      est AS (
-        SELECT term, true_n, min(cell_n) AS est_n
-        FROM top CROSS JOIN ds
-        JOIN cells ON cells.d = ds.d
-          AND cells.b = (top.c * ((2 * ds.d + 3) * 65537)) % 1000003 % 64
-        GROUP BY 1, 2)
-      SELECT term, true_n, CAST(est_n AS BIGINT) AS est_n,
-        CAST(est_n - true_n AS BIGINT) AS over_n
-      FROM est ORDER BY term""",
+    "ns_cms_counts" -> cmsOneShotSql,
+
+    // the incrementally-folded CMS shares the one-shot SQL VERBATIM:
+    // cells and true counts fold by plain integer addition
+    // (associative), so the folded estimate path is BIT-equal to the
+    // rebuild — the hash gate is the proof
+    "ns_cms_incremental" -> cmsOneShotSql,
 
     // real-image decode round-trip: the Spark side ENCODES a genuine
     // PNG per doc at formula dims and header-DECODES it back through
@@ -3149,20 +3193,13 @@ object OracleSql {
     // connected components by transitive closure (recursive CTE) — an
     // independent implementation of the Spark side's iterative min-label
     // propagation over the same pair graph
-    "ns_dedup_clusters" ->
-      s"""WITH RECURSIVE ${jaccardCtes("documents", pruned = true)},
-      pairs AS (
-        SELECT id_a, id_b FROM inter
-        JOIN sizes sa ON sa.doc_id = id_a
-        JOIN sizes sb ON sb.doc_id = id_b
-        WHERE CAST(inter AS DOUBLE) / (sa.nsh + sb.nsh - inter) >= 0.12),
-      edges AS (SELECT id_a AS a, id_b AS b FROM pairs UNION SELECT id_b, id_a FROM pairs),
-      reach AS (
-        SELECT a AS node, b AS r FROM edges
-        UNION
-        SELECT reach.node, edges.b FROM reach JOIN edges ON reach.r = edges.a),
-      lbl AS (SELECT node, least(node, min(r)) AS cluster FROM reach GROUP BY node)
-      SELECT node AS doc_id, cluster FROM lbl ORDER BY doc_id""",
+    "ns_dedup_clusters" -> clustersOneShotSql,
+
+    // the incrementally-folded component labeling shares the one-shot
+    // closure SQL VERBATIM — the hash gate IS the proof that folding
+    // the pair graph batch-by-batch (ext.IncrementalClusters) lands on
+    // the same labels as contracting all edges at once
+    "ns_cc_incremental" -> clustersOneShotSql,
 
     // same transitive closure as ns_dedup_clusters, then the keep-
     // longest survivor rule stated as a rank over (n_chars desc, id)

@@ -211,7 +211,13 @@ object ScaleStress {
       // clones — every planted clone family shares a sign cell, so
       // within-cell dominance does the full kill at fold time and the
       // folded survivors must equal the one-shot's
-      "ns_semdedup_incremental")
+      "ns_semdedup_incremental",
+      // fourth session: the connected-components fold faces a pair
+      // graph where clone families are large cliques split across the
+      // three arrival batches — the delta-contraction + flat-redirect
+      // invariant has to hold through heavy cross-batch merges; the
+      // CMS fold re-prices the portable-hash token pass batch-wise
+      "ns_cc_incremental", "ns_cms_incremental")
     // dev iteration: SPARK_GRAFT_STRESS_ONLY=name1,name2 runs just
     // those query steps (audits and corpus stats always run)
     val only = sys.env.get("SPARK_GRAFT_STRESS_ONLY")

@@ -1332,6 +1332,32 @@ object SparkEntry {
         round(sum("nt").cast("double") / count(lit(1)), 6).as("avg_tokens"))
       .orderBy("source")
 
+  /** The incrementally-FOLDED per-source corpus profile
+    * (ext.IncrementalStats): three ascending-id batches fold one
+    * associative delta row per (batch, source); the probe's exact
+    * integer sums — and the avg derived from them at probe time —
+    * must hash-match the one-shot [[nsSourceStats]] SQL twin.
+    */
+  private def nsStatsIncremental(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select("doc_id", "source", "text",
+      "n_chars")
+    val hi = docs.agg(max("doc_id")).head().getLong(0)
+    val (c1, c2) = (hi / 3, 2 * hi / 3)
+    val root = java.nio.file.Files.createTempDirectory("inc_stats")
+    val tmp = root.toString + "/state"
+    graft.ext.IncrementalStats.fold(s, tmp,
+      docs.filter(col("doc_id") <= c1), "text", "source", batchNo = 1L)
+    graft.ext.IncrementalStats.fold(s, tmp,
+      docs.filter(col("doc_id") > c1 && col("doc_id") <= c2), "text",
+      "source", batchNo = 2L)
+    graft.ext.IncrementalStats.fold(s, tmp,
+      docs.filter(col("doc_id") > c2), "text", "source", batchNo = 3L)
+    val out = graft.ext.IncrementalStats.probe(s, tmp)
+      .orderBy("source").localCheckpoint()
+    deleteLocalDir(root)
+    out
+  }
+
   /** Sliding-window chunking of documents into 32-token windows with
     * stride 24 — pure map-side (no shuffle at any corpus size).
     */
@@ -1802,6 +1828,32 @@ object SparkEntry {
       depth = 4, width = 64, topK = 50)
       .orderBy("term")
 
+  /** The incrementally-FOLDED CMS (ext.IncrementalSketch): the corpus
+    * arrives as three ascending-id batches whose token counts fold
+    * into persisted cell + vocab delta tables by plain addition
+    * (mergeable-summary associativity), and the probe's top-50
+    * estimate audit must hash-match the one-shot [[nsCmsCounts]] SQL
+    * twin — fold ≡ rebuild, bit-for-bit.
+    */
+  private def nsCmsIncremental(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select("doc_id", "text")
+    val hi = docs.agg(max("doc_id")).head().getLong(0)
+    val (c1, c2) = (hi / 3, 2 * hi / 3)
+    val root = java.nio.file.Files.createTempDirectory("inc_cms")
+    val tmp = root.toString + "/state"
+    graft.ext.IncrementalSketch.cmsFold(s, tmp,
+      docs.filter(col("doc_id") <= c1), "text", batchNo = 1L)
+    graft.ext.IncrementalSketch.cmsFold(s, tmp,
+      docs.filter(col("doc_id") > c1 && col("doc_id") <= c2), "text",
+      batchNo = 2L)
+    graft.ext.IncrementalSketch.cmsFold(s, tmp,
+      docs.filter(col("doc_id") > c2), "text", batchNo = 3L)
+    val out = graft.ext.IncrementalSketch.cmsProbe(s, tmp)
+      .orderBy("term").localCheckpoint()
+    deleteLocalDir(root)
+    out
+  }
+
   /** Feature hashing (Sketches.featureHash, 64 buckets): the
     * vocabulary-free sparse featurization, portable-hash bucketed so
     * the oracle recomputes features bit-for-bit.
@@ -1955,6 +2007,39 @@ object SparkEntry {
         shingleN = 3, threshold = 0.12))
       .select(col("doc").as("doc_id"), col("cluster"))
       .orderBy("doc_id")
+
+  /** The incrementally-FOLDED component labeling
+    * (ext.IncrementalClusters — batched union-find with a flat
+    * redirect table): the exact-jaccard pair graph arrives as three
+    * batches, each pair becoming visible when its LATER doc arrives
+    * (the nightly-probe contract: intra-batch pairs + batch-vs-corpus
+    * hits), folded into an empty state; the resulting labels must
+    * hash-match the one-shot [[nsDedupClusters]] recursive-CTE twin —
+    * the oracle gate IS the proof that delta-graph contraction over
+    * the label quotient converges to the full contraction. Probes the
+    * [[pairGraph]] artifact (the jaccard sibling prices the posting
+    * build).
+    */
+  private def nsCcIncremental(s: SparkSession, dir: String): DataFrame = {
+    val pairs = TextDedup.jaccardFromPairs(pairGraph(s, dir), threshold = 0.12)
+      .select(col("id_a"), col("id_b"),
+        greatest(col("id_a"), col("id_b")).as("_arr"))
+    val hi = t(s, dir, "documents").agg(max("doc_id")).head().getLong(0)
+    val (c1, c2) = (hi / 3, 2 * hi / 3)
+    val root = java.nio.file.Files.createTempDirectory("inc_cc")
+    val tmp = root.toString + "/state"
+    graft.ext.IncrementalClusters.fold(s, tmp,
+      pairs.filter(col("_arr") <= c1), batchNo = 1L)
+    graft.ext.IncrementalClusters.fold(s, tmp,
+      pairs.filter(col("_arr") > c1 && col("_arr") <= c2), batchNo = 2L)
+    graft.ext.IncrementalClusters.fold(s, tmp,
+      pairs.filter(col("_arr") > c2), batchNo = 3L)
+    val out = graft.ext.IncrementalClusters.labels(s, tmp)
+      .select(col("doc").as("doc_id"), col("cluster"))
+      .orderBy("doc_id").localCheckpoint()
+    deleteLocalDir(root)
+    out
+  }
 
   /** The cluster labeling is an amortized corpus artifact — a real
     * pipeline materializes the dedup-cluster table once and every
@@ -3643,6 +3728,7 @@ object SparkEntry {
     "ns_nearest_centroid" -> nsNearestCentroid,
     "ns_embed_quantize" -> nsEmbedQuantize,
     "ns_source_stats" -> nsSourceStats,
+    "ns_stats_incremental" -> nsStatsIncremental,
     "ns_tfidf" -> nsTfidf,
     "ns_stratified_sample" -> nsStratifiedSample,
     "ns_weighted_sample" -> nsWeightedSample,
@@ -3675,6 +3761,7 @@ object SparkEntry {
     "ns_keywords" -> nsKeywords,
     "ns_sparse_cosine" -> nsSparseCosine,
     "ns_cms_counts" -> nsCmsCounts,
+    "ns_cms_incremental" -> nsCmsIncremental,
     "ns_feature_hash" -> nsFeatureHash,
     "ns_lm_score" -> nsLmScore,
     "ns_cross_dedup" -> nsCrossDedup,
@@ -3685,6 +3772,7 @@ object SparkEntry {
     "ns_simhash_incremental" -> nsSimhashIncremental,
     "ns_simhash_inc_probe" -> nsSimhashIncProbe,
     "ns_dedup_clusters" -> nsDedupClusters,
+    "ns_cc_incremental" -> nsCcIncremental,
     "ns_dedup_survivors" -> nsDedupSurvivors,
     "ns_split_leakage" -> nsSplitLeakage,
     "ns_pct_rank" -> nsPctRank,

@@ -1,0 +1,217 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sink.ParquetMerge
+
+/** Incrementally-maintained connected-component labels over the
+  * near-dup pair graph — the state-fold pattern
+  * ([[graft.pipeline.IncrementalCuration]], [[IncrementalAnn]],
+  * [[IncrementalBm25]], [[IncrementalWinnow]], [[IncrementalMinhash]],
+  * [[IncrementalSimhash]], [[IncrementalSemDedup]]) applied to the
+  * CLUSTERING step: a nightly crawl's new near-dup edges (intra-batch
+  * pairs plus batch-vs-corpus cross-probe hits) fold into a persisted
+  * component labeling WITHOUT ever re-contracting the full historical
+  * edge set.
+  *
+  * Why this folds exactly: [[TextDedup.nearDupClusters]] labels every
+  * node with the MINIMUM id reachable through the pair graph. Min-id
+  * labels compose under edge arrival: if each stored component's label
+  * is the min id of its members, then contracting a new edge batch
+  * over the quotient graph — endpoints mapped to their current
+  * component labels — and star-contracting only THAT delta graph
+  * yields, for every merged group, min(labels ∪ new ids) = the true
+  * min id of the merged component (each label already IS its
+  * component's min). So folded labels equal the one-shot contraction
+  * over the union of all edges ever folded, in ANY arrival order —
+  * unlike the dominance folds, this one needs no ascending-id
+  * contract, and a replayed batch contracts to self-loops and writes
+  * nothing (idempotence for free).
+  *
+  * State layout — a batched union-find with an eagerly-flattened
+  * redirect table, so component merges never rewrite member rows:
+  *  - doc table at `dir`: `(part = batchNo, pk = doc, ver, doc, r0)`
+  *    — each node's component label AT INSERT TIME. Append-only (a
+  *    doc row is written once and never touched again), so it
+  *    partitions by INSERT BATCH: every fold's upsert touches
+  *    exactly its own new partition and historical partitions are
+  *    never re-read or rewritten, whatever the corpus size.
+  *  - redirect table at `dir + "_redir"`: `(part = pmod(src, ...), pk
+  *    = src, ver, src, dst)` — formerly-terminal labels pointing at
+  *    the CURRENT terminal label. Kept FLAT as a fold invariant:
+  *    when a fold demotes label r to r', every existing redirect
+  *    `x -> r` is rewritten to `x -> r'` in the same fold (a
+  *    redirect-table-sized join — O(merge events), not O(members)),
+  *    so [[labels]] resolves with ONE left join, never a chain walk.
+  *
+  * Scale shape per fold: two lookups of the batch's endpoints against
+  * the doc table (map-side scans — the batch side is the small side,
+  * nothing corpus-sized shuffles), a star contraction of the DELTA
+  * graph only (O(batch edges · log)), and LWW merges sized O(new
+  * docs + merged roots). The 100 TB pain this removes: the one-shot
+  * contraction re-shuffles the ENTIRE historical edge set O(log n)
+  * times per nightly run; the fold's cost is bounded by the delta.
+  */
+object IncrementalClusters {
+
+  val StateParts = 8
+
+  val RedirectSuffix = "_redir"
+
+  private def exists(spark: SparkSession, dir: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
+  }
+
+  /** Fold one batch of undirected near-dup pair edges `(id_a, id_b)`
+    * into the stored labeling. `batchNo` is the LWW merge version; a
+    * replayed batch contracts entirely to self-loops and writes
+    * nothing — idempotent. Order-independent: batches may arrive in
+    * any order.
+    */
+  def fold(spark: SparkSession, dir: String, pairs: DataFrame,
+           batchNo: Long, maxIterations: Int = 30): Unit = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val e0 = pairs.select(col("id_a").cast("long").as("id_a"),
+        col("id_b").cast("long").as("id_b"))
+      .filter(col("id_a") =!= col("id_b"))
+      .persist(lvl)
+    val hasState = exists(spark, dir)
+    // current terminal labels of the batch's KNOWN endpoints: the
+    // O(batch) endpoint set broadcasts into an inner join against the
+    // doc table (one map-side scan — the corpus-sized state never
+    // shuffles), then composes through the flat redirect table
+    val ids = e0.select(col("id_a").as("doc"))
+      .unionByName(e0.select(col("id_b").as("doc"))).distinct()
+    val known: DataFrame = (if (hasState) {
+      val docT = spark.read.parquet(dir).select(col("doc"), col("r0"))
+      val redir: DataFrame =
+        if (exists(spark, dir + RedirectSuffix))
+          spark.read.parquet(dir + RedirectSuffix)
+            .select(col("src"), col("dst"))
+        else spark.range(0).select(col("id").as("src"), col("id").as("dst"))
+      // after the broadcast endpoint semi-join the left side is
+      // O(batch); the redirect side is O(merge events) — let AQE pick
+      // the build side rather than pinning a broadcast of a table
+      // that grows with corpus history
+      docT.join(broadcast(ids), Seq("doc"))
+        .join(redir, docT("r0") === redir("src"), "left")
+        .select(col("doc"), coalesce(col("dst"), col("r0")).as("lbl"))
+    } else spark.range(0).select(col("id").as("doc"), col("id").as("lbl")))
+      .persist(lvl)
+    val mapped = e0
+      .join(broadcast(known.select(col("doc").as("id_a"),
+        col("lbl").as("_la"))), Seq("id_a"), "left")
+      .join(broadcast(known.select(col("doc").as("id_b"),
+        col("lbl").as("_lb"))), Seq("id_b"), "left")
+      .select(coalesce(col("_la"), col("id_a")).as("la"),
+        coalesce(col("_lb"), col("id_b")).as("lb"))
+    val contracted = mapped.filter(col("la") =!= col("lb"))
+      .select(col("la").as("id_a"), col("lb").as("id_b"))
+    // labels the delta-graph quotient: nodes are current terminal
+    // labels + first-seen ids; each gets its merged group's min.
+    // Everything derived from the state parquet is EAGERLY
+    // localCheckpoint'd before the upserts below rewrite that same
+    // parquet — a lazily-recomputed plan would otherwise read the
+    // post-write table (the read-before-write hazard every fold in
+    // this family guards the same way).
+    val (delta0, _) = TextDedup.starContract(contracted, maxIterations)
+    val delta = delta0.localCheckpoint(true)
+    if (delta.isEmpty) { e0.unpersist(); known.unpersist(); return }
+    // which delta nodes are EXISTING terminal labels vs first-seen
+    // docs: a known endpoint always maps to its terminal label, so the
+    // known-node ids of the delta graph are exactly the touched
+    // components' labels
+    val touchedRoots = known.select(col("lbl").as("node"))
+      .distinct().localCheckpoint(true)
+    val relabel = delta.join(touchedRoots, delta("doc") === touchedRoots("node"))
+      .filter(col("cluster") =!= col("node"))
+      .select(col("node").as("old_lbl"), col("cluster").as("new_lbl"))
+      .localCheckpoint(true)
+    // new doc rows: delta nodes that are not labels of known components
+    val newDocs = delta.join(touchedRoots, delta("doc") === touchedRoots("node"),
+        "left_anti")
+      .select(col("doc"), col("cluster").as("r0"))
+    // append-only rows partition by batch — the upsert touches ONLY
+    // this fold's partition, historical partitions stay untouched
+    val docRows = newDocs
+      .withColumn("part", lit(batchNo))
+      .withColumn("pk", col("doc"))
+      .withColumn("ver", lit(batchNo))
+      .select("part", "pk", "ver", "doc", "r0")
+    // redirect maintenance, keeping the table FLAT:
+    //  (a) demoted terminal labels point at their new terminal
+    //  (b) existing redirects into a demoted label re-point at the new
+    //      terminal — a redirect-sized join, O(merge events)
+    val newRedirects = relabel.select(col("old_lbl").as("src"),
+      col("new_lbl").as("dst"))
+    val rewritten: DataFrame =
+      if (exists(spark, dir + RedirectSuffix))
+        spark.read.parquet(dir + RedirectSuffix)
+          .select(col("src"), col("dst"))
+          .join(relabel, col("dst") === col("old_lbl"))
+          .select(col("src"), col("new_lbl").as("dst"))
+      else newRedirects.limit(0)
+    val redirRows = newRedirects.unionByName(rewritten)
+      .withColumn("part", pmod(col("src"), lit(StateParts.toLong)))
+      .withColumn("pk", col("src"))
+      .withColumn("ver", lit(batchNo))
+      .select("part", "pk", "ver", "src", "dst")
+      // materialize BEFORE the doc-table write: redirRows reads the
+      // redirect parquet, which its own upsert is about to rewrite
+      .localCheckpoint(true)
+    ParquetMerge.upsertPartitions(spark, dir, docRows, "part", "pk", "ver")
+    ParquetMerge.upsertPartitions(spark, dir + RedirectSuffix, redirRows,
+      "part", "pk", "ver")
+    e0.unpersist(); known.unpersist()
+  }
+
+  /** Streaming face: each micro-batch of pair edges folds through the
+    * same idempotent LWW merge (checkpoint + LWW = effective
+    * exactly-once, the [[IncrementalBm25.foldStream]] contract).
+    */
+  def foldStream(pairs: DataFrame, dir: String, checkpoint: String)
+  : org.apache.spark.sql.streaming.StreamingQuery =
+    pairs.writeStream
+      .foreachBatch {
+        (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+         batchId: Long) =>
+          fold(b.sparkSession, dir, b.toDF(), batchNo = batchId + 1L)
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
+  /** Current component labels — the same `(doc, cluster)` shape
+    * [[TextDedup.nearDupClusters]] returns, which is what lets the
+    * folded state share the one-shot query's oracle. One left join
+    * through the flat redirect table; no iteration at read time.
+    */
+  def labels(spark: SparkSession, dir: String): DataFrame = {
+    val docT = spark.read.parquet(dir).select(col("doc"), col("r0"))
+    val redir: DataFrame =
+      if (exists(spark, dir + RedirectSuffix))
+        spark.read.parquet(dir + RedirectSuffix).select(col("src"), col("dst"))
+      else spark.range(0).select(col("id").as("src"), col("id").as("dst"))
+    docT.join(redir, docT("r0") === redir("src"), "left")
+      .select(col("doc"), coalesce(col("dst"), col("r0")).as("cluster"))
+  }
+
+  /** Flatness audit of the redirect table — the maintenance sweep a
+    * deployment runs after restoring state from backup or any
+    * out-of-band mutation (the fold maintains flatness inductively, so
+    * a table only ever touched by [[fold]] always passes): no redirect
+    * destination may itself be a redirect source, and no doc-table
+    * label may redirect twice removed. Returns offending rows (empty =
+    * healthy).
+    */
+  def auditRedirects(spark: SparkSession, dir: String): DataFrame = {
+    if (!exists(spark, dir + RedirectSuffix))
+      return spark.range(0).select(col("id").as("src"), col("id").as("dst"))
+    val r = spark.read.parquet(dir + RedirectSuffix)
+      .select(col("src"), col("dst"))
+    r.join(r.select(col("src").as("dst"), lit(true).as("_chained")),
+        Seq("dst"))
+      .select(col("src"), col("dst"))
+  }
+}

@@ -1,0 +1,134 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sink.ParquetMerge
+
+/** Incrementally-maintained count-min sketch — the state-fold pattern
+  * applied to the sketch family: a new document batch's token counts
+  * fold into a persisted CMS cell matrix by plain integer addition
+  * (CMS cells are associative, the textbook mergeable-summary
+  * property), so the folded matrix is EXACTLY the one-shot matrix
+  * over the merged corpus — bit-equal, not approximately equal. The
+  * probe then shares the one-shot `ns_cms_counts` oracle verbatim:
+  * the hash gate proves fold ≡ rebuild for the whole estimate path
+  * (cells, top-k selection, min-over-rows estimate, overestimate
+  * audit).
+  *
+  * State layout:
+  *  - cell deltas at `dir`: `(part=0, pk = d:b:batchNo, ver, d, b,
+  *    cell_n)` — one delta row per touched cell per batch, LWW-keyed
+  *    on (cell, batch) so a replay REWRITES its own delta instead of
+  *    double-counting. Read-time cells = sum of deltas. Total state
+  *    is O(depth · width · batches); a compaction pass could fold
+  *    old deltas into one baseline row, same LWW table.
+  *  - vocab audit at `dir + VocabSuffix`: per-(term, batch) true-count
+  *    deltas. This is the AUDIT sidecar (the `true_n`/`over_n`
+  *    columns of the registered query) — a production deployment
+  *    keeps only the O(depth·width) cell state and drops this
+  *    vocabulary-sized table; the sketch estimate path never reads it
+  *    except to select/verify the top-k.
+  *
+  * Scale shape per fold: one map-side tokenize + two partial-agg
+  * shuffles bounded by O(depth·width) and O(batch vocab); the corpus
+  * is never re-read.
+  */
+object IncrementalSketch {
+
+  val VocabSuffix = "_vocab"
+
+  /** Fold one document batch's token counts into the stored cell
+    * matrix + vocab audit. Replay-idempotent via the (key, batchNo)
+    * LWW delta rows.
+    */
+  def cmsFold(spark: SparkSession, dir: String, docs: DataFrame,
+              text: String, batchNo: Long, depth: Int = 4,
+              width: Int = 64): Unit = {
+    require(depth >= 1 && width >= 1)
+    // a replay of a batch that [[compact]] already folded into the
+    // baseline is a no-op — re-adding its delta would double-count
+    // (the DeltaCompact watermark contract; cells and vocab are
+    // always compacted together, so the cell watermark governs both)
+    if (DeltaCompact.watermark(spark, dir).exists(batchNo <= _)) return
+    val toks = docs.select(explode(Tok.tokens(col(text))).as("t"))
+      .withColumn("c", expr(Sketches.tokCodeSql))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cellRows = toks
+      .select(explode(expr(s"transform(sequence(0, ${depth - 1}), d -> " +
+        s"struct(d AS d, ${Sketches.cmsBucketSql("d", width)} AS b))")).as("db"))
+      .groupBy(col("db.d").as("d"), col("db.b").as("b"))
+      .agg(count(lit(1)).as("cell_n"))
+      .withColumn("part", lit(0L))
+      .withColumn("pk", concat_ws(":", col("d"), col("b"), lit(batchNo)))
+      .withColumn("ver", lit(batchNo))
+      .select("part", "pk", "ver", "d", "b", "cell_n")
+    ParquetMerge.upsertPartitions(spark, dir, cellRows, "part", "pk", "ver")
+    // batchNo prefixes the pk (colon-free), so pk is injective per
+    // (batch, term) whatever characters the term carries
+    val vocabRows = toks.groupBy("t").agg(count(lit(1)).as("n_delta"))
+      .withColumn("c", expr(Sketches.tokCodeSql))
+      .withColumn("part", pmod(col("c"), lit(8L)))
+      .withColumn("pk", concat(lit(batchNo), lit(":"), col("t")))
+      .withColumn("ver", lit(batchNo))
+      .select("part", "pk", "ver", "t", "n_delta")
+    ParquetMerge.upsertPartitions(spark, dir + VocabSuffix, vocabRows,
+      "part", "pk", "ver")
+    toks.unpersist()
+  }
+
+  /** Streaming face: each micro-batch folds through the same
+    * idempotent LWW delta merge (checkpoint + LWW = effective
+    * exactly-once, the fold-family contract).
+    */
+  def cmsFoldStream(docs: DataFrame, dir: String, text: String,
+                    checkpoint: String, depth: Int = 4, width: Int = 64)
+  : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .foreachBatch {
+        (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+         batchId: Long) =>
+          cmsFold(b.sparkSession, dir, b.toDF(), text,
+            batchNo = batchId + 1L, depth = depth, width = width)
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
+  /** Compact both delta tables to one baseline row per key and record
+    * the replay watermark — bounds state at O(depth·width + vocab)
+    * regardless of batch count. Probe output is unchanged (the sums
+    * are associative; [[DeltaCompact]]).
+    */
+  def cmsCompact(spark: SparkSession, dir: String): Long = {
+    val wm = DeltaCompact.compact(spark, dir, Seq("d", "b"),
+      Seq("cell_n"), lit(0L))
+    DeltaCompact.compact(spark, dir + VocabSuffix, Seq("t"),
+      Seq("n_delta"), pmod(expr(Sketches.tokCodeSql), lit(8L)))
+    wm
+  }
+
+  /** Top-k estimate-vs-true audit over the folded state — the same
+    * `(term, true_n, est_n, over_n)` shape [[Sketches.cmsTermCounts]]
+    * returns over a one-shot corpus, which is what lets the two share
+    * one oracle. Cells and true counts both re-aggregate by plain
+    * sums (associative), so every value is bit-equal to the one-shot.
+    */
+  def cmsProbe(spark: SparkSession, dir: String, depth: Int = 4,
+               width: Int = 64, topK: Int = 50): DataFrame = {
+    val cells = spark.read.parquet(dir)
+      .groupBy("d", "b").agg(sum("cell_n").as("cell_n"))
+    val top = spark.read.parquet(dir + VocabSuffix)
+      .groupBy("t").agg(sum("n_delta").as("true_n"))
+      .orderBy(desc("true_n"), col("t")).limit(topK)
+      .withColumn("c", expr(Sketches.tokCodeSql))
+    top
+      .select(col("t").as("term"), col("true_n"),
+        explode(expr(s"transform(sequence(0, ${depth - 1}), d -> " +
+          s"struct(d AS d, ${Sketches.cmsBucketSql("d", width)} AS b))")).as("db"))
+      .join(broadcast(cells),
+        col("db.d") === col("d") && col("db.b") === col("b"))
+      .groupBy("term", "true_n")
+      .agg(min(col("cell_n")).as("est_n"))
+      .withColumn("over_n", col("est_n") - col("true_n"))
+  }
+}

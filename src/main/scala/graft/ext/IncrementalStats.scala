@@ -1,0 +1,95 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sink.ParquetMerge
+
+/** Incrementally-maintained per-source corpus profile — the
+  * state-fold pattern applied to corpus monitoring: each document
+  * batch contributes one (source, batch) delta row of associative
+  * totals (doc / token / char sums), and the probe re-aggregates the
+  * delta table to EXACTLY the one-shot per-source profile — the
+  * nightly corpus dashboard without a corpus re-scan.
+  *
+  * The ratio column (`avg_tokens`) is derived at PROBE time from the
+  * folded exact integer sums (one double division over totals, same
+  * expression as the one-shot), so it is bit-equal to the rebuild —
+  * the reason the folded probe can share `ns_source_stats`' oracle
+  * SQL verbatim. This is the moments-fold rule every mergeable
+  * profile in this repo follows: fold sums, never fold averages.
+  *
+  * State layout at `dir`: `(part = pmod(xxhash64(source), 4), pk =
+  * batchNo:source, ver, source, n_docs, n_tokens, n_chars_total)` —
+  * LWW-keyed per (batch, source), so a replayed batch REWRITES its
+  * own delta instead of double-counting. State is O(sources ·
+  * batches); a compaction pass could fold history into one baseline
+  * row per source through the same LWW table.
+  *
+  * Scale shape per fold: one map-side tokenize-and-count + one
+  * partial-aggregated shuffle to O(batch sources) rows.
+  */
+object IncrementalStats {
+
+  /** Fold one document batch's per-source totals into the state.
+    * `docs` must carry `sourceCol`, `text`, and `n_chars`.
+    */
+  def fold(spark: SparkSession, dir: String, docs: DataFrame,
+           text: String, sourceCol: String, batchNo: Long): Unit = {
+    // a replay of a batch already folded into the compacted baseline
+    // is a no-op (the DeltaCompact watermark contract)
+    if (DeltaCompact.watermark(spark, dir).exists(batchNo <= _)) return
+    val rows = docs
+      .select(col(sourceCol).as("source"),
+        Tok.count(col(text)).cast("long").as("_nt"), col("n_chars"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("_nt").as("n_tokens"),
+        sum("n_chars").as("n_chars_total"))
+      .withColumn("part", pmod(xxhash64(col("source")), lit(4L)))
+      .withColumn("pk", concat(lit(batchNo), lit(":"), col("source")))
+      .withColumn("ver", lit(batchNo))
+      .select("part", "pk", "ver", "source", "n_docs", "n_tokens",
+        "n_chars_total")
+    ParquetMerge.upsertPartitions(spark, dir, rows, "part", "pk", "ver")
+  }
+
+  /** Streaming face: each micro-batch folds one delta row per source
+    * through the idempotent LWW merge (checkpoint + LWW = effective
+    * exactly-once, the fold-family contract).
+    */
+  def foldStream(docs: DataFrame, dir: String, text: String,
+                 sourceCol: String, checkpoint: String)
+  : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .foreachBatch {
+        (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+         batchId: Long) =>
+          fold(b.sparkSession, dir, b.toDF(), text, sourceCol,
+            batchNo = batchId + 1L)
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
+  /** Compact the delta table to one baseline row per source and
+    * record the replay watermark — state becomes O(sources) however
+    * many batches have folded ([[DeltaCompact]]).
+    */
+  def compact(spark: SparkSession, dir: String): Long =
+    DeltaCompact.compact(spark, dir, Seq("source"),
+      Seq("n_docs", "n_tokens", "n_chars_total"),
+      pmod(xxhash64(col("source")), lit(4L)))
+
+  /** The folded per-source profile — the same `(source, n_docs,
+    * n_tokens, n_chars_total, avg_tokens)` shape the one-shot
+    * `ns_source_stats` query returns, derived from exact integer sums
+    * so the two share one oracle.
+    */
+  def probe(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(dir)
+      .groupBy("source")
+      .agg(sum("n_docs").as("n_docs"), sum("n_tokens").as("n_tokens"),
+        sum("n_chars_total").as("n_chars_total"))
+      .withColumn("avg_tokens",
+        round(col("n_tokens").cast("double") / col("n_docs"), 6))
+      .select("source", "n_docs", "n_tokens", "n_chars_total", "avg_tokens")
+}

@@ -1,0 +1,150 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.ext.{IncrementalClusters, TextDedup}
+
+/** The incremental connected-components fold: folded labels must equal
+  * the one-shot star contraction over the union of all folded edges —
+  * in any arrival order, with replays, keeping the redirect table flat.
+  */
+class IncrementalClustersSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmpState(): (java.nio.file.Path, String) = {
+    val root = java.nio.file.Files.createTempDirectory("cc_spec")
+    (root, root.toString + "/state")
+  }
+
+  private def rm(root: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
+      .foreach(java.nio.file.Files.deleteIfExists(_))
+  }
+
+  private def pairsDF(ps: (Long, Long)*): DataFrame =
+    ps.toDF("id_a", "id_b")
+
+  private def lbl(dir: String): Seq[(Long, Long)] =
+    IncrementalClusters.labels(spark, dir)
+      .as[(Long, Long)].collect().toSeq.sorted
+
+  private def oneShot(ps: (Long, Long)*): Seq[(Long, Long)] =
+    TextDedup.nearDupClusters(pairsDF(ps: _*))
+      .as[(Long, Long)].collect().toSeq.sorted
+
+  test("fold across batches == one-shot: chain growth, cross-component merge, new-min relabel") {
+    val (root, dir) = tmpState()
+    try {
+      // batch 1: components {1,2} and {10,11}
+      IncrementalClusters.fold(spark, dir, pairsDF((1L, 2L), (10L, 11L)), 1L)
+      assert(lbl(dir) == Seq((1L, 1L), (2L, 1L), (10L, 10L), (11L, 10L)))
+      // batch 2: new doc 20 merges BOTH old components; chain extends
+      IncrementalClusters.fold(spark, dir,
+        pairsDF((2L, 20L), (20L, 11L), (11L, 12L)), 2L)
+      assert(lbl(dir) ==
+        Seq((1L, 1L), (2L, 1L), (10L, 1L), (11L, 1L), (12L, 1L), (20L, 1L)))
+      // batch 3: doc 0 (a NEW minimum) attaches — every label must move
+      IncrementalClusters.fold(spark, dir, pairsDF((0L, 12L)), 3L)
+      val want = oneShot((1L, 2L), (10L, 11L), (2L, 20L), (20L, 11L),
+        (11L, 12L), (0L, 12L))
+      assert(lbl(dir) == want)
+      assert(want.forall(_._2 == 0L))
+    } finally rm(root)
+  }
+
+  test("replayed batch writes nothing and labels are unchanged") {
+    val (root, dir) = tmpState()
+    try {
+      IncrementalClusters.fold(spark, dir, pairsDF((1L, 2L), (3L, 4L)), 1L)
+      IncrementalClusters.fold(spark, dir, pairsDF((2L, 3L)), 2L)
+      val before = lbl(dir)
+      IncrementalClusters.fold(spark, dir, pairsDF((2L, 3L)), 2L)
+      IncrementalClusters.fold(spark, dir, pairsDF((1L, 2L), (3L, 4L)), 1L)
+      assert(lbl(dir) == before)
+    } finally rm(root)
+  }
+
+  test("order independence: reversed batch arrival lands on the same labels") {
+    val b1 = Seq((1L, 2L), (5L, 6L))
+    val b2 = Seq((2L, 5L), (8L, 9L))
+    val b3 = Seq((6L, 9L), (3L, 1L))
+    val (rootA, dirA) = tmpState()
+    val (rootB, dirB) = tmpState()
+    try {
+      IncrementalClusters.fold(spark, dirA, pairsDF(b1: _*), 1L)
+      IncrementalClusters.fold(spark, dirA, pairsDF(b2: _*), 2L)
+      IncrementalClusters.fold(spark, dirA, pairsDF(b3: _*), 3L)
+      IncrementalClusters.fold(spark, dirB, pairsDF(b3: _*), 1L)
+      IncrementalClusters.fold(spark, dirB, pairsDF(b2: _*), 2L)
+      IncrementalClusters.fold(spark, dirB, pairsDF(b1: _*), 3L)
+      val want = oneShot((b1 ++ b2 ++ b3): _*)
+      assert(lbl(dirA) == want)
+      assert(lbl(dirB) == want)
+    } finally { rm(rootA); rm(rootB) }
+  }
+
+  test("redirect table stays flat through cascading merges") {
+    val (root, dir) = tmpState()
+    try {
+      // build 4 singleton-pair components, then merge them pairwise,
+      // then merge the merges — a demoted root's redirect must be
+      // re-pointed, never chained
+      IncrementalClusters.fold(spark, dir,
+        pairsDF((10L, 11L), (20L, 21L), (30L, 31L), (40L, 41L)), 1L)
+      IncrementalClusters.fold(spark, dir, pairsDF((11L, 21L), (31L, 41L)), 2L)
+      IncrementalClusters.fold(spark, dir, pairsDF((21L, 41L)), 3L)
+      assert(IncrementalClusters.auditRedirects(spark, dir).isEmpty,
+        "no redirect destination may itself be a redirect source")
+      val want = oneShot((10L, 11L), (20L, 21L), (30L, 31L), (40L, 41L),
+        (11L, 21L), (31L, 41L), (21L, 41L))
+      assert(lbl(dir) == want)
+      assert(want.forall(_._2 == 10L))
+    } finally rm(root)
+  }
+
+  test("real-corpus parity: three folded batches == one-shot nearDupClusters") {
+    val docs = graft.source.Tables.documents(spark, sf)
+    val pairs = TextDedup.ngramJaccardPairs(docs, "text", "doc_id",
+        shingleN = 3, threshold = 0.12)
+      .select(col("id_a"), col("id_b"),
+        greatest(col("id_a"), col("id_b")).as("_arr"))
+      .persist()
+    val hi = docs.agg(max("doc_id")).head().getLong(0)
+    val (c1, c2) = (hi / 3, 2 * hi / 3)
+    val (root, dir) = tmpState()
+    try {
+      IncrementalClusters.fold(spark, dir, pairs.filter(col("_arr") <= c1), 1L)
+      IncrementalClusters.fold(spark, dir,
+        pairs.filter(col("_arr") > c1 && col("_arr") <= c2), 2L)
+      IncrementalClusters.fold(spark, dir, pairs.filter(col("_arr") > c2), 3L)
+      val want = TextDedup.nearDupClusters(pairs)
+        .as[(Long, Long)].collect().toSeq.sorted
+      assert(want.nonEmpty)
+      assert(lbl(dir) == want)
+      assert(IncrementalClusters.auditRedirects(spark, dir).isEmpty)
+    } finally { pairs.unpersist(); rm(root) }
+  }
+
+  test("streaming face: foldStream over micro-batched edges == batch labels") {
+    val (root, dir) = tmpState()
+    val srcDir = root.toString + "/src"
+    val ckpt = root.toString + "/ckpt"
+    try {
+      // two single-file micro-batches (coalesce(1) pins row-to-file
+      // assignment; maxFilesPerTrigger=1 pins batch order)
+      pairsDF((1L, 2L), (4L, 5L)).coalesce(1)
+        .write.parquet(srcDir + "/b1")
+      pairsDF((2L, 4L), (7L, 8L)).coalesce(1)
+        .write.parquet(srcDir + "/b2")
+      val stream = spark.readStream
+        .schema("id_a long, id_b long")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(srcDir + "/*")
+      IncrementalClusters.foldStream(stream, dir, ckpt)
+        .awaitTermination(120000)
+      val want = oneShot((1L, 2L), (4L, 5L), (2L, 4L), (7L, 8L))
+      assert(lbl(dir) == want)
+    } finally rm(root)
+  }
+}
