@@ -777,6 +777,39 @@ object OracleSql {
   /** One-shot SemDeDup dominance over sign cells — shared by the
     * batch query and its incremental-fold twin (the convergence gate).
     */
+  /** Exact-k deterministic hash-order sample — shared by the one-shot
+    * `ns_sample_exact_k` and the folded `ns_sample_incremental`
+    * (bottom-k is mergeable).
+    */
+  private lazy val sampleExactKOneShotSql: String =
+    """SELECT doc_id, lang FROM (
+        SELECT doc_id, lang, row_number() OVER (
+          PARTITION BY lang
+          ORDER BY ((doc_id % 1000000007) * 2654435761) % 1000000007, doc_id) AS rk
+        FROM documents) WHERE rk <= 40 ORDER BY doc_id"""
+
+  /** Fixed-grid exact quantile profile — shared by the one-shot
+    * `ns_quantile_grid` and the folded `ns_quantile_incremental`
+    * (associative cell counts).
+    */
+  private lazy val quantileGridOneShotSql: String =
+    s"""WITH cells AS (
+        SELECT source,
+          (CAST(n_chars AS BIGINT) - (((n_chars % 64) + 64) % 64)) // 64 AS cell,
+          CAST(count(*) AS BIGINT) AS cell_n
+        FROM documents GROUP BY 1, 2),
+      cum AS (
+        SELECT source, cell, cell_n,
+          sum(cell_n) OVER (PARTITION BY source ORDER BY cell) AS cum,
+          sum(cell_n) OVER (PARTITION BY source) AS n
+        FROM cells)
+      SELECT source, CAST(max(n) AS BIGINT) AS n,
+        CAST(min(CASE WHEN cum * 100 >= n * 50 THEN cell * 64 END) AS BIGINT) AS p50_lo,
+        CAST(min(CASE WHEN cum * 100 >= n * 90 THEN cell * 64 END) AS BIGINT) AS p90_lo,
+        CAST(min(CASE WHEN cum * 100 >= n * 95 THEN cell * 64 END) AS BIGINT) AS p95_lo,
+        CAST(min(CASE WHEN cum * 100 >= n * 99 THEN cell * 64 END) AS BIGINT) AS p99_lo
+      FROM cum GROUP BY source ORDER BY source"""
+
   /** Per-source corpus profile — shared by the one-shot
     * `ns_source_stats` and the folded `ns_stats_incremental`
     * (associative integer sums; avg derived from the sums).
@@ -1339,12 +1372,13 @@ object OracleSql {
       FROM c ORDER BY vocab_id""",
 
     // the same Knuth-multiplicative permutation as Sampling.sampleExactK
-    "ns_sample_exact_k" ->
-      """SELECT doc_id, lang FROM (
-        SELECT doc_id, lang, row_number() OVER (
-          PARTITION BY lang
-          ORDER BY ((doc_id % 1000000007) * 2654435761) % 1000000007, doc_id) AS rk
-        FROM documents) WHERE rk <= 40 ORDER BY doc_id""",
+    "ns_sample_exact_k" -> sampleExactKOneShotSql,
+
+    // the incrementally-folded bottom-k sample shares the one-shot
+    // SQL VERBATIM: k smallest of a union ≡ k smallest of per-part
+    // bottom-k's, so the folded O(strata·k) state IS the one-shot
+    // sample — enforced by hash
+    "ns_sample_incremental" -> sampleExactKOneShotSql,
 
     "ns_bigrams" ->
       s"""WITH toks AS (
@@ -2429,23 +2463,12 @@ object OracleSql {
     // % follows the dividend sign, so pmod is spelled out), the same
     // integer coverage test 100·cum >= n·q — HUGEINT window sums cast
     // back to BIGINT
-    "ns_quantile_grid" ->
-      s"""WITH cells AS (
-        SELECT source,
-          (CAST(n_chars AS BIGINT) - (((n_chars % 64) + 64) % 64)) // 64 AS cell,
-          CAST(count(*) AS BIGINT) AS cell_n
-        FROM documents GROUP BY 1, 2),
-      cum AS (
-        SELECT source, cell, cell_n,
-          sum(cell_n) OVER (PARTITION BY source ORDER BY cell) AS cum,
-          sum(cell_n) OVER (PARTITION BY source) AS n
-        FROM cells)
-      SELECT source, CAST(max(n) AS BIGINT) AS n,
-        CAST(min(CASE WHEN cum * 100 >= n * 50 THEN cell * 64 END) AS BIGINT) AS p50_lo,
-        CAST(min(CASE WHEN cum * 100 >= n * 90 THEN cell * 64 END) AS BIGINT) AS p90_lo,
-        CAST(min(CASE WHEN cum * 100 >= n * 95 THEN cell * 64 END) AS BIGINT) AS p95_lo,
-        CAST(min(CASE WHEN cum * 100 >= n * 99 THEN cell * 64 END) AS BIGINT) AS p99_lo
-      FROM cum GROUP BY source ORDER BY source""",
+    "ns_quantile_grid" -> quantileGridOneShotSql,
+
+    // the incrementally-folded grid profile shares the one-shot SQL
+    // VERBATIM: cell counts are associative, so the folded quantile
+    // path is bit-equal to the rebuild
+    "ns_quantile_incremental" -> quantileGridOneShotSql,
 
     // HLL error-bound audit: the oracle recomputes the EXACT distinct
     // count and asserts the engine-side verdict is uniformly TRUE — a

@@ -1385,6 +1385,31 @@ object SparkEntry {
       k = 40)
       .orderBy("doc_id")
 
+  /** The incrementally-FOLDED exact-k sample (ext.IncrementalSample —
+    * the bottom-k sketch as a state fold, O(strata·k) state): three
+    * batches fold into the per-language sample, which must hash-match
+    * the one-shot [[nsSampleExactK]] SQL twin (k smallest of a union
+    * ≡ k smallest of per-part bottom-k's).
+    */
+  private def nsSampleIncremental(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select("doc_id", "lang")
+    val hi = docs.agg(max("doc_id")).head().getLong(0)
+    val (c1, c2) = (hi / 3, 2 * hi / 3)
+    val root = java.nio.file.Files.createTempDirectory("inc_sample")
+    val tmp = root.toString + "/state"
+    graft.ext.IncrementalSample.fold(s, tmp,
+      docs.filter(col("doc_id") <= c1), "lang", "doc_id", k = 40)
+    graft.ext.IncrementalSample.fold(s, tmp,
+      docs.filter(col("doc_id") > c1 && col("doc_id") <= c2),
+      "lang", "doc_id", k = 40)
+    graft.ext.IncrementalSample.fold(s, tmp,
+      docs.filter(col("doc_id") > c2), "lang", "doc_id", k = 40)
+    val out = graft.ext.IncrementalSample.sample(s, tmp, "lang", "doc_id")
+      .select("doc_id", "lang").orderBy("doc_id").localCheckpoint()
+    deleteLocalDir(root)
+    out
+  }
+
   /** Corpus top-30 bigram collocations (exact single-space tokens). */
   private def nsBigrams(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.topBigrams(t(s, dir, "documents"), "text", 30)
@@ -1688,6 +1713,31 @@ object SparkEntry {
     graft.ext.Sketches.gridQuantiles(t(s, dir, "documents"),
       "n_chars", "source", grid = 64L)
       .orderBy("source")
+
+  /** The incrementally-FOLDED grid-quantile profile
+    * (ext.IncrementalSketch.gridFold — associative cell deltas, the
+    * CMS argument applied to the quantile profile): three batches
+    * fold, and the probe's per-source quantiles must hash-match the
+    * one-shot [[nsQuantileGrid]] SQL twin.
+    */
+  private def nsQuantileIncremental(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select("doc_id", "source", "n_chars")
+    val hi = docs.agg(max("doc_id")).head().getLong(0)
+    val (c1, c2) = (hi / 3, 2 * hi / 3)
+    val root = java.nio.file.Files.createTempDirectory("inc_grid")
+    val tmp = root.toString + "/state"
+    graft.ext.IncrementalSketch.gridFold(s, tmp,
+      docs.filter(col("doc_id") <= c1), "n_chars", "source", batchNo = 1L)
+    graft.ext.IncrementalSketch.gridFold(s, tmp,
+      docs.filter(col("doc_id") > c1 && col("doc_id") <= c2),
+      "n_chars", "source", batchNo = 2L)
+    graft.ext.IncrementalSketch.gridFold(s, tmp,
+      docs.filter(col("doc_id") > c2), "n_chars", "source", batchNo = 3L)
+    val out = graft.ext.IncrementalSketch.gridProbe(s, tmp, "source")
+      .orderBy("source").localCheckpoint()
+    deleteLocalDir(root)
+    out
+  }
 
   /** HLL error-bound audit (Sketches.distinctErrorAudit): per event
     * type, approx_count_distinct(event_id) vs the exact distinct count
@@ -3712,6 +3762,7 @@ object SparkEntry {
     "ns_chunk_docs" -> nsChunkDocs,
     "ns_vocab" -> nsVocab,
     "ns_sample_exact_k" -> nsSampleExactK,
+    "ns_sample_incremental" -> nsSampleIncremental,
     "ns_bigrams" -> nsBigrams,
     "ns_collocations" -> nsCollocations,
     "ns_source_overlap" -> nsSourceOverlap,
@@ -3751,6 +3802,7 @@ object SparkEntry {
     "ns_bloom_dedup" -> nsBloomDedup,
     "ns_sketches" -> nsSketches,
     "ns_quantile_grid" -> nsQuantileGrid,
+    "ns_quantile_incremental" -> nsQuantileIncremental,
     "ns_sketch_error" -> nsSketchError,
     "ns_dedup_ngram_jaccard" -> nsDedupNgramJaccard,
     "ns_containment" -> nsContainment,

@@ -107,6 +107,66 @@ object IncrementalSketch {
     wm
   }
 
+  val GridSuffix = "_grid"
+
+  /** Fold one batch's fixed-grid cell counts (the
+    * [[Sketches.gridQuantiles]] state) into a persisted delta table —
+    * same associative-cells argument as the CMS: the folded cell sums
+    * are bit-equal to a one-shot count over the merged corpus, so the
+    * quantile probe shares `ns_quantile_grid`'s oracle verbatim.
+    * State is O(groups · occupied cells · batches) until
+    * [[gridCompact]] folds it to one baseline row per (group, cell).
+    */
+  def gridFold(spark: SparkSession, dir: String, docs: DataFrame,
+               valueCol: String, groupCol: String, batchNo: Long,
+               grid: Long = 64L): Unit = {
+    require(grid >= 1)
+    val d = dir + GridSuffix
+    if (DeltaCompact.watermark(spark, d).exists(batchNo <= _)) return
+    // cell math copied verbatim from Sketches.gridQuantiles (integer
+    // DIV with the pmod floor trick — exact for negatives too)
+    val rows = docs
+      .select(col(groupCol).as("grp"),
+        expr(s"(CAST($valueCol AS BIGINT) - " +
+          s"pmod(CAST($valueCol AS BIGINT), ${grid}L)) DIV ${grid}L")
+          .as("cell"))
+      .groupBy("grp", "cell").agg(count(lit(1)).as("cell_n"))
+      .withColumn("part", pmod(xxhash64(col("grp")), lit(4L)))
+      .withColumn("pk", concat(lit(batchNo), lit(":"), col("grp"),
+        lit(":"), col("cell")))
+      .withColumn("ver", lit(batchNo))
+      .select("part", "pk", "ver", "grp", "cell", "cell_n")
+    ParquetMerge.upsertPartitions(spark, d, rows, "part", "pk", "ver")
+  }
+
+  /** Per-group quantiles over the folded cells — the same output shape
+    * as [[Sketches.gridQuantiles]] (n, p50_lo/p90_lo/p95_lo/p99_lo as
+    * cell lower bounds), recomputed from exact folded sums.
+    */
+  def gridProbe(spark: SparkSession, dir: String, groupCol: String,
+                grid: Long = 64L,
+                qs: Seq[Int] = Seq(50, 90, 95, 99)): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("grp").orderBy("cell")
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy("grp")
+    val cum = spark.read.parquet(dir + GridSuffix)
+      .groupBy("grp", "cell").agg(sum("cell_n").as("cell_n"))
+      .withColumn("cum", sum("cell_n").over(w))
+      .withColumn("n", sum("cell_n").over(wAll))
+    val qCols = qs.map(q =>
+      min(when(col("cum") * lit(100L) >= col("n") * lit(q.toLong),
+        col("cell") * lit(grid))).as(s"p${q}_lo"))
+    cum.groupBy("grp")
+      .agg(max("n").as("n"), qCols: _*)
+      .withColumnRenamed("grp", groupCol)
+      .select((Seq(groupCol, "n") ++ qs.map(q => s"p${q}_lo")).map(col): _*)
+  }
+
+  /** Compact the grid delta table ([[DeltaCompact]]). */
+  def gridCompact(spark: SparkSession, dir: String): Long =
+    DeltaCompact.compact(spark, dir + GridSuffix, Seq("grp", "cell"),
+      Seq("cell_n"), pmod(xxhash64(col("grp")), lit(4L)))
+
   /** Top-k estimate-vs-true audit over the folded state — the same
     * `(term, true_n, est_n, over_n)` shape [[Sketches.cmsTermCounts]]
     * returns over a one-shot corpus, which is what lets the two share

@@ -91,6 +91,37 @@ class IncrementalSketchSpec extends SparkSpec {
     } finally rm(root)
   }
 
+  test("grid fold: three batches == one-shot gridQuantiles; compaction + replay hold") {
+    val docs = graft.source.Tables.documents(spark, sf)
+      .select("doc_id", "source", "n_chars")
+    val hi = docs.agg(max("doc_id")).head().getLong(0)
+    val (c1, c2) = (hi / 3, 2 * hi / 3)
+    val (root, dir) = tmpState()
+    try {
+      IncrementalSketch.gridFold(spark, dir,
+        docs.filter(col("doc_id") <= c1), "n_chars", "source", 1L)
+      IncrementalSketch.gridFold(spark, dir,
+        docs.filter(col("doc_id") > c1 && col("doc_id") <= c2),
+        "n_chars", "source", 2L)
+      IncrementalSketch.gridFold(spark, dir,
+        docs.filter(col("doc_id") > c2), "n_chars", "source", 3L)
+      def got() = IncrementalSketch.gridProbe(spark, dir, "source")
+        .orderBy("source")
+        .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+      val want = Sketches.gridQuantiles(docs, "n_chars", "source",
+          grid = 64L)
+        .orderBy("source")
+        .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+      assert(want.nonEmpty)
+      assert(got() == want)
+      IncrementalSketch.gridCompact(spark, dir)
+      assert(got() == want, "compaction preserves the probe")
+      IncrementalSketch.gridFold(spark, dir,
+        docs.filter(col("doc_id") > c2), "n_chars", "source", 3L)
+      assert(got() == want, "compacted replay is a no-op")
+    } finally rm(root)
+  }
+
   test("streaming fold == batch fold over micro-batched docs") {
     val (root, dir) = tmpState()
     val srcDir = root.toString + "/src"
