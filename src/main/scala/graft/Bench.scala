@@ -92,7 +92,9 @@ object Bench {
     // totals track new capability, not re-priced kernels. Correctness
     // registration is untouched — all three remain in
     // SparkEntry.queries and the Verify gate.
-    val optIn = Set("ns_incremental_probe")
+    // ns_nightly_pipeline re-prices five already-benched fold kernels
+    // through the composite — correctness-only by default, same rule
+    val optIn = Set("ns_incremental_probe", "ns_nightly_pipeline")
     val extra = sys.env.get("SPARK_GRAFT_BENCH_EXTRA")
       .map(v => if (v.trim == "all") optIn
                 else v.split(",").map(_.trim).filter(_.nonEmpty).toSet)

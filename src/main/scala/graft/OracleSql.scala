@@ -886,8 +886,14 @@ object OracleSql {
       WHERE vec_id NOT IN (SELECT vec_id FROM dropped)
       ORDER BY vec_id"""
 
-  private lazy val curationOneShotSql: String =
-    s"""WITH f AS (
+  /** The shared curation CTE chain (quality gate → normalized exact
+    * dedup → pruned exact-jaccard near-dup losers). `curationOneShotSql`
+    * selects the survivor rows; `nightlyPipelineSql` re-aggregates the
+    * survivor set into the per-source profile (the composite fold's
+    * stats probe).
+    */
+  private lazy val curationCtes: String =
+    s"""f AS (
         SELECT doc_id, text,
           len(${wsToks("text")}) AS n_words,
           CAST(length(text) - (len(${wsToks("text")}) - 1) AS DOUBLE)
@@ -919,11 +925,31 @@ object OracleSql {
         SELECT DISTINCT id_b FROM inter
         JOIN sizes sa ON sa.doc_id = id_a
         JOIN sizes sb ON sb.doc_id = id_b
-        WHERE CAST(inter AS DOUBLE) / (sa.nsh + sb.nsh - inter) >= 0.3)
+        WHERE CAST(inter AS DOUBLE) / (sa.nsh + sb.nsh - inter) >= 0.3)"""
+
+  private lazy val curationOneShotSql: String =
+    s"""WITH $curationCtes
       SELECT doc_id, CAST(n_words AS BIGINT) AS n_words, quality_score
       FROM deduped d
       WHERE NOT EXISTS (SELECT 1 FROM losers l WHERE l.id_b = d.doc_id)
       ORDER BY doc_id"""
+
+  /** The composite nightly fold's stats probe: the per-source profile
+    * over exactly the docs curation ADMITS (the composite derives
+    * n_chars from length(text), hence the explicit length() here rather
+    * than the table's n_chars column).
+    */
+  private lazy val nightlyPipelineSql: String =
+    s"""WITH $curationCtes,
+      surv AS (
+        SELECT doc_id FROM deduped d
+        WHERE NOT EXISTS (SELECT 1 FROM losers l WHERE l.id_b = d.doc_id))
+      SELECT source, count(*) AS n_docs,
+        CAST(sum(len(${wsToksCased("text")})) AS BIGINT) AS n_tokens,
+        CAST(sum(length(text)) AS BIGINT) AS n_chars_total,
+        round(CAST(sum(len(${wsToksCased("text")})) AS DOUBLE) / count(*), 6) AS avg_tokens
+      FROM documents JOIN surv USING (doc_id)
+      GROUP BY 1 ORDER BY source"""
 
   val all: Map[String, String] = Map(
     "sql_waiting_orders" -> waitingOrdersSql("orders", "lineitem"),
@@ -3358,6 +3384,7 @@ object OracleSql {
     // batch, survivors == the from-scratch one-shot curation — so the
     // oracle IS the one-shot SQL, shared verbatim
     "ns_incremental_curation" -> curationOneShotSql,
+    "ns_nightly_pipeline" -> nightlyPipelineSql,
 
     // the probe form folds the SAME final batch into a pre-built
     // batch-1 state, so its survivors answer the identical question

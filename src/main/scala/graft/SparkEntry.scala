@@ -2965,6 +2965,35 @@ object SparkEntry {
     out
   }
 
+  /** The composite NIGHTLY fold end-to-end
+    * (pipeline.IncrementalPipeline): two ascending-id batches run
+    * curation admission and fold the admitted docs into EVERY
+    * maintained artifact (BM25 postings, MinHash bands, CMS,
+    * grid-quantiles, per-source profile, bottom-k sample) at one
+    * version. The registered output is the composite's stats PROBE —
+    * per-source profile over exactly the admitted docs — and the
+    * oracle recomputes that profile from the one-shot curation SQL's
+    * survivor set, so the hash gate proves curation admission AND the
+    * stats fold compose correctly. The other folded artifacts are
+    * pinned by IncrementalPipelineCompositeSpec's one-shot-equality
+    * checks (BM25 topK, MinHash verified pairs, bottom-k sample).
+    */
+  private def nsNightlyPipeline(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select("doc_id", "text", "lang",
+      "source")
+    val mid = docs.agg(max("doc_id")).head().getLong(0) / 2
+    val root = java.nio.file.Files.createTempDirectory("nightly_q")
+    val tmp = root.toString + "/state"
+    graft.pipeline.IncrementalPipeline.nightly(s, tmp,
+      docs.filter(col("doc_id") <= mid), "text", "doc_id", batchNo = 1L)
+    graft.pipeline.IncrementalPipeline.nightly(s, tmp,
+      docs.filter(col("doc_id") > mid), "text", "doc_id", batchNo = 2L)
+    val out = graft.ext.IncrementalStats.probe(s, tmp + "/stats")
+      .orderBy("source").localCheckpoint()
+    deleteLocalDir(root)
+    out
+  }
+
   /** The PROBE cost of the incremental fold, priced separately from the
     * end-to-end query above (which folds every batch from an empty
     * state each run — honest end-to-end pricing, but 11+ s in one bench
@@ -3866,6 +3895,7 @@ object SparkEntry {
     "ns_ivfpq_topk" -> nsIvfPqTopk,
     "ns_curation_pipeline" -> nsCurationPipeline,
     "ns_incremental_curation" -> nsIncrementalCuration,
+    "ns_nightly_pipeline" -> nsNightlyPipeline,
     "ns_incremental_probe" -> nsIncrementalProbe,
     "ns_incremental_probe_indexed" -> nsIncrementalProbeIndexed,
     "ns_text_tokens" -> nsTextTokens,

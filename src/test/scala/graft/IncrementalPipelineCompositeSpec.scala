@@ -1,0 +1,147 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ext.{IncrementalBm25, IncrementalMinhash, IncrementalSample,
+  IncrementalStats, Sampling, TextAnalysis, TextDedup}
+import graft.pipeline.{Curation, IncrementalCuration, IncrementalPipeline}
+
+/** The composite nightly fold: curation admission feeds every
+  * maintained index at one version, and each index's probe must equal
+  * the one-shot build over the curation survivors — the cross-fold
+  * consistency contract.
+  */
+class IncrementalPipelineCompositeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def rm(root: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
+      .foreach(java.nio.file.Files.deleteIfExists(_))
+  }
+
+  test("two nightly folds == one-shot builds over the merged survivors") {
+    val docs = graft.source.Tables.documents(spark, sf)
+      .select("doc_id", "text", "lang", "source")
+      .filter(col("doc_id") <= 400)
+    val mid = 200L
+    val rootP = java.nio.file.Files.createTempDirectory("nightly")
+    val root = rootP.toString
+    try {
+      val r1 = IncrementalPipeline.nightly(spark, root,
+        docs.filter(col("doc_id") <= mid), "text", "doc_id", batchNo = 1L)
+      val r2 = IncrementalPipeline.nightly(spark, root,
+        docs.filter(col("doc_id") > mid), "text", "doc_id", batchNo = 2L)
+      assert(r1.nBatch > 0 && r2.nBatch > 0)
+      assert(r1.nAdmitted > 0 && r2.nAdmitted > 0)
+
+      // curation state == one-shot curate over the merged corpus
+      val survivorIds = IncrementalCuration
+        .survivors(spark, s"$root/curation").select("doc_id")
+      val oneShotIds = Curation.curate(docs, "text", "doc_id",
+        minQuality = 0.7, jaccardThreshold = 0.3).select("doc_id")
+      assert(survivorIds.as[Long].collect().sorted.toSeq ==
+        oneShotIds.as[Long].collect().sorted.toSeq)
+
+      // the admitted docs (what the indexes saw)
+      val admitted = docs.join(survivorIds, Seq("doc_id"), "left_semi")
+        .persist()
+
+      // BM25: folded-index probe == one-shot topK over admitted
+      val terms = Seq("the", "data", "lorem")
+      val gotBm = IncrementalBm25.topK(spark, s"$root/bm25", terms, k = 10)
+        .as[(Int, Long, Long, Long)].collect().toSeq
+      val wantBm = TextAnalysis.bm25TopK(admitted, "text", "doc_id",
+          terms, k = 10)
+        .as[(Int, Long, Long, Long)].collect().toSeq
+      assert(gotBm == wantBm)
+
+      // MinHash: folded-band-index verified matches == one-shot
+      val gotMh = IncrementalMinhash.matchesVerified(spark,
+          s"$root/minhash", admitted, "text", "doc_id")
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSeq.sorted
+      val wantMh = TextDedup.minhashVerifiedPairs(admitted, "text",
+          "doc_id")
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSeq.sorted
+      assert(gotMh == wantMh)
+
+      // profile: folded sums == one-shot aggregation over admitted
+      // (n_chars derived from text length, the composite's convention)
+      val gotSt = IncrementalStats.probe(spark, s"$root/stats")
+        .orderBy("source")
+        .as[(String, Long, Long, Long, Double)].collect().toSeq
+      val wantSt = admitted
+        .withColumn("n_chars", length(col("text")).cast("long"))
+        .select(col("source"),
+          graft.ext.Tok.count(col("text")).cast("long").as("nt"),
+          col("n_chars"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("nt").as("n_tokens"),
+          sum("n_chars").as("n_chars_total"),
+          round(sum("nt").cast("double") / count(lit(1)), 6)
+            .as("avg_tokens"))
+        .orderBy("source")
+        .as[(String, Long, Long, Long, Double)].collect().toSeq
+      assert(gotSt == wantSt)
+
+      // sample: folded bottom-k == one-shot exact-k over admitted
+      val gotSm = IncrementalSample.sample(spark, s"$root/sample",
+          "lang", "doc_id")
+        .as[(Long, String)].collect().toSeq.sorted
+      val wantSm = Sampling.sampleExactK(
+          admitted.select("doc_id", "lang"), "lang", "doc_id", k = 40)
+        .as[(Long, String)].collect().toSeq.sorted
+      assert(gotSm == wantSm)
+
+      // replay of batch 2: every sub-fold must no-op — all probes stable
+      IncrementalPipeline.nightly(spark, root,
+        docs.filter(col("doc_id") > mid), "text", "doc_id", batchNo = 2L)
+      assert(IncrementalBm25.topK(spark, s"$root/bm25", terms, k = 10)
+        .as[(Int, Long, Long, Long)].collect().toSeq == wantBm)
+      assert(IncrementalStats.probe(spark, s"$root/stats")
+        .orderBy("source")
+        .as[(String, Long, Long, Long, Double)].collect().toSeq == wantSt)
+      assert(IncrementalSample.sample(spark, s"$root/sample",
+          "lang", "doc_id")
+        .as[(Long, String)].collect().toSeq.sorted == wantSm)
+      admitted.unpersist()
+    } finally rm(rootP)
+  }
+
+  test("streaming nightly == batch nightly") {
+    val docs = graft.source.Tables.documents(spark, sf)
+      .select("doc_id", "text", "lang", "source")
+      .filter(col("doc_id") <= 120)
+    val rootP = java.nio.file.Files.createTempDirectory("nightly_s")
+    val root = rootP.toString
+    val srcDir = s"$root/src"
+    try {
+      docs.filter(col("doc_id") <= 60).coalesce(1)
+        .write.parquet(srcDir + "/b1")
+      docs.filter(col("doc_id") > 60).coalesce(1)
+        .write.parquet(srcDir + "/b2")
+      val stream = spark.readStream
+        .schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(srcDir + "/*")
+      IncrementalPipeline.nightlyStream(stream, s"$root/stream", "text",
+          "doc_id", s"$root/ckpt")
+        .awaitTermination(300000)
+      IncrementalPipeline.nightly(spark, s"$root/batch",
+        docs.filter(col("doc_id") <= 60), "text", "doc_id", 1L)
+      IncrementalPipeline.nightly(spark, s"$root/batch",
+        docs.filter(col("doc_id") > 60), "text", "doc_id", 2L)
+      val a = IncrementalCuration.survivors(spark, s"$root/stream/curation")
+        .select("doc_id").as[Long].collect().sorted.toSeq
+      val b = IncrementalCuration.survivors(spark, s"$root/batch/curation")
+        .select("doc_id").as[Long].collect().sorted.toSeq
+      assert(a == b && a.nonEmpty)
+      val sa = IncrementalStats.probe(spark, s"$root/stream/stats")
+        .orderBy("source")
+        .as[(String, Long, Long, Long, Double)].collect().toSeq
+      val sb = IncrementalStats.probe(spark, s"$root/batch/stats")
+        .orderBy("source")
+        .as[(String, Long, Long, Long, Double)].collect().toSeq
+      assert(sa == sb)
+    } finally rm(rootP)
+  }
+}
