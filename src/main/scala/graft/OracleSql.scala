@@ -927,6 +927,33 @@ object OracleSql {
         JOIN sizes sb ON sb.doc_id = id_b
         WHERE CAST(inter AS DOUBLE) / (sa.nsh + sb.nsh - inter) >= 0.3)"""
 
+  /** Frequency-ranked vocabulary — shared by the one-shot `ns_vocab`
+    * and the folded `ns_vocab_incremental` (associative count deltas;
+    * ranking derived at probe time).
+    */
+  private lazy val vocabOneShotSql: String =
+    s"""WITH c AS (
+        SELECT token, count(*) AS n FROM (
+          SELECT unnest(${wsToks("text")}) AS token
+          FROM documents)
+        GROUP BY 1 HAVING count(*) >= 2)
+      SELECT token, n, row_number() OVER (ORDER BY n DESC, token) AS vocab_id
+      FROM c ORDER BY vocab_id"""
+
+  /** Exact TF-IDF term stats — shared by the one-shot `ns_tfidf` and
+    * the folded `ns_tfidf_incremental` (the BM25 posting table is the
+    * tf matrix; df is its per-term posting count).
+    */
+  private lazy val tfidfOneShotSql: String =
+    s"""WITH toks AS (
+        SELECT doc_id, unnest(${wsToks("text")}) AS term
+        FROM documents),
+      tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+      dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1)
+      SELECT tf.doc_id, tf.term, tf.tf, dfreq.df
+      FROM tf JOIN dfreq USING (term)
+      ORDER BY doc_id, term"""
+
   private lazy val curationOneShotSql: String =
     s"""WITH $curationCtes
       SELECT doc_id, CAST(n_words AS BIGINT) AS n_words, quality_score
@@ -1374,6 +1401,28 @@ object OracleSql {
     // probe time — fold ≡ rebuild bit-for-bit
     "ns_stats_incremental" -> sourceStatsOneShotSql,
 
+    // time travel over the fold's versioned deltas: the as-of-batch-2
+    // profile vs the final profile, both recomputed here from the
+    // documents table with the same thirds cut the query folds at
+    // (integer // matches Spark's Long division)
+    "ns_stats_asof" ->
+      s"""WITH a AS (
+        SELECT source, count(*) AS n_docs_asof,
+          CAST(sum(len(${wsToksCased("text")})) AS BIGINT) AS n_tokens_asof
+        FROM documents
+        WHERE doc_id <= (SELECT (2 * max(doc_id)) // 3 FROM documents)
+        GROUP BY 1),
+      n AS (
+        SELECT source, count(*) AS n_docs_now,
+          CAST(sum(len(${wsToksCased("text")})) AS BIGINT) AS n_tokens_now
+        FROM documents GROUP BY 1)
+      SELECT n.source,
+        CAST(coalesce(a.n_docs_asof, 0) AS BIGINT) AS n_docs_asof,
+        CAST(coalesce(a.n_tokens_asof, 0) AS BIGINT) AS n_tokens_asof,
+        n.n_docs_now, n.n_tokens_now,
+        n.n_docs_now - CAST(coalesce(a.n_docs_asof, 0) AS BIGINT) AS docs_delta
+      FROM n LEFT JOIN a USING (source) ORDER BY source""",
+
     "ns_chunk_docs" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
       nc AS (SELECT doc_id, toks,
@@ -1388,14 +1437,12 @@ object OracleSql {
         CAST(len(string_split(chunk, ' ')) AS INT) AS n_chunk_tokens
       FROM ch ORDER BY doc_id, chunk_id""",
 
-    "ns_vocab" ->
-      s"""WITH c AS (
-        SELECT token, count(*) AS n FROM (
-          SELECT unnest(${wsToks("text")}) AS token
-          FROM documents)
-        GROUP BY 1 HAVING count(*) >= 2)
-      SELECT token, n, row_number() OVER (ORDER BY n DESC, token) AS vocab_id
-      FROM c ORDER BY vocab_id""",
+    "ns_vocab" -> vocabOneShotSql,
+
+    // the folded vocab probe reads the CMS fold's per-(term, batch)
+    // audit deltas — associative count sums re-ranked at probe time —
+    // so it shares the one-shot SQL VERBATIM: fold ≡ rebuild by hash
+    "ns_vocab_incremental" -> vocabOneShotSql,
 
     // the same Knuth-multiplicative permutation as Sampling.sampleExactK
     "ns_sample_exact_k" -> sampleExactKOneShotSql,
@@ -1956,15 +2003,12 @@ object OracleSql {
       FROM sh JOIN dfc ON sh.sh = dfc.s
       GROUP BY doc_id ORDER BY doc_id""",
 
-    "ns_tfidf" ->
-      s"""WITH toks AS (
-        SELECT doc_id, unnest(${wsToks("text")}) AS term
-        FROM documents),
-      tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
-      dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1)
-      SELECT tf.doc_id, tf.term, tf.tf, dfreq.df
-      FROM tf JOIN dfreq USING (term)
-      ORDER BY doc_id, term""",
+    "ns_tfidf" -> tfidfOneShotSql,
+
+    // the folded BM25 posting table IS the tf matrix and df is its
+    // per-term posting count, so the probe shares the one-shot SQL
+    // VERBATIM — fold ≡ rebuild by hash
+    "ns_tfidf_incremental" -> tfidfOneShotSql,
 
     "ns_stratified_sample" ->
       """SELECT doc_id, lang, source FROM documents

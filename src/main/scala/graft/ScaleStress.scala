@@ -217,7 +217,16 @@ object ScaleStress {
       // three arrival batches — the delta-contraction + flat-redirect
       // invariant has to hold through heavy cross-batch merges; the
       // CMS fold re-prices the portable-hash token pass batch-wise
-      "ns_cc_incremental", "ns_cms_incremental")
+      "ns_cc_incremental", "ns_cms_incremental",
+      // fifth session: the composite nightly fold chains curation
+      // admission into every maintained index on the clone-heavy
+      // corpus (admission kills most clones, so the downstream folds
+      // see the SURVIVOR distribution — the composite's real shape);
+      // the derived probes price vocab ranking over the audit deltas
+      // and the tf-idf matrix read off the folded postings; the as-of
+      // probe prices time travel over the versioned profile deltas
+      "ns_nightly_pipeline", "ns_vocab_incremental",
+      "ns_tfidf_incremental", "ns_stats_asof")
     // dev iteration: SPARK_GRAFT_STRESS_ONLY=name1,name2 runs just
     // those query steps (audits and corpus stats always run)
     val only = sys.env.get("SPARK_GRAFT_STRESS_ONLY")

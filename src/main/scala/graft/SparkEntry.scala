@@ -1358,6 +1358,101 @@ object SparkEntry {
     out
   }
 
+  /** TIME TRAVEL over the profile fold's versioned state
+    * (ext.IncrementalStats.probeAsOf): three ascending-id batches
+    * fold, then ONE delta table answers both "the profile as of
+    * batch 2" and "the profile now" — no snapshot was ever taken; the
+    * as-of probe just bounds `ver` before the re-sum. Output is the
+    * per-source before/now comparison with the doc-count delta; the
+    * oracle recomputes both profiles from the documents table with
+    * the same doc_id cut.
+    */
+  private def nsStatsAsof(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select("doc_id", "source", "text",
+      "n_chars")
+    val hi = docs.agg(max("doc_id")).head().getLong(0)
+    val (c1, c2) = (hi / 3, 2 * hi / 3)
+    val root = java.nio.file.Files.createTempDirectory("asof_stats")
+    val tmp = root.toString + "/state"
+    graft.ext.IncrementalStats.fold(s, tmp,
+      docs.filter(col("doc_id") <= c1), "text", "source", batchNo = 1L)
+    graft.ext.IncrementalStats.fold(s, tmp,
+      docs.filter(col("doc_id") > c1 && col("doc_id") <= c2), "text",
+      "source", batchNo = 2L)
+    graft.ext.IncrementalStats.fold(s, tmp,
+      docs.filter(col("doc_id") > c2), "text", "source", batchNo = 3L)
+    val asof = graft.ext.IncrementalStats.probeAsOf(s, tmp, asOfVer = 2L)
+      .select(col("source"), col("n_docs").as("n_docs_asof"),
+        col("n_tokens").as("n_tokens_asof"))
+    val now = graft.ext.IncrementalStats.probe(s, tmp)
+      .select(col("source"), col("n_docs").as("n_docs_now"),
+        col("n_tokens").as("n_tokens_now"))
+    // batches are cumulative, so as-of sources ⊆ now sources: left join
+    val out = now.join(asof, Seq("source"), "left")
+      .select(col("source"),
+        coalesce(col("n_docs_asof"), lit(0L)).as("n_docs_asof"),
+        coalesce(col("n_tokens_asof"), lit(0L)).as("n_tokens_asof"),
+        col("n_docs_now"), col("n_tokens_now"),
+        (col("n_docs_now") - coalesce(col("n_docs_asof"), lit(0L)))
+          .as("docs_delta"))
+      .orderBy("source").localCheckpoint()
+    deleteLocalDir(root)
+    out
+  }
+
+  /** The frequency-ranked vocabulary probed from MAINTAINED fold
+    * state (ext.IncrementalSketch's vocab audit table): three
+    * ascending-id batches fold per-(term, batch) exact-count deltas,
+    * and the probe re-sums + re-ranks them into the contiguous-id
+    * vocab — one fold, many probes (the same state audits the CMS).
+    * Shares [[nsVocab]]'s oracle SQL verbatim: fold ≡ rebuild by hash.
+    */
+  private def nsVocabIncremental(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select("doc_id", "text")
+    val hi = docs.agg(max("doc_id")).head().getLong(0)
+    val (c1, c2) = (hi / 3, 2 * hi / 3)
+    val root = java.nio.file.Files.createTempDirectory("inc_vocab")
+    val tmp = root.toString + "/state"
+    graft.ext.IncrementalSketch.cmsFold(s, tmp,
+      docs.filter(col("doc_id") <= c1), "text", batchNo = 1L)
+    graft.ext.IncrementalSketch.cmsFold(s, tmp,
+      docs.filter(col("doc_id") > c1 && col("doc_id") <= c2), "text",
+      batchNo = 2L)
+    graft.ext.IncrementalSketch.cmsFold(s, tmp,
+      docs.filter(col("doc_id") > c2), "text", batchNo = 3L)
+    val out = graft.ext.IncrementalSketch.vocabProbe(s, tmp, minCount = 2)
+      .orderBy("vocab_id").localCheckpoint()
+    deleteLocalDir(root)
+    out
+  }
+
+  /** The exact TF-IDF matrix probed from the MAINTAINED BM25 index
+    * (ext.IncrementalBm25): three ascending-id batches fold postings,
+    * and the probe reads tf straight off them with df as the per-term
+    * posting count — the retrieval index doubles as the tf-idf
+    * feature matrix with no corpus re-scan. Shares [[nsTfidf]]'s
+    * oracle SQL verbatim: fold ≡ rebuild by hash.
+    */
+  private def nsTfidfIncremental(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select("doc_id", "text")
+    val hi = docs.agg(max("doc_id")).head().getLong(0)
+    val (c1, c2) = (hi / 3, 2 * hi / 3)
+    val root = java.nio.file.Files.createTempDirectory("inc_tfidf")
+    val tmp = root.toString + "/state"
+    graft.ext.IncrementalBm25.fold(s, tmp,
+      docs.filter(col("doc_id") <= c1), "text", "doc_id", batchNo = 1L)
+    graft.ext.IncrementalBm25.fold(s, tmp,
+      docs.filter(col("doc_id") > c1 && col("doc_id") <= c2), "text",
+      "doc_id", batchNo = 2L)
+    graft.ext.IncrementalBm25.fold(s, tmp,
+      docs.filter(col("doc_id") > c2), "text", "doc_id", batchNo = 3L)
+    val out = graft.ext.IncrementalBm25.tfidfStats(s, tmp)
+      .select(col("doc").as("doc_id"), col("term"), col("tf"), col("df"))
+      .orderBy("doc_id", "term").localCheckpoint()
+    deleteLocalDir(root)
+    out
+  }
+
   /** Sliding-window chunking of documents into 32-token windows with
     * stride 24 — pure map-side (no shuffle at any corpus size).
     */
@@ -3790,6 +3885,7 @@ object SparkEntry {
     "t_array_funcs" -> tArrayFuncs,
     "ns_chunk_docs" -> nsChunkDocs,
     "ns_vocab" -> nsVocab,
+    "ns_vocab_incremental" -> nsVocabIncremental,
     "ns_sample_exact_k" -> nsSampleExactK,
     "ns_sample_incremental" -> nsSampleIncremental,
     "ns_bigrams" -> nsBigrams,
@@ -3809,7 +3905,9 @@ object SparkEntry {
     "ns_embed_quantize" -> nsEmbedQuantize,
     "ns_source_stats" -> nsSourceStats,
     "ns_stats_incremental" -> nsStatsIncremental,
+    "ns_stats_asof" -> nsStatsAsof,
     "ns_tfidf" -> nsTfidf,
+    "ns_tfidf_incremental" -> nsTfidfIncremental,
     "ns_stratified_sample" -> nsStratifiedSample,
     "ns_weighted_sample" -> nsWeightedSample,
     "ns_bootstrap" -> nsBootstrap,

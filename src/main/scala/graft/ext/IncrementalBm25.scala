@@ -147,4 +147,20 @@ object IncrementalBm25 {
       .withColumn("rank", row_number().over(w).cast("int"))
       .select(col("rank"), col("doc"), col("score_pts"), col("n_terms"))
   }
+
+  /** The folded index read back as the exact TF-IDF term-stats matrix
+    * — one fold, many probes: postings already hold per-(doc, term)
+    * tf, and df(term) is the per-term posting count, so the
+    * [[TextAnalysis.tfidf]] integer columns probe straight out of
+    * maintained state with no corpus re-scan (the probe shares
+    * `ns_tfidf`'s oracle SQL verbatim). Unlike [[topK]] this is a
+    * full-index scan BY DESIGN — the output is the corpus-sized
+    * matrix; at scale it feeds a downstream writer, not a collect.
+    */
+  def tfidfStats(spark: SparkSession, dir: String): DataFrame = {
+    val post = spark.read.parquet(dir).select("doc", "term", "tf")
+    val dfreq = post.groupBy("term").agg(count(lit(1)).as("df"))
+    post.join(dfreq, Seq("term"))
+      .select(col("doc"), col("term"), col("tf"), col("df"))
+  }
 }

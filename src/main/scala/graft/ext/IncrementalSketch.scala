@@ -107,6 +107,30 @@ object IncrementalSketch {
     wm
   }
 
+  /** Frequency-ranked vocabulary derived from the MAINTAINED vocab
+    * audit table — one fold, many probes: the per-(term, batch)
+    * exact-count deltas that audit the CMS estimates double as the
+    * corpus vocabulary, so the ranked contiguous-id vocab (the
+    * [[TextAnalysis.buildVocab]] shape) probes straight out of
+    * already-folded state with no corpus re-scan. Counts re-sum
+    * associatively and the ranking is the two-pass distributed
+    * numbering, so fold ≡ rebuild exactly — the probe shares
+    * `ns_vocab`'s oracle SQL verbatim.
+    */
+  def vocabProbe(spark: SparkSession, dir: String,
+                 minCount: Long = 1): DataFrame = {
+    require(minCount >= 1, "minCount must be >= 1")
+    val counts = spark.read.parquet(dir + VocabSuffix)
+      .groupBy("t").agg(sum("n_delta").as("n"))
+      .filter(col("n") >= minCount)
+      .withColumnRenamed("t", "token")
+    graft.op.Scale.globalRowNumbers(
+        counts.withColumn("_neg_n", -col("n")), Seq("_neg_n", "token"),
+        idCol = "vocab_id")
+      .drop("_neg_n")
+      .select("token", "n", "vocab_id")
+  }
+
   val GridSuffix = "_grid"
 
   /** Fold one batch's fixed-grid cell counts (the

@@ -85,7 +85,39 @@ object IncrementalStats {
     * so the two share one oracle.
     */
   def probe(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(dir)
+    aggProfile(spark.read.parquet(dir))
+
+  /** The profile AS OF a fold version — TIME TRAVEL over the
+    * versioned delta table: every delta row carries `ver`, so summing
+    * only rows at `ver <= asOfVer` reproduces the profile exactly as
+    * it stood after that batch folded, without any snapshot having
+    * been taken. This is a property of the whole fold family's state
+    * layout (per-(key, batch) LWW delta rows), surfaced here on the
+    * profile because it is the fold whose history a curation team
+    * actually asks about ("what did the mix look like before
+    * Tuesday's crawl?").
+    *
+    * Answerable versions are bounded below by the compaction
+    * watermark: [[compact]] folds all history into one baseline row
+    * AT the watermark version, so earlier states no longer exist —
+    * the standard retention trade; compact on the cadence you need
+    * history for. Asking below the watermark fails loudly rather
+    * than returning the (wrong) baseline-inclusive sum.
+    *
+    * Scale shape: one filter + partial-aggregated groupBy over the
+    * O(sources · batches) delta table; the corpus is never touched.
+    */
+  def probeAsOf(spark: SparkSession, dir: String, asOfVer: Long): DataFrame = {
+    DeltaCompact.watermark(spark, dir).foreach { wm =>
+      require(asOfVer >= wm,
+        s"as-of version $asOfVer predates the compaction watermark $wm — " +
+          "that state was folded into the baseline and no longer exists")
+    }
+    aggProfile(spark.read.parquet(dir).filter(col("ver") <= asOfVer))
+  }
+
+  private def aggProfile(deltas: DataFrame): DataFrame =
+    deltas
       .groupBy("source")
       .agg(sum("n_docs").as("n_docs"), sum("n_tokens").as("n_tokens"),
         sum("n_chars_total").as("n_chars_total"))

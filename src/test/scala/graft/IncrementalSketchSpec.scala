@@ -91,6 +91,28 @@ class IncrementalSketchSpec extends SparkSpec {
     } finally rm(root)
   }
 
+  test("vocab probe over the fold's audit table == one-shot buildVocab; survives compaction") {
+    val docs = graft.source.Tables.documents(spark, sf)
+      .select("doc_id", "text").filter(col("doc_id") <= 300)
+    val hi = docs.agg(max("doc_id")).head().getLong(0)
+    val (root, dir) = tmpState()
+    try {
+      IncrementalSketch.cmsFold(spark, dir,
+        docs.filter(col("doc_id") <= hi / 2), "text", 1L)
+      IncrementalSketch.cmsFold(spark, dir,
+        docs.filter(col("doc_id") > hi / 2), "text", 2L)
+      def got() = IncrementalSketch.vocabProbe(spark, dir, minCount = 2)
+        .orderBy("vocab_id").as[(String, Long, Long)].collect().toSeq
+      val want = graft.ext.TextAnalysis.buildVocab(docs, "text", minCount = 2)
+        .select("token", "n", "vocab_id")
+        .orderBy("vocab_id").as[(String, Long, Long)].collect().toSeq
+      assert(want.nonEmpty && got() == want)
+      // compaction folds the audit deltas to baselines; ranking unchanged
+      IncrementalSketch.cmsCompact(spark, dir)
+      assert(got() == want)
+    } finally rm(root)
+  }
+
   test("grid fold: three batches == one-shot gridQuantiles; compaction + replay hold") {
     val docs = graft.source.Tables.documents(spark, sf)
       .select("doc_id", "source", "n_chars")

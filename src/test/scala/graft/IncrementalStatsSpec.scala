@@ -76,6 +76,37 @@ class IncrementalStatsSpec extends SparkSpec {
     } finally rm(root)
   }
 
+  test("as-of probe reproduces the historical profile; below-watermark asks fail loudly") {
+    val docs = graft.source.Tables.documents(spark, sf)
+      .select("doc_id", "source", "text", "n_chars")
+    val hi = docs.agg(max("doc_id")).head().getLong(0)
+    val (c1, c2) = (hi / 3, 2 * hi / 3)
+    val (root, dir) = tmpState()
+    try {
+      IncrementalStats.fold(spark, dir,
+        docs.filter(col("doc_id") <= c1), "text", "source", 1L)
+      IncrementalStats.fold(spark, dir,
+        docs.filter(col("doc_id") > c1 && col("doc_id") <= c2),
+        "text", "source", 2L)
+      IncrementalStats.fold(spark, dir,
+        docs.filter(col("doc_id") > c2), "text", "source", 3L)
+      def asOf(v: Long) = IncrementalStats.probeAsOf(spark, dir, v)
+        .orderBy("source").as[(String, Long, Long, Long, Double)]
+        .collect().toSeq
+      // each historical state probes back exactly, no snapshot taken
+      assert(asOf(1L) == oneShot(docs.filter(col("doc_id") <= c1)))
+      assert(asOf(2L) == oneShot(docs.filter(col("doc_id") <= c2)))
+      assert(asOf(3L) == oneShot(docs))
+      assert(asOf(3L) == probe(dir))
+      // compaction retains only the final state; history below the
+      // watermark must refuse, not silently return the baseline sum
+      IncrementalStats.compact(spark, dir)
+      assert(asOf(3L) == probe(dir))
+      val e = intercept[IllegalArgumentException](asOf(2L))
+      assert(e.getMessage.contains("watermark"))
+    } finally rm(root)
+  }
+
   test("compaction: probe unchanged, compacted replay no-op, later folds continue") {
     val docs = Seq(
       (1L, "web", "a b c", 5L), (2L, "web", "d e", 3L),

@@ -120,6 +120,27 @@ class RetrievalSpec extends SparkSpec {
     assert(sProbe() == oneShot)
   }
 
+  test("folded BM25 postings double as the exact tf-idf matrix") {
+    import graft.ext.IncrementalBm25
+    val dir = java.nio.file.Files.createTempDirectory("bm25tfidf")
+      .toString + "/idx"
+    val b1 = corpus.filter(col("doc_id") <= 2)
+    val b2 = corpus.filter(col("doc_id") > 2)
+    IncrementalBm25.fold(spark, dir, b1, "text", "doc_id", batchNo = 1L)
+    IncrementalBm25.fold(spark, dir, b2, "text", "doc_id", batchNo = 2L)
+    def probe() = IncrementalBm25.tfidfStats(spark, dir)
+      .orderBy("doc", "term")
+      .as[(Long, String, Long, Long)].collect().toSeq
+    val oneShot = TextAnalysis.tfidf(corpus, "text", "doc_id")
+      .select(col("doc"), col("term"), col("tf"), col("df"))
+      .orderBy("doc", "term")
+      .as[(Long, String, Long, Long)].collect().toSeq
+    assert(probe() == oneShot && oneShot.nonEmpty)
+    // replay leaves the matrix unchanged (LWW on doc:term)
+    IncrementalBm25.fold(spark, dir, b2, "text", "doc_id", batchNo = 2L)
+    assert(probe() == oneShot)
+  }
+
   // ---- keywords ----
 
   test("keywords: rare high-tf term wins over ubiquitous term") {
