@@ -892,7 +892,7 @@ object OracleSql {
     * survivor set into the per-source profile (the composite fold's
     * stats probe).
     */
-  private lazy val curationCtes: String =
+  private def curationCtes(base: String = "documents"): String =
     s"""f AS (
         SELECT doc_id, text,
           len(${wsToks("text")}) AS n_words,
@@ -901,7 +901,7 @@ object OracleSql {
           CAST(len(regexp_extract_all(text, '[\\.,;:!\\?]')) AS DOUBLE) / length(text) AS punct_ratio,
           CAST(len(list_filter(${wsToks("text")}, w -> w IN $stopwordsIn)) AS DOUBLE)
             / len(${wsToks("text")}) AS stopword_ratio
-        FROM documents),
+        FROM $base),
       scored AS (
         SELECT doc_id, text, n_words,
           (CASE WHEN n_words BETWEEN 10 AND 10000 THEN 4 ELSE 0 END
@@ -955,7 +955,20 @@ object OracleSql {
       ORDER BY doc_id, term"""
 
   private lazy val curationOneShotSql: String =
-    s"""WITH $curationCtes
+    s"""WITH ${curationCtes()}
+      SELECT doc_id, CAST(n_words AS BIGINT) AS n_words, quality_score
+      FROM deduped d
+      WHERE NOT EXISTS (SELECT 1 FROM losers l WHERE l.id_b = d.doc_id)
+      ORDER BY doc_id"""
+
+  /** Retraction convergence: the one-shot curation over the corpus
+    * MINUS the retracted id set (every fifth id — the registered
+    * query retracts the same set from folded state). Same CTE chain,
+    * filtered base.
+    */
+  private lazy val retractOneShotSql: String =
+    s"""WITH base AS (SELECT * FROM documents WHERE doc_id % 5 <> 0),
+      ${curationCtes("base")}
       SELECT doc_id, CAST(n_words AS BIGINT) AS n_words, quality_score
       FROM deduped d
       WHERE NOT EXISTS (SELECT 1 FROM losers l WHERE l.id_b = d.doc_id)
@@ -967,7 +980,7 @@ object OracleSql {
     * than the table's n_chars column).
     */
   private lazy val nightlyPipelineSql: String =
-    s"""WITH $curationCtes,
+    s"""WITH ${curationCtes()},
       surv AS (
         SELECT doc_id FROM deduped d
         WHERE NOT EXISTS (SELECT 1 FROM losers l WHERE l.id_b = d.doc_id))
@@ -3429,6 +3442,13 @@ object OracleSql {
     // oracle IS the one-shot SQL, shared verbatim
     "ns_incremental_curation" -> curationOneShotSql,
     "ns_nightly_pipeline" -> nightlyPipelineSql,
+
+    // retraction (right-to-be-forgotten): fold everything, retract
+    // every fifth id from STATE, and the survivors must hash-match the
+    // from-scratch curation over the never-retracted corpus — exact
+    // promotion, tombstone resurrection, and promoted-suppresses all
+    // inside the gate
+    "ns_retract_curation" -> retractOneShotSql,
 
     // the probe form folds the SAME final batch into a pre-built
     // batch-1 state, so its survivors answer the identical question

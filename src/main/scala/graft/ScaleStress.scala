@@ -226,7 +226,11 @@ object ScaleStress {
       // and the tf-idf matrix read off the folded postings; the as-of
       // probe prices time travel over the versioned profile deltas
       "ns_nightly_pipeline", "ns_vocab_incremental",
-      "ns_tfidf_incremental", "ns_stats_asof")
+      "ns_tfidf_incremental", "ns_stats_asof",
+      // retraction on the clone-heavy corpus: retracting every fifth
+      // id hits exact-dup keepers (clone families promote) and
+      // near-dup winners (tombstones resurrect) at stress density
+      "ns_retract_curation")
     // dev iteration: SPARK_GRAFT_STRESS_ONLY=name1,name2 runs just
     // those query steps (audits and corpus stats always run)
     val only = sys.env.get("SPARK_GRAFT_STRESS_ONLY")

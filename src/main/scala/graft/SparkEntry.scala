@@ -3060,6 +3060,35 @@ object SparkEntry {
     out
   }
 
+  /** RETRACTION end-to-end (pipeline.IncrementalCuration.retract —
+    * right-to-be-forgotten): the corpus folds in as two ascending-id
+    * batches through the RETRACTABLE curation fold (which additionally
+    * stores exact-dup tombstones with their normalized-text group key
+    * and the complete near-dup pair-edge table), then every fifth
+    * doc_id is retracted FROM STATE — exact-group promotion, tombstone
+    * resurrection, and promoted-suppresses-younger recompute from the
+    * stored edges with O(promoted) fresh shingling, never a corpus
+    * re-curate. The ORACLE is the from-scratch curation SQL over the
+    * never-retracted corpus: the hash gate IS the proof that deletion
+    * converges to the rebuild-without-X.
+    */
+  private def nsRetractCuration(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select("doc_id", "text")
+    val mid = docs.agg(max("doc_id")).head().getLong(0) / 2
+    val root = java.nio.file.Files.createTempDirectory("retr_cur")
+    val tmp = root.toString + "/state"
+    graft.pipeline.IncrementalCuration.curateBatchRetractable(s, tmp,
+      docs.filter(col("doc_id") <= mid), "text", "doc_id", batchNo = 1L)
+    graft.pipeline.IncrementalCuration.curateBatchRetractable(s, tmp,
+      docs.filter(col("doc_id") > mid), "text", "doc_id", batchNo = 2L)
+    graft.pipeline.IncrementalCuration.retract(s, tmp,
+      docs.filter(col("doc_id") % 5 === 0).select("doc_id"))
+    val out = graft.pipeline.IncrementalCuration.survivors(s, tmp)
+      .orderBy("doc_id").localCheckpoint()
+    deleteLocalDir(root)
+    out
+  }
+
   /** The composite NIGHTLY fold end-to-end
     * (pipeline.IncrementalPipeline): two ascending-id batches run
     * curation admission and fold the admitted docs into EVERY
@@ -3994,6 +4023,7 @@ object SparkEntry {
     "ns_curation_pipeline" -> nsCurationPipeline,
     "ns_incremental_curation" -> nsIncrementalCuration,
     "ns_nightly_pipeline" -> nsNightlyPipeline,
+    "ns_retract_curation" -> nsRetractCuration,
     "ns_incremental_probe" -> nsIncrementalProbe,
     "ns_incremental_probe_indexed" -> nsIncrementalProbeIndexed,
     "ns_text_tokens" -> nsTextTokens,

@@ -71,13 +71,22 @@ object TextDedup {
     * content signal and are NOT treated as duplicates of each other —
     * each keeps a unique per-row hash.
     */
-  def exactNormalized(df: DataFrame, text: String, id: String): DataFrame = {
-    val norm = normalizedText(col(text))
-    val hashed = df.withColumn("text_hash",
-      when(norm.isNull || norm === "",
-        concat(lit("empty-"), col(id).cast("string")))
-        .otherwise(md5(norm)))
-    keepFirstByHash(hashed, id)
+  def exactNormalized(df: DataFrame, text: String, id: String): DataFrame =
+    keepFirstByHash(
+      df.withColumn("text_hash", normalizedHash(col(text), col(id))), id)
+
+  /** The normalized-exact-dedup GROUP KEY as a column expression —
+    * md5 of [[normalizedText]], with content-free (empty-normal) docs
+    * assigned a unique per-row key so they are never duplicates of
+    * each other. Exposed for state layouts that persist the group key
+    * (retractable curation stores it so a retracted exact winner's
+    * group can promote a new keeper without re-reading the corpus).
+    */
+  def normalizedHash(text: Column, id: Column): Column = {
+    val norm = normalizedText(text)
+    when(norm.isNull || norm === "",
+      concat(lit("empty-"), id.cast("string")))
+      .otherwise(md5(norm))
   }
 
   /** Deterministic survivor selection shared by the exact-dedup

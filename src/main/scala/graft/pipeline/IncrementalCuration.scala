@@ -73,6 +73,30 @@ object IncrementalCuration {
     */
   val DfSuffix = "_df"
 
+  /** Suffix of the near-dup PAIR-EDGE table maintained by
+    * [[curateBatchRetractable]]: one (id_a, id_b) row per qualifying
+    * jaccard pair among the deduped docs, id_a < id_b (the loser is
+    * always id_b under the ascending contract). Folds append each
+    * batch's cross + intra pairs, so by induction the table holds the
+    * COMPLETE pair graph over everything deduped so far — which is
+    * what lets [[retract]] recompute every fate without re-shingling
+    * the corpus: after removing a doc set X, doc d survives iff no
+    * edge (a, d) remains with a outside X. State is O(near-dup
+    * pairs) — the same pair-graph artifact the cluster-labeling
+    * family already materializes.
+    */
+  val EdgesSuffix = "_edges"
+
+  /** Suffix of the one-row retraction watermark. After a retraction,
+    * folds at `batchNo <= watermark` are REJECTED loudly: a replayed
+    * pre-retraction batch would re-merge rows that retraction deleted
+    * — silently resurrecting retracted docs. (Contrast DeltaCompact's
+    * watermark, where a compacted replay is a SAFE no-op.) Quiesce the
+    * stream before retracting; post-retraction folds use fresh batch
+    * numbers above the watermark.
+    */
+  val RetractWmSuffix = "_rwm"
+
   /** Fold one batch into the state table at `stateDir` (created on
     * first use). `batchNo` becomes the merge version — replaying a
     * batch re-merges idempotently.
@@ -84,6 +108,30 @@ object IncrementalCuration {
                   maxPostings: Long = 5000): Unit =
     fold(spark, stateDir, batch, text, id, batchNo, minQuality,
       jaccardThreshold, maxPostings, indexed = false)
+
+  /** [[curateBatch]] with RETRACTION support ([[retract]] — the
+    * right-to-be-forgotten path): the state additionally keeps
+    *
+    *  - EXACT-dup losers as rows (`in_deduped = false`) with the
+    *    normalized-text group key (`text_hash`) on every row, so a
+    *    retracted exact winner's group can promote its next-smallest
+    *    member without re-reading the corpus;
+    *  - the near-dup pair-edge table ([[EdgesSuffix]]), so every
+    *    fate recomputes from stored edges.
+    *
+    * Survivor semantics are IDENTICAL to [[curateBatch]] (the
+    * near-dup probes still run against the deduped rows only, and
+    * [[survivors]] reads the same flag) — the extra rows/tables exist
+    * solely so deletion can converge to the rebuild-without-X oracle.
+    * Do not mix fold flavors on one stateDir.
+    */
+  def curateBatchRetractable(spark: SparkSession, stateDir: String,
+                             batch: DataFrame, text: String, id: String,
+                             batchNo: Long, minQuality: Double = 0.7,
+                             jaccardThreshold: Double = 0.3,
+                             maxPostings: Long = 5000): Unit =
+    fold(spark, stateDir, batch, text, id, batchNo, minQuality,
+      jaccardThreshold, maxPostings, indexed = false, retractable = true)
 
   /** [[curateBatch]] with a MAINTAINED shingle posting index: the
     * cross-batch near-dup probe reads a stored (doc, shingle-code)
@@ -123,9 +171,25 @@ object IncrementalCuration {
                    text: String, id: String, batchNo: Long,
                    minQuality: Double,
                    jaccardThreshold: Double,
-                   maxPostings: Long, indexed: Boolean): Unit = {
+                   maxPostings: Long, indexed: Boolean,
+                   retractable: Boolean = false): Unit = {
+    require(!(indexed && retractable),
+      "indexed + retractable folds are not combined yet: retraction " +
+        "would leave the posting/df tables holding retracted docs")
     val hPath = new org.apache.hadoop.fs.Path(stateDir)
     val fs = hPath.getFileSystem(spark.sessionState.newHadoopConf())
+    // a fold at or below the retraction watermark would re-merge rows
+    // retraction deleted — resurrecting retracted docs; fail loudly
+    val rwmPath = new org.apache.hadoop.fs.Path(stateDir + RetractWmSuffix)
+    if (fs.exists(rwmPath)) {
+      val rwm = spark.read.parquet(stateDir + RetractWmSuffix)
+        .agg(max("wm")).head().getLong(0)
+      require(batchNo > rwm,
+        s"fold batchNo=$batchNo is at or below the retraction " +
+          s"watermark $rwm — replaying a pre-retraction batch would " +
+          "resurrect retracted docs; fold post-retraction batches " +
+          "under fresh (higher) batch numbers")
+    }
     val state: Option[DataFrame] =
       if (fs.exists(hPath)) Some(spark.read.parquet(stateDir)) else None
     val qualified = TextAnalysis.qualityScore(batch, text)
@@ -190,8 +254,11 @@ object IncrementalCuration {
     // near-dup losers: new vs ALL state rows (tombstones included —
     // the convergence clause), plus pairs within the batch itself.
     // Indexed mode probes the stored posting table; plain mode
-    // re-shingles the state text.
-    val crossLosers = state match {
+    // re-shingles the state text. Retractable mode excludes the
+    // stored EXACT-dup rows from the probe — the one-shot pairs docs
+    // among the exact-deduped set only, and an exact loser's RAW text
+    // (which shingling sees) can differ from its keeper's.
+    val crossPairs = state match {
       case None => None
       case Some(st) if indexed =>
         Some(TextDedup.crossNearDupsHashed(dedupedB,
@@ -201,26 +268,71 @@ object IncrementalCuration {
             .select(col("shc"), col("sh"), col("df_delta")),
           text, id, shingleN = 3, threshold = jaccardThreshold,
           maxPostings = maxPostings)
-          .select(col("id_new").as(id)))
-      case Some(st) => Some(TextDedup.crossNearDups(dedupedB, st, text, id,
-        shingleN = 3, threshold = jaccardThreshold,
-        maxPostings = maxPostings)
-        .select(col("id_new").as(id)))
+          .select(col("id_old").as("id_a"), col("id_new").as("id_b")))
+      case Some(st) =>
+        val probeSide =
+          if (retractable) st.filter(col("in_deduped")) else st
+        Some(TextDedup.crossNearDups(dedupedB, probeSide, text, id,
+          shingleN = 3, threshold = jaccardThreshold,
+          maxPostings = maxPostings)
+          .select(col("id_old").as("id_a"), col("id_new").as("id_b")))
     }
-    val intraLosers = TextDedup.ngramJaccardPairs(dedupedB, text, id,
+    val intraPairs = TextDedup.ngramJaccardPairs(dedupedB, text, id,
       shingleN = 3, threshold = jaccardThreshold, maxPostings = maxPostings)
-      .select(col("id_b").as(id))
-    val losers = crossLosers.fold(intraLosers)(_.unionByName(intraLosers))
-      .distinct()
-    val rows = dedupedB
+      .select(col("id_a"), col("id_b"))
+    val pairs0 = crossPairs.fold(intraPairs)(_.unionByName(intraPairs))
+    // retractable mode writes the edge table AFTER the state upsert
+    // has overwritten the very files the cross probe reads — pin the
+    // pair set NOW (eager local checkpoint; it is O(batch pairs)) or
+    // the second action would re-probe the mutated state and record
+    // the batch's docs as their own near-dup pairs
+    val pairs =
+      if (retractable) pairs0.localCheckpoint(true) else pairs0
+    val losers = pairs.select(col("id_b").as(id)).distinct()
+    val keptRows = dedupedB
       .join(losers.withColumn("_lost", lit(true)), Seq(id), "left")
       .withColumn("is_survivor", coalesce(col("_lost"), lit(false)) === false)
       .drop("_lost")
-      .withColumn("part", pmod(col(id), lit(StateParts.toLong)))
-      .withColumn("ver", lit(batchNo))
-      .select(col("part"), col(id), col("ver"), col(text), col("n_words"),
-        col("quality_score"), col("is_survivor"))
+    val rows =
+      if (!retractable)
+        keptRows
+          .withColumn("part", pmod(col(id), lit(StateParts.toLong)))
+          .withColumn("ver", lit(batchNo))
+          .select(col("part"), col(id), col("ver"), col(text),
+            col("n_words"), col("quality_score"), col("is_survivor"))
+      else {
+        // exact-dup losers of THIS batch: qualified rows that did not
+        // reach the deduped set (dropped cross-batch by the bloom
+        // guard or intra-batch by first-id-wins). Stored so [[retract]]
+        // can promote a group's next member when its keeper leaves.
+        val exactLosers = qualified
+          .join(dedupedB.select(col(id)), Seq(id), "left_anti")
+          .withColumn("is_survivor", lit(false))
+          .withColumn("in_deduped", lit(false))
+        keptRows.withColumn("in_deduped", lit(true))
+          .unionByName(exactLosers)
+          .withColumn("text_hash",
+            TextDedup.normalizedHash(col(text), col(id)))
+          .withColumn("part", pmod(col(id), lit(StateParts.toLong)))
+          .withColumn("ver", lit(batchNo))
+          .select(col("part"), col(id), col("ver"), col(text),
+            col("n_words"), col("quality_score"), col("is_survivor"),
+            col("in_deduped"), col("text_hash"))
+      }
     ParquetMerge.upsertPartitions(spark, stateDir, rows, "part", id, "ver")
+    if (retractable) {
+      // append this batch's pair edges (complete by induction: every
+      // pair among deduped docs is discovered exactly once, when its
+      // higher member's batch folds); pk = id_a:id_b so a replayed
+      // batch LWW-rewrites its own identical edges
+      val edgeRows = pairs
+        .withColumn("part", pmod(col("id_b"), lit(StateParts.toLong)))
+        .withColumn("pk", concat_ws(":", col("id_a"), col("id_b")))
+        .withColumn("ver", lit(batchNo))
+        .select("part", "pk", "ver", "id_a", "id_b")
+      ParquetMerge.upsertPartitions(spark, stateDir + EdgesSuffix,
+        edgeRows, "part", "pk", "ver")
+    }
     if (indexed) {
       // fold the batch's shingles into the posting table through the
       // same idempotent LWW partition merge; tombstoned docs' shingles
@@ -325,4 +437,146 @@ object IncrementalCuration {
     spark.read.parquet(stateDir)
       .filter(col("is_survivor"))
       .select(col(id), col("n_words"), col("quality_score"))
+
+  /** RETRACT a document set from a [[curateBatchRetractable]] state —
+    * the right-to-be-forgotten path, with the same convergence
+    * contract as the folds: afterwards the state equals what
+    * re-folding everything EXCEPT the retracted ids would have built,
+    * so `survivors` hash-matches the from-scratch rebuild over the
+    * remaining corpus (the registered query's oracle).
+    *
+    * Deletion is not row removal — fates depend on the removed docs:
+    *
+    *  1. EXACT PROMOTION: a retracted exact-dup keeper's group
+    *     promotes its smallest remaining member into the deduped set
+    *     (groups are found by the stored `text_hash`, never by
+    *     re-normalizing the corpus).
+    *  2. FRESH PAIRS for the promoted docs only: promoted text probes
+    *     the remaining deduped docs (both orientations — a promoted
+    *     doc can suppress a YOUNGER doc that used to survive) plus
+    *     promoted-vs-promoted. This is the only shingling retraction
+    *     does, and it is O(promoted), not O(corpus).
+    *  3. FATE RECOMPUTE from edges: with the stored pair graph
+    *     ([[EdgesSuffix]] — complete over the deduped set by fold
+    *     induction) minus edges touching the retracted set, plus the
+    *     fresh promoted pairs, doc d survives iff no remaining edge
+    *     (a, d) exists. Near-dup losers whose every suppressor was
+    *     retracted RESURRECT here; docs newly paired with a promoted
+    *     elder fall.
+    *  4. The rewrite deletes retracted rows and rewrites only changed
+    *     rows AT THEIR ORIGINAL `ver`
+    *     ([[ParquetMerge.deleteAndUpsertPartitions]] — partition-
+    *     scoped, untouched partitions stay byte-identical), and
+    *     records a retraction watermark: later folds at
+    *     `batchNo <= watermark` are rejected loudly, because a
+    *     replayed pre-retraction batch would re-merge deleted rows —
+    *     quiesce the stream before retracting.
+    *
+    * Retracting an id that is absent (or already retracted) is a
+    * no-op for that id. Not supported on `curateBatchIndexed` states
+    * (the posting/df tables would keep retracted docs) — the folds
+    * enforce that pairing.
+    */
+  def retract(spark: SparkSession, stateDir: String, retractIds: DataFrame,
+              text: String = "text", id: String = "doc_id",
+              jaccardThreshold: Double = 0.3,
+              maxPostings: Long = 5000): Unit = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val st = spark.read.parquet(stateDir)
+    require(st.columns.contains("in_deduped"),
+      "retract needs a state folded with curateBatchRetractable")
+    val x = retractIds.select(col(id)).distinct().persist(lvl)
+    val removed = st.join(x, Seq(id), "left_semi")
+      .persist(lvl)
+    val kept = st.join(x, Seq(id), "left_anti").persist(lvl)
+    // 1. exact promotion
+    val removedDedupHashes = removed.filter(col("in_deduped"))
+      .select("text_hash")
+    val groupRemain = kept.filter(!col("in_deduped"))
+      .join(removedDedupHashes, Seq("text_hash"), "left_semi")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("text_hash").orderBy(col(id))
+    val promoted = groupRemain.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1).drop("_rn")
+      .persist(lvl)
+    val dedupedOld = kept.filter(col("in_deduped")).persist(lvl)
+    // 2. fresh pairs for the promoted docs (the only shingling here;
+    // skipped entirely when no group promoted — the common retraction
+    // has no exact-dup keeper in it and pays zero shingle work)
+    val promDocs = promoted.select(col(id), col(text))
+    val newEdges = (if (promoted.isEmpty)
+      promDocs.select(col(id).as("id_a"), col(id).as("id_b")).limit(0)
+    else {
+      val crossP = TextDedup.crossNearDups(promDocs,
+        dedupedOld.select(col(id), col(text)), text, id,
+        shingleN = 3, threshold = jaccardThreshold,
+        maxPostings = maxPostings)
+        .select(least(col("id_new"), col("id_old")).as("id_a"),
+          greatest(col("id_new"), col("id_old")).as("id_b"))
+      val intraP = TextDedup.ngramJaccardPairs(promDocs, text, id,
+        shingleN = 3, threshold = jaccardThreshold,
+        maxPostings = maxPostings)
+        .select(col("id_a"), col("id_b"))
+      crossP.unionByName(intraP).distinct()
+      // EAGER checkpoint, not persist: this frame's lineage reads the
+      // state files the rewrite below overwrites, and the edge-table
+      // write re-evaluates it AFTER that overwrite — a cache-evicted
+      // recompute would silently find no promoted docs and lose the
+      // fresh edges
+    }).localCheckpoint(true)
+    // 3. fate recompute from the surviving edge graph
+    val edgesDir = stateDir + EdgesSuffix
+    val hEdges = new org.apache.hadoop.fs.Path(edgesDir)
+    val fs = hEdges.getFileSystem(spark.sessionState.newHadoopConf())
+    val oldEdges =
+      if (fs.exists(hEdges))
+        spark.read.parquet(edgesDir).select("id_a", "id_b").persist(lvl)
+      else newEdges.limit(0).select("id_a", "id_b")
+    val liveOld = oldEdges
+      .join(x.withColumnRenamed(id, "id_a"), Seq("id_a"), "left_anti")
+      .join(x.withColumnRenamed(id, "id_b"), Seq("id_b"), "left_anti")
+    val losersAfter = liveOld.unionByName(newEdges)
+      .select(col("id_b").as(id)).distinct()
+    val rede = dedupedOld
+      .unionByName(promoted.withColumn("in_deduped", lit(true))
+        .select(dedupedOld.columns.map(col): _*))
+    val fates = rede
+      .join(losersAfter.withColumn("_lost", lit(true)), Seq(id), "left")
+      .withColumn("_new_surv", coalesce(col("_lost"), lit(false)) === false)
+      .drop("_lost")
+    val promotedIds = promoted.select(col(id))
+      .withColumn("_promoted", lit(true))
+    val updates = fates
+      .join(promotedIds, Seq(id), "left")
+      .filter(col("_new_surv") =!= col("is_survivor") ||
+        coalesce(col("_promoted"), lit(false)))
+      .withColumn("is_survivor", col("_new_surv"))
+      .drop("_new_surv", "_promoted")
+      .select(st.columns.map(col): _*)
+    // 4. partition-scoped rewrite at ORIGINAL versions + watermark
+    val wm = st.agg(max("ver")).head().getLong(0)
+    ParquetMerge.deleteAndUpsertPartitions(spark, stateDir,
+      removed.select(col("part"), col(id)), updates, "part", id, "ver")
+    val edgeGone = oldEdges
+      .join(liveOld.select("id_a", "id_b"), Seq("id_a", "id_b"),
+        "left_anti")
+      .select(pmod(col("id_b"), lit(StateParts.toLong)).as("part"),
+        concat_ws(":", col("id_a"), col("id_b")).as("pk"))
+    val edgeNew = newEdges
+      .withColumn("part", pmod(col("id_b"), lit(StateParts.toLong)))
+      .withColumn("pk", concat_ws(":", col("id_a"), col("id_b")))
+      .withColumn("ver", lit(wm))
+      .select("part", "pk", "ver", "id_a", "id_b")
+    if (fs.exists(hEdges))
+      ParquetMerge.deleteAndUpsertPartitions(spark, edgesDir,
+        edgeGone, edgeNew, "part", "pk", "ver")
+    else if (!edgeNew.isEmpty)
+      ParquetMerge.upsertPartitions(spark, edgesDir, edgeNew,
+        "part", "pk", "ver")
+    spark.range(1).select(lit(wm).as("wm"))
+      .write.mode("overwrite").parquet(stateDir + RetractWmSuffix)
+    Seq(x, removed, kept, promoted, dedupedOld, newEdges)
+      .foreach(_.unpersist())
+    if (fs.exists(hEdges)) oldEdges.unpersist()
+  }
 }

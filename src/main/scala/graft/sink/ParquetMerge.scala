@@ -95,6 +95,65 @@ object ParquetMerge {
       .partitionBy(partCol).parquet(dir)
   }
 
+  /** Partition-scoped DELETE + rewrite — the retraction write.
+    * [[upsertPartitions]] cannot remove a row (LWW always keeps one
+    * winner per key) and bumping `ver` to "overwrite" would reassign
+    * fold history, so retraction needs its own primitive: within the
+    * touched partitions, drop every `deleteKeys` row, replace every
+    * row whose key appears in `updates` (at the UPDATE's version —
+    * callers rewriting fate flips keep the row's original `ver`), and
+    * leave everything else byte-identical. Untouched partitions are
+    * never read.
+    *
+    * `deleteKeys` must carry (`partCol`, `key`) — the caller derives
+    * the partition from the key (state layouts make partCol a pure
+    * function of the key precisely so this is possible).
+    *
+    * A partition whose every row is deleted is removed from DISK
+    * explicitly: dynamic partition overwrite only replaces partitions
+    * PRESENT in the written frame, so an emptied partition would
+    * otherwise silently keep its old files — the retracted rows
+    * would come back on the next read.
+    */
+  def deleteAndUpsertPartitions(spark: SparkSession, dir: String,
+                                deleteKeys: DataFrame, updates: DataFrame,
+                                partCol: String, key: String,
+                                ver: String): Unit = {
+    val touched = deleteKeys.select(col(partCol).cast("string"))
+      .union(updates.select(col(partCol).cast("string")))
+      .distinct().collect().map(_.getString(0))
+    if (touched.isEmpty) return
+    val hPath = new org.apache.hadoop.fs.Path(dir)
+    val fs = hPath.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(hPath)) return
+    val readSchema = org.apache.spark.sql.types.StructType(
+      updates.schema.fields.map(f =>
+        if (f.name == partCol)
+          f.copy(dataType = org.apache.spark.sql.types.StringType)
+        else f))
+    val cur = spark.read.schema(readSchema).parquet(dir)
+      .filter(col(partCol).isin(touched: _*))
+      .withColumn(partCol,
+        col(partCol).cast(updates.schema(partCol).dataType))
+      .select(updates.columns.map(col): _*)
+    val gone = deleteKeys.select(col(key))
+      .union(updates.select(col(key))).distinct()
+    val merged = cur.join(gone, Seq(key), "left_anti")
+      .unionByName(updates)
+      // materialize BEFORE overwriting the files it reads
+      .localCheckpoint(true)
+    val written = merged.select(col(partCol).cast("string"))
+      .distinct().collect().map(_.getString(0)).toSet
+    if (written.nonEmpty)
+      merged.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(partCol).parquet(dir)
+    // partitions emptied by the delete: remove their directories
+    touched.filterNot(written).foreach { p =>
+      fs.delete(new org.apache.hadoop.fs.Path(dir, s"$partCol=$p"), true)
+    }
+  }
+
   /** One partition's compaction decision, returned for auditability:
     * how many files it had, how many it was rewritten to (0 = left
     * untouched). */

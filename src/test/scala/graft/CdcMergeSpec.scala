@@ -64,6 +64,34 @@ class CdcMergeSpec extends SparkSpec {
     assert(spark.read.parquet(dir).count() == 4)
   }
 
+  test("deleteAndUpsertPartitions: deletes, rewrites at original ver, removes emptied partitions, leaves the rest byte-identical") {
+    val dir = java.nio.file.Files.createTempDirectory("pdel").toString + "/tbl"
+    Seq(("d1", 1L, 1L, 100L), ("d1", 2L, 1L, 200L), ("d2", 3L, 1L, 300L),
+      ("d3", 4L, 2L, 400L))
+      .toDF("day", "k", "ver", "v")
+      .write.partitionBy("day").parquet(dir)
+    def files(p: String) = new java.io.File(s"$dir/day=$p").listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+      .map(f => f.getName -> f.lastModified()).toMap
+    val d3Before = files("d3")
+    // delete k=1 (d1) and k=3 (ALL of d2 — the partition must vanish
+    // from disk, not just from the overwrite); rewrite k=2 at its
+    // ORIGINAL ver with a new payload
+    val delKeys = Seq(("d1", 1L), ("d2", 3L)).toDF("day", "k")
+    val ups = Seq(("d1", 2L, 1L, 222L)).toDF("day", "k", "ver", "v")
+    ParquetMerge.deleteAndUpsertPartitions(spark, dir, delKeys, ups,
+      "day", "k", "ver")
+    val got = spark.read.parquet(dir).orderBy("k")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq((2L, 1L, 222L), (4L, 2L, 400L)))
+    assert(!new java.io.File(s"$dir/day=d2").exists())
+    assert(files("d3") == d3Before)
+    // deleting nothing that exists is a no-op
+    ParquetMerge.deleteAndUpsertPartitions(spark, dir,
+      Seq(("d1", 99L)).toDF("day", "k"), ups.limit(0), "day", "k", "ver")
+    assert(spark.read.parquet(dir).count() == 2)
+  }
+
   test("mergeStream: per-micro-batch LWW merge; checkpoint restart re-merges idempotently") {
     import graft.streaming.EventStream
     val src = java.nio.file.Files.createTempDirectory("msrc").toString
