@@ -93,8 +93,15 @@ object Bench {
     // registration is untouched — all three remain in
     // SparkEntry.queries and the Verify gate.
     // ns_nightly_pipeline re-prices five already-benched fold kernels
-    // through the composite — correctness-only by default, same rule
-    val optIn = Set("ns_incremental_probe", "ns_nightly_pipeline")
+    // through the composite — correctness-only by default, same rule.
+    // ns_tfidf_incremental's cost is ~all a re-priced BM25 fold
+    // (ns_bm25_incremental's kernel); its new work — the matrix probe
+    // — rides the stress set. Same rule. (ns_vocab_incremental and
+    // ns_stats_asof stay default: their folds are cheap and the
+    // probes ARE the new work; ns_retract_curation stays default:
+    // retraction is a genuinely new kernel.)
+    val optIn = Set("ns_incremental_probe", "ns_nightly_pipeline",
+      "ns_tfidf_incremental")
     val extra = sys.env.get("SPARK_GRAFT_BENCH_EXTRA")
       .map(v => if (v.trim == "all") optIn
                 else v.split(",").map(_.trim).filter(_.nonEmpty).toSet)

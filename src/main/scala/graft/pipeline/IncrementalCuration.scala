@@ -454,8 +454,10 @@ object IncrementalCuration {
     *  2. FRESH PAIRS for the promoted docs only: promoted text probes
     *     the remaining deduped docs (both orientations — a promoted
     *     doc can suppress a YOUNGER doc that used to survive) plus
-    *     promoted-vs-promoted. This is the only shingling retraction
-    *     does, and it is O(promoted), not O(corpus).
+    *     promoted-vs-promoted. The batch side is O(promoted); the
+    *     corpus side pays ONE shingle scan (the same cross-probe cost
+    *     a single fold pays) — and only when a promotion occurred at
+    *     all; the common keeper-free retraction skips this entirely.
     *  3. FATE RECOMPUTE from edges: with the stored pair graph
     *     ([[EdgesSuffix]] — complete over the deduped set by fold
     *     induction) minus edges touching the retracted set, plus the
