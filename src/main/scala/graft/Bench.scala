@@ -100,8 +100,10 @@ object Bench {
     // ns_stats_asof stay default: their folds are cheap and the
     // probes ARE the new work; ns_retract_curation stays default:
     // retraction is a genuinely new kernel.)
+    // ns_retract_indexed re-prices the indexed fold kernel + the same
+    // retract set as the default ns_retract_curation line — opt-in
     val optIn = Set("ns_incremental_probe", "ns_nightly_pipeline",
-      "ns_tfidf_incremental")
+      "ns_tfidf_incremental", "ns_retract_indexed")
     val extra = sys.env.get("SPARK_GRAFT_BENCH_EXTRA")
       .map(v => if (v.trim == "all") optIn
                 else v.split(",").map(_.trim).filter(_.nonEmpty).toSet)

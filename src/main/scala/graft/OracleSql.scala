@@ -3449,6 +3449,9 @@ object OracleSql {
     // promotion, tombstone resurrection, and promoted-suppresses all
     // inside the gate
     "ns_retract_curation" -> retractOneShotSql,
+    // the indexed face retracts through the maintained posting/df
+    // tables; same retract set, same rebuild-without-X oracle
+    "ns_retract_indexed" -> retractOneShotSql,
 
     // the probe form folds the SAME final batch into a pre-built
     // batch-1 state, so its survivors answer the identical question

@@ -3089,6 +3089,33 @@ object SparkEntry {
     out
   }
 
+  /** The INDEXED face of retraction: identical split, retract set and
+    * oracle as [[nsRetractCuration]], but the folds maintain the
+    * hashed shingle-posting index + df summary, and `retract` carries
+    * BOTH tables through the delete (posting rows of removed deduped
+    * docs dropped, promoted docs' shingles appended under the
+    * injectivity audit, affected shingles' df rows consolidated to
+    * corrected totals) — so the post-retraction index prunes exactly
+    * as a fresh rebuild-without-X would, which the shared hash gate
+    * plus the spec's posting/df parity checks prove.
+    */
+  private def nsRetractIndexed(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select("doc_id", "text")
+    val mid = docs.agg(max("doc_id")).head().getLong(0) / 2
+    val root = java.nio.file.Files.createTempDirectory("retr_idx")
+    val tmp = root.toString + "/state"
+    graft.pipeline.IncrementalCuration.curateBatchIndexedRetractable(s, tmp,
+      docs.filter(col("doc_id") <= mid), "text", "doc_id", batchNo = 1L)
+    graft.pipeline.IncrementalCuration.curateBatchIndexedRetractable(s, tmp,
+      docs.filter(col("doc_id") > mid), "text", "doc_id", batchNo = 2L)
+    graft.pipeline.IncrementalCuration.retract(s, tmp,
+      docs.filter(col("doc_id") % 5 === 0).select("doc_id"))
+    val out = graft.pipeline.IncrementalCuration.survivors(s, tmp)
+      .orderBy("doc_id").localCheckpoint()
+    deleteLocalDir(root)
+    out
+  }
+
   /** The composite NIGHTLY fold end-to-end
     * (pipeline.IncrementalPipeline): two ascending-id batches run
     * curation admission and fold the admitted docs into EVERY
@@ -4024,6 +4051,7 @@ object SparkEntry {
     "ns_incremental_curation" -> nsIncrementalCuration,
     "ns_nightly_pipeline" -> nsNightlyPipeline,
     "ns_retract_curation" -> nsRetractCuration,
+    "ns_retract_indexed" -> nsRetractIndexed,
     "ns_incremental_probe" -> nsIncrementalProbe,
     "ns_incremental_probe_indexed" -> nsIncrementalProbeIndexed,
     "ns_text_tokens" -> nsTextTokens,

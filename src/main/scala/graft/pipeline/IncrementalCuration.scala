@@ -133,6 +133,25 @@ object IncrementalCuration {
     fold(spark, stateDir, batch, text, id, batchNo, minQuality,
       jaccardThreshold, maxPostings, indexed = false, retractable = true)
 
+  /** [[curateBatchIndexed]] + [[curateBatchRetractable]] combined: the
+    * maintained shingle-posting index AND retraction support on one
+    * state. [[retract]] then also maintains the posting + df-summary
+    * tables through the delete: removed deduped docs' postings are
+    * dropped, promoted docs' shingles are appended (with the same
+    * injectivity audit the fold runs), and every affected shingle's
+    * df rows consolidate to one corrected total — so post-retraction
+    * folds prune against exactly the df the rebuild-without-X would
+    * compute.
+    */
+  def curateBatchIndexedRetractable(spark: SparkSession, stateDir: String,
+                                    batch: DataFrame, text: String,
+                                    id: String, batchNo: Long,
+                                    minQuality: Double = 0.7,
+                                    jaccardThreshold: Double = 0.3,
+                                    maxPostings: Long = 5000): Unit =
+    fold(spark, stateDir, batch, text, id, batchNo, minQuality,
+      jaccardThreshold, maxPostings, indexed = true, retractable = true)
+
   /** [[curateBatch]] with a MAINTAINED shingle posting index: the
     * cross-batch near-dup probe reads a stored (doc, shingle-code)
     * posting table instead of re-tokenizing and re-shingling the whole
@@ -173,9 +192,6 @@ object IncrementalCuration {
                    jaccardThreshold: Double,
                    maxPostings: Long, indexed: Boolean,
                    retractable: Boolean = false): Unit = {
-    require(!(indexed && retractable),
-      "indexed + retractable folds are not combined yet: retraction " +
-        "would leave the posting/df tables holding retracted docs")
     val hPath = new org.apache.hadoop.fs.Path(stateDir)
     val fs = hPath.getFileSystem(spark.sessionState.newHadoopConf())
     // a fold at or below the retraction watermark would re-merge rows
@@ -488,8 +504,11 @@ object IncrementalCuration {
     require(st.columns.contains("in_deduped"),
       "retract needs a state folded with curateBatchRetractable")
     val x = retractIds.select(col(id)).distinct().persist(lvl)
+    // EAGER checkpoints (not persist) for every frame consumed after
+    // the state table is overwritten below — a cache-evicted recompute
+    // would re-read the post-delete state and silently see nothing
     val removed = st.join(x, Seq(id), "left_semi")
-      .persist(lvl)
+      .localCheckpoint(true)
     val kept = st.join(x, Seq(id), "left_anti").persist(lvl)
     // 1. exact promotion
     val removedDedupHashes = removed.filter(col("in_deduped"))
@@ -500,7 +519,7 @@ object IncrementalCuration {
       .partitionBy("text_hash").orderBy(col(id))
     val promoted = groupRemain.withColumn("_rn", row_number().over(w))
       .filter(col("_rn") === 1).drop("_rn")
-      .persist(lvl)
+      .localCheckpoint(true)
     val dedupedOld = kept.filter(col("in_deduped")).persist(lvl)
     // 2. fresh pairs for the promoted docs (the only shingling here;
     // skipped entirely when no group promoted — the common retraction
@@ -575,10 +594,85 @@ object IncrementalCuration {
     else if (!edgeNew.isEmpty)
       ParquetMerge.upsertPartitions(spark, edgesDir, edgeNew,
         "part", "pk", "ver")
+    // 5. indexed states: carry the posting + df-summary tables through
+    // the delete, so post-retraction folds prune against exactly the
+    // df the rebuild-without-X computes
+    val postDir = stateDir + PostingsSuffix
+    if (fs.exists(new org.apache.hadoop.fs.Path(postDir))) {
+      val dfDir = stateDir + DfSuffix
+      // removed DEDUPED docs are the only ones indexed; their posting
+      // rows (and the per-shingle doc counts to subtract) come from
+      // the table itself — no re-shingling of removed text
+      val removedDedupIds = removed.filter(col("in_deduped"))
+        .select(col(id).as("doc")).localCheckpoint(true)
+      val remPost = spark.read.parquet(postDir)
+        .join(removedDedupIds, Seq("doc"), "left_semi")
+        .select("part", "pk", "doc", "shc")
+        .localCheckpoint(true)
+      val remCnt = remPost.groupBy("shc")
+        .agg(count(lit(1)).as("_rm"))
+      // promoted docs join the deduped set: index their shingles (the
+      // same distinct-(doc, shc) the fold's LWW key enforces), with
+      // the fold's injectivity audit before anything is written
+      val promSh = TextDedup.docShingles(promoted, text, id, n = 3)
+        .select(col("doc"), explode(col("sh")).as("sh"))
+        .withColumn("shc", xxhash64(col("sh")))
+        .distinct()
+        .localCheckpoint(true)
+      val promDistinct = promSh.select("sh", "shc").distinct()
+      val dfCur = spark.read.parquet(dfDir)
+      val clash = dfCur.select(col("shc"), col("sh").as("_cs"))
+        .join(promDistinct, Seq("shc"))
+        .filter(col("_cs") =!= col("sh")).select("shc")
+        .unionByName(promDistinct.groupBy("shc")
+          .agg(count(lit(1)).as("_n")).filter(col("_n") > 1).select("shc"))
+        .limit(1).collect()
+      require(clash.isEmpty,
+        "xxhash64 shingle-code collision on promoted docs during " +
+          "retraction — the hashed posting index would miscount; " +
+          "this regime needs 128-bit codes")
+      val promPost = promSh
+        .withColumn("part", pmod(col("doc"), lit(StateParts.toLong)))
+        .withColumn("pk", concat_ws(":", col("doc"), col("shc")))
+        .withColumn("ver", lit(wm))
+        .select("part", "pk", "ver", "doc", "shc")
+      ParquetMerge.deleteAndUpsertPartitions(spark, postDir,
+        remPost.select("part", "pk"), promPost, "part", "pk", "ver")
+      // df consolidation: every shingle touched by the delete or the
+      // promotion collapses to ONE corrected-total row (pk = shc:r —
+      // disjoint from the folds' numeric shc:batchNo keys, so a later
+      // fold's delta never collides; a later retraction rewrites it)
+      val promCnt = promSh.groupBy("shc")
+        .agg(count(lit(1)).as("_add"))
+        .join(promDistinct.groupBy("shc").agg(first("sh").as("_psh")),
+          Seq("shc"))
+      val affected = remCnt.select("shc")
+        .unionByName(promCnt.select("shc")).distinct()
+      val dfAff = dfCur.join(affected, Seq("shc"), "left_semi")
+        .localCheckpoint(true)
+      val oldTotals = dfAff.groupBy("shc")
+        .agg(sum("df_delta").as("_old"), first("sh").as("_osh"))
+      val consolidated = affected
+        .join(oldTotals, Seq("shc"), "left")
+        .join(remCnt, Seq("shc"), "left")
+        .join(promCnt, Seq("shc"), "left")
+        .withColumn("df_delta",
+          coalesce(col("_old"), lit(0L)) - coalesce(col("_rm"), lit(0L))
+            + coalesce(col("_add"), lit(0L)))
+        .filter(col("df_delta") > 0L)
+        .withColumn("sh", coalesce(col("_osh"), col("_psh")))
+        .withColumn("part", pmod(col("shc"), lit(StateParts.toLong)))
+        .withColumn("pk", concat(col("shc"), lit(":r")))
+        .withColumn("ver", lit(wm))
+        .select("part", "pk", "ver", "shc", "sh", "df_delta")
+      ParquetMerge.deleteAndUpsertPartitions(spark, dfDir,
+        dfAff.select("part", "pk"), consolidated, "part", "pk", "ver")
+    }
     spark.range(1).select(lit(wm).as("wm"))
       .write.mode("overwrite").parquet(stateDir + RetractWmSuffix)
     Seq(x, removed, kept, promoted, dedupedOld, newEdges)
       .foreach(_.unpersist())
+    ()
     if (fs.exists(hEdges)) oldEdges.unpersist()
   }
 }

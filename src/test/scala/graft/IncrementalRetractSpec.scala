@@ -130,6 +130,56 @@ class IncrementalRetractSpec extends SparkSpec {
     assert(surv(dir) == before)
   }
 
+  private def foldBothIndexed(dir: String): Unit = {
+    IncrementalCuration.curateBatchIndexedRetractable(spark, dir,
+      corpus.filter(col("doc_id") <= 3), "text", "doc_id",
+      batchNo = 1L, jaccardThreshold = 0.5)
+    IncrementalCuration.curateBatchIndexedRetractable(spark, dir,
+      corpus.filter(col("doc_id") > 3), "text", "doc_id",
+      batchNo = 2L, jaccardThreshold = 0.5)
+  }
+
+  private def postingsOf(dir: String): Seq[(Long, Long)] =
+    spark.read.parquet(dir + IncrementalCuration.PostingsSuffix)
+      .select("doc", "shc").as[(Long, Long)].collect().toSeq.sorted
+
+  private def dfTotalsOf(dir: String): Seq[(Long, String, Long)] =
+    spark.read.parquet(dir + IncrementalCuration.DfSuffix)
+      .groupBy("shc", "sh").agg(sum("df_delta").as("df"))
+      .as[(Long, String, Long)].collect().toSeq.sorted
+
+  test("indexed retractable: retract maintains postings + df summary; future indexed folds converge") {
+    val dir = java.nio.file.Files.createTempDirectory("retr4")
+      .toString + "/st"
+    foldBothIndexed(dir)
+    assert(surv(dir) == Set(1L, 3L, 7L, 9L))
+    IncrementalCuration.retract(spark, dir,
+      Seq(1L).toDF("doc_id"), jaccardThreshold = 0.5)
+    assert(surv(dir) == Set(2L, 3L, 7L, 8L))
+    assert(surv(dir) == oneShotSurv(corpus.filter(col("doc_id") =!= 1L)))
+    // the maintained index equals a fresh indexed rebuild over the
+    // never-retracted corpus: same (doc, shingle-code) posting set,
+    // same per-shingle df totals — so future probes prune identically
+    val rb = java.nio.file.Files.createTempDirectory("retr4rb")
+      .toString + "/st"
+    IncrementalCuration.curateBatchIndexedRetractable(spark, rb,
+      corpus.filter(col("doc_id") <= 3 && col("doc_id") =!= 1L),
+      "text", "doc_id", batchNo = 1L, jaccardThreshold = 0.5)
+    IncrementalCuration.curateBatchIndexedRetractable(spark, rb,
+      corpus.filter(col("doc_id") > 3), "text", "doc_id",
+      batchNo = 2L, jaccardThreshold = 0.5)
+    assert(postingsOf(dir) == postingsOf(rb) && postingsOf(dir).nonEmpty)
+    assert(dfTotalsOf(dir) == dfTotalsOf(rb))
+    // a post-retraction indexed fold probes the maintained index and
+    // still converges to the rebuild
+    val b3 = Seq((10L, d8t), (11L, "the lazy owl reads " + mid +
+      " under warm lamp light")).toDF("doc_id", "text")
+    IncrementalCuration.curateBatchIndexedRetractable(spark, dir, b3,
+      "text", "doc_id", batchNo = 3L, jaccardThreshold = 0.5)
+    val all = corpus.unionByName(b3)
+    assert(surv(dir) == oneShotSurv(all.filter(col("doc_id") =!= 1L)))
+  }
+
   test("real corpus: fold two batches, retract every fifth id, equals rebuild-without-X") {
     val docs = graft.source.Tables.documents(spark, sf)
       .select("doc_id", "text").filter(col("doc_id") <= 400)
