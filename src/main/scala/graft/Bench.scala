@@ -102,8 +102,10 @@ object Bench {
     // retraction is a genuinely new kernel.)
     // ns_retract_indexed re-prices the indexed fold kernel + the same
     // retract set as the default ns_retract_curation line — opt-in
+    // ns_nightly_retract re-prices the whole composite build before
+    // its retraction — same correctness-only rule as the composite
     val optIn = Set("ns_incremental_probe", "ns_nightly_pipeline",
-      "ns_tfidf_incremental", "ns_retract_indexed")
+      "ns_tfidf_incremental", "ns_retract_indexed", "ns_nightly_retract")
     val extra = sys.env.get("SPARK_GRAFT_BENCH_EXTRA")
       .map(v => if (v.trim == "all") optIn
                 else v.split(",").map(_.trim).filter(_.nonEmpty).toSet)

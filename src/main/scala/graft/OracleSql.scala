@@ -979,8 +979,8 @@ object OracleSql {
     * n_chars from length(text), hence the explicit length() here rather
     * than the table's n_chars column).
     */
-  private lazy val nightlyPipelineSql: String =
-    s"""WITH ${curationCtes()},
+  private def nightlyProfileSql(base: String = "documents"): String =
+    s"""${curationCtes(base)},
       surv AS (
         SELECT doc_id FROM deduped d
         WHERE NOT EXISTS (SELECT 1 FROM losers l WHERE l.id_b = d.doc_id))
@@ -988,8 +988,19 @@ object OracleSql {
         CAST(sum(len(${wsToksCased("text")})) AS BIGINT) AS n_tokens,
         CAST(sum(length(text)) AS BIGINT) AS n_chars_total,
         round(CAST(sum(len(${wsToksCased("text")})) AS DOUBLE) / count(*), 6) AS avg_tokens
-      FROM documents JOIN surv USING (doc_id)
+      FROM $base JOIN surv USING (doc_id)
       GROUP BY 1 ORDER BY source"""
+
+  private lazy val nightlyPipelineSql: String =
+    s"WITH ${nightlyProfileSql()}"
+
+  /** retractNightly convergence: the composite's stats probe after the
+    * every-fifth-id retraction == the profile over the admitted set of
+    * the never-retracted corpus.
+    */
+  private lazy val nightlyRetractSql: String =
+    s"""WITH base AS (SELECT * FROM documents WHERE doc_id % 5 <> 0),
+      ${nightlyProfileSql("base")}"""
 
   val all: Map[String, String] = Map(
     "sql_waiting_orders" -> waitingOrdersSql("orders", "lineitem"),
@@ -3442,6 +3453,7 @@ object OracleSql {
     // oracle IS the one-shot SQL, shared verbatim
     "ns_incremental_curation" -> curationOneShotSql,
     "ns_nightly_pipeline" -> nightlyPipelineSql,
+    "ns_nightly_retract" -> nightlyRetractSql,
 
     // retraction (right-to-be-forgotten): fold everything, retract
     // every fifth id from STATE, and the survivors must hash-match the

@@ -3145,6 +3145,37 @@ object SparkEntry {
     out
   }
 
+  /** RETRACTION through the COMPOSITE (pipeline.IncrementalPipeline
+    * .retractNightly): two nightly folds build every maintained
+    * artifact, then one delete call propagates the every-fifth-id
+    * retraction through all of them — curation settles admission
+    * (promotion/resurrection/falls), BM25 + MinHash drop and re-fold
+    * rows, CMS/grid/profile take exact negative deltas, the sample
+    * rebuilds from the docmeta sidecar. Registered output is the
+    * post-retraction stats probe; the oracle recomputes the profile
+    * over the admitted set of the never-retracted corpus. The other
+    * indexes' convergence is pinned by
+    * IncrementalPipelineCompositeSpec's one-shot-equality checks.
+    */
+  private def nsNightlyRetract(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select("doc_id", "text", "lang",
+      "source")
+    val mid = docs.agg(max("doc_id")).head().getLong(0) / 2
+    val root = java.nio.file.Files.createTempDirectory("nightly_rq")
+    val tmp = root.toString + "/state"
+    graft.pipeline.IncrementalPipeline.nightly(s, tmp,
+      docs.filter(col("doc_id") <= mid), "text", "doc_id", batchNo = 1L)
+    graft.pipeline.IncrementalPipeline.nightly(s, tmp,
+      docs.filter(col("doc_id") > mid), "text", "doc_id", batchNo = 2L)
+    graft.pipeline.IncrementalPipeline.retractNightly(s, tmp,
+      docs.filter(col("doc_id") % 5 === 0).select("doc_id"),
+      "text", "doc_id", retractVer = 3L)
+    val out = graft.ext.IncrementalStats.probe(s, tmp + "/stats")
+      .orderBy("source").localCheckpoint()
+    deleteLocalDir(root)
+    out
+  }
+
   /** The PROBE cost of the incremental fold, priced separately from the
     * end-to-end query above (which folds every batch from an empty
     * state each run — honest end-to-end pricing, but 11+ s in one bench
@@ -4050,6 +4081,7 @@ object SparkEntry {
     "ns_curation_pipeline" -> nsCurationPipeline,
     "ns_incremental_curation" -> nsIncrementalCuration,
     "ns_nightly_pipeline" -> nsNightlyPipeline,
+    "ns_nightly_retract" -> nsNightlyRetract,
     "ns_retract_curation" -> nsRetractCuration,
     "ns_retract_indexed" -> nsRetractIndexed,
     "ns_incremental_probe" -> nsIncrementalProbe,

@@ -148,6 +148,42 @@ object IncrementalBm25 {
       .select(col("rank"), col("doc"), col("score_pts"), col("n_terms"))
   }
 
+  /** RETRACT a doc set from the index: drop their posting rows and
+    * fold ONE negative stats delta (n_docs / sum_dl decrements read
+    * off the rows being deleted — never recomputed from text), keyed
+    * `batch_no = -retractVer` so sequential retractions stay disjoint
+    * from every fold's positive delta. Finding a doc's postings costs
+    * one index scan (the table is term-hash-partitioned for probe
+    * locality; retraction is the rare path that cuts across it).
+    * Postings and tf/df are per-doc-pure, so the post-delete index
+    * equals a fresh fold over the surviving docs exactly. Contract:
+    * `docIds` are docs actually IN the index (quality-gated docs
+    * always carry tokens, so indexed ⇔ admitted); absent ids simply
+    * delete nothing but also decrement nothing.
+    */
+  def retractDocs(spark: SparkSession, dir: String, docIds: DataFrame,
+                  id: String, retractVer: Long): Unit = {
+    require(retractVer > 0, "retractVer must be positive")
+    val mine = spark.read.parquet(dir)
+      .join(docIds.select(col(id).as("doc")), Seq("doc"), "left_semi")
+      .select("part", "pk", "doc", "dl").localCheckpoint(true)
+    val st = mine.groupBy("doc").agg(first("dl").as("dl"))
+      .agg(count(lit(1)).as("n"), coalesce(sum("dl"), lit(0L)).as("s"))
+      .head()
+    val none = spark.read.parquet(dir)
+      .select("part", "pk", "ver", "doc", "term", "tf", "dl").limit(0)
+    ParquetMerge.deleteAndUpsertPartitions(spark, dir,
+      mine.select("part", "pk"), none, "part", "pk", "ver")
+    if (st.getLong(0) > 0L) {
+      import spark.implicits._
+      val negRow = Seq((0L, -retractVer, retractVer,
+          -st.getLong(0), -st.getLong(1)))
+        .toDF("part", "batch_no", "ver", "n_docs_delta", "sum_dl_delta")
+      ParquetMerge.upsertPartitions(spark, dir + StatsSuffix, negRow,
+        "part", "batch_no", "ver")
+    }
+  }
+
   /** The folded index read back as the exact TF-IDF term-stats matrix
     * — one fold, many probes: postings already hold per-(doc, term)
     * tf, and df(term) is the per-term posting count, so the

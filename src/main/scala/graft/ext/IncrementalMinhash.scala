@@ -86,6 +86,24 @@ object IncrementalMinhash {
   private def stored(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(dir).select(col("doc"), col("band"), col("bucket"))
 
+  /** RETRACT a doc set from the band index: drop their band rows.
+    * Band rows are bucket-partitioned (probe locality), so finding a
+    * doc's rows costs one index scan — the price of a retraction, not
+    * of a probe; the rewrite itself is partition-scoped. Membership is
+    * per-doc-pure, so the post-delete table equals a fresh fold over
+    * the surviving docs exactly.
+    */
+  def retractDocs(spark: SparkSession, dir: String,
+                  docIds: DataFrame, id: String): Unit = {
+    val gone = spark.read.parquet(dir)
+      .join(docIds.select(col(id).as("doc")), Seq("doc"), "left_semi")
+      .select("part", "pk").localCheckpoint(true)
+    val none = spark.read.parquet(dir)
+      .select("part", "pk", "ver", "doc", "band", "bucket").limit(0)
+    ParquetMerge.deleteAndUpsertPartitions(spark, dir, gone, none,
+      "part", "pk", "ver")
+  }
+
   /** All-pairs verified near-dup matches over the folded table — the
     * unchanged one-shot kernels ([[TextDedup.bucketCandidates]] +
     * [[TextDedup.verifyPairsExact]]) reading stored band rows instead

@@ -75,4 +75,22 @@ object IncrementalSample {
              key: String): DataFrame =
     spark.read.parquet(dir)
       .select(col("key").as(key), col("stratum").as(stratum))
+
+  /** REBUILD the sample state from a full membership frame — the
+    * retraction path: a bottom-k sketch is not subtractive (evicted
+    * candidates are gone), so when membership SHRINKS the only honest
+    * move is recomputing from the surviving population. `docs` is
+    * O(corpus) rows but only (stratum, key) wide — the caller keeps a
+    * thin metadata sidecar precisely so this never touches text.
+    */
+  def rebuild(spark: SparkSession, dir: String, docs: DataFrame,
+              stratum: String, key: String, k: Int): Unit = {
+    require(k >= 1, "k must be >= 1")
+    val next = Sampling.sampleExactK(
+        docs.select(col(stratum), col(key)).dropDuplicates(stratum, key),
+        stratum, key, k)
+      .select(col(stratum).as("stratum"), col(key).as("key"))
+      .localCheckpoint(true)
+    next.write.mode("overwrite").parquet(dir)
+  }
 }

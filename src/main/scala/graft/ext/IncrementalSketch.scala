@@ -44,12 +44,33 @@ object IncrementalSketch {
   def cmsFold(spark: SparkSession, dir: String, docs: DataFrame,
               text: String, batchNo: Long, depth: Int = 4,
               width: Int = 64): Unit = {
-    require(depth >= 1 && width >= 1)
     // a replay of a batch that [[compact]] already folded into the
     // baseline is a no-op — re-adding its delta would double-count
     // (the DeltaCompact watermark contract; cells and vocab are
     // always compacted together, so the cell watermark governs both)
     if (DeltaCompact.watermark(spark, dir).exists(batchNo <= _)) return
+    cmsDelta(spark, dir, docs, text, batchNo, depth, width,
+      sign = 1L, tag = "")
+  }
+
+  /** RETRACT a doc set's token counts from the CMS + vocab state: the
+    * cells are EXACT per-(d, b) counts here, so subtraction is sound —
+    * one NEGATIVE delta row per touched cell/term, keyed with an `r`
+    * tag so it can never collide with a fold's delta (and a retried
+    * retraction at the same `retractVer` LWW-rewrites its own rows,
+    * idempotent). No watermark guard: a retraction is NEW information,
+    * valid before or after compaction.
+    */
+  def cmsRetract(spark: SparkSession, dir: String, docs: DataFrame,
+                 text: String, retractVer: Long, depth: Int = 4,
+                 width: Int = 64): Unit =
+    cmsDelta(spark, dir, docs, text, retractVer, depth, width,
+      sign = -1L, tag = "r")
+
+  private def cmsDelta(spark: SparkSession, dir: String, docs: DataFrame,
+                       text: String, batchNo: Long, depth: Int,
+                       width: Int, sign: Long, tag: String): Unit = {
+    require(depth >= 1 && width >= 1)
     val toks = docs.select(explode(Tok.tokens(col(text))).as("t"))
       .withColumn("c", expr(Sketches.tokCodeSql))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -57,18 +78,20 @@ object IncrementalSketch {
       .select(explode(expr(s"transform(sequence(0, ${depth - 1}), d -> " +
         s"struct(d AS d, ${Sketches.cmsBucketSql("d", width)} AS b))")).as("db"))
       .groupBy(col("db.d").as("d"), col("db.b").as("b"))
-      .agg(count(lit(1)).as("cell_n"))
+      .agg((count(lit(1)) * sign).as("cell_n"))
       .withColumn("part", lit(0L))
-      .withColumn("pk", concat_ws(":", col("d"), col("b"), lit(batchNo)))
+      .withColumn("pk", concat_ws(":", col("d"), col("b"),
+        lit(s"$batchNo$tag")))
       .withColumn("ver", lit(batchNo))
       .select("part", "pk", "ver", "d", "b", "cell_n")
     ParquetMerge.upsertPartitions(spark, dir, cellRows, "part", "pk", "ver")
     // batchNo prefixes the pk (colon-free), so pk is injective per
     // (batch, term) whatever characters the term carries
-    val vocabRows = toks.groupBy("t").agg(count(lit(1)).as("n_delta"))
+    val vocabRows = toks.groupBy("t")
+      .agg((count(lit(1)) * sign).as("n_delta"))
       .withColumn("c", expr(Sketches.tokCodeSql))
       .withColumn("part", pmod(col("c"), lit(8L)))
-      .withColumn("pk", concat(lit(batchNo), lit(":"), col("t")))
+      .withColumn("pk", concat(lit(s"$batchNo$tag"), lit(":"), col("t")))
       .withColumn("ver", lit(batchNo))
       .select("part", "pk", "ver", "t", "n_delta")
     ParquetMerge.upsertPartitions(spark, dir + VocabSuffix, vocabRows,
@@ -144,9 +167,27 @@ object IncrementalSketch {
   def gridFold(spark: SparkSession, dir: String, docs: DataFrame,
                valueCol: String, groupCol: String, batchNo: Long,
                grid: Long = 64L): Unit = {
+    if (DeltaCompact.watermark(spark, dir + GridSuffix)
+      .exists(batchNo <= _)) return
+    gridDelta(spark, dir, docs, valueCol, groupCol, batchNo, grid,
+      sign = 1L, tag = "")
+  }
+
+  /** RETRACT a doc set's cells from the grid state — exact counts, so
+    * subtraction is sound; same `r`-tagged negative-delta contract as
+    * [[cmsRetract]].
+    */
+  def gridRetract(spark: SparkSession, dir: String, docs: DataFrame,
+                  valueCol: String, groupCol: String, retractVer: Long,
+                  grid: Long = 64L): Unit =
+    gridDelta(spark, dir, docs, valueCol, groupCol, retractVer, grid,
+      sign = -1L, tag = "r")
+
+  private def gridDelta(spark: SparkSession, dir: String, docs: DataFrame,
+                        valueCol: String, groupCol: String, batchNo: Long,
+                        grid: Long, sign: Long, tag: String): Unit = {
     require(grid >= 1)
     val d = dir + GridSuffix
-    if (DeltaCompact.watermark(spark, d).exists(batchNo <= _)) return
     // cell math copied verbatim from Sketches.gridQuantiles (integer
     // DIV with the pmod floor trick — exact for negatives too)
     val rows = docs
@@ -154,9 +195,9 @@ object IncrementalSketch {
         expr(s"(CAST($valueCol AS BIGINT) - " +
           s"pmod(CAST($valueCol AS BIGINT), ${grid}L)) DIV ${grid}L")
           .as("cell"))
-      .groupBy("grp", "cell").agg(count(lit(1)).as("cell_n"))
+      .groupBy("grp", "cell").agg((count(lit(1)) * sign).as("cell_n"))
       .withColumn("part", pmod(xxhash64(col("grp")), lit(4L)))
-      .withColumn("pk", concat(lit(batchNo), lit(":"), col("grp"),
+      .withColumn("pk", concat(lit(s"$batchNo$tag"), lit(":"), col("grp"),
         lit(":"), col("cell")))
       .withColumn("ver", lit(batchNo))
       .select("part", "pk", "ver", "grp", "cell", "cell_n")
@@ -182,6 +223,8 @@ object IncrementalSketch {
         col("cell") * lit(grid))).as(s"p${q}_lo"))
     cum.groupBy("grp")
       .agg(max("n").as("n"), qCols: _*)
+      // a group fully emptied by retraction must vanish, not emit n=0
+      .filter(col("n") > 0L)
       .withColumnRenamed("grp", groupCol)
       .select((Seq(groupCol, "n") ++ qs.map(q => s"p${q}_lo")).map(col): _*)
   }
@@ -203,6 +246,8 @@ object IncrementalSketch {
       .groupBy("d", "b").agg(sum("cell_n").as("cell_n"))
     val top = spark.read.parquet(dir + VocabSuffix)
       .groupBy("t").agg(sum("n_delta").as("true_n"))
+      // terms fully retracted must vanish, not rank at 0
+      .filter(col("true_n") > 0L)
       .orderBy(desc("true_n"), col("t")).limit(topK)
       .withColumn("c", expr(Sketches.tokCodeSql))
     top

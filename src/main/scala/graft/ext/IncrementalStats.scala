@@ -38,14 +38,38 @@ object IncrementalStats {
     // a replay of a batch already folded into the compacted baseline
     // is a no-op (the DeltaCompact watermark contract)
     if (DeltaCompact.watermark(spark, dir).exists(batchNo <= _)) return
+    delta(spark, dir, docs, text, sourceCol, batchNo, sign = 1L, tag = "")
+  }
+
+  /** RETRACT a doc set's totals: one NEGATIVE delta row per source,
+    * `r`-tagged so it never collides with a fold's delta (a retried
+    * retraction at the same `retractVer` LWW-rewrites its own rows —
+    * idempotent). Sums are associative, so subtraction is exact; no
+    * watermark guard (a retraction is new information, valid before
+    * or after compaction). Note `probeAsOf` semantics: the negative
+    * row carries `retractVer`, so as-of probes at earlier versions
+    * still reconstruct the PRE-retraction history — time travel and
+    * retraction compose.
+    */
+  def retractFold(spark: SparkSession, dir: String, docs: DataFrame,
+                  text: String, sourceCol: String,
+                  retractVer: Long): Unit =
+    delta(spark, dir, docs, text, sourceCol, retractVer,
+      sign = -1L, tag = "r")
+
+  private def delta(spark: SparkSession, dir: String, docs: DataFrame,
+                    text: String, sourceCol: String, batchNo: Long,
+                    sign: Long, tag: String): Unit = {
     val rows = docs
       .select(col(sourceCol).as("source"),
         Tok.count(col(text)).cast("long").as("_nt"), col("n_chars"))
       .groupBy("source")
-      .agg(count(lit(1)).as("n_docs"), sum("_nt").as("n_tokens"),
-        sum("n_chars").as("n_chars_total"))
+      .agg((count(lit(1)) * sign).as("n_docs"),
+        (coalesce(sum("_nt"), lit(0L)) * sign).as("n_tokens"),
+        (coalesce(sum("n_chars"), lit(0L)) * sign).as("n_chars_total"))
       .withColumn("part", pmod(xxhash64(col("source")), lit(4L)))
-      .withColumn("pk", concat(lit(batchNo), lit(":"), col("source")))
+      .withColumn("pk", concat(lit(s"$batchNo$tag"), lit(":"),
+        col("source")))
       .withColumn("ver", lit(batchNo))
       .select("part", "pk", "ver", "source", "n_docs", "n_tokens",
         "n_chars_total")
@@ -121,6 +145,9 @@ object IncrementalStats {
       .groupBy("source")
       .agg(sum("n_docs").as("n_docs"), sum("n_tokens").as("n_tokens"),
         sum("n_chars_total").as("n_chars_total"))
+      // a source fully emptied by retraction vanishes, as a rebuild's
+      // groupBy over zero rows would
+      .filter(col("n_docs") > 0L)
       .withColumn("avg_tokens",
         round(col("n_tokens").cast("double") / col("n_docs"), 6))
       .select("source", "n_docs", "n_tokens", "n_chars_total", "avg_tokens")

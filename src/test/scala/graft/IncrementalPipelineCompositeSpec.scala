@@ -107,6 +107,109 @@ class IncrementalPipelineCompositeSpec extends SparkSpec {
     } finally rm(rootP)
   }
 
+  test("retractNightly propagates one delete through every maintained index") {
+    import graft.pipeline.IncrementalPipeline
+    import graft.ext.{IncrementalSketch, Sketches}
+    // the IncrementalRetractSpec geometry, with lang/source so every
+    // composite fold runs: retracting {1} promotes 8 (exact group),
+    // resurrects 2 (only suppressor gone), and fells 9 (newly paired
+    // with the promoted elder) — membership moves BOTH ways
+    val mid = "delta the foxtrot golf hotel the juliet kilo lima mike november oscar"
+    val docs = Seq(
+      (1L, s"alpha bravo charlie dingo $mid papa quebec romeo sierra", "en", "web"),
+      (2L, s"alpha bravo charlie dingo $mid tango uniform victor whiskey", "en", "web"),
+      (3L, "one two three four " + mid + " five six seven eight", "de", "books"),
+      (4L, s"yankee zulu aardvark badger $mid tango uniform victor whiskey", "en", "web"),
+      (5L, "one two three four " + mid + " five six seven eight", "de", "books"),
+      (6L, "tiny doc", "en", "web"),
+      (7L, "red blue green cyan " + mid + " pink gray black white", "de", "books"),
+      (8L, s"alpha, bravo, charlie, dingo, $mid papa quebec romeo sierra", "en", "web"),
+      (9L, s"alpha, bravo, charlie, dingo, $mid magenta indigo maroon teal", "en", "web")
+    ).toDF("doc_id", "text", "lang", "source")
+    val rootP = java.nio.file.Files.createTempDirectory("nightly_r")
+    val root = rootP.toString
+    try {
+      IncrementalPipeline.nightly(spark, root,
+        docs.filter(col("doc_id") <= 3), "text", "doc_id", batchNo = 1L,
+        jaccardThreshold = 0.5, sampleK = 3)
+      IncrementalPipeline.nightly(spark, root,
+        docs.filter(col("doc_id") > 3), "text", "doc_id", batchNo = 2L,
+        jaccardThreshold = 0.5, sampleK = 3)
+      IncrementalPipeline.retractNightly(spark, root,
+        Seq(1L).toDF("doc_id"), "text", "doc_id", retractVer = 3L,
+        jaccardThreshold = 0.5, sampleK = 3)
+
+      // the admitted set of the never-retracted corpus
+      val remaining = docs.filter(col("doc_id") =!= 1L)
+      val admitted = remaining.join(
+          Curation.curate(remaining, "text", "doc_id", minQuality = 0.7,
+            jaccardThreshold = 0.5).select("doc_id"),
+          Seq("doc_id"), "left_semi")
+        .withColumn("n_chars", length(col("text")).cast("long"))
+        .persist()
+      assert(admitted.select("doc_id").as[Long].collect().toSet ==
+        Set(2L, 3L, 7L, 8L))
+
+      // curation face
+      assert(IncrementalCuration.survivors(spark, s"$root/curation")
+        .select("doc_id").as[Long].collect().toSet == Set(2L, 3L, 7L, 8L))
+      // BM25: folded index (post-retraction) == one-shot over admitted
+      val terms = Seq("the", "alpha,", "tango")
+      assert(IncrementalBm25.topK(spark, s"$root/bm25", terms, k = 5)
+        .collect().map(_.toSeq).toSeq ==
+        TextAnalysis.bm25TopK(admitted, "text", "doc_id", terms, k = 5)
+          .collect().map(_.toSeq).toSeq)
+      // MinHash: verified matches over the maintained band index
+      assert(IncrementalMinhash.matchesVerified(spark, s"$root/minhash",
+          admitted, "text", "doc_id", threshold = 0.5)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSeq.sorted ==
+        TextDedup.minhashVerifiedPairs(admitted, "text", "doc_id",
+          threshold = 0.5)
+          .select("id_a", "id_b").as[(Long, Long)].collect().toSeq.sorted)
+      // profile: negative removal deltas + positive addition folds
+      assert(IncrementalStats.probe(spark, s"$root/stats")
+        .orderBy("source")
+        .as[(String, Long, Long, Long, Double)].collect().toSeq ==
+        admitted.select(col("source"),
+            graft.ext.Tok.count(col("text")).cast("long").as("nt"),
+            col("n_chars"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"), sum("nt").as("n_tokens"),
+            sum("n_chars").as("n_chars_total"),
+            round(sum("nt").cast("double") / count(lit(1)), 6)
+              .as("avg_tokens"))
+          .orderBy("source")
+          .as[(String, Long, Long, Long, Double)].collect().toSeq)
+      // CMS audit: exact negative cells == one-shot sketch over admitted
+      assert(IncrementalSketch.cmsProbe(spark, s"$root/cms")
+        .orderBy("term").as[(String, Long, Long, Long)].collect().toSeq ==
+        Sketches.cmsTermCounts(admitted, "text")
+          .orderBy("term").as[(String, Long, Long, Long)].collect().toSeq)
+      // grid quantiles over n_chars by source
+      assert(IncrementalSketch.gridProbe(spark, s"$root/cms", "source")
+        .orderBy("source").collect().map(_.toSeq).toSeq ==
+        Sketches.gridQuantiles(admitted, "n_chars", "source")
+          .orderBy("source").collect().map(_.toSeq).toSeq)
+      // sample: rebuilt from the docmeta sidecar
+      assert(IncrementalSample.sample(spark, s"$root/sample",
+          "lang", "doc_id")
+        .as[(Long, String)].collect().toSeq.sorted ==
+        Sampling.sampleExactK(admitted.select("doc_id", "lang"),
+          "lang", "doc_id", k = 3)
+          .as[(Long, String)].collect().toSeq.sorted)
+      // a post-retraction nightly fold continues above the watermark
+      val b4 = Seq((12L, "the lazy owl reads " + mid +
+        " under warm lamp light", "en", "web")).toDF(
+        "doc_id", "text", "lang", "source")
+      IncrementalPipeline.nightly(spark, root, b4, "text", "doc_id",
+        batchNo = 4L, jaccardThreshold = 0.5, sampleK = 3)
+      assert(IncrementalCuration.survivors(spark, s"$root/curation")
+        .select("doc_id").as[Long].collect().toSet ==
+        Set(2L, 3L, 7L, 8L, 12L))
+      admitted.unpersist()
+    } finally rm(rootP)
+  }
+
   test("streaming nightly == batch nightly") {
     val docs = graft.source.Tables.documents(spark, sf)
       .select("doc_id", "text", "lang", "source")
