@@ -869,15 +869,15 @@ object OracleSql {
       lbl AS (SELECT node, least(node, min(r)) AS cluster FROM reach GROUP BY node)
       SELECT node AS doc_id, cluster FROM lbl ORDER BY doc_id"""
 
-  private lazy val semDedupOneShotSql: String =
-    """WITH b AS (
+  private def semDedupSql(base: String = "embeddings"): String =
+    s"""WITH b AS (
         SELECT vec_id,
           CAST((CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END)
              + (CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END)
              + (CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END)
              + (CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END) AS BIGINT) AS cell,
           CAST(embedding AS DOUBLE[]) AS v
-        FROM embeddings),
+        FROM $base),
       dropped AS (
         SELECT DISTINCT a.vec_id FROM b a JOIN b c
           ON a.cell = c.cell AND c.vec_id < a.vec_id
@@ -953,6 +953,18 @@ object OracleSql {
       SELECT tf.doc_id, tf.term, tf.tf, dfreq.df
       FROM tf JOIN dfreq USING (term)
       ORDER BY doc_id, term"""
+
+  private lazy val semDedupOneShotSql: String = semDedupSql()
+
+  /** SemDedup retraction convergence: one-shot over the corpus minus
+    * every seventh vector (the registered query's retract set).
+    */
+  private lazy val semDedupRetractSql: String = {
+    val body = semDedupSql("base")
+    // splice the filtered base CTE into the existing WITH chain
+    body.replaceFirst("WITH b AS \\(",
+      "WITH base AS (SELECT * FROM embeddings WHERE vec_id % 7 <> 0), b AS (")
+  }
 
   private lazy val curationOneShotSql: String =
     s"""WITH ${curationCtes()}
@@ -3365,6 +3377,7 @@ object OracleSql {
     // VERBATIM — the hash gate IS the convergence proof (the
     // ns_incremental_curation pattern at embedding level)
     "ns_semdedup_incremental" -> semDedupOneShotSql,
+    "ns_semdedup_retract" -> semDedupRetractSql,
 
     "ns_mmr_rerank" -> mmrSql(5),
 

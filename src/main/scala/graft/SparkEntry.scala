@@ -3024,6 +3024,36 @@ object SparkEntry {
     out
   }
 
+  /** SemDedup RETRACTION end-to-end (ext.IncrementalSemDedup.retract):
+    * the corpus folds as three ascending batches, then every seventh
+    * vector is retracted — fates recompute by re-running dominance
+    * inside ONLY the affected cells (each bounded by the maxCell
+    * contract), so vectors suppressed solely by retracted dominators
+    * resurrect. The oracle is the one-shot SemDedup SQL over the
+    * never-retracted corpus: deletion converges to the
+    * rebuild-without-X, by hash.
+    */
+  private def nsSemDedupRetract(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
+    val hi = emb.agg(max("vec_id")).head().getLong(0)
+    val (c1, c2) = (hi / 3, 2 * hi / 3)
+    val root = java.nio.file.Files.createTempDirectory("sem_retr")
+    val tmp = root.toString + "/state"
+    graft.ext.IncrementalSemDedup.fold(s, tmp,
+      emb.filter(col("vec_id") <= c1), "vec_id", "embedding", batchNo = 1L)
+    graft.ext.IncrementalSemDedup.fold(s, tmp,
+      emb.filter(col("vec_id") > c1 && col("vec_id") <= c2),
+      "vec_id", "embedding", batchNo = 2L)
+    graft.ext.IncrementalSemDedup.fold(s, tmp,
+      emb.filter(col("vec_id") > c2), "vec_id", "embedding", batchNo = 3L)
+    graft.ext.IncrementalSemDedup.retract(s, tmp,
+      emb.filter(col("vec_id") % 7 === 0).select("vec_id"), "vec_id")
+    val out = graft.ext.IncrementalSemDedup.survivors(s, tmp, "vec_id")
+      .orderBy("vec_id").localCheckpoint()
+    deleteLocalDir(root)
+    out
+  }
+
   /** The full curation composite: quality gate → normalized dedup →
     * near-dup removal, as one plan.
     */
@@ -4068,6 +4098,7 @@ object SparkEntry {
     "ns_embed_neardup_lsh" -> nsEmbedNearDupLsh,
     "ns_semdedup" -> nsSemDedup,
     "ns_semdedup_incremental" -> nsSemDedupIncremental,
+    "ns_semdedup_retract" -> nsSemDedupRetract,
     "ns_topk_similarity" -> nsTopkSimilarity,
     "ns_hard_negatives" -> nsHardNegatives,
     "ns_length_buckets" -> nsLengthBuckets,

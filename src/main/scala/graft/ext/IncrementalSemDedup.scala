@@ -65,11 +65,25 @@ object IncrementalSemDedup {
     * reproduce the intra-batch verdicts, dominance being
     * order-independent).
     */
+  val RetractWmSuffix = "_rwm"
+
   def fold(spark: SparkSession, dir: String, batch: DataFrame,
            id: String, vec: String, batchNo: Long, signBits: Int = 4,
            threshold: Double = 0.45, maxCell: Long = 100000L): Unit = {
     val hPath = new org.apache.hadoop.fs.Path(dir)
     val fs = hPath.getFileSystem(spark.sessionState.newHadoopConf())
+    // the retraction replay guard (the curation fold's contract): a
+    // fold at or below the retraction watermark would re-merge rows
+    // retraction deleted — resurrecting retracted vectors
+    val rwmPath = new org.apache.hadoop.fs.Path(dir + RetractWmSuffix)
+    if (fs.exists(rwmPath)) {
+      val rwm = spark.read.parquet(dir + RetractWmSuffix)
+        .agg(max("wm")).head().getLong(0)
+      require(batchNo > rwm,
+        s"fold batchNo=$batchNo is at or below the retraction " +
+          s"watermark $rwm — fold post-retraction batches under " +
+          "fresh (higher) batch numbers")
+    }
     val state: Option[DataFrame] =
       if (fs.exists(hPath)) Some(spark.read.parquet(dir)) else None
     val b = batch
@@ -207,4 +221,73 @@ object IncrementalSemDedup {
     spark.read.parquet(dir)
       .filter(col("is_survivor"))
       .select(col("vid").as(id), col("cell"))
+
+  /** RETRACT a vector set — the right-to-be-forgotten face of the
+    * embedding dedup, and the cheapest retraction in the family:
+    * dominance is a WITHIN-CELL property and the state keeps every
+    * seen vector (tombstones included) with its embedding, so the
+    * delete recomputes fates by re-running dominance inside ONLY the
+    * affected cells — each bounded by the `maxCell` contract, so the
+    * whole operation is O(affected cells × cap²) with nothing
+    * corpus-sized moving. Vectors suppressed solely by retracted
+    * dominators RESURRECT here; unaffected cells' files stay
+    * byte-identical (partition-scoped rewrite). Afterwards the
+    * survivor set equals the one-shot [[VectorSearch.semDedup]] over
+    * the never-retracted corpus — the registered query's shared
+    * oracle. Cell stats take one negative `r`-tagged delta row per
+    * affected cell, and the retraction watermark makes pre-retraction
+    * batch replays fail loudly (they would re-merge deleted rows).
+    */
+  def retract(spark: SparkSession, dir: String, retractIds: DataFrame,
+              id: String, threshold: Double = 0.45): Unit = {
+    val st = spark.read.parquet(dir)
+    val x = retractIds.select(col(id).cast("long").as("vid")).distinct()
+    val removed = st.join(x, Seq("vid"), "left_semi")
+      .localCheckpoint(true)
+    val wm = st.agg(max("ver")).head().getLong(0)
+    val affectedCells = removed.select("cell").distinct()
+    // full re-dominance inside the affected cells only, over the
+    // surviving members (each cell is ≤ maxCell by the fold contract)
+    val mates = st.join(x, Seq("vid"), "left_anti")
+      .join(affectedCells, Seq("cell"), "left_semi")
+      .localCheckpoint(true)
+    val dead = mates.select(col("cell"), col("vid").as("_ovid"),
+        col("vec").as("_ovec"))
+      .join(mates.select(col("cell"), col("vid"), col("vec"))
+        .hint("shuffle_hash"), Seq("cell"))
+      .filter(col("_ovid") < col("vid") &&
+        VectorSearch.cosine(col("vec"), col("_ovec")) > threshold)
+      .select(col("vid")).distinct()
+    val updates = mates
+      .join(dead.withColumn("_dead", lit(true)), Seq("vid"), "left")
+      .withColumn("_new_surv", coalesce(col("_dead"), lit(false)) === false)
+      .drop("_dead")
+      .filter(col("_new_surv") =!= col("is_survivor"))
+      .withColumn("is_survivor", col("_new_surv"))
+      .drop("_new_surv")
+      .select(st.columns.map(col): _*)
+    ParquetMerge.deleteAndUpsertPartitions(spark, dir,
+      removed.select(col("part"), col("pk")), updates,
+      "part", "pk", "ver")
+    // the retraction SEQUENCE (carried in the watermark file) keys
+    // each retraction's negative stats rows disjointly — a second
+    // retraction must never LWW-replace the first's decrements
+    val rwmPath = new org.apache.hadoop.fs.Path(dir + RetractWmSuffix)
+    val fs = rwmPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val rseq =
+      if (fs.exists(rwmPath))
+        spark.read.parquet(dir + RetractWmSuffix)
+          .agg(max("rseq")).head().getLong(0) + 1L
+      else 1L
+    val negStats = removed.groupBy("cell")
+      .agg((-count(lit(1))).as("n_delta"))
+      .withColumn("part", lit(0L))
+      .withColumn("pk", concat_ws(":", col("cell"), lit(s"r$rseq")))
+      .withColumn("ver", lit(wm))
+      .select("part", "pk", "ver", "cell", "n_delta")
+    ParquetMerge.upsertPartitions(spark, dir + CellStatsSuffix, negStats,
+      "part", "pk", "ver")
+    spark.range(1).select(lit(wm).as("wm"), lit(rseq).as("rseq"))
+      .write.mode("overwrite").parquet(dir + RetractWmSuffix)
+  }
 }

@@ -168,6 +168,20 @@ object IncrementalPipeline {
     val maxVer = stBefore.agg(max("ver")).head().getLong(0)
     require(retractVer > maxVer,
       s"retractVer $retractVer must exceed every folded version ($maxVer)")
+    // and every PRIOR retraction version (pinned as the curation
+    // watermark below) — reusing one would LWW-collide the negative
+    // stats deltas of two different retractions
+    val rwmP = new org.apache.hadoop.fs.Path(
+      cur + IncrementalCuration.RetractWmSuffix)
+    if (rwmP.getFileSystem(spark.sessionState.newHadoopConf())
+      .exists(rwmP)) {
+      val rwm = spark.read
+        .parquet(cur + IncrementalCuration.RetractWmSuffix)
+        .agg(max("wm")).head().getLong(0)
+      require(retractVer > rwm,
+        s"retractVer $retractVer must exceed the prior retraction " +
+          s"watermark $rwm")
+    }
     val x = retractIds.select(col(id)).distinct().persist(lvl)
     val before = stBefore.filter(col("is_survivor")).select(col(id))
       .localCheckpoint(true)

@@ -136,6 +136,69 @@ class SemDedupSpec extends SparkSpec {
     assert(e2.getMessage.contains("maxCell"))
   }
 
+  test("retract: cell-local resurrection; equals rebuild-without-X; sequential + replay guard") {
+    import graft.ext.IncrementalSemDedup
+    val dir = java.nio.file.Files.createTempDirectory("isemR").toString + "/s"
+    IncrementalSemDedup.fold(spark, dir, planted, "vec_id", "embedding", 1L)
+    def surv() = IncrementalSemDedup.survivors(spark, dir, "vec_id")
+      .select("vec_id").as[Long].collect().toSet
+    assert(surv() == Set(1L, 4L, 5L))
+    // retract the cell-15 keeper: 2 resurrects (new cell minimum);
+    // 3 stays dead (dominated by the resurrected 2); cell 14 untouched
+    IncrementalSemDedup.retract(spark, dir, Seq(1L).toDF("vec_id"),
+      "vec_id")
+    assert(surv() == Set(2L, 4L, 5L))
+    assert(surv() == VectorSearch.semDedup(
+        planted.filter(col("vec_id") =!= 1L), "vec_id", "embedding",
+        signBits = 4, threshold = 0.45)
+      .select("vec_id").as[Long].collect().toSet)
+    // sequential: retract the resurrected keeper too — 3 resurrects
+    IncrementalSemDedup.retract(spark, dir, Seq(2L).toDF("vec_id"),
+      "vec_id")
+    assert(surv() == Set(3L, 4L, 5L))
+    // the cell-stats decrements of BOTH retractions survive (disjoint
+    // r-keys): cumulative cell sizes reflect the four remaining rows
+    val cellSums = spark.read
+      .parquet(dir + IncrementalSemDedup.CellStatsSuffix)
+      .groupBy("cell").agg(sum("n_delta").as("n"))
+      .as[(Long, Long)].collect().toMap
+    assert(cellSums == Map(15L -> 2L, 14L -> 2L), s"got $cellSums")
+    // pre-retraction replay is rejected (it would re-merge deleted rows)
+    val e = intercept[IllegalArgumentException] {
+      IncrementalSemDedup.fold(spark, dir, planted, "vec_id",
+        "embedding", 1L)
+    }
+    assert(e.getMessage.contains("retraction"))
+    // a fresh batch above the watermark folds against the post-delete
+    // state: a clone of the RETRACTED keeper is new content now and
+    // dies only to the current cell members
+    IncrementalSemDedup.fold(spark, dir,
+      Seq((9L, v(1f, 1f, 1f, 1f, 0.9f, 0.1f))).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", batchNo = 2L)
+    assert(surv() == Set(3L, 4L, 5L)) // 9 dies to the resurrected 3
+  }
+
+  test("retract on the real embeddings table equals rebuild-without-X") {
+    import graft.ext.IncrementalSemDedup
+    val emb = graft.source.Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding")
+    val hi = emb.agg(max("vec_id")).head().getLong(0)
+    val dir = java.nio.file.Files.createTempDirectory("isemR2").toString + "/s"
+    IncrementalSemDedup.fold(spark, dir,
+      emb.filter(col("vec_id") <= hi / 2), "vec_id", "embedding", 1L)
+    IncrementalSemDedup.fold(spark, dir,
+      emb.filter(col("vec_id") > hi / 2), "vec_id", "embedding", 2L)
+    IncrementalSemDedup.retract(spark, dir,
+      emb.filter(col("vec_id") % 7 === 0).select("vec_id"), "vec_id")
+    val got = IncrementalSemDedup.survivors(spark, dir, "vec_id")
+      .select("vec_id", "cell").as[(Long, Long)].collect().toSeq.sorted
+    val want = VectorSearch.semDedup(
+        emb.filter(col("vec_id") % 7 =!= 0), "vec_id", "embedding",
+        signBits = 4, threshold = 0.45)
+      .select("vec_id", "cell").as[(Long, Long)].collect().toSeq.sorted
+    assert(got == want && want.nonEmpty)
+  }
+
   test("incremental fold: streaming face equals the batch fold") {
     val emb = graft.source.Tables.embeddings(spark, sf)
       .select("vec_id", "embedding").filter(col("vec_id") < 400)
