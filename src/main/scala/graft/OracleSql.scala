@@ -854,8 +854,9 @@ object OracleSql {
     * `ns_cc_incremental` (convergence-by-hash, the fold-family
     * contract).
     */
-  private lazy val clustersOneShotSql: String =
-    s"""WITH RECURSIVE ${jaccardCtes("documents", pruned = true)},
+  private def clustersSql(base: String = "documents",
+                          baseCte: String = ""): String =
+    s"""WITH RECURSIVE $baseCte${jaccardCtes(base, pruned = true)},
       pairs AS (
         SELECT id_a, id_b FROM inter
         JOIN sizes sa ON sa.doc_id = id_a
@@ -868,6 +869,14 @@ object OracleSql {
         SELECT reach.node, edges.b FROM reach JOIN edges ON reach.r = edges.a),
       lbl AS (SELECT node, least(node, min(r)) AS cluster FROM reach GROUP BY node)
       SELECT node AS doc_id, cluster FROM lbl ORDER BY doc_id"""
+
+  private lazy val clustersOneShotSql: String = clustersSql()
+
+  /** Decremental-CC convergence: labels after retracting every ninth
+    * doc == one-shot clustering over the never-retracted corpus.
+    */
+  private lazy val ccRetractSql: String = clustersSql("base",
+    "base AS (SELECT * FROM documents WHERE doc_id % 9 <> 0), ")
 
   private def semDedupSql(base: String = "embeddings"): String =
     s"""WITH b AS (
@@ -3329,6 +3338,7 @@ object OracleSql {
     // the pair graph batch-by-batch (ext.IncrementalClusters) lands on
     // the same labels as contracting all edges at once
     "ns_cc_incremental" -> clustersOneShotSql,
+    "ns_cc_retract" -> ccRetractSql,
 
     // same transitive closure as ns_dedup_clusters, then the keep-
     // longest survivor rule stated as a rank over (n_chars desc, id)

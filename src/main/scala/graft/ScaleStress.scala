@@ -231,7 +231,7 @@ object ScaleStress {
       // id hits exact-dup keepers (clone families promote) and
       // near-dup winners (tombstones resurrect) at stress density
       "ns_retract_curation", "ns_retract_indexed",
-      "ns_nightly_retract", "ns_semdedup_retract")
+      "ns_nightly_retract", "ns_semdedup_retract", "ns_cc_retract")
     // dev iteration: SPARK_GRAFT_STRESS_ONLY=name1,name2 runs just
     // those query steps (audits and corpus stats always run)
     val only = sys.env.get("SPARK_GRAFT_STRESS_ONLY")

@@ -2186,6 +2186,42 @@ object SparkEntry {
     out
   }
 
+  /** DECREMENTAL connected components
+    * (ext.IncrementalClusters.retract): the pair graph folds as three
+    * arrival batches, then every ninth doc is retracted from the
+    * labeling — the hard direction, since a removed node can SPLIT
+    * its component, which min-label redirects cannot express; the
+    * delete re-contracts ONLY the affected components' induced
+    * subgraph over the maintained pair-graph artifact and rewrites
+    * those members in place. Oracle: the recursive-CTE closure over
+    * the never-retracted corpus — deletion converges to the
+    * rebuild-without-X, by hash.
+    */
+  private def nsCcRetract(s: SparkSession, dir: String): DataFrame = {
+    val pairs = TextDedup.jaccardFromPairs(pairGraph(s, dir), threshold = 0.12)
+      .select(col("id_a"), col("id_b"),
+        greatest(col("id_a"), col("id_b")).as("_arr"))
+    val hi = t(s, dir, "documents").agg(max("doc_id")).head().getLong(0)
+    val (c1, c2) = (hi / 3, 2 * hi / 3)
+    val root = java.nio.file.Files.createTempDirectory("cc_retr")
+    val tmp = root.toString + "/state"
+    graft.ext.IncrementalClusters.fold(s, tmp,
+      pairs.filter(col("_arr") <= c1), batchNo = 1L)
+    graft.ext.IncrementalClusters.fold(s, tmp,
+      pairs.filter(col("_arr") > c1 && col("_arr") <= c2), batchNo = 2L)
+    graft.ext.IncrementalClusters.fold(s, tmp,
+      pairs.filter(col("_arr") > c2), batchNo = 3L)
+    graft.ext.IncrementalClusters.retract(s, tmp,
+      t(s, dir, "documents").filter(col("doc_id") % 9 === 0)
+        .select("doc_id"),
+      pairs.select("id_a", "id_b"))
+    val out = graft.ext.IncrementalClusters.labels(s, tmp)
+      .select(col("doc").as("doc_id"), col("cluster"))
+      .orderBy("doc_id").localCheckpoint()
+    deleteLocalDir(root)
+    out
+  }
+
   /** The cluster labeling is an amortized corpus artifact — a real
     * pipeline materializes the dedup-cluster table once and every
     * downstream policy joins it, it never re-runs the pair graph per
@@ -4069,6 +4105,7 @@ object SparkEntry {
     "ns_simhash_inc_probe" -> nsSimhashIncProbe,
     "ns_dedup_clusters" -> nsDedupClusters,
     "ns_cc_incremental" -> nsCcIncremental,
+    "ns_cc_retract" -> nsCcRetract,
     "ns_dedup_survivors" -> nsDedupSurvivors,
     "ns_split_leakage" -> nsSplitLeakage,
     "ns_pct_rank" -> nsPctRank,

@@ -197,6 +197,80 @@ object IncrementalClusters {
       .select(col("doc"), coalesce(col("dst"), col("r0")).as("cluster"))
   }
 
+  /** RETRACT nodes from the labeling — DECREMENTAL connectivity, the
+    * hard direction: removing a node can SPLIT its component, which
+    * the min-label redirect machinery cannot express (a redirect maps
+    * one old label to one new label; a split needs per-member
+    * relabeling). So the delete re-contracts ONLY the affected
+    * components' induced subgraph over the caller-supplied CURRENT
+    * edge set (`edges` — the pair graph is a maintained artifact
+    * everywhere this fold runs: the curation retractable state keeps
+    * it as its edge table, the one-shot path materializes it as the
+    * pairGraph artifact) and rewrites those members' doc rows IN
+    * PLACE at their original insert partition/version. Work is
+    * O(affected components' members + their edges); everything else
+    * stays byte-identical.
+    *
+    * Semantics match the one-shot over the surviving graph: members
+    * left with NO induced edge leave the labeling entirely (only
+    * nodes that appear in the pair graph are labeled — the
+    * [[TextDedup.nearDupClusters]] contract), and every rewritten
+    * row's `r0` is its new terminal label directly, so the redirect
+    * table needs no entries for the re-contracted components: all
+    * redirects into an affected label are deleted (their users were
+    * just rewritten), preserving the flatness invariant.
+    */
+  def retract(spark: SparkSession, dir: String, removeIds: DataFrame,
+              edges: DataFrame, maxIterations: Int = 30): Unit = {
+    val x = removeIds
+      .select(col(removeIds.columns.head).cast("long").as("doc"))
+      .distinct().localCheckpoint(true)
+    val lbl = labels(spark, dir).localCheckpoint(true)
+    val affected = lbl.join(x, Seq("doc"), "left_semi")
+      .select("cluster").distinct().localCheckpoint(true)
+    if (affected.isEmpty) return
+    val members = lbl.join(affected, Seq("cluster"), "left_semi")
+      .select("doc").localCheckpoint(true)
+    val remaining = members.join(x, Seq("doc"), "left_anti")
+    // induced surviving edges of the affected components only
+    val e = edges
+      .select(col("id_a").cast("long").as("id_a"),
+        col("id_b").cast("long").as("id_b"))
+      .join(remaining.select(col("doc").as("id_a")), Seq("id_a"),
+        "left_semi")
+      .join(remaining.select(col("doc").as("id_b")), Seq("id_b"),
+        "left_semi")
+    val relab = TextDedup.starContract(e, maxIterations)._1
+      .localCheckpoint(true)
+    // doc-table rewrite: members keep their original (part, ver) —
+    // rows relabel in place; removed and edge-less members leave
+    val docT = spark.read.parquet(dir)
+    val memberRows = docT.join(members, Seq("doc"), "left_semi")
+      .localCheckpoint(true)
+    val updates = memberRows.drop("r0")
+      .join(relab, Seq("doc"))
+      .withColumnRenamed("cluster", "r0")
+      .select(docT.columns.map(col): _*)
+    val goneDocs = memberRows
+      .join(relab.select("doc"), Seq("doc"), "left_anti")
+      .select("part", "pk")
+    ParquetMerge.deleteAndUpsertPartitions(spark, dir, goneDocs, updates,
+      "part", "pk", "ver")
+    // redirects into an affected label are obsolete (their users were
+    // rewritten with terminal labels); none may survive, or labels()
+    // would re-route the rewritten rows
+    if (exists(spark, dir + RedirectSuffix)) {
+      val redir = spark.read.parquet(dir + RedirectSuffix)
+      val goneRedir = redir
+        .join(affected.withColumnRenamed("cluster", "dst"), Seq("dst"),
+          "left_semi")
+        .select("part", "pk").localCheckpoint(true)
+      val none = redir.select("part", "pk", "ver", "src", "dst").limit(0)
+      ParquetMerge.deleteAndUpsertPartitions(spark,
+        dir + RedirectSuffix, goneRedir, none, "part", "pk", "ver")
+    }
+  }
+
   /** Flatness audit of the redirect table — the maintenance sweep a
     * deployment runs after restoring state from backup or any
     * out-of-band mutation (the fold maintains flatness inductively, so

@@ -152,6 +152,12 @@ object ParquetMerge {
     touched.filterNot(written).foreach { p =>
       fs.delete(new org.apache.hadoop.fs.Path(dir, s"$partCol=$p"), true)
     }
+    // a table emptied ENTIRELY becomes an ABSENT table (readers treat
+    // existence as "has rows"; a directory holding only _SUCCESS fails
+    // schema inference on the next read)
+    val anyLeft = fs.listStatus(hPath).exists(st =>
+      st.isDirectory && st.getPath.getName.startsWith(s"$partCol="))
+    if (!anyLeft) fs.delete(hPath, true)
   }
 
   /** One partition's compaction decision, returned for auditability:

@@ -126,6 +126,72 @@ class IncrementalClustersSpec extends SparkSpec {
     } finally { pairs.unpersist(); rm(root) }
   }
 
+  test("retract: splits, relabels, edge-less departures; later folds continue; flat redirects") {
+    val (root, dir) = tmpState()
+    try {
+      // {1,2,3} chain through 2; {4,5,6} triangle; {7,8}; {10,11,12} star
+      val edges = pairsDF(1L -> 2L, 2L -> 3L, 4L -> 5L, 5L -> 6L,
+        4L -> 6L, 7L -> 8L, 10L -> 11L, 10L -> 12L)
+      IncrementalClusters.fold(spark, dir, edges, batchNo = 1L)
+      assert(lbl(dir) == Seq(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L,
+        5L -> 4L, 6L -> 4L, 7L -> 7L, 8L -> 7L, 10L -> 10L, 11L -> 10L,
+        12L -> 10L))
+      // retract the chain's cut vertex, the triangle's min, the star's
+      // hub — one call exercises split-to-isolation, min-relabel of a
+      // still-connected remainder, and hub-removal isolation
+      val x = Seq(2L, 4L, 10L).toDF("doc")
+      val surviving = edges // caller passes the CURRENT edge set
+      IncrementalClusters.retract(spark, dir, x, surviving)
+      // 1,3 lost every edge -> leave; 5-6 stay connected, relabeled 5;
+      // 11,12 isolated -> leave; 7-8 untouched
+      assert(lbl(dir) == Seq(5L -> 5L, 6L -> 5L, 7L -> 7L, 8L -> 7L))
+      // equals the one-shot over the surviving induced graph
+      val remaining = Set(1L, 3L, 5L, 6L, 7L, 8L, 11L, 12L)
+      val inducedPairs = Seq(5L -> 6L, 7L -> 8L) // edges among remaining
+      assert(lbl(dir) == TextDedup.nearDupClusters(pairsDF(inducedPairs: _*))
+        .as[(Long, Long)].collect().toSeq.sorted)
+      assert(remaining.nonEmpty) // (documents the scenario)
+      // redirect flatness survives the delete
+      assert(IncrementalClusters.auditRedirects(spark, dir).isEmpty)
+      // a later fold rejoins a departed node and merges across the cut
+      IncrementalClusters.fold(spark, dir, pairsDF(3L -> 6L), batchNo = 2L)
+      assert(lbl(dir) == Seq(3L -> 3L, 5L -> 3L, 6L -> 3L, 7L -> 7L,
+        8L -> 7L))
+      // sequential retraction: drop the rejoined node again
+      IncrementalClusters.retract(spark, dir, Seq(3L).toDF("doc"),
+        pairsDF(3L -> 6L, 5L -> 6L, 7L -> 8L))
+      assert(lbl(dir) == Seq(5L -> 5L, 6L -> 5L, 7L -> 7L, 8L -> 7L))
+      // retracting an unknown node is a no-op
+      IncrementalClusters.retract(spark, dir, Seq(99L).toDF("doc"),
+        pairsDF(5L -> 6L, 7L -> 8L))
+      assert(lbl(dir) == Seq(5L -> 5L, 6L -> 5L, 7L -> 7L, 8L -> 7L))
+    } finally rm(root)
+  }
+
+  test("retract on the real pair graph equals the one-shot over remaining docs") {
+    val docs = graft.source.Tables.documents(spark, sf)
+      .select("doc_id", "text").filter(col("doc_id") <= 600)
+    val pairs = TextDedup.ngramJaccardPairs(docs, "text", "doc_id",
+        shingleN = 3, threshold = 0.12)
+      .select(col("id_a"), col("id_b")).localCheckpoint(true)
+    val (root, dir) = tmpState()
+    try {
+      val mid = 300L
+      IncrementalClusters.fold(spark, dir,
+        pairs.filter(greatest(col("id_a"), col("id_b")) <= mid), 1L)
+      IncrementalClusters.fold(spark, dir,
+        pairs.filter(greatest(col("id_a"), col("id_b")) > mid), 2L)
+      IncrementalClusters.retract(spark, dir,
+        docs.filter(col("doc_id") % 9 === 0).select("doc_id"), pairs)
+      val got = lbl(dir)
+      val want = TextDedup.nearDupClusters(
+          pairs.filter(col("id_a") % 9 =!= 0 && col("id_b") % 9 =!= 0))
+        .as[(Long, Long)].collect().toSeq.sorted
+      assert(got == want && want.nonEmpty)
+      assert(IncrementalClusters.auditRedirects(spark, dir).isEmpty)
+    } finally rm(root)
+  }
+
   test("streaming face: foldStream over micro-batched edges == batch labels") {
     val (root, dir) = tmpState()
     val srcDir = root.toString + "/src"
