@@ -236,6 +236,41 @@ object IncrementalAnn {
       .select("batch_no", "n_rows", "mean_dist", "build_mean_dist",
         "drift_ratio")
 
+  /** RETRACT vectors from the IVF assignment table — the
+    * right-to-be-forgotten face of the ANN index, and the simplest in
+    * the family: assignments are per-vector-pure (frozen centroids),
+    * so deleting the rows IS the converged state — the post-delete
+    * index equals a fresh fold over the surviving vectors exactly,
+    * with no resurrection semantics to settle. The table is
+    * id-partitioned, so the delete is a partition-pruned rewrite.
+    * One negative audit row (`batch_no = -retractVer`, disjoint from
+    * every fold's key) keeps the row-count trail honest; drift stats
+    * are left untouched (retraction says nothing about distribution
+    * fit). Works unchanged for the PQ code table — same layout.
+    */
+  def ivfRetract(spark: SparkSession, dir: String, retractIds: DataFrame,
+                 id: String, retractVer: Long): Unit = {
+    require(retractVer > 0, "retractVer must be positive")
+    val gone = spark.read.parquet(dir)
+      .join(retractIds.select(col(id)).distinct(), Seq(id), "left_semi")
+      .select(col("part"), col(id)).localCheckpoint(true)
+    val n = gone.count()
+    if (n == 0L) return
+    val none = spark.read.parquet(dir).limit(0)
+    ParquetMerge.deleteAndUpsertPartitions(spark, dir, gone, none,
+      "part", id, "ver")
+    val auditPath = new org.apache.hadoop.fs.Path(dir + AuditSuffix)
+    if (auditPath.getFileSystem(spark.sessionState.newHadoopConf())
+      .exists(auditPath)) {
+      import spark.implicits._
+      val row = Seq((0L, -retractVer, retractVer, -n, 0.0, 0.0, 0.0))
+        .toDF("part", "batch_no", "ver", "n_rows", "mean_dist",
+          "build_mean_dist", "drift_ratio")
+      ParquetMerge.upsertPartitions(spark, dir + AuditSuffix, row,
+        "part", "batch_no", "ver")
+    }
+  }
+
   /** Train the PQ codebooks on `base` and freeze them (stored table),
     * encoding `base` as batch 0 — the PQ face of the same fold. Same
     * training as [[VectorSearch.pqBuild]].

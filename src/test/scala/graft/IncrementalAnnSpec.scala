@@ -58,6 +58,53 @@ class IncrementalAnnSpec extends SparkSpec {
     all.unpersist()
   }
 
+  test("ivfRetract: post-delete index == fresh fold over remaining; probes agree; audit decremented") {
+    val all = emb.filter(col("vec_id") <= 360).persist()
+    val base = all.filter(col("vec_id") <= 300)
+    val delta = all.filter(col("vec_id") > 300)
+    val retro = tmp("ivfretr") + "/ivf"
+    val rebuilt = tmp("ivfrb") + "/ivf"
+    IncrementalAnn.ivfInit(spark, retro, base, "vec_id", "embedding",
+      nLists = 4)
+    IncrementalAnn.ivfFold(spark, retro, delta, "vec_id", "embedding",
+      batchNo = 1L)
+    val x = all.filter(col("vec_id") % 6 === 0).select("vec_id")
+    IncrementalAnn.ivfRetract(spark, retro, x, "vec_id", retractVer = 2L)
+    // the rebuild trains on the SAME frozen centroids (copy the
+    // centroid table) and folds only the surviving vectors — the
+    // retracted index must match it table-for-table and probe-for-probe
+    spark.read.parquet(retro + IncrementalAnn.CentroidsSuffix)
+      .write.parquet(rebuilt + IncrementalAnn.CentroidsSuffix)
+    IncrementalAnn.ivfFold(spark, rebuilt,
+      all.filter(col("vec_id") % 6 =!= 0), "vec_id", "embedding",
+      batchNo = 1L)
+    def table(d: String) = spark.read.parquet(d)
+      .select("vec_id", "ivf_list", "adist")
+      .orderBy("vec_id").collect().map(_.toSeq).toSeq
+    assert(table(retro) == table(rebuilt) && table(retro).nonEmpty)
+    def probe(d: String) = VectorSearch.ivfTopK(
+      IncrementalAnn.ivfIndex(spark, d, "vec_id", "embedding"),
+      all.filter(col("vec_id") < 5), k = 5, nprobe = 2)
+      .orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+    assert(probe(retro) == probe(rebuilt))
+    // no retracted id can ever surface from a probe
+    val surfaced = VectorSearch.ivfTopK(
+      IncrementalAnn.ivfIndex(spark, retro, "vec_id", "embedding"),
+      all.filter(col("vec_id") < 20), k = 10, nprobe = 4)
+      .select("vec_id").as[Long].collect().toSet
+    assert(surfaced.forall(_ % 6 != 0))
+    // audit: one negative row keyed disjointly from the folds
+    val audit = IncrementalAnn.ivfAudit(spark, retro)
+      .select("batch_no", "n_rows").as[(Long, Long)].collect().toMap
+    assert(audit(-2L) < 0L)
+    assert(audit.keySet.count(_ >= 0) == 2) // init batch 0 + fold 1
+    // absent ids: a second retract of the same set is a no-op
+    val before = table(retro)
+    IncrementalAnn.ivfRetract(spark, retro, x, "vec_id", retractVer = 3L)
+    assert(table(retro) == before)
+    all.unpersist()
+  }
+
   test("drift audit: an in-distribution batch sits near ratio 1, a shifted batch far above") {
     val base = emb.filter(col("vec_id") <= 300)
     val inDist = emb.filter(col("vec_id") > 300 && col("vec_id") <= 360)
