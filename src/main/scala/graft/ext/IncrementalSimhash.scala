@@ -50,6 +50,23 @@ object IncrementalSimhash {
     * stored signature table. `batchNo` is the merge version; replays
     * re-merge idempotently (partition-scoped LWW).
     */
+  /** RETRACT a doc set: drop their signature rows. Signatures are
+    * per-doc-pure and the table is doc-identity-partitioned, so the
+    * delete is a partition-pruned rewrite and the post-delete table
+    * equals a fresh fold over the surviving docs exactly.
+    */
+  def retractDocs(spark: SparkSession, dir: String,
+                  docIds: org.apache.spark.sql.DataFrame,
+                  id: String): Unit = {
+    val gone = spark.read.parquet(dir)
+      .join(docIds.select(col(id).as("doc")), Seq("doc"), "left_semi")
+      .select("part", "pk").localCheckpoint(true)
+    val none = spark.read.parquet(dir)
+      .select("part", "pk", "ver", "doc", "sim").limit(0)
+    ParquetMerge.deleteAndUpsertPartitions(spark, dir, gone, none,
+      "part", "pk", "ver")
+  }
+
   def fold(spark: SparkSession, dir: String, batch: DataFrame,
            text: String, id: String, batchNo: Long): Unit = {
     val rows = batch

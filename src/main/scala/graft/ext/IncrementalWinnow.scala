@@ -39,6 +39,25 @@ object IncrementalWinnow {
     * corpus — re-crawled identity goes through the curation fold
     * first).
     */
+  /** RETRACT a doc set: drop their fingerprint rows. Fingerprints are
+    * per-doc-pure, so the post-delete table equals a fresh fold over
+    * the surviving docs exactly — no fate recompute. The table is
+    * fp-partitioned for probe locality, so finding a doc's rows costs
+    * one index scan (the retraction-rare-path trade the band index
+    * makes too); the rewrite itself is partition-scoped.
+    */
+  def retractDocs(spark: SparkSession, dir: String,
+                  docIds: org.apache.spark.sql.DataFrame,
+                  id: String): Unit = {
+    val gone = spark.read.parquet(dir)
+      .join(docIds.select(col(id).as("doc")), Seq("doc"), "left_semi")
+      .select("part", "pk").localCheckpoint(true)
+    val none = spark.read.parquet(dir)
+      .select("part", "pk", "ver", "doc", "fp").limit(0)
+    ParquetMerge.deleteAndUpsertPartitions(spark, dir, gone, none,
+      "part", "pk", "ver")
+  }
+
   def fold(spark: SparkSession, dir: String, batch: DataFrame,
            text: String, id: String, batchNo: Long,
            k: Int = 3, w: Int = 4, portableHash: Boolean = true): Unit = {

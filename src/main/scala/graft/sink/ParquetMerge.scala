@@ -158,6 +158,10 @@ object ParquetMerge {
     val anyLeft = fs.listStatus(hPath).exists(st =>
       st.isDirectory && st.getPath.getName.startsWith(s"$partCol="))
     if (!anyLeft) fs.delete(hPath, true)
+    // the manual directory deletes above bypass Spark's write-path
+    // cache invalidation — drop the stale file listing or the next
+    // read of this path serves FileNotFound from the cached index
+    spark.catalog.refreshByPath(dir)
   }
 
   /** One partition's compaction decision, returned for auditability:

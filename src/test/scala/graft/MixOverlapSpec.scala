@@ -286,6 +286,15 @@ class MixOverlapSpec extends SparkSpec {
     assert(cross.map(_._1) == Set(100L))
     assert(cross.map(_._2).subsetOf(Set(1L, 2L, 4L)))
     assert(cross.nonEmpty)
+    // RETRACTION: fingerprints are per-doc-pure, so dropping doc 2's
+    // rows equals a fresh fold over the remaining docs exactly
+    IncrementalWinnow.retractDocs(spark, dir,
+      Seq(2L).toDF("doc_id"), "doc_id")
+    val wantAfter = TextDedup.winnowingMatches(
+        docs.filter(col("doc_id") =!= 2L), "text", "doc_id",
+        minShared = 2).orderBy("id_a", "id_b").collect().map(_.toSeq).toSeq
+    assert(folded() == wantAfter)
+    assert(!folded().map(_.take(2)).toSet.contains(Seq(1L, 2L)))
   }
 
   test("winnowing xxhash64 variant: same guarantee, fewer collisions") {
@@ -525,6 +534,16 @@ class MixOverlapSpec extends SparkSpec {
       "text", "doc_id", maxHamming = 3))
     assert(viaIndex == viaKernel)
     assert(viaIndex.map(_._1).contains(100L))
+    // RETRACTION: signatures are per-doc-pure — dropping docs 1 and 5
+    // equals a fresh fold over the remaining docs exactly
+    IncrementalSimhash.retractDocs(spark, dir,
+      Seq(1L, 5L).toDF("doc_id"), "doc_id")
+    assert(folded() == TextDedup.simhashPairsPortable(
+        docs.filter(!col("doc_id").isin(1L, 5L)), "text", "doc_id",
+        maxHamming = 3)
+      .orderBy("id_a", "id_b").collect().map(_.toSeq).toSeq)
+    assert(rows(dir) == rows(dir1) -- Set(1L, 5L).flatMap(i =>
+      rows(dir1).filter(_._1 == i)))
     // streaming face: two file-batches fold to the same matcher output;
     // checkpointed restart replays nothing
     val sroot = java.nio.file.Files.createTempDirectory("sincS").toString
