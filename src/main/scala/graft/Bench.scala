@@ -103,9 +103,16 @@ object Bench {
     // ns_retract_indexed re-prices the indexed fold kernel + the same
     // retract set as the default ns_retract_curation line — opt-in
     // ns_nightly_retract re-prices the whole composite build before
-    // its retraction — same correctness-only rule as the composite
+    // its retraction — same correctness-only rule as the composite.
+    // Round 13: the retraction lines now retract against a PREBUILT
+    // state snapshot (SparkEntry retract*StateCache — they price the
+    // delete, not 2–3 re-folds), and the embedding-side composites
+    // join the text composite behind the opt-in gate (they re-price
+    // the semdedup/IVF/PQ fold kernels ns_semdedup_incremental and
+    // ns_ivf_incremental already bench).
     val optIn = Set("ns_incremental_probe", "ns_nightly_pipeline",
-      "ns_tfidf_incremental", "ns_retract_indexed", "ns_nightly_retract")
+      "ns_tfidf_incremental", "ns_retract_indexed", "ns_nightly_retract",
+      "ns_nightly_embed", "ns_nightly_embed_retract")
     val extra = sys.env.get("SPARK_GRAFT_BENCH_EXTRA")
       .map(v => if (v.trim == "all") optIn
                 else v.split(",").map(_.trim).filter(_.nonEmpty).toSet)

@@ -3389,6 +3389,14 @@ object OracleSql {
     "ns_semdedup_incremental" -> semDedupOneShotSql,
     "ns_semdedup_retract" -> semDedupRetractSql,
 
+    // the embedding-side composite nightly: admission face semi-joined
+    // through the maintained IVF + PQ tables — hash-matching the
+    // one-shot SemDedup SQL proves admission AND that no admitted
+    // vector is missing from either ANN artifact (the retract form
+    // over the never-retracted corpus)
+    "ns_nightly_embed" -> semDedupOneShotSql,
+    "ns_nightly_embed_retract" -> semDedupRetractSql,
+
     "ns_mmr_rerank" -> mmrSql(5),
 
     "ns_topk_similarity" ->

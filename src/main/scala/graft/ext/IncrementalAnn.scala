@@ -66,10 +66,27 @@ object IncrementalAnn {
     * persist the frozen centroids + build-time mean assignment
     * distance, and fold `base` in as batch 0. Same KMeans settings as
     * [[VectorSearch.ivfBuild]] — deterministic seed, few iterations.
+    *
+    * REPLAY-safe: if the centroid table already exists (a crashed
+    * first night re-delivered — the nightlyEmbed composite's init
+    * contract), training is skipped and `base` re-folds against the
+    * FROZEN stored centroids at batch 0 — assignment is pure, so the
+    * LWW merge rewrites identical rows and the batch-0 audit row is
+    * rewritten, never duplicated.
     */
   def ivfInit(spark: SparkSession, dir: String, base: DataFrame,
               id: String, vec: String, nLists: Int = 16,
               seed: Long = 42L): Unit = {
+    val centPath = new org.apache.hadoop.fs.Path(dir + CentroidsSuffix)
+    if (centPath.getFileSystem(spark.sessionState.newHadoopConf())
+      .exists(centPath)) {
+      val cent = spark.read.parquet(dir + CentroidsSuffix)
+      val buildMean = cent.select("build_mean_dist").head().getDouble(0)
+      foldAssigned(spark, dir,
+        assignIvf(base, cent.select("ivf_list", "centroid"), id, vec),
+        id, vec, batchNo = 0L, buildMean = buildMean)
+      return
+    }
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     import spark.implicits._
@@ -242,23 +259,36 @@ object IncrementalAnn {
     * so deleting the rows IS the converged state — the post-delete
     * index equals a fresh fold over the surviving vectors exactly,
     * with no resurrection semantics to settle. The table is
-    * id-partitioned, so the delete is a partition-pruned rewrite.
+    * id-partitioned, so the delete is a partition-pruned rewrite —
+    * `part = pmod(id, StateParts)` is DERIVED from the retract ids
+    * (the same derived-partition filter the other retract faces use),
+    * so the state read opens only the partitions the ids can live in,
+    * whatever StateParts a large-corpus deployment raises it to.
     * One negative audit row (`batch_no = -retractVer`, disjoint from
     * every fold's key) keeps the row-count trail honest; drift stats
     * are left untouched (retraction says nothing about distribution
-    * fit). Works unchanged for the PQ code table — same layout.
+    * fit). The audit row is written BEFORE the delete: a crash
+    * between the two writes leaves the rows still present, so a
+    * retried retraction recomputes the same count and LWW-rewrites
+    * the identical audit row, then deletes — the trail stays
+    * consistent through any partial failure (audit-after-delete
+    * would lose the decrement forever: the retry finds n == 0 and
+    * returns). Works unchanged for the PQ code table — same layout.
     */
   def ivfRetract(spark: SparkSession, dir: String, retractIds: DataFrame,
                  id: String, retractVer: Long): Unit = {
     require(retractVer > 0, "retractVer must be positive")
+    val x = retractIds.select(col(id)).distinct()
+      .localCheckpoint(true)
+    val parts = x.select(pmod(col(id), lit(StateParts.toLong)))
+      .distinct().collect().map(_.getLong(0))
+    if (parts.isEmpty) return
     val gone = spark.read.parquet(dir)
-      .join(retractIds.select(col(id)).distinct(), Seq(id), "left_semi")
+      .filter(col("part").isin(parts: _*))
+      .join(x, Seq(id), "left_semi")
       .select(col("part"), col(id)).localCheckpoint(true)
     val n = gone.count()
     if (n == 0L) return
-    val none = spark.read.parquet(dir).limit(0)
-    ParquetMerge.deleteAndUpsertPartitions(spark, dir, gone, none,
-      "part", id, "ver")
     val auditPath = new org.apache.hadoop.fs.Path(dir + AuditSuffix)
     if (auditPath.getFileSystem(spark.sessionState.newHadoopConf())
       .exists(auditPath)) {
@@ -269,15 +299,31 @@ object IncrementalAnn {
       ParquetMerge.upsertPartitions(spark, dir + AuditSuffix, row,
         "part", "batch_no", "ver")
     }
+    val none = spark.read.parquet(dir).limit(0)
+    ParquetMerge.deleteAndUpsertPartitions(spark, dir, gone, none,
+      "part", id, "ver")
   }
 
   /** Train the PQ codebooks on `base` and freeze them (stored table),
     * encoding `base` as batch 0 — the PQ face of the same fold. Same
     * training as [[VectorSearch.pqBuild]].
+    *
+    * REPLAY-safe like [[ivfInit]]: an existing codebook table skips
+    * training and re-encodes `base` against the FROZEN stored
+    * codebooks at batch 0 (encoding is pure — the LWW merge rewrites
+    * identical rows). The quantizer itself is never silently
+    * retrained; that is [[ivfRetrain]]'s explicit, audited move.
     */
   def pqInit(spark: SparkSession, dir: String, base: DataFrame,
              id: String, vec: String, m: Int = 8, kCent: Int = 16,
              seed: Long = 42L): Unit = {
+    val cbPath = new org.apache.hadoop.fs.Path(dir + CodebooksSuffix)
+    if (cbPath.getFileSystem(spark.sessionState.newHadoopConf())
+      .exists(cbPath)) {
+      foldCodes(spark, dir, encodeAgainstStored(spark, dir, base, id, vec),
+        id, batchNo = 0L)
+      return
+    }
     val built = VectorSearch.pqBuild(base, id, vec, m, kCent, seed)
     import spark.implicits._
     built.codebooks.toSeq.toDF("sub", "j", "cvec")
@@ -298,7 +344,16 @@ object IncrementalAnn {
   def pqFold(spark: SparkSession, dir: String, batch: DataFrame,
              id: String, vec: String, batchNo: Long): Unit = {
     require(batchNo > 0L, "batchNo 0 is the init fold")
-    val (codebooks, m, kCent) = readCodebooks(spark, dir)
+    foldCodes(spark, dir, encodeAgainstStored(spark, dir, batch, id, vec),
+      id, batchNo)
+  }
+
+  /** The frozen-codebook encode kernel shared by [[pqFold]] and
+    * [[pqInit]]'s replay path. */
+  private def encodeAgainstStored(spark: SparkSession, dir: String,
+                                  batch: DataFrame, id: String,
+                                  vec: String): DataFrame = {
+    val (codebooks, m, _) = readCodebooks(spark, dir)
     import spark.implicits._
     val cbDf = codebooks.toSeq.toDF("sub", "j", "cvec")
     val dim = codebooks.head._3.length * m
@@ -310,7 +365,7 @@ object IncrementalAnn {
     val dist = aggregate(zip_with(col("sv"), col("cvec"), (x, y) => {
       val d = x - y; d * d
     }), lit(0.0), (acc, v) => acc + v)
-    val codes = subvecs.join(broadcast(cbDf), Seq("sub"))
+    subvecs.join(broadcast(cbDf), Seq("sub"))
       .withColumn("_d", dist)
       .groupBy(col(id), col("sub"))
       .agg(min(struct(col("_d"), col("j"))).as("_best"))
@@ -318,7 +373,6 @@ object IncrementalAnn {
       .agg(array_sort(collect_list(struct(col("sub"), col("_best.j").as("c"))))
         .as("_sc"))
       .select(col(id), expr("transform(_sc, x -> x.c)").as("codes"))
-    foldCodes(spark, dir, codes, id, batchNo)
   }
 
   private def foldCodes(spark: SparkSession, dir: String, codes: DataFrame,

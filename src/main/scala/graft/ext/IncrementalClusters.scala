@@ -66,8 +66,19 @@ object IncrementalClusters {
   /** Fold one batch of undirected near-dup pair edges `(id_a, id_b)`
     * into the stored labeling. `batchNo` is the LWW merge version; a
     * replayed batch contracts entirely to self-loops and writes
-    * nothing — idempotent. Order-independent: batches may arrive in
-    * any order.
+    * nothing — idempotent. CONTENT-order independent: the min-label
+    * algebra makes the folded labeling the same whatever order the
+    * edges are split across batches — but `batchNo` itself must be
+    * MONOTONIC (non-decreasing), enforced loudly below: redirect
+    * re-points are LWW-versioned by `batchNo`, so a late batch folded
+    * at a SMALLER number than an already-stored version would write
+    * redirect rewrites that LOSE the merge to the existing
+    * higher-ver rows — a chained/stale redirect that breaks the
+    * flatness invariant and silently mislabels. Equal `batchNo` is
+    * allowed only as a REPLAY of the same batch (crash recovery —
+    * the recomputed rewrites re-derive the missing redirect rows);
+    * reusing a number for different edges is the caller's contract
+    * violation, same as the curation fold.
     */
   def fold(spark: SparkSession, dir: String, pairs: DataFrame,
            batchNo: Long, maxIterations: Int = 30): Unit = {
@@ -118,6 +129,32 @@ object IncrementalClusters {
     val (delta0, _) = TextDedup.starContract(contracted, maxIterations)
     val delta = delta0.localCheckpoint(true)
     if (delta.isEmpty) { e0.unpersist(); known.unpersist(); return }
+    // monotonic-batchNo guard (see the method doc) — placed AFTER the
+    // empty-delta return so clean replays of old batches still no-op.
+    // The doc table's max version reads from its partition DIRECTORIES
+    // (part = insert batchNo — O(partitions) driver work, no file
+    // opens); the redirect table is O(merge events), scanned. The max
+    // of the two covers folds that wrote only redirect rows.
+    if (hasState) {
+      val hp = new org.apache.hadoop.fs.Path(dir)
+      val fs = hp.getFileSystem(spark.sessionState.newHadoopConf())
+      val maxDocPart = fs.listStatus(hp).toSeq
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("part="))
+        .map(_.getPath.getName.stripPrefix("part=").toLong)
+        .foldLeft(Long.MinValue)(math.max)
+      val maxRedirVer =
+        if (exists(spark, dir + RedirectSuffix)) {
+          val r = spark.read.parquet(dir + RedirectSuffix)
+            .agg(max("ver")).head()
+          if (r.isNullAt(0)) Long.MinValue else r.getLong(0)
+        } else Long.MinValue
+      val stored = math.max(maxDocPart, maxRedirVer)
+      require(batchNo >= stored,
+        s"out-of-order fold: batchNo=$batchNo is below the stored max " +
+          s"version $stored — its redirect re-points would lose the LWW " +
+          "merge to the existing higher-ver rows, leaving stale chained " +
+          "redirects; fold batches at non-decreasing batchNo")
+    }
     // which delta nodes are EXISTING terminal labels vs first-seen
     // docs: a known endpoint always maps to its terminal label, so the
     // known-node ids of the delta graph are exactly the touched

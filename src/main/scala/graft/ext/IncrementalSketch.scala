@@ -58,14 +58,18 @@ object IncrementalSketch {
     * one NEGATIVE delta row per touched cell/term, keyed with an `r`
     * tag so it can never collide with a fold's delta (and a retried
     * retraction at the same `retractVer` LWW-rewrites its own rows,
-    * idempotent). No watermark guard: a retraction is NEW information,
-    * valid before or after compaction.
+    * idempotent). Valid before or after compaction — with one loud
+    * boundary: a `retractVer` at or below the compacted BASELINE
+    * version is rejected (its deltas were folded into the baseline;
+    * re-issuing would double-subtract).
     */
   def cmsRetract(spark: SparkSession, dir: String, docs: DataFrame,
                  text: String, retractVer: Long, depth: Int = 4,
-                 width: Int = 64): Unit =
+                 width: Int = 64): Unit = {
+    DeltaCompact.requireRetractAboveBaseline(spark, dir, retractVer)
     cmsDelta(spark, dir, docs, text, retractVer, depth, width,
       sign = -1L, tag = "r")
+  }
 
   private def cmsDelta(spark: SparkSession, dir: String, docs: DataFrame,
                        text: String, batchNo: Long, depth: Int,
@@ -123,10 +127,15 @@ object IncrementalSketch {
     * are associative; [[DeltaCompact]]).
     */
   def cmsCompact(spark: SparkSession, dir: String): Long = {
+    // fold rows vs retraction rows by pk layout: cell pks END with the
+    // batch tag (`d:b:<ver><tag>` — a fold's ends in a digit), vocab
+    // pks LEAD with it (`<ver><tag>:t` — anchored, so a term carrying
+    // "r" can never match)
     val wm = DeltaCompact.compact(spark, dir, Seq("d", "b"),
-      Seq("cell_n"), lit(0L))
+      Seq("cell_n"), lit(0L), foldRow = !col("pk").endsWith("r"))
     DeltaCompact.compact(spark, dir + VocabSuffix, Seq("t"),
-      Seq("n_delta"), pmod(expr(Sketches.tokCodeSql), lit(8L)))
+      Seq("n_delta"), pmod(expr(Sketches.tokCodeSql), lit(8L)),
+      foldRow = !col("pk").rlike("^\\d+r:"))
     wm
   }
 
@@ -179,9 +188,12 @@ object IncrementalSketch {
     */
   def gridRetract(spark: SparkSession, dir: String, docs: DataFrame,
                   valueCol: String, groupCol: String, retractVer: Long,
-                  grid: Long = 64L): Unit =
+                  grid: Long = 64L): Unit = {
+    DeltaCompact.requireRetractAboveBaseline(spark, dir + GridSuffix,
+      retractVer)
     gridDelta(spark, dir, docs, valueCol, groupCol, retractVer, grid,
       sign = -1L, tag = "r")
+  }
 
   private def gridDelta(spark: SparkSession, dir: String, docs: DataFrame,
                         valueCol: String, groupCol: String, batchNo: Long,
@@ -232,7 +244,10 @@ object IncrementalSketch {
   /** Compact the grid delta table ([[DeltaCompact]]). */
   def gridCompact(spark: SparkSession, dir: String): Long =
     DeltaCompact.compact(spark, dir + GridSuffix, Seq("grp", "cell"),
-      Seq("cell_n"), pmod(xxhash64(col("grp")), lit(4L)))
+      Seq("cell_n"), pmod(xxhash64(col("grp")), lit(4L)),
+      // grid pks lead with the batch tag (`<ver><tag>:grp:cell`) —
+      // the anchor keeps a group name carrying "r"/":" from matching
+      foldRow = !col("pk").rlike("^\\d+r:"))
 
   /** Top-k estimate-vs-true audit over the folded state — the same
     * `(term, true_n, est_n, over_n)` shape [[Sketches.cmsTermCounts]]

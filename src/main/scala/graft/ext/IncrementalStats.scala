@@ -44,18 +44,22 @@ object IncrementalStats {
   /** RETRACT a doc set's totals: one NEGATIVE delta row per source,
     * `r`-tagged so it never collides with a fold's delta (a retried
     * retraction at the same `retractVer` LWW-rewrites its own rows —
-    * idempotent). Sums are associative, so subtraction is exact; no
-    * watermark guard (a retraction is new information, valid before
-    * or after compaction). Note `probeAsOf` semantics: the negative
-    * row carries `retractVer`, so as-of probes at earlier versions
-    * still reconstruct the PRE-retraction history — time travel and
-    * retraction compose.
+    * idempotent). Sums are associative, so subtraction is exact.
+    * Valid before or after compaction, with one loud boundary: a
+    * `retractVer` at or below the compacted baseline version is
+    * rejected (those deltas were folded into the baseline —
+    * re-issuing would double-subtract). Note `probeAsOf` semantics:
+    * the negative row carries `retractVer`, so as-of probes at
+    * earlier versions still reconstruct the PRE-retraction history —
+    * time travel and retraction compose.
     */
   def retractFold(spark: SparkSession, dir: String, docs: DataFrame,
                   text: String, sourceCol: String,
-                  retractVer: Long): Unit =
+                  retractVer: Long): Unit = {
+    DeltaCompact.requireRetractAboveBaseline(spark, dir, retractVer)
     delta(spark, dir, docs, text, sourceCol, retractVer,
       sign = -1L, tag = "r")
+  }
 
   private def delta(spark: SparkSession, dir: String, docs: DataFrame,
                     text: String, sourceCol: String, batchNo: Long,
@@ -101,7 +105,10 @@ object IncrementalStats {
   def compact(spark: SparkSession, dir: String): Long =
     DeltaCompact.compact(spark, dir, Seq("source"),
       Seq("n_docs", "n_tokens", "n_chars_total"),
-      pmod(xxhash64(col("source")), lit(4L)))
+      pmod(xxhash64(col("source")), lit(4L)),
+      // profile pks lead with the batch tag (`<ver><tag>:source`) —
+      // anchored, so a source name carrying "r" never matches
+      foldRow = !col("pk").rlike("^\\d+r:"))
 
   /** The folded per-source profile — the same `(source, n_docs,
     * n_tokens, n_chars_total, avg_tokens)` shape the one-shot
@@ -132,9 +139,13 @@ object IncrementalStats {
     * O(sources · batches) delta table; the corpus is never touched.
     */
   def probeAsOf(spark: SparkSession, dir: String, asOfVer: Long): DataFrame = {
-    DeltaCompact.watermark(spark, dir).foreach { wm =>
-      require(asOfVer >= wm,
-        s"as-of version $asOfVer predates the compaction watermark $wm — " +
+    // the floor is the BASELINE version (max ver folded into the
+    // baseline, compacted retractions included) — the replay
+    // watermark can sit below it, but baseline rows carry baseVer,
+    // so a probe between the two would silently exclude the baseline
+    DeltaCompact.baselineVer(spark, dir).foreach { bv =>
+      require(asOfVer >= bv,
+        s"as-of version $asOfVer predates the compacted baseline $bv — " +
           "that state was folded into the baseline and no longer exists")
     }
     aggProfile(spark.read.parquet(dir).filter(col("ver") <= asOfVer))

@@ -670,9 +670,11 @@ object IncrementalCuration {
     }
     spark.range(1).select(lit(wm).as("wm"))
       .write.mode("overwrite").parquet(stateDir + RetractWmSuffix)
-    Seq(x, removed, kept, promoted, dedupedOld, newEdges)
+    // oldEdges unconditionally: a re-checked fs.exists would read
+    // false when the retraction emptied the edge table (the directory
+    // was just deleted) and leak the persisted frame
+    Seq(x, removed, kept, promoted, dedupedOld, newEdges, oldEdges)
       .foreach(_.unpersist())
     ()
-    if (fs.exists(hEdges)) oldEdges.unpersist()
   }
 }

@@ -2,17 +2,24 @@ package graft.pipeline
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.ext.{IncrementalBm25, IncrementalMinhash, IncrementalSample,
-  IncrementalSketch, IncrementalStats}
+import graft.ext.{IncrementalAnn, IncrementalBm25, IncrementalClusters,
+  IncrementalMinhash, IncrementalSample, IncrementalSemDedup,
+  IncrementalSimhash, IncrementalSketch, IncrementalStats,
+  IncrementalWinnow}
+import graft.sink.ParquetMerge
 
 /** The composite NIGHTLY fold — the orchestration layer that makes the
-  * incremental family one job instead of eight: a crawl batch goes
+  * incremental family one job instead of eleven: a crawl batch goes
   * through curation ADMISSION ([[IncrementalCuration.curateBatch]] —
   * quality gate + exact dedup + near-dup tombstones against the
   * corpus state), and the docs that SURVIVE admission fold into every
   * maintained downstream artifact at the same `batchNo` version:
-  * BM25 postings, MinHash band buckets, the CMS + grid-quantile +
-  * per-source profiles, and the bottom-k sample.
+  * BM25 postings, MinHash band buckets, SimHash signatures, winnowing
+  * fingerprints, the CMS + grid-quantile + per-source profiles, and
+  * the bottom-k sample — plus the batch's near-dup PAIR EDGES fold
+  * into the connected-component labeling (clusters are over the pair
+  * graph, not the admitted set, so the CC fold runs even on a night
+  * where every batch doc lost its pairing).
   *
   * Why this composes exactly: the curation fold is keep-first under
   * ascending-id arrival — near-dup LOSERS are always the newer doc
@@ -22,7 +29,9 @@ import graft.ext.{IncrementalBm25, IncrementalMinhash, IncrementalSample,
   * holds exactly the admitted docs of the batches folded so far, and
   * a probe over any index equals the one-shot build over
   * `IncrementalCuration.survivors` — the cross-fold consistency the
-  * spec pins.
+  * spec pins. The CC labeling holds the min-id contraction over the
+  * union of every batch's edges — equal to the one-shot contraction
+  * over the full maintained edge table (min-label composition).
   *
   * Versioning: every sub-fold shares the caller's `batchNo`, so an
   * at-least-once redelivery replays through each sub-fold's own
@@ -32,14 +41,61 @@ import graft.ext.{IncrementalBm25, IncrementalMinhash, IncrementalSample,
   * no-op, missing ones fold — the same effective-exactly-once story
   * as the streaming faces.
   *
-  * State layout under `root`: `curation/`, `bm25/`, `minhash/`,
-  * `cms/`, `stats/`, `sample/` (+ the folds' own sidecar tables).
+  * MAINTENANCE is part of the nightly, not a separate job: after the
+  * sub-folds, every partitioned state table runs a small-file
+  * compaction pass ([[ParquetMerge.compactPartitions]]). No
+  * touched-partition list is threaded through — none is needed: the
+  * pass rewrites ONLY partitions whose file count exceeds what their
+  * bytes justify, and a partition this nightly did NOT touch was left
+  * compacted by the last nightly that did, so it skips on the listing
+  * alone. In steady state the sweep therefore does exactly
+  * touched-partition work (each touched partition was just rewritten
+  * by its fold's dynamic-overwrite as N task files; compaction folds
+  * them to `ceil(bytes/target)`), plus one O(partitions) directory
+  * listing per table — the lakehouse contract that partition count is
+  * a dimension, not a fact. Reports surface in the
+  * [[NightlyReport]]. Disable with `compact = false` when an external
+  * table service owns maintenance.
+  *
+  * State layout under `root`: `curation/` (+ `_edges`), `docmeta/`,
+  * `bm25/`, `minhash/`, `simhash/`, `winnow/`, `cc/` (+ `_redir`),
+  * `cms/` (+ `_vocab`, `_grid`), `stats/`, `sample/`.
   */
 object IncrementalPipeline {
 
-  /** Per-fold admission/row report for the nightly log line. */
+  /** Per-fold admission/row report for the nightly log line, plus the
+    * compaction decisions the maintenance pass took (table-qualified
+    * partition names; rewritten partitions only — skips are silent).
+    */
   final case class NightlyReport(batchNo: Long, nBatch: Long,
-                                 nAdmitted: Long)
+                                 nAdmitted: Long,
+                                 compaction: Seq[ParquetMerge.CompactionReport]
+                                 = Seq.empty)
+
+  private def exists(spark: SparkSession, p: String): Boolean = {
+    val hp = new org.apache.hadoop.fs.Path(p)
+    hp.getFileSystem(spark.sessionState.newHadoopConf()).exists(hp)
+  }
+
+  /** The partitioned state tables a text nightly maintains under
+    * `root` — the compaction sweep's worklist. */
+  private def textTables(root: String): Seq[String] = {
+    val cur = s"$root/curation"
+    Seq(cur, cur + IncrementalCuration.EdgesSuffix, s"$root/docmeta",
+      s"$root/bm25", s"$root/bm25" + IncrementalBm25.StatsSuffix,
+      s"$root/minhash", s"$root/simhash", s"$root/winnow",
+      s"$root/cc", s"$root/cc" + IncrementalClusters.RedirectSuffix,
+      s"$root/cms", s"$root/cms" + IncrementalSketch.VocabSuffix,
+      s"$root/cms" + IncrementalSketch.GridSuffix, s"$root/stats")
+  }
+
+  private def compactSweep(spark: SparkSession, tables: Seq[String])
+  : Seq[ParquetMerge.CompactionReport] =
+    tables.flatMap { t =>
+      ParquetMerge.compactPartitions(spark, t, "part")
+        .filter(_.filesAfter > 0)
+        .map(r => r.copy(partition = s"$t#${r.partition}"))
+    }
 
   /** Fold one batch end-to-end. `batch` carries `id`, `text`, and
     * optionally `lang`/`source` (defaulted when absent so the profile
@@ -48,11 +104,13 @@ object IncrementalPipeline {
   def nightly(spark: SparkSession, root: String, batch: DataFrame,
               text: String, id: String, batchNo: Long,
               minQuality: Double = 0.7, jaccardThreshold: Double = 0.3,
-              sampleK: Int = 40): NightlyReport = {
+              sampleK: Int = 40, compact: Boolean = true): NightlyReport = {
     val dirs = Map(
       "curation" -> s"$root/curation", "bm25" -> s"$root/bm25",
-      "minhash" -> s"$root/minhash", "cms" -> s"$root/cms",
-      "stats" -> s"$root/stats", "sample" -> s"$root/sample")
+      "minhash" -> s"$root/minhash", "simhash" -> s"$root/simhash",
+      "winnow" -> s"$root/winnow", "cc" -> s"$root/cc",
+      "cms" -> s"$root/cms", "stats" -> s"$root/stats",
+      "sample" -> s"$root/sample")
     val b = batch.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nBatch = b.count()
     // RETRACTABLE curation (since the composite gained retractNightly):
@@ -93,6 +151,10 @@ object IncrementalPipeline {
       IncrementalBm25.fold(spark, dirs("bm25"), admitted, text, id, batchNo)
       IncrementalMinhash.fold(spark, dirs("minhash"), admitted, text, id,
         batchNo)
+      IncrementalSimhash.fold(spark, dirs("simhash"), admitted, text, id,
+        batchNo)
+      IncrementalWinnow.fold(spark, dirs("winnow"), admitted, text, id,
+        batchNo)
       IncrementalSketch.cmsFold(spark, dirs("cms"), admitted, text, batchNo)
       IncrementalSketch.gridFold(spark, dirs("cms"), admitted, "n_chars",
         "source", batchNo)
@@ -101,8 +163,22 @@ object IncrementalPipeline {
       IncrementalSample.fold(spark, dirs("sample"), admitted, "lang", id,
         sampleK)
     }
+    // the CC labeling folds THIS batch's pair edges (the curation fold
+    // just wrote them at ver = batchNo) — outside the admitted guard:
+    // a night where every batch doc lost still produced edges, and
+    // those edges are exactly what the labeling must learn. A replay
+    // re-reads the identical LWW-rewritten edges and contracts to
+    // self-loops (no-op).
+    val edgesDir = dirs("curation") + IncrementalCuration.EdgesSuffix
+    if (exists(spark, edgesDir)) {
+      val batchEdges = spark.read.parquet(edgesDir)
+        .filter(col("ver") === batchNo).select("id_a", "id_b")
+      IncrementalClusters.fold(spark, dirs("cc"), batchEdges, batchNo)
+    }
     admitted.unpersist(); b.unpersist()
-    NightlyReport(batchNo, nBatch, nAdmitted)
+    val reports =
+      if (compact) compactSweep(spark, textTables(root)) else Seq.empty
+    NightlyReport(batchNo, nBatch, nAdmitted, reports)
   }
 
   /** Streaming face: each micro-batch runs the whole nightly fold at
@@ -139,15 +215,23 @@ object IncrementalPipeline {
     *     membership can move BOTH ways (docs leave, docs enter).
     *  2. The admission DELTA (removals = was-admitted, no longer;
     *     additions = newly admitted, e.g. resurrected) drives each
-    *     index: BM25 and MinHash drop posting/band rows of removals
-    *     and fold additions; CMS/grid/profile take exact NEGATIVE
-    *     delta rows for removals and positive folds for additions
-    *     (their cells/sums are associative — subtraction is sound);
-    *     the bottom-k sample REBUILDS from the docmeta sidecar (a
+    *     index: BM25, MinHash, SimHash and winnowing drop
+    *     posting/band/signature/fingerprint rows of removals and fold
+    *     additions; CMS/grid/profile take exact NEGATIVE delta rows
+    *     for removals and positive folds for additions (their
+    *     cells/sums are associative — subtraction is sound); the
+    *     bottom-k sample REBUILDS from the docmeta sidecar (a
     *     bottom-k sketch is not subtractive — evicted candidates are
     *     gone — so shrink means recompute over O(corpus) thin rows,
     *     never text).
-    *  3. Removal text is captured BEFORE the curation delete (a
+    *  3. The CC labeling takes the EDGE delta, not the admission
+    *     delta (clusters live over the pair graph): the surviving old
+    *     edges (minus everything touching the retracted set) drive
+    *     [[IncrementalClusters.retract]]'s affected-component
+    *     re-contraction, and the retraction's FRESH promotion edges
+    *     fold in after at `retractVer` — composing to the one-shot
+    *     contraction over the post-retraction edge table.
+    *  4. Removal text is captured BEFORE the curation delete (a
     *     retracted doc's text must leave the corpus — it survives
     *     only inside this job's transient frames); `retractVer` is
     *     recorded as the curation retraction watermark so every later
@@ -190,6 +274,18 @@ object IncrementalPipeline {
     val xSurvText = stBefore.filter(col("is_survivor"))
       .join(x, Seq(id), "left_semi").select(col(id), col(text))
       .localCheckpoint(true)
+    // the surviving OLD pair edges, pinned BEFORE the curation delete
+    // rewrites the edge table — the CC re-contraction's edge set
+    val edgesDir = cur + IncrementalCuration.EdgesSuffix
+    val emptyEdges = spark.range(0)
+      .select(col("id").as("id_a"), col("id").as("id_b"))
+    val liveOld: DataFrame =
+      if (exists(spark, edgesDir))
+        spark.read.parquet(edgesDir).select("id_a", "id_b")
+          .join(x.withColumnRenamed(id, "id_a"), Seq("id_a"), "left_anti")
+          .join(x.withColumnRenamed(id, "id_b"), Seq("id_b"), "left_anti")
+          .localCheckpoint(true)
+      else emptyEdges
     IncrementalCuration.retract(spark, cur, x, text, id,
       jaccardThreshold = jaccardThreshold)
     // pin the watermark AT retractVer (retract records max folded ver;
@@ -230,6 +326,10 @@ object IncrementalPipeline {
       IncrementalBm25.retractDocs(spark, s"$root/bm25", removals, id,
         retractVer)
       IncrementalMinhash.retractDocs(spark, s"$root/minhash", removals, id)
+      if (exists(spark, s"$root/simhash"))
+        IncrementalSimhash.retractDocs(spark, s"$root/simhash", removals, id)
+      if (exists(spark, s"$root/winnow"))
+        IncrementalWinnow.retractDocs(spark, s"$root/winnow", removals, id)
       IncrementalSketch.cmsRetract(spark, s"$root/cms", remFull, text,
         retractVer)
       IncrementalSketch.gridRetract(spark, s"$root/cms", remFull,
@@ -242,12 +342,33 @@ object IncrementalPipeline {
         retractVer)
       IncrementalMinhash.fold(spark, s"$root/minhash", addFull, text, id,
         retractVer)
+      IncrementalSimhash.fold(spark, s"$root/simhash", addFull, text, id,
+        retractVer)
+      IncrementalWinnow.fold(spark, s"$root/winnow", addFull, text, id,
+        retractVer)
       IncrementalSketch.cmsFold(spark, s"$root/cms", addFull, text,
         retractVer)
       IncrementalSketch.gridFold(spark, s"$root/cms", addFull, "n_chars",
         "source", retractVer)
       IncrementalStats.fold(spark, s"$root/stats", addFull, text,
         "source", retractVer)
+    }
+    // CC: remove the retracted nodes over the PINNED surviving-old
+    // edge set (every removed edge lies inside an affected component —
+    // its endpoints were connected), then fold the retraction's fresh
+    // promotion edges; min-label composition makes the result the
+    // one-shot contraction over the post-retraction edge table
+    val ccDir = s"$root/cc"
+    if (exists(spark, ccDir)) {
+      IncrementalClusters.retract(spark, ccDir, x, liveOld)
+      val newEdges: DataFrame =
+        if (exists(spark, edgesDir))
+          spark.read.parquet(edgesDir).select("id_a", "id_b")
+            .join(liveOld, Seq("id_a", "id_b"), "left_anti")
+            .localCheckpoint(true)
+        else emptyEdges
+      if (!newEdges.isEmpty)
+        IncrementalClusters.fold(spark, ccDir, newEdges, retractVer)
     }
     // the sample is the one non-subtractive artifact: rebuild it from
     // the post-retraction admitted set's thin metadata
@@ -256,5 +377,170 @@ object IncrementalPipeline {
         .select(col("lang"), col(id)),
       "lang", id, sampleK)
     x.unpersist()
+  }
+
+  /** Per-night report of the EMBEDDING-side composite: batch/admitted
+    * counts, the night's IVF drift ratio (the re-train trigger — a
+    * value ≫ 1 means the frozen quantizer no longer fits the
+    * distribution; see [[IncrementalAnn.ivfRetrain]]), and the
+    * maintenance pass's compaction decisions.
+    */
+  final case class EmbedNightlyReport(batchNo: Long, nBatch: Long,
+                                      nAdmitted: Long, driftRatio: Double,
+                                      compaction: Seq[ParquetMerge.CompactionReport]
+                                      = Seq.empty)
+
+  private def embedTables(root: String): Seq[String] =
+    Seq(s"$root/semdedup",
+      s"$root/semdedup" + IncrementalSemDedup.CellStatsSuffix,
+      s"$root/ivf", s"$root/ivf" + IncrementalAnn.AuditSuffix,
+      s"$root/pq")
+
+  /** The EMBEDDING-side nightly — the sibling composite for the vector
+    * half of a training-data pipeline: a batch of embeddings goes
+    * through SemDedup ADMISSION ([[IncrementalSemDedup.fold]] —
+    * cell-bucketed dominance against the corpus state), and the
+    * vectors that SURVIVE fold into the maintained ANN artifacts at
+    * the same version: the IVF assignment table and the PQ code table
+    * (frozen quantizers, O(batch) folds). The per-night drift audit
+    * row is surfaced in the report — the operational re-train
+    * trigger.
+    *
+    * NIGHT 0 is the INIT night: it trains the IVF centroids and PQ
+    * codebooks on the first batch's admitted vectors and freezes them
+    * ([[IncrementalAnn.ivfInit]]/[[IncrementalAnn.pqInit]] — both
+    * replay-safe, so a crashed init re-delivers idempotently). Later
+    * nights fold at `batchNo >= 1` against the frozen quantizers.
+    * Same composition argument as the text nightly: dominance is
+    * keep-first under ascending-id arrival, so an admitted vector is
+    * never retroactively tombstoned and each index holds exactly the
+    * admitted vectors folded so far.
+    *
+    * State layout under `root`: `semdedup/` (+ `_cells`), `ivf/`
+    * (+ `_centroids`, `_audit`), `pq/` (+ `_codebooks`).
+    */
+  def nightlyEmbed(spark: SparkSession, root: String, batch: DataFrame,
+                   id: String, vec: String, batchNo: Long,
+                   signBits: Int = 4, threshold: Double = 0.45,
+                   maxCell: Long = 100000L, nLists: Int = 16, m: Int = 8,
+                   kCent: Int = 16, seed: Long = 42L,
+                   compact: Boolean = true): EmbedNightlyReport = {
+    val sem = s"$root/semdedup"
+    val ivf = s"$root/ivf"
+    val pq = s"$root/pq"
+    val b = batch.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nBatch = b.count()
+    IncrementalSemDedup.fold(spark, sem, b, id, vec, batchNo,
+      signBits = signBits, threshold = threshold, maxCell = maxCell)
+    // this batch's admitted vectors: survivor rows at this version
+    // (keep-first dominance means they are final — class doc)
+    val admitted = spark.read.parquet(sem)
+      .filter(col("is_survivor") && col("ver") === batchNo)
+      .select(col("vid").as(id), col("vec").as(vec))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nAdmitted = admitted.count()
+    val centExists = exists(spark, ivf + IncrementalAnn.CentroidsSuffix)
+    if (!centExists || batchNo == 0L) {
+      require(batchNo == 0L,
+        s"no trained quantizers at $ivf — the first embed night must " +
+          s"run at batchNo 0 (the init night); got batchNo $batchNo")
+      require(nAdmitted > 0L,
+        "init night admitted no vectors — cannot train the quantizers")
+      IncrementalAnn.ivfInit(spark, ivf, admitted, id, vec, nLists, seed)
+      IncrementalAnn.pqInit(spark, pq, admitted, id, vec, m, kCent, seed)
+    } else if (nAdmitted > 0L) {
+      IncrementalAnn.ivfFold(spark, ivf, admitted, id, vec, batchNo)
+      IncrementalAnn.pqFold(spark, pq, admitted, id, vec, batchNo)
+    }
+    admitted.unpersist(); b.unpersist()
+    // the night's drift signal: the latest FOLD audit row (negative
+    // batch_no rows are retraction decrements, not fits)
+    val driftRow = IncrementalAnn.ivfAudit(spark, ivf)
+      .filter(col("batch_no") >= 0L)
+      .orderBy(desc("batch_no")).select("drift_ratio").limit(1).head()
+    val reports =
+      if (compact) compactSweep(spark, embedTables(root)) else Seq.empty
+    EmbedNightlyReport(batchNo, nBatch, nAdmitted,
+      driftRow.getDouble(0), reports)
+  }
+
+  /** Streaming face of [[nightlyEmbed]]: micro-batch 0 is the init
+    * night (trains + freezes the quantizers), later micro-batches
+    * fold — checkpoint + per-fold idempotence (and the replay-safe
+    * inits) = effective exactly-once across the composite.
+    */
+  def nightlyEmbedStream(emb: DataFrame, root: String, id: String,
+                         vec: String, checkpoint: String,
+                         signBits: Int = 4, threshold: Double = 0.45,
+                         maxCell: Long = 100000L, nLists: Int = 16,
+                         m: Int = 8, kCent: Int = 16, seed: Long = 42L)
+  : org.apache.spark.sql.streaming.StreamingQuery =
+    emb.writeStream
+      .foreachBatch {
+        (mb: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+         batchId: Long) =>
+          if (!mb.isEmpty) {
+            nightlyEmbed(mb.sparkSession, root, mb.toDF(), id, vec,
+              batchNo = batchId, signBits = signBits,
+              threshold = threshold, maxCell = maxCell, nLists = nLists,
+              m = m, kCent = kCent, seed = seed)
+            ()
+          }
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
+  /** RETRACT a vector set through the embedding-side composite:
+    * [[IncrementalSemDedup.retract]] settles admission (vectors
+    * suppressed solely by retracted dominators RESURRECT — additions;
+    * retracted survivors leave — removals), and the delta drives the
+    * ANN artifacts: removals delete from the IVF assignment and PQ
+    * code tables (partition-pruned, audit-decremented), additions
+    * fold in against the frozen quantizers at `retractVer`.
+    * Afterwards each artifact equals the one-shot build over the
+    * admitted set of the never-retracted corpus.
+    *
+    * `retractVer` must exceed every folded batch version; quiesce the
+    * embed stream first (the SemDedup retraction watermark makes
+    * pre-retraction replays fail loudly).
+    */
+  def retractNightlyEmbed(spark: SparkSession, root: String,
+                          retractIds: DataFrame, id: String, vec: String,
+                          retractVer: Long,
+                          threshold: Double = 0.45): Unit = {
+    val sem = s"$root/semdedup"
+    val st = spark.read.parquet(sem)
+    val maxVer = st.agg(max("ver")).head().getLong(0)
+    require(retractVer > maxVer,
+      s"retractVer $retractVer must exceed every folded version ($maxVer)")
+    val before = st.filter(col("is_survivor")).select("vid")
+      .localCheckpoint(true)
+    IncrementalSemDedup.retract(spark, sem, retractIds, id,
+      threshold = threshold)
+    val stAfter = spark.read.parquet(sem)
+    val after = stAfter.filter(col("is_survivor")).select("vid")
+      .localCheckpoint(true)
+    val removals = before.join(after, Seq("vid"), "left_anti")
+      .select(col("vid").as(id)).localCheckpoint(true)
+    val additions = after.join(before, Seq("vid"), "left_anti")
+      .localCheckpoint(true)
+    if (!removals.isEmpty) {
+      IncrementalAnn.ivfRetract(spark, s"$root/ivf", removals, id,
+        retractVer)
+      IncrementalAnn.ivfRetract(spark, s"$root/pq", removals, id,
+        retractVer)
+    }
+    if (!additions.isEmpty) {
+      // resurrected vectors re-read from the SemDedup state (it keeps
+      // every seen vector precisely for fate recomputes)
+      val addVecs = stAfter.join(additions, Seq("vid"), "left_semi")
+        .select(col("vid").as(id), col("vec").as(vec))
+        .localCheckpoint(true)
+      IncrementalAnn.ivfFold(spark, s"$root/ivf", addVecs, id, vec,
+        retractVer)
+      IncrementalAnn.pqFold(spark, s"$root/pq", addVecs, id, vec,
+        retractVer)
+    }
   }
 }

@@ -50,11 +50,17 @@ class IncrementalAnnSpec extends SparkSpec {
     assert(table(split) == before)
     assert(IncrementalAnn.ivfAudit(spark, split)
       .filter(col("batch_no") === 2L).count() == 1L)
-    // frozen contract: a second init on the same dir fails loudly
-    intercept[Exception] {
-      IncrementalAnn.ivfInit(spark, split, base, "vec_id", "embedding",
-        nLists = 4)
-    }
+    // frozen contract: a second init on the same dir is a REPLAY —
+    // no retrain (centroids byte-identical), base re-folds to the
+    // identical assignment rows (crash-safe init for the composite)
+    val centBefore = spark.read
+      .parquet(split + IncrementalAnn.CentroidsSuffix)
+      .collect().map(_.toSeq).toSeq
+    IncrementalAnn.ivfInit(spark, split, base, "vec_id", "embedding",
+      nLists = 4)
+    assert(spark.read.parquet(split + IncrementalAnn.CentroidsSuffix)
+      .collect().map(_.toSeq).toSeq == centBefore)
+    assert(table(split) == before)
     all.unpersist()
   }
 

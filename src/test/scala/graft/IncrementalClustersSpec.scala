@@ -103,6 +103,31 @@ class IncrementalClustersSpec extends SparkSpec {
     } finally rm(root)
   }
 
+  test("a late batch at a SMALLER batchNo is rejected loudly (its " +
+    "redirect re-points would lose the LWW merge); replays at the " +
+    "stored max still no-op") {
+    val (root, dir) = tmpState()
+    try {
+      IncrementalClusters.fold(spark, dir, pairsDF((2L, 3L)), 5L)
+      IncrementalClusters.fold(spark, dir, pairsDF((1L, 2L)), 7L)
+      // 1 becomes the min label; redirect 2 -> 1 written at ver 7. A
+      // batch folded at ver 4 that demotes a label would write
+      // redirect rows that LOSE to ver-7 rows — stale chains. Reject.
+      val e = intercept[IllegalArgumentException] {
+        IncrementalClusters.fold(spark, dir, pairsDF((0L, 3L)), 4L)
+      }
+      assert(e.getMessage.contains("out-of-order"))
+      // a clean replay of an old batch no-ops BEFORE the guard (all
+      // self-loops) — crash-recovery replays stay legal
+      IncrementalClusters.fold(spark, dir, pairsDF((2L, 3L)), 5L)
+      assert(lbl(dir) == oneShot((2L, 3L), (1L, 2L)))
+      // and the same edges at the stored max version are also a no-op
+      IncrementalClusters.fold(spark, dir, pairsDF((1L, 2L)), 7L)
+      assert(lbl(dir) == oneShot((2L, 3L), (1L, 2L)))
+      assert(IncrementalClusters.auditRedirects(spark, dir).isEmpty)
+    } finally rm(root)
+  }
+
   test("real-corpus parity: three folded batches == one-shot nearDupClusters") {
     val docs = graft.source.Tables.documents(spark, sf)
     val pairs = TextDedup.ngramJaccardPairs(docs, "text", "doc_id",

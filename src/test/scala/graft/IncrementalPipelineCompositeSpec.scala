@@ -1,8 +1,10 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.ext.{IncrementalBm25, IncrementalMinhash, IncrementalSample,
-  IncrementalStats, Sampling, TextAnalysis, TextDedup}
+import graft.ext.{IncrementalAnn, IncrementalBm25, IncrementalClusters,
+  IncrementalMinhash, IncrementalSample, IncrementalSemDedup,
+  IncrementalSimhash, IncrementalStats, IncrementalWinnow, Sampling,
+  TextAnalysis, TextDedup, VectorSearch}
 import graft.pipeline.{Curation, IncrementalCuration, IncrementalPipeline}
 
 /** The composite nightly fold: curation admission feeds every
@@ -91,6 +93,42 @@ class IncrementalPipelineCompositeSpec extends SparkSpec {
           admitted.select("doc_id", "lang"), "lang", "doc_id", k = 40)
         .as[(Long, String)].collect().toSeq.sorted
       assert(gotSm == wantSm)
+
+      // SimHash: folded signature matches == one-shot over admitted
+      val gotSh = IncrementalSimhash.matches(spark, s"$root/simhash")
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSeq.sorted
+      val wantSh = TextDedup.simhashPairsPortable(admitted, "text",
+          "doc_id")
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSeq.sorted
+      assert(gotSh == wantSh)
+
+      // winnowing: folded fingerprint matches == one-shot
+      val gotWn = IncrementalWinnow.matches(spark, s"$root/winnow")
+        .select("id_a", "id_b", "n_shared")
+        .as[(Long, Long, Long)].collect().toSeq.sorted
+      val wantWn = TextDedup.winnowingMatches(admitted, "text", "doc_id")
+        .select("id_a", "id_b", "n_shared")
+        .as[(Long, Long, Long)].collect().toSeq.sorted
+      assert(gotWn == wantWn)
+
+      // CC: folded labels == one-shot contraction over the maintained
+      // pair-edge table (the graph the labeling tracks)
+      val edgesDir = s"$root/curation" + IncrementalCuration.EdgesSuffix
+      if (new java.io.File(edgesDir).exists) {
+        val gotCc = IncrementalClusters.labels(spark, s"$root/cc")
+          .as[(Long, Long)].collect().toSeq.sorted
+        val wantCc = TextDedup.nearDupClusters(
+            spark.read.parquet(edgesDir).select("id_a", "id_b"))
+          .as[(Long, Long)].collect().toSeq.sorted
+        assert(gotCc == wantCc && gotCc.nonEmpty)
+        assert(IncrementalClusters.auditRedirects(spark, s"$root/cc")
+          .isEmpty)
+      }
+
+      // the maintenance pass ran: each nightly compacted what its own
+      // folds fragmented, and no probe above changed under it
+      assert((r1.compaction ++ r2.compaction)
+        .forall(c => c.filesAfter > 0 && c.filesAfter < c.filesBefore))
 
       // replay of batch 2: every sub-fold must no-op — all probes stable
       IncrementalPipeline.nightly(spark, root,
@@ -197,6 +235,36 @@ class IncrementalPipelineCompositeSpec extends SparkSpec {
         Sampling.sampleExactK(admitted.select("doc_id", "lang"),
           "lang", "doc_id", k = 3)
           .as[(Long, String)].collect().toSeq.sorted)
+      // SimHash: signature table converged to the admitted set
+      assert(IncrementalSimhash.matches(spark, s"$root/simhash")
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSeq.sorted ==
+        TextDedup.simhashPairsPortable(admitted, "text", "doc_id")
+          .select("id_a", "id_b").as[(Long, Long)].collect().toSeq.sorted)
+      // winnowing: fingerprint table converged to the admitted set
+      assert(IncrementalWinnow.matches(spark, s"$root/winnow")
+        .select("id_a", "id_b", "n_shared")
+        .as[(Long, Long, Long)].collect().toSeq.sorted ==
+        TextDedup.winnowingMatches(admitted, "text", "doc_id")
+          .select("id_a", "id_b", "n_shared")
+          .as[(Long, Long, Long)].collect().toSeq.sorted)
+      // CC: labels == one-shot contraction over the POST-retraction
+      // edge table (surviving old edges + the promotion's fresh pairs)
+      val edgesDir = s"$root/curation" + IncrementalCuration.EdgesSuffix
+      val wantCc =
+        if (new java.io.File(edgesDir).exists)
+          TextDedup.nearDupClusters(
+              spark.read.parquet(edgesDir).select("id_a", "id_b"))
+            .as[(Long, Long)].collect().toSeq.sorted
+        else Seq.empty[(Long, Long)]
+      val gotCc =
+        if (new java.io.File(s"$root/cc").exists)
+          IncrementalClusters.labels(spark, s"$root/cc")
+            .as[(Long, Long)].collect().toSeq.sorted
+        else Seq.empty[(Long, Long)]
+      assert(gotCc == wantCc && wantCc.nonEmpty,
+        s"cc labels diverged: got $gotCc want $wantCc")
+      assert(IncrementalClusters.auditRedirects(spark, s"$root/cc")
+        .isEmpty)
       // a post-retraction nightly fold continues above the watermark
       val b4 = Seq((12L, "the lazy owl reads " + mid +
         " under warm lamp light", "en", "web")).toDF(
@@ -207,6 +275,79 @@ class IncrementalPipelineCompositeSpec extends SparkSpec {
         .select("doc_id").as[Long].collect().toSet ==
         Set(2L, 3L, 7L, 8L, 12L))
       admitted.unpersist()
+    } finally rm(rootP)
+  }
+
+  test("embedding nightly: semdedup admission feeds the ANN folds; " +
+    "retraction converges; init replays safely") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("vec_id", "embedding").filter(col("vec_id") <= 360)
+      .persist()
+    val rootP = java.nio.file.Files.createTempDirectory("nightly_e")
+    val root = rootP.toString
+    try {
+      val b0 = emb.filter(col("vec_id") <= 200)
+      val b1 = emb.filter(col("vec_id") > 200 && col("vec_id") <= 300)
+      val b2 = emb.filter(col("vec_id") > 300)
+      val r0 = IncrementalPipeline.nightlyEmbed(spark, root, b0,
+        "vec_id", "embedding", batchNo = 0L, nLists = 4)
+      val r1 = IncrementalPipeline.nightlyEmbed(spark, root, b1,
+        "vec_id", "embedding", batchNo = 1L, nLists = 4)
+      val r2 = IncrementalPipeline.nightlyEmbed(spark, root, b2,
+        "vec_id", "embedding", batchNo = 2L, nLists = 4)
+      assert(r0.nAdmitted > 0 && r1.nBatch > 0 && r2.nBatch > 0)
+      assert(r1.driftRatio > 0.0)
+
+      // admission == one-shot semDedup over the merged corpus
+      def survIds() = IncrementalSemDedup
+        .survivors(spark, s"$root/semdedup", "vec_id")
+        .select("vec_id").as[Long].collect().toSet
+      val oneShot = VectorSearch.semDedup(emb, "vec_id", "embedding")
+        .select("vec_id").as[Long].collect().toSet
+      assert(survIds() == oneShot)
+
+      // the ANN artifacts hold exactly the admitted vectors
+      def ivfIds() = spark.read.parquet(s"$root/ivf")
+        .select("vec_id").as[Long].collect().toSet
+      def pqIds() = spark.read.parquet(s"$root/pq")
+        .select("vec_id").as[Long].collect().toSet
+      assert(ivfIds() == oneShot && pqIds() == oneShot)
+      // the audit row-count trail sums to the table's true size
+      def auditSum() = IncrementalAnn.ivfAudit(spark, s"$root/ivf")
+        .agg(sum("n_rows")).head().getLong(0)
+      assert(auditSum() == oneShot.size.toLong)
+      // probes run unchanged against the maintained index
+      val probe = VectorSearch.ivfTopK(
+        IncrementalAnn.ivfIndex(spark, s"$root/ivf", "vec_id",
+          "embedding"),
+        emb.filter(col("vec_id") < 3), k = 5, nprobe = 2)
+      assert(probe.count() > 0)
+
+      // retraction: one call settles admission AND the ANN artifacts
+      val x = emb.filter(col("vec_id") % 7 === 0).select("vec_id")
+      IncrementalPipeline.retractNightlyEmbed(spark, root, x,
+        "vec_id", "embedding", retractVer = 3L)
+      val remaining = emb.filter(col("vec_id") % 7 =!= 0)
+      val oneShotAfter = VectorSearch.semDedup(remaining, "vec_id",
+          "embedding")
+        .select("vec_id").as[Long].collect().toSet
+      assert(survIds() == oneShotAfter)
+      assert(ivfIds() == oneShotAfter && pqIds() == oneShotAfter)
+      assert(auditSum() == oneShotAfter.size.toLong)
+      // resurrections really happened (a % 7 dominator freed someone)
+      // OR nothing resurrected — either way the sets converged above;
+      // pin that at least the removals were non-trivial
+      assert(oneShotAfter != oneShot)
+
+      // a replayed pre-retraction night must fail LOUDLY (re-merging
+      // it would resurrect retracted vectors — the SemDedup
+      // retraction-watermark contract); the artifacts stay put
+      intercept[IllegalArgumentException] {
+        IncrementalPipeline.nightlyEmbed(spark, root, b0, "vec_id",
+          "embedding", batchNo = 0L, nLists = 4)
+      }
+      assert(survIds() == oneShotAfter && ivfIds() == oneShotAfter)
+      emb.unpersist()
     } finally rm(rootP)
   }
 

@@ -91,6 +91,51 @@ class IncrementalSketchSpec extends SparkSpec {
     } finally rm(root)
   }
 
+  test("retraction then compaction: the watermark excludes retraction " +
+    "deltas, so later folds CONTINUE; a compacted retraction cannot " +
+    "be re-issued") {
+    val docs = Seq((1L, "a b a"), (2L, "b c"), (3L, "a c c d"),
+      (4L, "d d e"))
+      .toDF("doc_id", "text")
+    val (root, dir) = tmpState()
+    try {
+      IncrementalSketch.cmsFold(spark, dir, docs.filter($"doc_id" <= 2),
+        "text", 1L)
+      IncrementalSketch.cmsFold(spark, dir, docs.filter($"doc_id" === 3),
+        "text", 2L)
+      // retraction at a version far above the folds (the composite's
+      // contract), then compaction: the replay watermark must stay at
+      // the max FOLD version — pinning it at 100 would silently no-op
+      // every later fold (the round-13 advisory bug)
+      IncrementalSketch.cmsRetract(spark, dir,
+        docs.filter($"doc_id" === 1), "text", retractVer = 100L)
+      val wm = IncrementalSketch.cmsCompact(spark, dir)
+      assert(wm == 2L, s"watermark $wm must exclude the retraction ver")
+      // a genuinely new batch STILL FOLDS on top of the baseline
+      IncrementalSketch.cmsFold(spark, dir, docs.filter($"doc_id" === 4),
+        "text", 3L)
+      val want = Sketches.cmsTermCounts(
+          docs.filter($"doc_id" =!= 1), "text", depth = 4, width = 64,
+          topK = 50)
+        .orderBy("term").as[(String, Long, Long, Long)].collect().toSeq
+      assert(probe(dir) == want, "fold after compacted retraction lost")
+      // re-issuing the compacted retraction would double-subtract —
+      // it must fail loudly at the baseline-version guard
+      val e = intercept[IllegalArgumentException] {
+        IncrementalSketch.cmsRetract(spark, dir,
+          docs.filter($"doc_id" === 1), "text", retractVer = 100L)
+      }
+      assert(e.getMessage.contains("baseline"))
+      // a FRESH retraction above the baseline version works
+      IncrementalSketch.cmsRetract(spark, dir,
+        docs.filter($"doc_id" === 3), "text", retractVer = 101L)
+      assert(probe(dir) == Sketches.cmsTermCounts(
+          docs.filter($"doc_id" =!= 1 && $"doc_id" =!= 3), "text",
+          depth = 4, width = 64, topK = 50)
+        .orderBy("term").as[(String, Long, Long, Long)].collect().toSeq)
+    } finally rm(root)
+  }
+
   test("vocab probe over the fold's audit table == one-shot buildVocab; survives compaction") {
     val docs = graft.source.Tables.documents(spark, sf)
       .select("doc_id", "text").filter(col("doc_id") <= 300)

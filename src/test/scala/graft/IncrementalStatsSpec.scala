@@ -99,11 +99,12 @@ class IncrementalStatsSpec extends SparkSpec {
       assert(asOf(3L) == oneShot(docs))
       assert(asOf(3L) == probe(dir))
       // compaction retains only the final state; history below the
-      // watermark must refuse, not silently return the baseline sum
+      // compacted baseline must refuse, not silently return the
+      // baseline sum
       IncrementalStats.compact(spark, dir)
       assert(asOf(3L) == probe(dir))
       val e = intercept[IllegalArgumentException](asOf(2L))
-      assert(e.getMessage.contains("watermark"))
+      assert(e.getMessage.contains("baseline"))
     } finally rm(root)
   }
 
