@@ -2566,6 +2566,14 @@ object OracleSql {
         CAST(((doc_id % 16) + 16) % 16 AS INT) AS peak_bin
       FROM documents ORDER BY doc_id""",
 
+    // the same physics through the COMPRESSED path: FLAC frames
+    // (verbatim/fixed/LPC by id) decode to the identical planted sine,
+    // so the Goertzel argmax is still the id-formula bin
+    "ns_multimodal_flac_embed" ->
+      """SELECT doc_id,
+        CAST(((doc_id % 16) + 16) % 16 AS INT) AS peak_bin
+      FROM documents ORDER BY doc_id""",
+
     // the image embedder's peak contrast block under a planted
     // bright-block PNG: geometry says the centered-block-luma argmax
     // IS the planted grid index — predicted from the id formula alone

@@ -231,7 +231,13 @@ object ScaleStress {
       // id hits exact-dup keepers (clone families promote) and
       // near-dup winners (tombstones resurrect) at stress density
       "ns_retract_curation", "ns_retract_indexed",
-      "ns_nightly_retract", "ns_semdedup_retract", "ns_cc_retract")
+      "ns_nightly_retract", "ns_semdedup_retract", "ns_cc_retract",
+      // round 13: the persisted LSH ANN tier (fold + retract + probe
+      // on the densified embedding clones), the embedding-side
+      // composite nightly both directions, and the FLAC frame codec
+      // (verbatim/fixed/LPC subframes decoded per doc id)
+      "ns_ann_lsh_incremental", "ns_nightly_embed",
+      "ns_nightly_embed_retract", "ns_multimodal_flac_embed")
     // dev iteration: SPARK_GRAFT_STRESS_ONLY=name1,name2 runs just
     // those query steps (audits and corpus stats always run)
     val only = sys.env.get("SPARK_GRAFT_STRESS_ONLY")

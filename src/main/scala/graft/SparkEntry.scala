@@ -3957,6 +3957,39 @@ object SparkEntry {
     s.createDataFrame(rdd, schema).orderBy("doc_id")
   }
 
+  /** The COMPRESSED-audio embedder under the same physics oracle as
+    * ns_multimodal_audio_embed: every doc carries a REAL FLAC stream
+    * (frames encoded by FlacCodec — the subframe type cycles
+    * verbatim / fixed-2 / LPC-1 by id, so all decoder paths sit on
+    * the registered query) of a pure sine at the center frequency of
+    * bin (doc_id mod 16); the query reports each decoded-then-
+    * embedded vector's argmax bin, predictable from the formula
+    * alone. A Rice-decode bug, a channel-decorrelation bug, or the
+    * stub sneaking onto the path all move the argmax and
+    * hash-mismatch.
+    */
+  private def nsMultimodalFlacEmbed(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val ids = t(s, dir, "documents").select("doc_id")
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("peak_bin", IntegerType)))
+    val rdd = ids.rdd.map { r =>
+      val id = r.getLong(0)
+      val bin = java.lang.Math.floorMod(id, 16L).toInt
+      val freq = 4000.0 * (bin + 1) / 17.0
+      val mode = java.lang.Math.floorMod(id, 3L) match {
+        case 0L => graft.ext.FlacCodec.Verbatim
+        case 1L => graft.ext.FlacCodec.Fixed2
+        case _ => graft.ext.FlacCodec.Lpc1
+      }
+      val v = Multimodal.embedFlacSpectral(
+        Multimodal.sineFlacFixture(freq, nSamples = 2000, mode = mode),
+        dim = 16).get
+      org.apache.spark.sql.Row(id, v.indexOf(v.max))
+    }
+    s.createDataFrame(rdd, schema).orderBy("doc_id")
+  }
+
   /** The Matroska/webm face of the decode contract — real EBML
     * elements per doc at formula duration/dimensions, decoded through
     * the real element walk (Multimodal.extractFeatures → decodeWebm);
@@ -4337,6 +4370,7 @@ object SparkEntry {
     "ns_multimodal_features" -> nsMultimodalFeatures,
     "ns_multimodal_audio" -> nsMultimodalAudio,
     "ns_multimodal_audio_embed" -> nsMultimodalAudioEmbed,
+    "ns_multimodal_flac_embed" -> nsMultimodalFlacEmbed,
     "ns_multimodal_image_embed" -> nsMultimodalImageEmbed,
     "ns_multimodal_webm" -> nsMultimodalWebm,
     "ns_multimodal_ogg" -> nsMultimodalOgg,

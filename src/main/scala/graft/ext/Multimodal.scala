@@ -696,36 +696,93 @@ object Multimodal {
             x(i) = acc / h.channels
             i += 1
           }
-          // Goertzel power per target frequency (exact DFT bin energy
-          // at arbitrary f without an FFT library)
-          val v = new Array[Float](dim)
-          var d = 0
-          var sq = 0.0
-          while (d < dim) {
-            val f = h.sampleRate.toDouble / 2 * (d + 1) / (dim + 1)
-            val w = 2 * math.Pi * f / h.sampleRate
-            val coeff = 2 * math.cos(w)
-            var s0 = 0.0
-            var s1 = 0.0
-            var s2 = 0.0
-            i = 0
-            while (i < n) {
-              s0 = x(i) + coeff * s1 - s2
-              s2 = s1
-              s1 = s0
-              i += 1
-            }
-            val power = (s1 * s1 + s2 * s2 - coeff * s1 * s2) / n
-            val e = math.log1p(power) // compress dynamic range
-            v(d) = e.toFloat
-            sq += e * e
-            d += 1
-          }
-          val norm = math.sqrt(sq)
-          if (norm > 0) { d = 0; while (d < dim) { v(d) = (v(d) / norm).toFloat; d += 1 } }
-          Some(v)
+          Some(goertzelEmbed(x, h.sampleRate.toInt, dim))
         }
       }
+  }
+
+  /** The shared spectral kernel behind [[embedWavSpectral]] and
+    * [[embedFlacSpectral]]: Goertzel power per target frequency
+    * (exact DFT bin energy at arbitrary f without an FFT library)
+    * over a mono [-1, 1] signal, log-compressed, L2-normalized.
+    * One kernel for every audio container, so a WAV and its FLAC
+    * encode embed to the same vector by construction.
+    */
+  private def goertzelEmbed(x: Array[Double], sampleRate: Int,
+                            dim: Int): Array[Float] = {
+    val n = x.length
+    val v = new Array[Float](dim)
+    var d = 0
+    var sq = 0.0
+    while (d < dim) {
+      val f = sampleRate.toDouble / 2 * (d + 1) / (dim + 1)
+      val w = 2 * math.Pi * f / sampleRate
+      val coeff = 2 * math.cos(w)
+      var s0 = 0.0
+      var s1 = 0.0
+      var s2 = 0.0
+      var i = 0
+      while (i < n) {
+        s0 = x(i) + coeff * s1 - s2
+        s2 = s1
+        s1 = s0
+        i += 1
+      }
+      val power = (s1 * s1 + s2 * s2 - coeff * s1 * s2) / n
+      val e = math.log1p(power) // compress dynamic range
+      v(d) = e.toFloat
+      sq += e * e
+      d += 1
+    }
+    val norm = math.sqrt(sq)
+    if (norm > 0) { d = 0; while (d < dim) { v(d) = (v(d) / norm).toFloat; d += 1 } }
+    v
+  }
+
+  /** REAL audio embedding for COMPRESSED FLAC — the round-13 closing
+    * of the compressed-audio gap: [[FlacCodec.decodePcm]] decodes the
+    * frames (all four subframe types, Rice residuals, channel
+    * decorrelation — pure JVM), the channels mono-mix normalized by
+    * the stream's own bit depth, and the identical [[goertzelEmbed]]
+    * kernel produces the vector, so a planted sine carries the same
+    * physics oracle as the WAV path (and a WAV and its FLAC encode
+    * embed identically). None for non-FLAC bytes — the dispatch chain
+    * falls through.
+    */
+  def embedFlacSpectral(bytes: Array[Byte],
+                        dim: Int = 16): Option[Array[Float]] = {
+    require(dim >= 1, "dim must be >= 1")
+    FlacCodec.decodePcm(bytes).flatMap { pcm =>
+      val n = pcm.samples(0).length
+      if (n < 2) None
+      else {
+        val scale = (1L << (pcm.bitsPerSample - 1)).toDouble
+        val x = new Array[Double](n)
+        var i = 0
+        while (i < n) {
+          var c = 0
+          var acc = 0.0
+          while (c < pcm.channels) { acc += pcm.samples(c)(i) / scale; c += 1 }
+          x(i) = acc / pcm.channels
+          i += 1
+        }
+        Some(goertzelEmbed(x, pcm.sampleRate, dim))
+      }
+    }
+  }
+
+  /** FLAC sine fixture with REAL encoded frames — the
+    * [[sineWavFixture]] physics oracle for the compressed path;
+    * `mode` picks the subframe type so every decoder path carries
+    * planted content.
+    */
+  def sineFlacFixture(freqHz: Double, nSamples: Int,
+                      sampleRate: Int = 8000,
+                      mode: FlacCodec.Mode = FlacCodec.Fixed2): Array[Byte] = {
+    val s = Array.tabulate(nSamples)(i =>
+      (math.sin(2 * math.Pi * freqHz * i / sampleRate) * 12000).toInt)
+    FlacCodec.encode(Array(s), sampleRate, bps = 16,
+      blockSize = math.max(16, math.min(4096, nSamples)), mode = mode)
   }
 
   /** 16-bit PCM sine fixture — REAL audio content at a known
@@ -881,6 +938,7 @@ object Multimodal {
       val bytes = r.get(mediaIdx).asInstanceOf[Array[Byte]]
       val v = (if (dim >= 8) embedImagePixels(bytes, dim) else None)
         .orElse(embedWavSpectral(bytes, dim))
+        .orElse(embedFlacSpectral(bytes, dim))
         .getOrElse(stubEmbedding(bytes, dim))
       Row.fromSeq(r.toSeq :+ v.toSeq)
     }
