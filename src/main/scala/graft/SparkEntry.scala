@@ -3982,8 +3982,13 @@ object SparkEntry {
         case 1L => graft.ext.FlacCodec.Fixed2
         case _ => graft.ext.FlacCodec.Lpc1
       }
+      // 1200 samples: Goertzel resolution ≈ rate/n ≈ 7 Hz against a
+      // 235 Hz bin pitch — the argmax has two orders of margin, and
+      // the encode+decode+Goertzel fixture loop is the line's whole
+      // cost (halved vs the WAV line's 2000 since FLAC pays the codec
+      // both ways)
       val v = Multimodal.embedFlacSpectral(
-        Multimodal.sineFlacFixture(freq, nSamples = 2000, mode = mode),
+        Multimodal.sineFlacFixture(freq, nSamples = 1200, mode = mode),
         dim = 16).get
       org.apache.spark.sql.Row(id, v.indexOf(v.max))
     }

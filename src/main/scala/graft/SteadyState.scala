@@ -71,9 +71,16 @@ object SteadyState {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
       .select("doc_id", "text", "lang", "source")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val hi = docs.agg(max("doc_id")).head().getLong(0)
-    val lo = docs.agg(min("doc_id")).head().getLong(0)
-    val span = (hi - lo + 1) / nights.toLong
+    // night cuts at doc_id QUANTILES, not uniform id ranges: stress
+    // corpora carry sparse remapped ids, and a range split would give
+    // most nights zero rows. ntile keeps the ascending-id arrival
+    // contract and equal-sized nights. (Global window — fine for a
+    // measurement driver; cuts are a dimension.)
+    val w = org.apache.spark.sql.expressions.Window.orderBy("doc_id")
+    val cuts = docs.select(col("doc_id"),
+        ntile(nights).over(w).as("night"))
+      .groupBy("night").agg(max("doc_id").as("cut"))
+      .orderBy("night").collect().map(_.getLong(1))
     emit(Map("step" -> "corpus", "n_docs" -> docs.count(), "dir" -> dir,
       "nights" -> nights, "retracts" -> nRetracts, "compact" -> compact))
 
@@ -87,9 +94,9 @@ object SteadyState {
     var totalSec = 0.0
     (1 to nights).foreach { night =>
       ver += 1L
-      val a = lo + (night - 1).toLong * span
-      val b = if (night == nights) hi else a + span - 1
-      val batch = docs.filter(col("doc_id") >= a && col("doc_id") <= b)
+      val lo = if (night == 1) Long.MinValue else cuts(night - 2)
+      val batch = docs.filter(col("doc_id") > lo &&
+        col("doc_id") <= cuts(night - 1))
       val t0 = System.nanoTime()
       val rep = graft.pipeline.IncrementalPipeline.nightly(spark, root,
         batch, "text", "doc_id", batchNo = ver, compact = compact)
@@ -106,8 +113,7 @@ object SteadyState {
         // every 11th id of the OLDEST night's range still present —
         // old-state deletes exercise promotion/resurrection against
         // maximal accumulated state
-        val x = docs.filter(col("doc_id") >= lo &&
-            col("doc_id") <= lo + span - 1 &&
+        val x = docs.filter(col("doc_id") <= cuts(0) &&
             col("doc_id") % 11 === night.toLong % 11)
           .select("doc_id")
         val t1 = System.nanoTime()

@@ -113,6 +113,13 @@ object IncrementalPipeline {
       "sample" -> s"$root/sample")
     val b = batch.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nBatch = b.count()
+    // an empty crawl night is a semantic no-op for every fold (the
+    // quality gate admits nothing, no edges form) — skip rather than
+    // pay the curation fold's state-side probe for zero batch rows
+    if (nBatch == 0L) {
+      b.unpersist()
+      return NightlyReport(batchNo, 0L, 0L)
+    }
     // RETRACTABLE curation (since the composite gained retractNightly):
     // same survivor semantics, plus the tombstone/edge state deletion
     // needs. The thin docmeta sidecar keeps every batch doc's
