@@ -3118,7 +3118,7 @@ object SparkEntry {
     * version (night 0 trains + freezes the quantizers). The
     * registered output is the admission face SEMI-JOINED through both
     * ANN artifacts — a vector appears iff it survived admission AND
-    * holds an IVF row AND a PQ row — and the oracle is the one-shot
+    * holds an IVF row AND a PQ row AND an LSH vector row — and the oracle is the one-shot
     * SemDedup SQL, so the hash gate proves admission AND that neither
     * index dropped an admitted vector. The reverse direction (no
     * extra index rows) plus probe parity is pinned by
@@ -3144,6 +3144,9 @@ object SparkEntry {
       .join(s.read.parquet(tmp + "/ivf").select("vec_id"),
         Seq("vec_id"), "left_semi")
       .join(s.read.parquet(tmp + "/pq").select("vec_id"),
+        Seq("vec_id"), "left_semi")
+      .join(s.read.parquet(tmp + "/lsh" +
+          graft.ext.IncrementalLsh.VecsSuffix).select("vec_id"),
         Seq("vec_id"), "left_semi")
       .orderBy("vec_id").localCheckpoint()
     deleteLocalDir(root)
@@ -3180,6 +3183,9 @@ object SparkEntry {
       .join(s.read.parquet(tmp + "/ivf").select("vec_id"),
         Seq("vec_id"), "left_semi")
       .join(s.read.parquet(tmp + "/pq").select("vec_id"),
+        Seq("vec_id"), "left_semi")
+      .join(s.read.parquet(tmp + "/lsh" +
+          graft.ext.IncrementalLsh.VecsSuffix).select("vec_id"),
         Seq("vec_id"), "left_semi")
       .orderBy("vec_id").localCheckpoint()
     deleteLocalDir(root)

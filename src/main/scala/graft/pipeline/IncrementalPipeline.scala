@@ -3,9 +3,9 @@ package graft.pipeline
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.ext.{IncrementalAnn, IncrementalBm25, IncrementalClusters,
-  IncrementalMinhash, IncrementalSample, IncrementalSemDedup,
-  IncrementalSimhash, IncrementalSketch, IncrementalStats,
-  IncrementalWinnow}
+  IncrementalLsh, IncrementalMinhash, IncrementalSample,
+  IncrementalSemDedup, IncrementalSimhash, IncrementalSketch,
+  IncrementalStats, IncrementalWinnow}
 import graft.sink.ParquetMerge
 
 /** The composite NIGHTLY fold — the orchestration layer that makes the
@@ -401,17 +401,19 @@ object IncrementalPipeline {
     Seq(s"$root/semdedup",
       s"$root/semdedup" + IncrementalSemDedup.CellStatsSuffix,
       s"$root/ivf", s"$root/ivf" + IncrementalAnn.AuditSuffix,
-      s"$root/pq")
+      s"$root/pq", s"$root/lsh",
+      s"$root/lsh" + IncrementalLsh.VecsSuffix)
 
   /** The EMBEDDING-side nightly — the sibling composite for the vector
     * half of a training-data pipeline: a batch of embeddings goes
     * through SemDedup ADMISSION ([[IncrementalSemDedup.fold]] —
     * cell-bucketed dominance against the corpus state), and the
-    * vectors that SURVIVE fold into the maintained ANN artifacts at
-    * the same version: the IVF assignment table and the PQ code table
-    * (frozen quantizers, O(batch) folds). The per-night drift audit
-    * row is surfaced in the report — the operational re-train
-    * trigger.
+    * vectors that SURVIVE fold into EVERY maintained ANN artifact at
+    * the same version: the IVF assignment table, the PQ code table
+    * (frozen quantizers, O(batch) folds), and the multi-table LSH
+    * bucket index ([[IncrementalLsh]] — the best-recall tier, no
+    * training, folds from night 0). The per-night drift audit row is
+    * surfaced in the report — the operational re-train trigger.
     *
     * NIGHT 0 is the INIT night: it trains the IVF centroids and PQ
     * codebooks on the first batch's admitted vectors and freezes them
@@ -431,6 +433,7 @@ object IncrementalPipeline {
                    signBits: Int = 4, threshold: Double = 0.45,
                    maxCell: Long = 100000L, nLists: Int = 16, m: Int = 8,
                    kCent: Int = 16, seed: Long = 42L,
+                   lshBits: Int = 6, lshTables: Int = 4,
                    compact: Boolean = true): EmbedNightlyReport = {
     val sem = s"$root/semdedup"
     val ivf = s"$root/ivf"
@@ -459,6 +462,11 @@ object IncrementalPipeline {
       IncrementalAnn.ivfFold(spark, ivf, admitted, id, vec, batchNo)
       IncrementalAnn.pqFold(spark, pq, admitted, id, vec, batchNo)
     }
+    // the LSH tier needs no training, so it folds every night
+    // including night 0 — geometry is frozen by its own config table
+    if (nAdmitted > 0L)
+      IncrementalLsh.fold(spark, s"$root/lsh", admitted, id, vec,
+        batchNo, bits = lshBits, tables = lshTables)
     admitted.unpersist(); b.unpersist()
     // the night's drift signal: the latest FOLD audit row (negative
     // batch_no rows are retraction decrements, not fits)
@@ -501,12 +509,13 @@ object IncrementalPipeline {
   /** RETRACT a vector set through the embedding-side composite:
     * [[IncrementalSemDedup.retract]] settles admission (vectors
     * suppressed solely by retracted dominators RESURRECT — additions;
-    * retracted survivors leave — removals), and the delta drives the
-    * ANN artifacts: removals delete from the IVF assignment and PQ
-    * code tables (partition-pruned, audit-decremented), additions
-    * fold in against the frozen quantizers at `retractVer`.
-    * Afterwards each artifact equals the one-shot build over the
-    * admitted set of the never-retracted corpus.
+    * retracted survivors leave — removals), and the delta drives
+    * every ANN artifact: removals delete from the IVF assignment, PQ
+    * code and LSH bucket/vector tables (all partition-pruned; IVF/PQ
+    * audit-decremented), additions fold in against the frozen
+    * quantizers/geometry at `retractVer`. Afterwards each artifact
+    * equals the one-shot build over the admitted set of the
+    * never-retracted corpus.
     *
     * `retractVer` must exceed every folded batch version; quiesce the
     * embed stream first (the SemDedup retraction watermark makes
@@ -537,6 +546,8 @@ object IncrementalPipeline {
         retractVer)
       IncrementalAnn.ivfRetract(spark, s"$root/pq", removals, id,
         retractVer)
+      if (exists(spark, s"$root/lsh"))
+        IncrementalLsh.retract(spark, s"$root/lsh", removals, id)
     }
     if (!additions.isEmpty) {
       // resurrected vectors re-read from the SemDedup state (it keeps
@@ -548,6 +559,11 @@ object IncrementalPipeline {
         retractVer)
       IncrementalAnn.pqFold(spark, s"$root/pq", addVecs, id, vec,
         retractVer)
+      if (exists(spark, s"$root/lsh")) {
+        val (gb, gt) = IncrementalLsh.geometry(spark, s"$root/lsh")
+        IncrementalLsh.fold(spark, s"$root/lsh", addVecs, id, vec,
+          retractVer, bits = gb, tables = gt)
+      }
     }
   }
 }

@@ -311,7 +311,22 @@ class IncrementalPipelineCompositeSpec extends SparkSpec {
         .select("vec_id").as[Long].collect().toSet
       def pqIds() = spark.read.parquet(s"$root/pq")
         .select("vec_id").as[Long].collect().toSet
+      def lshIds() = spark.read
+        .parquet(s"$root/lsh" + graft.ext.IncrementalLsh.VecsSuffix)
+        .select("vec_id").as[Long].collect().toSet
       assert(ivfIds() == oneShot && pqIds() == oneShot)
+      assert(lshIds() == oneShot)
+      // LSH probe parity: folded tier == one-shot multi-table kernel
+      // over the admitted vectors
+      def lshProbe() = graft.ext.IncrementalLsh.topK(spark,
+          s"$root/lsh", emb.filter(col("vec_id") < 3), "vec_id",
+          "embedding", k = 5)
+        .orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+      def lshWant(ids: Set[Long]) = VectorSearch.annTopKMultiTable(
+          emb.filter(col("vec_id").isInCollection(ids)),
+          emb.filter(col("vec_id") < 3), "vec_id", "embedding", k = 5)
+        .orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+      assert(lshProbe() == lshWant(oneShot) && lshProbe().nonEmpty)
       // the audit row-count trail sums to the table's true size
       def auditSum() = IncrementalAnn.ivfAudit(spark, s"$root/ivf")
         .agg(sum("n_rows")).head().getLong(0)
@@ -333,6 +348,8 @@ class IncrementalPipelineCompositeSpec extends SparkSpec {
         .select("vec_id").as[Long].collect().toSet
       assert(survIds() == oneShotAfter)
       assert(ivfIds() == oneShotAfter && pqIds() == oneShotAfter)
+      assert(lshIds() == oneShotAfter)
+      assert(lshProbe() == lshWant(oneShotAfter))
       assert(auditSum() == oneShotAfter.size.toLong)
       // resurrections really happened (a % 7 dominator freed someone)
       // OR nothing resurrected — either way the sets converged above;
