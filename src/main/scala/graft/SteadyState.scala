@@ -29,6 +29,11 @@ import java.nio.file.{Files, Paths}
   * arrival contract); retractions delete every 11th id of the oldest
   * still-present night's range at evenly spaced points, exercising
   * promotion/resurrection against OLD state — the expensive direction.
+  *
+  * SPARK_GRAFT_STEADY_EMBED=1 runs the EMBEDDING-side composite
+  * instead (`nightlyEmbed` over the embeddings table: night 0 trains
+  * + freezes the quantizers, later nights fold semdedup + IVF + PQ +
+  * LSH; retractions via `retractNightlyEmbed`).
   */
 object SteadyState {
   def main(args: Array[String]): Unit = {
@@ -68,21 +73,28 @@ object SteadyState {
       (fs.size.toLong, fs.sum)
     }
 
-    val docs = spark.read.parquet(s"$dir/documents.parquet")
-      .select("doc_id", "text", "lang", "source")
+    val embedMode = sys.env.getOrElse("SPARK_GRAFT_STEADY_EMBED", "0") == "1"
+    val idCol = if (embedMode) "vec_id" else "doc_id"
+    val docs = (if (embedMode)
+      spark.read.parquet(s"$dir/embeddings.parquet")
+        .select("vec_id", "embedding")
+    else
+      spark.read.parquet(s"$dir/documents.parquet")
+        .select("doc_id", "text", "lang", "source"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // night cuts at doc_id QUANTILES, not uniform id ranges: stress
+    // night cuts at id QUANTILES, not uniform id ranges: stress
     // corpora carry sparse remapped ids, and a range split would give
     // most nights zero rows. ntile keeps the ascending-id arrival
     // contract and equal-sized nights. (Global window — fine for a
     // measurement driver; cuts are a dimension.)
-    val w = org.apache.spark.sql.expressions.Window.orderBy("doc_id")
-    val cuts = docs.select(col("doc_id"),
+    val w = org.apache.spark.sql.expressions.Window.orderBy(idCol)
+    val cuts = docs.select(col(idCol),
         ntile(nights).over(w).as("night"))
-      .groupBy("night").agg(max("doc_id").as("cut"))
+      .groupBy("night").agg(max(idCol).as("cut"))
       .orderBy("night").collect().map(_.getLong(1))
     emit(Map("step" -> "corpus", "n_docs" -> docs.count(), "dir" -> dir,
-      "nights" -> nights, "retracts" -> nRetracts, "compact" -> compact))
+      "nights" -> nights, "retracts" -> nRetracts, "compact" -> compact,
+      "mode" -> (if (embedMode) "embed" else "text")))
 
     val rootP = Files.createTempDirectory("steady")
     val root = rootP.toString + "/state"
@@ -90,35 +102,50 @@ object SteadyState {
       if (nRetracts <= 0) Set.empty[Int]
       else (1 to nRetracts).map(i => i * nights / (nRetracts + 1))
         .filter(_ >= 1).toSet
-    var ver = 0L
+    // the embed composite numbers nights from 0 (night 0 = the init
+    // night that trains + freezes the quantizers)
+    var ver = if (embedMode) -1L else 0L
     var totalSec = 0.0
     (1 to nights).foreach { night =>
       ver += 1L
       val lo = if (night == 1) Long.MinValue else cuts(night - 2)
-      val batch = docs.filter(col("doc_id") > lo &&
-        col("doc_id") <= cuts(night - 1))
+      val batch = docs.filter(col(idCol) > lo &&
+        col(idCol) <= cuts(night - 1))
       val t0 = System.nanoTime()
-      val rep = graft.pipeline.IncrementalPipeline.nightly(spark, root,
-        batch, "text", "doc_id", batchNo = ver, compact = compact)
+      val (nBatch, nAdmitted, nCompacted) =
+        if (embedMode) {
+          val r = graft.pipeline.IncrementalPipeline.nightlyEmbed(spark,
+            root, batch, "vec_id", "embedding", batchNo = ver,
+            compact = compact)
+          (r.nBatch, r.nAdmitted, r.compaction.size)
+        } else {
+          val r = graft.pipeline.IncrementalPipeline.nightly(spark, root,
+            batch, "text", "doc_id", batchNo = ver, compact = compact)
+          (r.nBatch, r.nAdmitted, r.compaction.size)
+        }
       val sec = (System.nanoTime() - t0) / 1e9
       totalSec += sec
       val (nf, nb) = footprint(Paths.get(root))
       emit(Map("step" -> s"night_$night", "sec" -> math.round(sec * 1000) / 1000.0,
-        "n_batch" -> rep.nBatch, "n_admitted" -> rep.nAdmitted,
+        "n_batch" -> nBatch, "n_admitted" -> nAdmitted,
         "files" -> nf, "bytes" -> nb,
-        "compacted_parts" -> rep.compaction.size))
+        "compacted_parts" -> nCompacted))
       try spark.catalog.clearCache() catch { case _: Throwable => () }
       if (retractAt.contains(night)) {
         ver += 1L
         // every 11th id of the OLDEST night's range still present —
         // old-state deletes exercise promotion/resurrection against
         // maximal accumulated state
-        val x = docs.filter(col("doc_id") <= cuts(0) &&
-            col("doc_id") % 11 === night.toLong % 11)
-          .select("doc_id")
+        val x = docs.filter(col(idCol) <= cuts(0) &&
+            col(idCol) % 11 === night.toLong % 11)
+          .select(idCol)
         val t1 = System.nanoTime()
-        graft.pipeline.IncrementalPipeline.retractNightly(spark, root,
-          x, "text", "doc_id", retractVer = ver)
+        if (embedMode)
+          graft.pipeline.IncrementalPipeline.retractNightlyEmbed(spark,
+            root, x, "vec_id", "embedding", retractVer = ver)
+        else
+          graft.pipeline.IncrementalPipeline.retractNightly(spark, root,
+            x, "text", "doc_id", retractVer = ver)
         val rsec = (System.nanoTime() - t1) / 1e9
         totalSec += rsec
         val (rf, rb) = footprint(Paths.get(root))

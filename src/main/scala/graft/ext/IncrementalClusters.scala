@@ -308,6 +308,34 @@ object IncrementalClusters {
     }
   }
 
+  /** Partition-count maintenance for the doc table — the one table in
+    * the fold family whose partition COUNT grows with time instead of
+    * being a fixed hash layout: doc rows partition by INSERT BATCH
+    * (so folds never rewrite history), which after a year of
+    * nightlies is ~365 directories. This rewrites the table into
+    * `parts` doc-hash partitions — labels, versions and pks are
+    * unchanged, so every reader and [[retract]] (which takes each
+    * row's (part, ver) from the table itself) work identically, and
+    * future folds simply resume appending batch partitions on top
+    * (the monotonic-batchNo guard keeps their numbers above every
+    * folded version, and the partition-scoped LWW merges by doc key
+    * either way). Run it on the cadence that keeps the directory
+    * count a dimension — the [[graft.sink.ParquetMerge.compactPartitions]]
+    * contract, one level up.
+    */
+  def rebucket(spark: SparkSession, dir: String,
+               parts: Int = StateParts): Unit = {
+    require(parts >= 1)
+    // materialize BEFORE the overwrite of the files this plan reads
+    val cur = spark.read.parquet(dir)
+      .withColumn("part", pmod(col("doc"), lit(parts.toLong)))
+      .localCheckpoint(true)
+    cur.write.mode("overwrite")
+      .option("partitionOverwriteMode", "static")
+      .partitionBy("part").parquet(dir)
+    spark.catalog.refreshByPath(dir)
+  }
+
   /** Flatness audit of the redirect table — the maintenance sweep a
     * deployment runs after restoring state from backup or any
     * out-of-band mutation (the fold maintains flatness inductively, so

@@ -128,6 +128,35 @@ class IncrementalClustersSpec extends SparkSpec {
     } finally rm(root)
   }
 
+  test("rebucket bounds the doc table's partition count; labels, later folds and retraction unchanged") {
+    val (root, dir) = tmpState()
+    try {
+      (1L to 12L).foreach { b =>
+        IncrementalClusters.fold(spark, dir,
+          pairsDF((b * 10, b * 10 + 1), (b * 10, b * 10 + 2)), b)
+      }
+      def partDirs() = new java.io.File(dir).listFiles()
+        .count(_.getName.startsWith("part="))
+      assert(partDirs() == 12) // one per insert batch — the growth mode
+      val before = lbl(dir)
+      IncrementalClusters.rebucket(spark, dir, parts = 4)
+      assert(partDirs() == 4)
+      assert(lbl(dir) == before)
+      // folds resume appending batch partitions above the rebucketed set
+      IncrementalClusters.fold(spark, dir, pairsDF((10L, 130L)), 13L)
+      val all = (1L to 12L).flatMap(b =>
+        Seq((b * 10, b * 10 + 1), (b * 10, b * 10 + 2))) :+ (10L, 130L)
+      assert(lbl(dir) == oneShot(all: _*))
+      // retraction reads each row's (part, ver) from the table itself
+      IncrementalClusters.retract(spark, dir,
+        Seq(10L).toDF("doc"), pairsDF(all.filterNot(e =>
+          e._1 == 10L || e._2 == 10L): _*))
+      assert(lbl(dir) == oneShot(all.filterNot(e =>
+        e._1 == 10L || e._2 == 10L): _*))
+      assert(IncrementalClusters.auditRedirects(spark, dir).isEmpty)
+    } finally rm(root)
+  }
+
   test("real-corpus parity: three folded batches == one-shot nearDupClusters") {
     val docs = graft.source.Tables.documents(spark, sf)
     val pairs = TextDedup.ngramJaccardPairs(docs, "text", "doc_id",

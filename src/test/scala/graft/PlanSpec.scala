@@ -121,6 +121,27 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("persisted LSH probe: query keys broadcast, bucket table column-pruned, vectors candidate-bounded") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("vec_id", "embedding").filter(col("vec_id") <= 200)
+    val dir = java.nio.file.Files.createTempDirectory("lshplan")
+      .toString + "/lsh"
+    graft.ext.IncrementalLsh.fold(spark, dir, emb, "vec_id", "embedding",
+      batchNo = 1L)
+    val p = graft.ext.IncrementalLsh.topK(spark, dir,
+        emb.filter(col("vec_id") < 3), "vec_id", "embedding", k = 5)
+      .queryExecution.explainString(FormattedMode)
+    // the O(queries·tables·(1+bits)) key side broadcasts into the
+    // stored-table scan — the corpus-sized bucket table never shuffles
+    // for candidate generation
+    assert(p.contains("BroadcastHashJoin"), p)
+    // the bucket-table scan reads ONLY the join columns (vec stays in
+    // the sidecar until a candidate needs it)
+    assert(p.contains("ReadSchema: struct<vec_id:bigint,key:bigint>") ||
+      p.contains("ReadSchema: struct<key:bigint,vec_id:bigint>"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("decontamination broadcasts the benchmark shingle side") {
     import spark.implicits._
     val docs = spark.read.parquet(s"$sf/documents.parquet")
