@@ -53,13 +53,25 @@ object IncrementalSimhash {
   /** RETRACT a doc set: drop their signature rows. Signatures are
     * per-doc-pure and the table is doc-identity-partitioned, so the
     * delete is a partition-pruned rewrite and the post-delete table
-    * equals a fresh fold over the surviving docs exactly.
+    * equals a fresh fold over the surviving docs exactly. The
+    * partitions to open are DERIVED from the retract ids
+    * (`part = pmod(xxhash64(doc), StateParts)` — the same
+    * derived-partition filter the IVF/LSH retract faces use), so the
+    * locate step never scans the corpus-sized table whatever
+    * StateParts a large deployment raises it to.
     */
   def retractDocs(spark: SparkSession, dir: String,
                   docIds: org.apache.spark.sql.DataFrame,
                   id: String): Unit = {
+    val x = docIds.select(col(id).as("doc")).distinct()
+      .localCheckpoint(true)
+    val parts = x.select(pmod(xxhash64(col("doc")),
+        lit(StateParts.toLong)))
+      .distinct().collect().map(_.getLong(0))
+    if (parts.isEmpty) return
     val gone = spark.read.parquet(dir)
-      .join(docIds.select(col(id).as("doc")), Seq("doc"), "left_semi")
+      .filter(col("part").isin(parts: _*))
+      .join(x, Seq("doc"), "left_semi")
       .select("part", "pk").localCheckpoint(true)
     val none = spark.read.parquet(dir)
       .select("part", "pk", "ver", "doc", "sim").limit(0)
