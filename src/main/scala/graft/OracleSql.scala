@@ -259,6 +259,57 @@ object OracleSql {
       WHERE CAST(inter AS DOUBLE) / (sa.nsh + sb.nsh - inter) >= 0.5
       ORDER BY id_a, id_b"""
 
+  /** Shared DSIR CTE prefix: recompute the hashed unigram+bigram
+    * buckets (portable token codes, 131071 bigram pairing, Knuth mix
+    * mod 1000003 mod 4096 — identical arithmetic to
+    * `Dsir.gramBuckets`), the raw/target model, the milli-nat λ table
+    * (ln calls spelled in the Spark expression's exact order over
+    * exact-integer arguments, quantized once on ≤ 4096 rows), and the
+    * BIGINT per-doc scores.
+    */
+  private val dsirCtes: String =
+    s"""WITH toksa AS (
+      SELECT doc_id, lang, ${wsToks("text")} AS toka FROM documents),
+    toks AS (
+      SELECT doc_id, lang, unnest(toka) AS t,
+             generate_subscripts(toka, 1) AS pos
+      FROM toksa),
+    codes AS (
+      SELECT doc_id, lang, pos,
+        CAST(ascii(substring(t, 1, 1)) * 131 + length(t) AS BIGINT) AS c
+      FROM toks),
+    pairs AS (
+      SELECT doc_id, lang, c,
+        lead(c) OVER (PARTITION BY doc_id ORDER BY pos) AS c2
+      FROM codes),
+    grams AS (
+      SELECT doc_id, lang,
+        (c * 2654435761) % 1000003 % 4096 AS bucket FROM codes
+      UNION ALL
+      SELECT doc_id, lang,
+        (((c * 131071 + c2) % 1000003) * 2654435761) % 1000003 % 4096
+          AS bucket
+      FROM pairs WHERE c2 IS NOT NULL),
+    model AS (
+      SELECT bucket, CAST(count(*) AS BIGINT) AS n_raw,
+        CAST(count(*) FILTER (WHERE lang = 'en') AS BIGINT) AS n_target
+      FROM grams GROUP BY bucket),
+    tot AS (
+      SELECT CAST(sum(n_raw) AS BIGINT) AS tr,
+        CAST(sum(n_target) AS BIGINT) AS tt FROM model),
+    lam AS (
+      SELECT bucket,
+        CAST(round(1000 * (ln(n_target + 1) - ln(tt + 4096)
+          - ln(n_raw + 1) + ln(tr + 4096))) AS BIGINT) AS lam
+      FROM model CROSS JOIN tot),
+    docb AS (
+      SELECT doc_id, bucket, CAST(count(*) AS BIGINT) AS c
+      FROM grams GROUP BY 1, 2),
+    w AS (
+      SELECT doc_id, CAST(sum(c) AS BIGINT) AS gram_n,
+        CAST(sum(c * lam) AS BIGINT) AS score_mn
+      FROM docb JOIN lam USING (bucket) GROUP BY doc_id)"""
+
   /** Shared portable-simhash CTE prefix: recompute the 32-bit
     * signature bit-by-bit from the same token-code arithmetic as
     * `TextDedup.portableSimhashSig` (every operation exists with
@@ -2574,6 +2625,28 @@ object OracleSql {
         CAST(((doc_id % 16) + 16) % 16 AS INT) AS peak_bin
       FROM documents ORDER BY doc_id""",
 
+    // the same physics through the G.711 telephony path: A-law /
+    // mu-law companded bytes (by id parity) expand to the planted
+    // sine, so the Goertzel argmax is still the id-formula bin
+    "ns_multimodal_g711_embed" ->
+      """SELECT doc_id,
+        CAST(((doc_id % 16) + 16) % 16 AS INT) AS peak_bin
+      FROM documents ORDER BY doc_id""",
+
+    // and through the 4-bit adaptive path: IMA ADPCM blocks decode to
+    // the planted sine within ~19 dB, leaving the argmax on the bin
+    "ns_multimodal_adpcm_embed" ->
+      """SELECT doc_id,
+        CAST(((doc_id % 16) + 16) % 16 AS INT) AS peak_bin
+      FROM documents ORDER BY doc_id""",
+
+    // and through the Ogg container: laced packets reassemble to the
+    // native FLAC stream, so the argmax is still the id-formula bin
+    "ns_multimodal_oggflac_embed" ->
+      """SELECT doc_id,
+        CAST(((doc_id % 16) + 16) % 16 AS INT) AS peak_bin
+      FROM documents ORDER BY doc_id""",
+
     // the image embedder's peak contrast block under a planted
     // bright-block PNG: geometry says the centered-block-luma argmax
     // IS the planted grid index — predicted from the id formula alone
@@ -2615,6 +2688,28 @@ object OracleSql {
       SELECT doc_id, (c * 2654435761) % 1000003 % 64 AS bucket,
         CAST(count(*) AS BIGINT) AS n
       FROM codes GROUP BY 1, 2 ORDER BY doc_id, bucket""",
+
+    // DSIR model: hashed unigram+bigram multinomials, raw vs target
+    // (lang = 'en') — portable codes, identical Knuth bucketing
+    "ns_dsir_model" ->
+      s"""$dsirCtes
+      SELECT bucket, n_raw, n_target FROM model ORDER BY bucket""",
+
+    // DSIR weights: BIGINT milli-nat scores — the λ table's ln calls
+    // are spelled in the identical order as the Spark expression, and
+    // everything per-doc is exact integer arithmetic
+    "ns_dsir_weights" ->
+      s"""$dsirCtes
+      SELECT doc_id, gram_n, score_mn FROM w ORDER BY doc_id""",
+
+    // DSIR selection: identical deterministic top-k ranking
+    // (score desc, doc_id) replayed by the oracle
+    "ns_dsir_select" ->
+      s"""$dsirCtes,
+      sel AS (
+        SELECT doc_id, gram_n, score_mn FROM w
+        ORDER BY score_mn DESC, doc_id LIMIT 100)
+      SELECT doc_id, gram_n, score_mn FROM sel ORDER BY doc_id""",
 
     // sparse tf-idf cosine pairs: identical mille-point weights, the
     // same integer threshold test in HUGEINT (dot²·10⁴ ≥ 30²·na²·nb²),

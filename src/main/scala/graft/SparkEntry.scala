@@ -2009,6 +2009,35 @@ object SparkEntry {
       .select(col("doc").as("doc_id"), col("bucket"), col("n"))
       .orderBy("doc_id", "bucket")
 
+  /** DSIR model counts (Dsir.modelCounts): the two hashed unigram+
+    * bigram multinomials — raw corpus vs the English target slice —
+    * side by side per bucket. BIGINT-exact; the oracle recomputes
+    * tokenization, portable codes, Knuth bucketing and both counts.
+    */
+  private def nsDsirModel(s: SparkSession, dir: String): DataFrame =
+    graft.ext.Dsir.modelCounts(t(s, dir, "documents"), "text", "doc_id",
+      col("lang") === "en")
+      .orderBy("bucket")
+
+  /** DSIR importance weights (Dsir.logWeights): per-doc milli-nat
+    * log-likelihood-ratio scores under the quantized λ table —
+    * BIGINT-exact end to end, so the hash oracle covers the whole
+    * importance computation, not just row counts.
+    */
+  private def nsDsirWeights(s: SparkSession, dir: String): DataFrame =
+    graft.ext.Dsir.logWeights(t(s, dir, "documents"), "text", "doc_id",
+      col("lang") === "en")
+      .orderBy("doc_id")
+
+  /** DSIR deterministic top-k selection (Dsir.select, k=100): the
+    * docs most target-like by importance weight, cut broken by
+    * doc_id — the oracle replays the identical ranking.
+    */
+  private def nsDsirSelect(s: SparkSession, dir: String): DataFrame =
+    graft.ext.Dsir.select(t(s, dir, "documents"), "text", "doc_id",
+      col("lang") === "en", k = 100)
+      .orderBy("doc_id")
+
   private def nsKeywords(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.keywords(t(s, dir, "documents"), "text", "doc_id", k = 3)
       .select(col("doc").as("doc_id"), col("rk"), col("term"), col("tf"),
@@ -4001,6 +4030,90 @@ object SparkEntry {
     s.createDataFrame(rdd, schema).orderBy("doc_id")
   }
 
+  /** The Ogg-encapsulated FLAC path under the same physics oracle:
+    * every doc carries REAL Ogg pages whose packets hold the FLAC
+    * mapping (0x7F "FLAC" BOS packet + laced audio-frame packets) of
+    * a pure sine at the center frequency of bin (doc_id mod 16); the
+    * embedder must walk pages, reassemble packets across lacing
+    * boundaries, strip the mapping prelude, and decode the native
+    * stream. A lacing bug, a dropped segment, or a wrong prelude
+    * offset all corrupt the frames and move (or kill) the argmax.
+    */
+  private def nsMultimodalOggFlacEmbed(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val ids = t(s, dir, "documents").select("doc_id")
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("peak_bin", IntegerType)))
+    val rdd = ids.rdd.map { r =>
+      val id = r.getLong(0)
+      val bin = java.lang.Math.floorMod(id, 16L).toInt
+      val freq = 4000.0 * (bin + 1) / 17.0
+      val mode = java.lang.Math.floorMod(id, 3L) match {
+        case 0L => graft.ext.FlacCodec.Verbatim
+        case 1L => graft.ext.FlacCodec.Fixed2
+        case _ => graft.ext.FlacCodec.Lpc1
+      }
+      val v = Multimodal.embedOggFlacSpectral(
+        Multimodal.oggFlacFixture(freq, nSamples = 1200, mode = mode),
+        dim = 16).get
+      org.apache.spark.sql.Row(id, v.indexOf(v.max))
+    }
+    s.createDataFrame(rdd, schema).orderBy("doc_id")
+  }
+
+  /** The G.711 telephony decode path under the same physics oracle:
+    * every doc carries a REAL companded WAV (fmt tag alternates
+    * A-law / mu-law by id parity — both expand tables sit on the
+    * registered query) of a pure sine at the center frequency of bin
+    * (doc_id mod 16); the embedder must dispatch on the fmt tag,
+    * expand the 8-bit bytes through the right G.711 table, and land
+    * the Goertzel argmax on the formula bin. A wrong table, a
+    * sign-fold bug, or raw-PCM misreading of companded bytes all move
+    * the argmax and hash-mismatch.
+    */
+  private def nsMultimodalG711Embed(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val ids = t(s, dir, "documents").select("doc_id")
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("peak_bin", IntegerType)))
+    val rdd = ids.rdd.map { r =>
+      val id = r.getLong(0)
+      val bin = java.lang.Math.floorMod(id, 16L).toInt
+      val freq = 4000.0 * (bin + 1) / 17.0
+      val alaw = java.lang.Math.floorMod(id, 2L) == 0L
+      val v = Multimodal.embedWavSpectral(
+        Multimodal.sineWavG711Fixture(freq, nSamples = 2000, alaw = alaw),
+        dim = 16).get
+      org.apache.spark.sql.Row(id, v.indexOf(v.max))
+    }
+    s.createDataFrame(rdd, schema).orderBy("doc_id")
+  }
+
+  /** The 4-bit adaptive (IMA/DVI ADPCM) decode path under the same
+    * physics oracle: every doc carries a REAL block-coded WAV
+    * (fmt tag 0x11, per-block predictor/index headers, fact-chunk
+    * frame count) of a pure sine at the center frequency of bin
+    * (doc_id mod 16). ADPCM's ~19 dB SNR still leaves the Goertzel
+    * argmax orders of magnitude above the quantization floor, so a
+    * step-table bug, a nibble-order swap, or a block-header misread
+    * all move the argmax and hash-mismatch.
+    */
+  private def nsMultimodalAdpcmEmbed(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val ids = t(s, dir, "documents").select("doc_id")
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("peak_bin", IntegerType)))
+    val rdd = ids.rdd.map { r =>
+      val id = r.getLong(0)
+      val bin = java.lang.Math.floorMod(id, 16L).toInt
+      val freq = 4000.0 * (bin + 1) / 17.0
+      val v = Multimodal.embedWavSpectral(
+        Multimodal.sineWavAdpcmFixture(freq, nSamples = 2000), dim = 16).get
+      org.apache.spark.sql.Row(id, v.indexOf(v.max))
+    }
+    s.createDataFrame(rdd, schema).orderBy("doc_id")
+  }
+
   /** The Matroska/webm face of the decode contract — real EBML
     * elements per doc at formula duration/dimensions, decoded through
     * the real element walk (Multimodal.extractFeatures → decodeWebm);
@@ -4307,6 +4420,9 @@ object SparkEntry {
     "ns_cms_counts" -> nsCmsCounts,
     "ns_cms_incremental" -> nsCmsIncremental,
     "ns_feature_hash" -> nsFeatureHash,
+    "ns_dsir_model" -> nsDsirModel,
+    "ns_dsir_weights" -> nsDsirWeights,
+    "ns_dsir_select" -> nsDsirSelect,
     "ns_lm_score" -> nsLmScore,
     "ns_cross_dedup" -> nsCrossDedup,
     "ns_dedup_minhash" -> nsDedupMinhash,
@@ -4382,6 +4498,9 @@ object SparkEntry {
     "ns_multimodal_audio" -> nsMultimodalAudio,
     "ns_multimodal_audio_embed" -> nsMultimodalAudioEmbed,
     "ns_multimodal_flac_embed" -> nsMultimodalFlacEmbed,
+    "ns_multimodal_g711_embed" -> nsMultimodalG711Embed,
+    "ns_multimodal_adpcm_embed" -> nsMultimodalAdpcmEmbed,
+    "ns_multimodal_oggflac_embed" -> nsMultimodalOggFlacEmbed,
     "ns_multimodal_image_embed" -> nsMultimodalImageEmbed,
     "ns_multimodal_webm" -> nsMultimodalWebm,
     "ns_multimodal_ogg" -> nsMultimodalOgg,

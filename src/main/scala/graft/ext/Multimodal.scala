@@ -130,7 +130,10 @@ object Multimodal {
   final case class WavHeader(channels: Int, sampleRate: Long,
                              byteRate: Long, bitsPerSample: Int,
                              dataOff: Int, dataBytes: Long,
-                             audioFormat: Int)
+                             audioFormat: Int,
+                             blockAlign: Int = 0,
+                             samplesPerBlock: Int = 0,
+                             factSamples: Long = -1L)
 
   /** The RIFF chunk walk shared by [[decodeWav]] (header features) and
     * [[embedWavSpectral]] (needs the PCM payload location too).
@@ -152,6 +155,9 @@ object Multimodal {
     var audioFormat = 0
     var dataOff = -1
     var dataBytes = -1L
+    var blockAlign = 0
+    var samplesPerBlock = 0
+    var factSamples = -1L
     while (off + 8 <= bytes.length && (channels == 0 || dataBytes < 0)) {
       val ckId = ascii(off, 4)
       val ckSize = u32(off + 4)
@@ -168,7 +174,17 @@ object Multimodal {
         channels = u16(off + 10)
         sampleRate = u32(off + 12)
         byteRate = u32(off + 16)
+        blockAlign = u16(off + 20)
         bits = u16(off + 22)
+        // block-coded formats (IMA ADPCM) append wSamplesPerBlock
+        // after cbSize — needed to bound the last block's nibbles
+        if (ckSize >= 20 && off + 8 + 20 <= bytes.length)
+          samplesPerBlock = u16(off + 26)
+      } else if (ckId == "fact" && ckSize >= 4 &&
+        off + 12 <= bytes.length) {
+        // total decoded sample-frames — authoritative for compressed
+        // payloads whose data size over-counts block padding
+        factSamples = u32(off + 8)
       } else if (ckId == "data") {
         // size from the header — a truncated blob still reports the
         // declared payload; a streaming writer's 0xFFFFFFFF
@@ -187,7 +203,7 @@ object Multimodal {
     }
     if (channels <= 0 || byteRate <= 0 || dataBytes < 0) None
     else Some(WavHeader(channels, sampleRate, byteRate, bits, dataOff,
-      dataBytes, audioFormat))
+      dataBytes, audioFormat, blockAlign, samplesPerBlock, factSamples))
   }
 
   def decodeWav(bytes: Array[Byte]): Option[MediaFeatures] =
@@ -653,7 +669,10 @@ object Multimodal {
       page(0x04, lastGranule, serial = 7L, seq = 1L, Array[Byte](0))
   }
 
-  /** REAL audio embedding for 16-bit PCM WAV: Goertzel spectral power
+  /** REAL audio embedding for WAV payloads — 16-bit integer PCM plus
+    * the compressed telephony layers G.711 mu-law / A-law and
+    * IMA/DVI ADPCM (fmt tags 1, 7, 6, 0x11 — see [[wavMonoSamples]]
+    * for the decode dispatch): Goertzel spectral power
     * at `dim` evenly spaced frequencies up to Nyquist over the
     * mono-mixed signal, log-compressed and L2-normalized — an actual
     * DSP feature vector (a pure sine lands its energy in the nearest
@@ -669,37 +688,94 @@ object Multimodal {
     */
   def embedWavSpectral(bytes: Array[Byte], dim: Int = 16): Option[Array[Float]] = {
     require(dim >= 1, "dim must be >= 1")
-    // audioFormat 1 = integer PCM (0xFFFE extensible resolves to its
-    // PCM sub-format in parseWav): a non-PCM codec declaring 16 bits
-    // would otherwise be read as raw samples → garbage embedding
-    parseWav(bytes).filter(h =>
-      h.audioFormat == 1 && h.bitsPerSample == 16 && h.dataOff >= 0)
-      .flatMap { h =>
-        val avail = math.min(h.dataBytes,
-          (bytes.length - h.dataOff).toLong).toInt
-        val frame = h.channels * 2
-        val n = avail / frame
-        if (n < 2) None
-        else {
-          // mono mix, normalized to [-1, 1]
-          val x = new Array[Double](n)
-          var i = 0
-          while (i < n) {
-            var c = 0
-            var acc = 0.0
-            while (c < h.channels) {
-              val off = h.dataOff + i * frame + c * 2
-              val s = ((bytes(off) & 0xff) | (bytes(off + 1) << 8)).toShort
-              acc += s / 32768.0
-              c += 1
-            }
-            x(i) = acc / h.channels
-            i += 1
-          }
-          Some(goertzelEmbed(x, h.sampleRate.toInt, dim))
-        }
-      }
+    wavMonoSamples(bytes).flatMap { case (x, rate) =>
+      if (x.length < 2) None else Some(goertzelEmbed(x, rate, dim))
+    }
   }
+
+  /** Decode a WAV payload to a mono-mixed [-1, 1] signal — the sample
+    * seam under [[embedWavSpectral]]. Dispatches on the fmt tag:
+    * 1 = 16-bit integer PCM; 6/7 = G.711 A-law / mu-law (8-bit
+    * companded, [[G711Adpcm]]); 0x11 = IMA/DVI ADPCM (4-bit
+    * block-coded, mono). 0xFFFE extensible already resolved to its
+    * sub-format in [[parseWav]]. None for any other tag — a
+    * compressed codec must never be read as raw samples, so the
+    * caller falls through to the stub and a mixed column never
+    * breaks.
+    */
+  def wavMonoSamples(bytes: Array[Byte]): Option[(Array[Double], Int)] =
+    parseWav(bytes).filter(_.dataOff >= 0).flatMap { h =>
+      val avail = math.min(h.dataBytes,
+        (bytes.length - h.dataOff).toLong).toInt
+      h.audioFormat match {
+        case 1 if h.bitsPerSample == 16 =>
+          val frame = h.channels * 2
+          val n = avail / frame
+          if (n < 2) None
+          else {
+            // mono mix, normalized to [-1, 1]
+            val x = new Array[Double](n)
+            var i = 0
+            while (i < n) {
+              var c = 0
+              var acc = 0.0
+              while (c < h.channels) {
+                val off = h.dataOff + i * frame + c * 2
+                val s = ((bytes(off) & 0xff) | (bytes(off + 1) << 8)).toShort
+                acc += s / 32768.0
+                c += 1
+              }
+              x(i) = acc / h.channels
+              i += 1
+            }
+            Some((x, h.sampleRate.toInt))
+          }
+        case 6 | 7 if h.bitsPerSample == 8 =>
+          // G.711: one companded byte per channel-sample
+          val n = avail / h.channels
+          if (n < 2) None
+          else {
+            val alaw = h.audioFormat == 6
+            val x = new Array[Double](n)
+            var i = 0
+            while (i < n) {
+              var c = 0
+              var acc = 0.0
+              while (c < h.channels) {
+                val b = bytes(h.dataOff + i * h.channels + c)
+                val s = if (alaw) G711Adpcm.alawDecode(b)
+                        else G711Adpcm.mulawDecode(b)
+                acc += s / 32768.0
+                c += 1
+              }
+              x(i) = acc / h.channels
+              i += 1
+            }
+            Some((x, h.sampleRate.toInt))
+          }
+        case 0x11 if h.channels == 1 && h.bitsPerSample == 4 &&
+          h.blockAlign >= 8 =>
+          // IMA ADPCM, mono: block count bounds the decode; the fact
+          // chunk (when present) trims the final block's padding
+          val spb =
+            if (h.samplesPerBlock > 0) h.samplesPerBlock
+            else (h.blockAlign - 4) * 2 + 1
+          val blocks = avail / h.blockAlign
+          val declared = blocks.toLong * spb
+          val total = math.min(
+            if (h.factSamples >= 0) math.min(h.factSamples, declared)
+            else declared, Int.MaxValue.toLong).toInt
+          if (total < 2) None
+          else G711Adpcm.imaDecode(bytes, h.dataOff, avail, h.blockAlign,
+            total).map { s =>
+            val x = new Array[Double](s.length)
+            var i = 0
+            while (i < s.length) { x(i) = s(i) / 32768.0; i += 1 }
+            (x, h.sampleRate.toInt)
+          }
+        case _ => None
+      }
+    }
 
   /** The shared spectral kernel behind [[embedWavSpectral]] and
     * [[embedFlacSpectral]]: Goertzel power per target frequency
@@ -752,23 +828,143 @@ object Multimodal {
   def embedFlacSpectral(bytes: Array[Byte],
                         dim: Int = 16): Option[Array[Float]] = {
     require(dim >= 1, "dim must be >= 1")
-    FlacCodec.decodePcm(bytes).flatMap { pcm =>
-      val n = pcm.samples(0).length
-      if (n < 2) None
-      else {
-        val scale = (1L << (pcm.bitsPerSample - 1)).toDouble
-        val x = new Array[Double](n)
+    FlacCodec.decodePcm(bytes).flatMap(pcmSpectral(_, dim))
+  }
+
+  /** The shared PCM→vector tail of the FLAC-family embedders:
+    * mono-mix at the stream's own bit depth, then [[goertzelEmbed]].
+    */
+  private def pcmSpectral(pcm: FlacCodec.Pcm,
+                          dim: Int): Option[Array[Float]] = {
+    val n = pcm.samples(0).length
+    if (n < 2) None
+    else {
+      val scale = (1L << (pcm.bitsPerSample - 1)).toDouble
+      val x = new Array[Double](n)
+      var i = 0
+      while (i < n) {
+        var c = 0
+        var acc = 0.0
+        while (c < pcm.channels) { acc += pcm.samples(c)(i) / scale; c += 1 }
+        x(i) = acc / pcm.channels
+        i += 1
+      }
+      Some(goertzelEmbed(x, pcm.sampleRate, dim))
+    }
+  }
+
+  /** Reassemble the NATIVE FLAC stream out of an Ogg FLAC mapping
+    * (the `0x7F "FLAC"` first packet carries the native `fLaC` header
+    * verbatim; every later packet is one-or-more audio frames). Walks
+    * pages with full lacing semantics — packets spanning segment
+    * lists and pages reassemble correctly — so the existing
+    * [[FlacCodec.decodePcm]] decodes the result unchanged. None when
+    * the bytes are not Ogg or the BOS packet is not the FLAC mapping.
+    */
+  def decodeOggFlac(bytes: Array[Byte]): Option[Array[Byte]] = {
+    if (bytes == null || bytes.length < 28) return None
+    if (bytes(0) != 'O' || bytes(1) != 'g' || bytes(2) != 'g' ||
+      bytes(3) != 'S') return None
+    try {
+      def u32le(off: Int): Long =
+        (0 until 4).foldLeft(0L)((a, i) => a | (bytes(off + i) & 0xffL) << (8 * i))
+      // collect the packets of the FLAC logical stream (lacing: a
+      // segment < 255 ends the current packet; 255 continues it)
+      val packets = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+      val current = new java.io.ByteArrayOutputStream()
+      var serial = -1L
+      var off = 0
+      while (off + 27 <= bytes.length && bytes(off) == 'O' &&
+        bytes(off + 1) == 'g' && bytes(off + 2) == 'g' &&
+        bytes(off + 3) == 'S') {
+        val headerType = bytes(off + 5) & 0xff
+        val pageSerial = u32le(off + 14)
+        val nSegs = bytes(off + 26) & 0xff
+        if (off + 27 + nSegs > bytes.length) return None
+        var p = off + 27 + nSegs
         var i = 0
-        while (i < n) {
-          var c = 0
-          var acc = 0.0
-          while (c < pcm.channels) { acc += pcm.samples(c)(i) / scale; c += 1 }
-          x(i) = acc / pcm.channels
+        while (i < nSegs) {
+          val segLen = bytes(off + 27 + i) & 0xff
+          if (p + segLen > bytes.length) return None
+          val isBos = (headerType & 0x02) != 0
+          if (isBos && serial < 0 && current.size() == 0 && segLen >= 5 &&
+            (bytes(p) & 0xff) == 0x7f && bytes(p + 1) == 'F' &&
+            bytes(p + 2) == 'L' && bytes(p + 3) == 'A' && bytes(p + 4) == 'C')
+            serial = pageSerial
+          if (pageSerial == serial) {
+            current.write(bytes, p, segLen)
+            if (segLen < 255) {
+              packets += current.toByteArray
+              current.reset()
+            }
+          }
+          p += segLen
           i += 1
         }
-        Some(goertzelEmbed(x, pcm.sampleRate, dim))
+        off = p
       }
+      if (current.size() > 0) packets += current.toByteArray // unterminated tail
+      if (serial < 0 || packets.isEmpty) return None
+      val first = packets.head
+      // 0x7F "FLAC" major minor nHeaders(u16 BE), then the native
+      // stream header ("fLaC" + STREAMINFO) verbatim
+      if (first.length < 13) return None
+      val nHeaders = ((first(7) & 0xff) << 8) | (first(8) & 0xff)
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(first, 9, first.length - 9)
+      packets.drop(1 + nHeaders).foreach(pk => out.write(pk, 0, pk.length))
+      Some(out.toByteArray)
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** REAL audio embedding for Ogg-encapsulated FLAC — the Ogg
+    * container joins WAV/FLAC on the content-embedding path:
+    * [[decodeOggFlac]] reassembles the native stream, and the
+    * identical decode + Goertzel tail produces the vector, so the
+    * planted-sine physics oracle transfers verbatim. None for
+    * non-Ogg-FLAC bytes (Vorbis/Opus payloads keep their header-only
+    * features and fall to the stub for embedding — a frame decode of
+    * those codecs would be a psychoacoustic codec port, out of
+    * scope).
+    */
+  def embedOggFlacSpectral(bytes: Array[Byte],
+                           dim: Int = 16): Option[Array[Float]] = {
+    require(dim >= 1, "dim must be >= 1")
+    decodeOggFlac(bytes).flatMap(FlacCodec.decodePcm)
+      .flatMap(pcmSpectral(_, dim))
+  }
+
+  /** Ogg FLAC sine fixture — REAL Ogg pages whose packets carry the
+    * [[sineFlacFixture]] stream per the Ogg FLAC mapping (BOS packet
+    * = 0x7F "FLAC" 1 0 u16be(0) + native header; one audio-frame
+    * packet per following page, long packets laced across 255-byte
+    * segments). The EOS page carries the final granule = total
+    * samples.
+    */
+  def oggFlacFixture(freqHz: Double, nSamples: Int,
+                     sampleRate: Int = 8000,
+                     mode: FlacCodec.Mode = FlacCodec.Fixed2): Array[Byte] = {
+    val native = sineFlacFixture(freqHz, nSamples, sampleRate, mode)
+    val headerLen = 42 // "fLaC" + block header + 34-byte STREAMINFO
+    val bosPacket = Array[Byte](0x7f.toByte, 'F', 'L', 'A', 'C',
+      1, 0, 0, 0) ++ native.take(headerLen)
+    val frames = native.drop(headerLen)
+    def page(headerType: Int, granule: Long, seq: Long,
+             packet: Array[Byte]): Array[Byte] = {
+      val nFull = packet.length / 255
+      val lace = Array.tabulate(nFull + 1)(i =>
+        if (i < nFull) 255.toByte else (packet.length % 255).toByte)
+      require(lace.length <= 255, "fixture packet too long for one page")
+      val bb = java.nio.ByteBuffer.allocate(27 + lace.length + packet.length)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("OggS".getBytes("US-ASCII")).put(0.toByte)
+        .put(headerType.toByte).putLong(granule).putInt(9)
+        .putInt(seq.toInt).putInt(0) // CRC 0: the walks skip it
+        .put(lace.length.toByte).put(lace).put(packet)
+      bb.array()
     }
+    page(0x02, 0L, 0L, bosPacket) ++
+      page(0x04, nSamples.toLong, 1L, frames)
   }
 
   /** FLAC sine fixture with REAL encoded frames — the
@@ -801,6 +997,69 @@ object Multimodal {
       i += 1
     }
     bytes
+  }
+
+  /** G.711 sine fixture — REAL RIFF/WAVE bytes whose payload is the
+    * companded (A-law or mu-law) encode of the [[sineWavFixture]]
+    * signal, so the compressed-telephony decode path carries the same
+    * physics oracle (G.711's ~38 dB SNR leaves the Goertzel argmax
+    * untouched). fmt chunk is the 18-byte non-PCM form (cbSize = 0).
+    */
+  def sineWavG711Fixture(freqHz: Double, nSamples: Int,
+                         sampleRate: Int = 8000,
+                         alaw: Boolean = false): Array[Byte] = {
+    require(nSamples >= 0 && sampleRate >= 1)
+    val bb = java.nio.ByteBuffer.allocate(46 + nSamples)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(38 + nSamples)
+      .put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")).putInt(18)
+      .putShort((if (alaw) 6 else 7).toShort)
+      .putShort(1.toShort).putInt(sampleRate)
+      .putInt(sampleRate) // one byte per mono sample
+      .putShort(1.toShort).putShort(8.toShort)
+      .putShort(0.toShort) // cbSize
+    bb.put("data".getBytes("US-ASCII")).putInt(nSamples)
+    var i = 0
+    while (i < nSamples) {
+      val s = (math.sin(2 * math.Pi * freqHz * i / sampleRate) * 12000).toShort
+      bb.put(if (alaw) G711Adpcm.alawEncode(s) else G711Adpcm.mulawEncode(s))
+      i += 1
+    }
+    bb.array()
+  }
+
+  /** IMA ADPCM sine fixture — REAL RIFF/WAVE bytes with the standard
+    * block-coded layout (fmt tag 0x11, 20-byte fmt chunk carrying
+    * wSamplesPerBlock, a `fact` chunk with the true frame count, and
+    * [[G711Adpcm.imaEncode]] blocks), so the 4-bit adaptive decode
+    * path carries the same planted-sine physics oracle.
+    */
+  def sineWavAdpcmFixture(freqHz: Double, nSamples: Int,
+                          sampleRate: Int = 8000,
+                          blockAlign: Int = 256): Array[Byte] = {
+    require(nSamples >= 0 && sampleRate >= 1)
+    val samples = Array.tabulate(nSamples)(i =>
+      (math.sin(2 * math.Pi * freqHz * i / sampleRate) * 12000).toShort)
+    val data = G711Adpcm.imaEncode(samples, blockAlign)
+    val spb = (blockAlign - 4) * 2 + 1
+    val byteRate = (sampleRate.toLong * blockAlign / spb).toInt max 1
+    // 12 RIFF/WAVE + 28 fmt + 12 fact + 8 data-header = 60 byte prefix
+    val bb = java.nio.ByteBuffer.allocate(60 + data.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(52 + data.length)
+      .put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")).putInt(20)
+      .putShort(0x11.toShort)
+      .putShort(1.toShort).putInt(sampleRate)
+      .putInt(byteRate)
+      .putShort(blockAlign.toShort).putShort(4.toShort)
+      .putShort(2.toShort) // cbSize
+      .putShort(spb.toShort) // wSamplesPerBlock
+    bb.put("fact".getBytes("US-ASCII")).putInt(4).putInt(nSamples)
+    bb.put("data".getBytes("US-ASCII")).putInt(data.length)
+    bb.put(data)
+    bb.array()
   }
 
   /** REAL image-content embedding: deterministic pixel statistics over
@@ -939,6 +1198,7 @@ object Multimodal {
       val v = (if (dim >= 8) embedImagePixels(bytes, dim) else None)
         .orElse(embedWavSpectral(bytes, dim))
         .orElse(embedFlacSpectral(bytes, dim))
+        .orElse(embedOggFlacSpectral(bytes, dim))
         .getOrElse(stubEmbedding(bytes, dim))
       Row.fromSeq(r.toSeq :+ v.toSeq)
     }

@@ -142,6 +142,17 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("dsir: the λ model broadcasts into per-doc scoring; selection " +
+    "is TakeOrdered, never a global sort") {
+    val p = SparkEntry.queries("ns_dsir_select")(spark, sf)
+      .queryExecution.executedPlan.toString
+    // the ≤ m-row λ table reaches the (doc, bucket) counts as a
+    // broadcast — the corpus-sized gram side never shuffles to meet it
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(p.contains("TakeOrderedAndProject"), p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
+
   test("decontamination broadcasts the benchmark shingle side") {
     import spark.implicits._
     val docs = spark.read.parquet(s"$sf/documents.parquet")
