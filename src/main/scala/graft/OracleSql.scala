@@ -267,9 +267,9 @@ object OracleSql {
     * exact-integer arguments, quantized once on ≤ 4096 rows), and the
     * BIGINT per-doc scores.
     */
-  private val dsirCtes: String =
+  private def dsirCtes(src: String = "documents"): String =
     s"""WITH toksa AS (
-      SELECT doc_id, lang, ${wsToks("text")} AS toka FROM documents),
+      SELECT doc_id, lang, ${wsToks("text")} AS toka FROM $src),
     toks AS (
       SELECT doc_id, lang, unnest(toka) AS t,
              generate_subscripts(toka, 1) AS pos
@@ -2692,20 +2692,40 @@ object OracleSql {
     // DSIR model: hashed unigram+bigram multinomials, raw vs target
     // (lang = 'en') — portable codes, identical Knuth bucketing
     "ns_dsir_model" ->
-      s"""$dsirCtes
+      s"""${dsirCtes()}
+      SELECT bucket, n_raw, n_target FROM model ORDER BY bucket""",
+
+    // the incrementally-folded DSIR model shares the one-shot SQL
+    // VERBATIM: bucket counts are associative, so fold ≡ rebuild
+    // bit-for-bit — the hash match IS the convergence proof
+    "ns_dsir_incremental" ->
+      s"""${dsirCtes()}
+      SELECT bucket, n_raw, n_target FROM model ORDER BY bucket""",
+
+    // and so does scoring against the maintained model (λ derives
+    // from identical integer counts) — this run compacts mid-fold,
+    // putting the DeltaCompact watermark path under the same oracle
+    "ns_dsir_inc_weights" ->
+      s"""${dsirCtes()}
+      SELECT doc_id, gram_n, score_mn FROM w ORDER BY doc_id""",
+
+    // retraction converges to the rebuild-without-the-deleted-slice:
+    // the oracle recomputes the model over the never-retracted corpus
+    "ns_dsir_retract" ->
+      s"""${dsirCtes("(SELECT * FROM documents WHERE doc_id % 10 <> 3) d")}
       SELECT bucket, n_raw, n_target FROM model ORDER BY bucket""",
 
     // DSIR weights: BIGINT milli-nat scores — the λ table's ln calls
     // are spelled in the identical order as the Spark expression, and
     // everything per-doc is exact integer arithmetic
     "ns_dsir_weights" ->
-      s"""$dsirCtes
+      s"""${dsirCtes()}
       SELECT doc_id, gram_n, score_mn FROM w ORDER BY doc_id""",
 
     // DSIR selection: identical deterministic top-k ranking
     // (score desc, doc_id) replayed by the oracle
     "ns_dsir_select" ->
-      s"""$dsirCtes,
+      s"""${dsirCtes()},
       sel AS (
         SELECT doc_id, gram_n, score_mn FROM w
         ORDER BY score_mn DESC, doc_id LIMIT 100)

@@ -2038,6 +2038,86 @@ object SparkEntry {
       col("lang") === "en", k = 100)
       .orderBy("doc_id")
 
+  /** Incrementally-folded DSIR model (IncrementalDsir.fold ×3):
+    * bucket counts are associative, so the folded model is bit-equal
+    * to the one-shot — the probe shares ns_dsir_model's oracle SQL
+    * verbatim, making the hash match the convergence proof.
+    */
+  private def nsDsirIncremental(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select("doc_id", "text", "lang")
+    val hi = docs.agg(max("doc_id")).head().getLong(0)
+    val (c1, c2) = (hi / 3, 2 * hi / 3)
+    val root = java.nio.file.Files.createTempDirectory("inc_dsir")
+    val tmp = root.toString + "/state"
+    val tgt = col("lang") === "en"
+    graft.ext.IncrementalDsir.fold(s, tmp,
+      docs.filter(col("doc_id") <= c1), "text", "doc_id", tgt, batchNo = 1L)
+    graft.ext.IncrementalDsir.fold(s, tmp,
+      docs.filter(col("doc_id") > c1 && col("doc_id") <= c2), "text",
+      "doc_id", tgt, batchNo = 2L)
+    graft.ext.IncrementalDsir.fold(s, tmp,
+      docs.filter(col("doc_id") > c2), "text", "doc_id", tgt, batchNo = 3L)
+    val out = graft.ext.IncrementalDsir.modelProbe(s, tmp)
+      .orderBy("bucket").localCheckpoint()
+    deleteLocalDir(root)
+    out
+  }
+
+  /** Scoring against the MAINTAINED DSIR model — with a COMPACTION
+    * between folds, so the DeltaCompact watermark path sits under the
+    * weights oracle: λ from the stored counts is integer-identical to
+    * the one-shot λ, hence bit-equal scores (shares ns_dsir_weights'
+    * SQL verbatim).
+    */
+  private def nsDsirIncWeights(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select("doc_id", "text", "lang")
+    val hi = docs.agg(max("doc_id")).head().getLong(0)
+    val (c1, c2) = (hi / 3, 2 * hi / 3)
+    val root = java.nio.file.Files.createTempDirectory("inc_dsirw")
+    val tmp = root.toString + "/state"
+    val tgt = col("lang") === "en"
+    graft.ext.IncrementalDsir.fold(s, tmp,
+      docs.filter(col("doc_id") <= c1), "text", "doc_id", tgt, batchNo = 1L)
+    graft.ext.IncrementalDsir.fold(s, tmp,
+      docs.filter(col("doc_id") > c1 && col("doc_id") <= c2), "text",
+      "doc_id", tgt, batchNo = 2L)
+    graft.ext.IncrementalDsir.compact(s, tmp) // mid-stream baseline
+    graft.ext.IncrementalDsir.fold(s, tmp,
+      docs.filter(col("doc_id") > c2), "text", "doc_id", tgt, batchNo = 3L)
+    val out = graft.ext.IncrementalDsir.weightsProbe(s, tmp, docs,
+      "text", "doc_id").orderBy("doc_id").localCheckpoint()
+    deleteLocalDir(root)
+    out
+  }
+
+  /** DSIR model retraction (IncrementalDsir.retractDocs): delete the
+    * doc_id % 10 = 3 slice from the folded model; exact counts
+    * subtract, so the probe hash-matches the oracle's rebuild over
+    * the never-retracted corpus.
+    */
+  private def nsDsirRetract(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select("doc_id", "text", "lang")
+    val hi = docs.agg(max("doc_id")).head().getLong(0)
+    val (c1, c2) = (hi / 3, 2 * hi / 3)
+    val root = java.nio.file.Files.createTempDirectory("inc_dsirr")
+    val tmp = root.toString + "/state"
+    val tgt = col("lang") === "en"
+    graft.ext.IncrementalDsir.fold(s, tmp,
+      docs.filter(col("doc_id") <= c1), "text", "doc_id", tgt, batchNo = 1L)
+    graft.ext.IncrementalDsir.fold(s, tmp,
+      docs.filter(col("doc_id") > c1 && col("doc_id") <= c2), "text",
+      "doc_id", tgt, batchNo = 2L)
+    graft.ext.IncrementalDsir.fold(s, tmp,
+      docs.filter(col("doc_id") > c2), "text", "doc_id", tgt, batchNo = 3L)
+    graft.ext.IncrementalDsir.retractDocs(s, tmp,
+      docs.filter(pmod(col("doc_id"), lit(10L)) === 3L), "text", "doc_id",
+      tgt, retractVer = 9L)
+    val out = graft.ext.IncrementalDsir.modelProbe(s, tmp)
+      .orderBy("bucket").localCheckpoint()
+    deleteLocalDir(root)
+    out
+  }
+
   private def nsKeywords(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.keywords(t(s, dir, "documents"), "text", "doc_id", k = 3)
       .select(col("doc").as("doc_id"), col("rk"), col("term"), col("tf"),
@@ -4423,6 +4503,9 @@ object SparkEntry {
     "ns_dsir_model" -> nsDsirModel,
     "ns_dsir_weights" -> nsDsirWeights,
     "ns_dsir_select" -> nsDsirSelect,
+    "ns_dsir_incremental" -> nsDsirIncremental,
+    "ns_dsir_inc_weights" -> nsDsirIncWeights,
+    "ns_dsir_retract" -> nsDsirRetract,
     "ns_lm_score" -> nsLmScore,
     "ns_cross_dedup" -> nsCrossDedup,
     "ns_dedup_minhash" -> nsDedupMinhash,

@@ -108,8 +108,16 @@ object Dsir {
     */
   def lambdaTable(docs: DataFrame, text: String, id: String,
                   targetPred: Column,
-                  m: Int = DefaultBuckets): DataFrame = {
-    val counts = modelCounts(docs, text, id, targetPred, m)
+                  m: Int = DefaultBuckets): DataFrame =
+    lambdaFromCounts(modelCounts(docs, text, id, targetPred, m), m)
+
+  /** λ from an already-materialized (bucket, n_raw, n_target) model —
+    * the seam [[IncrementalDsir]] probes through: a maintained model
+    * and a one-shot model produce the identical λ table because the
+    * counts are identical integers.
+    */
+  def lambdaFromCounts(counts: DataFrame,
+                       m: Int = DefaultBuckets): DataFrame = {
     val totals = counts.agg(sum("n_raw").as("tr"), sum("n_target").as("tt"))
     counts.crossJoin(broadcast(totals))
       .select(col("bucket"), col("n_raw"), col("n_target"),
@@ -117,22 +125,43 @@ object Dsir {
           s"- ln(n_raw + 1) + ln(tr + $m))) AS BIGINT)").as("lam"))
   }
 
+  /** Score a document frame against a GIVEN λ table (broadcast,
+    * one (doc, bucket) aggregation) — the shared tail of
+    * [[logWeights]] and the incremental probe. Grams hashing to
+    * buckets ABSENT from the model (possible when scoring docs the
+    * model never folded) take `unseenLam` — pass
+    * [[unseenLambda]](tr, tt, m) for the smoothed both-counts-zero
+    * log-ratio; the default 0 is exact whenever the scored docs are a
+    * subset of the modeled corpus (every bucket then exists).
+    */
+  def scoreAgainst(lam: DataFrame, docs: DataFrame, text: String,
+                   id: String, m: Int = DefaultBuckets,
+                   unseenLam: Column = lit(0L)): DataFrame =
+    gramBuckets(docs, text, id, m)
+      .join(broadcast(lam.select("bucket", "lam")), Seq("bucket"), "left")
+      .withColumn("lam_eff", coalesce(col("lam"), unseenLam))
+      .groupBy("doc")
+      .agg(sum("c").as("gram_n"),
+        sum(col("c") * col("lam_eff")).as("score_mn"))
+      .select(col("doc").as(id), col("gram_n"), col("score_mn"))
+
+  /** The λ of a bucket with zero target AND zero raw count —
+    * `round(S·(ln(tr+m) − ln(tt+m)))` — the smoothed default for
+    * scoring unseen grams through [[scoreAgainst]].
+    */
+  def unseenLambda(tr: Long, tt: Long, m: Int = DefaultBuckets): Long =
+    math.round(LambdaScale * (math.log(tr.toDouble + m) -
+      math.log(tt.toDouble + m)))
+
   /** Per-document importance weights in milli-nats:
     * `score_mn = Σ_b c_b·λ_b` plus the gram count. BIGINT-exact end
     * to end (see the object doc) — the full-hash-oracle face of DSIR.
     */
   def logWeights(docs: DataFrame, text: String, id: String,
                  targetPred: Column,
-                 m: Int = DefaultBuckets): DataFrame = {
-    val lam = lambdaTable(docs, text, id, targetPred, m)
-      .select("bucket", "lam")
-    gramBuckets(docs, text, id, m)
-      .join(broadcast(lam), "bucket")
-      .groupBy("doc")
-      .agg(sum("c").as("gram_n"),
-        sum(col("c") * col("lam")).as("score_mn"))
-      .select(col("doc").as(id), col("gram_n"), col("score_mn"))
-  }
+                 m: Int = DefaultBuckets): DataFrame =
+    scoreAgainst(lambdaTable(docs, text, id, targetPred, m),
+      docs, text, id, m)
 
   /** Deterministic top-k selection by importance weight (score desc,
     * id asc — the tie-break makes the cut reproducible and
