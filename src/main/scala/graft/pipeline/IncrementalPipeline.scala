@@ -3,7 +3,7 @@ package graft.pipeline
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.ext.{IncrementalAnn, IncrementalBm25, IncrementalClusters,
-  IncrementalLsh, IncrementalMinhash, IncrementalSample,
+  IncrementalDsir, IncrementalLsh, IncrementalMinhash, IncrementalSample,
   IncrementalSemDedup, IncrementalSimhash, IncrementalSketch,
   IncrementalStats, IncrementalWinnow}
 import graft.sink.ParquetMerge
@@ -86,7 +86,8 @@ object IncrementalPipeline {
       s"$root/minhash", s"$root/simhash", s"$root/winnow",
       s"$root/cc", s"$root/cc" + IncrementalClusters.RedirectSuffix,
       s"$root/cms", s"$root/cms" + IncrementalSketch.VocabSuffix,
-      s"$root/cms" + IncrementalSketch.GridSuffix, s"$root/stats")
+      s"$root/cms" + IncrementalSketch.GridSuffix, s"$root/stats",
+      s"$root/dsir")
   }
 
   private def compactSweep(spark: SparkSession, tables: Seq[String])
@@ -104,13 +105,14 @@ object IncrementalPipeline {
   def nightly(spark: SparkSession, root: String, batch: DataFrame,
               text: String, id: String, batchNo: Long,
               minQuality: Double = 0.7, jaccardThreshold: Double = 0.3,
-              sampleK: Int = 40, compact: Boolean = true): NightlyReport = {
+              sampleK: Int = 40, compact: Boolean = true,
+              dsirTargetLang: String = "en"): NightlyReport = {
     val dirs = Map(
       "curation" -> s"$root/curation", "bm25" -> s"$root/bm25",
       "minhash" -> s"$root/minhash", "simhash" -> s"$root/simhash",
       "winnow" -> s"$root/winnow", "cc" -> s"$root/cc",
       "cms" -> s"$root/cms", "stats" -> s"$root/stats",
-      "sample" -> s"$root/sample")
+      "sample" -> s"$root/sample", "dsir" -> s"$root/dsir")
     val b = batch.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nBatch = b.count()
     // an empty crawl night is a semantic no-op for every fold (the
@@ -169,6 +171,11 @@ object IncrementalPipeline {
         batchNo)
       IncrementalSample.fold(spark, dirs("sample"), admitted, "lang", id,
         sampleK)
+      // the DSIR selection model: raw counts from every admitted doc,
+      // target counts from the target-language slice — the importance
+      // scorer stays current with the corpus the nightly curates
+      IncrementalDsir.fold(spark, dirs("dsir"), admitted, text, id,
+        col("lang") === dsirTargetLang, batchNo)
     }
     // the CC labeling folds THIS batch's pair edges (the curation fold
     // just wrote them at ver = batchNo) — outside the admitted guard:
@@ -252,7 +259,8 @@ object IncrementalPipeline {
   def retractNightly(spark: SparkSession, root: String,
                      retractIds: DataFrame, text: String, id: String,
                      retractVer: Long, jaccardThreshold: Double = 0.3,
-                     sampleK: Int = 40): Unit = {
+                     sampleK: Int = 40,
+                     dsirTargetLang: String = "en"): Unit = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val cur = s"$root/curation"
     val stBefore = spark.read.parquet(cur)
@@ -343,6 +351,9 @@ object IncrementalPipeline {
         "n_chars", "source", retractVer)
       IncrementalStats.retractFold(spark, s"$root/stats", remFull, text,
         "source", retractVer)
+      if (exists(spark, s"$root/dsir"))
+        IncrementalDsir.retractDocs(spark, s"$root/dsir", remFull, text,
+          id, col("lang") === dsirTargetLang, retractVer)
     }
     if (!additions.isEmpty) {
       IncrementalBm25.fold(spark, s"$root/bm25", addFull, text, id,
@@ -359,6 +370,9 @@ object IncrementalPipeline {
         "source", retractVer)
       IncrementalStats.fold(spark, s"$root/stats", addFull, text,
         "source", retractVer)
+      if (exists(spark, s"$root/dsir"))
+        IncrementalDsir.fold(spark, s"$root/dsir", addFull, text, id,
+          col("lang") === dsirTargetLang, retractVer)
     }
     // CC: remove the retracted nodes over the PINNED surviving-old
     // edge set (every removed edge lies inside an affected component —

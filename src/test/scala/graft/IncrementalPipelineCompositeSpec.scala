@@ -1,10 +1,11 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.ext.{IncrementalAnn, IncrementalBm25, IncrementalClusters,
-  IncrementalMinhash, IncrementalSample, IncrementalSemDedup,
-  IncrementalSimhash, IncrementalStats, IncrementalWinnow, Sampling,
-  TextAnalysis, TextDedup, VectorSearch}
+import graft.ext.{Dsir, IncrementalAnn, IncrementalBm25,
+  IncrementalClusters, IncrementalDsir, IncrementalMinhash,
+  IncrementalSample, IncrementalSemDedup, IncrementalSimhash,
+  IncrementalStats, IncrementalWinnow, Sampling, TextAnalysis, TextDedup,
+  VectorSearch}
 import graft.pipeline.{Curation, IncrementalCuration, IncrementalPipeline}
 
 /** The composite nightly fold: curation admission feeds every
@@ -124,6 +125,13 @@ class IncrementalPipelineCompositeSpec extends SparkSpec {
         assert(IncrementalClusters.auditRedirects(spark, s"$root/cc")
           .isEmpty)
       }
+
+      // DSIR: folded selection model == one-shot over admitted
+      assert(IncrementalDsir.modelProbe(spark, s"$root/dsir")
+        .orderBy("bucket").as[(Long, Long, Long)].collect().toSeq ==
+        Dsir.modelCounts(admitted, "text", "doc_id",
+            col("lang") === "en")
+          .orderBy("bucket").as[(Long, Long, Long)].collect().toSeq)
 
       // the maintenance pass ran: each nightly compacted what its own
       // folds fragmented, and no probe above changed under it
@@ -265,6 +273,13 @@ class IncrementalPipelineCompositeSpec extends SparkSpec {
         s"cc labels diverged: got $gotCc want $wantCc")
       assert(IncrementalClusters.auditRedirects(spark, s"$root/cc")
         .isEmpty)
+      // DSIR: the selection model converged to the admitted set
+      // (negative removal deltas + positive promotion folds)
+      assert(IncrementalDsir.modelProbe(spark, s"$root/dsir")
+        .orderBy("bucket").as[(Long, Long, Long)].collect().toSeq ==
+        Dsir.modelCounts(admitted, "text", "doc_id",
+            col("lang") === "en")
+          .orderBy("bucket").as[(Long, Long, Long)].collect().toSeq)
       // a post-retraction nightly fold continues above the watermark
       val b4 = Seq((12L, "the lazy owl reads " + mid +
         " under warm lamp light", "en", "web")).toDF(
