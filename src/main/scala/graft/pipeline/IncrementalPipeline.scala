@@ -90,10 +90,22 @@ object IncrementalPipeline {
       s"$root/dsir")
   }
 
-  private def compactSweep(spark: SparkSession, tables: Seq[String])
+  /** The in-nightly maintenance sweep — EAGER by design (`minFiles =
+    * 2`: any partition with a delta file rewrites). The x25
+    * steady-state A/B (TUNING.md) tested the amortization alternative
+    * (`minFiles = 4`, each partition carries up to 3 delta files
+    * before rewriting) and it LOST: 30-night total 3097 s vs 2830 s,
+    * last-third median 90.5 s vs 71.5 s — every fold and probe reads
+    * the state tables, so the read amplification of the extra delta
+    * files outweighs the saved rewrite volume. The knob stays for
+    * deployments whose read:write ratio differs; the measured default
+    * is eager.
+    */
+  private def compactSweep(spark: SparkSession, tables: Seq[String],
+                           minFiles: Int = 2)
   : Seq[ParquetMerge.CompactionReport] =
     tables.flatMap { t =>
-      ParquetMerge.compactPartitions(spark, t, "part")
+      ParquetMerge.compactPartitions(spark, t, "part", minFiles = minFiles)
         .filter(_.filesAfter > 0)
         .map(r => r.copy(partition = s"$t#${r.partition}"))
     }

@@ -194,9 +194,11 @@ object ParquetMerge {
     */
   def compactPartitions(spark: SparkSession, dir: String, partCol: String,
                         targetFileBytes: Long = 128L * 1024 * 1024,
-                        onlyPartitions: Option[Seq[String]] = None)
+                        onlyPartitions: Option[Seq[String]] = None,
+                        minFiles: Int = 2)
   : Seq[CompactionReport] = {
     require(targetFileBytes > 0, "targetFileBytes must be > 0")
+    require(minFiles >= 2, "minFiles must be >= 2")
     val hPath = new org.apache.hadoop.fs.Path(dir)
     val fs = hPath.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(hPath)) return Seq.empty
@@ -219,7 +221,15 @@ object ParquetMerge {
       val bytes = files.map(_.getLen).sum
       val want = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes)
         .toInt
-      if (files.size <= want)
+      // `minFiles` amortizes rewrite FREQUENCY: a rewrite costs the
+      // whole partition's bytes (which grow with accumulated state),
+      // so rewriting at every extra file makes a nightly sweep's cost
+      // creep linearly. Letting a partition carry up to minFiles-1
+      // extra delta files divides the rewrite rate — file count stays
+      // bounded at O(partitions·minFiles) while the per-night rewrite
+      // volume drops by the same factor (measured: TUNING.md x25
+      // steady state).
+      if (files.size <= want || files.size < minFiles)
         CompactionReport(value, files.size, bytes, 0)
       else {
         // read THIS partition only — a directory-scoped read below the

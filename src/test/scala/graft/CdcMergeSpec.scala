@@ -271,6 +271,37 @@ class CdcMergeSpec extends SparkSpec {
       .select("v").head().getLong(0) == 999L)
   }
 
+  test("compactPartitions: minFiles amortizes rewrite frequency — a " +
+    "partition below the threshold keeps its delta files untouched") {
+    val dir = java.nio.file.Files.createTempDirectory("compactmf")
+      .toString + "/t"
+    // simulate three nightly folds: baseline + 2 delta files
+    (1 to 3).foreach { i =>
+      Seq(("d1", i.toLong, i * 10L)).toDF("day", "k", "v")
+        .coalesce(1).write.mode("append").partitionBy("day").parquet(dir)
+    }
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    def nFiles = fs.listStatus(
+      new org.apache.hadoop.fs.Path(s"$dir/day=d1")).toSeq
+      .count(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+    assert(nFiles == 3)
+    // below the threshold: skipped (filesAfter = 0 marks no rewrite)
+    val r3 = ParquetMerge.compactPartitions(spark, dir, "day",
+      targetFileBytes = 1L << 30, minFiles = 4)
+    assert(r3.map(r => (r.filesBefore, r.filesAfter)) == Seq((3, 0)))
+    assert(nFiles == 3)
+    // the fourth fold crosses it: the sweep now rewrites to one file
+    Seq(("d1", 4L, 40L)).toDF("day", "k", "v")
+      .coalesce(1).write.mode("append").partitionBy("day").parquet(dir)
+    val r4 = ParquetMerge.compactPartitions(spark, dir, "day",
+      targetFileBytes = 1L << 30, minFiles = 4)
+    assert(r4.map(r => (r.filesBefore, r.filesAfter)) == Seq((4, 1)))
+    assert(nFiles == 1)
+    assert(spark.read.parquet(dir).orderBy("k")
+      .select("v").as[Long].collect().toSeq == Seq(10L, 20L, 30L, 40L))
+  }
+
   test("compactPartitions: Hive-escaped partition values round-trip (no double-escape, scoped match on the real value)") {
     // a partition value with a colon lives on disk as "day=a%3Ab";
     // compaction must write BACK to the same directory, not to a
