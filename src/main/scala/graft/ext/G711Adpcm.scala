@@ -167,12 +167,21 @@ object G711Adpcm {
 
   /** Decode WAV-layout mono IMA ADPCM blocks back to 16-bit samples.
     * `totalSamples` bounds the output (the declared `fact` count); the
-    * nibble stream beyond it is padding. None on a malformed layout.
+    * nibble stream beyond it is padding. `samplesPerBlock` (when > 0,
+    * the header's wSamplesPerBlock) stops EACH block at the declared
+    * count — a file legitimately declaring fewer samples than the
+    * block's nibble capacity pads the tail nibbles, and decoding them
+    * as audio would misplace every later block's samples in the
+    * output. 0 means full capacity (blockAlign-4)*2+1. None on a
+    * malformed layout.
     */
   def imaDecode(data: Array[Byte], off: Int, len: Int, blockAlign: Int,
-                totalSamples: Int): Option[Array[Short]] = {
+                totalSamples: Int,
+                samplesPerBlock: Int = 0): Option[Array[Short]] = {
     if (blockAlign < 8 || len < 4 || totalSamples < 0) return None
-    val spb = (blockAlign - 4) * 2 + 1
+    val cap = (blockAlign - 4) * 2 + 1
+    val spb =
+      if (samplesPerBlock > 0) math.min(samplesPerBlock, cap) else cap
     val out = new Array[Short](totalSamples)
     var produced = 0
     var base = off

@@ -123,11 +123,22 @@ object IncrementalDsir {
     * nightly routing/selection probe: λ derives from the stored
     * counts (≤ m rows) and broadcasts; only the probe batch is
     * scanned. Identical output to [[Dsir.logWeights]] when the frame
-    * equals the folded corpus.
+    * equals the folded corpus. NEW documents can carry grams the
+    * model never folded; those buckets score the smoothed
+    * zero-count log-ratio [[Dsir.unseenLambda]] (from the maintained
+    * model's own totals — one O(m) aggregate on the ≤ m-row model),
+    * not 0: a hardcoded 0 would bias every novel document toward the
+    * raw corpus.
     */
   def weightsProbe(spark: SparkSession, dir: String, docs: DataFrame,
                    text: String, id: String,
-                   m: Int = Dsir.DefaultBuckets): DataFrame =
-    Dsir.scoreAgainst(Dsir.lambdaFromCounts(modelProbe(spark, dir), m),
-      docs, text, id, m)
+                   m: Int = Dsir.DefaultBuckets): DataFrame = {
+    val model = modelProbe(spark, dir)
+    val t = model
+      .agg(coalesce(sum("n_raw"), lit(0L)),
+        coalesce(sum("n_target"), lit(0L))).head()
+    val unseen = Dsir.unseenLambda(t.getLong(0), t.getLong(1), m)
+    Dsir.scoreAgainst(Dsir.lambdaFromCounts(model, m),
+      docs, text, id, m, unseenLam = lit(unseen))
+  }
 }

@@ -466,7 +466,7 @@ object Multimodal {
           children(s, e).foreach {
             case (0x4282L, ds, de) => // DocType
               docType = new String(bytes, ds, de - ds, "US-ASCII")
-                .takeWhile(_ != ' ')
+                .takeWhile(_ != '\u0000')
             case _ => ()
           }
         case (0x18538067L, s, e) => // Segment
@@ -767,7 +767,7 @@ object Multimodal {
             else declared, Int.MaxValue.toLong).toInt
           if (total < 2) None
           else G711Adpcm.imaDecode(bytes, h.dataOff, avail, h.blockAlign,
-            total).map { s =>
+            total, samplesPerBlock = spb).map { s =>
             val x = new Array[Double](s.length)
             var i = 0
             while (i < s.length) { x(i) = s(i) / 32768.0; i += 1 }
@@ -910,9 +910,16 @@ object Multimodal {
       // stream header ("fLaC" + STREAMINFO) verbatim
       if (first.length < 13) return None
       val nHeaders = ((first(7) & 0xff) << 8) | (first(8) & 0xff)
+      if (nHeaders > packets.length - 1) return None // sanity bound only
       val out = new java.io.ByteArrayOutputStream()
       out.write(first, 9, first.length - 9)
-      packets.drop(1 + nHeaders).foreach(pk => out.write(pk, 0, pk.length))
+      // The nHeaders "header packets" after the BOS are native FLAC
+      // metadata blocks (VorbisComment etc.) that the STREAMINFO's
+      // last-metadata-block flag still points at — dropping them
+      // would leave a metadata walk that misparses audio-frame bytes.
+      // They are valid native stream content, so emit EVERY non-BOS
+      // packet verbatim; nHeaders stays a sanity bound above.
+      packets.drop(1).foreach(pk => out.write(pk, 0, pk.length))
       Some(out.toByteArray)
     } catch { case scala.util.control.NonFatal(_) => None }
   }
@@ -936,18 +943,40 @@ object Multimodal {
 
   /** Ogg FLAC sine fixture — REAL Ogg pages whose packets carry the
     * [[sineFlacFixture]] stream per the Ogg FLAC mapping (BOS packet
-    * = 0x7F "FLAC" 1 0 u16be(0) + native header; one audio-frame
-    * packet per following page, long packets laced across 255-byte
-    * segments). The EOS page carries the final granule = total
-    * samples.
+    * = 0x7F "FLAC" 1 0 u16be(nHeaders) + native header; one
+    * audio-frame packet per following page, long packets laced across
+    * 255-byte segments). The EOS page carries the final granule =
+    * total samples. `vorbisComment = true` reproduces the REAL-file
+    * shape: nHeaders = 1, the STREAMINFO block header's
+    * last-metadata-block flag CLEARED, and a second header packet
+    * carrying a native VorbisComment metadata block (flag set) — the
+    * mapping every encoder in the wild emits, which the pre-r14
+    * packet-dropping reassembly misparsed.
     */
   def oggFlacFixture(freqHz: Double, nSamples: Int,
                      sampleRate: Int = 8000,
-                     mode: FlacCodec.Mode = FlacCodec.Fixed2): Array[Byte] = {
+                     mode: FlacCodec.Mode = FlacCodec.Fixed2,
+                     vorbisComment: Boolean = false): Array[Byte] = {
     val native = sineFlacFixture(freqHz, nSamples, sampleRate, mode)
     val headerLen = 42 // "fLaC" + block header + 34-byte STREAMINFO
+    val header = native.take(headerLen)
+    if (vorbisComment) // more metadata follows: clear STREAMINFO last flag
+      header(4) = (header(4) & 0x7f).toByte
+    val nHeaders = if (vorbisComment) 1 else 0
     val bosPacket = Array[Byte](0x7f.toByte, 'F', 'L', 'A', 'C',
-      1, 0, 0, 0) ++ native.take(headerLen)
+      1, 0, (nHeaders >> 8).toByte, (nHeaders & 0xff).toByte) ++ header
+    // native VorbisComment block: vendor "graft" + zero user comments,
+    // last-metadata-block flag SET (it terminates the metadata walk)
+    val vcBody = {
+      val vendor = "graft".getBytes("UTF-8")
+      java.nio.ByteBuffer.allocate(8 + vendor.length)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        .putInt(vendor.length).put(vendor).putInt(0).array()
+    }
+    val vcPacket = Array[Byte]((0x80 | 4).toByte,
+      ((vcBody.length >> 16) & 0xff).toByte,
+      ((vcBody.length >> 8) & 0xff).toByte,
+      (vcBody.length & 0xff).toByte) ++ vcBody
     val frames = native.drop(headerLen)
     def page(headerType: Int, granule: Long, seq: Long,
              packet: Array[Byte]): Array[Byte] = {
@@ -963,8 +992,12 @@ object Multimodal {
         .put(lace.length.toByte).put(lace).put(packet)
       bb.array()
     }
-    page(0x02, 0L, 0L, bosPacket) ++
-      page(0x04, nSamples.toLong, 1L, frames)
+    if (vorbisComment)
+      page(0x02, 0L, 0L, bosPacket) ++ page(0x00, 0L, 1L, vcPacket) ++
+        page(0x04, nSamples.toLong, 2L, frames)
+    else
+      page(0x02, 0L, 0L, bosPacket) ++
+        page(0x04, nSamples.toLong, 1L, frames)
   }
 
   /** FLAC sine fixture with REAL encoded frames — the
@@ -1037,12 +1070,23 @@ object Multimodal {
     */
   def sineWavAdpcmFixture(freqHz: Double, nSamples: Int,
                           sampleRate: Int = 8000,
-                          blockAlign: Int = 256): Array[Byte] = {
+                          blockAlign: Int = 256,
+                          samplesPerBlock: Int = 0): Array[Byte] = {
     require(nSamples >= 0 && sampleRate >= 1)
     val samples = Array.tabulate(nSamples)(i =>
       (math.sin(2 * math.Pi * freqHz * i / sampleRate) * 12000).toShort)
-    val data = G711Adpcm.imaEncode(samples, blockAlign)
-    val spb = (blockAlign - 4) * 2 + 1
+    val cap = (blockAlign - 4) * 2 + 1
+    // wSamplesPerBlock may legitimately declare FEWER samples than the
+    // nibble capacity (the tail nibbles are padding); pack each
+    // declared-size chunk as its own block in that case
+    val spb =
+      if (samplesPerBlock > 0) { require(samplesPerBlock <= cap); samplesPerBlock }
+      else cap
+    val data =
+      if (spb == cap) G711Adpcm.imaEncode(samples, blockAlign)
+      else if (samples.isEmpty) G711Adpcm.imaEncode(samples, blockAlign)
+      else samples.grouped(spb)
+        .map(G711Adpcm.imaEncode(_, blockAlign)).reduce(_ ++ _)
     val byteRate = (sampleRate.toLong * blockAlign / spb).toInt max 1
     // 12 RIFF/WAVE + 28 fmt + 12 fact + 8 data-header = 60 byte prefix
     val bb = java.nio.ByteBuffer.allocate(60 + data.length)

@@ -61,6 +61,35 @@ class G711AdpcmSpec extends SparkSpec {
     assert(G711Adpcm.imaDecode(enc, 0, 256, 256, x.length).isEmpty)
   }
 
+  test("IMA ADPCM honors a declared wSamplesPerBlock smaller than the " +
+    "block's nibble capacity — padding nibbles are not audio") {
+    val x = sine(1000.0, 1000)
+    val spb = 250 // capacity at blockAlign=256 is 505
+    val enc = x.grouped(spb)
+      .map(G711Adpcm.imaEncode(_, blockAlign = 256)).reduce(_ ++ _)
+    assert(enc.length == 4 * 256)
+    val dec = G711Adpcm.imaDecode(enc, 0, enc.length, 256, x.length,
+      samplesPerBlock = spb).getOrElse(fail("decode failed"))
+    assert(dec.length == x.length)
+    // slightly below the full-capacity 12 dB: the per-chunk encode
+    // restarts step-index adaptation at every 250-sample block
+    assert(snrDb(x, dec) > 10.0, s"ADPCM SNR ${snrDb(x, dec)}")
+    // sample 250 is the second block's verbatim header — alignment proof
+    assert(dec(250) == x(250))
+    // ignoring the declared count decodes padding as audio and
+    // misplaces every later block's samples (this was the pre-r14 bug)
+    val wrong = G711Adpcm.imaDecode(enc, 0, enc.length, 256, x.length).get
+    assert(snrDb(x, wrong) < 6.0,
+      s"capacity-decode should misalign, got SNR ${snrDb(x, wrong)}")
+    // end-to-end: a real WAV declaring the small wSamplesPerBlock still
+    // carries the planted sine to the right Goertzel bin
+    val wav = Multimodal.sineWavAdpcmFixture(1000.0, 1000,
+      samplesPerBlock = spb)
+    val v = Multimodal.embedWavSpectral(wav)
+      .getOrElse(fail("small-spb ADPCM WAV fell to None"))
+    assert(v.indexOf(v.max) == 3) // 1000 Hz → bin 3 of 16 @ 8 kHz
+  }
+
   test("parseWav reads the compressed fmt layouts: tags 6/7/0x11, " +
     "blockAlign, wSamplesPerBlock, and the fact frame count") {
     val g = Multimodal.parseWav(
@@ -155,6 +184,28 @@ class G711AdpcmSpec extends SparkSpec {
         Multimodal.sineFlacFixture(941.0, 1200, mode = mode)).get
       assert(v.sameElements(bare), s"ogg vs bare embedding under $mode")
     }
+    // REAL-file shape: nHeaders=1 VorbisComment header packet, with
+    // the STREAMINFO last-metadata-block flag cleared — the header
+    // packet must land in the native stream verbatim (it is the
+    // metadata block the walk expects next), not be dropped
+    val oggVc = Multimodal.oggFlacFixture(941.0, 1200, vorbisComment = true)
+    val vVc = Multimodal.embedOggFlacSpectral(oggVc)
+      .getOrElse(fail("VorbisComment-bearing Ogg FLAC fell to None"))
+    assert(vVc.indexOf(vVc.max) == 3, "argmax with VorbisComment header")
+    val nativeVc = Multimodal.decodeOggFlac(oggVc).get
+    // the reassembled stream still decodes the SAME pcm as the bare one
+    val pcmVc = FlacCodec.decodePcm(nativeVc).get
+    val pcmBare = FlacCodec.decodePcm(
+      Multimodal.sineFlacFixture(941.0, 1200)).get
+    assert(pcmVc.samples.head.sameElements(pcmBare.samples.head),
+      "pcm mismatch once a VorbisComment block rides the stream")
+    // a BOS claiming more header packets than the stream carries is
+    // rejected (nHeaders as sanity bound): BOS page = 27-byte header +
+    // 1 lace byte, so the packet's u16be nHeaders sits at bytes 35-36
+    val oggBadN = Multimodal.oggFlacFixture(941.0, 1200)
+    oggBadN(35) = 0; oggBadN(36) = 9
+    assert(Multimodal.decodeOggFlac(oggBadN).isEmpty,
+      "overstated nHeaders must fail the sanity bound")
     // non-FLAC Ogg (Vorbis id header) does not decode as FLAC
     assert(Multimodal.decodeOggFlac(
       Multimodal.oggFixture(1000L, channels = 2)).isEmpty)

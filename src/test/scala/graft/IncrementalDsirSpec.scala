@@ -130,14 +130,19 @@ class IncrementalDsirSpec extends SparkSpec {
           )
         .select("gram_n", "score_mn").as[(Long, Long)].head()
       assert(gn == 5L)
-      // inner-model grams score 0 here only if absent; these are all
-      // absent, so the default-λ path is fully exercised
+      // every gram of the novel doc is absent from the model, so the
+      // probe's built-in default-λ path is fully exercised: the score
+      // must be the smoothed zero-count log-ratio per gram, NOT 0 (a
+      // hardcoded 0 biased novel docs toward the raw corpus — r13
+      // advisory)
+      assert(sc == 5L * lam0,
+        s"weightsProbe must smooth unseen grams: got $sc, want ${5L * lam0}")
+      // and the explicit-λ seam agrees with what the probe now does
       val scored = Dsir.scoreAgainst(
         Dsir.lambdaFromCounts(IncrementalDsir.modelProbe(spark, dir)),
         novel, "text", "doc_id", unseenLam = lit(lam0))
         .select("score_mn").as[Long].head()
-      assert(scored == 5L * lam0)
-      assert(sc == 0L, "default unseenLam is 0 when not passed")
+      assert(scored == sc)
     } finally rm(root)
   }
 
