@@ -1,4 +1,5 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
 import java.nio.file.{Files, Paths}
 
@@ -20,6 +21,21 @@ import java.nio.file.{Files, Paths}
   *    inflated the recorded round-2 numbers 3-7x; the medians expose
   *    a loaded machine (median >> min).
   *  - Timings assume an otherwise-idle machine ("note" in artifact).
+  *
+  * Wall-clock contract (round-13 verdict #1 — BENCH_r13 was rc 124,
+  * parsed null: the harness produced honest numbers the driver never
+  * received):
+  *  - `SPARK_GRAFT_BENCH_BUDGET_S` (default 900) bounds the whole run.
+  *    Pass 1 always runs; each later pass (and each load-retry, which
+  *    costs a sleep + a full pass) starts only if the pass-1 estimate
+  *    projects it to FINISH inside the budget.
+  *  - The detail + primary lines are printed and the OUT file written
+  *    after EVERY completed pass — a SIGKILL mid-pass still leaves the
+  *    last complete pass parseable, and the driver's stdout tail
+  *    always ends with a valid primary line.
+  *  - A budget-truncated run is flagged (`"budget_hit": true`,
+  *    `"passes_done"`): fewer passes means min-filtering is weaker,
+  *    never that numbers are fabricated.
   */
 object Bench {
   private def jnum(v: Double): String = {
@@ -43,6 +59,16 @@ object Bench {
   def loadSuspect(minT1: Option[Double], floor: Double): Boolean =
     minT1.exists(_ > floor)
 
+  /** Pure scheduling gate: start more work (one pass, estimated
+    * `passEstS`, plus `extraS` of fixed cost such as a retry sleep)
+    * only when it projects to FINISH inside the wall-clock budget.
+    * Conservative by construction — a pass that would straddle the
+    * budget is skipped, because a killed pass contributes nothing.
+    */
+  def fitsBudget(elapsedS: Double, passEstS: Double, budgetS: Double,
+                 extraS: Double = 0.0): Boolean =
+    elapsedS + extraS + passEstS <= budgetS
+
   /** Millisecond precision for the PRIMARY line's per-query map: the
     * upstream driver stores only the TAIL of stdout (~3 kB), and round-4
     * proved that full-precision doubles × 64 queries push the primary
@@ -53,11 +79,26 @@ object Bench {
   private def jnum3(v: Double): String = f"$v%.3f"
 
   def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench.json")
-    val nPasses = sys.env.get("SPARK_GRAFT_BENCH_N")
+    val rc = run(k => sys.env.get(k))
+    if (rc != 0) sys.exit(rc)
+  }
+
+  /** The whole bench, parameterized on the env lookup so the budget
+    * contract is unit-testable in-process (BenchSpec drives a
+    * one-query, zero-budget run against the shared test session).
+    * `stopSession = false` leaves the (shared) session running.
+    */
+  def run(env: String => Option[String],
+          stopSession: Boolean = true): Int = {
+    val t0All = System.nanoTime()
+    def elapsedS: Double = (System.nanoTime() - t0All) / 1e9
+    val sfDir = env("SPARK_GRAFT_SF_DIR").getOrElse("/root/testdata/sf0.1")
+    val cpus = env("SPARK_GRAFT_CPUS").getOrElse("4")
+    val outFile = env("SPARK_GRAFT_BENCH_OUT").getOrElse("bench.json")
+    val nPasses = env("SPARK_GRAFT_BENCH_N")
       .flatMap(_.toIntOption).getOrElse(3).max(1)
+    val budgetS = env("SPARK_GRAFT_BENCH_BUDGET_S")
+      .flatMap(_.toDoubleOption).getOrElse(900.0)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -83,43 +124,45 @@ object Bench {
     // exactly what a cluster probing a written index pays.
     SparkEntry.warmupIndexes(spark, sfDir)
 
-    // Default-set accounting (round-11 verdict #4): the incremental
-    // fold family had THREE bench lines re-pricing the same kernel
-    // (~15% of total). The end-to-end `ns_incremental_curation` and
-    // the indexed probe (the line under active measurement) stay in
-    // the default set; the plain probe is opt-in via
-    // SPARK_GRAFT_BENCH_EXTRA ("all" or a comma list) so per-round
-    // totals track new capability, not re-priced kernels. Correctness
-    // registration is untouched — all three remain in
+    // Default-set accounting (round-11 verdict #4, tightened by the
+    // round-13 verdict #2): the incremental fold family re-prices the
+    // SAME fold-from-empty kernels every round — at 16 lines it was
+    // ~90 s/pass, the single biggest reason BENCH_r13 blew the
+    // driver's wall clock. The default set keeps SENTINELS only:
+    //  - ns_incremental_curation (the end-to-end composite fold),
+    //  - ns_winnow_incremental + ns_ann_lsh_incremental (one text-side
+    //    and one embedding-side maintained index),
+    //  - ns_retract_curation (the retraction kernel, priced once).
+    // Every other fold-from-empty / re-priced-retract line is opt-in
+    // via SPARK_GRAFT_BENCH_EXTRA ("all" or a comma list); their
+    // amortized PROBE siblings (0.3–0.5 s each) stay default — probes
+    // are what a production cluster pays nightly. Correctness
+    // registration is untouched: every line remains in
     // SparkEntry.queries and the Verify gate.
-    // ns_nightly_pipeline re-prices five already-benched fold kernels
-    // through the composite — correctness-only by default, same rule.
-    // ns_tfidf_incremental's cost is ~all a re-priced BM25 fold
-    // (ns_bm25_incremental's kernel); its new work — the matrix probe
-    // — rides the stress set. Same rule. (ns_vocab_incremental and
-    // ns_stats_asof stay default: their folds are cheap and the
-    // probes ARE the new work; ns_retract_curation stays default:
-    // retraction is a genuinely new kernel.)
-    // ns_retract_indexed re-prices the indexed fold kernel + the same
-    // retract set as the default ns_retract_curation line — opt-in
-    // ns_nightly_retract re-prices the whole composite build before
-    // its retraction — same correctness-only rule as the composite.
-    // Round 13: the retraction lines now retract against a PREBUILT
-    // state snapshot (SparkEntry retract*StateCache — they price the
-    // delete, not 2–3 re-folds), and the embedding-side composites
-    // join the text composite behind the opt-in gate (they re-price
-    // the semdedup/IVF/PQ fold kernels ns_semdedup_incremental and
-    // ns_ivf_incremental already bench).
-    val optIn = Set("ns_incremental_probe", "ns_nightly_pipeline",
+    val optIn = Set(
+      // pre-r13 opt-ins (re-priced kernels / composites)
+      "ns_incremental_probe", "ns_nightly_pipeline",
       "ns_tfidf_incremental", "ns_retract_indexed", "ns_nightly_retract",
-      "ns_nightly_embed", "ns_nightly_embed_retract")
-    val extra = sys.env.get("SPARK_GRAFT_BENCH_EXTRA")
+      "ns_nightly_embed", "ns_nightly_embed_retract",
+      // r14: fold-from-empty builds whose kernels the sentinels price
+      "ns_incremental_probe_indexed", "ns_cc_incremental",
+      "ns_semdedup_incremental", "ns_vocab_incremental",
+      "ns_dsir_inc_weights", "ns_cms_incremental",
+      "ns_minhash_incremental", "ns_minhash_inc_probe",
+      "ns_bm25_incremental", "ns_dsir_incremental",
+      "ns_ivf_incremental", "ns_quantile_incremental",
+      "ns_stats_incremental", "ns_simhash_incremental",
+      "ns_simhash_inc_probe",
+      // r14: per-index retract re-pricers (ns_retract_curation is the
+      // priced sentinel for the delete kernel)
+      "ns_semdedup_retract", "ns_cc_retract", "ns_dsir_retract")
+    val extra = env("SPARK_GRAFT_BENCH_EXTRA")
       .map(v => if (v.trim == "all") optIn
                 else v.split(",").map(_.trim).filter(_.nonEmpty).toSet)
       .getOrElse(Set.empty[String])
     // dev iteration: SPARK_GRAFT_BENCH_ONLY=name1,name2 times just
     // those queries (overrides the opt-in gating entirely)
-    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+    val only = env("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val names = only match {
       case Some(f) => SparkEntry.queries.keys.toSeq.filter(f.contains)
@@ -130,134 +173,222 @@ object Bench {
     val times = scala.collection.mutable.Map[String, Vector[Double]]()
       .withDefaultValue(Vector.empty)
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
-    def runPass(): Unit = for (name <- names) {
-      val fn = SparkEntry.queries(name)
-      val t0 = System.nanoTime()
-      // noop write materializes EVERY output column (unlike count(),
-      // which lets Catalyst prune final projections) — honest timings
-      // for projection-heavy queries
-      try {
-        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        times(name) = times(name) :+ (System.nanoTime() - t0) / 1e9
-      } catch {
-        case e: Throwable =>
-          val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
-          // truncate raw, then escape — a quote/tab near the cut must
-          // still emit valid JSON (Json.escape covers ALL control chars,
-          // which the old replaceAll missed for \t etc.)
-          errors.getOrElseUpdate(name, graft.util.Json.escape(msg.take(160)))
-      } finally spark.catalog.clearCache() // release per-query persists
+    def runPass(): Double = {
+      val p0 = System.nanoTime()
+      for (name <- names) {
+        val fn = SparkEntry.queries(name)
+        val t0 = System.nanoTime()
+        // noop write materializes EVERY output column (unlike count(),
+        // which lets Catalyst prune final projections) — honest timings
+        // for projection-heavy queries
+        try {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          times(name) = times(name) :+ (System.nanoTime() - t0) / 1e9
+        } catch {
+          case e: Throwable =>
+            val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
+            // truncate raw, then escape — a quote/tab near the cut must
+            // still emit valid JSON (Json.escape covers ALL control
+            // chars, which the old replaceAll missed for \t etc.)
+            errors.getOrElseUpdate(name,
+              graft.util.Json.escape(msg.take(160)))
+        } finally spark.catalog.clearCache() // release per-query persists
+      }
+      (System.nanoTime() - p0) / 1e9
     }
-    for (_ <- 1 to nPasses) runPass()
 
     def minOf(n: String): Option[Double] = times(n).minOption
     def medOf(n: String): Option[Double] = {
       val s = times(n).sorted
       if (s.isEmpty) None else Some(s(s.size / 2))
     }
+    // parsed defensively: a malformed env var here would throw AFTER
+    // passes ran and discard the run's output lines
+    val loadFloor = env("SPARK_GRAFT_LOAD_FLOOR")
+      .flatMap(_.toDoubleOption).getOrElse(1.4)
+    val maxLoadRetries = env("SPARK_GRAFT_LOAD_RETRIES")
+      .flatMap(_.toIntOption).getOrElse(2)
+
+    def jmap(m: Seq[(String, Double)]): String =
+      m.map { case (k, v) => "\"" + k + "\":" + jnum(v) }
+        .mkString("{", ",", "}")
+    def jmap3(m: Seq[(String, Double)]): String =
+      m.map { case (k, v) => "\"" + k + "\":" + jnum3(v) }
+        .mkString("{", ",", "}")
+
+    var passesDone = 0
+    var loadRetries = 0
+    var budgetHit = false
+    // Emit the full artifact NOW — stdout lines (primary LAST: the
+    // upstream driver keeps only the tail of stdout) + the OUT file as
+    // ONE json.load-able object. Called after every completed pass and
+    // again after the sidecar, so the newest complete state is always
+    // on disk and at the stdout tail, whatever kills the process next.
+    def emit(recall: Seq[(String, Double)]): Unit = {
+      val deadQueries = names.filter(times(_).isEmpty) // failed all passes
+      val qMin = names.flatMap(n => minOf(n).map(n -> _))
+      val qMed = names.flatMap(n => medOf(n).map(n -> _))
+      val errJson = errors
+        .map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
+        .mkString("{", ",", "}")
+      val total = if (deadQueries.nonEmpty) -1.0 else qMin.map(_._2).sum
+      val suspect = loadSuspect(minOf(LoadGuardQuery), loadFloor)
+      val runMeta = s""""n_passes":$passesDone,"budget_s":${jnum(budgetS)},"budget_hit":$budgetHit,"load_retries":$loadRetries"""
+      val detail =
+        s"""{"metric":"bench_detail",$runMeta,"queries_min_full":${jmap(qMin)},"queries_median":${jmap(qMed)},"errors":$errJson,"recall":${jmap(recall)},"load_suspect":$suspect,"failed_all_passes":${deadQueries.map("\"" + _ + "\"").mkString("[", ",", "]")}}"""
+      // keep this line SHORT (well under the driver's ~3 kB stdout tail
+      // buffer; see jnum3): the full per-query map crossed 2.8 kB at 117
+      // queries, so when it outgrows the budget the primary carries only
+      // the slowest queries (the ones perf grading looks at) plus an
+      // explicit omitted count — never a silent cut. Full per-query data
+      // is ALWAYS in the detail line and the bench.json file.
+      val fullMap = jmap3(qMin)
+      val (qJson, omitted) =
+        if (fullMap.length <= 2400) (fullMap, 0)
+        else {
+          // failures (value < 0) survive truncation unconditionally;
+          // remaining slots go to the slowest passing queries
+          val (failed, passing) = qMin.partition(_._2 < 0)
+          val kept = failed ++
+            passing.sortBy(-_._2).take((40 - failed.size) max 0)
+          (jmap3(kept), qMin.size - kept.size)
+        }
+      val omittedJson =
+        if (omitted > 0) s""","queries_omitted":$omitted""" else ""
+      // `load_retries` in the primary: a suspect=false artifact that
+      // needed retries is honest about having waited out load; a
+      // suspect=true one with retries>0 means retry-exhausted — load
+      // persisted through every extra pass
+      val primary =
+        s"""{"metric":"total","value":${jnum3(total)},"unit":"sec","queries":$qJson$omittedJson,"sf":"$sfDir",$runMeta,"err_count":${errors.size},"recall":${jmap(recall)},"load_suspect":$suspect,"note":"min/q, idle; -1=fail"}"""
+      println(detail)
+      println(primary)
+      // The FILE artifact is ONE json.load-able object (round-11
+      // verdict #7). Everything from both stdout lines, full precision,
+      // no truncation. stdout stays two-line because the driver keeps
+      // only a ~3 kB tail — a single full-precision object would be
+      // truncated at its START and parse as null (the round-4 failure
+      // mode).
+      val merged =
+        s"""{"metric":"total","value":${jnum3(total)},"unit":"sec","queries":${jmap(qMin)},"queries_median":${jmap(qMed)},"errors":$errJson,"failed_all_passes":${deadQueries.map("\"" + _ + "\"").mkString("[", ",", "]")},"sf":"$sfDir",$runMeta,"err_count":${errors.size},"recall":${jmap(recall)},"load_suspect":$suspect,"note":"min/q, idle; -1=fail"}"""
+      try Files.writeString(Paths.get(outFile), merged + "\n")
+      catch { case _: Throwable => () }
+    }
+
+    // Timed passes under the budget: pass 1 always runs (an artifact
+    // with one honest pass beats none); each later pass starts only if
+    // the pass-1 estimate says it can finish. The estimate uses the
+    // MAX observed pass time — conservative when the machine slows
+    // mid-run.
+    var passEst = 0.0
+    var i = 0
+    var stop = false
+    while (i < nPasses && !stop) {
+      if (i == 0 || fitsBudget(elapsedS, passEst, budgetS)) {
+        val t = runPass()
+        passesDone += 1
+        passEst = math.max(passEst, t)
+        emit(Seq.empty)
+      } else { budgetHit = true; stop = true }
+      i += 1
+    }
     // Load-guard auto-retry (round-11 verdict #5): if the trivial-query
     // floor is still exceeded after all passes, external machine load
     // inflated this run — sleep and run bounded extra full passes
     // (min-per-query absorbs them) instead of emitting a suspect
-    // artifact the idle re-runs will contradict. If load persists the
-    // run is still emitted, flagged suspect with retries recorded.
-    // parsed defensively: a malformed env var here would throw AFTER
-    // all passes ran and discard the whole run's output lines
-    val loadFloor = sys.env.get("SPARK_GRAFT_LOAD_FLOOR")
-      .flatMap(_.toDoubleOption).getOrElse(1.4)
-    val maxLoadRetries = sys.env.get("SPARK_GRAFT_LOAD_RETRIES")
-      .flatMap(_.toIntOption).getOrElse(2)
-    var loadRetries = 0
+    // artifact the idle re-runs will contradict. Each retry costs a
+    // 30 s sleep + a full pass, so it must ALSO fit the budget — this
+    // retry loop is what pushed r13 past the driver's wall clock. If
+    // load (or the budget) persists, the run is still emitted, flagged
+    // suspect with retries recorded.
     while (loadSuspect(minOf(LoadGuardQuery), loadFloor) &&
         loadRetries < maxLoadRetries) {
-      Thread.sleep(30000)
-      runPass()
-      loadRetries += 1
+      if (fitsBudget(elapsedS, passEst, budgetS, extraS = 30.0)) {
+        Thread.sleep(30000)
+        runPass()
+        passesDone += 1
+        loadRetries += 1
+        emit(Seq.empty)
+      } else {
+        budgetHit = true
+        loadRetries = maxLoadRetries // budget-exhausted, stop retrying
+      }
     }
-    val deadQueries = names.filter(times(_).isEmpty) // failed EVERY pass
-    // recall sidecar: the approximate ANN queries scored against the
-    // exact brute-force top-k on THIS corpus (not the unit-scale toy) —
-    // the per-run evidence behind the probe-depth defaults (TUNING.md
+    // recall sidecar: the approximate ANN / near-dup queries scored
+    // against the EXACT answer on THIS corpus (not the unit-scale toy)
+    // — the per-run evidence behind the probe-depth defaults (TUNING.md
     // sweeps). Untimed; failures degrade to an absent entry, never a
-    // broken bench.
+    // broken bench (the per-pass emits above already wrote a complete
+    // artifact without it).
     // NonFatal only (a fatal JVM error must crash loudly, not surface
     // as a silently-absent sidecar), and NO clearCache between sidecar
     // queries — the warmed IVF/PQ index frames stay persisted, so the
-    // three sidecar probes don't each re-pay the assignment scan the
-    // timed loop already priced honestly.
+    // sidecar probes don't each re-pay the assignment scan the timed
+    // loop already priced honestly.
     val recall: Seq[(String, Double)] =
       if (only.isDefined) Seq.empty // dev-filtered run: skip the sidecar
-      else try {
-        val exact = SparkEntry.queries("ns_topk_similarity")(spark, sfDir)
-          .select("query_id", "vec_id").collect()
-          .map(r => (r.getLong(0), r.getLong(1))).toSet
-        Seq("ns_ann_lsh", "ns_ann_multitable", "ns_ivf_topk", "ns_pq_topk",
-          "ns_ivfpq_topk").flatMap { n =>
-          try {
-            if (exact.isEmpty) None
-            else {
-              val approx = SparkEntry.queries(n)(spark, sfDir)
-                .select("query_id", "vec_id").collect()
-                .map(r => (r.getLong(0), r.getLong(1))).toSet
-              Some(n -> math.round(approx.intersect(exact).size.toDouble
-                / exact.size * 10000) / 10000.0)
-            }
-          } catch { case scala.util.control.NonFatal(_) => None }
-        }
-      } catch { case scala.util.control.NonFatal(_) => Seq.empty }
-    val qMin = names.flatMap(n => minOf(n).map(n -> _))
-    val qMed = names.flatMap(n => medOf(n).map(n -> _))
-    def jmap(m: Seq[(String, Double)]): String =
-      m.map { case (k, v) => "\"" + k + "\":" + jnum(v) }.mkString("{", ",", "}")
-    def jmap3(m: Seq[(String, Double)]): String =
-      m.map { case (k, v) => "\"" + k + "\":" + jnum3(v) }.mkString("{", ",", "}")
-    val errJson = errors
-      .map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }.mkString("{", ",", "}")
-    val total = if (deadQueries.nonEmpty) -1.0 else qMin.map(_._2).sum
-    val suspect = loadSuspect(minOf(LoadGuardQuery), loadFloor)
-    val detail =
-      s"""{"metric":"bench_detail","n_passes":$nPasses,"load_retries":$loadRetries,"queries_min_full":${jmap(qMin)},"queries_median":${jmap(qMed)},"errors":$errJson,"recall":${jmap(recall)},"load_suspect":$suspect,"failed_all_passes":${deadQueries.map("\"" + _ + "\"").mkString("[", ",", "]")}}"""
-    // keep this line SHORT (well under the driver's ~3 kB stdout tail
-    // buffer; see jnum3): the full per-query map crossed 2.8 kB at 117
-    // queries, so when it outgrows the budget the primary carries only
-    // the slowest queries (the ones perf grading looks at) plus an
-    // explicit omitted count — never a silent cut. Full per-query data
-    // is ALWAYS in the detail line and the bench.json file.
-    val fullMap = jmap3(qMin)
-    val (qJson, omitted) =
-      if (fullMap.length <= 2400) (fullMap, 0)
-      else {
-        // failures (value < 0) survive truncation unconditionally;
-        // remaining slots go to the slowest passing queries
-        val (failed, passing) = qMin.partition(_._2 < 0)
-        val kept = failed ++ passing.sortBy(-_._2).take((40 - failed.size) max 0)
-        (jmap3(kept), qMin.size - kept.size)
-      }
-    val omittedJson =
-      if (omitted > 0) s""","queries_omitted":$omitted""" else ""
-    // `load_retries` in the primary: a suspect=false artifact that
-    // needed retries is honest about having waited out load; a
-    // suspect=true one with retries>0 means retry-exhausted — load
-    // persisted through every extra pass
-    val primary =
-      s"""{"metric":"total","value":${jnum3(total)},"unit":"sec","queries":$qJson$omittedJson,"sf":"$sfDir","n_passes":$nPasses,"err_count":${errors.size},"recall":${jmap(recall)},"load_suspect":$suspect,"load_retries":$loadRetries,"note":"min/q, idle; -1=fail"}"""
-    // stdout for the driver AND a file, so a log-prefix-polluted stdout
-    // can never lose the round's numbers; primary line LAST (upstream
-    // keeps only the tail of stdout)
-    println(detail)
-    println(primary)
-    // The FILE artifact is ONE json.load-able object (round-11 verdict
-    // #7: the idle bench_idle_r*.json artifacts were two concatenated
-    // objects, forcing raw_decode gymnastics downstream). Everything
-    // from both stdout lines, full precision, no truncation. stdout
-    // stays two-line because the driver keeps only a ~3 kB tail — a
-    // single full-precision object would be truncated at its START and
-    // parse as null (the round-4 failure mode).
-    val merged =
-      s"""{"metric":"total","value":${jnum3(total)},"unit":"sec","queries":${jmap(qMin)},"queries_median":${jmap(qMed)},"errors":$errJson,"failed_all_passes":${deadQueries.map("\"" + _ + "\"").mkString("[", ",", "]")},"sf":"$sfDir","n_passes":$nPasses,"err_count":${errors.size},"recall":${jmap(recall)},"load_suspect":$suspect,"load_retries":$loadRetries,"note":"min/q, idle; -1=fail"}"""
-    try Files.writeString(Paths.get(outFile), merged + "\n")
-    catch { case _: Throwable => () }
-    spark.stop()
-    if (deadQueries.nonEmpty) sys.exit(1)
+      else try recallSidecar(spark, sfDir)
+      catch { case scala.util.control.NonFatal(_) => Seq.empty }
+    emit(recall)
+    val rc = if (names.exists(times(_).isEmpty)) 1 else 0
+    if (stopSession) spark.stop()
+    rc
+  }
+
+  /** Recall of every approximate ANN / near-dup line against the exact
+    * answer over the same corpus (round-13 verdict #7: all seven
+    * approximate lines measured, not five).
+    *  - top-k probes score against ns_topk_similarity's brute force;
+    *  - ns_ann_lsh_incremental retracts vec_id % 9 == 0 before probing,
+    *    so its exact set is brute force over the RETRACTED corpus;
+    *  - ns_embed_neardup_lsh is a PAIR set (threshold 0.35 over all
+    *    pairs) — recall = |approx pairs ∩ exact pairs| / |exact pairs|,
+    *    with the exact side one bounded all-pairs probe (corpus is
+    *    dimension-scale: 2k rows at sf0.1).
+    */
+  private def recallSidecar(spark: SparkSession,
+                            sfDir: String): Seq[(String, Double)] = {
+    import org.apache.spark.sql.functions._
+    def pairSet(df: org.apache.spark.sql.DataFrame,
+                a: String, b: String): Set[(Long, Long)] =
+      df.select(a, b).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def score(exact: Set[(Long, Long)],
+              approx: Set[(Long, Long)]): Option[Double] =
+      if (exact.isEmpty) None
+      else Some(math.round(approx.intersect(exact).size.toDouble
+        / exact.size * 10000) / 10000.0)
+    val exactTopk = pairSet(
+      SparkEntry.queries("ns_topk_similarity")(spark, sfDir),
+      "query_id", "vec_id")
+    val topkLines = Seq("ns_ann_lsh", "ns_ann_multitable", "ns_ivf_topk",
+      "ns_pq_topk", "ns_ivfpq_topk").flatMap { n =>
+      try score(exactTopk,
+        pairSet(SparkEntry.queries(n)(spark, sfDir), "query_id", "vec_id"))
+        .map(n -> _)
+      catch { case scala.util.control.NonFatal(_) => None }
+    }
+    val emb = graft.source.Tables.embeddings(spark, sfDir)
+    val lshInc = try {
+      val exact = pairSet(graft.ext.VectorSearch.bruteForceTopK(
+        emb.filter(col("vec_id") % 9 =!= 0),
+        emb.filter(col("vec_id") < 5), "vec_id", "embedding", k = 10),
+        "query_id", "vec_id")
+      score(exact, pairSet(
+        SparkEntry.queries("ns_ann_lsh_incremental")(spark, sfDir),
+        "query_id", "vec_id")).map("ns_ann_lsh_incremental" -> _)
+    } catch { case scala.util.control.NonFatal(_) => None }
+    val nearDup = try {
+      // both sides emit id_a < id_b pairs; canonicalize anyway so a
+      // future orientation change can't silently zero the recall
+      def canon(p: Set[(Long, Long)]): Set[(Long, Long)] =
+        p.map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      val exact = canon(pairSet(graft.ext.TextDedup.embeddingNearDupsProbe(
+        emb, emb, "vec_id", "embedding", threshold = 0.35),
+        "id_a", "id_b"))
+      score(exact, canon(pairSet(
+        SparkEntry.queries("ns_embed_neardup_lsh")(spark, sfDir),
+        "id_a", "id_b"))).map("ns_embed_neardup_lsh" -> _)
+    } catch { case scala.util.control.NonFatal(_) => None }
+    topkLines ++ lshInc ++ nearDup
   }
 }

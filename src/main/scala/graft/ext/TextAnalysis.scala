@@ -569,7 +569,11 @@ object TextAnalysis {
                queryTerms: Seq[String], k: Int = 10,
                k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(k >= 1, "k must be >= 1")
+    // partitionBy a literal: the frame is limit(k)-bounded (k rows in
+    // one partition by construction); the literal key only suppresses
+    // WindowExec's misleading "No Partition Defined" warning
     val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(0))
       .orderBy(col("score_pts").desc, col("doc"))
     bm25Scores(df, text, id, queryTerms, k1, b)
       .orderBy(col("score_pts").desc, col("doc")).limit(k)
