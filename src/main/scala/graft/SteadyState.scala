@@ -106,6 +106,9 @@ object SteadyState {
     // night that trains + freezes the quantizers)
     var ver = if (embedMode) -1L else 0L
     var totalSec = 0.0
+    val warmRetract =
+      sys.env.getOrElse("SPARK_GRAFT_WARM_RETRACT", "0") == "1"
+    var warmRetractDone = false
     (1 to nights).foreach { night =>
       ver += 1L
       val lo = if (night == 1) Long.MinValue else cuts(night - 2)
@@ -132,6 +135,34 @@ object SteadyState {
         "compacted_parts" -> nCompacted))
       try spark.catalog.clearCache() catch { case _: Throwable => () }
       if (retractAt.contains(night)) {
+        // Warm-twin instrumentation (round-13 verdict #6): the x25 run
+        // priced the FIRST retraction at 309.8 s vs 53-54 s for the
+        // later two. SPARK_GRAFT_WARM_RETRACT=1 runs a single-id
+        // retraction immediately before the first real one: it walks
+        // every retraction code path (curation delete, CC
+        // re-contraction, negative index folds) with a trivial
+        // promotion load, so its cost ≈ the one-time codegen/JIT
+        // share. If the real retraction right after it still costs
+        // ~300 s, the gap is promotion settling, not JIT.
+        if (warmRetract && !warmRetractDone) {
+          warmRetractDone = true
+          ver += 1L
+          val one = docs.filter(col(idCol) <= cuts(0) &&
+              col(idCol) % 11 =!= night.toLong % 11)
+            .select(idCol).orderBy(idCol).limit(1)
+          val tw = System.nanoTime()
+          if (embedMode)
+            graft.pipeline.IncrementalPipeline.retractNightlyEmbed(spark,
+              root, one, "vec_id", "embedding", retractVer = ver)
+          else
+            graft.pipeline.IncrementalPipeline.retractNightly(spark, root,
+              one, "text", "doc_id", retractVer = ver)
+          val wsec = (System.nanoTime() - tw) / 1e9
+          totalSec += wsec
+          emit(Map("step" -> "retract_warmup",
+            "sec" -> math.round(wsec * 1000) / 1000.0))
+          try spark.catalog.clearCache() catch { case _: Throwable => () }
+        }
         ver += 1L
         // every 11th id of the OLDEST night's range still present —
         // old-state deletes exercise promotion/resurrection against

@@ -50,7 +50,7 @@ object IncrementalAnn {
   /** Hash-partition count of the stored tables (same layout contract
     * as [[graft.pipeline.IncrementalCuration.StateParts]]).
     */
-  val StateParts = 8
+  val StateParts: Int = graft.util.StateConf.parts(8)
 
   /** Suffixes of the stored tables next to the assignment table. */
   val CentroidsSuffix = "_centroids"

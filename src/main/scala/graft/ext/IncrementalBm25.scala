@@ -53,7 +53,7 @@ object IncrementalBm25 {
     * but more merge directories per fold; 16 suits the test scales,
     * a 100 TB table wants hundreds.
     */
-  val StateParts = 16
+  val StateParts: Int = graft.util.StateConf.parts(16)
 
   val StatsSuffix = "_stats"
 
@@ -141,15 +141,8 @@ object IncrementalBm25 {
       .withColumn("_pts", expr(Bm25.pointsSql(k1, b)))
       .groupBy("doc")
       .agg(sum("_pts").as("score_pts"), count(lit(1)).as("n_terms"))
-    // partitionBy a literal: the frame is already limit(k)-bounded, so
-    // the single partition is k rows by construction — the literal key
-    // only keeps WindowExec from logging a misleading
-    // "No Partition Defined" scale warning on every run
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(lit(0))
-      .orderBy(col("score_pts").desc, col("doc"))
-    scored.orderBy(col("score_pts").desc, col("doc")).limit(k)
-      .withColumn("rank", row_number().over(w).cast("int"))
+    Bm25.rankOrdered(scored
+      .orderBy(col("score_pts").desc, col("doc")).limit(k))
       .select(col("rank"), col("doc"), col("score_pts"), col("n_terms"))
   }
 

@@ -54,7 +54,7 @@ import graft.sink.ParquetMerge
   */
 object IncrementalClusters {
 
-  val StateParts = 8
+  val StateParts: Int = graft.util.StateConf.parts(8)
 
   val RedirectSuffix = "_redir"
 

@@ -50,7 +50,7 @@ import graft.sink.ParquetMerge
   */
 object IncrementalLsh {
 
-  val StateParts = 8
+  val StateParts: Int = graft.util.StateConf.parts(8)
 
   val VecsSuffix = "_vecs"
   val ConfSuffix = "_conf"

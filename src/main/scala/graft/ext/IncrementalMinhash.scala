@@ -44,7 +44,7 @@ import graft.sink.ParquetMerge
   */
 object IncrementalMinhash {
 
-  val StateParts = 8
+  val StateParts: Int = graft.util.StateConf.parts(8)
 
   /** Fold one batch's band rows into the stored table. Same contract
     * as the other folds: `batchNo` is the merge version, replays

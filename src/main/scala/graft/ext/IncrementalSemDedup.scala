@@ -55,7 +55,7 @@ object IncrementalSemDedup {
     * sign cells of the test scales; a trained-quantizer deployment
     * with thousands of cells wants more.
     */
-  val StateParts = 8
+  val StateParts: Int = graft.util.StateConf.parts(8)
 
   val CellStatsSuffix = "_cells"
 

@@ -44,7 +44,7 @@ import graft.sink.ParquetMerge
   */
 object IncrementalSimhash {
 
-  val StateParts = 8
+  val StateParts: Int = graft.util.StateConf.parts(8)
 
   /** Sign one batch map-side and fold the `(doc, sim)` rows into the
     * stored signature table. `batchNo` is the merge version; replays

@@ -31,7 +31,7 @@ import graft.sink.ParquetMerge
   */
 object IncrementalWinnow {
 
-  val StateParts = 8
+  val StateParts: Int = graft.util.StateConf.parts(8)
 
   /** Fold one batch's fingerprints into the stored table. Same
     * contract as the other folds: `batchNo` is the merge version,

@@ -569,15 +569,8 @@ object TextAnalysis {
                queryTerms: Seq[String], k: Int = 10,
                k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(k >= 1, "k must be >= 1")
-    // partitionBy a literal: the frame is limit(k)-bounded (k rows in
-    // one partition by construction); the literal key only suppresses
-    // WindowExec's misleading "No Partition Defined" warning
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(lit(0))
-      .orderBy(col("score_pts").desc, col("doc"))
-    bm25Scores(df, text, id, queryTerms, k1, b)
-      .orderBy(col("score_pts").desc, col("doc")).limit(k)
-      .withColumn("rank", row_number().over(w).cast("int"))
+    Bm25.rankOrdered(bm25Scores(df, text, id, queryTerms, k1, b)
+      .orderBy(col("score_pts").desc, col("doc")).limit(k))
       .select(col("rank"), col("doc"), col("score_pts"), col("n_terms"))
   }
 
@@ -821,6 +814,30 @@ object TextAnalysis {
   * Expected column names: tf, dfq, dl, n_docs, sum_dl, avgdl.
   */
 object Bm25 {
+
+  /** `row_number()` over an ALREADY totally-ordered, `limit(k)`-bounded
+    * frame, without a WindowExec: a global sort + limit leaves the k
+    * rows in one ordered partition, and `zipWithIndex` preserves both
+    * partition order and within-partition order, so index + 1 IS the
+    * row number. An empty-partition window here would be semantically
+    * identical but logs WindowExec's "No Partition Defined" scale
+    * warning on every run (and partitionBy(lit) doesn't help — the
+    * optimizer folds literal partition keys away); on k rows the
+    * warning is noise, and it drowned real signal in the driver bench
+    * tail (round-13 verdict #3). The RDD hop costs one k-row pass.
+    */
+  def rankOrdered(df: org.apache.spark.sql.DataFrame,
+                  rankCol: String = "rank")
+  : org.apache.spark.sql.DataFrame = {
+    val schema = org.apache.spark.sql.types.StructType(df.schema.fields :+
+      org.apache.spark.sql.types.StructField(rankCol,
+        org.apache.spark.sql.types.IntegerType, nullable = false))
+    val rdd = df.rdd.zipWithIndex().map { case (r, i) =>
+      org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (i + 1L).toInt)
+    }
+    df.sparkSession.createDataFrame(rdd, schema)
+  }
+
   val avgdlSql: String = "CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)"
 
   def idfSql: String =

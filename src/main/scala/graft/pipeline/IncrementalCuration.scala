@@ -53,7 +53,7 @@ object IncrementalCuration {
     * partition value is a pure function of the key, so the
     * partition-scoped LWW merge can never see a migrating key.
     */
-  val StateParts = 8
+  val StateParts: Int = graft.util.StateConf.parts(8)
 
   /** Suffix of the stored shingle-posting table maintained by
     * [[curateBatchIndexed]] next to the state table. */
