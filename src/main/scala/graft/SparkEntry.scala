@@ -3137,8 +3137,15 @@ object SparkEntry {
     * output against the exact variant.
     */
   private def nsEmbedNearDupLsh(s: SparkSession, dir: String): DataFrame =
+    // bits=4 × 6 OR-amplified tables + Hamming-1 probe: the r13
+    // single-table (bits=5) form measured sidecar recall 0.41 at the
+    // cos=0.35 boundary — effective per-table collision ≈ 0.41 there,
+    // so six independent tables reach 0.93 measured at sf0.1 (tracked
+    // per-round in the bench recall sidecar) at 6× candidate cost,
+    // still bucket-bounded
     TextDedup.embeddingNearDupsBucketed(t(s, dir, "embeddings"), "vec_id",
-      "embedding", threshold = 0.35, bits = 5, probeNeighbors = 1)
+      "embedding", threshold = 0.35, bits = 4, probeNeighbors = 1,
+      tables = 6)
       .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine_r"))
       .orderBy("id_a", "id_b")
 
@@ -3598,14 +3605,21 @@ object SparkEntry {
     val cut = emb.agg(max("vec_id")).head().getLong(0) / 2L
     val root = java.nio.file.Files.createTempDirectory("inc_lsh")
     val st = root.toString + "/lsh"
+    // 8 tables (r14; was 6): the per-round sidecar measured top-10
+    // recall 0.86 at sf0.1 — marginal neighbors collide per table with
+    // p ≈ 0.28 there, so two more OR-amplified tables lift the union
+    // past the 0.90 bar at ~1.33× bucket rows
     graft.ext.IncrementalLsh.fold(s, st, emb.filter(col("vec_id") <= cut),
-      "vec_id", "embedding", batchNo = 1L, bits = 4, tables = 6)
+      "vec_id", "embedding", batchNo = 1L, bits = 4, tables = 8)
     graft.ext.IncrementalLsh.fold(s, st, emb.filter(col("vec_id") > cut),
-      "vec_id", "embedding", batchNo = 2L, bits = 4, tables = 6)
+      "vec_id", "embedding", batchNo = 2L, bits = 4, tables = 8)
     graft.ext.IncrementalLsh.retract(s, st,
       emb.filter(col("vec_id") % 9 === 0).select("vec_id"), "vec_id")
+    // depth-2 probe (r14): query-side keys only — the sidecar's 0.90
+    // recall bar; candidates stay collision-bounded
     val out = graft.ext.IncrementalLsh.topK(s, st,
-        emb.filter(col("vec_id") < 5), "vec_id", "embedding", k = 10)
+        emb.filter(col("vec_id") < 5), "vec_id", "embedding", k = 10,
+        probeNeighbors = 2)
       .orderBy("query_id", "rank").localCheckpoint()
     deleteLocalDir(root)
     out

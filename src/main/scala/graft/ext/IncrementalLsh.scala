@@ -158,16 +158,28 @@ object IncrementalLsh {
   def topK(spark: SparkSession, dir: String, queries: DataFrame,
            id: String, vec: String, k: Int,
            probeNeighbors: Int = 1): DataFrame = {
-    require(probeNeighbors >= 0 && probeNeighbors <= 1,
-      "probeNeighbors must be 0 or 1 for the multi-table form")
+    require(probeNeighbors >= 0 && probeNeighbors <= 2,
+      "probeNeighbors must be 0-2 for the multi-table form")
     val (bits, tables) = geometry(spark, dir)
     val subkeys = subkeysSql(bits, tables)
-    val qkeys =
-      if (probeNeighbors == 0) subkeys
-      else
+    // Hamming-≤d flips of the low `bits` stay inside each table's key
+    // block (the flipped bits sit below the t·2^bits offset). Depth 2
+    // adds C(bits,2) keys per table on the QUERY side only — the
+    // candidate read stays collision-bounded
+    val flips1 = s"transform(sequence(0, ${bits - 1}), " +
+      "b -> base ^ shiftleft(1L, b))"
+    val flips2 = s"flatten(transform(sequence(0, ${bits - 2}), b1 -> " +
+      s"transform(sequence(b1 + 1, ${bits - 1}), b2 -> " +
+      "base ^ shiftleft(1L, b1) ^ shiftleft(1L, b2))))"
+    val qkeys = probeNeighbors match {
+      case 0 => subkeys
+      case 1 =>
         s"array_distinct(flatten(transform($subkeys, base -> " +
-          s"array_union(array(base), transform(sequence(0, ${bits - 1}), " +
-          "b -> base ^ shiftleft(1L, b))))))"
+          s"array_union(array(base), $flips1))))"
+      case _ =>
+        s"array_distinct(flatten(transform($subkeys, base -> " +
+          s"array_union(array_union(array(base), $flips1), $flips2))))"
+    }
     val q = queries
       .withColumn("_bf", VectorSearch.lshBucketExpr(tables * bits, vec))
       .select(col(id).cast("long").as("query_id"), col(vec).as("qv"),

@@ -42,16 +42,28 @@ class ApiSpec extends SparkSpec {
       Map("BP" -> 1L, "Z" -> 1L))
   }
 
-  test("LSH-bucketed near-dup is a subset of exact near-dup with decent recall") {
+  test("LSH-bucketed near-dup is a subset of exact near-dup; " +
+    "OR-amplified tables raise recall over the single-table form") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     val exact = TextDedup.embeddingNearDups(emb, "vec_id", "embedding", 0.35)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
-    val approx = TextDedup.embeddingNearDupsBucketed(emb, "vec_id", "embedding",
-      0.35, bits = 5, probeNeighbors = 1)
+    val single = TextDedup.embeddingNearDupsBucketed(emb, "vec_id",
+      "embedding", 0.35, bits = 5, probeNeighbors = 1)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
-    assert(approx.subsetOf(exact)) // exact verify ⇒ no false positives
-    assert(approx.nonEmpty)
-    val recall = approx.size.toDouble / exact.size
-    assert(recall > 0.2, s"recall $recall")
+    assert(single.subsetOf(exact)) // exact verify ⇒ no false positives
+    assert(single.nonEmpty)
+    val recall1 = single.size.toDouble / exact.size
+    assert(recall1 > 0.2, s"single-table recall $recall1")
+    // the registered (r14) parameterization: 4 tables × 4 bits + probe.
+    // Boundary pairs collide per table with p ≈ 0.49, so the union
+    // should approach 1 - 0.51^4 ≈ 0.93; assert a safe floor and
+    // strict improvement
+    val multi = TextDedup.embeddingNearDupsBucketed(emb, "vec_id",
+      "embedding", 0.35, bits = 4, probeNeighbors = 1, tables = 4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(multi.subsetOf(exact), "multi-table must stay exact-verified")
+    val recallM = multi.size.toDouble / exact.size
+    assert(recallM > recall1, s"OR-amplification must help: $recallM vs $recall1")
+    assert(recallM > 0.75, s"multi-table recall $recallM")
   }
 }
