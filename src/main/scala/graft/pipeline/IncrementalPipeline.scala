@@ -272,7 +272,8 @@ object IncrementalPipeline {
                      retractIds: DataFrame, text: String, id: String,
                      retractVer: Long, jaccardThreshold: Double = 0.3,
                      sampleK: Int = 40,
-                     dsirTargetLang: String = "en"): Unit = {
+                     dsirTargetLang: String = "en",
+                     compact: Boolean = true): Unit = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val cur = s"$root/curation"
     val stBefore = spark.read.parquet(cur)
@@ -409,6 +410,13 @@ object IncrementalPipeline {
       spark.read.parquet(metaDir).join(after, Seq(id), "left_semi")
         .select(col("lang"), col(id)),
       "lang", id, sampleK)
+    // sweep HERE, not on the next night: a retraction writes one
+    // negative-delta file per touched (table, partition) — at
+    // StateParts = 64 the r14 x25 run measured 419 → 1,301 files,
+    // and the NEXT two nights paid the read amplification (279 s /
+    // 700 s vs a ~100 s steady night). The cleanup belongs in the
+    // retraction's own accounting.
+    if (compact) { compactSweep(spark, textTables(root)); () }
     x.unpersist()
   }
 
@@ -550,7 +558,8 @@ object IncrementalPipeline {
   def retractNightlyEmbed(spark: SparkSession, root: String,
                           retractIds: DataFrame, id: String, vec: String,
                           retractVer: Long,
-                          threshold: Double = 0.45): Unit = {
+                          threshold: Double = 0.45,
+                          compact: Boolean = true): Unit = {
     val sem = s"$root/semdedup"
     val st = spark.read.parquet(sem)
     val maxVer = st.agg(max("ver")).head().getLong(0)
@@ -591,5 +600,9 @@ object IncrementalPipeline {
           retractVer, bits = gb, tables = gt)
       }
     }
+    // same post-retraction sweep rule as retractNightly: the delete's
+    // per-(table, partition) delta files are this operation's cost,
+    // not the next fold's
+    if (compact) { compactSweep(spark, embedTables(root)); () }
   }
 }

