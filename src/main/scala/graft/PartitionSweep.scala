@@ -97,41 +97,56 @@ object PartitionSweep {
     }
 
     // the k-ladder: equal-row batches touching exactly k of the
-    // StateParts curation partitions. Fresh ids per step (ascending
-    // slices of the unseen half) so no step folds a doc twice.
+    // StateParts curation partitions (ids filtered to the first k
+    // pmod residues), each folded into its own pristine COPY of the
+    // base state — per-copy the ascending-id convergence contract
+    // holds (every back-half id exceeds the base max), steps can't
+    // contaminate each other, and the state size under fold is
+    // IDENTICAL across steps. The copy is a local walk of a
+    // dimension-sized dir (~hundreds of small files), not measured.
     val rest = docs.filter(col("doc_id") > idCut.toLong)
     val ladder = Iterator.iterate(1)(_ * 2).takeWhile(_ < parts).toSeq :+ parts
     // equal size REQUIRES every step to fill its batch; the k=1 pool
     // (1/parts of the unseen half) is the binding constraint — clamp
     // rather than silently compare unequal batches
-    val poolK1 = rest.filter(pmod(col("doc_id"), lit(parts.toLong)) < 1)
+    val poolK1 = rest.filter(pmod(col("doc_id"), lit(parts.toLong)) === 0)
       .count()
     val rows = math.min(batchRows.toLong, poolK1).toInt
     if (rows < batchRows)
       emit(Map("step" -> "clamp", "requested" -> batchRows,
         "batch_rows_effective" -> rows, "pool_k1" -> poolK1))
-    var ver = baseNights.toLong
-    var usedHi = idCut.toLong
+    def copyDir(src: java.nio.file.Path, dst: java.nio.file.Path): Unit = {
+      import scala.jdk.CollectionConverters._
+      Files.walk(src).iterator().asScala.foreach { p =>
+        val t = dst.resolve(src.relativize(p))
+        if (Files.isDirectory(p)) Files.createDirectories(t)
+        else { Files.createDirectories(t.getParent); Files.copy(p, t) }
+      }
+    }
+    def rmDir(p: java.nio.file.Path): Unit = {
+      import scala.jdk.CollectionConverters._
+      if (Files.exists(p))
+        Files.walk(p).iterator().asScala.toSeq.reverse
+          .foreach(q => { Files.deleteIfExists(q); () })
+    }
     ladder.foreach { k =>
-      // take batchRows ids with pmod(id, parts) < k, above the last
-      // used id — equal size across steps; rows-per-partition varies,
-      // touched-partition count is exactly min(k, parts)
-      val cand = rest.filter(col("doc_id") > usedHi &&
+      val cand = rest.filter(
           pmod(col("doc_id"), lit(parts.toLong)) < k)
         .orderBy("doc_id").limit(rows)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val got = cand.count()
-      usedHi = if (got == 0) usedHi
-        else cand.agg(max("doc_id")).head().getLong(0)
-      ver += 1L
+      val stepRootP = Files.createTempDirectory(s"psweep_k$k")
+      val stepRoot = stepRootP.toString + "/state"
+      copyDir(Paths.get(root), Paths.get(stepRoot))
       val t0 = System.nanoTime()
-      val r = graft.pipeline.IncrementalPipeline.nightly(spark, root,
-        cand, "text", "doc_id", batchNo = ver)
+      val r = graft.pipeline.IncrementalPipeline.nightly(spark, stepRoot,
+        cand, "text", "doc_id", batchNo = baseNights + 1L)
       val sec = (System.nanoTime() - t0) / 1e9
       cand.unpersist()
       emit(Map("step" -> s"touch_$k", "k" -> k,
         "sec" -> math.round(sec * 1000) / 1000.0,
         "n_batch" -> got, "n_admitted" -> r.nAdmitted))
+      rmDir(stepRootP)
       try spark.catalog.clearCache() catch { case _: Throwable => () }
     }
     Files.write(Paths.get(outPath), sb.toString.getBytes)
