@@ -95,8 +95,15 @@ object Bench {
     val sfDir = env("SPARK_GRAFT_SF_DIR").getOrElse("/root/testdata/sf0.1")
     val cpus = env("SPARK_GRAFT_CPUS").getOrElse("4")
     val outFile = env("SPARK_GRAFT_BENCH_OUT").getOrElse("bench.json")
+    // default 2 passes (r15, was 3): the 215-line default set cannot
+    // do 3 passes + retries + sidecar inside the 900 s budget, so the
+    // third pass was never reached anyway — asking for it only meant
+    // every artifact carried budget_hit=true. Two passes keep a min
+    // filter while fitting the budget honestly; idle re-runs that want
+    // stronger filtering set SPARK_GRAFT_BENCH_N (and a bigger budget)
+    // explicitly.
     val nPasses = env("SPARK_GRAFT_BENCH_N")
-      .flatMap(_.toIntOption).getOrElse(3).max(1)
+      .flatMap(_.toIntOption).getOrElse(2).max(1)
     val budgetS = env("SPARK_GRAFT_BENCH_BUDGET_S")
       .flatMap(_.toDoubleOption).getOrElse(900.0)
     val spark = SparkSession.builder()
@@ -116,23 +123,19 @@ object Bench {
         org.apache.spark.sql.expressions.Window
           .partitionBy("r_regionkey").orderBy("n_nationkey")))
       .filter("rn = 1").write.format("noop").mode("overwrite").save()
-    // index TRAINING (the KMeans fits + the PQ encode pass) is an
-    // offline, amortized step — build before the timed loop so the ANN
-    // probes never pay it. The index frames are localCheckpoint'd
-    // stored artifacts, so the per-query clearCache below does NOT
-    // evict them: timed probes read stored index blocks, which is
-    // exactly what a cluster probing a written index pays.
-    SparkEntry.warmupIndexes(spark, sfDir)
-
     // Default-set accounting (round-11 verdict #4, tightened by the
-    // round-13 verdict #2): the incremental fold family re-prices the
-    // SAME fold-from-empty kernels every round — at 16 lines it was
-    // ~90 s/pass, the single biggest reason BENCH_r13 blew the
-    // driver's wall clock. The default set keeps SENTINELS only:
-    //  - ns_incremental_curation (the end-to-end composite fold),
-    //  - ns_winnow_incremental + ns_ann_lsh_incremental (one text-side
-    //    and one embedding-side maintained index),
-    //  - ns_retract_curation (the retraction kernel, priced once).
+    // round-13 verdict #2 and round-15 verdict #2): the incremental
+    // fold family re-prices the SAME fold-from-empty kernels every
+    // round — at 16 lines it was ~90 s/pass, the single biggest reason
+    // BENCH_r13 blew the driver's wall clock. The default set keeps
+    // SENTINELS only:
+    //  - ns_incremental_curation (THE end-to-end fold-from-empty
+    //    sentinel — the one line that still prices a full fold kernel
+    //    per pass, by design),
+    //  - ns_ann_lsh_incremental (warm retract+probe of the maintained
+    //    embedding-side index — prebuilt state as of r15),
+    //  - ns_retract_curation (the retraction kernel, priced once,
+    //    against prebuilt state).
     // Every other fold-from-empty / re-priced-retract line is opt-in
     // via SPARK_GRAFT_BENCH_EXTRA ("all" or a comma list); their
     // amortized PROBE siblings (0.3–0.5 s each) stay default — probes
@@ -153,6 +156,13 @@ object Bench {
       "ns_ivf_incremental", "ns_quantile_incremental",
       "ns_stats_incremental", "ns_simhash_incremental",
       "ns_simhash_inc_probe",
+      // r15: fold-from-empty line whose kernel is covered elsewhere —
+      // the fold is a pure per-doc fingerprint (priced default by
+      // ns_winnow_fingerprints) + the standard partition-scoped LWW
+      // merge (priced default by ns_incremental_curation), and the
+      // stored-table match kernel is ns_winnow_matches verbatim.
+      // 10 s/pass the 900 s budget could not afford.
+      "ns_winnow_incremental",
       // r14: per-index retract re-pricers (ns_retract_curation is the
       // priced sentinel for the delete kernel)
       "ns_semdedup_retract", "ns_cc_retract", "ns_dsir_retract")
@@ -169,6 +179,18 @@ object Bench {
       case None => SparkEntry.queries.keys.toSeq
         .filterNot(n => optIn(n) && !extra(n))
     }
+    // index TRAINING (the KMeans fits + the PQ encode pass) is an
+    // offline, amortized step — build before the timed loop so the ANN
+    // probes never pay it. The index frames are localCheckpoint'd
+    // stored artifacts, so the per-query clearCache below does NOT
+    // evict them: timed probes read stored index blocks, which is
+    // exactly what a cluster probing a written index pays. As of r15
+    // the per-(session, dir) STATE caches the benched names touch are
+    // prebuilt here too — with passes budget-cut to 1–2, a state built
+    // lazily inside pass 1 lands in the timed minimum (the ~35.6 s vs
+    // 8.7 s ns_retract_curation split in the r14 artifacts).
+    SparkEntry.warmupIndexes(spark, sfDir)
+    SparkEntry.warmupStates(spark, sfDir, names.toSet)
     // per query: successful pass times + first error message (if any)
     val times = scala.collection.mutable.Map[String, Vector[Double]]()
       .withDefaultValue(Vector.empty)

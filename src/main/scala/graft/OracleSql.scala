@@ -249,6 +249,93 @@ object OracleSql {
     * `ns_minhash_incremental` (the same matcher over the folded band
     * table), so incremental convergence is enforced by hash.
     */
+  /** `ns_dedup_minhash` — the round-15 promotion: the seeded PORTABLE
+    * MinHash-LSH estimate pairs recomputed end-to-end (shingle codes,
+    * 16-permutation signature, r=2 band buckets, the 1000-cap
+    * candidate self-join, component-match estimate) with the exact
+    * integer arithmetic of `TextDedup.minhashLshPortable` — constants
+    * generated from the same (j-seeded) formulas, so the two engines
+    * can never drift on a hand-copied literal. Division by 16 is
+    * exact in IEEE doubles, so est_jaccard hash-matches bit-for-bit.
+    */
+  private def minhashPortableSql: String =
+    s"""WITH toksa AS (
+        SELECT doc_id, ${wsToks("text")} AS toka FROM documents),
+      tok AS (
+        SELECT doc_id, unnest(toka) AS t,
+               generate_subscripts(toka, 1) AS pos
+        FROM toksa),
+      codes AS (
+        SELECT doc_id, pos,
+          CAST(ascii(substring(t, 1, 1)) * 131 + length(t) AS BIGINT)
+            % 1000003 AS c
+        FROM tok),
+      win AS (
+        SELECT doc_id, c,
+          lead(c) OVER (PARTITION BY doc_id ORDER BY pos) AS c2,
+          lead(c, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS c3
+        FROM codes),
+      ndoc AS (SELECT doc_id, len(toka) AS n FROM toksa),
+      sh3 AS (
+        SELECT DISTINCT w.doc_id,
+          ((c * 131071 + c2) % 1000003 * 131071 + c3) % 1000003 AS s
+        FROM win w JOIN ndoc USING (doc_id)
+        WHERE n >= 3 AND c3 IS NOT NULL),
+      shshort AS (
+        SELECT doc_id,
+          CASE WHEN n = 1 THEN cmin
+               ELSE (cmin * 131071 + cmax) % 1000003 END AS s
+        FROM (
+          SELECT c.doc_id, n,
+            min(c) FILTER (WHERE pos = 1) AS cmin,
+            min(c) FILTER (WHERE pos = 2) AS cmax
+          FROM codes c JOIN ndoc USING (doc_id)
+          WHERE n < 3 GROUP BY c.doc_id, n)),
+      shc AS (SELECT doc_id, s FROM sh3
+              UNION SELECT doc_id, s FROM shshort),
+      mins AS (SELECT doc_id,
+        min((s * 196611 + 0) % 1000003) AS m0,
+        min((s * 327685 + 427799) % 1000003) AS m1,
+        min((s * 458759 + 855598) % 1000003) AS m2,
+        min((s * 589833 + 283394) % 1000003) AS m3,
+        min((s * 720907 + 711193) % 1000003) AS m4,
+        min((s * 851981 + 138989) % 1000003) AS m5,
+        min((s * 983055 + 566788) % 1000003) AS m6,
+        min((s * 114126 + 994587) % 1000003) AS m7,
+        min((s * 245200 + 422383) % 1000003) AS m8,
+        min((s * 376274 + 850182) % 1000003) AS m9,
+        min((s * 507348 + 277978) % 1000003) AS m10,
+        min((s * 638422 + 705777) % 1000003) AS m11,
+        min((s * 769496 + 133573) % 1000003) AS m12,
+        min((s * 900570 + 561372) % 1000003) AS m13,
+        min((s * 31641 + 989171) % 1000003) AS m14,
+        min((s * 162715 + 416967) % 1000003) AS m15
+        FROM shc GROUP BY doc_id),
+      bandrows AS (
+      SELECT doc_id, 0 AS band, (m0 * 131071 + m1) % 1000003 AS bucket FROM mins
+      UNION ALL SELECT doc_id, 1 AS band, (m2 * 131071 + m3) % 1000003 AS bucket FROM mins
+      UNION ALL SELECT doc_id, 2 AS band, (m4 * 131071 + m5) % 1000003 AS bucket FROM mins
+      UNION ALL SELECT doc_id, 3 AS band, (m6 * 131071 + m7) % 1000003 AS bucket FROM mins
+      UNION ALL SELECT doc_id, 4 AS band, (m8 * 131071 + m9) % 1000003 AS bucket FROM mins
+      UNION ALL SELECT doc_id, 5 AS band, (m10 * 131071 + m11) % 1000003 AS bucket FROM mins
+      UNION ALL SELECT doc_id, 6 AS band, (m12 * 131071 + m13) % 1000003 AS bucket FROM mins
+      UNION ALL SELECT doc_id, 7 AS band, (m14 * 131071 + m15) % 1000003 AS bucket FROM mins),
+      ok AS (SELECT band, bucket FROM bandrows
+             GROUP BY band, bucket HAVING count(*) <= 1000),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bandrows a
+        JOIN ok USING (band, bucket)
+        JOIN bandrows b ON a.band = b.band AND a.bucket = b.bucket
+          AND a.doc_id < b.doc_id)
+      SELECT id_a, id_b,
+        ((CASE WHEN x.m0 = y.m0 THEN 1 ELSE 0 END) + (CASE WHEN x.m1 = y.m1 THEN 1 ELSE 0 END) + (CASE WHEN x.m2 = y.m2 THEN 1 ELSE 0 END) + (CASE WHEN x.m3 = y.m3 THEN 1 ELSE 0 END) + (CASE WHEN x.m4 = y.m4 THEN 1 ELSE 0 END) + (CASE WHEN x.m5 = y.m5 THEN 1 ELSE 0 END) + (CASE WHEN x.m6 = y.m6 THEN 1 ELSE 0 END) + (CASE WHEN x.m7 = y.m7 THEN 1 ELSE 0 END) + (CASE WHEN x.m8 = y.m8 THEN 1 ELSE 0 END) + (CASE WHEN x.m9 = y.m9 THEN 1 ELSE 0 END) + (CASE WHEN x.m10 = y.m10 THEN 1 ELSE 0 END) + (CASE WHEN x.m11 = y.m11 THEN 1 ELSE 0 END) + (CASE WHEN x.m12 = y.m12 THEN 1 ELSE 0 END) + (CASE WHEN x.m13 = y.m13 THEN 1 ELSE 0 END) + (CASE WHEN x.m14 = y.m14 THEN 1 ELSE 0 END) + (CASE WHEN x.m15 = y.m15 THEN 1 ELSE 0 END)) / 16.0 AS est_jaccard
+      FROM cand
+      JOIN mins x ON x.doc_id = id_a
+      JOIN mins y ON y.doc_id = id_b
+      WHERE ((CASE WHEN x.m0 = y.m0 THEN 1 ELSE 0 END) + (CASE WHEN x.m1 = y.m1 THEN 1 ELSE 0 END) + (CASE WHEN x.m2 = y.m2 THEN 1 ELSE 0 END) + (CASE WHEN x.m3 = y.m3 THEN 1 ELSE 0 END) + (CASE WHEN x.m4 = y.m4 THEN 1 ELSE 0 END) + (CASE WHEN x.m5 = y.m5 THEN 1 ELSE 0 END) + (CASE WHEN x.m6 = y.m6 THEN 1 ELSE 0 END) + (CASE WHEN x.m7 = y.m7 THEN 1 ELSE 0 END) + (CASE WHEN x.m8 = y.m8 THEN 1 ELSE 0 END) + (CASE WHEN x.m9 = y.m9 THEN 1 ELSE 0 END) + (CASE WHEN x.m10 = y.m10 THEN 1 ELSE 0 END) + (CASE WHEN x.m11 = y.m11 THEN 1 ELSE 0 END) + (CASE WHEN x.m12 = y.m12 THEN 1 ELSE 0 END) + (CASE WHEN x.m13 = y.m13 THEN 1 ELSE 0 END) + (CASE WHEN x.m14 = y.m14 THEN 1 ELSE 0 END) + (CASE WHEN x.m15 = y.m15 THEN 1 ELSE 0 END)) / 16.0 >= 0.1
+      ORDER BY id_a, id_b"""
+
   private def minhashVerifiedSql: String =
     s"""WITH ${jaccardCtes("documents", pruned = false)}
       SELECT id_a, id_b,
@@ -3425,6 +3512,7 @@ object OracleSql {
     // reaches the same set through LSH candidates + exact verify (recall
     // ~0.9999 at j>=0.5 with r=2/b=32 banding; equality verified
     // empirically at the test scale factors)
+    "ns_dedup_minhash" -> minhashPortableSql,
     "ns_dedup_minhash_verified" -> minhashVerifiedSql,
     // the incrementally-FOLDED band-bucket table must converge to the
     // one-shot verified matcher: SAME oracle (the winnow/bm25

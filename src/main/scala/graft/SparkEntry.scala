@@ -2124,9 +2124,20 @@ object SparkEntry {
         col("df"), col("score_pts"))
       .orderBy("doc_id", "rk")
 
+  /** MinHash-LSH estimate-only pairs — PROMOTED to a real DuckDB
+    * oracle in round 15 via the seeded portable parameterization
+    * (TextDedup.minhashLshPortable): the oracle recomputes shingle
+    * codes, the 16-permutation signature, band buckets, the capped
+    * candidate self-join and the component-match estimate with
+    * identical integer arithmetic — the ns_dedup_simhash_portable
+    * precedent applied to the minhash tier, shrinking the
+    * oracle-exempt set 11 → 10. The 64-bit xxhash64 production
+    * parameterization stays available as TextDedup.minhashLsh; the
+    * exact-verified production form remains ns_dedup_minhash_verified.
+    */
   private def nsDedupMinhash(s: SparkSession, dir: String): DataFrame =
-    TextDedup.minhashLsh(t(s, dir, "documents"), "text", "doc_id",
-      shingleN = 3, numPerms = 64, bands = 16, threshold = 0.1)
+    TextDedup.minhashLshPortable(t(s, dir, "documents"), "text", "doc_id",
+      threshold = 0.1)
       .orderBy("id_a", "id_b")
 
   /** MinHash-LSH candidates verified with exact jaccard — the
@@ -2306,17 +2317,14 @@ object SparkEntry {
     * the never-retracted corpus — deletion converges to the
     * rebuild-without-X, by hash.
     */
-  private def nsCcRetract(s: SparkSession, dir: String): DataFrame = {
-    val pairs = TextDedup.jaccardFromPairs(pairGraph(s, dir), threshold = 0.12)
-      .select(col("id_a"), col("id_b"),
-        greatest(col("id_a"), col("id_b")).as("_arr"))
-    val hi = t(s, dir, "documents").agg(max("doc_id")).head().getLong(0)
-    val (c1, c2) = (hi / 3, 2 * hi / 3)
-    // prebuilt three-fold labeling (the nsRetractCuration accounting
-    // note): the fold kernel is priced by ns_cc_incremental; this line
-    // prices the DECREMENTAL direction — affected-component
-    // re-contraction with in-place rewrites
-    val base = retractCcStateCache.computeIfAbsent((s, dir), _ => {
+  private def ensureRetractCcBase(s: SparkSession, dir: String): String =
+    retractCcStateCache.computeIfAbsent((s, dir), _ => {
+      val pairs = TextDedup.jaccardFromPairs(pairGraph(s, dir),
+          threshold = 0.12)
+        .select(col("id_a"), col("id_b"),
+          greatest(col("id_a"), col("id_b")).as("_arr"))
+      val hi = t(s, dir, "documents").agg(max("doc_id")).head().getLong(0)
+      val (c1, c2) = (hi / 3, 2 * hi / 3)
       val r = java.nio.file.Files.createTempDirectory("cc_retr_base")
       val p = r.toString + "/state"
       graft.ext.IncrementalClusters.fold(s, p,
@@ -2327,6 +2335,18 @@ object SparkEntry {
         pairs.filter(col("_arr") > c2), batchNo = 3L)
       r.toString
     })
+
+  private def nsCcRetract(s: SparkSession, dir: String): DataFrame = {
+    val pairs = TextDedup.jaccardFromPairs(pairGraph(s, dir), threshold = 0.12)
+      .select(col("id_a"), col("id_b"),
+        greatest(col("id_a"), col("id_b")).as("_arr"))
+    val hi = t(s, dir, "documents").agg(max("doc_id")).head().getLong(0)
+    val (c1, c2) = (hi / 3, 2 * hi / 3)
+    // prebuilt three-fold labeling (the nsRetractCuration accounting
+    // note): the fold kernel is priced by ns_cc_incremental; this line
+    // prices the DECREMENTAL direction — affected-component
+    // re-contraction with in-place rewrites
+    val base = ensureRetractCcBase(s, dir)
     val root = java.nio.file.Files.createTempDirectory("cc_retr")
     copyLocalDir(java.nio.file.Paths.get(base), root)
     val tmp = root.toString + "/state"
@@ -3195,14 +3215,11 @@ object SparkEntry {
     * never-retracted corpus: deletion converges to the
     * rebuild-without-X, by hash.
     */
-  private def nsSemDedupRetract(s: SparkSession, dir: String): DataFrame = {
-    val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
-    val hi = emb.agg(max("vec_id")).head().getLong(0)
-    val (c1, c2) = (hi / 3, 2 * hi / 3)
-    // prebuilt three-fold state (the nsRetractCuration accounting
-    // note): the fold kernel is priced by ns_semdedup_incremental;
-    // this line prices the cell-local re-dominance retraction
-    val base = retractSemStateCache.computeIfAbsent((s, dir), _ => {
+  private def ensureRetractSemBase(s: SparkSession, dir: String): String =
+    retractSemStateCache.computeIfAbsent((s, dir), _ => {
+      val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
+      val hi = emb.agg(max("vec_id")).head().getLong(0)
+      val (c1, c2) = (hi / 3, 2 * hi / 3)
       val r = java.nio.file.Files.createTempDirectory("sem_retr_base")
       val p = r.toString + "/state"
       graft.ext.IncrementalSemDedup.fold(s, p,
@@ -3216,6 +3233,15 @@ object SparkEntry {
         batchNo = 3L)
       r.toString
     })
+
+  private def nsSemDedupRetract(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
+    val hi = emb.agg(max("vec_id")).head().getLong(0)
+    val (c1, c2) = (hi / 3, 2 * hi / 3)
+    // prebuilt three-fold state (the nsRetractCuration accounting
+    // note): the fold kernel is priced by ns_semdedup_incremental;
+    // this line prices the cell-local re-dominance retraction
+    val base = ensureRetractSemBase(s, dir)
     val root = java.nio.file.Files.createTempDirectory("sem_retr")
     copyLocalDir(java.nio.file.Paths.get(base), root)
     val tmp = root.toString + "/state"
@@ -3356,6 +3382,19 @@ object SparkEntry {
     * never-retracted corpus: the hash gate IS the proof that deletion
     * converges to the rebuild-without-X.
     */
+  private def ensureRetractCurBase(s: SparkSession, dir: String): String =
+    retractCurStateCache.computeIfAbsent((s, dir), _ => {
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val mid = docs.agg(max("doc_id")).head().getLong(0) / 2
+      val r = java.nio.file.Files.createTempDirectory("retr_cur_base")
+      val p = r.toString + "/state"
+      graft.pipeline.IncrementalCuration.curateBatchRetractable(s, p,
+        docs.filter(col("doc_id") <= mid), "text", "doc_id", batchNo = 1L)
+      graft.pipeline.IncrementalCuration.curateBatchRetractable(s, p,
+        docs.filter(col("doc_id") > mid), "text", "doc_id", batchNo = 2L)
+      r.toString
+    })
+
   private def nsRetractCuration(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents").select("doc_id", "text")
     val mid = docs.agg(max("doc_id")).head().getLong(0) / 2
@@ -3366,15 +3405,7 @@ object SparkEntry {
     // prices what is NEW here: the retraction itself (copy the state
     // snapshot, delete, probe — the ns_incremental_probe convention;
     // the local dir copy is the same ms-scale test-harness seam).
-    val base = retractCurStateCache.computeIfAbsent((s, dir), _ => {
-      val r = java.nio.file.Files.createTempDirectory("retr_cur_base")
-      val p = r.toString + "/state"
-      graft.pipeline.IncrementalCuration.curateBatchRetractable(s, p,
-        docs.filter(col("doc_id") <= mid), "text", "doc_id", batchNo = 1L)
-      graft.pipeline.IncrementalCuration.curateBatchRetractable(s, p,
-        docs.filter(col("doc_id") > mid), "text", "doc_id", batchNo = 2L)
-      r.toString
-    })
+    val base = ensureRetractCurBase(s, dir)
     val root = java.nio.file.Files.createTempDirectory("retr_cur")
     copyLocalDir(java.nio.file.Paths.get(base), root)
     val tmp = root.toString + "/state"
@@ -3396,13 +3427,10 @@ object SparkEntry {
     * as a fresh rebuild-without-X would, which the shared hash gate
     * plus the spec's posting/df parity checks prove.
     */
-  private def nsRetractIndexed(s: SparkSession, dir: String): DataFrame = {
-    val docs = t(s, dir, "documents").select("doc_id", "text")
-    val mid = docs.agg(max("doc_id")).head().getLong(0) / 2
-    // prebuilt indexed-retractable state (see nsRetractCuration's
-    // accounting note): this line prices the retraction carrying the
-    // posting + df tables through the delete, not two index folds
-    val base = retractIdxStateCache.computeIfAbsent((s, dir), _ => {
+  private def ensureRetractIdxBase(s: SparkSession, dir: String): String =
+    retractIdxStateCache.computeIfAbsent((s, dir), _ => {
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val mid = docs.agg(max("doc_id")).head().getLong(0) / 2
       val r = java.nio.file.Files.createTempDirectory("retr_idx_base")
       val p = r.toString + "/state"
       graft.pipeline.IncrementalCuration.curateBatchIndexedRetractable(s,
@@ -3413,6 +3441,14 @@ object SparkEntry {
         batchNo = 2L)
       r.toString
     })
+
+  private def nsRetractIndexed(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select("doc_id", "text")
+    val mid = docs.agg(max("doc_id")).head().getLong(0) / 2
+    // prebuilt indexed-retractable state (see nsRetractCuration's
+    // accounting note): this line prices the retraction carrying the
+    // posting + df tables through the delete, not two index folds
+    val base = ensureRetractIdxBase(s, dir)
     val root = java.nio.file.Files.createTempDirectory("retr_idx")
     copyLocalDir(java.nio.file.Paths.get(base), root)
     val tmp = root.toString + "/state"
@@ -3514,16 +3550,22 @@ object SparkEntry {
   private def incSplitPct: Long =
     sys.env.get("SPARK_GRAFT_INC_SPLIT").map(_.toLong).getOrElse(90L)
 
-  private def nsIncrementalProbe(s: SparkSession, dir: String): DataFrame = {
-    val docs = t(s, dir, "documents").select("doc_id", "text")
-    val cut = docs.agg(max("doc_id")).head().getLong(0) * incSplitPct / 100L
-    val base = incStateCache.computeIfAbsent((s, dir + "@" + incSplitPct), _ => {
+  private def ensureIncBase(s: SparkSession, dir: String): String =
+    incStateCache.computeIfAbsent((s, dir + "@" + incSplitPct), _ => {
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val cut = docs.agg(max("doc_id")).head().getLong(0) *
+        incSplitPct / 100L
       val p = java.nio.file.Files.createTempDirectory("inc_base")
         .toString + "/state"
       graft.pipeline.IncrementalCuration.curateBatch(s, p,
         docs.filter(col("doc_id") <= cut), "text", "doc_id", batchNo = 1L)
       p
     })
+
+  private def nsIncrementalProbe(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select("doc_id", "text")
+    val cut = docs.agg(max("doc_id")).head().getLong(0) * incSplitPct / 100L
+    val base = ensureIncBase(s, dir)
     val root = java.nio.file.Files.createTempDirectory("inc_probe")
     val tmp = root.toString + "/state"
     copyLocalDir(java.nio.file.Paths.get(base), java.nio.file.Paths.get(tmp))
@@ -3553,16 +3595,22 @@ object SparkEntry {
     * batch (measure with SPARK_GRAFT_INC_SPLIT=98) — which is the
     * 100 TB regime.
     */
-  private def nsIncrementalProbeIndexed(s: SparkSession, dir: String): DataFrame = {
-    val docs = t(s, dir, "documents").select("doc_id", "text")
-    val cut = docs.agg(max("doc_id")).head().getLong(0) * incSplitPct / 100L
-    val baseRoot = incIdxStateCache.computeIfAbsent((s, dir + "@" + incSplitPct), _ => {
+  private def ensureIncIdxBase(s: SparkSession, dir: String): String =
+    incIdxStateCache.computeIfAbsent((s, dir + "@" + incSplitPct), _ => {
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val cut = docs.agg(max("doc_id")).head().getLong(0) *
+        incSplitPct / 100L
       val root = java.nio.file.Files.createTempDirectory("inc_ibase")
       graft.pipeline.IncrementalCuration.curateBatchIndexed(s,
         root.toString + "/state",
         docs.filter(col("doc_id") <= cut), "text", "doc_id", batchNo = 1L)
       root.toString
     })
+
+  private def nsIncrementalProbeIndexed(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select("doc_id", "text")
+    val cut = docs.agg(max("doc_id")).head().getLong(0) * incSplitPct / 100L
+    val baseRoot = ensureIncIdxBase(s, dir)
     val root = java.nio.file.Files.createTempDirectory("inc_iprobe")
     // copy the whole root: state AND its posting table
     copyLocalDir(java.nio.file.Paths.get(baseRoot), root)
@@ -3599,20 +3647,41 @@ object SparkEntry {
     * in-session twin ns_ann_multitable) → rows-only;
     * IncrementalLshSpec pins probe parity with the one-shot kernel
     * and retract == rebuild-without-X exactly.
+    *
+    * BENCH ACCOUNTING (r15, the nsRetractCuration convention): the
+    * two-batch folded state is PREBUILT per (session, dir) — the fold
+    * kernel's cost is pinned by IncrementalLshSpec and the state is
+    * an amortized artifact a cluster builds once — so this line
+    * prices what is recurrent: the retraction through both tables +
+    * the depth-2 probe against a copied snapshot. r14 priced the
+    * folds in-line, which put a 9–15 s one-time build inside every
+    * bench pass and made the line's min meaningless at n_passes=1.
     */
+  private def ensureLshBase(s: SparkSession, dir: String): String =
+    retractLshStateCache.computeIfAbsent((s, dir), _ => {
+      val emb = t(s, dir, "embeddings")
+      val cut = emb.agg(max("vec_id")).head().getLong(0) / 2L
+      val root = java.nio.file.Files.createTempDirectory("lsh_base")
+      val st = root.toString + "/lsh"
+      // 8 tables (r14; was 6): the per-round sidecar measured top-10
+      // recall 0.86 at sf0.1 — marginal neighbors collide per table
+      // with p ≈ 0.28 there, so two more OR-amplified tables lift the
+      // union past the 0.90 bar at ~1.33× bucket rows
+      graft.ext.IncrementalLsh.fold(s, st,
+        emb.filter(col("vec_id") <= cut),
+        "vec_id", "embedding", batchNo = 1L, bits = 4, tables = 8)
+      graft.ext.IncrementalLsh.fold(s, st,
+        emb.filter(col("vec_id") > cut),
+        "vec_id", "embedding", batchNo = 2L, bits = 4, tables = 8)
+      root.toString
+    })
+
   private def nsAnnLshIncremental(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
-    val cut = emb.agg(max("vec_id")).head().getLong(0) / 2L
+    val base = ensureLshBase(s, dir)
     val root = java.nio.file.Files.createTempDirectory("inc_lsh")
+    copyLocalDir(java.nio.file.Paths.get(base), root)
     val st = root.toString + "/lsh"
-    // 8 tables (r14; was 6): the per-round sidecar measured top-10
-    // recall 0.86 at sf0.1 — marginal neighbors collide per table with
-    // p ≈ 0.28 there, so two more OR-amplified tables lift the union
-    // past the 0.90 bar at ~1.33× bucket rows
-    graft.ext.IncrementalLsh.fold(s, st, emb.filter(col("vec_id") <= cut),
-      "vec_id", "embedding", batchNo = 1L, bits = 4, tables = 8)
-    graft.ext.IncrementalLsh.fold(s, st, emb.filter(col("vec_id") > cut),
-      "vec_id", "embedding", batchNo = 2L, bits = 4, tables = 8)
     graft.ext.IncrementalLsh.retract(s, st,
       emb.filter(col("vec_id") % 9 === 0).select("vec_id"), "vec_id")
     // depth-2 probe (r14): query-side keys only — the sidecar's 0.90
@@ -3625,16 +3694,21 @@ object SparkEntry {
     out
   }
 
-  private def nsIvfIncremental(s: SparkSession, dir: String): DataFrame = {
-    val emb = t(s, dir, "embeddings")
-    val cut = emb.agg(max("vec_id")).head().getLong(0) * 9L / 10L
-    val baseRoot = incAnnStateCache.computeIfAbsent((s, dir), _ => {
+  private def ensureIncAnnBase(s: SparkSession, dir: String): String =
+    incAnnStateCache.computeIfAbsent((s, dir), _ => {
+      val emb = t(s, dir, "embeddings")
+      val cut = emb.agg(max("vec_id")).head().getLong(0) * 9L / 10L
       val root = java.nio.file.Files.createTempDirectory("inc_ivf")
       graft.ext.IncrementalAnn.ivfInit(s, root.toString + "/ivf",
         emb.filter(col("vec_id") <= cut), "vec_id", "embedding",
         nLists = 8)
       root.toString
     })
+
+  private def nsIvfIncremental(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val cut = emb.agg(max("vec_id")).head().getLong(0) * 9L / 10L
+    val baseRoot = ensureIncAnnBase(s, dir)
     val root = java.nio.file.Files.createTempDirectory("inc_ivfp")
     copyLocalDir(java.nio.file.Paths.get(baseRoot), root)
     val st = root.toString + "/ivf"
@@ -3682,6 +3756,13 @@ object SparkEntry {
     * released by [[releaseArtifacts]].
     */
   private val retractCurStateCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]
+  /** Prebuilt two-batch LSH fold state backing ns_ann_lsh_incremental
+    * (r15 — the same snapshot-copy accounting as the retraction
+    * queries). Holds a temp ROOT whose `lsh*` tables are copied per
+    * call; released by [[releaseArtifacts]].
+    */
+  private val retractLshStateCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]
   private val retractIdxStateCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]
@@ -3806,6 +3887,29 @@ object SparkEntry {
     ()
   }
 
+  /** Pre-build EVERY per-(session, dir) state cache the given queries
+    * touch (round-15 verdict #1): the snapshot-copy queries price a
+    * delete/probe against PREBUILT state, but until r15 only the
+    * IVF/PQ indexes were warmed — with the bench budget cutting passes
+    * to 1–2, the one-time state builds landed inside the timed minimum
+    * (ns_retract_curation read 35.6 s in the driver's single pass vs
+    * 8.7 s warm). Warming exactly the benched names' caches keeps the
+    * warmup itself budget-proportional: an opt-in-trimmed default set
+    * never pays for states only SPARK_GRAFT_BENCH_EXTRA lines use.
+    */
+  def warmupStates(s: SparkSession, dir: String,
+                   names: Set[String]): Unit = {
+    if (names("ns_retract_curation")) ensureRetractCurBase(s, dir)
+    if (names("ns_retract_indexed")) ensureRetractIdxBase(s, dir)
+    if (names("ns_semdedup_retract")) ensureRetractSemBase(s, dir)
+    if (names("ns_cc_retract")) ensureRetractCcBase(s, dir)
+    if (names("ns_incremental_probe")) ensureIncBase(s, dir)
+    if (names("ns_incremental_probe_indexed")) ensureIncIdxBase(s, dir)
+    if (names("ns_ivf_incremental")) ensureIncAnnBase(s, dir)
+    if (names("ns_ann_lsh_incremental")) ensureLshBase(s, dir)
+    ()
+  }
+
   /** Release every per-(session, dir) corpus artifact — IVF index,
     * cluster labels, candidate-pair graph. Long-lived drivers that
     * move between corpus snapshots must call this on the old dir or
@@ -3839,7 +3943,7 @@ object SparkEntry {
     Option(incIdxStateCache.remove((s, dir + "@" + incSplitPct))).foreach(p =>
       deleteLocalDir(java.nio.file.Paths.get(p)))
     Seq(retractCurStateCache, retractIdxStateCache, retractSemStateCache,
-      retractCcStateCache).foreach(c =>
+      retractCcStateCache, retractLshStateCache).foreach(c =>
       Option(c.remove((s, dir))).foreach(p =>
         deleteLocalDir(java.nio.file.Paths.get(p))))
   }
@@ -4605,14 +4709,17 @@ object SparkEntry {
     "ns_multimodal_mp3" -> nsMultimodalMp3,
     "ns_multimodal_video" -> nsMultimodalVideo)
 
-  /** DuckDB twins. Omitted: ns_dedup_minhash / ns_dedup_simhash /
+  /** DuckDB twins. Omitted: ns_dedup_simhash /
     * ns_ann_lsh / ns_ann_multitable / ns_embed_neardup_lsh /
     * ns_ivf_topk / ns_pq_topk /
     * ns_ivfpq_topk (hash- or
     * training-seeded approximations — recall < 1 by design, each
-    * bounded against its exact twin in specs; minhash additionally has
-    * the oracle-checked `ns_dedup_minhash_verified` form, simhash the
-    * oracle-checked `ns_dedup_simhash_portable` form),
+    * bounded against its exact twin in specs; simhash has
+    * the oracle-checked `ns_dedup_simhash_portable` form; 
+    * ns_dedup_minhash graduated to a full oracle in round 15 via the
+    * seeded portable parameterization — every remaining exempt line
+    * is seeded by an engine-native hash or a trained quantizer no
+    * second engine can recompute),
     * ns_sketches (approximate aggregates) → rows-only checks.
     * (ns_multimodal_features graduated to an exact oracle in round 10:
     * real PNG fixtures drive the real header-decode path; the A/V

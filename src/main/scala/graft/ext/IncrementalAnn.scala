@@ -143,6 +143,7 @@ object IncrementalAnn {
   private def foldAssigned(spark: SparkSession, dir: String,
                            assigned: DataFrame, id: String, vec: String,
                            batchNo: Long, buildMean: Double): Unit = {
+    graft.util.StateConf.bind(spark, dir, StateParts)
     val rows = assigned
       .withColumn("part", pmod(col(id), lit(StateParts.toLong)))
       .withColumn("ver", lit(batchNo))
@@ -162,6 +163,8 @@ object IncrementalAnn {
     ParquetMerge.upsertPartitions(spark, dir + AuditSuffix, audit,
       "part", "batch_no", "ver")
     rows.unpersist()
+    // exit-side bind: the first fold of a fresh root records its layout
+    graft.util.StateConf.bind(spark, dir, StateParts)
   }
 
   /** The streaming face of the IVF fold: each micro-batch of new
@@ -278,6 +281,7 @@ object IncrementalAnn {
   def ivfRetract(spark: SparkSession, dir: String, retractIds: DataFrame,
                  id: String, retractVer: Long): Unit = {
     require(retractVer > 0, "retractVer must be positive")
+    graft.util.StateConf.bind(spark, dir, StateParts)
     val x = retractIds.select(col(id)).distinct()
       .localCheckpoint(true)
     val parts = x.select(pmod(col(id), lit(StateParts.toLong)))
@@ -377,11 +381,14 @@ object IncrementalAnn {
 
   private def foldCodes(spark: SparkSession, dir: String, codes: DataFrame,
                         id: String, batchNo: Long): Unit = {
+    graft.util.StateConf.bind(spark, dir, StateParts)
     val rows = codes
       .withColumn("part", pmod(col(id), lit(StateParts.toLong)))
       .withColumn("ver", lit(batchNo))
       .select("part", id, "ver", "codes")
     ParquetMerge.upsertPartitions(spark, dir, rows, "part", id, "ver")
+    // exit-side bind: the first fold of a fresh root records its layout
+    graft.util.StateConf.bind(spark, dir, StateParts)
   }
 
   private def readCodebooks(spark: SparkSession, dir: String)

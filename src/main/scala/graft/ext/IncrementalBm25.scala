@@ -62,6 +62,7 @@ object IncrementalBm25 {
     */
   def fold(spark: SparkSession, dir: String, batch: DataFrame,
            text: String, id: String, batchNo: Long): Unit = {
+    graft.util.StateConf.bind(spark, dir, StateParts)
     val base = batch.select(col(id).as("doc"),
       Tok.tokens(col(text)).as("_toks"))
       .withColumn("dl", size(col("_toks")).cast("long"))
@@ -83,6 +84,8 @@ object IncrementalBm25 {
     ParquetMerge.upsertPartitions(spark, dir + StatsSuffix, statsRow,
       "part", "batch_no", "ver")
     base.unpersist()
+    // exit-side bind: the first fold of a fresh root records its layout
+    graft.util.StateConf.bind(spark, dir, StateParts)
   }
 
   /** The streaming face: each micro-batch of crawled docs folds into
@@ -121,6 +124,7 @@ object IncrementalBm25 {
            k: Int = 10, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(queryTerms.nonEmpty, "queryTerms must be non-empty")
     require(k >= 1, "k must be >= 1")
+    graft.util.StateConf.bind(spark, dir, StateParts)
     import spark.implicits._
     val parts = queryTerms.distinct.toDF("term")
       .select(pmod(xxhash64(col("term")), lit(StateParts.toLong)))
@@ -142,7 +146,8 @@ object IncrementalBm25 {
       .groupBy("doc")
       .agg(sum("_pts").as("score_pts"), count(lit(1)).as("n_terms"))
     Bm25.rankOrdered(scored
-      .orderBy(col("score_pts").desc, col("doc")).limit(k))
+      .orderBy(col("score_pts").desc, col("doc")).limit(k),
+      Seq(col("score_pts").desc, col("doc")))
       .select(col("rank"), col("doc"), col("score_pts"), col("n_terms"))
   }
 
@@ -162,6 +167,7 @@ object IncrementalBm25 {
   def retractDocs(spark: SparkSession, dir: String, docIds: DataFrame,
                   id: String, retractVer: Long): Unit = {
     require(retractVer > 0, "retractVer must be positive")
+    graft.util.StateConf.bind(spark, dir, StateParts)
     val mine = spark.read.parquet(dir)
       .join(docIds.select(col(id).as("doc")), Seq("doc"), "left_semi")
       .select("part", "pk", "doc", "dl").localCheckpoint(true)

@@ -82,6 +82,10 @@ object IncrementalClusters {
     */
   def fold(spark: SparkSession, dir: String, pairs: DataFrame,
            batchNo: Long, maxIterations: Int = 30): Unit = {
+    // the redirect table is the pmod(src, StateParts)-laid-out one
+    // (doc rows partition by insert batch — batch-number layout, not
+    // a hash of this count)
+    graft.util.StateConf.bind(spark, dir + RedirectSuffix, StateParts)
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val e0 = pairs.select(col("id_a").cast("long").as("id_a"),
         col("id_b").cast("long").as("id_b"))
@@ -201,6 +205,8 @@ object IncrementalClusters {
     ParquetMerge.upsertPartitions(spark, dir + RedirectSuffix, redirRows,
       "part", "pk", "ver")
     e0.unpersist(); known.unpersist()
+    // exit-side bind: the first fold of a fresh root records its layout
+    graft.util.StateConf.bind(spark, dir + RedirectSuffix, StateParts)
   }
 
   /** Streaming face: each micro-batch of pair edges folds through the
@@ -259,6 +265,7 @@ object IncrementalClusters {
     */
   def retract(spark: SparkSession, dir: String, removeIds: DataFrame,
               edges: DataFrame, maxIterations: Int = 30): Unit = {
+    graft.util.StateConf.bind(spark, dir + RedirectSuffix, StateParts)
     val x = removeIds
       .select(col(removeIds.columns.head).cast("long").as("doc"))
       .distinct().localCheckpoint(true)

@@ -110,6 +110,7 @@ object IncrementalLsh {
            id: String, vec: String, batchNo: Long, bits: Int = 6,
            tables: Int = 4): Unit = {
     conf(spark, dir, bits, tables)
+    graft.util.StateConf.bind(spark, dir, StateParts)
     val keyed = batch
       .withColumn("_bf", VectorSearch.lshBucketExpr(tables * bits, vec))
       .select(col(id).cast("long").as("vec_id"),
@@ -129,6 +130,10 @@ object IncrementalLsh {
       .select("part", "pk", "ver", "vec_id", "vec")
     ParquetMerge.upsertPartitions(spark, dir + VecsSuffix, vecRows,
       "part", "pk", "ver")
+    // exit-side bind: the FIRST fold of a fresh root records its
+    // partition layout in the marker (the entry-side bind was a no-op
+    // on a then-absent directory)
+    graft.util.StateConf.bind(spark, dir, StateParts)
   }
 
   /** Streaming face of [[fold]] — checkpoint + LWW = effective
@@ -161,6 +166,15 @@ object IncrementalLsh {
     require(probeNeighbors >= 0 && probeNeighbors <= 2,
       "probeNeighbors must be 0-2 for the multi-table form")
     val (bits, tables) = geometry(spark, dir)
+    // flips2 below builds sequence(0, bits-2): at bits < 2 that is a
+    // DESCENDING Spark SQL sequence ([0,-1]) whose negative shift
+    // amounts XOR keys outside the table's key block — output would
+    // stay correct (candidates are exact-cosine verified) but the
+    // probe would silently query garbage keys. conf() already rejects
+    // bits < 2 at creation; this guards states written by anything
+    // else (loud beats silently-wasted probes).
+    require(bits >= 2 || probeNeighbors <= 1,
+      s"depth-2 probe needs bits >= 2 (stored geometry has bits=$bits)")
     val subkeys = subkeysSql(bits, tables)
     // Hamming-≤d flips of the low `bits` stay inside each table's key
     // block (the flipped bits sit below the t·2^bits offset). Depth 2
@@ -216,6 +230,7 @@ object IncrementalLsh {
   def retract(spark: SparkSession, dir: String, retractIds: DataFrame,
               id: String): Unit = {
     val (bits, tables) = geometry(spark, dir)
+    graft.util.StateConf.bind(spark, dir, StateParts)
     val x = retractIds.select(col(id).cast("long").as("vec_id"))
       .distinct().localCheckpoint(true)
     val vparts = x.select(pmod(col("vec_id"), lit(StateParts.toLong)))

@@ -54,6 +54,7 @@ object IncrementalMinhash {
   def fold(spark: SparkSession, dir: String, batch: DataFrame,
            text: String, id: String, batchNo: Long,
            shingleN: Int = 3, numPerms: Int = 64, bands: Int = 32): Unit = {
+    graft.util.StateConf.bind(spark, dir, StateParts)
     val rows = TextDedup.bandBuckets(
         TextDedup.docShingles(batch, text, id, shingleN), numPerms, bands)
       .withColumn("part", pmod(col("bucket"), lit(StateParts.toLong)))
@@ -61,6 +62,8 @@ object IncrementalMinhash {
       .withColumn("ver", lit(batchNo))
       .select("part", "pk", "ver", "doc", "band", "bucket")
     ParquetMerge.upsertPartitions(spark, dir, rows, "part", "pk", "ver")
+    // exit-side bind: the first fold of a fresh root records its layout
+    graft.util.StateConf.bind(spark, dir, StateParts)
   }
 
   /** Streaming face of [[fold]]: each micro-batch folds through the
@@ -95,6 +98,7 @@ object IncrementalMinhash {
     */
   def retractDocs(spark: SparkSession, dir: String,
                   docIds: DataFrame, id: String): Unit = {
+    graft.util.StateConf.bind(spark, dir, StateParts)
     val gone = spark.read.parquet(dir)
       .join(docIds.select(col(id).as("doc")), Seq("doc"), "left_semi")
       .select("part", "pk").localCheckpoint(true)

@@ -70,6 +70,7 @@ object IncrementalSemDedup {
   def fold(spark: SparkSession, dir: String, batch: DataFrame,
            id: String, vec: String, batchNo: Long, signBits: Int = 4,
            threshold: Double = 0.45, maxCell: Long = 100000L): Unit = {
+    graft.util.StateConf.bind(spark, dir, StateParts)
     val hPath = new org.apache.hadoop.fs.Path(dir)
     val fs = hPath.getFileSystem(spark.sessionState.newHadoopConf())
     // the retraction replay guard (the curation fold's contract): a
@@ -188,6 +189,8 @@ object IncrementalSemDedup {
       "part", "pk", "ver")
     bCells.unpersist()
     b.unpersist()
+    // exit-side bind: the first fold of a fresh root records its layout
+    graft.util.StateConf.bind(spark, dir, StateParts)
   }
 
   /** The streaming face: each micro-batch of embeddings folds via
@@ -240,6 +243,7 @@ object IncrementalSemDedup {
     */
   def retract(spark: SparkSession, dir: String, retractIds: DataFrame,
               id: String, threshold: Double = 0.45): Unit = {
+    graft.util.StateConf.bind(spark, dir, StateParts)
     val st = spark.read.parquet(dir)
     val x = retractIds.select(col(id).cast("long").as("vid")).distinct()
     val removed = st.join(x, Seq("vid"), "left_semi")

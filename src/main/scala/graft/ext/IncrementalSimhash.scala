@@ -63,6 +63,7 @@ object IncrementalSimhash {
   def retractDocs(spark: SparkSession, dir: String,
                   docIds: org.apache.spark.sql.DataFrame,
                   id: String): Unit = {
+    graft.util.StateConf.bind(spark, dir, StateParts)
     val x = docIds.select(col(id).as("doc")).distinct()
       .localCheckpoint(true)
     val parts = x.select(pmod(xxhash64(col("doc")),
@@ -81,6 +82,7 @@ object IncrementalSimhash {
 
   def fold(spark: SparkSession, dir: String, batch: DataFrame,
            text: String, id: String, batchNo: Long): Unit = {
+    graft.util.StateConf.bind(spark, dir, StateParts)
     val rows = batch
       .select(col(id).as("doc"), TextDedup.tokens(col(text)).as("toks"))
       .select(col("doc"), TextDedup.portableSimhashSig("toks").as("sim"))
@@ -89,6 +91,8 @@ object IncrementalSimhash {
       .withColumn("ver", lit(batchNo))
       .select("part", "pk", "ver", "doc", "sim")
     ParquetMerge.upsertPartitions(spark, dir, rows, "part", "pk", "ver")
+    // exit-side bind: the first fold of a fresh root records its layout
+    graft.util.StateConf.bind(spark, dir, StateParts)
   }
 
   /** Streaming face of [[fold]]: each micro-batch folds through the

@@ -49,6 +49,7 @@ object IncrementalWinnow {
   def retractDocs(spark: SparkSession, dir: String,
                   docIds: org.apache.spark.sql.DataFrame,
                   id: String): Unit = {
+    graft.util.StateConf.bind(spark, dir, StateParts)
     val gone = spark.read.parquet(dir)
       .join(docIds.select(col(id).as("doc")), Seq("doc"), "left_semi")
       .select("part", "pk").localCheckpoint(true)
@@ -61,6 +62,7 @@ object IncrementalWinnow {
   def fold(spark: SparkSession, dir: String, batch: DataFrame,
            text: String, id: String, batchNo: Long,
            k: Int = 3, w: Int = 4, portableHash: Boolean = true): Unit = {
+    graft.util.StateConf.bind(spark, dir, StateParts)
     val fps = TextDedup.winnowingFingerprints(batch, text, id, k, w,
       portableHash)
       .select(col("doc"), col("fp")).distinct()
@@ -70,6 +72,8 @@ object IncrementalWinnow {
       .withColumn("ver", lit(batchNo))
       .select("part", "pk", "ver", "doc", "fp")
     ParquetMerge.upsertPartitions(spark, dir, rows, "part", "pk", "ver")
+    // exit-side bind: the first fold of a fresh root records its layout
+    graft.util.StateConf.bind(spark, dir, StateParts)
   }
 
   /** All-pairs passage-reuse matches over the folded table — the

@@ -570,7 +570,8 @@ object TextAnalysis {
                k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(k >= 1, "k must be >= 1")
     Bm25.rankOrdered(bm25Scores(df, text, id, queryTerms, k1, b)
-      .orderBy(col("score_pts").desc, col("doc")).limit(k))
+      .orderBy(col("score_pts").desc, col("doc")).limit(k),
+      Seq(col("score_pts").desc, col("doc")))
       .select(col("rank"), col("doc"), col("score_pts"), col("n_terms"))
   }
 
@@ -825,14 +826,28 @@ object Bm25 {
     * optimizer folds literal partition keys away); on k rows the
     * warning is noise, and it drowned real signal in the driver bench
     * tail (round-13 verdict #3). The RDD hop costs one k-row pass.
+    *
+    * The caller passes `order` — the frame's own sort keys — because
+    * "sort + limit yields one ordered partition" is a PHYSICAL-plan
+    * artifact (TakeOrderedAndProject), not a Dataset API guarantee: a
+    * planner fallback to Sort + GlobalLimit (large k, AQE, the
+    * topKSortFallbackThreshold conf) could hand this function rows in
+    * a different partitioning. `coalesce(1)` pins one partition and
+    * `sortWithinPartitions(order)` re-establishes the order there —
+    * both O(k) on the limited frame, so the guarantee costs nothing
+    * while the plan happens to be TakeOrderedAndProject (which
+    * PlanSpec still pins as the scale tripwire).
     */
   def rankOrdered(df: org.apache.spark.sql.DataFrame,
+                  order: Seq[org.apache.spark.sql.Column],
                   rankCol: String = "rank")
   : org.apache.spark.sql.DataFrame = {
+    require(order.nonEmpty, "rankOrdered needs the frame's sort keys")
+    val one = df.coalesce(1).sortWithinPartitions(order: _*)
     val schema = org.apache.spark.sql.types.StructType(df.schema.fields :+
       org.apache.spark.sql.types.StructField(rankCol,
         org.apache.spark.sql.types.IntegerType, nullable = false))
-    val rdd = df.rdd.zipWithIndex().map { case (r, i) =>
+    val rdd = one.rdd.zipWithIndex().map { case (r, i) =>
       org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (i + 1L).toInt)
     }
     df.sparkSession.createDataFrame(rdd, schema)

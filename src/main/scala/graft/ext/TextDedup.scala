@@ -375,6 +375,89 @@ object TextDedup {
     * this is the oracle-checkable production form of minhash dedup
     * (estimate-only `minhashLsh` remains for signature-level tuning).
     */
+  /** ENGINE-PORTABLE MinHash-LSH estimate pairs — the seeded
+    * parameterization that promotes the estimate-only minhash tier to
+    * a real DuckDB oracle (round-15; the [[simhashPairsPortable]]
+    * precedent): every stage is integer arithmetic both engines
+    * compute identically, so the oracle recomputes signature, band
+    * buckets, candidate set AND estimate — not just a bound.
+    *
+    *  - shingle codes: token code `(ascii(first char)·131 + length)
+    *    mod 1000003` (the [[TextAnalysis.portableFingerprint]] chain),
+    *    trigram windows paired by the DSIR polynomial
+    *    `((c1·131071 + c2) mod p · 131071 + c3) mod p`; docs under 3
+    *    tokens fold ALL their codes through the same polynomial (the
+    *    [[docShingles]] whole-text-collapse rule, code-level);
+    *  - permutations: `h_j(s) = (a_j·s + b_j) mod p` with
+    *    `a_j = (2j+3)·65537 mod p`, `b_j = j·2654435761 mod p` — the
+    *    portable-simhash multiplier family, seeded by j alone;
+    *  - banding: r = 2, `bucket_k = (m_2k·131071 + m_2k+1) mod p`;
+    *    candidates via [[bucketCandidates]] (same `maxBucket` cap);
+    *  - estimate: matching signature components / numPerms (native
+    *    [[graft.functions.VectorExpressions.eq_count]] kernel on the
+    *    hot path; the oracle sums 16 explicit CASE terms — division
+    *    by a power of two is exact in both engines' doubles).
+    *
+    * Like the portable simhash, this is the VERIFICATION
+    * parameterization: the 1e6 code space means chance shingle-code
+    * collisions grow with corpus size (identical in both engines, so
+    * parity is unaffected — only dedup quality). Production
+    * estimate-tier minhash at ≳10⁵ docs keeps [[minhashLsh]]'s
+    * 64-bit xxhash64 space; the exact-verified production form is
+    * [[minhashVerifiedPairs]], whose oracle verifies the OUTPUT
+    * (candidate recall ≈ 1) rather than the machinery.
+    *
+    * Scale shape is [[minhashLsh]]'s: map-side codes + a 16-column
+    * min partial-agg (one shuffle on doc), band explode, the
+    * cap-guarded bucket self-join, and a signature join back per
+    * surviving candidate — nothing corpus-quadratic.
+    */
+  def minhashLshPortable(df: DataFrame, text: String, id: String,
+                         threshold: Double = 0.1,
+                         maxBucket: Int = 1000): DataFrame = {
+    val P = 1000003L
+    val numPerms = 16
+    val bands = 8
+    val codes = df
+      .select(col(id).as("doc"), tokens(col(text)).as("toks"))
+      .select(col("doc"), expr(
+        "transform(toks, t -> cast(ascii(substring(t, 1, 1)) * 131 " +
+          s"+ length(t) as bigint) % ${P}L)").as("cs"))
+      .select(col("doc"), explode(expr(
+        s"""CASE WHEN size(cs) >= 3
+           THEN transform(sequence(0, size(cs) - 3), i ->
+             ((cs[i] * 131071L + cs[i + 1]) % ${P}L * 131071L
+               + cs[i + 2]) % ${P}L)
+           ELSE array(aggregate(cs, 0L,
+             (acc, c) -> (acc * 131071L + c) % ${P}L)) END""")).as("s"))
+      .distinct()
+    def aj(j: Int): Long = ((2L * j + 3L) * 65537L) % P
+    def bj(j: Int): Long = (j * 2654435761L) % P
+    val minCols = (0 until numPerms).map(j =>
+      min((col("s") * lit(aj(j)) + lit(bj(j))) % lit(P)).as(s"m$j"))
+    val sigs = codes.groupBy("doc")
+      .agg(minCols.head, minCols.tail: _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bucketArr = array((0 until bands).map(k =>
+      (col(s"m${2 * k}") * lit(131071L) + col(s"m${2 * k + 1}"))
+        % lit(P)): _*)
+    val buckets = sigs.select(col("doc"), posexplode(bucketArr))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+    val cand = bucketCandidates(buckets, maxBucket)
+    val sigArr = array((0 until numPerms).map(j => col(s"m$j")): _*)
+    val withSig = sigs.select(col("doc"), sigArr.as("sig"))
+    cand
+      .join(withSig.select(col("doc").as("id_a"), col("sig").as("sig_a"))
+        .hint("shuffle_hash"), Seq("id_a"))
+      .join(withSig.select(col("doc").as("id_b"), col("sig").as("sig_b"))
+        .hint("shuffle_hash"), Seq("id_b"))
+      .withColumn("est_jaccard",
+        graft.functions.VectorExpressions.eq_count(col("sig_a"), col("sig_b"))
+          .cast("double") / lit(numPerms.toDouble))
+      .filter(col("est_jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("est_jaccard"))
+  }
+
   def minhashVerifiedPairs(df: DataFrame, text: String, id: String,
                            shingleN: Int = 3, numPerms: Int = 64,
                            bands: Int = 32, threshold: Double = 0.5,
@@ -1614,9 +1697,17 @@ object TextDedup {
         explode(expr(
           VectorSearch.probeNeighborhoodSql(bits, probeNeighbors))).as("bucket"))
     val b = bucketed.select(col("bucket"), col("_id").as("id_b"))
-    val vecs = bucketed.select(col("_id"), col("_v")).dropDuplicates("_id")
-    a.join(b, Seq("bucket")).filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
+    // candidate pairs materialized EAGERLY so the persisted exploded
+    // frame (tables copies of every vector) can be released before the
+    // verify joins run — and the verify sides read vectors from the
+    // ORIGINAL one-row-per-vector frame, not a dropDuplicates reshuffle
+    // of the explosion (which cost a tables-fold dedup of full vectors
+    // per join side)
+    val pairs = a.join(b, Seq("bucket")).filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct().localCheckpoint(true)
+    bucketed.unpersist()
+    val vecs = emb.select(col(id).as("_id"), col(vec).as("_v"))
+    pairs
       .join(vecs.select(col("_id").as("id_a"), col("_v").as("va")), Seq("id_a"))
       .join(vecs.select(col("_id").as("id_b"), col("_v").as("vb")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),

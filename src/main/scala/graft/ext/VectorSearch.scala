@@ -328,6 +328,11 @@ object VectorSearch {
     * rows to the query's candidate scan.
     */
   private[ext] def probeNeighborhoodSql(bits: Int, depth: Int): String = {
+    // at bits = 1 the d2 term's sequence(0, bits-2) would be the
+    // DESCENDING Spark SQL sequence [0, -1] — negative shift amounts,
+    // keys outside the bucket space, silently-wasted probes
+    require(bits >= 2 || depth <= 1,
+      s"depth-2 multi-probe needs bits >= 2 (got bits=$bits)")
     val self = "array(cast(bucket as long))"
     val d1 = s"transform(sequence(0, ${bits - 1}), b -> " +
       "cast(bucket as long) ^ shiftleft(1L, b))"

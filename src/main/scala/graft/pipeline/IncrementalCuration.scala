@@ -192,6 +192,7 @@ object IncrementalCuration {
                    jaccardThreshold: Double,
                    maxPostings: Long, indexed: Boolean,
                    retractable: Boolean = false): Unit = {
+    graft.util.StateConf.bind(spark, stateDir, StateParts)
     val hPath = new org.apache.hadoop.fs.Path(stateDir)
     val fs = hPath.getFileSystem(spark.sessionState.newHadoopConf())
     // a fold at or below the retraction watermark would re-merge rows
@@ -403,6 +404,8 @@ object IncrementalCuration {
     }
     dedupedB.unpersist()
     qualified.unpersist()
+    // exit-side bind: the first fold of a fresh root records its layout
+    graft.util.StateConf.bind(spark, stateDir, StateParts)
   }
 
   /** The streaming face of the same fold: each micro-batch of crawled
@@ -499,6 +502,7 @@ object IncrementalCuration {
               text: String = "text", id: String = "doc_id",
               jaccardThreshold: Double = 0.3,
               maxPostings: Long = 5000): Unit = {
+    graft.util.StateConf.bind(spark, stateDir, StateParts)
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val st = spark.read.parquet(stateDir)
     require(st.columns.contains("in_deduped"),
