@@ -258,6 +258,117 @@ object OracleSql {
     * can never drift on a hand-copied literal. Division by 16 is
     * exact in IEEE doubles, so est_jaccard hash-matches bit-for-bit.
     */
+  /** CTEs recomputing the PORTABLE hyperplane-LSH signature
+    * (`VectorSearch.lshBucketPortableExpr`) for every embeddings row:
+    * components quantized to exact BIGINTs (`floor(double(x)·1024)` —
+    * float→double widening and a power-of-two multiply are exact), and
+    * bit j of the `nbits`-bit signature set iff the exact integer dot
+    * with the seeded Rademacher plane is ≥ 0. Plane entry for 1-based
+    * dim i: parity of `(i·(2j+3)·65537 + (j+1)·514229) mod 1000003` —
+    * the formulas are shared with the Spark expression, not the
+    * constants, so the engines cannot drift on a hand-copied literal.
+    * Yields `buck(vec_id, bf)`.
+    */
+  private def annSigCtes(nbits: Int): String =
+    s"""quant AS (
+        SELECT vec_id, CAST(generate_subscripts(embedding, 1) AS BIGINT) AS i,
+               CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1024) AS BIGINT) AS qi
+        FROM embeddings),
+      bitsj AS (SELECT CAST(unnest(generate_series(0, ${nbits - 1})) AS BIGINT) AS j),
+      sig AS (
+        SELECT vec_id, j,
+          CASE WHEN SUM(qi * (CASE WHEN ((i * ((2*j+3)*65537)
+                     + (j+1)*514229) % 1000003) % 2 = 0
+                   THEN 1 ELSE -1 END)) >= 0
+               THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END AS bitval
+        FROM quant CROSS JOIN bitsj GROUP BY vec_id, j),
+      buck AS (SELECT vec_id, CAST(SUM(bitval) AS BIGINT) AS bf
+               FROM sig GROUP BY vec_id)"""
+
+  /** `ns_ann_lsh` — the round-15 promotion: single-table portable
+    * hyperplane LSH (bits=3), Hamming-≤2 multi-probe, bit-portable
+    * DOUBLE[] cosine, rank on (rounded sim, vec_id). The probe
+    * neighborhood explode on the Spark side is equivalent to the
+    * direct `bit_count(xor) <= 2` predicate here.
+    */
+  private def annLshPortableSql: String =
+    s"""WITH ${annSigCtes(3)},
+      cand AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS vec_id
+        FROM buck c JOIN buck q
+          ON q.vec_id < 5 AND c.vec_id <> q.vec_id
+          AND bit_count(xor(c.bf, q.bf)) <= 2),
+      scored AS (
+        SELECT cand.query_id, cand.vec_id,
+          round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                       CAST(eq.embedding AS DOUBLE[])), 6) AS sim
+        FROM cand
+        JOIN embeddings e ON e.vec_id = cand.vec_id
+        JOIN embeddings eq ON eq.vec_id = cand.query_id),
+      ranked AS (
+        SELECT query_id, vec_id, sim,
+          CAST(row_number() OVER (PARTITION BY query_id
+            ORDER BY sim DESC, vec_id) AS INT) AS rank
+        FROM scored)
+      SELECT query_id, rank, vec_id, sim FROM ranked
+      WHERE rank <= 10 ORDER BY query_id, rank"""
+
+  /** `ns_ann_multitable` — 6 tables × 4 bits sliced from one 24-bit
+    * portable signature; candidate iff ANY table collides at
+    * Hamming ≤ 1 (the Spark side's per-table key explode + probe).
+    */
+  private def annMultitablePortableSql: String =
+    s"""WITH ${annSigCtes(24)},
+      tb AS (
+        SELECT vec_id, t, (bf >> (t * 4)) & 15 AS bk
+        FROM buck CROSS JOIN
+          (SELECT CAST(unnest(generate_series(0, 5)) AS BIGINT) AS t)),
+      cand AS (
+        SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS vec_id
+        FROM tb q JOIN tb c ON c.t = q.t
+          AND bit_count(xor(c.bk, q.bk)) <= 1
+        WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id),
+      scored AS (
+        SELECT cand.query_id, cand.vec_id,
+          round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                       CAST(eq.embedding AS DOUBLE[])), 6) AS sim
+        FROM cand
+        JOIN embeddings e ON e.vec_id = cand.vec_id
+        JOIN embeddings eq ON eq.vec_id = cand.query_id),
+      ranked AS (
+        SELECT query_id, vec_id, sim,
+          CAST(row_number() OVER (PARTITION BY query_id
+            ORDER BY sim DESC, vec_id) AS INT) AS rank
+        FROM scored)
+      SELECT query_id, rank, vec_id, sim FROM ranked
+      WHERE rank <= 10 ORDER BY query_id, rank"""
+
+  /** `ns_embed_neardup_lsh` — candidate pairs (a < b) colliding at
+    * Hamming ≤ 1 in ≥ 1 of the 6 portable tables, verified with the
+    * bit-portable cosine at the UNROUNDED threshold (the Spark side
+    * filters on the exact cosine, then rounds for display — same
+    * here).
+    */
+  private def embedNearDupLshPortableSql: String =
+    s"""WITH ${annSigCtes(24)},
+      tb AS (
+        SELECT vec_id, t, (bf >> (t * 4)) & 15 AS bk
+        FROM buck CROSS JOIN
+          (SELECT CAST(unnest(generate_series(0, 5)) AS BIGINT) AS t)),
+      cpairs AS (
+        SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM tb a JOIN tb b ON a.t = b.t AND a.vec_id < b.vec_id
+          AND bit_count(xor(a.bk, b.bk)) <= 1)
+      SELECT id_a, id_b,
+        round(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+                                     CAST(eb.embedding AS DOUBLE[])), 6) AS cosine_r
+      FROM cpairs
+      JOIN embeddings ea ON ea.vec_id = id_a
+      JOIN embeddings eb ON eb.vec_id = id_b
+      WHERE list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+                                   CAST(eb.embedding AS DOUBLE[])) > 0.35
+      ORDER BY id_a, id_b"""
+
   private def minhashPortableSql: String =
     s"""WITH toksa AS (
         SELECT doc_id, ${wsToks("text")} AS toka FROM documents),
@@ -3513,6 +3624,9 @@ object OracleSql {
     // ~0.9999 at j>=0.5 with r=2/b=32 banding; equality verified
     // empirically at the test scale factors)
     "ns_dedup_minhash" -> minhashPortableSql,
+    "ns_ann_lsh" -> annLshPortableSql,
+    "ns_ann_multitable" -> annMultitablePortableSql,
+    "ns_embed_neardup_lsh" -> embedNearDupLshPortableSql,
     "ns_dedup_minhash_verified" -> minhashVerifiedSql,
     // the incrementally-FOLDED band-bucket table must converge to the
     // one-shot verified matcher: SAME oracle (the winnow/bm25

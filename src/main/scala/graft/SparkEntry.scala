@@ -3152,20 +3152,23 @@ object SparkEntry {
       .orderBy("id_a", "id_b")
   }
 
-  /** Scale path for near-dup: LSH-bucket candidates + exact verify —
-    * approximate (recall < 1) so rows-only checked; ExtSpec compares its
-    * output against the exact variant.
+  /** Scale path for near-dup: LSH-bucket candidates + exact verify.
+    * PROMOTED to a real DuckDB oracle in round 15 (portable Rademacher
+    * planes — see [[nsAnnLsh]]): the twin recomputes the 6×4-bit
+    * signature, the per-table Hamming-≤1 collision predicate and the
+    * bit-portable cosine verify, so the exact candidate-pair set
+    * hash-matches while staying approximate vs the all-pairs truth
+    * (sidecar recall 0.989 at sf0.1 with the portable family — up from
+    * 0.93 native; precision stays 1.0, every candidate is verified).
     */
   private def nsEmbedNearDupLsh(s: SparkSession, dir: String): DataFrame =
     // bits=4 × 6 OR-amplified tables + Hamming-1 probe: the r13
     // single-table (bits=5) form measured sidecar recall 0.41 at the
-    // cos=0.35 boundary — effective per-table collision ≈ 0.41 there,
-    // so six independent tables reach 0.93 measured at sf0.1 (tracked
-    // per-round in the bench recall sidecar) at 6× candidate cost,
-    // still bucket-bounded
+    // cos=0.35 boundary, so six independent tables OR-amplify past
+    // 0.9 at 6× candidate cost, still bucket-bounded
     TextDedup.embeddingNearDupsBucketed(t(s, dir, "embeddings"), "vec_id",
       "embedding", threshold = 0.35, bits = 4, probeNeighbors = 1,
-      tables = 6)
+      tables = 6, portable = true)
       .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine_r"))
       .orderBy("id_a", "id_b")
 
@@ -3984,37 +3987,42 @@ object SparkEntry {
   }
 
   /** bits = 3 / probeNeighbors = 2 per the round-11 RecallSweep sf0.1
-    * sweep: recall 0.94 (was 0.76 at bits=4), meeting the ≥0.85 family
-    * norm. On this corpus the embeddings are near-uniform (no cluster
-    * structure), so hyperplane sign bits correlate weakly with the
-    * true top-k and that recall costs a wide probed fraction (7/8
-    * buckets); clustered production embeddings support higher bits at
-    * the same recall — the knob, not the algorithm (full table in
-    * TUNING.md, including the multi-table variant
-    * [[VectorSearch.annTopKMultiTable]], now registered as
-    * `ns_ann_multitable`, which reaches 0.90 at a 4×5/16 candidate
-    * fraction via table-union amplification).
+    * sweep. PROMOTED to a real DuckDB oracle in round 15 via the
+    * seeded portable Rademacher plane family
+    * ([[VectorSearch.lshBucketPortableExpr]]): buckets are exact
+    * integer arithmetic over 1024-quantized components, the cosine
+    * kernel was already bit-portable (DuckDB DOUBLE[] cosine), so the
+    * twin recomputes signature → Hamming-≤2 probe → rank end-to-end
+    * and the line hash-matches while STAYING approximate (sidecar
+    * recall 0.94 at sf0.1 — identical to the splitmix64 native family
+    * it replaced, which remains the codegen'd library fast path in
+    * [[VectorSearch.lshBucketExpr]]). On this near-uniform corpus that
+    * recall costs a wide probed fraction (7/8 buckets); clustered
+    * production embeddings support higher bits at the same recall —
+    * the knob, not the algorithm (TUNING.md).
     */
   private def nsAnnLsh(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
     VectorSearch.annTopK(emb, emb.filter(col("vec_id") < 5),
-      "vec_id", "embedding", k = 10, bits = 3, probeNeighbors = 2)
+      "vec_id", "embedding", k = 10, bits = 3, probeNeighbors = 2,
+      portable = true)
       .orderBy("query_id", "rank")
   }
 
-  /** The multi-table LSH tier registered as a first-class query (was
-    * library surface only), so its recall/latency sit in the bench
-    * sidecar next to the single-table deep-probe form. Params from the
-    * round-11 RecallSweep (TUNING.md): L bit-slice tables of one wider
-    * lsh_bucket, candidates unioned + deduped before the cosine
-    * kernel. Approximate (seeded hyperplanes) → rows-only; ExtSpec
-    * bounds it against the exact twin.
+  /** The multi-table LSH tier registered as a first-class query, so
+    * its recall/latency sit in the bench sidecar next to the
+    * single-table deep-probe form. Params from the round-11
+    * RecallSweep (TUNING.md): L bit-slice tables of one wider bucket
+    * signature, candidates unioned + deduped before the cosine
+    * kernel. PROMOTED to a real DuckDB oracle in round 15 (portable
+    * Rademacher planes — see [[nsAnnLsh]]); sidecar recall measured
+    * 0.98 at sf0.1 with the portable family (was 0.90 native).
     */
   private def nsAnnMultitable(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
     VectorSearch.annTopKMultiTable(emb, emb.filter(col("vec_id") < 5),
       "vec_id", "embedding", k = 10, bits = 4, tables = 6,
-      probeNeighbors = 1)
+      probeNeighbors = 1, portable = true)
       .orderBy("query_id", "rank")
   }
 
@@ -4710,16 +4718,19 @@ object SparkEntry {
     "ns_multimodal_video" -> nsMultimodalVideo)
 
   /** DuckDB twins. Omitted: ns_dedup_simhash /
-    * ns_ann_lsh / ns_ann_multitable / ns_embed_neardup_lsh /
+    * ns_ann_lsh_incremental /
     * ns_ivf_topk / ns_pq_topk /
     * ns_ivfpq_topk (hash- or
     * training-seeded approximations — recall < 1 by design, each
     * bounded against its exact twin in specs; simhash has
-    * the oracle-checked `ns_dedup_simhash_portable` form; 
+    * the oracle-checked `ns_dedup_simhash_portable` form;
     * ns_dedup_minhash graduated to a full oracle in round 15 via the
-    * seeded portable parameterization — every remaining exempt line
-    * is seeded by an engine-native hash or a trained quantizer no
-    * second engine can recompute),
+    * seeded portable parameterization, and ns_ann_lsh /
+    * ns_ann_multitable / ns_embed_neardup_lsh followed the same round
+    * via the portable Rademacher plane family (exempt set 10 → 7) —
+    * every remaining exempt line is seeded by an engine-native hash in
+    * stored state or a trained quantizer no second engine can
+    * recompute),
     * ns_sketches (approximate aggregates) → rows-only checks.
     * (ns_multimodal_features graduated to an exact oracle in round 10:
     * real PNG fixtures drive the real header-decode path; the A/V

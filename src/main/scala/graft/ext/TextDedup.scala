@@ -1670,7 +1670,8 @@ object TextDedup {
   def embeddingNearDupsBucketed(emb: DataFrame, id: String, vec: String,
                                 threshold: Double, bits: Int = 8,
                                 probeNeighbors: Int = 0,
-                                tables: Int = 1): DataFrame = {
+                                tables: Int = 1,
+                                portable: Boolean = false): DataFrame = {
     require(tables >= 1 && tables * bits <= 63,
       "tables >= 1 and tables*bits <= 63 (one long of sign bits)")
     require(probeNeighbors >= 0 && probeNeighbors <= 2,
@@ -1681,7 +1682,7 @@ object TextDedup {
       s"t -> cast(t as long) * ${width}L + " +
       s"(shiftright(_bf, t * $bits) & ${mask}L))"
     val bucketed = emb
-      .withColumn("_bf", VectorSearch.lshBucketExpr(tables * bits, vec))
+      .withColumn("_bf", VectorSearch.bucketExprOf(tables * bits, vec, portable))
       .select(col(id).as("_id"), col(vec).as("_v"),
         explode(expr(subkeys)).as("bucket"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

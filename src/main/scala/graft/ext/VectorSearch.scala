@@ -205,11 +205,57 @@ object VectorSearch {
   def lshBucketExpr(bits: Int, vecCol: String): Column =
     graft.functions.VectorExpressions.lsh_bucket(col(vecCol), bits)
 
+  /** The ENGINE-PORTABLE sign-bucket family (the round-15 ANN oracle
+    * promotion — the `ns_dedup_simhash_portable`/`ns_dedup_minhash`
+    * recipe applied to hyperplane LSH): vectors are quantized to exact
+    * integers (`floor(double(x) · 1024)` — float→double widening and a
+    * power-of-two multiply are both exact, so both engines see the
+    * identical BIGINT), and plane `j` is a seeded Rademacher (±1)
+    * vector whose entry for 1-based dimension `i` is the parity of
+    * `(i · (2j+3)·65537 + (j+1)·514229) mod 1000003` — the same seeded
+    * multiplier family as the portable MinHash permutations. Bit j is
+    * set iff the exact integer dot `Σ qᵢ·hⱼᵢ ≥ 0`, so a DuckDB twin
+    * recomputes the WHOLE bucket with plain integer SQL and the two
+    * engines can never drift (OracleSql.annSigCtes). Rademacher planes
+    * are standard sign-LSH projections (collision probability is the
+    * same 1 − θ/π law in expectation), so this is a production-usable
+    * index, not an oracle crutch — the splitmix64 native family
+    * ([[lshBucketExpr]]) remains the codegen'd fast path.
+    */
+  def lshBucketPortableExpr(bits: Int, vecCol: String): Column = {
+    require(bits >= 1 && bits <= 63, "bits in [1, 63]")
+    expr(
+      s"""aggregate(
+         |  transform(sequence(0, ${bits - 1}), j ->
+         |    if(aggregate(
+         |         zip_with(
+         |           transform($vecCol,
+         |             x -> cast(floor(cast(x as double) * 1024.0D) as bigint)),
+         |           transform(sequence(1, size($vecCol)), i ->
+         |             if(pmod(cast(i as bigint) * ((2L * j + 3L) * 65537L)
+         |                       + (cast(j as bigint) + 1L) * 514229L,
+         |                     1000003L) % 2L = 0L, 1L, -1L)),
+         |           (x, h) -> x * h),
+         |         0L, (acc, x) -> acc + x) >= 0L,
+         |       shiftleft(1L, j), 0L)),
+         |  0L, (acc, x) -> acc + x)""".stripMargin)
+  }
+
+  /** The bucket column for the chosen hash family: native splitmix64
+    * planes (default — codegen'd) or the portable seeded Rademacher
+    * family (oracle-recomputable; see [[lshBucketPortableExpr]]).
+    */
+  private[graft] def bucketExprOf(bits: Int, vecCol: String,
+                                  portable: Boolean): Column =
+    if (portable) lshBucketPortableExpr(bits, vecCol)
+    else lshBucketExpr(bits, vecCol)
+
   /** Assign every vector its LSH bucket. Map-side; persist/bucket-write
     * the result once and reuse it across queries.
     */
-  def lshBuckets(df: DataFrame, vec: String, bits: Int = 8): DataFrame =
-    df.withColumn("bucket", lshBucketExpr(bits, vec))
+  def lshBuckets(df: DataFrame, vec: String, bits: Int = 8,
+                 portable: Boolean = false): DataFrame =
+    df.withColumn("bucket", bucketExprOf(bits, vec, portable))
 
   /** A prebuilt IVF index: the corpus with each row's list assignment
     * (stored — eagerly localCheckpoint'd at build, so probes read index
@@ -357,9 +403,10 @@ object VectorSearch {
     */
   def annTopK(corpus: DataFrame, queries: DataFrame, id: String,
               vec: String, k: Int, bits: Int = 8,
-              probeNeighbors: Int = 0): DataFrame = {
+              probeNeighbors: Int = 0,
+              portable: Boolean = false): DataFrame = {
     val scored = annCandidates(corpus, queries, id, vec, bits,
-      probeNeighbors)
+      probeNeighbors, portable)
     val w = Window.partitionBy("query_id")
       .orderBy(col("sim").desc, col("vec_id"))
     scored.withColumn("rank", row_number().over(w))
@@ -380,13 +427,14 @@ object VectorSearch {
     */
   def annCandidates(corpus: DataFrame, queries: DataFrame, id: String,
                     vec: String, bits: Int = 8,
-                    probeNeighbors: Int = 0): DataFrame = {
+                    probeNeighbors: Int = 0,
+                    portable: Boolean = false): DataFrame = {
     require(probeNeighbors >= 0 && probeNeighbors <= 2,
       "probeNeighbors (max probe Hamming distance) must be 0, 1, or 2")
     require(bits >= 2, "bits must be >= 2")
-    val c = lshBuckets(corpus, vec, bits)
+    val c = lshBuckets(corpus, vec, bits, portable)
       .select(col("bucket"), col(id).as("vec_id"), col(vec).as("cv"))
-    val q0 = lshBuckets(queries, vec, bits)
+    val q0 = lshBuckets(queries, vec, bits, portable)
       .select(col("bucket"), col(id).as("query_id"), col(vec).as("qv"))
     val q = if (probeNeighbors == 0) q0 else {
       q0.select(col("query_id"), col("qv"),
@@ -419,7 +467,8 @@ object VectorSearch {
     */
   def annTopKMultiTable(corpus: DataFrame, queries: DataFrame, id: String,
                         vec: String, k: Int, bits: Int = 6, tables: Int = 4,
-                        probeNeighbors: Int = 1): DataFrame = {
+                        probeNeighbors: Int = 1,
+                        portable: Boolean = false): DataFrame = {
     require(bits >= 2, "bits must be >= 2")
     require(tables >= 1 && tables * bits <= 63,
       "tables >= 1 and tables*bits <= 63 (one long of sign bits)")
@@ -431,7 +480,7 @@ object VectorSearch {
     val subkeys = s"transform(sequence(0, ${tables - 1}), " +
       s"t -> cast(t as long) * ${width}L + " +
       s"(shiftright(_bf, t * $bits) & ${mask}L))"
-    val c = corpus.withColumn("_bf", lshBucketExpr(tables * bits, vec))
+    val c = corpus.withColumn("_bf", bucketExprOf(tables * bits, vec, portable))
       .select(col(id).as("vec_id"), col(vec).as("cv"),
         explode(expr(subkeys)).as("key"))
     val qkeys =
@@ -442,7 +491,7 @@ object VectorSearch {
         s"array_distinct(flatten(transform($subkeys, base -> " +
           s"array_union(array(base), transform(sequence(0, ${bits - 1}), " +
           "b -> base ^ shiftleft(1L, b))))))"
-    val q = queries.withColumn("_bf", lshBucketExpr(tables * bits, vec))
+    val q = queries.withColumn("_bf", bucketExprOf(tables * bits, vec, portable))
       .select(col(id).as("query_id"), col(vec).as("qv"),
         explode(expr(qkeys)).as("key"))
     // union of per-table matches, deduped before the cosine kernel
