@@ -369,6 +369,43 @@ object OracleSql {
                                    CAST(eb.embedding AS DOUBLE[])) > 0.35
       ORDER BY id_a, id_b"""
 
+  /** `ns_ann_lsh_incremental` — the persisted-LSH promotion (r15):
+    * the stored state is built with the portable family, so the twin
+    * recomputes the 8×4-bit signature, drops the retracted ids
+    * (vec_id % 9 = 0 — retraction ≡ fresh fold over survivors, the
+    * IncrementalLshSpec-pinned identity), probes per-table slices at
+    * Hamming ≤ 2 (the depth-2 query-side probe) and ranks with the
+    * bit-portable cosine. Queries come from the CORPUS table (not the
+    * state), so a retracted id can still query — it just can't be
+    * returned.
+    */
+  private def annLshIncrementalPortableSql: String =
+    s"""WITH ${annSigCtes(32)},
+      tb AS (
+        SELECT vec_id, t, (bf >> (t * 4)) & 15 AS bk
+        FROM buck CROSS JOIN
+          (SELECT CAST(unnest(generate_series(0, 7)) AS BIGINT) AS t)),
+      cand AS (
+        SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS vec_id
+        FROM tb q JOIN tb c ON c.t = q.t
+          AND bit_count(xor(c.bk, q.bk)) <= 2
+        WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id
+          AND c.vec_id % 9 <> 0),
+      scored AS (
+        SELECT cand.query_id, cand.vec_id,
+          round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                       CAST(eq.embedding AS DOUBLE[])), 6) AS sim
+        FROM cand
+        JOIN embeddings e ON e.vec_id = cand.vec_id
+        JOIN embeddings eq ON eq.vec_id = cand.query_id),
+      ranked AS (
+        SELECT query_id, vec_id, sim,
+          CAST(row_number() OVER (PARTITION BY query_id
+            ORDER BY sim DESC, vec_id) AS INT) AS rank
+        FROM scored)
+      SELECT query_id, rank, vec_id, sim FROM ranked
+      WHERE rank <= 10 ORDER BY query_id, rank"""
+
   private def minhashPortableSql: String =
     s"""WITH toksa AS (
         SELECT doc_id, ${wsToks("text")} AS toka FROM documents),
@@ -3625,6 +3662,7 @@ object OracleSql {
     // empirically at the test scale factors)
     "ns_dedup_minhash" -> minhashPortableSql,
     "ns_ann_lsh" -> annLshPortableSql,
+    "ns_ann_lsh_incremental" -> annLshIncrementalPortableSql,
     "ns_ann_multitable" -> annMultitablePortableSql,
     "ns_embed_neardup_lsh" -> embedNearDupLshPortableSql,
     "ns_dedup_minhash_verified" -> minhashVerifiedSql,

@@ -3646,10 +3646,14 @@ object SparkEntry {
     * vector tables, an every-ninth-id retraction deletes through both
     * (partition-pruned, keys recomputed from the stored vectors), and
     * the probe runs the one-shot annTopKMultiTable kernel against the
-    * folded state. Approximate (seeded hyperplanes, like its
-    * in-session twin ns_ann_multitable) → rows-only;
-    * IncrementalLshSpec pins probe parity with the one-shot kernel
-    * and retract == rebuild-without-X exactly.
+    * folded state. PROMOTED to a real DuckDB oracle in round 15: the
+    * state is built with the portable Rademacher family (the
+    * `family = portable` geometry, [[IncrementalLsh.fold]]), so the
+    * twin recomputes signature → retraction filter → per-table
+    * Hamming-≤2 probe → cosine rank end-to-end; still approximate vs
+    * brute force (sidecar recall ≥ 0.9). IncrementalLshSpec pins
+    * probe parity with the one-shot kernel and retract ==
+    * rebuild-without-X exactly.
     *
     * BENCH ACCOUNTING (r15, the nsRetractCuration convention): the
     * two-batch folded state is PREBUILT per (session, dir) — the fold
@@ -3670,12 +3674,17 @@ object SparkEntry {
       // recall 0.86 at sf0.1 — marginal neighbors collide per table
       // with p ≈ 0.28 there, so two more OR-amplified tables lift the
       // union past the 0.90 bar at ~1.33× bucket rows
+      // portable family (r15 oracle promotion): the stored state's
+      // bucket keys are the seeded-Rademacher integer form, so the
+      // DuckDB twin recomputes fold → retract → probe end-to-end
       graft.ext.IncrementalLsh.fold(s, st,
         emb.filter(col("vec_id") <= cut),
-        "vec_id", "embedding", batchNo = 1L, bits = 4, tables = 8)
+        "vec_id", "embedding", batchNo = 1L, bits = 4, tables = 8,
+        portable = true)
       graft.ext.IncrementalLsh.fold(s, st,
         emb.filter(col("vec_id") > cut),
-        "vec_id", "embedding", batchNo = 2L, bits = 4, tables = 8)
+        "vec_id", "embedding", batchNo = 2L, bits = 4, tables = 8,
+        portable = true)
       root.toString
     })
 
@@ -4718,19 +4727,19 @@ object SparkEntry {
     "ns_multimodal_video" -> nsMultimodalVideo)
 
   /** DuckDB twins. Omitted: ns_dedup_simhash /
-    * ns_ann_lsh_incremental /
     * ns_ivf_topk / ns_pq_topk /
-    * ns_ivfpq_topk (hash- or
+    * ns_ivfpq_topk / ns_ivf_incremental (hash- or
     * training-seeded approximations — recall < 1 by design, each
     * bounded against its exact twin in specs; simhash has
     * the oracle-checked `ns_dedup_simhash_portable` form;
     * ns_dedup_minhash graduated to a full oracle in round 15 via the
     * seeded portable parameterization, and ns_ann_lsh /
-    * ns_ann_multitable / ns_embed_neardup_lsh followed the same round
-    * via the portable Rademacher plane family (exempt set 10 → 7) —
-    * every remaining exempt line is seeded by an engine-native hash in
-    * stored state or a trained quantizer no second engine can
-    * recompute),
+    * ns_ann_multitable / ns_embed_neardup_lsh /
+    * ns_ann_lsh_incremental followed the same round via the portable
+    * Rademacher plane family (exempt set 10 → 6) — every remaining
+    * exempt line is seeded by a trained quantizer (KMeans/PQ
+    * codebooks) no second engine can recompute, or is simhash's
+    * 64-bit production form),
     * ns_sketches (approximate aggregates) → rows-only checks.
     * (ns_multimodal_features graduated to an exact oracle in round 10:
     * real PNG fixtures drive the real header-decode path; the A/V

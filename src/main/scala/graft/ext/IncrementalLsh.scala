@@ -13,13 +13,16 @@ import graft.sink.ParquetMerge
   * retractable artifact instead of a per-(session, dir) build.
   *
   * Why this folds exactly: bucket keys are a PURE per-vector function
-  * (`lsh_bucket` regenerates its splitmix64 hyperplanes from a fixed
-  * seed on every executor — no trained model, nothing corpus-shaped),
-  * so the folded table is batch-split invariant by construction and
-  * the probe over it returns byte-identical rows to the one-shot
-  * multi-table kernel over the merged corpus — pinned by unit parity
-  * (the recall ladder's exact-cosine baseline stays the external
-  * truth; LSH bucketing is not SQL-expressible in the oracle engine).
+  * (both plane families regenerate from fixed seeds on every
+  * executor — no trained model, nothing corpus-shaped), so the folded
+  * table is batch-split invariant by construction and the probe over
+  * it returns byte-identical rows to the one-shot multi-table kernel
+  * over the merged corpus — pinned by unit parity. With the r15
+  * `portable` family ([[VectorSearch.lshBucketPortableExpr]]) the
+  * whole fold→retract→probe pipeline is additionally DuckDB-
+  * recomputable, which is what promoted `ns_ann_lsh_incremental` to a
+  * full hash oracle (the splitmix64 native family remains the
+  * codegen'd default).
   *
   * Two stored tables:
   *  - bucket rows at `dir`: `(part = pmod(key, StateParts),
@@ -73,32 +76,50 @@ object IncrementalLsh {
   }
 
   /** Stored-geometry check-or-create: the first fold records (bits,
-    * tables); every later call must match (a mismatched geometry
-    * probes a disjoint key space — loud beats silent-empty).
+    * tables, family); every later call must match (a mismatched
+    * geometry OR hash family probes a disjoint key space — loud beats
+    * silent-empty). `family` is "native" (splitmix64 planes — the
+    * codegen'd fast path) or "portable" (seeded Rademacher planes over
+    * quantized integers — the r15 oracle-recomputable form,
+    * [[VectorSearch.lshBucketPortableExpr]]); roots written before the
+    * field existed read back as "native", which is what they are.
     */
   private def conf(spark: SparkSession, dir: String, bits: Int,
-                   tables: Int): Unit = {
+                   tables: Int, portable: Boolean): Unit = {
     require(bits >= 2, "bits must be >= 2")
     require(tables >= 1 && tables * bits <= 63,
       "tables >= 1 and tables*bits <= 63 (one long of sign bits)")
+    val family = if (portable) "portable" else "native"
     if (exists(spark, dir + ConfSuffix)) {
-      val r = spark.read.parquet(dir + ConfSuffix).head()
-      val (b0, t0) = (r.getAs[Int]("bits"), r.getAs[Int]("tables"))
-      require(b0 == bits && t0 == tables,
-        s"LSH geometry mismatch: stored (bits=$b0, tables=$t0), " +
-          s"called with (bits=$bits, tables=$tables) — keys would hash " +
-          "into a disjoint space; rebuild to change geometry")
+      val (b0, t0, f0) = geometryFull(spark, dir)
+      require(b0 == bits && t0 == tables && f0 == family,
+        s"LSH geometry mismatch: stored (bits=$b0, tables=$t0, " +
+          s"family=$f0), called with (bits=$bits, tables=$tables, " +
+          s"family=$family) — keys would hash into a disjoint space; " +
+          "rebuild to change geometry")
     } else {
       import spark.implicits._
-      Seq((bits, tables)).toDF("bits", "tables").coalesce(1)
-        .write.mode("errorifexists").parquet(dir + ConfSuffix)
+      Seq((bits, tables, family)).toDF("bits", "tables", "family")
+        .coalesce(1).write.mode("errorifexists").parquet(dir + ConfSuffix)
     }
   }
 
   /** The stored geometry, for probes called without parameters. */
   def geometry(spark: SparkSession, dir: String): (Int, Int) = {
-    val r = spark.read.parquet(dir + ConfSuffix).head()
-    (r.getAs[Int]("bits"), r.getAs[Int]("tables"))
+    val (b, t, _) = geometryFull(spark, dir)
+    (b, t)
+  }
+
+  /** Stored geometry + hash family ("native" for pre-family roots —
+    * the only family that existed when they were written).
+    */
+  def geometryFull(spark: SparkSession, dir: String): (Int, Int, String) = {
+    val df = spark.read.parquet(dir + ConfSuffix)
+    val r = df.head()
+    val family =
+      if (df.columns.contains("family")) r.getAs[String]("family")
+      else "native"
+    (r.getAs[Int]("bits"), r.getAs[Int]("tables"), family)
   }
 
   /** Fold one embedding batch into the bucket + vector tables.
@@ -108,11 +129,12 @@ object IncrementalLsh {
     */
   def fold(spark: SparkSession, dir: String, batch: DataFrame,
            id: String, vec: String, batchNo: Long, bits: Int = 6,
-           tables: Int = 4): Unit = {
-    conf(spark, dir, bits, tables)
+           tables: Int = 4, portable: Boolean = false): Unit = {
+    conf(spark, dir, bits, tables, portable)
     graft.util.StateConf.bind(spark, dir, StateParts)
     val keyed = batch
-      .withColumn("_bf", VectorSearch.lshBucketExpr(tables * bits, vec))
+      .withColumn("_bf",
+        VectorSearch.bucketExprOf(tables * bits, vec, portable))
       .select(col(id).cast("long").as("vec_id"),
         explode(expr(subkeysSql(bits, tables))).as("key"))
     val bucketRows = keyed
@@ -140,14 +162,16 @@ object IncrementalLsh {
     * exactly-once, the fold-family contract.
     */
   def foldStream(emb: DataFrame, dir: String, id: String, vec: String,
-                 checkpoint: String, bits: Int = 6, tables: Int = 4)
+                 checkpoint: String, bits: Int = 6, tables: Int = 4,
+                 portable: Boolean = false)
   : org.apache.spark.sql.streaming.StreamingQuery =
     emb.writeStream
       .foreachBatch {
         (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
          batchId: Long) =>
           fold(b.sparkSession, dir, b.toDF(), id, vec,
-            batchNo = batchId + 1L, bits = bits, tables = tables)
+            batchNo = batchId + 1L, bits = bits, tables = tables,
+            portable = portable)
       }
       .option("checkpointLocation", checkpoint)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -165,7 +189,7 @@ object IncrementalLsh {
            probeNeighbors: Int = 1): DataFrame = {
     require(probeNeighbors >= 0 && probeNeighbors <= 2,
       "probeNeighbors must be 0-2 for the multi-table form")
-    val (bits, tables) = geometry(spark, dir)
+    val (bits, tables, family) = geometryFull(spark, dir)
     // flips2 below builds sequence(0, bits-2): at bits < 2 that is a
     // DESCENDING Spark SQL sequence ([0,-1]) whose negative shift
     // amounts XOR keys outside the table's key block — output would
@@ -195,7 +219,8 @@ object IncrementalLsh {
           s"array_union(array_union(array(base), $flips1), $flips2))))"
     }
     val q = queries
-      .withColumn("_bf", VectorSearch.lshBucketExpr(tables * bits, vec))
+      .withColumn("_bf", VectorSearch.bucketExprOf(tables * bits, vec,
+        family == "portable"))
       .select(col(id).cast("long").as("query_id"), col(vec).as("qv"),
         explode(expr(qkeys)).as("key"))
     val cand = spark.read.parquet(dir).select("key", "vec_id")
@@ -229,7 +254,7 @@ object IncrementalLsh {
     */
   def retract(spark: SparkSession, dir: String, retractIds: DataFrame,
               id: String): Unit = {
-    val (bits, tables) = geometry(spark, dir)
+    val (bits, tables, family) = geometryFull(spark, dir)
     graft.util.StateConf.bind(spark, dir, StateParts)
     val x = retractIds.select(col(id).cast("long").as("vec_id"))
       .distinct().localCheckpoint(true)
@@ -243,7 +268,8 @@ object IncrementalLsh {
       .join(x, Seq("vec_id"), "left_semi")
       .select("vec_id", "vec").localCheckpoint(true)
     val bucketGone = xVecs
-      .withColumn("_bf", VectorSearch.lshBucketExpr(tables * bits, "vec"))
+      .withColumn("_bf", VectorSearch.bucketExprOf(tables * bits, "vec",
+        family == "portable"))
       .select(col("vec_id"), explode(expr(subkeysSql(bits, tables))).as("key"))
       .withColumn("part", pmod(col("key"), lit(StateParts.toLong)))
       .withColumn("pk", concat_ws(":", col("vec_id"), col("key")))

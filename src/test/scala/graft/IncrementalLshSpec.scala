@@ -118,4 +118,46 @@ class IncrementalLshSpec extends SparkSpec {
     assert(bucketTable(dir) == bucketTable(batchDir))
     assert(bucketTable(dir).nonEmpty)
   }
+
+  test("portable family: retract+probe == one-shot portable over survivors") {
+    val all = emb.filter(col("vec_id") <= 400).persist()
+    val queries = all.filter(col("vec_id") < 5)
+    val dir = tmp("lshport")
+    IncrementalLsh.fold(spark, dir, all.filter(col("vec_id") <= 200),
+      "vec_id", "embedding", batchNo = 1L, portable = true)
+    IncrementalLsh.fold(spark, dir, all.filter(col("vec_id") > 200),
+      "vec_id", "embedding", batchNo = 2L, portable = true)
+    IncrementalLsh.retract(spark, dir,
+      all.filter(col("vec_id") % 6 === 0).select("vec_id"), "vec_id")
+    val want = VectorSearch.annTopKMultiTable(
+        all.filter(col("vec_id") % 6 =!= 0), queries, "vec_id",
+        "embedding", k = 10, portable = true)
+      .orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+    val got = probeSeq(dir, queries)
+    assert(got == want && got.nonEmpty)
+    all.unpersist()
+  }
+
+  test("family drift is loud; pre-family conf reads back as native") {
+    val all = emb.filter(col("vec_id") <= 100)
+    val dir = tmp("lshfam")
+    IncrementalLsh.fold(spark, dir, all, "vec_id", "embedding",
+      batchNo = 1L, portable = true)
+    val e = intercept[IllegalArgumentException] {
+      IncrementalLsh.fold(spark, dir, all.limit(1), "vec_id",
+        "embedding", batchNo = 2L) // native into a portable root
+    }
+    assert(e.getMessage.contains("family"))
+    assert(IncrementalLsh.geometryFull(spark, dir)._3 == "portable")
+    // a conf written before the family column existed is a native root
+    val old = tmp("lshold")
+    Seq((6, 4)).toDF("bits", "tables").coalesce(1)
+      .write.parquet(old + IncrementalLsh.ConfSuffix)
+    assert(IncrementalLsh.geometryFull(spark, old)._3 == "native")
+    val e2 = intercept[IllegalArgumentException] {
+      IncrementalLsh.fold(spark, old, all.limit(1), "vec_id",
+        "embedding", batchNo = 1L, portable = true)
+    }
+    assert(e2.getMessage.contains("family"))
+  }
 }
