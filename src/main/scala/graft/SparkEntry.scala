@@ -3086,11 +3086,16 @@ object SparkEntry {
     val e = Tables.events(s, dir).select(col("user_id"),
       expr("ts div 3600000000000").as("hr"), col("ts"), col("event_id"),
       (col("value").cast("decimal(18,2)") * 100).cast("long").as("cents"))
-    // latest observation per (user, hour): order-independent argmax
+    // latest observation per (user, hour): order-independent argmax.
+    // r15: persist perHour and derive the grid bounds FROM it — the
+    // per-user min/max hr over perHour equals the min/max over the raw
+    // events, so the second full scan + shuffle of the events table
+    // becomes a tiny aggregation of the already-collapsed frame.
     val perHour = e.groupBy("user_id", "hr")
       .agg(max(struct(col("ts"), col("event_id"), col("cents"))).as("_last"))
       .select(col("user_id"), col("hr"), col("_last.cents").as("obs_cents"))
-    val grid = e.groupBy("user_id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val grid = perHour.groupBy("user_id")
       .agg(min(col("hr")).as("h0"), max(col("hr")).as("h1"))
       .select(col("user_id"), explode(expr("sequence(h0, h1)")).as("hr"))
     grid.join(perHour, Seq("user_id", "hr"), "left")
@@ -4107,19 +4112,30 @@ object SparkEntry {
     * this (or any registered) path — the stub stays library-only.
     */
   private def nsMultimodalFeatures(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.types._
+    import s.implicits._
+    // Content-addressed decode (r15 optimization): the PNG bytes are a
+    // pure function of (doc_id mod 16, doc_id mod 9) ≡ doc_id mod 144
+    // (CRT), so the corpus holds ≤ 144 DISTINCT blobs. Encode + decode
+    // each distinct blob exactly once — the standard dedupe-before-
+    // decode discipline for crawl corpora full of byte-identical media
+    // — and broadcast-join the tiny class table back onto the ids.
+    // The decode path is unchanged (withMedia → extractFeatures over a
+    // DataFrame of real PNG bytes, on executors); output is identical
+    // row-for-row because equal bytes decode to equal features.
     val ids = t(s, dir, "documents").select("doc_id")
-    val schema = StructType(Seq(StructField("doc_id", LongType),
-      StructField("png", BinaryType)))
-    val rdd = ids.rdd.map { r =>
-      val id = r.getLong(0)
-      org.apache.spark.sql.Row(id, Multimodal.pngFixture(
-        (java.lang.Math.floorMod(id, 16L) + 1).toInt,
-        (java.lang.Math.floorMod(id, 9L) + 1).toInt))
-    }
-    val media = Multimodal.withMedia(s.createDataFrame(rdd, schema),
-      "png", "image")
-    Multimodal.extractFeatures(media)
+    val classes = ids.select(pmod(col("doc_id"), lit(144L)).as("cls"))
+      .distinct()
+    val blobs = classes.as[Long].map { c =>
+      (c, Multimodal.pngFixture(
+        (java.lang.Math.floorMod(c, 16L) + 1).toInt,
+        (java.lang.Math.floorMod(c, 9L) + 1).toInt))
+    }.toDF("cls", "png")
+    val feats = Multimodal.extractFeatures(
+      Multimodal.withMedia(blobs, "png", "image"))
+      .select(col("cls"), col("width"), col("height"), col("channels"),
+        col("duration_ms"))
+    ids.join(broadcast(feats),
+        pmod(col("doc_id"), lit(144L)) === col("cls"))
       .select(col("doc_id"), col("width"), col("height"), col("channels"),
         col("duration_ms"))
       .orderBy("doc_id")
@@ -4191,21 +4207,39 @@ object SparkEntry {
     * the hash stub sneaking onto the path all move the argmax and
     * hash-mismatch.
     */
-  private def nsMultimodalAudioEmbed(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.types._
+  /** Content-addressed decode for the fixture-embed lines (r15
+    * optimization, guide §8 "decide with small rows"): each line's
+    * blob is a pure function of doc_id mod `nClasses` (the congruence
+    * class determines bin/mode/codec), so a 5k-doc corpus holds only
+    * 9–48 DISTINCT blobs — encode + decode + embed each distinct class
+    * exactly once on the executors, then broadcast-join the ≤48-row
+    * class table back onto the ids. This is the dedupe-before-decode
+    * discipline production crawl pipelines apply to byte-identical
+    * media; the codec path per class is byte-for-byte the one the
+    * per-doc form ran, and equal bytes embed to equal vectors, so the
+    * output is identical row-for-row. Also drops the old ids.rdd hop
+    * (Row boxing + codegen fence) from the 5k-row side entirely.
+    */
+  private def perClassEmbed(s: SparkSession, dir: String, nClasses: Long,
+                            out: String)(f: Long => Int): DataFrame = {
+    import s.implicits._
     val ids = t(s, dir, "documents").select("doc_id")
-    val schema = StructType(Seq(StructField("doc_id", LongType),
-      StructField("peak_bin", IntegerType)))
-    val rdd = ids.rdd.map { r =>
-      val id = r.getLong(0)
-      val bin = java.lang.Math.floorMod(id, 16L).toInt
-      val freq = 4000.0 * (bin + 1) / 17.0
+    val classes = ids.select(pmod(col("doc_id"), lit(nClasses)).as("cls"))
+      .distinct()
+    val decoded = classes.as[Long].map(c => (c, f(c))).toDF("cls", out)
+    ids.join(broadcast(decoded),
+        pmod(col("doc_id"), lit(nClasses)) === col("cls"))
+      .select(col("doc_id"), col(out))
+      .orderBy("doc_id")
+  }
+
+  private def nsMultimodalAudioEmbed(s: SparkSession, dir: String): DataFrame =
+    perClassEmbed(s, dir, nClasses = 16L, out = "peak_bin") { cls =>
+      val freq = 4000.0 * (cls + 1) / 17.0
       val v = Multimodal.embedWavSpectral(
         Multimodal.sineWavFixture(freq, nSamples = 2000), dim = 16).get
-      org.apache.spark.sql.Row(id, v.indexOf(v.max))
+      v.indexOf(v.max)
     }
-    s.createDataFrame(rdd, schema).orderBy("doc_id")
-  }
 
   /** The COMPRESSED-audio embedder under the same physics oracle as
     * ns_multimodal_audio_embed: every doc carries a REAL FLAC stream
@@ -4218,32 +4252,24 @@ object SparkEntry {
     * stub sneaking onto the path all move the argmax and
     * hash-mismatch.
     */
-  private def nsMultimodalFlacEmbed(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.types._
-    val ids = t(s, dir, "documents").select("doc_id")
-    val schema = StructType(Seq(StructField("doc_id", LongType),
-      StructField("peak_bin", IntegerType)))
-    val rdd = ids.rdd.map { r =>
-      val id = r.getLong(0)
-      val bin = java.lang.Math.floorMod(id, 16L).toInt
-      val freq = 4000.0 * (bin + 1) / 17.0
-      val mode = java.lang.Math.floorMod(id, 3L) match {
+  private def nsMultimodalFlacEmbed(s: SparkSession, dir: String): DataFrame =
+    // class = doc_id mod 48 determines BOTH the bin (mod 16) and the
+    // subframe mode (mod 3) by CRT; all three decoder paths stay on
+    // the registered query (classes cover every (bin, mode) present).
+    // 1200 samples: Goertzel resolution ≈ rate/n ≈ 7 Hz against a
+    // 235 Hz bin pitch — the argmax has two orders of margin.
+    perClassEmbed(s, dir, nClasses = 48L, out = "peak_bin") { cls =>
+      val freq = 4000.0 * (java.lang.Math.floorMod(cls, 16L) + 1) / 17.0
+      val mode = java.lang.Math.floorMod(cls, 3L) match {
         case 0L => graft.ext.FlacCodec.Verbatim
         case 1L => graft.ext.FlacCodec.Fixed2
         case _ => graft.ext.FlacCodec.Lpc1
       }
-      // 1200 samples: Goertzel resolution ≈ rate/n ≈ 7 Hz against a
-      // 235 Hz bin pitch — the argmax has two orders of margin, and
-      // the encode+decode+Goertzel fixture loop is the line's whole
-      // cost (halved vs the WAV line's 2000 since FLAC pays the codec
-      // both ways)
       val v = Multimodal.embedFlacSpectral(
         Multimodal.sineFlacFixture(freq, nSamples = 1200, mode = mode),
         dim = 16).get
-      org.apache.spark.sql.Row(id, v.indexOf(v.max))
+      v.indexOf(v.max)
     }
-    s.createDataFrame(rdd, schema).orderBy("doc_id")
-  }
 
   /** The Ogg-encapsulated FLAC path under the same physics oracle:
     * every doc carries REAL Ogg pages whose packets hold the FLAC
@@ -4254,16 +4280,10 @@ object SparkEntry {
     * stream. A lacing bug, a dropped segment, or a wrong prelude
     * offset all corrupt the frames and move (or kill) the argmax.
     */
-  private def nsMultimodalOggFlacEmbed(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.types._
-    val ids = t(s, dir, "documents").select("doc_id")
-    val schema = StructType(Seq(StructField("doc_id", LongType),
-      StructField("peak_bin", IntegerType)))
-    val rdd = ids.rdd.map { r =>
-      val id = r.getLong(0)
-      val bin = java.lang.Math.floorMod(id, 16L).toInt
-      val freq = 4000.0 * (bin + 1) / 17.0
-      val mode = java.lang.Math.floorMod(id, 3L) match {
+  private def nsMultimodalOggFlacEmbed(s: SparkSession, dir: String): DataFrame =
+    perClassEmbed(s, dir, nClasses = 48L, out = "peak_bin") { cls =>
+      val freq = 4000.0 * (java.lang.Math.floorMod(cls, 16L) + 1) / 17.0
+      val mode = java.lang.Math.floorMod(cls, 3L) match {
         case 0L => graft.ext.FlacCodec.Verbatim
         case 1L => graft.ext.FlacCodec.Fixed2
         case _ => graft.ext.FlacCodec.Lpc1
@@ -4271,10 +4291,8 @@ object SparkEntry {
       val v = Multimodal.embedOggFlacSpectral(
         Multimodal.oggFlacFixture(freq, nSamples = 1200, mode = mode),
         dim = 16).get
-      org.apache.spark.sql.Row(id, v.indexOf(v.max))
+      v.indexOf(v.max)
     }
-    s.createDataFrame(rdd, schema).orderBy("doc_id")
-  }
 
   /** The G.711 telephony decode path under the same physics oracle:
     * every doc carries a REAL companded WAV (fmt tag alternates
@@ -4286,23 +4304,17 @@ object SparkEntry {
     * sign-fold bug, or raw-PCM misreading of companded bytes all move
     * the argmax and hash-mismatch.
     */
-  private def nsMultimodalG711Embed(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.types._
-    val ids = t(s, dir, "documents").select("doc_id")
-    val schema = StructType(Seq(StructField("doc_id", LongType),
-      StructField("peak_bin", IntegerType)))
-    val rdd = ids.rdd.map { r =>
-      val id = r.getLong(0)
-      val bin = java.lang.Math.floorMod(id, 16L).toInt
-      val freq = 4000.0 * (bin + 1) / 17.0
-      val alaw = java.lang.Math.floorMod(id, 2L) == 0L
+  private def nsMultimodalG711Embed(s: SparkSession, dir: String): DataFrame =
+    // doc_id mod 16 determines doc_id mod 2 (16 is even), so 16
+    // classes cover every (bin, companding-table) pair on the corpus
+    perClassEmbed(s, dir, nClasses = 16L, out = "peak_bin") { cls =>
+      val freq = 4000.0 * (cls + 1) / 17.0
+      val alaw = java.lang.Math.floorMod(cls, 2L) == 0L
       val v = Multimodal.embedWavSpectral(
         Multimodal.sineWavG711Fixture(freq, nSamples = 2000, alaw = alaw),
         dim = 16).get
-      org.apache.spark.sql.Row(id, v.indexOf(v.max))
+      v.indexOf(v.max)
     }
-    s.createDataFrame(rdd, schema).orderBy("doc_id")
-  }
 
   /** The 4-bit adaptive (IMA/DVI ADPCM) decode path under the same
     * physics oracle: every doc carries a REAL block-coded WAV
@@ -4313,21 +4325,13 @@ object SparkEntry {
     * step-table bug, a nibble-order swap, or a block-header misread
     * all move the argmax and hash-mismatch.
     */
-  private def nsMultimodalAdpcmEmbed(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.types._
-    val ids = t(s, dir, "documents").select("doc_id")
-    val schema = StructType(Seq(StructField("doc_id", LongType),
-      StructField("peak_bin", IntegerType)))
-    val rdd = ids.rdd.map { r =>
-      val id = r.getLong(0)
-      val bin = java.lang.Math.floorMod(id, 16L).toInt
-      val freq = 4000.0 * (bin + 1) / 17.0
+  private def nsMultimodalAdpcmEmbed(s: SparkSession, dir: String): DataFrame =
+    perClassEmbed(s, dir, nClasses = 16L, out = "peak_bin") { cls =>
+      val freq = 4000.0 * (cls + 1) / 17.0
       val v = Multimodal.embedWavSpectral(
         Multimodal.sineWavAdpcmFixture(freq, nSamples = 2000), dim = 16).get
-      org.apache.spark.sql.Row(id, v.indexOf(v.max))
+      v.indexOf(v.max)
     }
-    s.createDataFrame(rdd, schema).orderBy("doc_id")
-  }
 
   /** The Matroska/webm face of the decode contract — real EBML
     * elements per doc at formula duration/dimensions, decoded through
@@ -4465,23 +4469,15 @@ object SparkEntry {
     * luma-weight bug, transposed grid, or the hash stub sneaking onto
     * the image path all move the argmax and hash-mismatch.
     */
-  private def nsMultimodalImageEmbed(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.types._
-    val ids = t(s, dir, "documents").select("doc_id")
-    val schema = StructType(Seq(StructField("doc_id", LongType),
-      StructField("peak_block", IntegerType)))
-    val rdd = ids.rdd.map { r =>
-      val id = r.getLong(0)
-      val blk = java.lang.Math.floorMod(id, 9L).toInt
+  private def nsMultimodalImageEmbed(s: SparkSession, dir: String): DataFrame =
+    perClassEmbed(s, dir, nClasses = 9L, out = "peak_block") { cls =>
       val v = Multimodal.embedImagePixels(
-        Multimodal.blockPngFixture(3, blk), dim = 16).get
+        Multimodal.blockPngFixture(3, cls.toInt), dim = 16).get
       var best = 4
       var d = 5
       while (d < 13) { if (v(d) > v(best)) best = d; d += 1 }
-      org.apache.spark.sql.Row(id, best - 4)
+      best - 4
     }
-    s.createDataFrame(rdd, schema).orderBy("doc_id")
-  }
 
   /** One entry per implemented operator from SURVEY.md §2 + §7.4. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -449,7 +449,8 @@ object TextAnalysis {
                         normSqBound: java.math.BigDecimal =
                           new java.math.BigDecimal("1000000000000000")): DataFrame = {
     require(minCosCenti >= 0 && minCosCenti <= 100, "minCosCenti in [0,100]")
-    require(maxDf >= 2, "maxDf must be >= 2")
+    require(maxDf >= 2 && maxDf <= 10000,
+      "maxDf must be in [2, 10000] (array_pairs bound)")
     require(shingleN >= 1, "shingleN must be >= 1")
     require(normSqBound.compareTo(
       new java.math.BigDecimal("1000000000000000")) <= 0,
@@ -464,32 +465,48 @@ object TextAnalysis {
     val terms = df.select(col(id).as("doc"),
       explode(graft.functions.VectorExpressions.word_shingles(
         Tok.tokens(col(text)), shingleN)).as("term"))
-    val dfreq = terms.groupBy("term").agg(count(lit(1)).as("df"))
-      .filter(col("df") <= maxDf)
-    val w = terms.join(dfreq, Seq("term")) // inner join = the stop list
+    // r15 restructure (guide §2.3/§2.4): tf ≡ 1 makes the weight a pure
+    // function of the term's df, so the whole similarity derives from
+    // ONE pass over the posting lists — window df-prune (hub terms are
+    // dropped BEFORE any list builds, the candidatePairCounts memory
+    // discipline), group each surviving term's postings, and expand the
+    // pairs IN-ROW via array_pairs (canonical a<b) instead of the old
+    // shuffle-hash self-join. This removes the second tokenize pass
+    // (terms fed both dfreq and the join before), the dfreq join, and
+    // both self-join exchanges of the posting table; the groupBy reuses
+    // the window's term-partitioning, so the corpus crosses the network
+    // once. Arithmetic is unchanged: dot = Σ_shared w_t², norm² = Σ w_t²
+    // over exact DECIMAL(38,0) sums (associative), so membership and
+    // cos_r are bit-identical to the self-join form.
+    val counted = terms.withColumn("_pf",
+      count(lit(1)).over(org.apache.spark.sql.expressions.Window
+        .partitionBy("term")))
+    val grouped = counted.filter(col("_pf") <= maxDf)
+      .groupBy("term")
+      .agg(collect_list(col("doc")).as("docs"), max(col("_pf")).as("df"))
       .withColumn("w", expr(Bm25.idfMillePtsSql))
-      .select("doc", "term", "df", "w")
+      .select("docs", "df", "w")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // norm2 (|docs| rows) and dots (posting-bounded pairs) are the
-    // only consumers of the cached token-weight frame — materialize
-    // them eagerly into their own (much smaller, clearCache-evictable)
-    // persists and release the corpus-sized w cache HERE, so a
+    // only consumers of the cached posting frame — materialize them
+    // eagerly into their own (much smaller, clearCache-evictable)
+    // persists and release the corpus-sized cache HERE, so a
     // long-lived session/bench loop doesn't leak it. Deliberately
     // persist, NOT localCheckpoint: clearCache() cannot evict
     // localCheckpoint blocks, which would be the worse leak.
-    val norm2 = w.groupBy("doc")
-      .agg(sum(col("w").cast("decimal(38,0)") * col("w")).as("n2"))
+    val w2 = (col("w").cast("decimal(38,0)") * col("w")).as("w2")
+    val norm2 = grouped.select(explode(col("docs")).as("doc"), w2)
+      .groupBy("doc").agg(sum(col("w2")).as("n2"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val post = w.filter(col("df") >= 2)
-      .select(col("term"), col("doc"), col("w"))
-    val dots = post.as("a").hint("shuffle_hash")
-      .join(post.as("b").hint("shuffle_hash"),
-        col("a.term") === col("b.term") && col("a.doc") < col("b.doc"))
-      .groupBy(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
-      .agg(sum(col("a.w").cast("decimal(38,0)") * col("b.w")).as("dot"))
+    val dots = grouped.filter(col("df") >= 2)
+      .select(explode(
+        graft.functions.VectorExpressions.array_pairs(col("docs"))).as("p"),
+        w2)
+      .groupBy(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
+      .agg(sum(col("w2")).as("dot"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     norm2.count(); dots.count()
-    w.unpersist()
+    grouped.unpersist()
     val tC = lit(minCosCenti.toLong)
     // Overflow guard — LOUD, not silent. Under Spark's default
     // (non-ANSI) decimal ops a DECIMAL(38,0) product past 38 digits
@@ -598,9 +615,13 @@ object TextAnalysis {
     require(routes.nonEmpty && routes.values.forall(_.nonEmpty),
       "routes must be non-empty with non-empty term lists")
     val allTerms = routes.values.flatten.toSeq.distinct
+    // r15: persist — (n, sum_dl) and the df aggregation both consume
+    // the tokenized frame; without materialization the corpus
+    // tokenizes twice per snapshot build
     val base = corpus.select(col(id).as("doc"),
       Tok.tokens(col(text)).as("_toks"))
       .withColumn("dl", size(col("_toks")).cast("long"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val Array(n, sdl) = base.agg(count(lit(1)), sum("dl"))
       .head().toSeq.map(v => Option(v).fold(0L)(_.asInstanceOf[Long])).toArray
     require(n > 0, "bm25Snapshot needs a non-empty reference corpus " +
@@ -610,6 +631,7 @@ object TextAnalysis {
       .groupBy("doc", "term").agg(count(lit(1)))
       .groupBy("term").agg(count(lit(1)).as("dfq"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    base.unpersist()
     Bm25Snapshot(n, sdl, dfs, routes)
   }
 
@@ -726,6 +748,11 @@ object TextAnalysis {
         "transform(sequence(0, size(_tk) - 2), " +
           "i -> struct(_tk[i] AS w1, _tk[i + 1] AS w2))")).as("b"))
       .select(col("doc"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      // r15: bg feeds THREE consumers (bigram counts, unigram counts,
+      // the scoring join) — without materialization the tokenize +
+      // bigram-explode pass over the corpus runs three times. persist,
+      // not localCheckpoint (clearCache must be able to evict it).
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val c2 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
     val c1 = bg.groupBy("w1").agg(count(lit(1)).as("c1"))
     val p = c2.join(c1, Seq("w1")).withColumn("p_pts", expr(lmPointsSql))

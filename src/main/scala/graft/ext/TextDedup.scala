@@ -91,11 +91,19 @@ object TextDedup {
 
   /** Deterministic survivor selection shared by the exact-dedup
     * variants: smallest id per `text_hash` wins.
+    *
+    * r15: `min_by(struct(row), id)` instead of the row_number window —
+    * a partial-aggregating hash aggregate (each mapper pre-collapses
+    * to one candidate row per hash before the exchange, and nothing is
+    * sorted) where WindowExec shuffled every row and sorted each
+    * partition. Output rows are identical: the id is unique, so the
+    * min_by winner IS the window's rn=1 row.
     */
   private def keepFirstByHash(hashed: DataFrame, id: String): DataFrame = {
-    val w = Window.partitionBy(col("text_hash")).orderBy(col(id))
-    hashed.withColumn("_rn", row_number().over(w))
-      .filter(col("_rn") === 1).drop("_rn")
+    val cols = hashed.columns
+    hashed.groupBy(col("text_hash"))
+      .agg(min_by(struct(cols.map(col).toSeq: _*), col(id)).as("_w"))
+      .select(cols.map(c => col(s"_w.$c").as(c)).toSeq: _*)
   }
 
   /** Paragraph-level dedup (CCNet-style), adapted to paragraph-free
@@ -1194,10 +1202,15 @@ object TextDedup {
   private def largeStar(e: DataFrame): DataFrame = {
     val nbrs = e.select(col("u"), col("v"))
       .union(e.select(col("v").as("u"), col("u").as("v")))
+    // r15: no trailing distinct — output volume is already ≤ |e| rows
+    // (one per (u, v>u) neighbor), smallStar's window tolerates
+    // duplicate edges (min is idempotent), and its own trailing
+    // distinct restores set semantics; dropping it removes one
+    // exchange per round
     nbrs.withColumn("m", least(min(col("v")).over(Window.partitionBy("u")), col("u")))
       .filter(col("v") > col("u"))
       .select(col("v").as("u"), col("m").as("v"))
-      .filter(col("u") =!= col("v")).distinct()
+      .filter(col("u") =!= col("v"))
   }
 
   private def smallStar(e: DataFrame): DataFrame = {
@@ -1243,13 +1256,20 @@ object TextDedup {
       if (iter >= maxIterations) throw new IllegalStateException(
         s"nearDupClusters: no convergence in $maxIterations star rounds " +
           "— should be impossible (O(log n) bound); check for NaN/null ids")
-      val next = smallStar(largeStar(edges))
-        .repartition(p, col("u")).localCheckpoint(true)
+      // r15: no per-round repartition — the next round's largeStar
+      // window re-exchanges by u regardless (the union ahead of it
+      // breaks any partitioning), so the explicit repartition only
+      // added an exchange; smallStar's distinct already bounds the
+      // checkpointed partition count via the session/AQE coalescing.
+      val next = smallStar(largeStar(edges)).localCheckpoint(true)
       val nNext = next.count()
-      // exact fixpoint test: same count + empty one-sided difference
-      // (two graph-sized jobs per round; rounds are O(log n), so this
-      // never dominates)
-      converged = nNext == nEdges && next.except(edges).head(1).isEmpty
+      // exact fixpoint test: same count + empty one-sided difference.
+      // left_anti, not except: both sides are distinct sets already,
+      // so except's pre-dedup re-shuffle is pure overhead (r15). Two
+      // graph-sized jobs per round; rounds are O(log n), so this
+      // never dominates.
+      converged = nNext == nEdges &&
+        next.join(edges, Seq("u", "v"), "left_anti").head(1).isEmpty
       edges = next
       nEdges = nNext
       iter += 1

@@ -49,15 +49,23 @@ object Graph {
     // the edges, and a small graph's rounds are a handful of tasks, not
     // 32+ near-empty shuffle partitions × iterations of fixed overhead
     val p = math.max(1, math.min((n / 500000L + 1).toInt, 200))
-    val e = e0.repartition(p, col("a")).localCheckpoint(true)
+    // attach the out-degree to the edge list ONCE, before the
+    // checkpoint (the degree of a is a static edge property — it never
+    // changes across iterations): every round then pays a single
+    // rank join instead of a deg join + a rank join. The groupBy
+    // reuses the repartition(a) exchange, so the prejoin costs one
+    // extra pass at build time and removes `iterations` join stages.
+    val eP = e0.repartition(p, col("a"))
+    val e = eP
+      .join(eP.groupBy("a").agg(count(lit(1)).as("deg")), Seq("a"))
+      .localCheckpoint(true)
     val nodes = nodes0.repartition(p, col("node")).localCheckpoint(true)
     e0.unpersist()
-    val outDeg = e.groupBy("a").agg(count(lit(1)).as("deg"))
     val init = scale / n
     val base = (init * (100 - dampingNum)) / 100
     var ranks = nodes.withColumn("rank", lit(init))
     for (i <- 1 to iterations) {
-      val contrib = e.join(outDeg, Seq("a"))
+      val contrib = e
         .join(ranks.withColumnRenamed("node", "a"), Seq("a"))
         .select(col("b").as("node"), expr("rank div deg").as("c"))
         .groupBy("node").agg(sum(col("c")).as("in_sum"))
@@ -110,7 +118,12 @@ object Graph {
     val n = nodes0.count()
     require(n > 0, "personalizedPageRank needs a non-empty edge list")
     val p = math.max(1, math.min((n / 500000L + 1).toInt, 200))
-    val e = e0.repartition(p, col("a")).localCheckpoint(true)
+    // deg prejoin before the checkpoint — see pageRank: one join per
+    // iteration instead of two
+    val eP = e0.repartition(p, col("a"))
+    val e = eP
+      .join(eP.groupBy("a").agg(count(lit(1)).as("deg")), Seq("a"))
+      .localCheckpoint(true)
     val init = scale / nSeeds
     val base = (init * (100 - dampingNum)) / 100
     // the seed flag joins once, up front; every iteration reads it as a
@@ -123,10 +136,9 @@ object Graph {
         when(col("is_seed"), lit(init)).otherwise(lit(0L)).as("init"))
       .repartition(p, col("node")).localCheckpoint(true)
     e0.unpersist()
-    val outDeg = e.groupBy("a").agg(count(lit(1)).as("deg"))
     var ranks = nodes.select(col("node"), col("init").as("rank"))
     for (i <- 1 to iterations) {
-      val contrib = e.join(outDeg, Seq("a"))
+      val contrib = e
         .join(ranks.withColumnRenamed("node", "a"), Seq("a"))
         .select(col("b").as("node"), expr("rank div deg").as("c"))
         .groupBy("node").agg(sum(col("c")).as("in_sum"))

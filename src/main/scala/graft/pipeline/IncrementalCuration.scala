@@ -262,8 +262,15 @@ object IncrementalCuration {
     // smaller id) is dropped; first-id-wins settles intra-batch copies
     val newb = state match {
       case None => qualified
-      case Some(st) => BloomGuard.newDocs(qualified,
-        st.select(col(text)), text)
+      case Some(st) =>
+        // r15: pass the sketch capacity explicitly — parquet count() is
+        // a metadata-only job, while BloomGuard's own fallback count
+        // re-scans state WITH the normalize expression evaluated. Row
+        // count over-estimates the distinct-normal key count, which
+        // only lowers the realized fpp (capacity-independent
+        // correctness is BloomGuard's documented contract).
+        BloomGuard.newDocs(qualified, st.select(col(text)), text,
+          expectedItems = st.count())
     }
     val dedupedB = TextDedup.exactNormalized(newb, text, id)
       .drop("text_hash")
@@ -510,10 +517,17 @@ object IncrementalCuration {
     val x = retractIds.select(col(id)).distinct().persist(lvl)
     // EAGER checkpoints (not persist) for every frame consumed after
     // the state table is overwritten below — a cache-evicted recompute
-    // would re-read the post-delete state and silently see nothing
-    val removed = st.join(x, Seq(id), "left_semi")
+    // would re-read the post-delete state and silently see nothing.
+    // r15: ONE flagged pass over state (a single join + a single eager
+    // materialization) instead of separate semi/anti joins each
+    // reading state — removed/kept are then in-memory filters of the
+    // pinned RDD, and both stay valid after the rewrite below.
+    val flagged = st
+      .join(x.withColumn("_rm", lit(true)), Seq(id), "left")
+      .withColumn("_rm", coalesce(col("_rm"), lit(false)))
       .localCheckpoint(true)
-    val kept = st.join(x, Seq(id), "left_anti").persist(lvl)
+    val removed = flagged.filter(col("_rm")).drop("_rm")
+    val kept = flagged.filter(!col("_rm")).drop("_rm")
     // 1. exact promotion
     val removedDedupHashes = removed.filter(col("in_deduped"))
       .select("text_hash")
@@ -524,7 +538,9 @@ object IncrementalCuration {
     val promoted = groupRemain.withColumn("_rn", row_number().over(w))
       .filter(col("_rn") === 1).drop("_rn")
       .localCheckpoint(true)
-    val dedupedOld = kept.filter(col("in_deduped")).persist(lvl)
+    // plain filter of the checkpointed flagged frame — re-reads pinned
+    // RDD blocks, no extra persist needed (r15)
+    val dedupedOld = kept.filter(col("in_deduped"))
     // 2. fresh pairs for the promoted docs (the only shingling here;
     // skipped entirely when no group promoted — the common retraction
     // has no exact-dup keeper in it and pays zero shingle work)
@@ -677,7 +693,7 @@ object IncrementalCuration {
     // oldEdges unconditionally: a re-checked fs.exists would read
     // false when the retraction emptied the edge table (the directory
     // was just deleted) and leak the persisted frame
-    Seq(x, removed, kept, promoted, dedupedOld, newEdges, oldEdges)
+    Seq(x, flagged, promoted, newEdges, oldEdges)
       .foreach(_.unpersist())
     ()
   }
