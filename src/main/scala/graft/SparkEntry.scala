@@ -721,7 +721,13 @@ object SparkEntry {
       .select(col("user_id").as("a"),
         (expr("ts div 86400000000000") + lit(2000000000L)).as("b"))
       .distinct()
-    val edges = e0.unionByName(e0.select(col("b").as("a"), col("a").as("b")))
+    // r15: symmetrize by exploding both orientations from ONE pass over
+    // the distinct frame — the unionByName form evaluated the distinct
+    // aggregation once per branch when the union materialized
+    val edges = e0.select(explode(array(
+        struct(col("a"), col("b")),
+        struct(col("b").as("a"), col("a").as("b")))).as("e"))
+      .select(col("e.a").as("a"), col("e.b").as("b"))
     graft.op.Graph.pageRank(edges, "a", "b", iterations = 4)
       .select(col("node"), col("rank").as("pr"))
       .orderBy("node")
@@ -1791,7 +1797,12 @@ object SparkEntry {
       .select((col("doc_id") + VariantOffset).as("doc_id"),
         upper(col("text")).as("text"))
     val newBatch = d.filter(col("doc_id") % 5 === 0).unionByName(copies)
-    graft.ext.BloomGuard.newDocs(newBatch, corpus, "text")
+    // r15: explicit sketch capacity — a plain row count of the corpus
+    // frame is cheaper than BloomGuard's fallback count, which scans
+    // WITH the normalize regex evaluated; over-estimation only lowers
+    // the realized fpp (capacity-independent correctness)
+    graft.ext.BloomGuard.newDocs(newBatch, corpus, "text",
+      expectedItems = corpus.count())
       .select("doc_id").orderBy("doc_id")
   }
 

@@ -840,7 +840,8 @@ object TextDedup {
     val selExpr =
       s"element_at(transform(array(element_at(transform(array($csExpr), " +
         s"cs -> $hsFromCs), 1)), hs -> $selFromHs), 1)"
-    df.select(col(id).as("doc"), Tok.tokens(col(text)).as("toks"))
+    graft.util.FanOut(df)
+      .select(col(id).as("doc"), Tok.tokens(col(text)).as("toks"))
       .filter(size(col("toks")) >= k + w - 1) // no full window -> nothing
       .select(col("doc"), explode(expr(selExpr)).as("f"))
       .select(col("doc"), col("f.p").as("pos"), col("f.h").as("fp"))
@@ -968,7 +969,8 @@ object TextDedup {
   def simhashPairs(df: DataFrame, text: String, id: String,
                    maxHamming: Int = 3): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 64, "maxHamming in [0, 64)")
-    val sigs = df.select(col(id).as("doc"), tokens(col(text)).as("toks"))
+    val sigs = graft.util.FanOut(df)
+      .select(col(id).as("doc"), tokens(col(text)).as("toks"))
       .select(col("doc"), simhashOfTokens.as("sim"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     pigeonholePairs(sigs, sigBits = 64, maxHamming)
@@ -1091,7 +1093,8 @@ object TextDedup {
   def simhashPairsPortable(df: DataFrame, text: String, id: String,
                            maxHamming: Int = 3): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 32, "maxHamming in [0, 32)")
-    val sigs = df.select(col(id).as("doc"), tokens(col(text)).as("toks"))
+    val sigs = graft.util.FanOut(df)
+      .select(col(id).as("doc"), tokens(col(text)).as("toks"))
       .select(col("doc"), portableSimhashSig("toks").as("sim"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     pigeonholePairs(sigs, sigBits = 32, maxHamming)
@@ -1116,7 +1119,8 @@ object TextDedup {
                            maxHamming: Int = 3): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 32, "maxHamming in [0, 32)")
     def sign(df: DataFrame): DataFrame =
-      df.select(col(id).as("doc"), tokens(col(text)).as("toks"))
+      graft.util.FanOut(df)
+        .select(col(id).as("doc"), tokens(col(text)).as("toks"))
         .select(col("doc"), portableSimhashSig("toks").as("sim"))
     simhashCrossFromSigs(sign(docs), sign(corpus), maxHamming)
   }
@@ -1746,7 +1750,8 @@ object TextDedup {
     */
   private def positionalWindows(df: DataFrame, text: String, id: String,
                                 k: Int): DataFrame =
-    df.select(col(id).as("doc"), split(col(text), " ").as("_toks"))
+    graft.util.FanOut(df)
+      .select(col(id).as("doc"), split(col(text), " ").as("_toks"))
       .filter(size(col("_toks")) >= k)
       .select(col("doc"), posexplode(expr(
         s"transform(sequence(0, size(_toks) - $k), " +

@@ -224,21 +224,27 @@ object VectorSearch {
     */
   def lshBucketPortableExpr(bits: Int, vecCol: String): Column = {
     require(bits >= 1 && bits <= 63, "bits in [1, 63]")
+    // r15: the quantized vector is BOUND as a lambda variable
+    // (`transform(array(Q), q -> body)` evaluates Q exactly once per
+    // row) — inlining it re-ran the O(dim) quantize once PER BIT
+    // (24–32× per row on the multi-table forms). Same arithmetic,
+    // same signature values; the winnowingFingerprints hoist trick.
+    val quant = s"transform($vecCol, " +
+      "x -> cast(floor(cast(x as double) * 1024.0D) as bigint))"
     expr(
-      s"""aggregate(
-         |  transform(sequence(0, ${bits - 1}), j ->
-         |    if(aggregate(
-         |         zip_with(
-         |           transform($vecCol,
-         |             x -> cast(floor(cast(x as double) * 1024.0D) as bigint)),
-         |           transform(sequence(1, size($vecCol)), i ->
-         |             if(pmod(cast(i as bigint) * ((2L * j + 3L) * 65537L)
-         |                       + (cast(j as bigint) + 1L) * 514229L,
-         |                     1000003L) % 2L = 0L, 1L, -1L)),
-         |           (x, h) -> x * h),
-         |         0L, (acc, x) -> acc + x) >= 0L,
-         |       shiftleft(1L, j), 0L)),
-         |  0L, (acc, x) -> acc + x)""".stripMargin)
+      s"""element_at(transform(array($quant), q ->
+         |  aggregate(
+         |    transform(sequence(0, ${bits - 1}), j ->
+         |      if(aggregate(
+         |           zip_with(q,
+         |             transform(sequence(1, size(q)), i ->
+         |               if(pmod(cast(i as bigint) * ((2L * j + 3L) * 65537L)
+         |                         + (cast(j as bigint) + 1L) * 514229L,
+         |                       1000003L) % 2L = 0L, 1L, -1L)),
+         |             (x, h) -> x * h),
+         |           0L, (acc, x) -> acc + x) >= 0L,
+         |         shiftleft(1L, j), 0L)),
+         |    0L, (acc, x) -> acc + x)), 1)""".stripMargin)
   }
 
   /** The bucket column for the chosen hash family: native splitmix64

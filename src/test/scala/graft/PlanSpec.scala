@@ -455,15 +455,15 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
-  test("sparse cosine: posting self-join is term-keyed shuffle-hash, no cartesian") {
+  test("sparse cosine: pairs expand in-row from posting lists, no cartesian") {
+    // r15 restructure: the old term-keyed shuffle-hash SELF-join was
+    // replaced by a window df-prune + per-term posting lists expanded
+    // in-row via array_pairs (one corpus exchange instead of three, no
+    // second tokenize pass). The plan must show the in-row expansion
+    // (a Generate over array_pairs) and never a cartesian or a posting
+    // self-join.
     val p = planOf("ns_sparse_cosine")
-    // posting frames are corpus-sized: the pair join must be the hinted
-    // shuffled hash join on the term, never a planner broadcast of a
-    // corpus-cardinality side and never a cartesian. (The one
-    // BroadcastNestedLoopJoin Cross in the plan is the 1-row n_docs
-    // broadcast — the tfidf/keywords pattern — so only CartesianProduct
-    // is banned outright.)
-    assert(p.contains("ShuffledHashJoin"), p)
+    assert(p.contains("array_pairs"), p)
     assert(!p.contains("CartesianProduct"), p)
   }
 
