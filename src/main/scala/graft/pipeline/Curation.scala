@@ -59,8 +59,11 @@ object Curation {
              benchmark: Option[DataFrame] = None,
              benchmarkMinOverlap: Long = 1,
              checkpointDir: Option[String] = None): DataFrame = {
-    val input = if (!scrubPii) docs
-      else docs.withColumn(text, TextAnalysis.scrub(col(text)))
+    // r15: fan out before the quality/scrub regex chain — see
+    // util.FanOut (no-op on multi-split corpora)
+    val docsF = graft.util.FanOut(docs)
+    val input = if (!scrubPii) docsF
+      else docsF.withColumn(text, TextAnalysis.scrub(col(text)))
     val qualified = TextAnalysis.qualityScore(input, text)
       .filter(col("quality_score") >= minQuality)
     val kept = maxRepetition match {

@@ -209,7 +209,11 @@ object IncrementalCuration {
     }
     val state: Option[DataFrame] =
       if (fs.exists(hPath)) Some(spark.read.parquet(stateDir)) else None
-    val qualified = TextAnalysis.qualityScore(batch, text)
+    // r15: fan out the batch before the quality regexes — a single-file
+    // batch scan otherwise runs the whole quality gate (and everything
+    // fused above the first exchange) on one core; no-op on multi-split
+    // inputs (util.FanOut)
+    val qualified = TextAnalysis.qualityScore(graft.util.FanOut(batch), text)
       .filter(col("quality_score") >= minQuality)
       .select(col(id), col(text),
         col("n_words").cast("long").as("n_words"), col("quality_score"))
