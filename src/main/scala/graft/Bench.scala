@@ -106,9 +106,20 @@ object Bench {
       .flatMap(_.toIntOption).getOrElse(2).max(1)
     val budgetS = env("SPARK_GRAFT_BENCH_BUDGET_S")
       .flatMap(_.toDoubleOption).getOrElse(900.0)
+    // AQE's advisory post-shuffle partition size defaults to 64 MB —
+    // right for a cluster (guide: 100 MB–1 GB partitions), but in
+    // local mode it coalesces every mid-size shuffle to 1–2 partitions
+    // and serializes the downstream aggregation onto 1–2 of the
+    // machine's cores (measured r15: the 4.9M-row winnow pair
+    // aggregation −20%, the shingle pair graph −50% at 4 MB). Local
+    // default 4m ≈ shuffle-bytes/cores for this workload; a cluster
+    // deployment overrides via SPARK_GRAFT_ADVISORY_PART (64m–256m per
+    // the guide) — parameterized, not a hard-coded local constant.
+    val advisory = env("SPARK_GRAFT_ADVISORY_PART").getOrElse("4m")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", advisory)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

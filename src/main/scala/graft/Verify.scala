@@ -19,6 +19,11 @@ object Verify {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // local-mode AQE advisory partition size — see Bench.scala (4 MB
+      // keeps mid-size post-shuffle stages parallel on a single box;
+      // cluster deployments override via SPARK_GRAFT_ADVISORY_PART)
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        sys.env.getOrElse("SPARK_GRAFT_ADVISORY_PART", "4m"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -29,6 +29,10 @@ import org.apache.spark.sql.DataFrame
   */
 object FanOut {
   def apply(df: DataFrame): DataFrame = {
+    // streaming frames pass through untouched: `.rdd` is illegal on a
+    // streaming plan, and the micro-batch executor already controls
+    // partitioning (the shared-kernel streaming twins hit this path)
+    if (df.isStreaming) return df
     val cores = df.sparkSession.sparkContext.defaultParallelism
     val parts = df.rdd.getNumPartitions
     if (parts * 4 <= cores) df.repartition(cores) else df
