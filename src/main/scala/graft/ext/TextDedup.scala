@@ -528,6 +528,15 @@ object TextDedup {
       candidatePairCounts(df, text, id, shingleN, maxPostings, verbose),
       threshold)
 
+  /** [[ngramJaccardPairs]] over a prebuilt exploded (doc, sh) frame —
+    * see [[candidatePairCountsFromShingles]] (r15 shared-shingle path).
+    */
+  def ngramJaccardPairsFromShingles(shExploded: DataFrame,
+                                    threshold: Double = 0.5,
+                                    maxPostings: Long = 5000): DataFrame =
+    jaccardFromPairs(
+      candidatePairCountsFromShingles(shExploded, maxPostings), threshold)
+
   /** Jaccard over a prebuilt [[candidatePairCounts]] frame — the probe
     * half of the build/probe split: a pipeline that materializes the
     * pair graph once can derive every similarity policy from it
@@ -674,11 +683,27 @@ object TextDedup {
     */
   def candidatePairCounts(df: DataFrame, text: String, id: String,
                           shingleN: Int = 3, maxPostings: Long = 5000,
-                          verbose: Boolean = false): DataFrame = {
+                          verbose: Boolean = false): DataFrame =
+    candidatePairCountsFromShingles(
+      docShingles(df, text, id, shingleN)
+        .select(col("doc"), explode(col("sh")).as("sh")),
+      maxPostings, verbose)
+
+  /** [[candidatePairCounts]] over a PREBUILT exploded (doc, sh) frame
+    * (r15): callers that need the batch's shingles for MORE than one
+    * kernel (the incremental-curation fold runs the intra-pair pass
+    * AND the cross-batch probe AND, in indexed mode, the posting fold
+    * over the same batch) shingle once, persist, and pass the frame to
+    * each — instead of re-tokenizing the batch per kernel. Semantics
+    * are identical by construction (the public form above delegates
+    * here).
+    */
+  def candidatePairCountsFromShingles(shExploded: DataFrame,
+                                      maxPostings: Long = 5000,
+                                      verbose: Boolean = false): DataFrame = {
     require(maxPostings >= 1 && maxPostings <= 10000,
       "maxPostings must be in [1, 10000] (array_pairs bound)")
-    val sh = docShingles(df, text, id, shingleN)
-      .select(col("doc"), explode(col("sh")).as("sh"))
+    val sh = shExploded.select(col("doc"), col("sh"))
     // df-prune with a window count: ONE shuffle on sh (vs the two a
     // groupBy+join would pay), and the resulting sh-partitioning is
     // reused by the posting-list groupBy below. Persisted post-filter
@@ -1425,10 +1450,24 @@ object TextDedup {
     */
   def crossNearDups(newBatch: DataFrame, corpus: DataFrame, text: String,
                     id: String, shingleN: Int = 3, threshold: Double = 0.5,
-                    maxPostings: Long = 5000): DataFrame = {
+                    maxPostings: Long = 5000): DataFrame =
+    crossNearDupsFromNewShingles(
+      docShingles(newBatch, text, id, shingleN)
+        .select(col("doc").as("id_new"), explode(col("sh")).as("sh")),
+      corpus, text, id, shingleN, threshold, maxPostings)
+
+  /** [[crossNearDups]] with the BATCH side's exploded (id_new, sh)
+    * frame prebuilt — the r15 shared-shingle path (see
+    * [[candidatePairCountsFromShingles]]); the corpus side still
+    * shingles here (plain mode's contract). Semantics identical: the
+    * public form delegates.
+    */
+  def crossNearDupsFromNewShingles(shNew: DataFrame, corpus: DataFrame,
+                                   text: String, id: String,
+                                   shingleN: Int = 3,
+                                   threshold: Double = 0.5,
+                                   maxPostings: Long = 5000): DataFrame = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val shNew = docShingles(newBatch, text, id, shingleN)
-      .select(col("doc").as("id_new"), explode(col("sh")).as("sh"))
     val counted = docShingles(corpus, text, id, shingleN)
       .select(col("doc").as("id_old"), explode(col("sh")).as("sh"))
       .withColumn("_pf", count(lit(1)).over(Window.partitionBy("sh")))

@@ -286,6 +286,13 @@ object IncrementalCuration {
     // stored EXACT-dup rows from the probe — the one-shot pairs docs
     // among the exact-deduped set only, and an exact loser's RAW text
     // (which shingling sees) can differ from its keeper's.
+    // r15: shingle the deduped batch ONCE — the intra-pair pass, the
+    // plain-mode cross probe, and the indexed posting fold all consume
+    // the same exploded (doc, sh) table instead of re-tokenizing the
+    // batch per kernel
+    val shB = TextDedup.docShingles(dedupedB, text, id, n = 3)
+      .select(col("doc"), explode(col("sh")).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val crossPairs = state match {
       case None => None
       case Some(st) if indexed =>
@@ -300,13 +307,15 @@ object IncrementalCuration {
       case Some(st) =>
         val probeSide =
           if (retractable) st.filter(col("in_deduped")) else st
-        Some(TextDedup.crossNearDups(dedupedB, probeSide, text, id,
+        Some(TextDedup.crossNearDupsFromNewShingles(
+          shB.select(col("doc").as("id_new"), col("sh")),
+          probeSide, text, id,
           shingleN = 3, threshold = jaccardThreshold,
           maxPostings = maxPostings)
           .select(col("id_old").as("id_a"), col("id_new").as("id_b")))
     }
-    val intraPairs = TextDedup.ngramJaccardPairs(dedupedB, text, id,
-      shingleN = 3, threshold = jaccardThreshold, maxPostings = maxPostings)
+    val intraPairs = TextDedup.ngramJaccardPairsFromShingles(shB,
+      threshold = jaccardThreshold, maxPostings = maxPostings)
       .select(col("id_a"), col("id_b"))
     val pairs0 = crossPairs.fold(intraPairs)(_.unionByName(intraPairs))
     // retractable mode writes the edge table AFTER the state upsert
@@ -371,8 +380,8 @@ object IncrementalCuration {
       // SUMMARY keeps one string per distinct shingle so the probe
       // can audit code injectivity — see
       // [[graft.ext.TextDedup.crossNearDupsHashed]]
-      val shBatch = TextDedup.docShingles(dedupedB, text, id, n = 3)
-        .select(col("doc"), explode(col("sh")).as("sh"))
+      // r15: derives from the shared batch-shingle table (shB above)
+      val shBatch = shB
         .withColumn("shc", xxhash64(col("sh")))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val shRows = shBatch
@@ -413,6 +422,7 @@ object IncrementalCuration {
         dfRows, "part", "pk", "ver")
       shBatch.unpersist()
     }
+    shB.unpersist()
     dedupedB.unpersist()
     qualified.unpersist()
     // exit-side bind: the first fold of a fresh root records its layout

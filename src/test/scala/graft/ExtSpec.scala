@@ -36,6 +36,28 @@ class ExtSpec extends SparkSpec {
     assert(!j.contains((1L, 3L))) // no shared shingle at all
   }
 
+  test("r15 shared-shingle entry points equal their re-tokenizing forms") {
+    // the fold shingles its batch ONCE and feeds the intra-pair pass
+    // and the cross probe the same (doc, sh) frame — pin the equality
+    // that makes that pure optimization, row for row
+    val shB = TextDedup.docShingles(docs, "text", "doc_id", 3)
+      .select(col("doc"), explode(col("sh")).as("sh"))
+    val a = TextDedup.ngramJaccardPairs(docs, "text", "doc_id",
+      threshold = 0.0).collect().map(_.toSeq).toSet
+    val b = TextDedup.ngramJaccardPairsFromShingles(shB, threshold = 0.0)
+      .collect().map(_.toSeq).toSet
+    assert(a == b)
+    val corpus = Seq((10L,
+      "the quick brown fox jumps over the lazy dog near the river delta"))
+      .toDF("doc_id", "text")
+    val c = TextDedup.crossNearDups(docs, corpus, "text", "doc_id",
+      threshold = 0.1).collect().map(_.toSeq).toSet
+    val d = TextDedup.crossNearDupsFromNewShingles(
+      shB.select(col("doc").as("id_new"), col("sh")), corpus,
+      "text", "doc_id", threshold = 0.1).collect().map(_.toSeq).toSet
+    assert(c == d && c.nonEmpty)
+  }
+
   test("near-dup clusters: connected components labeled by min id") {
     // components: {1,2,3,9} via chain 1-2, 2-3, 3-9; {5,7}; {10,11,12} star
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 9L), (5L, 7L),
