@@ -478,9 +478,13 @@ object TextAnalysis {
     // once. Arithmetic is unchanged: dot = Σ_shared w_t², norm² = Σ w_t²
     // over exact DECIMAL(38,0) sums (associative), so membership and
     // cos_r are bit-identical to the self-join form.
-    val counted = terms.withColumn("_pf",
-      count(lit(1)).over(org.apache.spark.sql.expressions.Window
-        .partitionBy("term")))
+    // r16: pin the term exchange (util.PinExchange) — the df-prune
+    // window, posting collect and in-row pair explosion are fused above
+    // this one shuffle; AQE's byte-based coalescing serialized them.
+    val counted = graft.util.PinExchange(terms, col("term"))
+      .withColumn("_pf",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy("term")))
     val grouped = counted.filter(col("_pf") <= maxDf)
       .groupBy("term")
       .agg(collect_list(col("doc")).as("docs"), max(col("_pf")).as("df"))

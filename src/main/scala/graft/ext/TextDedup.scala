@@ -703,7 +703,14 @@ object TextDedup {
                                       verbose: Boolean = false): DataFrame = {
     require(maxPostings >= 1 && maxPostings <= 10000,
       "maxPostings must be in [1, 10000] (array_pairs bound)")
-    val sh = shExploded.select(col("doc"), col("sh"))
+    // r16: the sh exchange is PINNED at the configured shuffle
+    // parallelism (util.PinExchange) — the window, the posting-list
+    // collect and the in-row pair explosion below all run inside this
+    // one post-shuffle stage, whose work is quadratic in posting-list
+    // length while its input bytes are tiny, so AQE's byte-based
+    // coalescing was serializing the whole pair kernel onto 1–2 cores.
+    val sh = graft.util.PinExchange(
+      shExploded.select(col("doc"), col("sh")), col("sh"))
     // df-prune with a window count: ONE shuffle on sh (vs the two a
     // groupBy+join would pay), and the resulting sh-partitioning is
     // reused by the posting-list groupBy below. Persisted post-filter
@@ -912,7 +919,12 @@ object TextDedup {
     */
   def winnowingMatchesFromFps(fps: DataFrame, minShared: Long = 3,
                               maxPostings: Long = 1000): DataFrame = {
-    val counted = fps.withColumn("_pf",
+    // r16: pin the fp exchange (see candidatePairCountsFromShingles) —
+    // the posting collect + pair explode + partial pair aggregation are
+    // all fused above it, and their work is quadratic in posting-list
+    // length; AQE's byte-based coalescing put the measured ~4.9M-pair
+    // explosion of the sf0.1 corpus on one core.
+    val counted = graft.util.PinExchange(fps, col("fp")).withColumn("_pf",
       count(lit(1)).over(Window.partitionBy("fp")))
     counted.filter(col("_pf") >= 2 && col("_pf") <= maxPostings)
       .groupBy("fp").agg(collect_list(col("doc")).as("docs"))

@@ -467,6 +467,26 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("pair kernels: the amplifying key exchange is pinned, never AQE-coalesced") {
+    // r16 (util.PinExchange): the posting-list pair kernels' single key
+    // exchange — the one the df-prune window, the posting collect and
+    // the in-row array_pairs explosion all run above — must be a
+    // user-pinned REPARTITION_BY_NUM. AQE coalesces post-shuffle
+    // partitions by INPUT bytes, which undercounts a pair-exploding
+    // stage's work by the quadratic amplification factor; on the
+    // shipped corpora that serialized these kernels onto 1–2 cores.
+    // The pin must not ADD an exchange (the window/groupBy reuse its
+    // partitioning) — plans/r16 before/after dumps carry the
+    // equal-exchange-count evidence; here we pin the origin marker so
+    // a refactor that drops the pin (or re-keys it so a second
+    // exchange appears) fails a test.
+    for (q <- Seq("ns_sparse_cosine", "ns_winnow_matches",
+        "ns_dedup_ngram_jaccard")) {
+      val p = planOf(q)
+      assert(p.contains("REPARTITION_BY_NUM"), s"$q\n$p")
+    }
+  }
+
   test("rfm: quartile ranks ride range exchanges; windows are _pid-partitioned") {
     val p = planOf("t_rfm")
     // the globalRowNumbers two-pass numbering shows up as range
