@@ -250,10 +250,17 @@ object VectorSearch {
   /** The bucket column for the chosen hash family: native splitmix64
     * planes (default — codegen'd) or the portable seeded Rademacher
     * family (oracle-recomputable; see [[lshBucketPortableExpr]]).
+    * r16: the portable arm runs the COMPILED kernel
+    * ([[graft.functions.VectorExpressions.portable_lsh_bucket]]) —
+    * bit-identical values to [[lshBucketPortableExpr]] (parity pinned
+    * in AnnPortableSpec), same hash family, same oracle; the HOF form
+    * evaluated O(bits·dim) interpreted lambdas per row and was the
+    * dominant per-row cost of every portable ANN line.
     */
   private[graft] def bucketExprOf(bits: Int, vecCol: String,
                                   portable: Boolean): Column =
-    if (portable) lshBucketPortableExpr(bits, vecCol)
+    if (portable)
+      graft.functions.VectorExpressions.portable_lsh_bucket(col(vecCol), bits)
     else lshBucketExpr(bits, vecCol)
 
   /** Assign every vector its LSH bucket. Map-side; persist/bucket-write

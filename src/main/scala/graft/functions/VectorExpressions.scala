@@ -221,6 +221,37 @@ object VectorExpressions {
     override protected def withNewChildInternal(c: Expression): LshBucket = copy(c)
   }
 
+  /** Engine-portable seeded-Rademacher LSH bucket of a float/double
+    * array — the compiled twin of
+    * [[graft.ext.VectorSearch.lshBucketPortableExpr]] (r16): the HOF
+    * reference form evaluates O(bits·dim) boxed interpreted lambdas
+    * per row, which was the dominant per-row cost of every
+    * portable-family ANN line. Values are bit-identical (parity pinned
+    * in AnnPortableSpec over the real embeddings plus the
+    * null/empty/negative corners); the DuckDB oracle keeps recomputing
+    * the same family in plain SQL. Kernel:
+    * [[VectorKernels.portableLshBucket]].
+    */
+  case class PortableLshBucket(child: Expression, bits: Int)
+      extends UnaryExpression {
+    require(bits >= 1 && bits <= 63,
+      "portable_lsh_bucket bits must be in [1, 63]")
+    override def dataType: DataType = LongType
+    override def prettyName: String = "portable_lsh_bucket"
+    // NULL-input fidelity lives in the [[portable_lsh_bucket]] wrapper
+    // (a coalesce to 0), keeping this expression on the standard
+    // null-propagating codegen path.
+    @transient private lazy val isFloat =
+      child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+    override def nullSafeEval(v: Any): Any =
+      VectorKernels.portableLshBucket(v.asInstanceOf[ArrayData], bits, isFloat)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c =>
+        s"graft.functions.VectorKernels.portableLshBucket($c, $bits, $isFloat)")
+    override protected def withNewChildInternal(c: Expression): PortableLshBucket =
+      copy(child = c)
+  }
+
   /** All ordered pairs (a < b) of a long-array column, as
     * array<struct<a,b>> — the candidate-pair kernel for posting-list
     * joins: explode(array_pairs(collect_list(doc))) replaces a
@@ -275,6 +306,17 @@ object VectorExpressions {
 
   def lsh_bucket(vec: Column, bits: Int): Column =
     GraftColumnBridge.column(LshBucket(GraftColumnBridge.expression(vec), bits))
+
+  /** A NULL input vector yields bucket 0 in the HOF reference form
+    * (`size(null)` nulls every per-bit dot and `if(null ≥ 0)` takes
+    * the 0 branch) — the coalesce mirrors that exactly, so the
+    * compiled family can never drift from the oracle on null vectors.
+    */
+  def portable_lsh_bucket(vec: Column, bits: Int): Column =
+    org.apache.spark.sql.functions.coalesce(
+      GraftColumnBridge.column(
+        PortableLshBucket(GraftColumnBridge.expression(vec), bits)),
+      org.apache.spark.sql.functions.lit(0L))
 
   def array_pairs(xs: Column): Column =
     GraftColumnBridge.column(ArrayPairs(GraftColumnBridge.expression(xs)))

@@ -189,6 +189,52 @@ object VectorKernels {
     new GenericArrayData(out)
   }
 
+  /** Engine-portable seeded-Rademacher LSH bucket — the compiled form
+    * of the SQL expression the DuckDB oracle mirrors
+    * ([[graft.ext.VectorSearch.lshBucketPortableExpr]], which remains
+    * the reference surface; value parity is pinned in AnnPortableSpec).
+    * q_i = floor(double(x_i) · 1024); plane j's entry for 1-based
+    * dimension i is +1 iff ((i·(2j+3)·65537 + (j+1)·514229) mod
+    * 1000003) is even; bit j is set iff the exact integer dot ≥ 0.
+    * Fidelity corners, matched deliberately (each pinned by the
+    * AnnPortableSpec parity test): a null ELEMENT nulls every per-bit
+    * dot in the SQL form (`if(null ≥ 0)` → 0), so any null element
+    * yields bucket 0; an EMPTY vector also yields bucket 0 — in the
+    * HOF form `sequence(1, size(q))` on an empty q is `sequence(1, 0)`
+    * = [1, 0] (Spark sequences run DESCENDING when start > stop), so
+    * `zip_with` null-pads the empty side and every dot nulls out;
+    * NaN/±Inf quantize through the same non-ANSI double→long cast
+    * semantics (0 / saturation) as Spark's `cast`.
+    */
+  def portableLshBucket(arr: ArrayData, bits: Int, isFloat: Boolean): Long = {
+    val dim = arr.numElements()
+    if (dim == 0) return 0L
+    val q = new Array[Long](dim)
+    var i = 0
+    while (i < dim) {
+      if (arr.isNullAt(i)) return 0L
+      val x = if (isFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
+      q(i) = math.floor(x * 1024.0).toLong
+      i += 1
+    }
+    var sig = 0L
+    var j = 0
+    while (j < bits) {
+      val mult = (2L * j + 3L) * 65537L
+      val add = (j + 1L) * 514229L
+      var dot = 0L
+      i = 0
+      while (i < dim) {
+        if (((i + 1L) * mult + add) % 1000003L % 2L == 0L) dot += q(i)
+        else dot -= q(i)
+        i += 1
+      }
+      if (dot >= 0L) sig |= (1L << j)
+      j += 1
+    }
+    sig
+  }
+
   // ---- random-hyperplane LSH ----------------------------------------
 
   /** Plane matrices are deterministic in (bits, dim) (splitmix64 of the

@@ -64,6 +64,44 @@ class AnnPortableSpec extends SparkSpec {
     }
   }
 
+  test("compiled portable bucket is bit-identical to the HOF reference expression") {
+    // r16: bucketExprOf(portable = true) runs the compiled kernel
+    // (VectorExpressions.portable_lsh_bucket); the HOF SQL form
+    // (lshBucketPortableExpr) stays the oracle-reference surface. The
+    // two must never drift — including the corners: empty vector
+    // (bucket 0: sequence(1, 0) runs DESCENDING to [1, 0], so zip_with
+    // null-pads the empty side and every dot nulls), a NULL element
+    // (every per-bit dot nulls → bucket 0), double-typed elements,
+    // negative values, and a NULL vector (bucket 0 via the wrapper
+    // coalesce).
+    for (bits <- Seq(1, 8, 32)) {
+      val both = corpusDf.select(
+        graft.functions.VectorExpressions
+          .portable_lsh_bucket(col("embedding"), bits).as("k"),
+        VectorSearch.lshBucketPortableExpr(bits, "embedding").as("h"))
+        .collect()
+      assert(both.nonEmpty &&
+        both.forall(r => r.getLong(0) == r.getLong(1)), s"bits=$bits")
+    }
+    val corners = Seq(
+      Seq.empty[Option[Double]],
+      Seq(Some(1.5), Some(-2.25), Some(0.4)),
+      Seq(Some(1.0), None, Some(3.0)),
+      Seq(Some(0.0), Some(-0.0009765625))
+    ).toDF("embedding")
+      .unionByName(spark.range(1)
+        .selectExpr("cast(null as array<double>) as embedding"))
+    for (bits <- Seq(5, 24)) {
+      val both = corners.select(
+        graft.functions.VectorExpressions
+          .portable_lsh_bucket(col("embedding"), bits).as("k"),
+        VectorSearch.lshBucketPortableExpr(bits, "embedding").as("h"))
+        .collect()
+      assert(both.length == 5 &&
+        both.forall(r => r.getLong(0) == r.getLong(1)), s"corners bits=$bits")
+    }
+  }
+
   test("portable annTopK equals the Hamming-probe + cosine-rank model") {
     val df = corpusDf
     val got = VectorSearch.annTopK(df, df.filter(col("vec_id") < 3),
