@@ -106,20 +106,26 @@ object Bench {
       .flatMap(_.toIntOption).getOrElse(2).max(1)
     val budgetS = env("SPARK_GRAFT_BENCH_BUDGET_S")
       .flatMap(_.toDoubleOption).getOrElse(900.0)
-    // AQE's advisory post-shuffle partition size defaults to 64 MB —
-    // right for a cluster (guide: 100 MB–1 GB partitions), but in
-    // local mode it coalesces every mid-size shuffle to 1–2 partitions
-    // and serializes the downstream aggregation onto 1–2 of the
-    // machine's cores (measured r15: the 4.9M-row winnow pair
-    // aggregation −20%, the shingle pair graph −50% at 4 MB). Local
-    // default 4m ≈ shuffle-bytes/cores for this workload; a cluster
-    // deployment overrides via SPARK_GRAFT_ADVISORY_PART (64m–256m per
-    // the guide) — parameterized, not a hard-coded local constant.
-    val advisory = env("SPARK_GRAFT_ADVISORY_PART").getOrElse("4m")
+    // Session sizing delegates to the library's documented rules
+    // (graft.util.SessionDefaults, r16 — the r15 "4m" advisory literal
+    // is now the derived 128MiB/cores value, same number at 32 cores;
+    // cluster deployments still override via SPARK_GRAFT_ADVISORY_PART,
+    // unchanged). The codegen cache is the r16 finding: Spark's
+    // 100-entry default recompiled every query's generated Java every
+    // pass on this 240-query registry (−28% full-set when sized to the
+    // registry; see OPTIMIZATION_r16.md attribution probe 1). Static
+    // conf — applied at session build; env-overridable for sweeps.
+    val advisory = env("SPARK_GRAFT_ADVISORY_PART").getOrElse(
+      graft.util.SessionDefaults.advisoryPartitionBytes(
+        cpus.toIntOption.getOrElse(4)).toString)
+    val cgCache = env("SPARK_GRAFT_CODEGEN_CACHE").getOrElse(
+      graft.util.SessionDefaults.codegenCacheEntries(
+        SparkEntry.queries.size).toString)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", advisory)
+      .config(graft.util.SessionDefaults.CodegenCacheKey, cgCache)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

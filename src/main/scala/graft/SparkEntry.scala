@@ -4230,6 +4230,16 @@ object SparkEntry {
     * per-doc form ran, and equal bytes embed to equal vectors, so the
     * output is identical row-for-row. Also drops the old ids.rdd hop
     * (Row boxing + codegen fence) from the 5k-row side entirely.
+    *
+    * MEASUREMENT SCOPE (r16, advisor note): since this rewrite, the
+    * embed/features bench lines measure CLASS-DEDUPED decode — every
+    * codec/embedder path still executes and the physics oracle still
+    * gates values, but the numbers price ≤48 decodes + a broadcast
+    * join, NOT per-row decode throughput. Per-row decode at corpus
+    * volume remains priced by the container lines
+    * (ns_multimodal_audio/flac/mp3/ogg/video/webm walk every doc's
+    * bytes per row), which is where a decode-throughput regression
+    * shows up in the bench.
     */
   private def perClassEmbed(s: SparkSession, dir: String, nClasses: Long,
                             out: String)(f: Long => Int): DataFrame = {

@@ -442,6 +442,14 @@ object TextAnalysis {
     * shuffle_hash hints (posting frames are corpus-sized — the
     * TextDedup discipline), one pair aggregation, two |docs|-row
     * norm joins.
+    *
+    * API bound (r15, breaking vs the pre-r15 self-join form): `maxDf`
+    * must be ≤ 10,000 — posting lists expand in-row through
+    * `array_pairs`, whose hard input bound that is. The old self-join
+    * accepted any maxDf ≥ 2; callers needing a hub-term regime beyond
+    * 10k should pre-filter terms and use the pair-graph family
+    * ([[graft.ext.TextDedup.candidatePairCounts]]) instead — a df that
+    * high is no longer a "rarity weight" in any meaningful sense.
     */
   def sparseCosinePairs(df: DataFrame, text: String, id: String,
                         minCosCenti: Int = 30,
@@ -741,6 +749,15 @@ object TextAnalysis {
     * corpus-bounded); scoring is one join on (w1, w2) co-partitioned
     * with the type table plus the final per-doc partial-agg sum. Docs
     * with fewer than two tokens have no bigrams and are excluded.
+    *
+    * CACHE obligation (r16, advisor note): the corpus-sized bigram
+    * frame is persisted for the duration of the returned plan's
+    * actions and is NOT eagerly released here (the three consumers
+    * evaluate lazily, possibly across several caller actions). A
+    * long-lived session embedding this must call
+    * `spark.catalog.clearCache()` (or unpersist via its own lifecycle)
+    * once the result is consumed — the same obligation the bench's
+    * per-query clearCache discharges.
     */
   def lmScore(df: DataFrame, text: String, id: String): DataFrame = {
     val base = df.select(col(id).as("doc"),

@@ -98,6 +98,14 @@ object TextDedup {
     * sorted) where WindowExec shuffled every row and sorted each
     * partition. Output rows are identical: the id is unique, so the
     * min_by winner IS the window's rn=1 row.
+    *
+    * CONTRACT (r16, advisor note): ids must be NON-NULL. `min_by`
+    * ignores rows whose ordering key is null, where the old ascending
+    * row_number put nulls FIRST — an all-null-id group would have kept
+    * a row under the window and keeps an all-null struct under min_by.
+    * Every caller derives ids from the documents contract
+    * (`doc_id bigint`, never null); a null-id corpus must assign
+    * surrogate ids upstream.
     */
   private def keepFirstByHash(hashed: DataFrame, id: String): DataFrame = {
     val cols = hashed.columns
@@ -629,6 +637,13 @@ object TextDedup {
     // without the persist the df join + rank window run twice. `rk` is
     // the shingle's 1-based position in the doc's df-sorted set (the
     // window rank), kept for the positional filter below.
+    // r16 negative result, measured and NOT kept: pinning this doc
+    // exchange (util.PinExchange, the batch-A treatment) read −12 % on
+    // ns_ppjoin while an untouched control line moved −31 % in the same
+    // ABA probe — the delta is ambient, not the pin. Unlike the pair
+    // kernels, the candidate stage here is planner-BROADCAST at bench
+    // scale (pre is small after the prefix filter), so its parallelism
+    // follows the probe side's cache, which is already adequate.
     val pre = posts.join(dfTab, Seq("s"))
       .withColumn("rk", row_number().over(
         Window.partitionBy("doc").orderBy(col("_sdf"), col("s"))).cast("long"))

@@ -26,6 +26,15 @@ import org.apache.spark.sql.DataFrame
   * selection, simhash/minhash signatures, shingle pair kernels) — the
   * deliberately map-side-only operators (chunking, quality model,
   * scrub) keep their zero-exchange plans, which PlanSpec pins.
+  *
+  * CALLER contract (r16, advisor note): pass SCAN-ADJACENT frames
+  * only. The partition-count probe goes through `df.rdd`, which plans
+  * the frame physically — cheap for a scan (the covered call sites),
+  * but on a frame with shuffles/AQE stages beneath it the probe would
+  * EXECUTE those stages once before the real action does (an AQE plan
+  * materializes its query stages on RDD access). If a future caller
+  * needs a post-shuffle fan-out, that is [[PinExchange]]'s job, not
+  * this one's.
   */
 object FanOut {
   def apply(df: DataFrame): DataFrame = {
